@@ -1,0 +1,743 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Samples
+import graft.promql.Ast._
+import graft.promql.Parser
+
+/** Set-at-once PromQL evaluator on Spark DataFrames.
+  *
+  * The reference evaluates a range query as N independent instant
+  * evaluations, one per step (`promql/engine.go:412-462`), over iterators
+  * bound once per query (`engine.go:492-560`). Here the whole range is ONE
+  * distributed plan: selectors materialize `(series, step)` rows by
+  * exploding each sample onto the grid steps whose window contains it —
+  * an equi-grouped formulation that avoids a samples×steps theta join
+  * (no broadcast-nested-loop; scales linearly with window/step overlap) —
+  * and every downstream operator is keyed by `(sig, t)` instead of `sig`.
+  *
+  * Vector DataFrames carry columns:
+  *   sig STRING      canonical series signature (groupable/joinable)
+  *   labels MAP      full label set
+  *   t LONG          step (evaluation) timestamp, ms
+  *   st LONG         underlying sample timestamp, ms (for `timestamp()`)
+  *   v DOUBLE        value
+  * Scalar DataFrames carry (t, v); constants additionally fold driver-side.
+  */
+class PromQLEngine(
+    spark: SparkSession,
+    samples: DataFrame,
+    lookbackMs: Long = PromQLEngine.DefaultLookbackMs,
+    maxPointsPerSeries: Int = 11000) {
+
+  import PromQLEngine._
+
+  /** Evaluation grid: instant = single step. */
+  case class EvalRange(startMs: Long, endMs: Long, stepMs: Long) {
+    require(stepMs > 0, "zero or negative query resolution step")
+    require(endMs >= startMs, "end timestamp must not be before start time")
+    val numSteps: Long = (endMs - startMs) / stepMs + 1
+    // API guard, reference internal/api/v1/api.go:211-216
+    require(numSteps <= maxPointsPerSeries,
+      "exceeded maximum resolution of 11,000 points per timeseries")
+    lazy val stepsDF: DataFrame = spark.range(numSteps)
+      .select((lit(startMs) + col("id") * stepMs).as("t"))
+  }
+
+  sealed trait Value
+  case class VecV(df: DataFrame) extends Value
+  case class ScalV(df: DataFrame, const: Option[Double]) extends Value
+  case class StrV(s: String) extends Value
+
+  // ---------- public API ----------
+
+  def instant(query: String, tsMs: Long): DataFrame =
+    finish(eval(Parser.parse(query), EvalRange(tsMs, tsMs, 1000)))
+
+  def rangeQuery(query: String, startMs: Long, endMs: Long, stepMs: Long): DataFrame = {
+    val expr = Parser.parse(query)
+    expr.typ match {
+      case ValueType.Vector | ValueType.Scalar => ()
+      case t => throw new IllegalArgumentException(
+        s"invalid expression type $t for range query, must be scalar or instant vector")
+    }
+    finish(eval(expr, EvalRange(startMs, endMs, stepMs)))
+  }
+
+  /** Evaluate to the canonical (labels, t, v) result frame. */
+  private def finish(value: Value): DataFrame = value match {
+    case VecV(df) => df.select(col(L), col(T), col(V))
+    case ScalV(df, _) =>
+      df.select(map().cast("map<string,string>").as(L), col(T), col(V))
+    case StrV(_) => throw new IllegalArgumentException(
+      "string results have no tabular form")
+  }
+
+  // ---------- selectors ----------
+
+  private def matcherCond(m: LabelMatcher): Column = {
+    // An absent label behaves as the empty string (pkg/labels/matcher.go).
+    val value = coalesce(col(L).getItem(m.name), lit(""))
+    m.typ match {
+      case MatchType.Eq => value === m.value
+      case MatchType.NotEq => value =!= m.value
+      // fully anchored like the reference (matcher.go:55-69)
+      case MatchType.Regex => value.rlike("^(?:" + m.value + ")$")
+      case MatchType.NotRegex => !value.rlike("^(?:" + m.value + ")$")
+    }
+  }
+
+  private def allMatchers(vs: VectorSelector): Seq[LabelMatcher] =
+    vs.name.map(n => LabelMatcher(MatchType.Eq, Samples.MetricNameLabel, n)).toSeq ++
+      vs.matchers
+
+  /** All samples falling in each step's window `[step-o-w, step-o]`
+    * (closed on both ends, matching the vendored engine's `t >= mint`
+    * selection — engine.go:789-806,837-892), exploded onto the step grid.
+    * Output: sig, labels, t(step), st, v. */
+  private def windowed(vs: VectorSelector, windowMs: Long, tr: EvalRange): DataFrame = {
+    val o = vs.offsetMs
+    val ms = allMatchers(vs)
+    require(ms.nonEmpty, "vector selector must contain at least one label matcher")
+    // staleness markers are dropped at selection (engine.go:796-798);
+    // they arrive as an explicit `stale` flag set at ingest because Spark
+    // normalizes NaN payload bits inside UnsafeRow
+    val unstale =
+      if (samples.columns.contains("stale")) samples.filter(!col("stale"))
+      else samples
+    val base = unstale
+      .filter(ms.map(matcherCond).reduce(_ && _))
+      .filter(col(T) >= tr.startMs - o - windowMs && col(T) <= tr.endMs - o)
+      .select(col(L), col(T).as(ST), col(V))
+    // steps covered by a sample at st: step >= st+o  &&  step <= st+o+w
+    // (integer form of  step-o-w <= st <= step-o), intersected with the
+    // grid and clamped to [start, end].
+    val tAdj = col(ST) + o
+    val stepD = lit(tr.stepMs.toDouble)
+    val firstStep = greatest(lit(tr.startMs),
+      (lit(tr.startMs) +
+        ceil((tAdj - tr.startMs).cast("double") / stepD) * tr.stepMs).cast("long"))
+    val lastStep = least(lit(tr.endMs),
+      (lit(tr.startMs) +
+        floor((tAdj + windowMs - tr.startMs).cast("double") / stepD) * tr.stepMs).cast("long"))
+    base
+      .withColumn("_f", firstStep).withColumn("_l", lastStep)
+      .filter(col("_f") <= col("_l"))
+      .withColumn(T, explode(sequence(col("_f"), col("_l"), lit(tr.stepMs))))
+      .select(Samples.sigExpr(col(L)).as(SIG), col(L), col(T), col(ST), col(V))
+  }
+
+  /** Instant vector selector: latest sample per series in the lookback
+    * window at each step (`promql/engine.go:767-806`; 5-min lookback
+    * `engine.go:1469-1471`). */
+  private def vectorSelect(vs: VectorSelector, tr: EvalRange): DataFrame =
+    windowed(vs, lookbackMs, tr)
+      .groupBy(col(SIG), col(T))
+      .agg(first(col(L)).as(L),
+        max_by(struct(col(ST), col(V)), col(ST)).as("_p"))
+      .select(col(SIG), col(L), col(T), col("_p.st").as(ST), col("_p.v").as(V))
+
+  // ---------- evaluation ----------
+
+  def eval(e: Expr, tr: EvalRange): Value = e match {
+    case NumberLiteral(v) =>
+      ScalV(tr.stepsDF.withColumn(V, lit(v)), Some(v))
+    case StringLiteral(s) => StrV(s)
+    case ParenExpr(inner) => eval(inner, tr)
+    case vs: VectorSelector => VecV(vectorSelect(vs, tr))
+    case MatrixSelector(_, _) => throw new IllegalArgumentException(
+      "matrix selector only allowed as argument of a range-vector function")
+    case UnaryExpr(op, inner) => evalUnary(op, inner, tr)
+    case agg: AggregateExpr => VecV(evalAggregate(agg, tr))
+    case be: BinaryExpr => evalBinary(be, tr)
+    case call: Call => evalCall(call, tr)
+  }
+
+  private def evalUnary(op: String, inner: Expr, tr: EvalRange): Value =
+    eval(inner, tr) match {
+      case ScalV(df, c) if op == "-" =>
+        ScalV(df.withColumn(V, -col(V)), c.map(x => -x))
+      case s: ScalV => s
+      case VecV(df) if op == "-" =>
+        VecV(reSig(df.withColumn(V, -col(V))
+          .withColumn(L, Samples.dropMetricName(col(L)))))
+      case v: VecV => v
+      case StrV(_) => throw new IllegalArgumentException(
+        "unary expression only allowed on expressions of type scalar or instant vector")
+    }
+
+  // ---------- aggregations (engine.go:1254-1448) ----------
+
+  private def evalAggregate(agg: AggregateExpr, tr: EvalRange): DataFrame = {
+    val VecV(in) = (eval(agg.expr, tr): @unchecked)
+    val glabels =
+      if (agg.without) Samples.labelsWithout(col(L), agg.grouping)
+      else Samples.labelsOn(col(L), agg.grouping)
+    val prepared = in
+      .withColumn("_gl", glabels)
+      .withColumn("_gs", Samples.sigExpr(col("_gl")))
+
+    def grouped(aggCol: Column): DataFrame = prepared
+      .groupBy(col("_gs"), col(T))
+      .agg(first(col("_gl")).as(L), aggCol.as(V))
+      .select(col("_gs").as(SIG), col(L), col(T), col(T).as(ST), col(V))
+
+    // Go math.Min/math.Max propagate NaN; Spark min/max treat NaN as the
+    // largest double. Guard: if any NaN in group → NaN.
+    val anyNaN = max(when(isnan(col(V)), 1).otherwise(0)) === 1
+    def nanGuard(c: Column): Column =
+      when(anyNaN, lit(Double.NaN)).otherwise(c)
+
+    agg.op match {
+      case "sum" => grouped(sum(col(V)))
+      case "avg" => grouped(avg(col(V)))
+      case "min" => grouped(nanGuard(min(col(V))))
+      case "max" => grouped(nanGuard(max(col(V))))
+      case "count" => grouped(count(lit(1)).cast("double"))
+      case "stddev" => grouped(stddev_pop(col(V)))
+      case "stdvar" => grouped(var_pop(col(V)))
+      case "quantile" =>
+        val q = constParam(agg.param, "quantile")
+        grouped(percentile(col(V), lit(q)))
+      case "topk" | "bottomk" =>
+        val k = constParam(agg.param, agg.op).toInt
+        // bounded per-group heap in the reference (engine.go:1364-1384);
+        // NaN always loses. Result keeps ORIGINAL series labels.
+        val sortKey =
+          if (agg.op == "topk")
+            when(isnan(col(V)), lit(Double.NegativeInfinity)).otherwise(col(V)).desc
+          else
+            when(isnan(col(V)), lit(Double.PositiveInfinity)).otherwise(col(V)).asc
+        val w = Window.partitionBy(col("_gs"), col(T)).orderBy(sortKey)
+        prepared.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= k)
+          .select(col(SIG), col(L), col(T), col(ST), col(V))
+      case "count_values" =>
+        val lbl = agg.param match {
+          case Some(StringLiteral(s)) => s
+          case _ => throw new IllegalArgumentException(
+            "count_values requires a string literal label name")
+        }
+        val outLabels = map_concat(
+          map_filter(col("_gl"), (k, _) => k =!= lbl),
+          map(lit(lbl), PromUdfs.formatFloatUdf(col(V))))
+        prepared
+          .withColumn("_ol", outLabels)
+          .withColumn("_os", Samples.sigExpr(col("_ol")))
+          .groupBy(col("_os"), col(T))
+          .agg(first(col("_ol")).as(L), count(lit(1)).cast("double").as(V))
+          .select(col("_os").as(SIG), col(L), col(T), col(T).as(ST), col(V))
+      case other => throw new IllegalArgumentException(
+        s"unknown aggregation operator '$other'")
+    }
+  }
+
+  private def constParam(p: Option[Expr], op: String): Double = p match {
+    case Some(e) => constFold(e).getOrElse(throw new IllegalArgumentException(
+      s"aggregation parameter of '$op' must be a constant scalar expression"))
+    case None => throw new IllegalArgumentException(s"'$op' requires a parameter")
+  }
+
+  /** Driver-side constant folding for scalar literal subtrees. */
+  private def constFold(e: Expr): Option[Double] = e match {
+    case NumberLiteral(v) => Some(v)
+    case ParenExpr(i) => constFold(i)
+    case UnaryExpr("-", i) => constFold(i).map(x => -x)
+    case UnaryExpr("+", i) => constFold(i)
+    case BinaryExpr(op, l, r, _, _) =>
+      for (a <- constFold(l); b <- constFold(r); c <- scalarBinop(op, a, b))
+        yield c
+    case _ => None
+  }
+
+  private def scalarBinop(op: String, a: Double, b: Double): Option[Double] =
+    op match {
+      case "+" => Some(a + b)
+      case "-" => Some(a - b)
+      case "*" => Some(a * b)
+      case "/" => Some(a / b)
+      case "%" => Some(a % b)
+      case "^" => Some(math.pow(a, b))
+      case "==" => Some(if (a == b) 1 else 0)
+      case "!=" => Some(if (a != b) 1 else 0)
+      case ">" => Some(if (a > b) 1 else 0)
+      case "<" => Some(if (a < b) 1 else 0)
+      case ">=" => Some(if (a >= b) 1 else 0)
+      case "<=" => Some(if (a <= b) 1 else 0)
+      case _ => None
+    }
+
+  // ---------- binary operators ----------
+
+  /** IEEE comparison columns — Spark treats NaN==NaN as true and NaN as
+    * the largest double; PromQL follows Go/IEEE (engine.go:1199-1227). */
+  private def cmpCond(op: String, l: Column, r: Column): Column = {
+    val noNaN = !isnan(l) && !isnan(r)
+    op match {
+      case "==" => noNaN && (l === r)
+      case "!=" => isnan(l) || isnan(r) || (l =!= r)
+      case ">" => noNaN && (l > r)
+      case "<" => noNaN && (l < r)
+      case ">=" => noNaN && (l >= r)
+      case "<=" => noNaN && (l <= r)
+      case _ => throw new IllegalArgumentException(s"not a comparison: $op")
+    }
+  }
+
+  private def arithCol(op: String, l: Column, r: Column): Column = op match {
+    case "+" => l + r
+    case "-" => l - r
+    case "*" => l * r
+    // Spark returns NULL for a zero divisor (non-ANSI); Go returns
+    // ±Inf/NaN — fall back to the exact IEEE result on that branch.
+    case "/" => when(r =!= 0.0, l / r).otherwise(PromUdfs.divUdf(l, r))
+    case "%" => when(r =!= 0.0, l % r).otherwise(PromUdfs.modUdf(l, r))
+    case "^" => pow(l, r)
+    case _ => throw new IllegalArgumentException(s"not arithmetic: $op")
+  }
+
+  private def evalBinary(be: BinaryExpr, tr: EvalRange): Value = {
+    val lv = eval(be.lhs, tr)
+    val rv = eval(be.rhs, tr)
+    (lv, rv) match {
+      case (ScalV(_, Some(a)), ScalV(_, Some(b))) =>
+        val c = scalarBinop(be.op, a, b).get
+        ScalV(tr.stepsDF.withColumn(V, lit(c)), Some(c))
+      case (ScalV(ldf, _), ScalV(rdf, _)) =>
+        val joined = ldf.withColumnRenamed(V, "_lv")
+          .join(rdf.withColumnRenamed(V, "_rv"), Seq(T))
+        val out =
+          if (comparisonOps.contains(be.op))
+            joined.withColumn(V,
+              when(cmpCond(be.op, col("_lv"), col("_rv")), 1.0).otherwise(0.0))
+          else joined.withColumn(V, arithCol(be.op, col("_lv"), col("_rv")))
+        ScalV(out.select(col(T), col(V)), None)
+      case (VecV(vdf), s: ScalV) => vectorScalar(be, vdf, s, vecOnLeft = true)
+      case (s: ScalV, VecV(vdf)) => vectorScalar(be, vdf, s, vecOnLeft = false)
+      case (VecV(ldf), VecV(rdf)) => VecV(vectorVector(be, ldf, rdf))
+      case _ => throw new IllegalArgumentException(
+        "binary expression must contain only scalar and instant vector types")
+    }
+  }
+
+  /** vector ⊙ scalar (engine.go:1132-1161). */
+  private def vectorScalar(be: BinaryExpr, vdf: DataFrame, s: ScalV,
+      vecOnLeft: Boolean): Value = {
+    val withS = s.const match {
+      case Some(c) => vdf.withColumn("_sv", lit(c))
+      case None => vdf.join(
+        broadcast(s.df.withColumnRenamed(V, "_sv")), Seq(T))
+    }
+    val (l, r) =
+      if (vecOnLeft) (col(V), col("_sv")) else (col("_sv"), col(V))
+    val dropName = shouldDropMetricName(be.op) || be.returnBool
+    val out =
+      if (comparisonOps.contains(be.op)) {
+        if (be.returnBool)
+          withS.withColumn(V, when(cmpCond(be.op, l, r), 1.0).otherwise(0.0))
+        else withS.filter(cmpCond(be.op, l, r)) // keep the VECTOR value
+      } else withS.withColumn(V, arithCol(be.op, l, r))
+    val labeled =
+      if (dropName) reSig(out.withColumn(L, Samples.dropMetricName(col(L))))
+      else out
+    VecV(labeled.select(col(SIG), col(L), col(T), col(ST), col(V)))
+  }
+
+  /** vector ⊙ vector — signature-keyed join (engine.go:894-1130). */
+  private def vectorVector(be: BinaryExpr, ldf: DataFrame, rdf: DataFrame): DataFrame = {
+    val m = be.matching.getOrElse(VectorMatching())
+    def msig(c: Column): Column =
+      if (m.on) Samples.sigOn(c, m.matchingLabels)
+      else Samples.sigWithout(c, m.matchingLabels)
+    val lhs = ldf.withColumn("_ms", msig(col(L)))
+    val rhs = rdf.withColumn("_ms", msig(col(L)))
+
+    if (setOps.contains(be.op)) {
+      val rKeys = rhs.select(col("_ms"), col(T)).distinct()
+      val lKeys = lhs.select(col("_ms"), col(T)).distinct()
+      return (be.op match {
+        case "and" => lhs.join(rKeys, Seq("_ms", T), "left_semi")
+        case "unless" => lhs.join(rKeys, Seq("_ms", T), "left_anti")
+        case "or" =>
+          val missing = rhs.join(lKeys, Seq("_ms", T), "left_anti")
+          lhs.unionByName(missing)
+      }).select(col(SIG), col(L), col(T), col(ST), col(V))
+    }
+
+    val card = m.card
+    // one-to-one requires BOTH sides unique per (sig, t); group_left
+    // requires the rhs ("one" side) unique; group_right the lhs.
+    val w = Window.partitionBy(col("_ms"), col(T))
+    val lCnt = count(lit(1)).over(w)
+    val lhs2 = lhs.withColumn("_lc",
+      if (card == Cardinality.OneToMany) lCnt else
+        (if (card == Cardinality.OneToOne) lCnt else lit(1L)))
+      .select(col("_ms"), col(T), col(L).as("_ll"), col(ST).as("_lst"),
+        col(V).as("_lv"), col("_lc"))
+    val rhs2 = rhs.withColumn("_rc",
+      if (card == Cardinality.ManyToOne) lCnt else
+        (if (card == Cardinality.OneToOne) lCnt else lit(1L)))
+      .select(col("_ms"), col(T), col(L).as("_rl"), col(V).as("_rv"), col("_rc"))
+    val joined = lhs2.join(rhs2, Seq("_ms", T))
+
+    val errMsg = card match {
+      case Cardinality.OneToOne =>
+        "multiple matches for labels: many-to-one matching must be explicit (group_left/group_right)"
+      case _ =>
+        "multiple matches for labels: grouping labels must ensure unique matches"
+    }
+    val dupErr = col("_lc") > 1 || col("_rc") > 1
+
+    val dropName = shouldDropMetricName(be.op) || be.returnBool
+    // result metric (engine.go:1098-1130): start from the "many" side
+    val manyLabels = if (card == Cardinality.OneToMany) col("_rl") else col("_ll")
+    val oneLabels = if (card == Cardinality.OneToMany) col("_ll") else col("_rl")
+    var outLabels = if (dropName) Samples.dropMetricName(manyLabels) else manyLabels
+    outLabels = card match {
+      case Cardinality.OneToOne =>
+        if (m.on) Samples.labelsOn(outLabels, m.matchingLabels)
+        else map_filter(outLabels, (k, _) =>
+          !k.isInCollection(m.matchingLabels.toSet))
+      case _ =>
+        if (m.include.isEmpty) outLabels
+        else map_concat(
+          map_filter(outLabels, (k, _) => !k.isInCollection(m.include.toSet)),
+          map_filter(oneLabels, (k, _) => k.isInCollection(m.include.toSet)))
+    }
+
+    def guarded(value: Column): Column =
+      when(dupErr, raise_error(lit(errMsg)).cast("double")).otherwise(value)
+
+    val lV = col("_lv"); val rV = col("_rv")
+    val computed =
+      if (comparisonOps.contains(be.op)) {
+        if (be.returnBool)
+          joined.withColumn(V,
+            guarded(when(cmpCond(be.op, lV, rV), 1.0).otherwise(0.0)))
+        else joined
+          .withColumn(V, guarded(lV)) // keep lhs value
+          .filter(cmpCond(be.op, lV, rV))
+      } else joined.withColumn(V, guarded(arithCol(be.op, lV, rV)))
+
+    val out = computed
+      .withColumn(L, outLabels)
+      .withColumn(SIG, Samples.sigExpr(col(L)))
+      .select(col(SIG), col(L), col(T), col("_lst").as(ST), col(V))
+    // duplicate OUTPUT series (same result labels at same t) are an error
+    // in the reference (engine.go:1023-1039)
+    val ow = Window.partitionBy(col(SIG), col(T))
+    out.withColumn("_oc", count(lit(1)).over(ow))
+      .withColumn(V, when(col("_oc") > 1,
+        raise_error(lit("vector cannot contain metrics with the same labelset"))
+          .cast("double")).otherwise(col(V)))
+      .drop("_oc")
+  }
+
+  // ---------- function calls ----------
+
+  private def evalCall(call: Call, tr: EvalRange): Value = {
+    val name = call.func.name
+    name match {
+      case "time" =>
+        ScalV(tr.stepsDF.withColumn(V, col(T).cast("double") / 1000.0), None)
+      case "vector" =>
+        val ScalV(sdf, _) = (eval(call.args.head, tr): @unchecked)
+        VecV(sdf.select(lit("").as(SIG),
+          map().cast("map<string,string>").as(L),
+          col(T), col(T).as(ST), col(V)))
+      case "scalar" =>
+        val VecV(vdf) = (eval(call.args.head, tr): @unchecked)
+        val aggd = vdf.groupBy(col(T))
+          .agg(count(lit(1)).as("_c"), first(col(V)).as("_fv"))
+        val out = tr.stepsDF.join(aggd, Seq(T), "left")
+          .withColumn(V,
+            when(col("_c") === 1, col("_fv")).otherwise(lit(Double.NaN)))
+          .select(col(T), col(V))
+        ScalV(out, None)
+      case "absent" => VecV(evalAbsent(call.args.head, tr))
+      case "timestamp" =>
+        val VecV(vdf) = (eval(call.args.head, tr): @unchecked)
+        VecV(reSig(vdf
+          .withColumn(V, col(ST).cast("double") / 1000.0)
+          .withColumn(L, Samples.dropMetricName(col(L)))))
+      case "sort" | "sort_desc" => // NaN last in BOTH directions (G9)
+        val VecV(vdf) = (eval(call.args.head, tr): @unchecked)
+        val key =
+          if (name == "sort")
+            when(isnan(col(V)), lit(Double.PositiveInfinity)).otherwise(col(V)).asc
+          else
+            when(isnan(col(V)), lit(Double.NegativeInfinity)).otherwise(col(V)).desc
+        VecV(vdf.orderBy(key))
+      case "label_replace" => VecV(evalLabelReplace(call, tr))
+      case "label_join" => VecV(evalLabelJoin(call, tr))
+      case "histogram_quantile" => VecV(evalHistogramQuantile(call, tr))
+      case _ if rangeFuncs.contains(name) => VecV(evalRangeFunc(call, tr))
+      case _ if instantMathFuncs.contains(name) =>
+        val VecV(vdf) = (eval(call.args.head, tr): @unchecked)
+        val extra = call.args.drop(1).map(a => constFold(a).getOrElse(
+          throw new IllegalArgumentException(
+            s"argument of $name must be a constant scalar")))
+        VecV(reSig(vdf
+          .withColumn(V, instantMathFuncs(name)(col(V), extra))
+          .withColumn(L, Samples.dropMetricName(col(L)))))
+      case _ if dateFuncs.contains(name) => VecV(evalDateFunc(call, tr))
+      case other => throw new IllegalArgumentException(
+        s"unknown function '$other'")
+    }
+  }
+
+  private def evalAbsent(arg: Expr, tr: EvalRange): DataFrame = {
+    val VecV(vdf) = (eval(arg, tr): @unchecked)
+    // synthesized labels: the = matchers of a direct selector argument,
+    // excluding __name__ (functions.go:511-531)
+    val eqLabels: Seq[(String, String)] = arg match {
+      case VectorSelector(_, matchers, _) =>
+        matchers.collect {
+          case LabelMatcher(MatchType.Eq, n, v)
+            if n != Samples.MetricNameLabel => (n, v)
+        }
+      case ParenExpr(VectorSelector(_, matchers, _)) =>
+        matchers.collect {
+          case LabelMatcher(MatchType.Eq, n, v)
+            if n != Samples.MetricNameLabel => (n, v)
+        }
+      case _ => Nil
+    }
+    val lblCol =
+      if (eqLabels.isEmpty) map().cast("map<string,string>")
+      else map(eqLabels.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    tr.stepsDF
+      .join(vdf.select(col(T)).distinct(), Seq(T), "left_anti")
+      .withColumn(L, lblCol)
+      .select(Samples.sigExpr(col(L)).as(SIG), col(L), col(T),
+        col(T).as(ST), lit(1.0).as(V))
+  }
+
+  private def evalLabelReplace(call: Call, tr: EvalRange): DataFrame = {
+    val Seq(vecArg, dstE, replE, srcE, regexE) = call.args
+    val VecV(vdf) = (eval(vecArg, tr): @unchecked)
+    val (dst, repl, src, regexStr) = (str(dstE), str(replE), str(srcE), str(regexE))
+    // fully anchored regex like the reference; $1/${name} expansion is
+    // shared Java/RE2 syntax (functions.go:779-823)
+    val pattern = java.util.regex.Pattern.compile("^(?:" + regexStr + ")$")
+    val replaceUdf = udf { labels: Map[String, String] =>
+      val srcVal = labels.getOrElse(src, "")
+      val m = pattern.matcher(srcVal)
+      if (!m.matches()) labels
+      else {
+        val out = m.replaceFirst(repl)
+        if (out.isEmpty) labels - dst else labels + (dst -> out)
+      }
+    }
+    reSig(vdf.withColumn(L, replaceUdf(col(L))))
+  }
+
+  private def evalLabelJoin(call: Call, tr: EvalRange): DataFrame = {
+    val VecV(vdf) = (eval(call.args.head, tr): @unchecked)
+    val dst = str(call.args(1)); val sep = str(call.args(2))
+    val srcs = call.args.drop(3).map(str)
+    val joinUdf = udf { labels: Map[String, String] =>
+      val joined = srcs.map(s => labels.getOrElse(s, "")).mkString(sep)
+      if (joined.isEmpty) labels - dst else labels + (dst -> joined)
+    }
+    reSig(vdf.withColumn(L, joinUdf(col(L))))
+  }
+
+  private def evalHistogramQuantile(call: Call, tr: EvalRange): DataFrame = {
+    val q = constFold(call.args.head).getOrElse(throw new IllegalArgumentException(
+      "histogram_quantile quantile must be a constant scalar"))
+    val VecV(vdf) = (eval(call.args(1), tr): @unchecked)
+    // group by labels minus le and __name__; parse le as double
+    val gl = Samples.labelsWithout(col(L), Seq("le"))
+    vdf
+      .withColumn("_le", goParseFloat(col(L).getItem("le")))
+      .filter(col("_le").isNotNull) // buckets without le are skipped
+      .withColumn("_gl", gl)
+      .withColumn("_gs", Samples.sigExpr(col("_gl")))
+      .groupBy(col("_gs"), col(T))
+      .agg(first(col("_gl")).as(L),
+        collect_list(struct(col("_le"), col(V))).as("_buckets"))
+      .withColumn(V, PromUdfs.bucketQuantileUdf(lit(q), col("_buckets")))
+      .select(col("_gs").as(SIG), col(L), col(T), col(T).as(ST), col(V))
+  }
+
+  /** Range-vector functions: window per (series, step) then aggregate. */
+  private def evalRangeFunc(call: Call, tr: EvalRange): DataFrame = {
+    val name = call.func.name
+    val (msArg, scalarArgs) = name match {
+      case "quantile_over_time" => (call.args(1), Seq(call.args.head))
+      case _ => (call.args.head, call.args.drop(1))
+    }
+    val ms = msArg match {
+      case m: MatrixSelector => m
+      case ParenExpr(m: MatrixSelector) => m
+      case _ => throw new IllegalArgumentException(
+        s"expected range vector in call to '$name'")
+    }
+    val win = windowed(ms.selector, ms.rangeMs, tr)
+    val consts = scalarArgs.map(a => constFold(a).getOrElse(
+      throw new IllegalArgumentException(
+        s"scalar argument of $name must be constant")))
+
+    def aggSimple(c: Column, guardNaN: Boolean = false): DataFrame = {
+      val anyNaN = max(when(isnan(col(V)), 1).otherwise(0)) === 1
+      val vc = if (guardNaN) when(anyNaN, lit(Double.NaN)).otherwise(c) else c
+      win.groupBy(col(SIG), col(T))
+        .agg(first(col(L)).as(L), vc.as(V))
+        .select(col(SIG),
+          Samples.dropMetricName(col(L)).as(L), col(T), col(T).as(ST), col(V))
+        .transform(reSig)
+    }
+    def aggPoints(f: Column => Column): DataFrame =
+      win.groupBy(col(SIG), col(T))
+        .agg(first(col(L)).as(L),
+          array_sort(collect_list(struct(col(ST).as("t"), col(V).as("v")))).as("_pts"))
+        .withColumn(V, f(col("_pts")))
+        .filter(col(V).isNotNull)
+        .select(col(SIG),
+          Samples.dropMetricName(col(L)).as(L), col(T), col(T).as(ST), col(V))
+        .transform(reSig)
+
+    val o = ms.selector.offsetMs; val r = ms.rangeMs
+    name match {
+      case "sum_over_time" => aggSimple(sum(col(V)))
+      case "avg_over_time" => aggSimple(avg(col(V)))
+      case "min_over_time" => aggSimple(min(col(V)), guardNaN = true)
+      case "max_over_time" => aggSimple(max(col(V)), guardNaN = true)
+      case "count_over_time" => aggSimple(count(lit(1)).cast("double"))
+      case "stddev_over_time" => aggSimple(stddev_pop(col(V)))
+      case "stdvar_over_time" => aggSimple(var_pop(col(V)))
+      case "quantile_over_time" =>
+        aggPoints(p => PromUdfs.quantileOverTimeUdf(lit(consts.head), p))
+      case "rate" => aggPoints(p =>
+        PromUdfs.rateUdf(p, col(T), lit(o), lit(r), lit(true), lit(true)))
+      case "increase" => aggPoints(p =>
+        PromUdfs.rateUdf(p, col(T), lit(o), lit(r), lit(true), lit(false)))
+      case "delta" => aggPoints(p =>
+        PromUdfs.rateUdf(p, col(T), lit(o), lit(r), lit(false), lit(false)))
+      case "irate" => aggPoints(p => PromUdfs.instantValueUdf(p, lit(true)))
+      case "idelta" => aggPoints(p => PromUdfs.instantValueUdf(p, lit(false)))
+      case "resets" => aggPoints(PromUdfs.resetsUdf(_))
+      case "changes" => aggPoints(PromUdfs.changesUdf(_))
+      case "deriv" => aggPoints(PromUdfs.derivUdf(_))
+      case "predict_linear" => aggPoints(p => // anchored at the eval ts
+        PromUdfs.predictLinearUdf(p, col(T), lit(consts.head)))
+      case "holt_winters" => aggPoints(p =>
+        PromUdfs.holtWintersUdf(p, lit(consts.head), lit(consts(1))))
+      case other => throw new IllegalArgumentException(
+        s"unhandled range function '$other'")
+    }
+  }
+
+  private def evalDateFunc(call: Call, tr: EvalRange): DataFrame = {
+    val name = call.func.name
+    val VecV(vdf) =
+      if (call.args.isEmpty) {
+        // default argument: vector(time()) (functions.go:886-905)
+        (evalCall(Call(functions("vector"),
+          Seq(Call(functions("time"), Nil))), tr): @unchecked)
+      } else (eval(call.args.head, tr): @unchecked)
+    // value = epoch SECONDS (truncated), interpreted in UTC (G12)
+    val ts = timestamp_seconds(col(V).cast("long"))
+    val out = name match {
+      case "minute" => minute(ts)
+      case "hour" => hour(ts)
+      case "day_of_week" => dayofweek(ts) - 1 // Go: Sunday=0; Spark: Sunday=1
+      case "day_of_month" => dayofmonth(ts)
+      case "days_in_month" => dayofmonth(last_day(ts))
+      case "month" => month(ts)
+      case "year" => year(ts)
+    }
+    reSig(vdf.withColumn(V, out.cast("double"))
+      .withColumn(L, Samples.dropMetricName(col(L))))
+  }
+
+  private def str(e: Expr): String = e match {
+    case StringLiteral(s) => s
+    case _ => throw new IllegalArgumentException("expected string literal")
+  }
+
+  /** Recompute sig after a label transformation. */
+  private def reSig(df: DataFrame): DataFrame =
+    df.withColumn(SIG, Samples.sigExpr(col(L)))
+      .select(col(SIG), col(L), col(T), col(ST), col(V))
+}
+
+object PromQLEngine {
+  val DefaultLookbackMs: Long = 300000L // engine.go:1469-1471
+
+  private[exec] val SIG = "sig"
+  private[exec] val L = "labels"
+  private[exec] val T = "t"
+  private[exec] val ST = "st"
+  private[exec] val V = "v"
+
+  import graft.promql.Ast
+  private[exec] val comparisonOps = Ast.comparisonOps
+  private[exec] val setOps = Ast.setOps
+  private[exec] val functions = Ast.functions
+  private[exec] def shouldDropMetricName(op: String): Boolean =
+    Ast.shouldDropMetricName(op)
+
+  private[exec] val rangeFuncs: Set[String] = Set(
+    "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
+    "count_over_time", "stddev_over_time", "stdvar_over_time",
+    "quantile_over_time", "rate", "increase", "delta", "irate", "idelta",
+    "resets", "changes", "deriv", "predict_linear", "holt_winters")
+
+  /** Go strconv.ParseFloat for `le` values (accepts "+Inf"). */
+  private[exec] def goParseFloat(c: Column): Column = {
+    val u = udf { s: String =>
+      if (s == null) None
+      else s.trim match {
+        case "+Inf" | "Inf" | "inf" => Some(Double.PositiveInfinity)
+        case "-Inf" | "-inf" => Some(Double.NegativeInfinity)
+        case "NaN" => Some(Double.NaN)
+        case other =>
+          try Some(other.toDouble) catch { case _: NumberFormatException => None }
+      }
+    }
+    u(c)
+  }
+
+  /** Per-sample scalar math functions (G1-G5, G2-G4). Second element of the
+    * tuple receives any extra constant args. */
+  private[exec] val instantMathFuncs: Map[String, (Column, Seq[Double]) => Column] = {
+    import org.apache.spark.sql.functions._
+    def logSem(f: Column => Column): (Column, Seq[Double]) => Column =
+      // Go: ln(0)=-Inf, ln(<0)=NaN, ln(NaN)=NaN; Spark log(x<=0)=NULL
+      (v, _) => when(isnan(v), lit(Double.NaN))
+        .when(v > 0, f(v))
+        .when(v === 0, lit(Double.NegativeInfinity))
+        .otherwise(lit(Double.NaN))
+    // Spark ceil/floor return LONG (mangles NaN/±Inf); guard like Go
+    def finiteGuard(f: Column => Column): Column => Column =
+      v => when(isnan(v) || abs(v) === Double.PositiveInfinity, v)
+        .otherwise(f(v))
+    Map(
+      "abs" -> ((v, _) => abs(v)),
+      "ceil" -> ((v, _) => finiteGuard(x => ceil(x).cast("double"))(v)),
+      "floor" -> ((v, _) => finiteGuard(x => floor(x).cast("double"))(v)),
+      "exp" -> ((v, _) => exp(v)),
+      "sqrt" -> ((v, _) => sqrt(v)),
+      "ln" -> logSem(log(_)),
+      "log2" -> logSem(log2(_)),
+      "log10" -> logSem(log10(_)),
+      "round" -> ((v, extra) => {
+        val toNearest = extra.headOption.getOrElse(1.0)
+        PromUdfs.roundUdf(v, lit(toNearest))
+      }),
+      "clamp_max" -> ((v, extra) =>
+        when(isnan(v), v).otherwise(least(v, lit(extra.head)))),
+      "clamp_min" -> ((v, extra) =>
+        when(isnan(v), v).otherwise(greatest(v, lit(extra.head))))
+    )
+  }
+
+  private[exec] val dateFuncs: Set[String] = Set(
+    "minute", "hour", "day_of_week", "day_of_month", "days_in_month",
+    "month", "year")
+}

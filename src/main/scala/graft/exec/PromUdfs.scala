@@ -1,0 +1,264 @@
+package graft.exec
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+
+/** Scalar implementations of the PromQL computations that have no Spark
+  * built-in equivalent. Each replicates the reference formula exactly
+  * (citations into `/root/reference/vendor/.../promql/`); they run over
+  * per-(series, step) point arrays produced by the windowed selector, so
+  * they stay fully distributed (no driver-side loops).
+  *
+  * Points arrive as `array<struct<t:long, v:double>>` already sorted by t
+  * (via `array_sort`, which orders structs by leading field).
+  */
+object PromUdfs {
+
+  private def pts(rows: Seq[Row]): Array[(Long, Double)] = {
+    val a = new Array[(Long, Double)](rows.length)
+    var i = 0
+    rows.foreach { r => a(i) = (r.getLong(0), r.getDouble(1)); i += 1 }
+    a
+  }
+
+  /** `rate`/`increase`/`delta` — extrapolated rate with counter-reset
+    * correction and boundary extrapolation (threshold 1.1× average sample
+    * spacing, half-spacing fallback, counter zero-point clamp).
+    * Reference: `promql/functions.go:50-141` (extrapolatedRate). */
+  def extrapolatedRate(points: Seq[Row], stepT: Long, offsetMs: Long,
+      rangeMs: Long, isCounter: Boolean, isRate: Boolean): Option[Double] = {
+    val p = pts(points)
+    if (p.length < 2) return None
+    val rangeStart = stepT - offsetMs - rangeMs
+    val rangeEnd = stepT - offsetMs
+    var counterCorrection = 0.0
+    if (isCounter) {
+      var i = 1
+      while (i < p.length) {
+        if (p(i)._2 < p(i - 1)._2) counterCorrection += p(i - 1)._2
+        i += 1
+      }
+    }
+    var resultValue = p.last._2 - p.head._2 + counterCorrection
+    var durationToStart = (p.head._1 - rangeStart).toDouble / 1000
+    val durationToEnd = (rangeEnd - p.last._1).toDouble / 1000
+    val sampledInterval = (p.last._1 - p.head._1).toDouble / 1000
+    val averageDurationBetweenSamples = sampledInterval / (p.length - 1)
+    if (isCounter && resultValue > 0 && p.head._2 >= 0) {
+      val durationToZero = sampledInterval * (p.head._2 / resultValue)
+      if (durationToZero < durationToStart) durationToStart = durationToZero
+    }
+    val extrapolationThreshold = averageDurationBetweenSamples * 1.1
+    var extrapolateToInterval = sampledInterval
+    extrapolateToInterval +=
+      (if (durationToStart < extrapolationThreshold) durationToStart
+       else averageDurationBetweenSamples / 2)
+    extrapolateToInterval +=
+      (if (durationToEnd < extrapolationThreshold) durationToEnd
+       else averageDurationBetweenSamples / 2)
+    resultValue *= extrapolateToInterval / sampledInterval
+    if (isRate) resultValue /= rangeMs.toDouble / 1000
+    Some(resultValue)
+  }
+
+  /** `irate`/`idelta` — last two points (`promql/functions.go:145-191`). */
+  def instantValue(points: Seq[Row], isRate: Boolean): Option[Double] = {
+    val p = pts(points)
+    if (p.length < 2) return None
+    val last = p(p.length - 1)
+    val prev = p(p.length - 2)
+    var resultValue =
+      if (isRate && last._2 < prev._2) last._2 // counter reset
+      else last._2 - prev._2
+    val sampledIntervalMs = last._1 - prev._1
+    if (sampledIntervalMs == 0) return None
+    if (isRate) resultValue /= sampledIntervalMs.toDouble / 1000
+    Some(resultValue)
+  }
+
+  /** `resets` (`promql/functions.go:731-752`). */
+  def resets(points: Seq[Row]): Double = {
+    val p = pts(points)
+    var n = 0
+    var i = 1
+    while (i < p.length) { if (p(i)._2 < p(i - 1)._2) n += 1; i += 1 }
+    n.toDouble
+  }
+
+  /** `changes` — NaN→NaN is not a change (`promql/functions.go:755-776`). */
+  def changes(points: Seq[Row]): Double = {
+    val p = pts(points)
+    var n = 0
+    var i = 1
+    while (i < p.length) {
+      val cur = p(i)._2; val prev = p(i - 1)._2
+      if (cur != prev && !(cur.isNaN && prev.isNaN)) n += 1
+      i += 1
+    }
+    n.toDouble
+  }
+
+  /** Least-squares slope/intercept with x anchored at `interceptTime` to
+    * avoid fp cancellation (`promql/functions.go:620-666`). */
+  def linearRegression(p: Array[(Long, Double)], interceptTime: Long): (Double, Double) = {
+    var n, sumX, sumY, sumXY, sumX2 = 0.0
+    p.foreach { case (t, v) =>
+      val x = (t - interceptTime).toDouble / 1000
+      n += 1; sumX += x; sumY += v; sumXY += x * v; sumX2 += x * x
+    }
+    val covXY = sumXY - sumX * sumY / n
+    val varX = sumX2 - sumX * sumX / n
+    val slope = covXY / varX
+    val intercept = sumY / n - slope * sumX / n
+    (slope, intercept)
+  }
+
+  def deriv(points: Seq[Row]): Option[Double] = {
+    val p = pts(points)
+    if (p.length < 2) return None
+    Some(linearRegression(p, p.head._1)._1)
+  }
+
+  def predictLinear(points: Seq[Row], stepT: Long, durationSec: Double): Option[Double] = {
+    val p = pts(points)
+    if (p.length < 2) return None
+    val (slope, intercept) = linearRegression(p, stepT)
+    Some(slope * durationSec + intercept)
+  }
+
+  /** `holt_winters` — double exponential smoothing, ordered fold
+    * (`promql/functions.go:198-285`). */
+  def holtWinters(points: Seq[Row], sf: Double, tf: Double): Option[Double] = {
+    require(sf > 0 && sf < 1,
+      s"invalid smoothing factor. Expected: 0 < sf < 1, got: $sf")
+    require(tf > 0 && tf < 1,
+      s"invalid trend factor. Expected: 0 < tf < 1, got: $tf")
+    val p = pts(points)
+    if (p.length < 2) return None
+    def calcTrendValue(i: Int, s0: Double, s1: Double, b: Double): Double =
+      if (i < 0) b
+      else tf * (s1 - s0) + (1 - tf) * b
+    var s0 = 0.0
+    var s1 = p(0)._2
+    var b = p(1)._2 - p(0)._2
+    var i = 1
+    while (i < p.length) {
+      val x = sf * p(i)._2
+      b = calcTrendValue(i - 2, s0, s1, b)
+      val y = (1 - sf) * (s1 + b)
+      s0 = s1; s1 = x + y
+      i += 1
+    }
+    Some(s1)
+  }
+
+  /** Exact interpolated quantile (`promql/quantile.go:161-183`). */
+  def quantile(q: Double, values: Array[Double]): Double = {
+    if (values.isEmpty) return Double.NaN
+    if (q < 0) return Double.NegativeInfinity
+    if (q > 1) return Double.PositiveInfinity
+    val sorted = values.sorted
+    val n = sorted.length.toDouble
+    val rank = q * (n - 1)
+    val lowerIndex = math.max(0, math.floor(rank))
+    val upperIndex = math.min(n - 1, lowerIndex + 1)
+    val weight = rank - math.floor(rank)
+    sorted(lowerIndex.toInt) * (1 - weight) + sorted(upperIndex.toInt) * weight
+  }
+
+  def quantileOverTime(q: Double, points: Seq[Row]): Double =
+    quantile(q, points.map(_.getDouble(1)).toArray)
+
+  /** `histogram_quantile` bucket interpolation incl. the ensureMonotonic
+    * envelope (`promql/quantile.go:27-153`). Input: (le, count) pairs. */
+  def bucketQuantile(q: Double, bucketRows: Seq[Row]): Double = {
+    if (q < 0) return Double.NegativeInfinity
+    if (q > 1) return Double.PositiveInfinity
+    val buckets = bucketRows
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+      .sortBy(_._1)
+      .toArray
+    if (buckets.length < 2) return Double.NaN
+    if (!buckets.last._1.isPosInfinity) return Double.NaN
+    // ensureMonotonic (quantile.go:143-153)
+    var maxSeen = buckets(0)._2
+    var i = 1
+    while (i < buckets.length) {
+      if (buckets(i)._2 > maxSeen) maxSeen = buckets(i)._2
+      else buckets(i) = (buckets(i)._1, maxSeen)
+      i += 1
+    }
+    var rank = q * buckets.last._2
+    val b = buckets.indexWhere(_._2 >= rank)
+    if (b == buckets.length - 1) return buckets(buckets.length - 2)._1
+    if (b == 0 && buckets.head._1 <= 0) return buckets.head._1
+    var bucketStart = 0.0
+    val bucketEnd = buckets(b)._1
+    var count = buckets(b)._2
+    if (b > 0) {
+      bucketStart = buckets(b - 1)._1
+      count -= buckets(b - 1)._2
+      rank -= buckets(b - 1)._2
+    }
+    bucketStart + (bucketEnd - bucketStart) * (rank / count)
+  }
+
+  // ---- registered UDFs ----
+
+  val rateUdf: UserDefinedFunction =
+    udf((points: Seq[Row], stepT: Long, offsetMs: Long, rangeMs: Long,
+         isCounter: Boolean, isRate: Boolean) =>
+      extrapolatedRate(points, stepT, offsetMs, rangeMs, isCounter, isRate))
+
+  val instantValueUdf: UserDefinedFunction =
+    udf((points: Seq[Row], isRate: Boolean) => instantValue(points, isRate))
+
+  val resetsUdf: UserDefinedFunction = udf((points: Seq[Row]) => resets(points))
+  val changesUdf: UserDefinedFunction = udf((points: Seq[Row]) => changes(points))
+  val derivUdf: UserDefinedFunction = udf((points: Seq[Row]) => deriv(points))
+
+  val predictLinearUdf: UserDefinedFunction =
+    udf((points: Seq[Row], stepT: Long, d: Double) =>
+      predictLinear(points, stepT, d))
+
+  val holtWintersUdf: UserDefinedFunction =
+    udf((points: Seq[Row], sf: Double, tf: Double) =>
+      holtWinters(points, sf, tf))
+
+  val quantileOverTimeUdf: UserDefinedFunction =
+    udf((q: Double, points: Seq[Row]) => quantileOverTime(q, points))
+
+  val bucketQuantileUdf: UserDefinedFunction =
+    udf((q: Double, buckets: Seq[Row]) => bucketQuantile(q, buckets))
+
+  /** PromQL `round(v, toNearest)` — ties away from floor: the reference
+    * computes `floor(v*toNearestInverse + 0.5) / toNearestInverse`
+    * (`promql/functions.go:331-350`). */
+  val roundUdf: UserDefinedFunction =
+    udf((v: Double, toNearest: Double) => {
+      val toNearestInverse = 1.0 / toNearest
+      math.floor(v * toNearestInverse + 0.5) / toNearestInverse
+    })
+
+  /** Go `strconv.FormatFloat(v, 'f', -1, 64)` for count_values label
+    * values (`promql/engine.go:1269-1274`). */
+  val formatFloatUdf: UserDefinedFunction = udf((v: Double) => goFormatFloat(v))
+
+  def goFormatFloat(v: Double): String = {
+    if (v.isNaN) "NaN"
+    else if (v.isPosInfinity) "+Inf"
+    else if (v.isNegInfinity) "-Inf"
+    else if (v == v.toLong.toDouble) v.toLong.toString
+    else {
+      // shortest repr that round-trips, 'f' (no exponent) format
+      val s = java.math.BigDecimal.valueOf(v).stripTrailingZeros.toPlainString
+      if (s.toDouble == v) s else new java.math.BigDecimal(v).toPlainString
+    }
+  }
+
+  /** IEEE-754 division/modulo — Spark's `/` and `%` return NULL on a zero
+    * divisor (non-ANSI) where Go returns ±Inf/NaN (`promql/engine.go:1181`). */
+  val divUdf: UserDefinedFunction = udf((a: Double, b: Double) => a / b)
+  val modUdf: UserDefinedFunction = udf((a: Double, b: Double) => a % b)
+}

@@ -1,0 +1,322 @@
+package graft.promql
+
+import Ast._
+import Lexer._
+
+/** Recursive-descent, precedence-climbing PromQL parser with parse-time
+  * typechecking.
+  *
+  * Grammar, precedence and associativity follow the reference
+  * (`vendor/github.com/prometheus/prometheus/promql/parse.go:442-540`,
+  * `lex.go:95-120`): `or` < `and`/`unless` < comparisons < `+ -` <
+  * `* / %` < `^` (right-assoc); unary `+ -` binds tighter than `^`'s left
+  * operand. Typecheck rules mirror `parse.go:996-1121`.
+  */
+object Parser {
+
+  final case class ParseException(msg: String) extends RuntimeException(msg)
+
+  def parse(input: String): Expr = {
+    val p = new Parser(lex(input))
+    val e = p.parseExpr(0)
+    p.expectEOF()
+    p.checkType(e)
+    e
+  }
+
+  private val precedence: Map[String, Int] = Map(
+    "or" -> 1,
+    "and" -> 2, "unless" -> 2,
+    "==" -> 3, "!=" -> 3, ">" -> 3, "<" -> 3, ">=" -> 3, "<=" -> 3,
+    "+" -> 4, "-" -> 4,
+    "*" -> 5, "/" -> 5, "%" -> 5,
+    "^" -> 6)
+  private val rightAssoc = Set("^")
+
+  private val keywords = Set("by", "without", "on", "ignoring",
+    "group_left", "group_right", "offset", "bool", "and", "or", "unless")
+}
+
+private final class Parser(toks: Vector[Lexer.Token]) {
+  import Ast._
+  import Lexer._
+  import Parser._
+
+  private var pos = 0
+  private def cur: Token = toks(pos)
+  private def next(): Token = { val t = toks(pos); pos += 1; t }
+  private def fail(msg: String): Nothing = throw ParseException(
+    s"parse error at char ${cur.pos}: $msg")
+
+  def expectEOF(): Unit =
+    if (cur.typ != EOF) fail(s"unexpected '${cur.text}'")
+
+  private def expect(t: TokType, what: String): Token = {
+    if (cur.typ != t) fail(s"expected $what, got '${cur.text}'")
+    next()
+  }
+
+  private def isBinOp(t: Token): Boolean = t.typ match {
+    case OP => precedence.contains(t.text) && t.text != "=" &&
+      t.text != "=~" && t.text != "!~"
+    case IDENT => setOps.contains(t.text.toLowerCase)
+    case _ => false
+  }
+
+  /** Precedence climbing. */
+  def parseExpr(minPrec: Int): Expr = {
+    var lhs = parseUnary()
+    while (isBinOp(cur) && precedence(opText(cur)) >= minPrec) {
+      val op = opText(next())
+      // bool modifier (comparisons only)
+      var returnBool = false
+      if (cur.typ == IDENT && cur.text == "bool") {
+        if (!comparisonOps.contains(op))
+          fail("bool modifier can only be used on comparison operators")
+        returnBool = true; next()
+      }
+      // vector matching modifiers
+      var matching: Option[VectorMatching] = None
+      if (cur.typ == IDENT &&
+          (cur.text == "on" || cur.text == "ignoring")) {
+        val on = next().text == "on"
+        val lbls = parseLabelList()
+        var card: Cardinality = if (setOps.contains(op))
+          Cardinality.ManyToMany else Cardinality.OneToOne
+        var include: Seq[String] = Nil
+        if (cur.typ == IDENT &&
+            (cur.text == "group_left" || cur.text == "group_right")) {
+          if (setOps.contains(op))
+            fail(s"no grouping allowed for '$op' operation")
+          card = if (next().text == "group_left") Cardinality.ManyToOne
+                 else Cardinality.OneToMany
+          if (cur.typ == LPAREN) include = parseLabelList()
+        }
+        matching = Some(VectorMatching(card, lbls, on, include))
+      } else if (setOps.contains(op)) {
+        matching = Some(VectorMatching(Cardinality.ManyToMany))
+      } else if (cur.typ == IDENT &&
+          (cur.text == "group_left" || cur.text == "group_right")) {
+        val card = if (next().text == "group_left") Cardinality.ManyToOne
+                   else Cardinality.OneToMany
+        val include =
+          if (cur.typ == LPAREN) parseLabelList() else Nil
+        matching = Some(VectorMatching(card, Nil, on = false, include))
+      }
+      val nextMin =
+        if (rightAssoc.contains(op)) precedence(op) else precedence(op) + 1
+      val rhs = parseExpr(nextMin)
+      lhs = BinaryExpr(op, lhs, rhs, matching, returnBool)
+    }
+    lhs
+  }
+
+  private def opText(t: Token): String =
+    if (t.typ == IDENT) t.text.toLowerCase else t.text
+
+  private def parseUnary(): Expr = {
+    if (cur.typ == OP && (cur.text == "-" || cur.text == "+")) {
+      val op = next().text
+      val inner = parseExpr(precedence("*") + 1) // unary binds tight
+      inner match {
+        case NumberLiteral(v) if op == "-" => NumberLiteral(-v)
+        case NumberLiteral(v) => NumberLiteral(v)
+        case e => UnaryExpr(op, e)
+      }
+    } else parsePostfix(parsePrimary())
+  }
+
+  /** range selector `[5m]` and `offset 5m` postfix modifiers. */
+  private def parsePostfix(e: Expr): Expr = {
+    var res = e
+    if (cur.typ == LBRACKET) {
+      next()
+      val d = expect(DURATION, "duration")
+      expect(RBRACKET, "']'")
+      res = res match {
+        case vs: VectorSelector => MatrixSelector(vs, parseDuration(d.text))
+        case _ => fail("range specification only allowed on vector selectors")
+      }
+    }
+    if (cur.typ == IDENT && cur.text == "offset") {
+      next()
+      val d = expect(DURATION, "duration")
+      val off = parseDuration(d.text)
+      res = res match {
+        case vs: VectorSelector => vs.copy(offsetMs = off)
+        case MatrixSelector(vs, r) => MatrixSelector(vs.copy(offsetMs = off), r)
+        case _ => fail("offset modifier only allowed on selectors")
+      }
+    }
+    res
+  }
+
+  private def parsePrimary(): Expr = cur.typ match {
+    case NUMBER => NumberLiteral(parseNumber(next().text))
+    case STRING => StringLiteral(next().text)
+    case LPAREN =>
+      next()
+      val e = parseExpr(0)
+      expect(RPAREN, "')'")
+      ParenExpr(e)
+    case LBRACE => // nameless selector {job="x"}
+      VectorSelector(None, parseMatchers())
+    case IDENT =>
+      val name = cur.text
+      val lower = name.toLowerCase
+      if (aggregators.contains(lower)) parseAggregate(lower)
+      else if (functions.contains(name) && toks(pos + 1).typ == LPAREN)
+        parseCall(name)
+      else if (keywords.contains(lower)) fail(s"unexpected keyword '$name'")
+      else {
+        next()
+        val matchers = if (cur.typ == LBRACE) parseMatchers() else Nil
+        VectorSelector(Some(name), matchers)
+      }
+    case _ => fail(s"unexpected '${cur.text}'")
+  }
+
+  private def parseAggregate(op: String): Expr = {
+    next() // aggregator keyword
+    var grouping: Seq[String] = Nil
+    var without = false
+    var modifierSeen = false
+    if (cur.typ == IDENT && (cur.text == "by" || cur.text == "without")) {
+      without = next().text == "without"
+      grouping = parseLabelList()
+      modifierSeen = true
+    }
+    expect(LPAREN, "'('")
+    val args = scala.collection.mutable.ArrayBuffer[Expr]()
+    args += parseExpr(0)
+    while (cur.typ == COMMA) { next(); args += parseExpr(0) }
+    expect(RPAREN, "')'")
+    // trailing-modifier form: sum(x) by (l)
+    if (!modifierSeen && cur.typ == IDENT &&
+        (cur.text == "by" || cur.text == "without")) {
+      without = next().text == "without"
+      grouping = parseLabelList()
+    }
+    val (param, body) =
+      if (aggregatorsWithParam.contains(op)) {
+        if (args.length != 2)
+          fail(s"wrong number of arguments for aggregate '$op': expected 2")
+        (Some(args(0)), args(1))
+      } else {
+        if (args.length != 1)
+          fail(s"wrong number of arguments for aggregate '$op': expected 1")
+        (None, args(0))
+      }
+    AggregateExpr(op, body, param, grouping, without)
+  }
+
+  private def parseCall(name: String): Expr = {
+    val fn = functions(name)
+    next(); expect(LPAREN, "'('")
+    val args = scala.collection.mutable.ArrayBuffer[Expr]()
+    if (cur.typ != RPAREN) {
+      args += parseExpr(0)
+      while (cur.typ == COMMA) { next(); args += parseExpr(0) }
+    }
+    expect(RPAREN, "')'")
+    // variadic < 0: the last declared type repeats 0+ times
+    val minArgs =
+      if (fn.variadic < 0) fn.argTypes.length - 1
+      else fn.argTypes.length - fn.variadic
+    val maxOk =
+      if (fn.variadic < 0) args.length >= minArgs
+      else args.length >= minArgs && args.length <= fn.argTypes.length
+    if (!maxOk)
+      fail(s"wrong number of arguments for function '$name'")
+    Call(fn, args.toSeq)
+  }
+
+  private def parseLabelList(): Seq[String] = {
+    expect(LPAREN, "'('")
+    val lbls = scala.collection.mutable.ArrayBuffer[String]()
+    if (cur.typ != RPAREN) {
+      lbls += expect(IDENT, "label name").text
+      while (cur.typ == COMMA) { next(); lbls += expect(IDENT, "label name").text }
+    }
+    expect(RPAREN, "')'")
+    lbls.toSeq
+  }
+
+  private def parseMatchers(): Seq[LabelMatcher] = {
+    expect(LBRACE, "'{'")
+    val ms = scala.collection.mutable.ArrayBuffer[LabelMatcher]()
+    while (cur.typ != RBRACE) {
+      val name = expect(IDENT, "label name").text
+      val op = expect(OP, "match operator").text
+      val typ = op match {
+        case "=" => MatchType.Eq
+        case "!=" => MatchType.NotEq
+        case "=~" => MatchType.Regex
+        case "!~" => MatchType.NotRegex
+        case other => fail(s"invalid label match operator '$other'")
+      }
+      val value = expect(STRING, "label value string").text
+      ms += LabelMatcher(typ, name, value)
+      if (cur.typ == COMMA) next()
+      else if (cur.typ != RBRACE) fail("expected ',' or '}'")
+    }
+    next() // }
+    ms.toSeq
+  }
+
+  // ---- typecheck (parse.go:996-1121) ----
+
+  def checkType(e: Expr): ValueType = e match {
+    case NumberLiteral(_) => ValueType.Scalar
+    case StringLiteral(_) => ValueType.Str
+    case _: VectorSelector => ValueType.Vector
+    case MatrixSelector(_, _) => ValueType.Matrix
+    case ParenExpr(inner) => checkType(inner)
+    case UnaryExpr(op, inner) =>
+      val t = checkType(inner)
+      if (t != ValueType.Scalar && t != ValueType.Vector)
+        fail(s"unary expression only allowed on expressions of type scalar or instant vector, got $t")
+      if (op != "-" && op != "+") fail(s"invalid unary operator '$op'")
+      t
+    case BinaryExpr(op, lhs, rhs, matching, returnBool) =>
+      val lt = checkType(lhs); val rt = checkType(rhs)
+      if (!arithmeticOps.contains(op) && !comparisonOps.contains(op) &&
+          !setOps.contains(op)) fail(s"binary expression does not support operator '$op'")
+      for (t <- Seq(lt, rt))
+        if (t != ValueType.Scalar && t != ValueType.Vector)
+          fail(s"binary expression must contain only scalar and instant vector types")
+      if (lt == ValueType.Scalar && rt == ValueType.Scalar) {
+        if (setOps.contains(op))
+          fail(s"set operator '$op' not allowed in binary scalar expression")
+        if (comparisonOps.contains(op) && !returnBool)
+          fail("comparisons between scalars must use BOOL modifier")
+      }
+      if ((lt == ValueType.Scalar || rt == ValueType.Scalar) &&
+          setOps.contains(op))
+        fail(s"set operations must only be used between instant vectors")
+      matching.foreach { m =>
+        if (m.on && m.matchingLabels.intersect(m.include).nonEmpty)
+          fail("label must not occur in ON and GROUP clause at once")
+      }
+      if (lt == ValueType.Scalar && rt == ValueType.Scalar) ValueType.Scalar
+      else ValueType.Vector
+    case AggregateExpr(op, body, param, _, _) =>
+      if (checkType(body) != ValueType.Vector)
+        fail(s"expected type instant vector in aggregation expression")
+      param.foreach { p =>
+        val pt = checkType(p)
+        val want =
+          if (op == "count_values") ValueType.Str else ValueType.Scalar
+        if (pt != want) fail(s"expected type $want in aggregation parameter")
+      }
+      ValueType.Vector
+    case Call(fn, args) =>
+      args.zipWithIndex.foreach { case (a, i) =>
+        val want = fn.argTypes(math.min(i, fn.argTypes.length - 1))
+        val got = checkType(a)
+        if (got != want)
+          fail(s"expected type $want in call to function '${fn.name}', got $got")
+      }
+      fn.returnType
+  }
+}

@@ -1,0 +1,117 @@
+package graft.promql
+
+import org.scalatest.funsuite.AnyFunSuite
+import Ast._
+import Parser.{parse, ParseException}
+
+class ParserSpec extends AnyFunSuite {
+
+  test("number literals") {
+    assert(parse("1") == NumberLiteral(1))
+    assert(parse("-2.5") == NumberLiteral(-2.5))
+    assert(parse("0x1f") == NumberLiteral(31))
+    assert(parse("Inf") == NumberLiteral(Double.PositiveInfinity))
+    val NumberLiteral(nan) = (parse("NaN"): @unchecked)
+    assert(nan.isNaN)
+  }
+
+  test("precedence: or < and < cmp < add < mul < pow (right assoc)") {
+    val e = parse("1 + 2 * 3 ^ 2")
+    // 1 + (2 * (3^2))
+    assert(e == BinaryExpr("+", NumberLiteral(1),
+      BinaryExpr("*", NumberLiteral(2),
+        BinaryExpr("^", NumberLiteral(3), NumberLiteral(2), None, false),
+        None, false), None, false))
+    val p = parse("2 ^ 3 ^ 2")
+    assert(p == BinaryExpr("^", NumberLiteral(2),
+      BinaryExpr("^", NumberLiteral(3), NumberLiteral(2), None, false),
+      None, false))
+  }
+
+  test("unary minus binds around pow like the reference") {
+    // -2^2 == -(2^2)
+    val e = parse("-2^2")
+    e match {
+      case UnaryExpr("-", BinaryExpr("^", _, _, _, _)) => ()
+      case NumberLiteral(v) => assert(v == -4.0)
+      case other => fail(s"unexpected: $other")
+    }
+  }
+
+  test("selector with matchers and offset") {
+    val e = parse("""http_requests{job="api", code=~"5.."} offset 5m""")
+    assert(e == VectorSelector(Some("http_requests"), Seq(
+      LabelMatcher(MatchType.Eq, "job", "api"),
+      LabelMatcher(MatchType.Regex, "code", "5..")), 300000L))
+  }
+
+  test("matrix selector") {
+    val e = parse("rate(foo[5m])")
+    val Call(fn, Seq(MatrixSelector(vs, range))) = (e: @unchecked)
+    assert(fn.name == "rate")
+    assert(vs.name.contains("foo"))
+    assert(range == 300000L)
+  }
+
+  test("compound duration") {
+    val Call(_, Seq(MatrixSelector(_, range))) =
+      (parse("rate(foo[1h30m])"): @unchecked)
+    assert(range == 5400000L)
+  }
+
+  test("aggregation with grouping, both modifier positions") {
+    val e1 = parse("sum by (foo) (bar)")
+    val e2 = parse("sum(bar) by (foo)")
+    assert(e1 == AggregateExpr("sum", VectorSelector(Some("bar"), Nil), None,
+      Seq("foo"), without = false))
+    assert(e1 == e2)
+    val e3 = parse("sum without (foo) (bar)")
+    assert(e3.asInstanceOf[AggregateExpr].without)
+  }
+
+  test("aggregation with parameter") {
+    val e = parse("topk(5, bar)")
+    assert(e == AggregateExpr("topk", VectorSelector(Some("bar"), Nil),
+      Some(NumberLiteral(5)), Nil, without = false))
+    val q = parse("""count_values("version", build_info)""")
+    assert(q.asInstanceOf[AggregateExpr].param.contains(StringLiteral("version")))
+  }
+
+  test("vector matching modifiers") {
+    val e = parse("foo * on(a, b) group_left(c) bar")
+    val BinaryExpr("*", _, _, Some(m), _) = (e: @unchecked)
+    assert(m.on && m.matchingLabels == Seq("a", "b"))
+    assert(m.card == Cardinality.ManyToOne)
+    assert(m.include == Seq("c"))
+  }
+
+  test("set operators get many-to-many matching") {
+    val BinaryExpr("and", _, _, Some(m), _) = (parse("foo and bar"): @unchecked)
+    assert(m.card == Cardinality.ManyToMany)
+  }
+
+  test("bool modifier") {
+    val BinaryExpr(">", _, _, _, b) = (parse("foo > bool 1"): @unchecked)
+    assert(b)
+  }
+
+  test("typecheck failures") {
+    assertThrows[ParseException](parse("1 and 2"))
+    assertThrows[ParseException](parse("1 == 2")) // scalar cmp needs bool
+    assertThrows[ParseException](parse("rate(foo)")) // wants matrix
+    assertThrows[ParseException](parse("sum(foo[5m])")) // wants vector
+    assertThrows[ParseException](parse("foo[5m] + 1")) // matrix in binop
+    assertThrows[ParseException](parse("topk(foo)")) // missing param
+    assertThrows[ParseException](parse("unknown_func(")) // syntax
+  }
+
+  test("nameless selector") {
+    val e = parse("""{__name__=~"foo|bar", job="x"}""")
+    val vs = e.asInstanceOf[VectorSelector]
+    assert(vs.name.isEmpty && vs.matchers.length == 2)
+  }
+
+  test("function name used as metric name parses as selector") {
+    assert(parse("rate") == VectorSelector(Some("rate"), Nil))
+  }
+}
