@@ -1,13 +1,522 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.exec.PromQLEngine
+import graft.model.Samples
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB oracle in `oracleSql` where the
+  * semantics are ANSI-SQL-expressible.
+  *
+  * PromQL operators are exercised THROUGH the engine (parser →
+  * set-at-once DataFrame plan) over the `events` table adapted to the
+  * canonical samples model (labels = {__name__, event_type, user_id}).
+  *
+  * Time grid: events span 2024-01-01..2024-01-30 UTC. Range queries run
+  * at daily steps over [Jan 2, Jan 30] unless noted.
+  */
 object SparkEntry {
+  // ---- time grid -------------------------------------------------------
+  private val T0 = 1704067200000L // 2024-01-01T00:00:00Z
+  private val DAY = 86400000L
+  private val START = T0 + DAY // Jan 2
+  private val END = T0 + 29 * DAY // Jan 30
+  // DuckDB steps CTE matching EvalRange's grid
+  private val STEPS =
+    s"steps AS (SELECT unnest(generate_series($START, $END, $DAY)) AS t)"
+  // canonical samples CTE (epoch_ms truncates ns→ms exactly like the
+  // Spark adapter's ns/1e6)
+  private val S =
+    "s AS (SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, " +
+      "epoch_ms(ts) AS st, value AS v FROM events)"
+  // instant-selector semantics: latest sample per series in the CLOSED
+  // 5-minute lookback window at each step
+  private def lookbackSql(extra: String = ""): String =
+    s"""sel AS (
+       |  SELECT st2.t, s.event_type, s.user_id,
+       |         max_by(s.v, s.st) AS v, max(s.st) AS sample_t
+       |  FROM steps st2 JOIN s
+       |    ON s.st >= st2.t - 300000 AND s.st <= st2.t $extra
+       |  GROUP BY 1, 2, 3)""".stripMargin
+  // range-selector window join (closed [t-w, t])
+  private def windowSql(w: Long): String =
+    s"""w AS (
+       |  SELECT st2.t, s.event_type, s.user_id, s.st, s.v
+       |  FROM steps st2 JOIN s
+       |    ON s.st >= st2.t - $w AND s.st <= st2.t)""".stripMargin
+
+  private def engine(spark: SparkSession, sfDir: String): PromQLEngine =
+    new PromQLEngine(spark, Samples.fromEventsDir(spark, sfDir))
+
+  /** Run a PromQL range query on the standard grid and project the label
+    * keys to top-level columns (driver compares by column name). */
+  private def prom(q: String, labelKeys: Seq[String], roundTo: Int = -1,
+      start: Long = START, end: Long = END, step: Long = DAY)
+      : (SparkSession, String) => DataFrame = (spark, sfDir) => {
+    val df = engine(spark, sfDir).rangeQuery(q, start, end, step)
+    val labelCols = labelKeys.map(k => col("labels").getItem(k).as(k))
+    val vCol = if (roundTo >= 0) round(col("v"), roundTo).as("v") else col("v")
+    df.select(labelCols :+ col("t") :+ vCol: _*)
+  }
+
+  // ---- flagship --------------------------------------------------------
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    prom("sum by (event_type) (count_over_time(events_value[1d]))",
+      Seq("event_type"))(spark, "/root/testdata/sf0.001")
+
+  // ---- operator queries -------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S4: selector scan — matchers + time predicate, Catalyst pushdown
+    "s4_scan" -> ((spark, dir) => {
+      val ss = Samples.fromEventsDir(spark, dir)
+      ss.filter(col("labels")("event_type").rlike("^(?:click|error)$") &&
+          col("t") >= START && col("t") < START + 7 * DAY)
+        .select(col("labels")("event_type").as("event_type"),
+          col("labels")("user_id").as("user_id"), col("t"), col("v"))
+    }),
+    // S7: merge of two sources — union + k-way merge ≡ union + sort
+    "s7_merge" -> ((spark, dir) => {
+      val ss = Samples.fromEventsDir(spark, dir)
+      val a = ss.filter(col("labels")("event_type") === "click")
+      val b = ss.filter(col("labels")("event_type") === "error")
+      a.unionByName(b)
+        .groupBy(col("labels")("event_type").as("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 4).as("sum_v"))
+    }),
+    // S8: series metadata — distinct label sets for a matcher
+    "s8_series" -> ((spark, dir) => {
+      val ss = Samples.fromEventsDir(spark, dir)
+      ss.filter(col("labels")("event_type") === "purchase")
+        .select(col("labels")("event_type").as("event_type"),
+          col("labels")("user_id").as("user_id"))
+        .distinct()
+    }),
+    // S8b: label values endpoint
+    "s8_label_values" -> ((spark, dir) =>
+      Samples.fromEventsDir(spark, dir)
+        .select(col("labels")("event_type").as("event_type")).distinct()),
+
+    // P1+P2: instant vector selector with regex matcher and 5m lookback
+    "p2_instant_selector" -> prom(
+      """events_value{event_type=~"click|view"}""",
+      Seq("event_type", "user_id")),
+    // P3: range selector — all samples per window
+    "p3_range_count" -> prom(
+      "count_over_time(events_value[1d])", Seq("event_type", "user_id")),
+    // P4: offset modifier
+    "p4_offset" -> prom(
+      "sum by (event_type) (count_over_time(events_value[1d] offset 1d))",
+      Seq("event_type")),
+    // P6: comparison filtering keeps the sample value
+    "p6_filter" -> prom(
+      """events_value{event_type="signup"} > 15""",
+      Seq("event_type", "user_id")),
+
+    // L1: label_replace
+    "l1_label_replace" -> prom(
+      """label_replace(sum by (event_type) (count_over_time(events_value[1d])), "kind", "$1", "event_type", "(c.*)")""",
+      Seq("event_type", "kind")),
+    // L2: label_join
+    "l2_label_join" -> prom(
+      """label_join(sum by (event_type) (count_over_time(events_value[1d])), "key", "-", "event_type", "event_type")""",
+      Seq("event_type", "key")),
+
+    // A1-A8 over per-series daily counts
+    "a1_sum" -> prom(
+      "sum by (event_type) (count_over_time(events_value[1d]))",
+      Seq("event_type")),
+    "a2_avg" -> prom(
+      "avg by (event_type) (sum_over_time(events_value[1d]))",
+      Seq("event_type"), roundTo = 6),
+    "a3_min_max" -> prom(
+      "max by (event_type) (sum_over_time(events_value[1d])) - min by (event_type) (sum_over_time(events_value[1d]))",
+      Seq("event_type"), roundTo = 6),
+    "a4_count" -> prom(
+      "count by (event_type) (count_over_time(events_value[1d]))",
+      Seq("event_type")),
+    "a5_stddev" -> prom(
+      "stddev by (event_type) (sum_over_time(events_value[1d]))",
+      Seq("event_type"), roundTo = 6),
+    "a6_topk" -> prom(
+      "topk(3, sum by (event_type, user_id) (sum_over_time(events_value[1d])))",
+      Seq("event_type", "user_id"), roundTo = 6),
+    "a7_quantile" -> prom(
+      "quantile(0.9, sum by (event_type, user_id) (sum_over_time(events_value[1d])))",
+      Seq(), roundTo = 6),
+    "a8_count_values" -> prom(
+      """count_values("daily", sum by (event_type, user_id) (count_over_time(events_value[1d])))""",
+      Seq("daily")),
+
+    // J1: one-to-one vector matching (daily mean value per type)
+    "j1_binop_ratio" -> prom(
+      "sum by (event_type) (sum_over_time(events_value[1d])) / sum by (event_type) (count_over_time(events_value[1d]))",
+      Seq("event_type"), roundTo = 6),
+    // J2: many-to-one with group_left (user share of type total)
+    "j2_group_left" -> prom(
+      "sum by (event_type, user_id) (count_over_time(events_value[1d])) / on(event_type) group_left sum by (event_type) (count_over_time(events_value[1d]))",
+      Seq("event_type", "user_id"), roundTo = 6),
+    // J3-J5: set operations over signatures
+    "j3_and" -> prom(
+      "(sum by (event_type) (count_over_time(events_value[1d])) > 60) and (sum by (event_type) (sum_over_time(events_value[1d])) > 0)",
+      Seq("event_type")),
+    "j4_or" -> prom(
+      "(sum by (event_type) (count_over_time(events_value[1d])) > 60) or (sum by (event_type) (count_over_time(events_value[1d])) < 55)",
+      Seq("event_type")),
+    "j5_unless" -> prom(
+      "sum by (event_type) (count_over_time(events_value[1d])) unless (sum by (event_type) (count_over_time(events_value[1d])) > 60)",
+      Seq("event_type")),
+    // J6: vector ⊙ scalar
+    "j6_vector_scalar" -> prom(
+      "sum by (event_type) (count_over_time(events_value[1d])) * 2 + 1",
+      Seq("event_type")),
+    // J7: scalar ⊙ scalar (incl. right-assoc pow, fmod)
+    "j7_scalar_scalar" -> prom("2 ^ 3 ^ 2 + 7 % 3", Seq()),
+
+    // F1: rate with extrapolation + counter-reset handling
+    "f1_rate" -> prom(
+      "rate(events_value[2d])", Seq("event_type", "user_id"), roundTo = 9),
+    "f1_increase" -> prom(
+      "increase(events_value[2d])", Seq("event_type", "user_id"), roundTo = 6),
+    "f1_delta" -> prom(
+      "delta(events_value[2d])", Seq("event_type", "user_id"), roundTo = 6),
+    // F2: irate/idelta — last two points
+    "f2_idelta" -> prom(
+      "idelta(events_value[2d])", Seq("event_type", "user_id"), roundTo = 6),
+    // F3-F5: fold-style *_over_time
+    "f3_sum_over_time" -> prom(
+      "sum_over_time(events_value[1d])", Seq("event_type", "user_id"),
+      roundTo = 6),
+    "f3_avg_over_time" -> prom(
+      "avg_over_time(events_value[1d])", Seq("event_type", "user_id"),
+      roundTo = 6),
+    "f3_minmax_over_time" -> prom(
+      "max_over_time(events_value[1d]) - min_over_time(events_value[1d])",
+      Seq("event_type", "user_id"), roundTo = 6),
+    "f4_stddev_over_time" -> prom(
+      "stdvar_over_time(events_value[2d])", Seq("event_type", "user_id"),
+      roundTo = 6),
+    "f5_quantile_over_time" -> prom(
+      "quantile_over_time(0.5, events_value[2d])",
+      Seq("event_type", "user_id"), roundTo = 6),
+    // F7: deriv (least-squares slope)
+    "f7_deriv" -> prom(
+      "deriv(events_value[2d])", Seq("event_type", "user_id"), roundTo = 9),
+    // F9/F10: resets / changes
+    "f9_resets" -> prom(
+      "resets(events_value[2d])", Seq("event_type", "user_id")),
+    "f10_changes" -> prom(
+      "changes(events_value[2d])", Seq("event_type", "user_id")),
+
+    // G1-G5: per-sample math (engine keeps Go float semantics)
+    "g1_abs" -> prom(
+      "abs(sum by (event_type) (sum_over_time(events_value[1d])) - 500)",
+      Seq("event_type"), roundTo = 6),
+    // count-based input: identical fp value on both sides, so ceil/floor
+    // land on the same integer deterministically
+    "g2_ceil" -> prom(
+      "ceil(sum by (event_type) (count_over_time(events_value[1d])) / 7)",
+      Seq("event_type")),
+    "g2_floor" -> prom(
+      "floor(sum by (event_type) (count_over_time(events_value[1d])) / 7)",
+      Seq("event_type")),
+    "g3_ln" -> prom(
+      "ln(sum by (event_type) (sum_over_time(events_value[1d])) + 1)",
+      Seq("event_type"), roundTo = 9),
+    "g3_exp_sqrt" -> prom(
+      "exp(sqrt(sum by (event_type) (count_over_time(events_value[1d]))) / 10)",
+      Seq("event_type"), roundTo = 9),
+    "g4_round" -> prom(
+      "round(sum by (event_type) (count_over_time(events_value[1d])) / 7, 0.5)",
+      Seq("event_type"), roundTo = 6),
+    "g5_clamp" -> prom(
+      "clamp_max(clamp_min(sum by (event_type) (count_over_time(events_value[1d])), 55), 62)",
+      Seq("event_type")),
+    // G7: vector(scalar)
+    "g7_vector" -> prom("vector(42)", Seq()),
+    // G8: absent
+    "g8_absent" -> prom(
+      """absent(events_value{event_type="nope"})""", Seq("event_type")),
+    // G11: timestamp() of underlying samples
+    "g11_timestamp" -> prom(
+      "timestamp(events_value)", Seq("event_type", "user_id")),
+    // G12: date parts of the sample timestamp (epoch-seconds value)
+    "g12_day_of_week" -> prom(
+      "day_of_week(timestamp(events_value))", Seq("event_type", "user_id")),
+    "g12_hour" -> prom(
+      "hour(timestamp(events_value))", Seq("event_type", "user_id"))
+  )
+
+  // ---- oracles ----------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "s4_scan" ->
+      s"""WITH $S SELECT event_type, user_id, st AS t, v
+         |FROM s WHERE regexp_full_match(event_type, 'click|error')
+         |  AND st >= $START AND st < ${START + 7 * DAY}""".stripMargin,
+    "s7_merge" ->
+      s"""WITH $S SELECT event_type, count(*) AS n, round(sum(v), 4) AS sum_v
+         |FROM s WHERE event_type IN ('click', 'error') GROUP BY 1""".stripMargin,
+    "s8_series" ->
+      s"WITH $S SELECT DISTINCT event_type, user_id FROM s WHERE event_type = 'purchase'",
+    "s8_label_values" ->
+      "SELECT DISTINCT event_type FROM events",
+
+    "p2_instant_selector" ->
+      s"""WITH $STEPS, $S, ${lookbackSql("AND s.event_type IN ('click','view')")}
+         |SELECT event_type, user_id, t, v FROM sel""".stripMargin,
+    "p3_range_count" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)}
+         |SELECT event_type, user_id, t, CAST(count(*) AS DOUBLE) AS v
+         |FROM w GROUP BY 1, 2, 3""".stripMargin,
+    "p4_offset" ->
+      s"""WITH $STEPS, $S,
+         |w AS (SELECT st2.t, s.event_type, s.st, s.v FROM steps st2 JOIN s
+         |      ON s.st >= st2.t - ${2 * DAY} AND s.st <= st2.t - $DAY)
+         |SELECT event_type, t, CAST(count(*) AS DOUBLE) AS v
+         |FROM w GROUP BY 1, 2""".stripMargin,
+    "p6_filter" ->
+      s"""WITH $STEPS, $S, ${lookbackSql("AND s.event_type = 'signup'")}
+         |SELECT event_type, user_id, t, v FROM sel WHERE v > 15""".stripMargin,
+
+    "l1_label_replace" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)},
+         |a AS (SELECT event_type, t, CAST(count(*) AS DOUBLE) AS v FROM w GROUP BY 1, 2)
+         |SELECT event_type,
+         |  CASE WHEN regexp_full_match(event_type, 'c.*')
+         |       THEN regexp_extract(event_type, '^(?:(c.*))$$', 1) END AS kind,
+         |  t, v FROM a""".stripMargin,
+    "l2_label_join" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)},
+         |a AS (SELECT event_type, t, CAST(count(*) AS DOUBLE) AS v FROM w GROUP BY 1, 2)
+         |SELECT event_type, event_type || '-' || event_type AS key, t, v FROM a""".stripMargin,
+
+    "a1_sum" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)}
+         |SELECT event_type, t, CAST(count(*) AS DOUBLE) AS v
+         |FROM w GROUP BY 1, 2""".stripMargin,
+    "a2_avg" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)},
+         |per AS (SELECT event_type, user_id, t, sum(v) AS sv FROM w GROUP BY 1, 2, 3)
+         |SELECT event_type, t, round(avg(sv), 6) AS v FROM per GROUP BY 1, 2""".stripMargin,
+    "a3_min_max" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)},
+         |per AS (SELECT event_type, user_id, t, sum(v) AS sv FROM w GROUP BY 1, 2, 3)
+         |SELECT event_type, t, round(max(sv) - min(sv), 6) AS v
+         |FROM per GROUP BY 1, 2""".stripMargin,
+    "a4_count" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)},
+         |per AS (SELECT event_type, user_id, t FROM w GROUP BY 1, 2, 3)
+         |SELECT event_type, t, CAST(count(*) AS DOUBLE) AS v
+         |FROM per GROUP BY 1, 2""".stripMargin,
+    "a5_stddev" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)},
+         |per AS (SELECT event_type, user_id, t, sum(v) AS sv FROM w GROUP BY 1, 2, 3)
+         |SELECT event_type, t, round(coalesce(stddev_pop(sv), 0), 6) AS v
+         |FROM per GROUP BY 1, 2""".stripMargin,
+    "a6_topk" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)},
+         |per AS (SELECT event_type, user_id, t, sum(v) AS sv FROM w GROUP BY 1, 2, 3),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY t
+         |       ORDER BY sv DESC, event_type, user_id) AS rn FROM per)
+         |SELECT event_type, user_id, t, round(sv, 6) AS v FROM rk WHERE rn <= 3""".stripMargin,
+    "a7_quantile" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)},
+         |per AS (SELECT event_type, user_id, t, sum(v) AS sv FROM w GROUP BY 1, 2, 3)
+         |SELECT t, round(quantile_cont(sv, 0.9), 6) AS v FROM per GROUP BY 1""".stripMargin,
+    "a8_count_values" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)},
+         |per AS (SELECT event_type, user_id, t, count(*) AS c FROM w GROUP BY 1, 2, 3)
+         |SELECT CAST(c AS VARCHAR) AS daily, t, CAST(count(*) AS DOUBLE) AS v
+         |FROM per GROUP BY 1, 2""".stripMargin,
+
+    "j1_binop_ratio" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)}
+         |SELECT event_type, t, round(sum(v) / count(*), 6) AS v
+         |FROM w GROUP BY 1, 2""".stripMargin,
+    "j2_group_left" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)},
+         |per AS (SELECT event_type, user_id, t, count(*) AS c FROM w GROUP BY 1, 2, 3),
+         |tot AS (SELECT event_type, t, count(*) AS c FROM w GROUP BY 1, 2)
+         |SELECT per.event_type, per.user_id, per.t,
+         |       round(CAST(per.c AS DOUBLE) / tot.c, 6) AS v
+         |FROM per JOIN tot ON per.event_type = tot.event_type AND per.t = tot.t""".stripMargin,
+    "j3_and" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)},
+         |cnt AS (SELECT event_type, t, CAST(count(*) AS DOUBLE) AS v FROM w GROUP BY 1, 2),
+         |sv AS (SELECT event_type, t, sum(v) AS v FROM w GROUP BY 1, 2)
+         |SELECT c.event_type, c.t, c.v FROM cnt c
+         |WHERE c.v > 60 AND EXISTS (SELECT 1 FROM sv
+         |  WHERE sv.event_type = c.event_type AND sv.t = c.t AND sv.v > 0)""".stripMargin,
+    "j4_or" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)},
+         |cnt AS (SELECT event_type, t, CAST(count(*) AS DOUBLE) AS v FROM w GROUP BY 1, 2)
+         |SELECT event_type, t, v FROM cnt WHERE v > 60
+         |UNION ALL
+         |SELECT event_type, t, v FROM cnt c2 WHERE v < 55
+         |  AND NOT EXISTS (SELECT 1 FROM cnt c3 WHERE c3.event_type = c2.event_type
+         |                  AND c3.t = c2.t AND c3.v > 60)""".stripMargin,
+    "j5_unless" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)},
+         |cnt AS (SELECT event_type, t, CAST(count(*) AS DOUBLE) AS v FROM w GROUP BY 1, 2)
+         |SELECT event_type, t, v FROM cnt WHERE NOT v > 60""".stripMargin,
+    "j6_vector_scalar" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)}
+         |SELECT event_type, t, CAST(count(*) AS DOUBLE) * 2 + 1 AS v
+         |FROM w GROUP BY 1, 2""".stripMargin,
+    "j7_scalar_scalar" ->
+      s"WITH $STEPS SELECT t, CAST(513.0 AS DOUBLE) AS v FROM steps", // 2^(3^2)+7%3
+
+    "f1_rate" -> rateOracle(isCounter = true, isRate = true, roundTo = 9),
+    "f1_increase" -> rateOracle(isCounter = true, isRate = false, roundTo = 6),
+    "f1_delta" -> rateOracle(isCounter = false, isRate = false, roundTo = 6),
+    "f2_idelta" ->
+      s"""WITH $STEPS, $S, ${windowSql(2 * DAY)},
+         |rk AS (SELECT t, event_type, user_id, st, v,
+         |       row_number() OVER (PARTITION BY t, event_type, user_id ORDER BY st DESC) AS rn
+         |       FROM w),
+         |two AS (SELECT t, event_type, user_id,
+         |        max_by(v, st) AS vl, min_by(v, st) AS vp,
+         |        max(st) AS tl, min(st) AS tp
+         |        FROM rk WHERE rn <= 2 GROUP BY 1, 2, 3 HAVING count(*) = 2)
+         |SELECT event_type, user_id, t, round(vl - vp, 6) AS v
+         |FROM two WHERE tl <> tp""".stripMargin,
+    "f3_sum_over_time" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)}
+         |SELECT event_type, user_id, t, round(sum(v), 6) AS v
+         |FROM w GROUP BY 1, 2, 3""".stripMargin,
+    "f3_avg_over_time" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)}
+         |SELECT event_type, user_id, t, round(avg(v), 6) AS v
+         |FROM w GROUP BY 1, 2, 3""".stripMargin,
+    "f3_minmax_over_time" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)}
+         |SELECT event_type, user_id, t, round(max(v) - min(v), 6) AS v
+         |FROM w GROUP BY 1, 2, 3""".stripMargin,
+    "f4_stddev_over_time" ->
+      s"""WITH $STEPS, $S, ${windowSql(2 * DAY)}
+         |SELECT event_type, user_id, t, round(coalesce(var_pop(v), 0), 6) AS v
+         |FROM w GROUP BY 1, 2, 3""".stripMargin,
+    "f5_quantile_over_time" ->
+      s"""WITH $STEPS, $S, ${windowSql(2 * DAY)}
+         |SELECT event_type, user_id, t, round(quantile_cont(v, 0.5), 6) AS v
+         |FROM w GROUP BY 1, 2, 3""".stripMargin,
+    "f7_deriv" ->
+      s"""WITH $STEPS, $S, ${windowSql(2 * DAY)}
+         |SELECT event_type, user_id, t,
+         |       round(regr_slope(v, (st - $T0) / 1000.0), 9) AS v
+         |FROM w GROUP BY 1, 2, 3 HAVING count(*) >= 2 AND count(DISTINCT st) >= 2""".stripMargin,
+    "f9_resets" ->
+      s"""WITH $STEPS, $S, ${windowSql(2 * DAY)},
+         |lg AS (SELECT t, event_type, user_id, v,
+         |       lag(v) OVER (PARTITION BY t, event_type, user_id ORDER BY st) AS pv
+         |       FROM w)
+         |SELECT event_type, user_id, t,
+         |       CAST(sum(CASE WHEN v < pv THEN 1 ELSE 0 END) AS DOUBLE) AS v
+         |FROM lg GROUP BY 1, 2, 3""".stripMargin,
+    "f10_changes" ->
+      s"""WITH $STEPS, $S, ${windowSql(2 * DAY)},
+         |lg AS (SELECT t, event_type, user_id, v,
+         |       lag(v) OVER (PARTITION BY t, event_type, user_id ORDER BY st) AS pv
+         |       FROM w)
+         |SELECT event_type, user_id, t,
+         |       CAST(sum(CASE WHEN pv IS NOT NULL AND v <> pv THEN 1 ELSE 0 END) AS DOUBLE) AS v
+         |FROM lg GROUP BY 1, 2, 3""".stripMargin,
+
+    "g1_abs" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)}
+         |SELECT event_type, t, round(abs(sum(v) - 500), 6) AS v
+         |FROM w GROUP BY 1, 2""".stripMargin,
+    "g2_ceil" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)}
+         |SELECT event_type, t, ceil(CAST(count(*) AS DOUBLE) / 7) AS v
+         |FROM w GROUP BY 1, 2""".stripMargin,
+    "g2_floor" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)}
+         |SELECT event_type, t, floor(CAST(count(*) AS DOUBLE) / 7) AS v
+         |FROM w GROUP BY 1, 2""".stripMargin,
+    "g3_ln" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)}
+         |SELECT event_type, t, round(ln(sum(v) + 1), 9) AS v
+         |FROM w GROUP BY 1, 2""".stripMargin,
+    "g3_exp_sqrt" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)}
+         |SELECT event_type, t, round(exp(sqrt(CAST(count(*) AS DOUBLE)) / 10), 9) AS v
+         |FROM w GROUP BY 1, 2""".stripMargin,
+    "g4_round" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)}
+         |SELECT event_type, t,
+         |       round(floor(CAST(count(*) AS DOUBLE) / 7 * 2 + 0.5) / 2, 6) AS v
+         |FROM w GROUP BY 1, 2""".stripMargin,
+    "g5_clamp" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)}
+         |SELECT event_type, t,
+         |       least(greatest(CAST(count(*) AS DOUBLE), 55), 62) AS v
+         |FROM w GROUP BY 1, 2""".stripMargin,
+    "g7_vector" ->
+      s"WITH $STEPS SELECT t, CAST(42.0 AS DOUBLE) AS v FROM steps",
+    "g8_absent" ->
+      s"WITH $STEPS SELECT 'nope' AS event_type, t, CAST(1.0 AS DOUBLE) AS v FROM steps",
+    "g11_timestamp" ->
+      s"""WITH $STEPS, $S, $lbSel
+         |SELECT event_type, user_id, t, sample_t / 1000.0 AS v FROM sel""".stripMargin,
+    // make_timestamp(µs) is timezone-naive (UTC); floor() matches Go's
+    // int64() truncation of the epoch-seconds value
+    "g12_day_of_week" ->
+      s"""WITH $STEPS, $S, $lbSel
+         |SELECT event_type, user_id, t,
+         |  CAST(dayofweek(make_timestamp(CAST(floor(sample_t / 1000.0) AS BIGINT) * 1000000)) AS DOUBLE) AS v
+         |FROM sel""".stripMargin,
+    "g12_hour" ->
+      s"""WITH $STEPS, $S, $lbSel
+         |SELECT event_type, user_id, t,
+         |  CAST(hour(make_timestamp(CAST(floor(sample_t / 1000.0) AS BIGINT) * 1000000)) AS DOUBLE) AS v
+         |FROM sel""".stripMargin
+  )
+
+  private def lbSel: String = lookbackSql()
+
+  /** DuckDB formulation of the reference's extrapolatedRate
+    * (promql/functions.go:50-141). */
+  private def rateOracle(isCounter: Boolean, isRate: Boolean, roundTo: Int): String = {
+    val w = 2 * DAY
+    val corr =
+      if (isCounter) "sum(CASE WHEN v < pv THEN pv ELSE 0 END)" else "0"
+    val raw = "(vN - v0 + corr)"
+    val clamp =
+      if (isCounter)
+        s"""CASE WHEN $raw > 0 AND v0 >= 0
+           |  AND sampledInterval * (v0 / $raw) < durToStart
+           |  THEN sampledInterval * (v0 / $raw) ELSE durToStart END""".stripMargin
+      else "durToStart"
+    val div = if (isRate) s" / ${w / 1000}.0" else ""
+    s"""WITH $STEPS, $S, ${windowSql(w)},
+       |lg AS (SELECT t, event_type, user_id, st, v,
+       |       lag(v) OVER (PARTITION BY t, event_type, user_id ORDER BY st) AS pv
+       |       FROM w),
+       |agg AS (SELECT t, event_type, user_id,
+       |        count(*) AS n, min(st) AS t0, max(st) AS t1,
+       |        min_by(v, st) AS v0, max_by(v, st) AS vN,
+       |        $corr AS corr
+       |        FROM lg GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+       |ext AS (SELECT t, event_type, user_id, n, v0, corr, vN,
+       |        (t0 - (t - $w)) / 1000.0 AS durToStart,
+       |        (t - t1) / 1000.0 AS durToEnd,
+       |        (t1 - t0) / 1000.0 AS sampledInterval,
+       |        (t1 - t0) / 1000.0 / (n - 1) AS avgSpacing
+       |        FROM agg),
+       |ext2 AS (SELECT *, $clamp AS durToStart2, avgSpacing * 1.1 AS thresh
+       |        FROM ext),
+       |fin AS (SELECT t, event_type, user_id,
+       |        $raw * ((sampledInterval
+       |          + CASE WHEN durToStart2 < thresh THEN durToStart2 ELSE avgSpacing / 2 END
+       |          + CASE WHEN durToEnd < thresh THEN durToEnd ELSE avgSpacing / 2 END)
+       |          / sampledInterval)$div AS v
+       |        FROM ext2 WHERE sampledInterval > 0)
+       |SELECT event_type, user_id, t, round(v, $roundTo) AS v FROM fin""".stripMargin
+  }
 }

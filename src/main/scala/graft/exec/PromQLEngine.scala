@@ -211,7 +211,8 @@ class PromQLEngine(
             when(isnan(col(V)), lit(Double.NegativeInfinity)).otherwise(col(V)).desc
           else
             when(isnan(col(V)), lit(Double.PositiveInfinity)).otherwise(col(V)).asc
-        val w = Window.partitionBy(col("_gs"), col(T)).orderBy(sortKey)
+        // secondary sort on sig: deterministic output under value ties
+        val w = Window.partitionBy(col("_gs"), col(T)).orderBy(sortKey, col(SIG))
         prepared.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") <= k)
           .select(col(SIG), col(L), col(T), col(ST), col(V))
