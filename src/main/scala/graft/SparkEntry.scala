@@ -26,8 +26,8 @@ object SparkEntry {
   // DuckDB steps CTE matching EvalRange's grid
   private val STEPS =
     s"steps AS (SELECT unnest(generate_series($START, $END, $DAY)) AS t)"
-  // canonical samples CTE (epoch_ms truncates ns→ms exactly like the
-  // Spark adapter's ns/1e6)
+  // canonical samples CTE (epoch_ms = exact integer ns DIV 1e6, same as
+  // the Spark adapter's `ts DIV 1000000`)
   private val S =
     "s AS (SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, " +
       "epoch_ms(ts) AS st, value AS v FROM events)"
@@ -51,13 +51,22 @@ object SparkEntry {
     new PromQLEngine(spark, Samples.fromEventsDir(spark, sfDir))
 
   /** Run a PromQL range query on the standard grid and project the label
-    * keys to top-level columns (driver compares by column name). */
-  private def prom(q: String, labelKeys: Seq[String], roundTo: Int = -1,
+    * keys to top-level columns (driver compares by column name).
+    *
+    * `f32` casts the value to float32 for the compare. Decimal rounding
+    * (`round(v, n)`) is NOT a sound cross-engine compare: Spark rounds
+    * HALF_UP on the exact decimal expansion of the double while DuckDB
+    * multiplies by 10^n first, so the SAME double can round differently
+    * (seen in r1: 0.0002453125 → …313 vs …312). A float32 cast is a
+    * well-defined IEEE operation: identical doubles always cast
+    * identically, and last-ULP order-of-addition noise (~1e-15 relative)
+    * vanishes below float32's 1.2e-7 ULP. */
+  private def prom(q: String, labelKeys: Seq[String], f32: Boolean = false,
       start: Long = START, end: Long = END, step: Long = DAY)
       : (SparkSession, String) => DataFrame = (spark, sfDir) => {
     val df = engine(spark, sfDir).rangeQuery(q, start, end, step)
     val labelCols = labelKeys.map(k => col("labels").getItem(k).as(k))
-    val vCol = if (roundTo >= 0) round(col("v"), roundTo).as("v") else col("v")
+    val vCol = if (f32) col("v").cast("float").as("v") else col("v")
     df.select(labelCols :+ col("t") :+ vCol: _*)
   }
 
@@ -86,7 +95,7 @@ object SparkEntry {
       val b = ss.filter(col("labels")("event_type") === "error")
       a.unionByName(b)
         .groupBy(col("labels")("event_type").as("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("v")), 4).as("sum_v"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).cast("float").as("sum_v"))
     }),
     // S8: series metadata — distinct label sets for a matcher
     "s8_series" -> ((spark, dir) => {
@@ -132,22 +141,22 @@ object SparkEntry {
       Seq("event_type")),
     "a2_avg" -> prom(
       "avg by (event_type) (sum_over_time(events_value[1d]))",
-      Seq("event_type"), roundTo = 6),
+      Seq("event_type"), f32 = true),
     "a3_min_max" -> prom(
       "max by (event_type) (sum_over_time(events_value[1d])) - min by (event_type) (sum_over_time(events_value[1d]))",
-      Seq("event_type"), roundTo = 6),
+      Seq("event_type"), f32 = true),
     "a4_count" -> prom(
       "count by (event_type) (count_over_time(events_value[1d]))",
       Seq("event_type")),
     "a5_stddev" -> prom(
       "stddev by (event_type) (sum_over_time(events_value[1d]))",
-      Seq("event_type"), roundTo = 6),
+      Seq("event_type"), f32 = true),
     "a6_topk" -> prom(
       "topk(3, sum by (event_type, user_id) (sum_over_time(events_value[1d])))",
-      Seq("event_type", "user_id"), roundTo = 6),
+      Seq("event_type", "user_id"), f32 = true),
     "a7_quantile" -> prom(
       "quantile(0.9, sum by (event_type, user_id) (sum_over_time(events_value[1d])))",
-      Seq(), roundTo = 6),
+      Seq(), f32 = true),
     "a8_count_values" -> prom(
       """count_values("daily", sum by (event_type, user_id) (count_over_time(events_value[1d])))""",
       Seq("daily")),
@@ -155,11 +164,11 @@ object SparkEntry {
     // J1: one-to-one vector matching (daily mean value per type)
     "j1_binop_ratio" -> prom(
       "sum by (event_type) (sum_over_time(events_value[1d])) / sum by (event_type) (count_over_time(events_value[1d]))",
-      Seq("event_type"), roundTo = 6),
+      Seq("event_type"), f32 = true),
     // J2: many-to-one with group_left (user share of type total)
     "j2_group_left" -> prom(
       "sum by (event_type, user_id) (count_over_time(events_value[1d])) / on(event_type) group_left sum by (event_type) (count_over_time(events_value[1d]))",
-      Seq("event_type", "user_id"), roundTo = 6),
+      Seq("event_type", "user_id"), f32 = true),
     // J3-J5: set operations over signatures
     "j3_and" -> prom(
       "(sum by (event_type) (count_over_time(events_value[1d])) > 60) and (sum by (event_type) (sum_over_time(events_value[1d])) > 0)",
@@ -179,33 +188,33 @@ object SparkEntry {
 
     // F1: rate with extrapolation + counter-reset handling
     "f1_rate" -> prom(
-      "rate(events_value[2d])", Seq("event_type", "user_id"), roundTo = 9),
+      "rate(events_value[2d])", Seq("event_type", "user_id"), f32 = true),
     "f1_increase" -> prom(
-      "increase(events_value[2d])", Seq("event_type", "user_id"), roundTo = 6),
+      "increase(events_value[2d])", Seq("event_type", "user_id"), f32 = true),
     "f1_delta" -> prom(
-      "delta(events_value[2d])", Seq("event_type", "user_id"), roundTo = 6),
+      "delta(events_value[2d])", Seq("event_type", "user_id"), f32 = true),
     // F2: irate/idelta — last two points
     "f2_idelta" -> prom(
-      "idelta(events_value[2d])", Seq("event_type", "user_id"), roundTo = 6),
+      "idelta(events_value[2d])", Seq("event_type", "user_id"), f32 = true),
     // F3-F5: fold-style *_over_time
     "f3_sum_over_time" -> prom(
       "sum_over_time(events_value[1d])", Seq("event_type", "user_id"),
-      roundTo = 6),
+      f32 = true),
     "f3_avg_over_time" -> prom(
       "avg_over_time(events_value[1d])", Seq("event_type", "user_id"),
-      roundTo = 6),
+      f32 = true),
     "f3_minmax_over_time" -> prom(
       "max_over_time(events_value[1d]) - min_over_time(events_value[1d])",
-      Seq("event_type", "user_id"), roundTo = 6),
+      Seq("event_type", "user_id"), f32 = true),
     "f4_stddev_over_time" -> prom(
       "stdvar_over_time(events_value[2d])", Seq("event_type", "user_id"),
-      roundTo = 6),
+      f32 = true),
     "f5_quantile_over_time" -> prom(
       "quantile_over_time(0.5, events_value[2d])",
-      Seq("event_type", "user_id"), roundTo = 6),
+      Seq("event_type", "user_id"), f32 = true),
     // F7: deriv (least-squares slope)
     "f7_deriv" -> prom(
-      "deriv(events_value[2d])", Seq("event_type", "user_id"), roundTo = 9),
+      "deriv(events_value[2d])", Seq("event_type", "user_id"), f32 = true),
     // F9/F10: resets / changes
     "f9_resets" -> prom(
       "resets(events_value[2d])", Seq("event_type", "user_id")),
@@ -215,7 +224,7 @@ object SparkEntry {
     // G1-G5: per-sample math (engine keeps Go float semantics)
     "g1_abs" -> prom(
       "abs(sum by (event_type) (sum_over_time(events_value[1d])) - 500)",
-      Seq("event_type"), roundTo = 6),
+      Seq("event_type"), f32 = true),
     // count-based input: identical fp value on both sides, so ceil/floor
     // land on the same integer deterministically
     "g2_ceil" -> prom(
@@ -226,13 +235,13 @@ object SparkEntry {
       Seq("event_type")),
     "g3_ln" -> prom(
       "ln(sum by (event_type) (sum_over_time(events_value[1d])) + 1)",
-      Seq("event_type"), roundTo = 9),
+      Seq("event_type"), f32 = true),
     "g3_exp_sqrt" -> prom(
       "exp(sqrt(sum by (event_type) (count_over_time(events_value[1d]))) / 10)",
-      Seq("event_type"), roundTo = 9),
+      Seq("event_type"), f32 = true),
     "g4_round" -> prom(
       "round(sum by (event_type) (count_over_time(events_value[1d])) / 7, 0.5)",
-      Seq("event_type"), roundTo = 6),
+      Seq("event_type"), f32 = true),
     "g5_clamp" -> prom(
       "clamp_max(clamp_min(sum by (event_type) (count_over_time(events_value[1d])), 55), 62)",
       Seq("event_type")),
@@ -259,7 +268,7 @@ object SparkEntry {
          |FROM s WHERE regexp_full_match(event_type, 'click|error')
          |  AND st >= $START AND st < ${START + 7 * DAY}""".stripMargin,
     "s7_merge" ->
-      s"""WITH $S SELECT event_type, count(*) AS n, round(sum(v), 4) AS sum_v
+      s"""WITH $S SELECT event_type, count(*) AS n, CAST(sum(v) AS REAL) AS sum_v
          |FROM s WHERE event_type IN ('click', 'error') GROUP BY 1""".stripMargin,
     "s8_series" ->
       s"WITH $S SELECT DISTINCT event_type, user_id FROM s WHERE event_type = 'purchase'",
@@ -302,11 +311,11 @@ object SparkEntry {
     "a2_avg" ->
       s"""WITH $STEPS, $S, ${windowSql(DAY)},
          |per AS (SELECT event_type, user_id, t, sum(v) AS sv FROM w GROUP BY 1, 2, 3)
-         |SELECT event_type, t, round(avg(sv), 6) AS v FROM per GROUP BY 1, 2""".stripMargin,
+         |SELECT event_type, t, CAST(avg(sv) AS REAL) AS v FROM per GROUP BY 1, 2""".stripMargin,
     "a3_min_max" ->
       s"""WITH $STEPS, $S, ${windowSql(DAY)},
          |per AS (SELECT event_type, user_id, t, sum(v) AS sv FROM w GROUP BY 1, 2, 3)
-         |SELECT event_type, t, round(max(sv) - min(sv), 6) AS v
+         |SELECT event_type, t, CAST(max(sv) - min(sv) AS REAL) AS v
          |FROM per GROUP BY 1, 2""".stripMargin,
     "a4_count" ->
       s"""WITH $STEPS, $S, ${windowSql(DAY)},
@@ -316,34 +325,38 @@ object SparkEntry {
     "a5_stddev" ->
       s"""WITH $STEPS, $S, ${windowSql(DAY)},
          |per AS (SELECT event_type, user_id, t, sum(v) AS sv FROM w GROUP BY 1, 2, 3)
-         |SELECT event_type, t, round(coalesce(stddev_pop(sv), 0), 6) AS v
+         |SELECT event_type, t, CAST(coalesce(stddev_pop(sv), 0) AS REAL) AS v
          |FROM per GROUP BY 1, 2""".stripMargin,
     "a6_topk" ->
       s"""WITH $STEPS, $S, ${windowSql(DAY)},
          |per AS (SELECT event_type, user_id, t, sum(v) AS sv FROM w GROUP BY 1, 2, 3),
          |rk AS (SELECT *, row_number() OVER (PARTITION BY t
          |       ORDER BY sv DESC, event_type, user_id) AS rn FROM per)
-         |SELECT event_type, user_id, t, round(sv, 6) AS v FROM rk WHERE rn <= 3""".stripMargin,
+         |SELECT event_type, user_id, t, CAST(sv AS REAL) AS v FROM rk WHERE rn <= 3""".stripMargin,
     "a7_quantile" ->
       s"""WITH $STEPS, $S, ${windowSql(DAY)},
          |per AS (SELECT event_type, user_id, t, sum(v) AS sv FROM w GROUP BY 1, 2, 3)
-         |SELECT t, round(quantile_cont(sv, 0.9), 6) AS v FROM per GROUP BY 1""".stripMargin,
+         |SELECT t, CAST(quantile_cont(sv, 0.9) AS REAL) AS v FROM per GROUP BY 1""".stripMargin,
     "a8_count_values" ->
       s"""WITH $STEPS, $S, ${windowSql(DAY)},
          |per AS (SELECT event_type, user_id, t, count(*) AS c FROM w GROUP BY 1, 2, 3)
          |SELECT CAST(c AS VARCHAR) AS daily, t, CAST(count(*) AS DOUBLE) AS v
          |FROM per GROUP BY 1, 2""".stripMargin,
 
+    // mirrors the engine's aggregation shape (per-series sums first, then
+    // the cross-series sum) so float addition order matches
     "j1_binop_ratio" ->
-      s"""WITH $STEPS, $S, ${windowSql(DAY)}
-         |SELECT event_type, t, round(sum(v) / count(*), 6) AS v
-         |FROM w GROUP BY 1, 2""".stripMargin,
+      s"""WITH $STEPS, $S, ${windowSql(DAY)},
+         |per AS (SELECT event_type, user_id, t, sum(v) AS sv, count(*) AS c
+         |        FROM w GROUP BY 1, 2, 3)
+         |SELECT event_type, t, CAST(sum(sv) / sum(c) AS REAL) AS v
+         |FROM per GROUP BY 1, 2""".stripMargin,
     "j2_group_left" ->
       s"""WITH $STEPS, $S, ${windowSql(DAY)},
          |per AS (SELECT event_type, user_id, t, count(*) AS c FROM w GROUP BY 1, 2, 3),
          |tot AS (SELECT event_type, t, count(*) AS c FROM w GROUP BY 1, 2)
          |SELECT per.event_type, per.user_id, per.t,
-         |       round(CAST(per.c AS DOUBLE) / tot.c, 6) AS v
+         |       CAST(CAST(per.c AS DOUBLE) / tot.c AS REAL) AS v
          |FROM per JOIN tot ON per.event_type = tot.event_type AND per.t = tot.t""".stripMargin,
     "j3_and" ->
       s"""WITH $STEPS, $S, ${windowSql(DAY)},
@@ -371,9 +384,9 @@ object SparkEntry {
     "j7_scalar_scalar" ->
       s"WITH $STEPS SELECT t, CAST(513.0 AS DOUBLE) AS v FROM steps", // 2^(3^2)+7%3
 
-    "f1_rate" -> rateOracle(isCounter = true, isRate = true, roundTo = 9),
-    "f1_increase" -> rateOracle(isCounter = true, isRate = false, roundTo = 6),
-    "f1_delta" -> rateOracle(isCounter = false, isRate = false, roundTo = 6),
+    "f1_rate" -> rateOracle(isCounter = true, isRate = true, f32 = true),
+    "f1_increase" -> rateOracle(isCounter = true, isRate = false, f32 = true),
+    "f1_delta" -> rateOracle(isCounter = false, isRate = false, f32 = true),
     "f2_idelta" ->
       s"""WITH $STEPS, $S, ${windowSql(2 * DAY)},
          |rk AS (SELECT t, event_type, user_id, st, v,
@@ -383,32 +396,32 @@ object SparkEntry {
          |        max_by(v, st) AS vl, min_by(v, st) AS vp,
          |        max(st) AS tl, min(st) AS tp
          |        FROM rk WHERE rn <= 2 GROUP BY 1, 2, 3 HAVING count(*) = 2)
-         |SELECT event_type, user_id, t, round(vl - vp, 6) AS v
+         |SELECT event_type, user_id, t, CAST(vl - vp AS REAL) AS v
          |FROM two WHERE tl <> tp""".stripMargin,
     "f3_sum_over_time" ->
       s"""WITH $STEPS, $S, ${windowSql(DAY)}
-         |SELECT event_type, user_id, t, round(sum(v), 6) AS v
+         |SELECT event_type, user_id, t, CAST(sum(v) AS REAL) AS v
          |FROM w GROUP BY 1, 2, 3""".stripMargin,
     "f3_avg_over_time" ->
       s"""WITH $STEPS, $S, ${windowSql(DAY)}
-         |SELECT event_type, user_id, t, round(avg(v), 6) AS v
+         |SELECT event_type, user_id, t, CAST(avg(v) AS REAL) AS v
          |FROM w GROUP BY 1, 2, 3""".stripMargin,
     "f3_minmax_over_time" ->
       s"""WITH $STEPS, $S, ${windowSql(DAY)}
-         |SELECT event_type, user_id, t, round(max(v) - min(v), 6) AS v
+         |SELECT event_type, user_id, t, CAST(max(v) - min(v) AS REAL) AS v
          |FROM w GROUP BY 1, 2, 3""".stripMargin,
     "f4_stddev_over_time" ->
       s"""WITH $STEPS, $S, ${windowSql(2 * DAY)}
-         |SELECT event_type, user_id, t, round(coalesce(var_pop(v), 0), 6) AS v
+         |SELECT event_type, user_id, t, CAST(coalesce(var_pop(v), 0) AS REAL) AS v
          |FROM w GROUP BY 1, 2, 3""".stripMargin,
     "f5_quantile_over_time" ->
       s"""WITH $STEPS, $S, ${windowSql(2 * DAY)}
-         |SELECT event_type, user_id, t, round(quantile_cont(v, 0.5), 6) AS v
+         |SELECT event_type, user_id, t, CAST(quantile_cont(v, 0.5) AS REAL) AS v
          |FROM w GROUP BY 1, 2, 3""".stripMargin,
     "f7_deriv" ->
       s"""WITH $STEPS, $S, ${windowSql(2 * DAY)}
          |SELECT event_type, user_id, t,
-         |       round(regr_slope(v, (st - $T0) / 1000.0), 9) AS v
+         |       CAST(regr_slope(v, (st - $T0) / 1000.0) AS REAL) AS v
          |FROM w GROUP BY 1, 2, 3 HAVING count(*) >= 2 AND count(DISTINCT st) >= 2""".stripMargin,
     "f9_resets" ->
       s"""WITH $STEPS, $S, ${windowSql(2 * DAY)},
@@ -429,7 +442,7 @@ object SparkEntry {
 
     "g1_abs" ->
       s"""WITH $STEPS, $S, ${windowSql(DAY)}
-         |SELECT event_type, t, round(abs(sum(v) - 500), 6) AS v
+         |SELECT event_type, t, CAST(abs(sum(v) - 500) AS REAL) AS v
          |FROM w GROUP BY 1, 2""".stripMargin,
     "g2_ceil" ->
       s"""WITH $STEPS, $S, ${windowSql(DAY)}
@@ -441,16 +454,16 @@ object SparkEntry {
          |FROM w GROUP BY 1, 2""".stripMargin,
     "g3_ln" ->
       s"""WITH $STEPS, $S, ${windowSql(DAY)}
-         |SELECT event_type, t, round(ln(sum(v) + 1), 9) AS v
+         |SELECT event_type, t, CAST(ln(sum(v) + 1) AS REAL) AS v
          |FROM w GROUP BY 1, 2""".stripMargin,
     "g3_exp_sqrt" ->
       s"""WITH $STEPS, $S, ${windowSql(DAY)}
-         |SELECT event_type, t, round(exp(sqrt(CAST(count(*) AS DOUBLE)) / 10), 9) AS v
+         |SELECT event_type, t, CAST(exp(sqrt(CAST(count(*) AS DOUBLE)) / 10) AS REAL) AS v
          |FROM w GROUP BY 1, 2""".stripMargin,
     "g4_round" ->
       s"""WITH $STEPS, $S, ${windowSql(DAY)}
          |SELECT event_type, t,
-         |       round(floor(CAST(count(*) AS DOUBLE) / 7 * 2 + 0.5) / 2, 6) AS v
+         |       CAST(floor(CAST(count(*) AS DOUBLE) / 7 * 2 + 0.5) / 2 AS REAL) AS v
          |FROM w GROUP BY 1, 2""".stripMargin,
     "g5_clamp" ->
       s"""WITH $STEPS, $S, ${windowSql(DAY)}
@@ -482,7 +495,7 @@ object SparkEntry {
 
   /** DuckDB formulation of the reference's extrapolatedRate
     * (promql/functions.go:50-141). */
-  private def rateOracle(isCounter: Boolean, isRate: Boolean, roundTo: Int): String = {
+  private def rateOracle(isCounter: Boolean, isRate: Boolean, f32: Boolean): String = {
     val w = 2 * DAY
     val corr =
       if (isCounter) "sum(CASE WHEN v < pv THEN pv ELSE 0 END)" else "0"
@@ -517,6 +530,6 @@ object SparkEntry {
        |          + CASE WHEN durToEnd < thresh THEN durToEnd ELSE avgSpacing / 2 END)
        |          / sampledInterval)$div AS v
        |        FROM ext2 WHERE sampledInterval > 0)
-       |SELECT event_type, user_id, t, round(v, $roundTo) AS v FROM fin""".stripMargin
+       |SELECT event_type, user_id, t, CAST(v AS REAL) AS v FROM fin""".stripMargin
   }
 }

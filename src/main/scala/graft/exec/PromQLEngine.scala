@@ -35,6 +35,12 @@ class PromQLEngine(
 
   import PromQLEngine._
 
+  // G12 date functions extract calendar fields via the session time zone;
+  // the engine's semantics are defined in UTC (functions.go:886-955).
+  require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+    "PromQLEngine requires spark.sql.session.timeZone=UTC " +
+      "(PromQL date functions are defined in UTC)")
+
   /** Evaluation grid: instant = single step. */
   case class EvalRange(startMs: Long, endMs: Long, stepMs: Long) {
     require(stepMs > 0, "zero or negative query resolution step")
@@ -142,7 +148,19 @@ class PromQLEngine(
 
   // ---------- evaluation ----------
 
-  def eval(e: Expr, tr: EvalRange): Value = e match {
+  /** Memoized evaluation: identical subtrees over the same range reuse
+    * ONE DataFrame object, so Catalyst sees structurally equal subplans
+    * and physical planning dedups their exchanges (ReuseExchange). This
+    * is the common-subexpression reuse the tree-walking reference gets
+    * for free from its per-node iterators — e.g.
+    * `max by(x)(m) - min by(x)(m)` scans/windows `m` once, not twice. */
+  private val memo =
+    scala.collection.mutable.HashMap.empty[(Expr, EvalRange), Value]
+
+  def eval(e: Expr, tr: EvalRange): Value =
+    memo.getOrElseUpdate((e, tr), evalImpl(e, tr))
+
+  private def evalImpl(e: Expr, tr: EvalRange): Value = e match {
     case NumberLiteral(v) =>
       ScalV(tr.stepsDF.withColumn(V, lit(v)), Some(v))
     case StringLiteral(s) => StrV(s)
@@ -185,37 +203,49 @@ class PromQLEngine(
       .agg(first(col("_gl")).as(L), aggCol.as(V))
       .select(col("_gs").as(SIG), col(L), col(T), col(T).as(ST), col(V))
 
-    // Go math.Min/math.Max propagate NaN; Spark min/max treat NaN as the
-    // largest double. Guard: if any NaN in group → NaN.
-    val anyNaN = max(when(isnan(col(V)), 1).otherwise(0)) === 1
-    def nanGuard(c: Column): Column =
-      when(anyNaN, lit(Double.NaN)).otherwise(c)
-
     agg.op match {
       case "sum" => grouped(sum(col(V)))
       case "avg" => grouped(avg(col(V)))
-      case "min" => grouped(nanGuard(min(col(V))))
-      case "max" => grouped(nanGuard(max(col(V))))
+      // min/max: NaN LOSES — a NaN accumulator is replaced by any real
+      // value (engine.go:1346-1353); result is NaN only when the whole
+      // group is NaN. (The opposite of *_over_time, which use Go
+      // math.Min/Max and propagate NaN — functions.go:414-445.)
+      case "min" =>
+        grouped(coalesce(min(when(!isnan(col(V)), col(V))), lit(Double.NaN)))
+      case "max" =>
+        grouped(coalesce(max(when(!isnan(col(V)), col(V))), lit(Double.NaN)))
       case "count" => grouped(count(lit(1)).cast("double"))
       case "stddev" => grouped(stddev_pop(col(V)))
       case "stdvar" => grouped(var_pop(col(V)))
       case "quantile" =>
+        // out-of-range φ yields ∓Inf, NaN yields NaN (promql/quantile.go)
         val q = constParam(agg.param, "quantile")
-        grouped(percentile(col(V), lit(q)))
+        if (q.isNaN) grouped(lit(Double.NaN))
+        else if (q < 0) grouped(lit(Double.NegativeInfinity))
+        else if (q > 1) grouped(lit(Double.PositiveInfinity))
+        else grouped(percentile(col(V), lit(q)))
       case "topk" | "bottomk" =>
         val k = constParam(agg.param, agg.op).toInt
-        // bounded per-group heap in the reference (engine.go:1364-1384);
-        // NaN always loses. Result keeps ORIGINAL series labels.
+        // bounded per-group heap like the reference (engine.go:1364-1384),
+        // as a partial+merge Aggregator: O(k·groups) memory and shuffle,
+        // never a single-partition window. NaN always loses; exact value
+        // ties break on the canonical label string (deterministic).
         val sortKey =
           if (agg.op == "topk")
-            when(isnan(col(V)), lit(Double.NegativeInfinity)).otherwise(col(V)).desc
+            when(isnan(col(V)), lit(Double.NegativeInfinity)).otherwise(col(V))
           else
-            when(isnan(col(V)), lit(Double.PositiveInfinity)).otherwise(col(V)).asc
-        // secondary sort on sig: deterministic output under value ties
-        val w = Window.partitionBy(col("_gs"), col(T)).orderBy(sortKey, col(SIG))
-        prepared.withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") <= k)
-          .select(col(SIG), col(L), col(T), col(ST), col(V))
+            when(isnan(col(V)), lit(Double.PositiveInfinity)).otherwise(col(V))
+        val winners = prepared
+          .groupBy(col("_gs"), col(T))
+          .agg(TopK.topk(k, desc = agg.op == "topk")(
+            sortKey, Samples.sigStr(col(L)), col(ST), col(V)).as("_w"))
+          .select(col(T), explode(col("_w")).as("_e"))
+          .select(col(T), col("_e.tie").as("_tie"), col("_e.st").as(ST),
+            col("_e.v").as(V))
+        winners
+          .withColumn(L, TopK.decodeLabelsUdf(col("_tie")))
+          .select(Samples.sigExpr(col(L)).as(SIG), col(L), col(T), col(ST),
+            col(V))
       case "count_values" =>
         val lbl = agg.param match {
           case Some(StringLiteral(s)) => s
@@ -446,9 +476,9 @@ class PromQLEngine(
         ScalV(tr.stepsDF.withColumn(V, col(T).cast("double") / 1000.0), None)
       case "vector" =>
         val ScalV(sdf, _) = (eval(call.args.head, tr): @unchecked)
-        VecV(sdf.select(lit("").as(SIG),
-          map().cast("map<string,string>").as(L),
-          col(T), col(T).as(ST), col(V)))
+        val emptyLabels = map().cast("map<string,string>")
+        VecV(sdf.select(Samples.sigExpr(emptyLabels).as(SIG),
+          emptyLabels.as(L), col(T), col(T).as(ST), col(V)))
       case "scalar" =>
         val VecV(vdf) = (eval(call.args.head, tr): @unchecked)
         val aggd = vdf.groupBy(col(T))
@@ -621,8 +651,29 @@ class PromQLEngine(
         PromUdfs.rateUdf(p, col(T), lit(o), lit(r), lit(false), lit(false)))
       case "irate" => aggPoints(p => PromUdfs.instantValueUdf(p, lit(true)))
       case "idelta" => aggPoints(p => PromUdfs.instantValueUdf(p, lit(false)))
-      case "resets" => aggPoints(PromUdfs.resetsUdf(_))
-      case "changes" => aggPoints(PromUdfs.changesUdf(_))
+      // resets/changes as a lag window + conditional sum (keeps
+      // whole-stage codegen; no per-group array materialization + UDF).
+      // The window and the following groupBy share the (sig, t) hash
+      // partitioning, so this costs ONE shuffle. Go comparisons with a
+      // NaN operand are always false (functions.go:731-776), hence the
+      // isnan guards: Spark orders NaN greatest instead.
+      case "resets" | "changes" =>
+        val w = Window.partitionBy(col(SIG), col(T)).orderBy(col(ST))
+        val pv = lag(col(V), 1).over(w)
+        val inc =
+          if (name == "resets")
+            when(pv.isNotNull && !isnan(col(V)) && !isnan(pv) &&
+              col(V) < pv, 1).otherwise(0)
+          else // NaN→NaN is not a change; Spark's =!= already treats
+               // NaN===NaN as true, and NaN vs real compares unequal
+            when(pv.isNotNull && col(V) =!= pv, 1).otherwise(0)
+        win.withColumn("_inc", inc)
+          .groupBy(col(SIG), col(T))
+          .agg(first(col(L)).as(L), sum(col("_inc")).cast("double").as(V))
+          .select(col(SIG),
+            Samples.dropMetricName(col(L)).as(L), col(T), col(T).as(ST),
+            col(V))
+          .transform(reSig)
       case "deriv" => aggPoints(PromUdfs.derivUdf(_))
       case "predict_linear" => aggPoints(p => // anchored at the eval ts
         PromUdfs.predictLinearUdf(p, col(T), lit(consts.head)))

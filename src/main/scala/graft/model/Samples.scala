@@ -18,18 +18,16 @@ import org.apache.spark.sql.types._
   * }}}
   *
   * Series identity in the reference is xxhash64 over the name-sorted label
-  * pairs (`pkg/labels/labels.go:85-96`). Here the canonical signature is a
-  * deterministic string built from the sorted `map_entries` — string (not
-  * hash) so it is collision-free and directly groupable/joinable; Spark
-  * hashes it internally for shuffle partitioning anyway.
+  * pairs (`pkg/labels/labels.go:85-96`). Here too: [[sigExpr]] is xxhash64
+  * of a length-prefixed canonical string ([[sigStr]]) — LONG keys keep
+  * every shuffle exchange small at scale; the labels map rides along only
+  * for output.
   */
 object Samples {
   val MetricNameLabel = "__name__"
 
-  /** Field separators for the canonical signature string; mirror the
-    * `\xff` separator idea of labels.Hash (labels/labels.go:85-96). */
-  private val kvSep = "ÿ"
-  private val pairSep = "þ"
+  // (separator constants removed: the canonical form is length-prefixed,
+  // see sigStr — no separator can collide with label content)
 
   val schema: StructType = StructType(Seq(
     StructField("labels", MapType(StringType, StringType), nullable = false),
@@ -37,12 +35,25 @@ object Samples {
     StructField("v", DoubleType, nullable = false)
   ))
 
-  /** Canonical series signature over ALL labels (sorted). */
-  def sigExpr(labels: Column): Column =
+  /** Canonical series string over ALL labels (sorted), length-prefixed so
+    * it is collision-free for ANY label content (a plain separator char
+    * could legally appear inside a label value). Decoding is unambiguous:
+    * each segment is `len(key):key=len(value):value` joined by `;`. */
+  def sigStr(labels: Column): Column =
     array_join(
       transform(array_sort(map_entries(labels)),
-        e => concat_ws(kvSep, e.getField("key"), e.getField("value"))),
-      pairSep)
+        e => concat(
+          length(e.getField("key")), lit(":"), e.getField("key"), lit("="),
+          length(e.getField("value")), lit(":"), e.getField("value"))),
+      ";")
+
+  /** Series signature used as every groupBy/join key: xxhash64 of the
+    * canonical string, mirroring the reference's labels.Hash
+    * (`labels/labels.go:85-96`). A LONG key keeps shuffle exchanges small
+    * at scale (vs. shipping the full concatenated label string); the
+    * 64-bit collision risk over realistic series cardinalities is
+    * negligible. The labels map itself is carried alongside for output. */
+  def sigExpr(labels: Column): Column = xxhash64(sigStr(labels))
 
   /** Signature restricted TO the given label names (PromQL `on(...)` /
     * `by(...)`). */
@@ -80,9 +91,11 @@ object Samples {
     * Series labels: metric name + event_type + user_id. */
   def fromEvents(events: DataFrame): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS): read as LongType nanos under
-    // spark.sql.legacy.parquet.nanosAsLong (Spark has no nanos timestamp)
+    // spark.sql.legacy.parquet.nanosAsLong (Spark has no nanos timestamp).
+    // MUST be integer division: `/` promotes to double, and epoch nanos
+    // (~1.7e18) exceed double's 2^53 mantissa, yielding ms values 1 off.
     val tMs = events.schema("ts").dataType match {
-      case LongType => (col("ts") / 1000000L).cast(LongType)
+      case LongType => expr("ts DIV 1000000")
       case _ => unix_millis(col("ts"))
     }
     events.select(

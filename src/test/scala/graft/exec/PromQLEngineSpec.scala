@@ -332,4 +332,58 @@ class PromQLEngineSpec extends SparkTestBase {
       ("foo=bar", 2 * m) -> -200.0,
       ("foo=boo", 2 * m) -> -1.0))
   }
+
+  test("min/max/topk aggregations: NaN loses; *_over_time propagates NaN") {
+    // NaN in the accumulator is replaced by any real value
+    // (engine.go:1346-1353): max{NaN,5,3}=5, min{NaN,5,3}=3.
+    // But max_over_time uses Go math.Max, which PROPAGATES NaN
+    // (functions.go:414-445).
+    val f = samplesDF(
+      Map("__name__" -> "x", "k" -> "nan") -> Seq((0L, Double.NaN)),
+      Map("__name__" -> "x", "k" -> "five") -> Seq((0L, 5.0)),
+      Map("__name__" -> "x", "k" -> "three") -> Seq((0L, 3.0)),
+      Map("__name__" -> "allnan", "k" -> "a") -> Seq((0L, Double.NaN)),
+      Map("__name__" -> "allnan", "k" -> "b") -> Seq((0L, Double.NaN)))
+    val e = new PromQLEngine(spark, f)
+    assertApprox(resultMap(e.instant("max(x)", 0)), Map(("", 0L) -> 5.0))
+    assertApprox(resultMap(e.instant("min(x)", 0)), Map(("", 0L) -> 3.0))
+    // all-NaN group stays NaN
+    assert(resultMap(e.instant("max(allnan)", 0))(("", 0L)).isNaN)
+    assert(resultMap(e.instant("min(allnan)", 0))(("", 0L)).isNaN)
+    // topk: NaN always loses (sorts below every real value)
+    val top = resultMap(e.instant("topk(2, x)", 0))
+    assertApprox(top, Map(
+      ("__name__=x,k=five", 0L) -> 5.0,
+      ("__name__=x,k=three", 0L) -> 3.0))
+    val bottom = resultMap(e.instant("bottomk(1, x)", 0))
+    assertApprox(bottom, Map(("__name__=x,k=three", 0L) -> 3.0))
+    // *_over_time: NaN propagates within a series window
+    val f2 = samplesDF(
+      Map("__name__" -> "y") -> Seq((0L, 1.0), (60000L, Double.NaN), (120000L, 3.0)))
+    val e2 = new PromQLEngine(spark, f2)
+    assert(resultMap(e2.instant("max_over_time(y[5m])", 120000L))(
+      ("", 120000L)).isNaN)
+    assert(resultMap(e2.instant("min_over_time(y[5m])", 120000L))(
+      ("", 120000L)).isNaN)
+  }
+
+  test("quantile aggregation with out-of-range φ yields ∓Inf") {
+    val r = resultMap(engine.instant("quantile(1.5, test_metric1)", 2 * m))
+    assert(r(("", 2 * m)).isPosInfinity)
+    val r2 = resultMap(engine.instant("quantile(-0.5, test_metric1)", 2 * m))
+    assert(r2(("", 2 * m)).isNegInfinity)
+  }
+
+  test("topk is deterministic under exact value ties") {
+    val f = samplesDF(
+      Map("__name__" -> "t", "k" -> "a") -> Seq((0L, 7.0)),
+      Map("__name__" -> "t", "k" -> "b") -> Seq((0L, 7.0)),
+      Map("__name__" -> "t", "k" -> "c") -> Seq((0L, 7.0)))
+    val e = new PromQLEngine(spark, f)
+    val r = resultMap(e.instant("topk(2, t)", 0))
+    // ties break on the canonical label string: a, b win
+    assertApprox(r, Map(
+      ("__name__=t,k=a", 0L) -> 7.0,
+      ("__name__=t,k=b", 0L) -> 7.0))
+  }
 }
