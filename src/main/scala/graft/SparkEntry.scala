@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.exec.PromQLEngine
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
 import graft.model.Samples
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -49,6 +50,11 @@ object SparkEntry {
 
   private def engine(spark: SparkSession, sfDir: String): PromQLEngine =
     new PromQLEngine(spark, Samples.fromEventsDir(spark, sfDir))
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
 
   /** Run a PromQL range query on the standard grid and project the label
     * keys to top-level columns (driver compares by column name).
@@ -257,7 +263,73 @@ object SparkEntry {
     "g12_day_of_week" -> prom(
       "day_of_week(timestamp(events_value))", Seq("event_type", "user_id")),
     "g12_hour" -> prom(
-      "hour(timestamp(events_value))", Seq("event_type", "user_id"))
+      "hour(timestamp(events_value))", Seq("event_type", "user_id")),
+
+    // ---- LLM-data-pipeline operators (documents/embeddings tables) ----
+    // D1: exact dedup — content-hash groupBy, canonical id per group
+    "d1_exact_dedup" -> ((spark, dir) =>
+      Dedup.exactDedup(docs(spark, dir))),
+    // D2: exact n-gram Jaccard pairs (inverted-index join baseline)
+    "d2_ngram_jaccard" -> ((spark, dir) =>
+      Dedup.ngramJaccardPairs(docs(spark, dir), 3, 0.5)
+        .withColumn("jaccard", col("jaccard").cast("float"))),
+    // D3: MinHash-LSH banded near-dup, exact-verified (scale path;
+    // output equals D2 up to banding miss prob ~1e-8)
+    "d3_minhash_lsh" -> ((spark, dir) =>
+      Dedup.minhashLshPairs(docs(spark, dir), 3, 0.5)
+        .withColumn("jaccard", col("jaccard").cast("float"))),
+    // D4: SimHash pairs within Hamming distance 3 (4×16-bit banding is
+    // exactly equivalent to all-pairs by pigeonhole)
+    "d4_simhash" -> ((spark, dir) => Dedup.simhashPairs(docs(spark, dir))),
+    // D5: embedding-cosine near-dup (exact baseline; ANN is X2)
+    "d5_embed_dup" -> ((spark, dir) =>
+      Similarity.brutePairs(emb(spark, dir), 0.45)
+        .withColumn("cos", col("cos").cast("float"))),
+    // X1: brute-force cosine top-k neighbours of the first 10 vectors
+    "x1_sim_topk" -> ((spark, dir) =>
+      Similarity.topK(emb(spark, dir).filter(col("vec_id") < 10),
+          emb(spark, dir), 5)
+        .withColumn("cos", col("cos").cast("float"))),
+    // X2: LSH-bucketed approximate top-k (no oracle: approximate
+    // recall by construction; unit suite asserts recall vs X1)
+    "x2_sim_ann" -> ((spark, dir) =>
+      Similarity.annTopK(emb(spark, dir).filter(col("vec_id") < 10),
+          emb(spark, dir), 5, dim = 64)
+        .withColumn("cos", col("cos").cast("float"))),
+    // T1: token counting (whitespace + BPE-ish regex)
+    "t1_token_count" -> ((spark, dir) =>
+      docs(spark, dir).select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("ws_tokens"),
+        TextOps.bpeishCount(col("text")).cast("long").as("bpeish_tokens"))),
+    // T2: quality scoring heuristics
+    "t2_quality" -> ((spark, dir) => {
+      val cols = TextOps.qualityColumns(col("text")).map {
+        case (n @ ("n_chars" | "n_tokens"), c) => c.as(n)
+        case (n, c) => c.cast("float").as(n)
+      }
+      docs(spark, dir).select(col("doc_id") +: cols: _*)
+    }),
+    // T3: language-ID by stopword-profile hits, deterministic argmax
+    "t3_langid" -> ((spark, dir) => {
+      val hits = TextOps.StopwordProfiles.map { case (lang, ws) =>
+        TextOps.stopwordHits(col("text"), ws).cast("long").as(s"${lang}_hits")
+      }
+      docs(spark, dir).select(
+        Seq(col("doc_id"), TextOps.langId(col("text")).as("pred_lang")) ++
+          hits: _*)
+    }),
+    // T4: rolling polynomial document fingerprint
+    "t4_fingerprint" -> ((spark, dir) =>
+      docs(spark, dir).select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fingerprint"))),
+    // M1: multimodal column model — binary payload + typed metadata,
+    // batch-wise decode stub over mapPartitions
+    "m1_media_meta" -> ((spark, dir) =>
+      Multimodal.decodeStub(spark, Multimodal.mediaTable(docs(spark, dir)))
+        .toDF().withColumn("mean_byte", col("mean_byte").cast("float"))),
+    // M2: frame sampling over the binary payload
+    "m2_frame_sample" -> ((spark, dir) =>
+      Multimodal.frameSample(Multimodal.mediaTable(docs(spark, dir)), 4))
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -488,8 +560,153 @@ object SparkEntry {
       s"""WITH $STEPS, $S, $lbSel
          |SELECT event_type, user_id, t,
          |  CAST(hour(make_timestamp(CAST(floor(sample_t / 1000.0) AS BIGINT) * 1000000)) AS DOUBLE) AS v
-         |FROM sel""".stripMargin
+         |FROM sel""".stripMargin,
+
+    // ---- LLM-data-pipeline oracles ----
+    "d1_exact_dedup" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+        |g AS (SELECT content_hash, min(doc_id) AS canonical_id,
+        |      count(*) AS group_size FROM h GROUP BY 1)
+        |SELECT doc_id, content_hash, canonical_id, group_size
+        |FROM h JOIN g USING (content_hash)""".stripMargin,
+    "d2_ngram_jaccard" -> ngramJaccardOracle,
+    "d3_minhash_lsh" -> ngramJaccardOracle, // banded variant must agree
+    "d4_simhash" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |bits AS (SELECT doc_id, list_transform(generate_series(0, 63), b ->
+        |  CASE WHEN list_sum(list_transform(tk, t ->
+        |    CASE WHEN (md5_number_lower(t) >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |  THEN 1 ELSE 0 END) AS bs FROM tok),
+        |pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |  list_sum(list_transform(generate_series(1, 64), i ->
+        |    CASE WHEN a.bs[i] <> b.bs[i] THEN 1 ELSE 0 END)) AS hamming
+        |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
+        |SELECT ia, ib, CAST(hamming AS BIGINT) AS hamming
+        |FROM pr WHERE hamming <= 3""".stripMargin,
+    "d5_embed_dup" ->
+      s"""WITH $EMB_N,
+         |pr AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |  list_reduce(list_prepend(0.0, list_transform(
+         |    generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])),
+         |    (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |SELECT ia, ib, CAST(cos AS REAL) AS cos FROM pr
+         |WHERE cos >= 0.45""".stripMargin,
+    "x1_sim_topk" ->
+      s"""WITH $EMB_N,
+         |sc AS (SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+         |  list_reduce(list_prepend(0.0, list_transform(
+         |    generate_series(1, len(q.v)), i -> q.v[i] * c.v[i])),
+         |    (x, y) -> x + y) / (q.nrm * c.nrm) AS cos
+         |  FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |       ORDER BY cos DESC, neighbor_id) AS rn FROM sc)
+         |SELECT qid, neighbor_id, CAST(cos AS REAL) AS cos
+         |FROM rk WHERE rn <= 5""".stripMargin,
+    "t1_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpeish_tokens
+        |FROM documents""".stripMargin,
+    "t2_quality" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  CAST(len(text) AS DOUBLE) AS n_chars,
+         |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+         |  CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+         |    AS DOUBLE) AS n_punct,
+         |  CAST(len(list_filter(string_split(lower(text), ' '),
+         |    t -> list_contains($EN_STOPS, t))) AS DOUBLE) AS en_hits
+         |  FROM documents)
+         |SELECT doc_id, n_chars, n_tokens,
+         |  CAST((n_chars - (n_tokens - 1)) / n_tokens AS REAL) AS mean_token_len,
+         |  CAST(n_punct / n_chars AS REAL) AS punct_ratio,
+         |  CAST(en_hits / n_tokens AS REAL) AS stopword_ratio
+         |FROM b""".stripMargin,
+    "t3_langid" -> langidOracle,
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |    generate_series(1, len(text)),
+        |    i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+        |    (a, c) -> (a * 31 + c) % 999999999999989) AS fingerprint
+        |FROM documents""".stripMargin,
+    "m1_media_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  CAST(64 + (doc_id % 16) * 16 AS INT) AS width,
+        |  CAST(48 + (doc_id % 9) * 16 AS INT) AS height,
+        |  CAST(len(text) AS BIGINT) AS n_bytes,
+        |  CAST(len(text) // 32 AS BIGINT) AS n_frames,
+        |  CAST(CAST(list_sum(list_transform(generate_series(1, len(text)),
+        |    i -> ord(substr(text, i, 1)))) AS DOUBLE) / len(text) AS REAL)
+        |    AS mean_byte
+        |FROM documents""".stripMargin,
+    "m2_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text, len(text) // 32 AS nf FROM documents),
+        |ix AS (SELECT doc_id, text,
+        |       unnest(generate_series(0, nf - 1, 4)) AS fi
+        |       FROM f WHERE nf >= 1)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |  lower(hex(encode(substr(text, fi * 32 + 1, 32)))) AS frame_hex
+        |FROM ix""".stripMargin
   )
+
+  private val EN_STOPS =
+    "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that']"
+
+  /** Normalized embeddings CTE; the dot/norm folds are left-to-right
+    * (`list_reduce` seeded with 0.0) to mirror Spark's `aggregate` fold
+    * exactly, so the doubles are bit-identical across engines. */
+  private val EMB_N =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0,
+      |  list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e)""".stripMargin
+
+  /** Word-trigram Jaccard pairs ≥ 0.5 — shared by d2 (exact join) and
+    * d3 (MinHash-LSH banded + exact verify; the banded plan must
+    * reproduce the exact result). */
+  private def ngramJaccardOracle: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |  generate_series(1, greatest(len(tk) - 2, 0)),
+      |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s FROM tok),
+      |sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+      |pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+      |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2)
+      |SELECT ia, ib,
+      |  CAST(CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) AS REAL)
+      |    AS jaccard
+      |FROM pr JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+      |WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.5""".stripMargin
+
+  /** Stopword-profile language ID: argmax of per-language hits with a
+    * lexicographic tie-break, mirroring TextOps.langId's strict-> fold. */
+  private def langidOracle: String = {
+    val profiles = graft.llm.TextOps.StopwordProfiles
+    val hitCols = profiles.map { case (lang, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(t, x -> list_contains($arr, x))) AS BIGINT) AS ${lang}_hits"
+    }.mkString(",\n  ")
+    val langs = profiles.map(_._1)
+    val cases = langs.zipWithIndex.map { case (lang, i) =>
+      val rest = langs.drop(i + 1)
+      if (rest.isEmpty) s"ELSE '$lang' END"
+      else s"WHEN ${rest.map(r => s"${lang}_hits >= ${r}_hits").mkString(" AND ")} THEN '$lang'"
+    }.mkString("\n  ")
+    val maxAll = s"greatest(${langs.map(l => s"${l}_hits").mkString(", ")})"
+    s"""WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+       |sc AS (SELECT doc_id,
+       |  $hitCols
+       |  FROM tk)
+       |SELECT doc_id,
+       |  CASE WHEN $maxAll = 0 THEN 'und'
+       |  $cases AS pred_lang,
+       |  ${langs.map(l => s"${l}_hits").mkString(", ")}
+       |FROM sc""".stripMargin
+  }
 
   private def lbSel: String = lookbackSql()
 

@@ -1,0 +1,230 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Four tiers, all bucketed/banded — NEVER all-pairs at scale:
+  *
+  *  - [[exactDedup]]: content-hash groupBy. One shuffle keyed by a
+  *    128-bit content hash (uniformly distributed, no skew); shuffle
+  *    volume = one (hash, id) row per document, independent of text
+  *    size. At 100 TB of docs this moves ~tens of GB.
+  *  - [[ngramJaccardPairs]]: the exact baseline — inverted-index join on
+  *    word shingles. Shuffle = Σ_s df(s) shingle postings and join
+  *    output = Σ_s df(s)²; correct but only safe when shingle document
+  *    frequency is bounded. This is the CORRECTNESS baseline the banded
+  *    variants are verified against.
+  *  - [[minhashLshPairs]]: MinHash signatures + banded LSH. Shuffle per
+  *    doc = 128 longs (signature) + `bands` bucket keys; candidate pairs
+  *    are verified with the exact Jaccard so output equals the baseline
+  *    with miss probability (1 - s^r)^b (~1e-8 at s=0.5, r=2, b=64).
+  *    At 100 TB: docs×(128+64) longs ≈ small % of input — this is the
+  *    scale path.
+  *  - [[simhashPairs]]: 64-bit SimHash + 4×16-bit band join. By the
+  *    pigeonhole principle any pair within Hamming distance 3 shares at
+  *    least one of the 4 bands, so the banded join is EXACTLY equivalent
+  *    to the all-pairs scan. Shuffle per doc = 4 (band, key) rows.
+  *
+  * Embedding-cosine near-dup lives in [[Similarity]].
+  */
+object Dedup {
+
+  // ---- exact dedup -------------------------------------------------------
+
+  /** Exact dedup by content hash: every doc annotated with the canonical
+    * (minimum) doc id of its content group and the group size. Survivors
+    * are the rows with `doc_id == canonical_id`. */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val hashed = docs.select(col(idCol), md5(col(textCol).cast("binary")).as("content_hash"))
+    val groups = hashed.groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("group_size"))
+    hashed.join(groups, Seq("content_hash"))
+      .select(col(idCol), col("content_hash"), col("canonical_id"),
+        col("group_size"))
+  }
+
+  // ---- shared shingle machinery -----------------------------------------
+
+  /** (id, shingle) posting list: one row per distinct word n-gram per
+    * doc. Docs with < n tokens vanish (no shingles). */
+  def shinglePostings(docs: DataFrame, n: Int, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(TextOps.wordShingles(col(textCol), n)).as("s"))
+
+  private def jaccard(inter: Column, na: Column, nb: Column): Column =
+    inter.cast("double") / (na + nb - inter).cast("double")
+
+  // ---- exact n-gram Jaccard (baseline) ----------------------------------
+
+  /** All pairs with word-`n`-gram Jaccard ≥ `threshold`, via an
+    * inverted-index self-join on shingles. Exact, but join fan-out is
+    * Σ_s df(s)² — the CORRECTNESS baseline for the banded variants. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shinglePostings(docs, n, idCol, textCol)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("ia"), col("b.id").as("ib"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("ia"), col("nsh").as("na")), Seq("ia"))
+      .join(sizes.select(col("id").as("ib"), col("nsh").as("nb")), Seq("ib"))
+      .withColumn("jaccard", jaccard(col("inter"), col("na"), col("nb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ia"), col("ib"), col("jaccard"))
+  }
+
+  // ---- MinHash + LSH (the scale path) -----------------------------------
+
+  /** Mersenne-ish prime for the universal hash family; fits a*h+b in a
+    * signed 64-bit product (a, h < 2^31). */
+  private val MinhashP = 2147483647L
+
+  /** Deterministic universal-hash coefficients (seeded). */
+  private def hashCoeffs(numHashes: Int): Array[(Long, Long)] = {
+    val rnd = new java.util.Random(42)
+    Array.fill(numHashes)(
+      (1L + rnd.nextInt((MinhashP - 1).toInt).toLong,
+        rnd.nextInt(MinhashP.toInt).toLong))
+  }
+
+  /** Per-doc MinHash signature: for each of `numHashes` universal hashes
+    * h_i(x) = (a_i·x + b_i) mod P, the minimum over the doc's shingle
+    * hashes. Computed as `numHashes` parallel `min` aggregates — a
+    * single map-side-combinable shuffle keyed by doc id. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val h32 = pmod(xxhash64(col("s")), lit(MinhashP))
+    val aggs = hashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * h32 + lit(b), lit(MinhashP))).as(s"_mh$i")
+    }
+    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Near-duplicate pairs via banded MinHash-LSH, verified exactly.
+    *
+    * numHashes=128 split into `bands` bands of r=numHashes/bands rows;
+    * docs sharing any band bucket become candidates; candidates are then
+    * verified against the exact shingle-set Jaccard (via 64-bit shingle
+    * hashes), so false positives are eliminated and the output matches
+    * [[ngramJaccardPairs]] up to the banding miss probability. */
+  def minhashLshPairs(docs: DataFrame, n: Int, threshold: Double,
+      numHashes: Int = 128, bands: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sh = shinglePostings(docs, n, idCol, textCol)
+    val sigs = minhashSignatures(sh, numHashes)
+
+    // band bucket keys: hash of the band's slice of the signature
+    val bandStructs = array((0 until bands).map { b =>
+      val slice = (0 until r).map(j => col(s"_mh${b * r + j}"))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: slice: _*).as("bkey"))
+    }: _*)
+    val buckets = sigs.select(col("id"), explode(bandStructs).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+
+    val candidates = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"))
+      .distinct()
+
+    // exact verify on 64-bit shingle-hash sets (sorted-merge intersection)
+    val sets = sh.select(col("id"), xxhash64(col("s")).as("h"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_set(col("h"))).as("hs"), count(lit(1)).as("nsh"))
+    candidates
+      .join(sets.select(col("id").as("ia"), col("hs").as("ha"), col("nsh").as("na")), Seq("ia"))
+      .join(sets.select(col("id").as("ib"), col("hs").as("hb"), col("nsh").as("nb")), Seq("ib"))
+      .withColumn("inter", sortedIntersectUdf(col("ha"), col("hb")))
+      .withColumn("jaccard", jaccard(col("inter"), col("na"), col("nb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ia"), col("ib"), col("jaccard"))
+  }
+
+  private[llm] val sortedIntersectUdf: UserDefinedFunction =
+    udf { (a: Seq[Long], b: Seq[Long]) =>
+      var i = 0; var j = 0; var c = 0L
+      while (i < a.length && j < b.length) {
+        val x = a(i); val y = b(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      c
+    }
+
+  // ---- SimHash -----------------------------------------------------------
+
+  /** 64-bit hash of one token = little-endian of bytes 8..15 of its MD5
+    * digest — chosen because every SQL engine can reproduce it (e.g.
+    * DuckDB's `md5_number_lower`), making the whole SimHash pipeline
+    * oracle-checkable. */
+  def tokenHash64(token: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h |= (d(8 + i) & 0xffL) << (8 * i); i += 1 }
+    h
+  }
+
+  /** Classic SimHash over the token multiset: bit b of the result is set
+    * iff Σ_tokens (±1 per token's hash bit b) is positive. */
+  def simhash64(tokens: Seq[String]): Long = {
+    val counts = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = tokenHash64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= 1L << b; b += 1 }
+    out
+  }
+
+  private val simhashUdf: UserDefinedFunction =
+    udf((tokens: Seq[String]) => simhash64(tokens))
+
+  /** Per-doc SimHash column frame. */
+  def simhashes(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      simhashUdf(TextOps.tokens(col(textCol))).as("sh"))
+
+  /** All pairs within Hamming distance `maxHamming` (≤ 3 by default) of
+    * their SimHashes. Banded into 4×16-bit keys: any pair with ≤ 3
+    * differing bits must agree on ≥ 1 band (pigeonhole), so the banded
+    * join is EXACTLY the all-pairs result — no recall loss, and shuffle
+    * is 4 small rows per doc instead of N². */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit banding is exact only up to distance 3")
+    val hs = simhashes(docs, idCol, textCol)
+    val bandArr = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sh"), 16 * b).bitwiseAND(lit(0xffffL)).as("bkey"))
+    }: _*)
+    val buckets = hs.select(col("id"), col("sh"), explode(bandArr).as("bb"))
+      .select(col("id"), col("sh"), col("bb.band").as("band"),
+        col("bb.bkey").as("bkey"))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,115 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization / token counting, quality scoring, language
+  * identification, and document fingerprinting.
+  *
+  * All operators are pure per-row column expressions (no UDFs except
+  * where order-dependent folds demand them) — they stay inside
+  * whole-stage codegen and need NO shuffle at all: at 100 TB each is a
+  * single map-only pass whose cost is the parquet scan itself.
+  */
+object TextOps {
+
+  /** Whitespace tokens (single-space split, empties preserved — the
+    * deterministic convention shared with the oracle SQL). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish token count: runs of letters, runs of digits, and single
+    * punctuation marks each count as one token — the standard cheap
+    * proxy for subword-tokenizer counts. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+  def bpeishCount(text: Column): Column = regexp_count(text, lit(BpeishPattern))
+
+  /** Word n-gram shingles (distinct), the unit for Jaccard similarity.
+    * Docs with fewer than n tokens produce an empty set. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val tok = tokens(text)
+    val last = size(tok) - (n - 1)
+    val idx = when(last >= 1, sequence(lit(1), last))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(transform(idx,
+      i => concat_ws(" ", (0 until n).map(k => element_at(tok, i + k)): _*)))
+  }
+
+  /** Per-character ASCII codes (the fixture corpus is ASCII; ord/ascii
+    * agree across engines only on single-byte chars). */
+  def charCodes(text: Column): Column =
+    expr("transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))")
+
+  /** Rolling polynomial fingerprint: fold(acc*31 + code) mod P over the
+    * character stream — a Rabin-Karp-style content fingerprint. P < 1e15
+    * keeps acc*31+c within signed-64 range, so the fold is exact integer
+    * arithmetic reproducible in any engine. */
+  val FingerprintMod = 999999999999989L
+  def fingerprint(text: Column): Column =
+    aggregate(charCodes(text).cast("array<bigint>"), lit(0L),
+      (acc, c) => (acc * 31 + c) % FingerprintMod)
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword
+    * language-ID heuristic. Deliberately small: the operator's job is
+    * the distributed shape (map-only scoring + argmax), not lexical
+    * coverage. */
+  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "que", "en", "les", "un"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我"))
+
+  /** Stopword hits for one language profile. */
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val stops = array(words.map(lit): _*)
+    size(filter(tokens(lower(text)), t => array_contains(stops, t)))
+  }
+
+  /** Language-ID: argmax of stopword hits with deterministic lexicographic
+    * tie-break; zero hits everywhere → "und" (undetermined). */
+  def langId(text: Column): Column = {
+    // profiles are already sorted by language code, so greatest-first
+    // scan with strict > keeps the lexicographically smallest on ties
+    val scored = StopwordProfiles.map { case (lang, ws) =>
+      (lang, stopwordHits(text, ws))
+    }
+    val best = scored.tail.foldLeft[(Column, Column)]((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (lang, s)) =>
+        (when(s > bs, lit(lang)).otherwise(bl), greatest(bs, s))
+    }
+    when(best._2 > 0, best._1).otherwise(lit("und"))
+  }
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean
+    * token length — the standard cheap heuristics used to filter
+    * training corpora. All ratios are exact integer-over-integer
+    * divisions. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text).cast("double")
+    val tok = tokens(text)
+    val nTok = size(tok).cast("double")
+    val nPunct = (length(text) -
+      length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))).cast("double")
+    val enHits = stopwordHits(text, StopwordProfiles.toMap.apply("en"))
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTok,
+      "mean_token_len" -> (nChars - (nTok - 1)) / nTok, // chars minus spaces
+      "punct_ratio" -> nPunct / nChars,
+      "stopword_ratio" -> enHits.cast("double") / nTok)
+  }
+
+  /** One-pass text-analysis projection over a documents frame. */
+  def analyze(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val quality = qualityColumns(text).map { case (n, c) => c.as(n) }
+    docs.select(
+      Seq(col(idCol),
+        size(tokens(text)).as("ws_tokens"),
+        bpeishCount(text).as("bpeish_tokens"),
+        langId(text).as("pred_lang"),
+        fingerprint(text).as("fingerprint")) ++ quality: _*)
+  }
+}

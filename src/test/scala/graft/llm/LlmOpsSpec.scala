@@ -1,0 +1,104 @@
+package graft.llm
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class LlmOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different content about spark engines"),
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (4L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup groups identical content under the canonical id") {
+    val r = Dedup.exactDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(r(0L) == (0L, 2L)) // group {0,3}, canonical 0
+    assert(r(3L) == (0L, 2L))
+    assert(r(1L) == (1L, 1L))
+  }
+
+  test("ngramJaccardPairs finds near-dups, minhashLshPairs agrees exactly") {
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    // docs 0/1 share 6 of 8 distinct trigrams (J = 6/8); 0/3 identical (J=1)
+    assert(exact.map(p => (p._1, p._2)).toSet ==
+      Set((0L, 1L), (0L, 3L), (1L, 3L)))
+    assert(exact.find(p => p._1 == 0 && p._2 == 3).get._3 == 1.0)
+    val banded = Dedup.minhashLshPairs(docs, 3, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    assert(banded.toSeq == exact.toSeq)
+  }
+
+  test("tokenHash64 matches the md5-low64-LE convention (DuckDB md5_number_lower)") {
+    // md5('hello') = 5d41402abc4b2a76 b9719d911017c592; LE of the last 8
+    // bytes = 0x92C51710919D71B9 = 10575884659879408057 (unsigned)
+    assert(Dedup.tokenHash64("hello") == java.lang.Long.parseUnsignedLong("10575884659879408057"))
+  }
+
+  test("simhashPairs: identical docs at distance 0; banding finds them") {
+    val pairs = Dedup.simhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 0 && p._2 == 3 && p._3 == 0))
+    // near-dup pair 0/1 differs by one token — small but possibly > 3;
+    // just assert symmetry/no self pairs
+    assert(pairs.forall(p => p._1 < p._2))
+  }
+
+  test("similarity topK is exact and deterministic") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.7f, 0.7f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.topK(emb.filter($"vec_id" === 0), emb, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(r.toSeq == Seq((0L, 1L), (0L, 3L)))
+  }
+
+  test("annTopK recall vs exact topK on the sf0.001 embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.topK(q, emb, 5))
+    val approx = pairs(Similarity.annTopK(q, emb, 5, dim = 64))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ANN recall $recall too low")
+  }
+
+  test("TextOps: token counts, fingerprint fold, langId argmax") {
+    val r = TextOps.analyze(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(r(0L).getAs[Int]("ws_tokens") == 9)
+    assert(r(0L).getAs[String]("pred_lang") == "en") // 'the' twice, 'over'...
+    // fingerprint of "short text": fold (acc*31+c) % P over codes
+    val expected = "short text".foldLeft(0L)((a, c) => (a * 31 + c) % TextOps.FingerprintMod)
+    assert(r(4L).getAs[Long]("fingerprint") == expected)
+  }
+
+  test("multimodal: frame sampling slices the payload deterministically") {
+    val media = Multimodal.mediaTable(docs)
+    val frames = Multimodal.frameSample(media, 4).collect()
+    val d0 = docs.collect().find(_.getLong(0) == 0L).get.getString(1)
+    val f0 = frames.filter(_.getLong(0) == 0L)
+    assert(f0.length == d0.length / 32) // 43/32 = 1 frame at idx 0
+    val hex = f0.head.getString(2)
+    assert(hex == d0.substring(0, 32).getBytes("UTF-8").map("%02x".format(_)).mkString)
+    // decode stub features
+    val feats = Multimodal.decodeStub(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats(0L).n_bytes == d0.length)
+    assert(math.abs(feats(0L).mean_byte -
+      d0.getBytes("UTF-8").map(_ & 0xff).sum.toDouble / d0.length) < 1e-12)
+  }
+}
