@@ -56,6 +56,28 @@ object SparkEntry {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Histogram-bucket boundaries for g13 (events values span 0.01..490). */
+  private val Les = Seq(10, 25, 50, 100)
+
+  /** Synthesize cumulative `le` bucket series from events: one indicator
+    * sample (v ≤ le) per event per bucket, so
+    * `sum_over_time(events_bucket[w])` yields the per-window cumulative
+    * bucket counts that `histogram_quantile` expects. */
+  private def bucketSamples(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Samples.fromEventsDir(spark, dir)
+    val leStructs = array(
+      Les.map(x => struct(lit(x.toString).as("le"),
+        (col("v") <= x).cast("double").as("ind"))) :+
+        struct(lit("+Inf").as("le"), lit(1.0).as("ind")): _*)
+    ev.select(col("labels"), col("t"), explode(leStructs).as("b"))
+      .select(
+        map(
+          lit(Samples.MetricNameLabel), lit("events_bucket"),
+          lit("event_type"), col("labels")("event_type"),
+          lit("le"), col("b.le")).as("labels"),
+        col("t"), col("b.ind").as("v"))
+  }
+
   /** Run a PromQL range query on the standard grid and project the label
     * keys to top-level columns (driver compares by column name).
     *
@@ -264,6 +286,56 @@ object SparkEntry {
       "day_of_week(timestamp(events_value))", Seq("event_type", "user_id")),
     "g12_hour" -> prom(
       "hour(timestamp(events_value))", Seq("event_type", "user_id")),
+    "g12_minute" -> prom(
+      "minute(timestamp(events_value))", Seq("event_type", "user_id")),
+    "g12_day_of_month" -> prom(
+      "day_of_month(timestamp(events_value))", Seq("event_type", "user_id")),
+    "g12_days_in_month" -> prom(
+      "days_in_month(timestamp(events_value))", Seq("event_type", "user_id")),
+    "g12_month" -> prom(
+      "month(timestamp(events_value))", Seq("event_type", "user_id")),
+    "g12_year" -> prom(
+      "year(timestamp(events_value))", Seq("event_type", "user_id")),
+
+    // F2b: irate — last two points, per-second, counter-reset aware
+    "f2_irate" -> prom(
+      "irate(events_value[2d])", Seq("event_type", "user_id"), f32 = true),
+    // F6: holt_winters — ordered double-exponential-smoothing fold
+    "f6_holt_winters" -> prom(
+      "holt_winters(events_value[2d], 0.5, 0.3)",
+      Seq("event_type", "user_id"), f32 = true),
+    // F8: predict_linear — least-squares extrapolation anchored at eval ts
+    "f8_predict_linear" -> prom(
+      "predict_linear(events_value[2d], 3600)",
+      Seq("event_type", "user_id"), f32 = true),
+    // G3b: log2/log10 share the ln null→-Inf/NaN mapping
+    "g3_log2_log10" -> prom(
+      "log2(sum by (event_type) (sum_over_time(events_value[1d])) + 1) + log10(sum by (event_type) (sum_over_time(events_value[1d])) + 1)",
+      Seq("event_type"), f32 = true),
+    // G6: scalar() — 1-element vector to scalar, else NaN
+    "g6_scalar" -> prom(
+      "scalar(sum(count_over_time(events_value[1d])))", Seq()),
+    // G9: sort_desc passes values through (content check; ordering is
+    // API-level and exercised in the unit suite)
+    "g9_sort" -> prom(
+      "sort_desc(sum by (event_type) (sum_over_time(events_value[1d])))",
+      Seq("event_type"), f32 = true),
+    // G10: time() as a vector
+    "g10_time" -> prom("vector(time())", Seq()),
+    // G14: unary minus over a vector
+    "g14_unary_minus" -> prom(
+      "-(sum by (event_type) (sum_over_time(events_value[1d])))",
+      Seq("event_type"), f32 = true),
+    // G13: histogram_quantile over synthesized cumulative le buckets
+    // (indicator samples per bucket; sum_over_time gives bucket counts)
+    "g13_histogram_quantile" -> ((spark, dir) => {
+      val e = new PromQLEngine(spark, bucketSamples(spark, dir))
+      e.rangeQuery(
+        "histogram_quantile(0.9, sum by (event_type, le) (sum_over_time(events_bucket[1d])))",
+        START, END, DAY)
+        .select(col("labels")("event_type").as("event_type"), col("t"),
+          col("v").cast("float").as("v"))
+    }),
 
     // ---- LLM-data-pipeline operators (documents/embeddings tables) ----
     // D1: exact dedup — content-hash groupBy, canonical id per group
@@ -562,6 +634,99 @@ object SparkEntry {
          |  CAST(hour(make_timestamp(CAST(floor(sample_t / 1000.0) AS BIGINT) * 1000000)) AS DOUBLE) AS v
          |FROM sel""".stripMargin,
 
+    "g12_minute" -> dateOracle("minute(%s)"),
+    "g12_day_of_month" -> dateOracle("day(%s)"),
+    "g12_days_in_month" -> dateOracle("day(last_day(%s))"),
+    "g12_month" -> dateOracle("month(%s)"),
+    "g12_year" -> dateOracle("year(%s)"),
+
+    "f2_irate" ->
+      s"""WITH $STEPS, $S, ${windowSql(2 * DAY)},
+         |rk AS (SELECT t, event_type, user_id, st, v,
+         |       row_number() OVER (PARTITION BY t, event_type, user_id ORDER BY st DESC) AS rn
+         |       FROM w),
+         |two AS (SELECT t, event_type, user_id,
+         |        max_by(v, st) AS vl, min_by(v, st) AS vp,
+         |        max(st) AS tl, min(st) AS tp
+         |        FROM rk WHERE rn <= 2 GROUP BY 1, 2, 3 HAVING count(*) = 2)
+         |SELECT event_type, user_id, t,
+         |  CAST((CASE WHEN vl < vp THEN vl ELSE vl - vp END)
+         |       / ((tl - tp) / 1000.0) AS REAL) AS v
+         |FROM two WHERE tl <> tp""".stripMargin,
+    // ordered double-exponential fold as a recursive CTE: iteration i
+    // consumes vs[i+1], carrying (s0, s1, b) exactly like
+    // functions.go:198-285 (a list_reduce with a struct accumulator
+    // mis-evaluates field refs in DuckDB 1.0, so recursion it is)
+    "f6_holt_winters" ->
+      s"""WITH RECURSIVE $STEPS, $S, ${windowSql(2 * DAY)},
+         |pts AS (SELECT event_type, user_id, t, list(v ORDER BY st) AS vs
+         |        FROM w GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+         |it AS (
+         |  SELECT event_type, user_id, t, vs, 1 AS i,
+         |         0.0::DOUBLE AS s0, vs[1] AS s1, vs[2] - vs[1] AS b
+         |  FROM pts
+         |  UNION ALL
+         |  SELECT event_type, user_id, t, vs, i + 1,
+         |    s1 AS s0,
+         |    0.5 * vs[i+1] + (1 - 0.5) * (s1 +
+         |      (CASE WHEN i - 2 < 0 THEN b
+         |            ELSE 0.3 * (s1 - s0) + (1 - 0.3) * b END)) AS s1,
+         |    CASE WHEN i - 2 < 0 THEN b
+         |         ELSE 0.3 * (s1 - s0) + (1 - 0.3) * b END AS b
+         |  FROM it WHERE i < len(vs)
+         |)
+         |SELECT event_type, user_id, t, CAST(s1 AS REAL) AS v
+         |FROM it WHERE i = len(vs)""".stripMargin,
+    "f8_predict_linear" ->
+      s"""WITH $STEPS, $S, ${windowSql(2 * DAY)}
+         |SELECT event_type, user_id, t,
+         |  CAST(regr_slope(v, (st - t) / 1000.0) * 3600
+         |       + regr_intercept(v, (st - t) / 1000.0) AS REAL) AS v
+         |FROM w GROUP BY 1, 2, 3
+         |HAVING count(*) >= 2 AND count(DISTINCT st) >= 2""".stripMargin,
+    "g3_log2_log10" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)}
+         |SELECT event_type, t,
+         |  CAST(log2(sum(v) + 1) + log10(sum(v) + 1) AS REAL) AS v
+         |FROM w GROUP BY 1, 2""".stripMargin,
+    "g6_scalar" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)},
+         |c AS (SELECT t, CAST(count(*) AS DOUBLE) AS c FROM w GROUP BY 1)
+         |SELECT steps.t, CASE WHEN c.c IS NULL THEN CAST('NaN' AS DOUBLE)
+         |       ELSE c.c END AS v
+         |FROM steps LEFT JOIN c ON steps.t = c.t""".stripMargin,
+    "g9_sort" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)}
+         |SELECT event_type, t, CAST(sum(v) AS REAL) AS v
+         |FROM w GROUP BY 1, 2""".stripMargin,
+    "g10_time" ->
+      s"WITH $STEPS SELECT t, t / 1000.0 AS v FROM steps",
+    "g14_unary_minus" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)}
+         |SELECT event_type, t, CAST(-sum(v) AS REAL) AS v
+         |FROM w GROUP BY 1, 2""".stripMargin,
+    // bucketQuantile (promql/quantile.go:27-153) unrolled over the fixed
+    // bucket boundaries; data is cumulative by construction so
+    // ensureMonotonic is a no-op
+    "g13_histogram_quantile" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)},
+         |c AS (SELECT event_type, t,
+         |  CAST(sum(CASE WHEN v <= 10 THEN 1 ELSE 0 END) AS DOUBLE) AS c1,
+         |  CAST(sum(CASE WHEN v <= 25 THEN 1 ELSE 0 END) AS DOUBLE) AS c2,
+         |  CAST(sum(CASE WHEN v <= 50 THEN 1 ELSE 0 END) AS DOUBLE) AS c3,
+         |  CAST(sum(CASE WHEN v <= 100 THEN 1 ELSE 0 END) AS DOUBLE) AS c4,
+         |  CAST(count(*) AS DOUBLE) AS cf
+         |  FROM w GROUP BY 1, 2),
+         |q AS (SELECT *, 0.9 * cf AS rk FROM c)
+         |SELECT event_type, t, CAST(
+         |  CASE
+         |    WHEN c1 >= rk THEN 0 + (10 - 0) * (rk / c1)
+         |    WHEN c2 >= rk THEN 10 + (25 - 10) * ((rk - c1) / (c2 - c1))
+         |    WHEN c3 >= rk THEN 25 + (50 - 25) * ((rk - c2) / (c3 - c2))
+         |    WHEN c4 >= rk THEN 50 + (100 - 50) * ((rk - c3) / (c4 - c3))
+         |    ELSE 100 END AS REAL) AS v
+         |FROM q""".stripMargin,
+
     // ---- LLM-data-pipeline oracles ----
     "d1_exact_dedup" ->
       """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
@@ -709,6 +874,16 @@ object SparkEntry {
   }
 
   private def lbSel: String = lookbackSql()
+
+  /** G12 date-part oracle: `fmt` receives the UTC timestamp expression
+    * of the sample's epoch-seconds value (truncated like Go int64()). */
+  private def dateOracle(fmt: String): String = {
+    val ts = "make_timestamp(CAST(floor(sample_t / 1000.0) AS BIGINT) * 1000000)"
+    s"""WITH $STEPS, $S, $lbSel
+       |SELECT event_type, user_id, t,
+       |  CAST(${fmt.format(ts)} AS DOUBLE) AS v
+       |FROM sel""".stripMargin
+  }
 
   /** DuckDB formulation of the reference's extrapolatedRate
     * (promql/functions.go:50-141). */
