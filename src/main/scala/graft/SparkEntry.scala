@@ -355,7 +355,7 @@ object SparkEntry {
     "d4_simhash" -> ((spark, dir) => Dedup.simhashPairs(docs(spark, dir))),
     // D5: embedding-cosine near-dup (exact baseline; ANN is X2)
     "d5_embed_dup" -> ((spark, dir) =>
-      Similarity.brutePairs(emb(spark, dir), 0.45)
+      Similarity.brutePairs(emb(spark, dir), 0.45, dim = 64)
         .withColumn("cos", col("cos").cast("float"))),
     // X1: brute-force cosine top-k neighbours of the first 10 vectors
     "x1_sim_topk" -> ((spark, dir) =>

@@ -67,7 +67,10 @@ object Dedup {
     * Σ_s df(s)² — the CORRECTNESS baseline for the banded variants. */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // join on the 64-bit shingle hash, not the string: shuffles 8-byte
+    // keys instead of full n-grams (collision odds ~|shingles|²/2^64)
     val sh = shinglePostings(docs, n, idCol, textCol)
+      .select(col("id"), xxhash64(col("s")).as("s"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))

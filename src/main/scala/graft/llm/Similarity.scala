@@ -28,9 +28,21 @@ import graft.exec.TopK
   */
 object Similarity {
 
-  /** Left-to-right dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Left-to-right dot product of two double arrays. A compiled UDF, not
+    * `aggregate(zip_with(...))`: Spark's higher-order array expressions
+    * evaluate interpreted per element (~1000× slower than this loop on
+    * 64-dim vectors). The fold order (acc += a_i·b_i, i ascending) is
+    * the contract the SQL oracles mirror for bit-identical doubles. */
+  private val dotUdf: UserDefinedFunction =
+    udf { (a: Seq[Double], b: Seq[Double]) =>
+      val n = math.min(a.length, b.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+
+  def dot(a: Column, b: Column): Column = dotUdf(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -41,13 +53,24 @@ object Similarity {
   }
 
   /** Exact all-pairs with cosine ≥ threshold (embedding near-dup).
-    * O(N²/2) — baseline only; the banded variants are the scale path. */
-  def brutePairs(emb: DataFrame, threshold: Double,
+    * O(N²/2) — baseline only; the banded variants are the scale path.
+    *
+    * The vectors are flattened into `dim` scalar columns before the
+    * cross join so the dot product compiles to a straight-line codegen
+    * arithmetic expression (left-associated, so bit-identical to the
+    * fold order) — array UDFs inside a nested-loop join run through an
+    * interpreted projection and are ~10× slower. */
+  def brutePairs(emb: DataFrame, threshold: Double, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val p = prep(emb, idCol, vecCol)
-    p.as("a").join(p.as("b"), col("a.id") < col("b.id"))
-      .select(col("a.id").as("ia"), col("b.id").as("ib"),
-        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+    val flat = p.select(
+      col("id") +: col("nrm") +:
+        (0 until dim).map(i => element_at(col("v"), i + 1).as(s"v$i")): _*)
+    def cosExpr = (0 until dim)
+      .map(i => col(s"a.v$i") * col(s"b.v$i"))
+      .reduceLeft(_ + _) / (col("a.nrm") * col("b.nrm"))
+    flat.as("a").join(flat.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"), cosExpr.as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -104,12 +127,14 @@ object Similarity {
       seed: Long = 7L): DataFrame = {
     val sigU = signatureUdf(dim, 64, seed)
     def withBuckets(df: DataFrame): DataFrame = {
-      val sig = sigU(col("v"))
+      // project the signature ONCE; referencing the UDF inside each of
+      // the 16 band structs would recompute it per band
+      val sigged = df.select(col("id"), sigU(col("v")).as("sig"))
       val bandArr = array((0 until 16).map { b =>
         struct(lit(b).as("band"),
-          shiftrightunsigned(sig, 4 * b).bitwiseAND(lit(0xfL)).as("bkey"))
+          shiftrightunsigned(col("sig"), 4 * b).bitwiseAND(lit(0xfL)).as("bkey"))
       }: _*)
-      df.select(col("id"), explode(bandArr).as("bb"))
+      sigged.select(col("id"), explode(bandArr).as("bb"))
         .select(col("id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     }
     val q = withBuckets(prep(queries, idCol, vecCol))
