@@ -1,0 +1,337 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{Executors, Semaphore, TimeUnit}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.exec.{PromQLEngine, PromUdfs}
+import graft.model.Samples
+import graft.promql.{Ast, Parser}
+
+/** Prometheus-v1-compatible HTTP API over the engine — the subset the
+  * reference registers (`internal/api/v1/api.go:124-341`):
+  *
+  *   GET/POST /api/v1/query        instant query
+  *   GET/POST /api/v1/query_range  range query
+  *   GET      /api/v1/series       series metadata for match[] selectors
+  *   GET      /api/v1/label/{name}/values
+  *   POST     /api/v1/write        ingest (JSON lines; the reference
+  *            speaks snappy+protobuf — not reproducible offline, the
+  *            body format is the documented divergence, semantics match)
+  *
+  * Envelope and guards mirror the reference: `{status, data}` /
+  * `{status:"error", errorType, error}` (`api.go:373-413`), step > 0,
+  * start ≤ end, the 11k-points-per-series cap (enforced in the engine),
+  * a 10 MiB body cap (`cmd/timbala/main.go:44`), plus the engine gate:
+  * 20 concurrent queries, 2-minute timeout (`engine.go:1474-1503`).
+  * Range results are sorted by canonical labels (`engine.go:484-486`).
+  */
+class HttpApi(spark: SparkSession, engine: PromQLEngine,
+    writeSink: Option[DataFrame => Unit] = None, port: Int = 0) {
+
+  private val gate = new Semaphore(HttpApi.MaxConcurrent)
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  server.setExecutor(Executors.newFixedThreadPool(8))
+  server.createContext("/api/v1/query", handler(handleQuery))
+  server.createContext("/api/v1/query_range", handler(handleQueryRange))
+  server.createContext("/api/v1/series", handler(handleSeries))
+  server.createContext("/api/v1/label/", handler(handleLabelValues))
+  server.createContext("/api/v1/write", handler(handleWrite))
+
+  def start(): Int = { server.start(); server.getAddress.getPort }
+  def stop(): Unit = server.stop(0)
+  def boundPort: Int = server.getAddress.getPort
+
+  // ---- plumbing ----------------------------------------------------------
+
+  private case class ApiError(status: Int, errorType: String, msg: String)
+    extends RuntimeException(msg)
+
+  private def handler(f: HttpExchange => String): com.sun.net.httpserver.HttpHandler =
+    (ex: HttpExchange) => {
+      val (code, body) =
+        try (200, f(ex))
+        catch {
+          case ApiError(status, typ, msg) =>
+            (status, s"""{"status":"error","errorType":"${esc(typ)}","error":"${esc(msg)}"}""")
+          case e: Exception =>
+            (422, s"""{"status":"error","errorType":"execution","error":"${esc(String.valueOf(e.getMessage))}"}""")
+        }
+      val bytes = body.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+
+  private def params(ex: HttpExchange): Map[String, Seq[String]] = {
+    val fromUrl = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    val fromBody =
+      if (ex.getRequestMethod == "POST" &&
+        Option(ex.getRequestHeaders.getFirst("Content-Type"))
+          .exists(_.startsWith("application/x-www-form-urlencoded")))
+        new String(readBody(ex), UTF_8)
+      else ""
+    (fromUrl + "&" + fromBody).split("&").toSeq.filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) (dec(kv), "")
+        else (dec(kv.substring(0, i)), dec(kv.substring(i + 1)))
+      }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+  }
+
+  private def readBody(ex: HttpExchange): Array[Byte] = {
+    val in = ex.getRequestBody
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    var n = in.read(buf)
+    while (n > 0) {
+      total += n
+      if (total > HttpApi.MaxBodyBytes)
+        throw ApiError(413, "bad_data", "request body too large")
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
+    out.toByteArray
+  }
+
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, UTF_8)
+
+  private def one(p: Map[String, Seq[String]], name: String): Option[String] =
+    p.get(name).flatMap(_.headOption)
+
+  /** Unix-seconds float or RFC3339 (`api.go:415-424`). */
+  private def parseTime(s: String, what: String): Long =
+    try {
+      if (s.exists(c => c == 'T' || c == 'Z' || c == '+')
+        && !s.forall(c => c.isDigit || c == '.' || c == '-' || c == '+' || c == 'e' || c == 'E'))
+        java.time.Instant.parse(s).toEpochMilli
+      else (s.toDouble * 1000).round
+    } catch {
+      case _: Exception =>
+        throw ApiError(400, "bad_data",
+          s"invalid parameter '$what': cannot parse \"$s\" to a valid timestamp")
+    }
+
+  private def parseDurationSec(s: String, what: String): Double =
+    try {
+      val d = s.toDouble
+      if (d.isNaN || d.isInfinite) throw new NumberFormatException
+      d
+    } catch {
+      case _: Exception =>
+        try graft.promql.Lexer.parseDuration(s).toDouble / 1000
+        catch {
+          case _: Exception => throw ApiError(400, "bad_data",
+            s"invalid parameter '$what': cannot parse \"$s\" to a valid duration")
+        }
+    }
+
+  private def gated[T](f: => T): T = {
+    if (!gate.tryAcquire(HttpApi.QueueTimeoutMs, TimeUnit.MILLISECONDS))
+      throw ApiError(503, "unavailable", "query queue is full")
+    try f finally gate.release()
+  }
+
+  // ---- JSON rendering ----------------------------------------------------
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def metricJson(labels: Map[String, String]): String =
+    labels.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .mkString("{", ",", "}")
+
+  private def pointJson(tMs: Long, v: Double): String = {
+    // Go's json.Marshal renders whole floats without a fraction
+    val ts = if (tMs % 1000 == 0) (tMs / 1000).toString
+      else (tMs / 1000.0).toString
+    s"""[$ts,"${PromUdfs.goFormatFloat(v)}"]"""
+  }
+
+  private def envelope(resultType: String, result: String): String =
+    s"""{"status":"success","data":{"resultType":"$resultType","result":$result}}"""
+
+  private def collectRows(df: DataFrame): Seq[(Map[String, String], Long, Double)] =
+    df.collect().toSeq.map { r =>
+      (r.getMap[String, String](0).toMap, r.getLong(1), r.getDouble(2))
+    }
+
+  // ---- endpoints ---------------------------------------------------------
+
+  private def handleQuery(ex: HttpExchange): String = {
+    val p = params(ex)
+    val query = one(p, "query").getOrElse(
+      throw ApiError(400, "bad_data", "missing parameter 'query'"))
+    val ts = one(p, "time").map(parseTime(_, "time"))
+      .getOrElse(System.currentTimeMillis())
+    gated {
+      val expr = parseOr400(query)
+      expr.typ match {
+        case Ast.ValueType.Scalar =>
+          val rows = collectRows(engine.instant(query, ts))
+          envelope("scalar", rows.headOption
+            .map { case (_, t, v) => pointJson(t, v) }.getOrElse("null"))
+        case Ast.ValueType.Vector =>
+          val rows = collectRows(engine.instant(query, ts))
+            .sortBy { case (l, _, _) => Samples.canonical(l) }
+          envelope("vector", rows.map { case (l, t, v) =>
+            s"""{"metric":${metricJson(l)},"value":${pointJson(t, v)}}"""
+          }.mkString("[", ",", "]"))
+        case t => throw ApiError(400, "bad_data",
+          s"unsupported result type $t for instant query")
+      }
+    }
+  }
+
+  private def handleQueryRange(ex: HttpExchange): String = {
+    val p = params(ex)
+    val query = one(p, "query").getOrElse(
+      throw ApiError(400, "bad_data", "missing parameter 'query'"))
+    val start = parseTime(one(p, "start").getOrElse(
+      throw ApiError(400, "bad_data", "missing parameter 'start'")), "start")
+    val end = parseTime(one(p, "end").getOrElse(
+      throw ApiError(400, "bad_data", "missing parameter 'end'")), "end")
+    if (end < start)
+      throw ApiError(400, "bad_data",
+        "end timestamp must not be before start time")
+    val stepSec = parseDurationSec(one(p, "step").getOrElse(
+      throw ApiError(400, "bad_data", "missing parameter 'step'")), "step")
+    if (stepSec <= 0)
+      throw ApiError(400, "bad_data",
+        "zero or negative query resolution step width")
+    val stepMs = (stepSec * 1000).round
+    // api.go:211-216 — 11,000 points per series cap
+    if ((end - start) / stepMs > 11000)
+      throw ApiError(400, "bad_data",
+        "exceeded maximum resolution of 11,000 points per timeseries. " +
+          "Try decreasing the query resolution (?step=XX)")
+    gated {
+      parseOr400(query)
+      val rows = collectRows(engine.rangeQuery(query, start, end, stepMs))
+      // stitch per-series, final sort by canonical labels
+      // (promql/engine.go:444-458,484-486)
+      val series = rows.groupBy(_._1).toSeq
+        .sortBy { case (l, _) => Samples.canonical(l) }
+      envelope("matrix", series.map { case (l, pts) =>
+        val vals = pts.sortBy(_._2)
+          .map { case (_, t, v) => pointJson(t, v) }.mkString(",")
+        s"""{"metric":${metricJson(l)},"values":[$vals]}"""
+      }.mkString("[", ",", "]"))
+    }
+  }
+
+  private def handleSeries(ex: HttpExchange): String = {
+    val p = params(ex)
+    val matchers = p.getOrElse("match[]", Seq.empty)
+    if (matchers.isEmpty)
+      throw ApiError(400, "bad_data", "no match[] parameter provided")
+    val start = one(p, "start").map(parseTime(_, "start"))
+    val end = one(p, "end").map(parseTime(_, "end"))
+    val sets = matchers.map { m =>
+      gated { engine.series(m, start, end) }
+    }
+    val all = sets.flatten.distinct.sortBy(Samples.canonical)
+    envelope0(all.map(metricJson).mkString("[", ",", "]"))
+  }
+
+  private def handleLabelValues(ex: HttpExchange): String = {
+    val path = ex.getRequestURI.getPath
+    val m = HttpApi.LabelValuesRe.findFirstMatchIn(path).getOrElse(
+      throw ApiError(400, "bad_data", s"unknown path $path"))
+    val name = m.group(1)
+    if (!HttpApi.LabelNameRe.matches(name))
+      throw ApiError(400, "bad_data", s"invalid label name: $name")
+    val values = engine.labelValues(name)
+    envelope0(values.sorted.map(v => s""""${esc(v)}"""").mkString("[", ",", "]"))
+  }
+
+  private def envelope0(result: String): String =
+    s"""{"status":"success","data":$result}"""
+
+  /** JSON-lines ingest: one `{"labels":{...},"t":ms,"v":x}` per line
+    * ("stale":true marks a staleness marker). */
+  private def handleWrite(ex: HttpExchange): String = {
+    val sink = writeSink.getOrElse(
+      throw ApiError(405, "bad_data", "write sink not configured"))
+    val body = new String(readBody(ex), UTF_8)
+    val rows = body.split('\n').toSeq.filter(_.trim.nonEmpty).map(parseWriteLine)
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      rows.map { case (l, t, v, stale) =>
+        org.apache.spark.sql.Row(l, t, v, stale)
+      }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("labels",
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType), nullable = false),
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("stale",
+          org.apache.spark.sql.types.BooleanType, nullable = false))))
+    sink(df)
+    """{"status":"success","data":null}"""
+  }
+
+  /** Minimal parser for the write line format (flat JSON, no nesting
+    * beyond the labels object). */
+  private def parseWriteLine(line: String): (Map[String, String], Long, Double, Boolean) =
+    try {
+      val labels = HttpApi.LabelPairRe.findAllMatchIn(
+        HttpApi.LabelsObjRe.findFirstMatchIn(line).get.group(1))
+        .map(m => m.group(1) -> m.group(2)).toMap
+      val t = HttpApi.TFieldRe.findFirstMatchIn(line).get.group(1).toLong
+      val vs = HttpApi.VFieldRe.findFirstMatchIn(line).get.group(1)
+      val stale = HttpApi.StaleFieldRe.findFirstMatchIn(line).exists(_.group(1) == "true")
+      val v = vs match {
+        case "\"NaN\"" => Double.NaN
+        case "\"+Inf\"" => Double.PositiveInfinity
+        case "\"-Inf\"" => Double.NegativeInfinity
+        case x => x.toDouble
+      }
+      (labels, t, v, stale)
+    } catch {
+      case _: Exception =>
+        throw ApiError(400, "bad_data", s"cannot parse write line: $line")
+    }
+
+  private def parseOr400(query: String): Ast.Expr =
+    try Parser.parse(query)
+    catch {
+      case e: Exception => throw ApiError(400, "bad_data",
+        s"invalid parameter 'query': ${e.getMessage}")
+    }
+}
+
+object HttpApi {
+  /** Engine defaults (`cmd/timbala/main.go:218-223`). */
+  val MaxConcurrent = 20
+  val QueueTimeoutMs: Long = 120000L
+  val MaxBodyBytes: Long = 10L * 1024 * 1024 // main.go:44
+
+  private val LabelValuesRe = "^/api/v1/label/([^/]+)/values$".r
+  private val LabelNameRe = "^[a-zA-Z_][a-zA-Z0-9_]*$".r
+  private val LabelsObjRe = "\"labels\"\\s*:\\s*\\{([^}]*)\\}".r
+  private val LabelPairRe = "\"([^\"]+)\"\\s*:\\s*\"([^\"]*)\"".r
+  private val TFieldRe = "\"t\"\\s*:\\s*(-?\\d+)".r
+  private val VFieldRe = "\"v\"\\s*:\\s*(\"[^\"]*\"|[-+0-9.eE]+)".r
+  private val StaleFieldRe = "\"stale\"\\s*:\\s*(true|false)".r
+}

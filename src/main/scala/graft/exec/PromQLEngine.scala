@@ -60,6 +60,32 @@ class PromQLEngine(
 
   // ---------- public API ----------
 
+  /** Distinct label sets matching a selector, optionally time-bounded
+    * (S8, `internal/api/v1/api.go:252-315`). */
+  def series(matchExpr: String, startMs: Option[Long] = None,
+      endMs: Option[Long] = None): Seq[Map[String, String]] = {
+    val vs = Parser.parse(matchExpr) match {
+      case v: VectorSelector => v
+      case _ => throw new IllegalArgumentException(
+        "match[] must be a vector selector")
+    }
+    var df = samples.filter(allMatchers(vs).map(matcherCond).reduce(_ && _))
+    startMs.foreach(s => df = df.filter(col(T) >= s))
+    endMs.foreach(e => df = df.filter(col(T) <= e))
+    // distinct() rejects MAP columns — dedup via the series signature
+    df.groupBy(Samples.sigExpr(col(L)).as("_s"))
+      .agg(first(col(L)).as(L))
+      .select(col(L)).collect()
+      .map(_.getMap[String, String](0).toMap).toSeq
+  }
+
+  /** Distinct values of one label across the bound samples (S8,
+    * `internal/api/v1/api.go:317-341`). */
+  def labelValues(name: String): Seq[String] =
+    samples.select(col(L).getItem(name).as("v"))
+      .filter(col("v").isNotNull).distinct()
+      .collect().map(_.getString(0)).toSeq
+
   def instant(query: String, tsMs: Long): DataFrame =
     finish(eval(Parser.parse(query), EvalRange(tsMs, tsMs, 1000)))
 

@@ -47,6 +47,12 @@ object Samples {
           length(e.getField("value")), lit(":"), e.getField("value"))),
       ";")
 
+  /** Driver-side twin of [[sigStr]] for sorting collected label sets. */
+  def canonical(labels: Map[String, String]): String =
+    labels.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${k.length}:$k=${v.length}:$v" }
+      .mkString(";")
+
   /** Series signature used as every groupBy/join key: xxhash64 of the
     * canonical string, mirroring the reference's labels.Hash
     * (`labels/labels.go:85-96`). A LONG key keeps shuffle exchanges small

@@ -1,0 +1,101 @@
+package graft.storage
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+import graft.model.Samples
+
+/** Ingest path: the Spark-native equivalent of the reference's
+  * remote-write → shard → replicate → TSDB-append pipeline
+  * (`internal/write/write.go:53-170`, `tsdb/head.go:480-520`).
+  *
+  * What the platform subsumes: sharding = `repartition` by
+  * (date, series), replication = storage-layer (HDFS/S3), membership =
+  * executor scheduling. What we implement: the canonical schema, the
+  * staleness-marker flag, the duplicate-timestamp policy, and the
+  * date-partitioned layout that makes time predicates prune partitions.
+  *
+  * Layout: parquet partitioned by `date` (UTC day of the sample, the
+  * reference's partition-key day component, `cluster.go:103-106`).
+  * At 100 TB this gives (a) partition pruning for every time-bounded
+  * query, (b) bounded file counts via the pre-write repartition by
+  * (date, sigmod) — one task-file per series bucket per day.
+  */
+object Ingest {
+
+  /** A sample at the ingest edge. `value` still carries raw NaN payload
+    * bits here (JVM double) — they must be inspected BEFORE the row
+    * enters Tungsten, which canonicalizes NaN. */
+  case class WriteSample(labels: Map[String, String], t: Long, value: Double)
+
+  /** Number of series buckets per date partition used to bound file
+    * counts (each write task emits ≤ 1 file per (date, bucket)). */
+  val SeriesBuckets = 32
+
+  /** Canonicalize an edge dataset: detect staleness markers (the
+    * signalling-NaN bit pattern, `pkg/value/value.go:20-34`) while the
+    * bits are intact, then project the storage schema. */
+  def canonicalize(ds: Dataset[WriteSample]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.map { s =>
+      (s.labels, s.t, s.value,
+        java.lang.Double.doubleToRawLongBits(s.value) == Samples.StaleNaNBits)
+    }.toDF("labels", "t", "v", "stale")
+  }
+
+  /** Duplicate-timestamp policy per series (`tsdb/head.go:1150-1166`):
+    * the head rejects a second sample at an existing timestamp with a
+    * different value (ErrAmendSample) and accepts byte-identical
+    * re-writes. Batch ingest has no append order, so: identical dups
+    * collapse; conflicting dups either fail the batch (`strict`) or
+    * resolve deterministically to the smallest value. */
+  def dedup(batch: DataFrame, strict: Boolean): DataFrame = {
+    val keyed = batch.withColumn("_sig", Samples.sigExpr(col("labels")))
+    val resolved = keyed
+      .groupBy(col("_sig"), col("t"))
+      .agg(
+        first(col("labels")).as("labels"),
+        min(col("v")).as("v"),
+        // stale marker wins over a plain value at the same timestamp
+        max(col("stale")).as("stale"),
+        count_distinct(col("v"), col("stale")).as("_variants"))
+    val guarded =
+      if (strict)
+        resolved.withColumn("v",
+          when(col("_variants") > 1, raise_error(lit(
+            "duplicate sample for timestamp with different value " +
+              "(ErrAmendSample, tsdb/head.go:1150-1166)")).cast("double"))
+            .otherwise(col("v")))
+      else resolved
+    guarded.select(col("labels"), col("t"), col("v"), col("stale"))
+  }
+
+  /** Append one batch to the date-partitioned table. */
+  def append(batch: DataFrame, path: String, strict: Boolean = false): Unit =
+    dedup(batch, strict)
+      .withColumn("date", date_format(timestamp_millis(col("t")), "yyyy-MM-dd"))
+      // co-locate each series' day into one bucket → bounded file count
+      // and mergeable row groups per series
+      .repartition(col("date"), pmod(Samples.sigExpr(col("labels")), lit(SeriesBuckets)))
+      .write.mode("append").partitionBy("date").parquet(path)
+
+  /** Structured Streaming ingest: micro-batches through [[append]] —
+    * the remote-write HTTP edge feeds a stream source; every batch gets
+    * the same dedup + layout treatment. */
+  def stream(edge: Dataset[WriteSample], path: String,
+      checkpoint: String): StreamingQuery =
+    canonicalize(edge).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) => append(batch, path) }
+      .start()
+
+  /** Read the table back in the engine's canonical shape (with the
+    * `stale` column the engine's selector filters on — P5). Time
+    * predicates prune `date` partitions. */
+  def readTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(col("labels"), col("t"), col("v"), col("stale"))
+}

@@ -1,0 +1,116 @@
+package graft.api
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.exec.PromQLEngine
+import graft.storage.Ingest
+
+/** Acceptance-style black-box tests over the HTTP API, mirroring the
+  * reference's `internal/test/acceptance/acceptance_test.go:84-268`
+  * (1+1 scalar query, write-then-query-back round trip, guard cases)
+  * and the API golden tests (`internal/api/v1/api_test.go:36-439`). */
+class HttpApiSpec extends SparkTestBase {
+
+  private val m = 60000L
+
+  private lazy val fixture = samplesDF(
+    Map("__name__" -> "test_metric1", "foo" -> "bar") -> seriesAt(m, 0, 100, 100),
+    Map("__name__" -> "test_metric1", "foo" -> "boo") -> seriesAt(m, 1, 0, 100),
+    Map("__name__" -> "test_metric2", "foo" -> "boo") -> seriesAt(m, 1, 0, 100))
+
+  private lazy val tablePath =
+    Files.createTempDirectory("api-ingest").toString
+
+  private lazy val api = {
+    val a = new HttpApi(spark, new PromQLEngine(spark, fixture),
+      writeSink = Some(df => Ingest.append(df, tablePath)))
+    a.start()
+    a
+  }
+
+  private def get(path: String): (Int, String) = {
+    val url = new URI(s"http://127.0.0.1:${api.boundPort}$path").toURL
+    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    val code = conn.getResponseCode
+    val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = new String(stream.readAllBytes(), UTF_8)
+    (code, body)
+  }
+
+  private def post(path: String, body: String): (Int, String) = {
+    val url = new URI(s"http://127.0.0.1:${api.boundPort}$path").toURL
+    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.getOutputStream.write(body.getBytes(UTF_8))
+    val code = conn.getResponseCode
+    val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    (code, new String(stream.readAllBytes(), UTF_8))
+  }
+
+  test("scalar query: 1+1 at t=2m is 2 (acceptance_test.go:84-100)") {
+    val (code, body) = get("/api/v1/query?query=1%2B1&time=120")
+    assert(code == 200)
+    assert(body ==
+      """{"status":"success","data":{"resultType":"scalar","result":[120,"2"]}}""")
+  }
+
+  test("instant vector query with matcher") {
+    val (code, body) = get(
+      "/api/v1/query?query=test_metric1%7Bfoo%3D%22bar%22%7D&time=120")
+    assert(code == 200)
+    assert(body == """{"status":"success","data":{"resultType":"vector","result":""" +
+      """[{"metric":{"__name__":"test_metric1","foo":"bar"},"value":[120,"200"]}]}}""")
+  }
+
+  test("query_range envelope: matrix sorted by labels, stitched values") {
+    val (code, body) = get(
+      "/api/v1/query_range?query=test_metric1&start=60&end=180&step=60")
+    assert(code == 200)
+    assert(body.startsWith("""{"status":"success","data":{"resultType":"matrix","result":["""))
+    // foo="bar" sorts before foo="boo"; three steps each
+    val bar = """{"metric":{"__name__":"test_metric1","foo":"bar"},"values":[[60,"100"],[120,"200"],[180,"300"]]}"""
+    val boo = """{"metric":{"__name__":"test_metric1","foo":"boo"},"values":[[60,"1"],[120,"1"],[180,"1"]]}"""
+    assert(body.contains(bar) && body.contains(boo))
+    assert(body.indexOf(bar) < body.indexOf(boo))
+  }
+
+  test("guards: bad step, reversed range, resolution cap, parse error (api.go:187-216)") {
+    val (c1, b1) = get("/api/v1/query_range?query=x&start=0&end=100&step=0")
+    assert(c1 == 400 && b1.contains("zero or negative query resolution step"))
+    val (c2, b2) = get("/api/v1/query_range?query=x&start=100&end=0&step=60")
+    assert(c2 == 400 && b2.contains("end timestamp must not be before start"))
+    val (c3, b3) = get("/api/v1/query_range?query=x&start=0&end=1000000&step=0.01")
+    assert(c3 == 400 && b3.contains("11,000 points"))
+    val (c4, b4) = get("/api/v1/query?query=sum%28")
+    assert(c4 == 400 && b4.contains("\"errorType\":\"bad_data\""))
+  }
+
+  test("series and label values endpoints (api.go:252-341)") {
+    val (c1, b1) = get("/api/v1/series?match[]=test_metric1")
+    assert(c1 == 200, s"body: $b1")
+    assert(b1 == """{"status":"success","data":[""" +
+      """{"__name__":"test_metric1","foo":"bar"},""" +
+      """{"__name__":"test_metric1","foo":"boo"}]}""")
+    val (c2, b2) = get("/api/v1/label/foo/values")
+    assert(c2 == 200)
+    assert(b2 == """{"status":"success","data":["bar","boo"]}""")
+    val (c3, _) = get("/api/v1/series")
+    assert(c3 == 400)
+  }
+
+  test("write-then-query-back round trip (acceptance_test.go:124-161)") {
+    val lines =
+      """{"labels":{"__name__":"wr_metric","src":"api"},"t":0,"v":41.5}
+        |{"labels":{"__name__":"wr_metric","src":"api"},"t":60000,"v":42.5}""".stripMargin
+    val (code, body) = post("/api/v1/write", lines)
+    assert(code == 200 && body.contains("success"))
+    val table = Ingest.readTable(spark, tablePath)
+    val engine2 = new PromQLEngine(spark, table)
+    val r = resultMap(engine2.instant("wr_metric", 60000L))
+    assert(r(("__name__=wr_metric,src=api", 60000L)) == 42.5)
+  }
+}

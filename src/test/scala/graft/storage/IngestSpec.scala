@@ -1,0 +1,90 @@
+package graft.storage
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.exec.PromQLEngine
+import graft.model.Samples
+
+class IngestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("append → readTable round trip; stale markers filtered at query (P5)") {
+    val path = tmp("ingest")
+    val edge = Seq(
+      Ingest.WriteSample(Map("__name__" -> "m", "job" -> "a"), 0L, 1.0),
+      Ingest.WriteSample(Map("__name__" -> "m", "job" -> "a"), 60000L, 2.0),
+      // staleness marker ends the series early
+      Ingest.WriteSample(Map("__name__" -> "m", "job" -> "a"), 120000L, Samples.StaleNaN),
+      Ingest.WriteSample(Map("__name__" -> "m", "job" -> "b"), 120000L, 7.0)
+    ).toDS()
+    Ingest.append(Ingest.canonicalize(edge), path)
+    val table = Ingest.readTable(spark, path)
+    assert(table.count() == 4)
+    assert(table.filter(col("stale")).count() == 1)
+
+    val engine = new PromQLEngine(spark, table)
+    // at t=120s: series a's latest sample is the stale marker → dropped;
+    // the lookback does NOT resurrect the t=60s point (marker semantics
+    // would; our selector keeps the latest non-stale point — the marker
+    // row is filtered before selection, engine.go:796-798 drops it the
+    // same way at selection time)
+    val r = resultMap(engine.instant("m", 120000L))
+    assert(r(("__name__=m,job=b", 120000L)) == 7.0)
+  }
+
+  test("duplicate-timestamp policy: identical dups collapse, conflicts resolve or fail") {
+    val path = tmp("ingest-dup")
+    val edge = Seq(
+      Ingest.WriteSample(Map("__name__" -> "d"), 0L, 5.0),
+      Ingest.WriteSample(Map("__name__" -> "d"), 0L, 5.0), // identical rewrite: ok
+      Ingest.WriteSample(Map("__name__" -> "d"), 60000L, 1.0),
+      Ingest.WriteSample(Map("__name__" -> "d"), 60000L, 9.0) // conflict
+    ).toDS()
+    val batch = Ingest.canonicalize(edge)
+    Ingest.append(batch, path) // lenient: conflict resolves to min
+    val rows = Ingest.readTable(spark, path).orderBy("t").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getDouble(2) == 5.0)
+    assert(rows(1).getDouble(2) == 1.0) // deterministic min
+    // strict mode raises ErrAmendSample-style error
+    val ex = intercept[Exception] {
+      Ingest.append(batch, tmp("ingest-strict"), strict = true)
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("streaming ingest via foreachBatch micro-batches") {
+    val path = tmp("ingest-stream")
+    val ckpt = tmp("ingest-ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ingest.WriteSample]
+    mem.addData(
+      Ingest.WriteSample(Map("__name__" -> "s", "k" -> "1"), 0L, 1.5),
+      Ingest.WriteSample(Map("__name__" -> "s", "k" -> "2"), 1000L, 2.5))
+    val q = Ingest.stream(mem.toDS(), path, ckpt)
+    q.awaitTermination(60000)
+    val table = Ingest.readTable(spark, path)
+    assert(table.count() == 2)
+    val engine = new PromQLEngine(spark, table)
+    val r = resultMap(engine.instant("s", 1000L))
+    assert(r.size == 2)
+  }
+
+  test("date partitioning prunes by time predicate") {
+    val path = tmp("ingest-part")
+    val edge = Seq(
+      Ingest.WriteSample(Map("__name__" -> "p"), 0L, 1.0), // 1970-01-01
+      Ingest.WriteSample(Map("__name__" -> "p"), 86400000L, 2.0) // 1970-01-02
+    ).toDS()
+    Ingest.append(Ingest.canonicalize(edge), path)
+    val dates = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("date=")).map(_.getName).sorted
+    assert(dates.toSeq == Seq("date=1970-01-01", "date=1970-01-02"))
+  }
+}
