@@ -130,20 +130,25 @@ class PromQLEngine(
     * (closed on both ends, matching the vendored engine's `t >= mint`
     * selection — engine.go:789-806,837-892), exploded onto the step grid.
     * Output: sig, labels, t(step), st, v. */
-  private def windowed(vs: VectorSelector, windowMs: Long, tr: EvalRange): DataFrame = {
+  private def windowed(vs: VectorSelector, windowMs: Long, tr: EvalRange,
+      keepStale: Boolean = false): DataFrame = {
     val o = vs.offsetMs
     val ms = allMatchers(vs)
     require(ms.nonEmpty, "vector selector must contain at least one label matcher")
-    // staleness markers are dropped at selection (engine.go:796-798);
-    // they arrive as an explicit `stale` flag set at ingest because Spark
-    // normalizes NaN payload bits inside UnsafeRow
+    // Staleness markers (engine.go:796-798,869-871): range selectors drop
+    // marker samples from the window; the INSTANT selector instead keeps
+    // them through selection so a marker that is the newest point in the
+    // lookback makes the series ABSENT (no fallback to older samples) —
+    // see vectorSelect. Markers arrive as an explicit `stale` flag set at
+    // ingest because Spark normalizes NaN payload bits inside UnsafeRow.
+    val hasStale = samples.columns.contains("stale")
+    val staleCol = if (hasStale) col("stale") else lit(false)
     val unstale =
-      if (samples.columns.contains("stale")) samples.filter(!col("stale"))
-      else samples
+      if (keepStale || !hasStale) samples else samples.filter(!col("stale"))
     val base = unstale
       .filter(ms.map(matcherCond).reduce(_ && _))
       .filter(col(T) >= tr.startMs - o - windowMs && col(T) <= tr.endMs - o)
-      .select(col(L), col(T).as(ST), col(V))
+      .select(col(L), col(T).as(ST), col(V), staleCol.as("_stale"))
     // steps covered by a sample at st: step >= st+o  &&  step <= st+o+w
     // (integer form of  step-o-w <= st <= step-o), intersected with the
     // grid and clamped to [start, end].
@@ -159,17 +164,21 @@ class PromQLEngine(
       .withColumn("_f", firstStep).withColumn("_l", lastStep)
       .filter(col("_f") <= col("_l"))
       .withColumn(T, explode(sequence(col("_f"), col("_l"), lit(tr.stepMs))))
-      .select(Samples.sigExpr(col(L)).as(SIG), col(L), col(T), col(ST), col(V))
+      .select(Samples.sigExpr(col(L)).as(SIG), col(L), col(T), col(ST),
+        col(V), col("_stale"))
   }
 
   /** Instant vector selector: latest sample per series in the lookback
     * window at each step (`promql/engine.go:767-806`; 5-min lookback
-    * `engine.go:1469-1471`). */
+    * `engine.go:1469-1471`). A staleness marker as the NEWEST lookback
+    * point excludes the series — older points are not resurrected
+    * (engine.go:789-798 takes the latest point, then drops it if stale). */
   private def vectorSelect(vs: VectorSelector, tr: EvalRange): DataFrame =
-    windowed(vs, lookbackMs, tr)
+    windowed(vs, lookbackMs, tr, keepStale = true)
       .groupBy(col(SIG), col(T))
       .agg(first(col(L)).as(L),
-        max_by(struct(col(ST), col(V)), col(ST)).as("_p"))
+        max_by(struct(col(ST), col(V), col("_stale")), col(ST)).as("_p"))
+      .filter(!col("_p._stale"))
       .select(col(SIG), col(L), col(T), col("_p.st").as(ST), col("_p.v").as(V))
 
   // ---------- evaluation ----------

@@ -242,9 +242,12 @@ class PromQLEngineSpec extends SparkTestBase {
     val f = samplesDF(
       Map("__name__" -> "x") -> Seq((0L, 1.0), (60000L, Samples.StaleNaN)))
     val e = new PromQLEngine(spark, f)
-    // at 1m the latest point is the stale marker → falls back to 1.0@0
-    val r = resultMap(e.instant("x", 60000L))
-    assertApprox(r, Map(("__name__=x", 60000L) -> 1.0))
+    // at 1m the newest lookback point is the stale marker → the series
+    // is ABSENT (no fallback to older points, engine.go:789-798)
+    assert(e.instant("x", 60000L).count() == 0)
+    // before the marker the series is visible as usual
+    val r = resultMap(e.instant("x", 30000L))
+    assertApprox(r, Map(("__name__=x", 30000L) -> 1.0))
   }
 
   test("holt_winters") {

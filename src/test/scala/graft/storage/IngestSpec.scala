@@ -29,12 +29,11 @@ class IngestSpec extends SparkTestBase {
     assert(table.filter(col("stale")).count() == 1)
 
     val engine = new PromQLEngine(spark, table)
-    // at t=120s: series a's latest sample is the stale marker → dropped;
-    // the lookback does NOT resurrect the t=60s point (marker semantics
-    // would; our selector keeps the latest non-stale point — the marker
-    // row is filtered before selection, engine.go:796-798 drops it the
-    // same way at selection time)
+    // at t=120s: series a's newest lookback point is the stale marker →
+    // the series is absent (no fallback to the t=60s point), per
+    // engine.go:789-798; series b is untouched
     val r = resultMap(engine.instant("m", 120000L))
+    assert(r.size == 1)
     assert(r(("__name__=m,job=b", 120000L)) == 7.0)
   }
 

@@ -1,0 +1,239 @@
+package graft.testkit
+
+import graft.SparkTestBase
+
+/** DSL-driven golden corpus in the reference harness format
+  * (`promql/test.go`), covering selector, aggregation, binop, function,
+  * and staleness semantics with hand-computed expectations. */
+class PromTestDslSpec extends SparkTestBase {
+
+  private def run(script: String): Unit = PromTestDsl.run(spark, script)
+
+  test("selectors, aggregations, vector matching") {
+    run("""
+load 5m
+  http_requests{job="api", instance="0"} 0+10x10
+  http_requests{job="api", instance="1"} 0+20x10
+  http_requests{job="app", instance="0"} 0+30x10
+
+eval instant at 50m http_requests{job="api"}
+  http_requests{job="api", instance="0"} 100
+  http_requests{job="api", instance="1"} 200
+
+eval instant at 52m http_requests{instance="0"} offset 2m
+  http_requests{job="api", instance="0"} 100
+  http_requests{job="app", instance="0"} 300
+
+eval instant at 50m sum by (job) (http_requests)
+  {job="api"} 300
+  {job="app"} 300
+
+eval instant at 50m sum without (instance) (http_requests)
+  {job="api"} 300
+  {job="app"} 300
+
+eval instant at 50m sum(http_requests) / count(http_requests)
+  {} 200
+
+eval instant at 50m topk(1, http_requests)
+  http_requests{job="app", instance="0"} 300
+
+eval instant at 50m quantile(0.5, http_requests)
+  {} 200
+
+eval instant at 50m stddev(http_requests)
+  {} 81.649658
+
+eval_ordered instant at 50m sort_desc(http_requests)
+  http_requests{job="app", instance="0"} 300
+  http_requests{job="api", instance="1"} 200
+  http_requests{job="api", instance="0"} 100
+
+eval_fail instant at 50m http_requests + on(job) http_requests
+""")
+  }
+
+  test("binary operators and set operations") {
+    run("""
+load 5m
+  foo{job="a"} 1+1x10
+  bar{job="a"} 2+2x10
+
+eval instant at 50m foo + bar
+  {job="a"} 33
+
+eval instant at 50m bar / foo
+  {job="a"} 2
+
+eval instant at 50m foo * 2 + 1
+  {job="a"} 23
+
+eval instant at 50m 2 ^ 3 ^ 2
+  {} 512
+
+eval instant at 50m 7 % 3 - 1
+  {} 0
+
+eval instant at 50m foo > 5
+  foo{job="a"} 11
+
+eval instant at 50m foo > bool 5
+  {job="a"} 1
+
+eval instant at 50m foo > 100
+
+# set ops match on labels EXCLUDING __name__ by default, so foo and bar
+# share the signature {job="a"}
+eval instant at 50m foo or bar
+  foo{job="a"} 11
+
+eval instant at 50m foo and bar
+  foo{job="a"} 11
+
+eval instant at 50m foo unless bar
+
+eval instant at 50m foo and on(job) bar
+  foo{job="a"} 11
+""")
+  }
+
+  test("instant functions") {
+    run("""
+load 5m
+  foo{job="a"} 1+1x10
+
+eval instant at 50m abs(-1 * foo)
+  {job="a"} 11
+
+eval instant at 50m ln(vector(0))
+  {} -Inf
+
+eval instant at 50m ln(vector(-1))
+  {} NaN
+
+eval instant at 50m round(vector(1.25), 0.5)
+  {} 1.5
+
+eval instant at 50m clamp_max(foo, 5)
+  {job="a"} 5
+
+eval instant at 50m absent(nonexistent{here="x"})
+  {here="x"} 1
+
+eval instant at 50m absent(foo)
+
+eval instant at 50m vector(time())
+  {} 3000
+
+eval instant at 50m scalar(foo)
+  {} 11
+
+eval instant at 50m timestamp(foo)
+  {job="a"} 3000
+
+eval instant at 50m label_replace(foo, "new", "$1-x", "job", "(.*)")
+  foo{job="a", new="a-x"} 11
+
+eval instant at 50m label_join(foo, "combo", "-", "job", "job")
+  foo{job="a", combo="a-a"} 11
+
+eval instant at 0m day_of_week(vector(0))
+  {} 4
+
+eval instant at 0m days_in_month(vector(86400))
+  {} 31
+
+eval instant at 0m year()
+  {} 1970
+""")
+  }
+
+  test("range functions: exact extrapolation on aligned windows") {
+    run("""
+load 5m
+  cnt 0+10x10
+
+eval instant at 50m delta(cnt[50m])
+  {} 100
+
+eval instant at 50m increase(cnt[50m])
+  {} 100
+
+eval instant at 50m rate(cnt[50m])
+  {} 0.0333333333
+
+eval instant at 50m sum_over_time(cnt[50m])
+  {} 550
+
+eval instant at 50m avg_over_time(cnt[50m])
+  {} 50
+
+eval instant at 50m count_over_time(cnt[50m])
+  {} 11
+
+eval instant at 50m quantile_over_time(0.5, cnt[50m])
+  {} 50
+
+clear
+
+load 5m
+  rst 0 10 20 5 15
+
+eval instant at 20m resets(rst[20m])
+  {} 1
+
+eval instant at 20m changes(rst[20m])
+  {} 4
+
+eval instant at 20m increase(rst[20m])
+  {} 35
+
+eval instant at 20m idelta(rst[20m])
+  {} 10
+
+eval instant at 20m irate(rst[20m])
+  {} 0.0333333333
+""")
+  }
+
+  test("histogram_quantile on cumulative buckets") {
+    run("""
+load 5m
+  bkt{le="1"} 0+10x10
+  bkt{le="2"} 0+20x10
+  bkt{le="+Inf"} 0+30x10
+
+eval instant at 50m histogram_quantile(0.5, bkt)
+  {} 1.5
+
+eval instant at 50m histogram_quantile(0, bkt)
+  {} 0
+
+eval instant at 50m histogram_quantile(1, bkt)
+  {} 2
+
+eval instant at 50m histogram_quantile(1.1, bkt)
+  {} Inf
+
+eval instant at 50m histogram_quantile(-1, bkt)
+  {} -Inf
+""")
+  }
+
+  test("staleness: a marker as the newest lookback point hides the series") {
+    run("""
+load 5m
+  st 0 1 stale 3
+
+eval instant at 5m st
+  st 1
+
+eval instant at 10m st
+
+eval instant at 11m st
+
+eval instant at 15m st
+  st 3
+""")
+  }
+}
