@@ -630,6 +630,120 @@ class PromQLEngine(
       .select(col("_gs").as(SIG), col(L), col(T), col(T).as(ST), col(V))
   }
 
+  /** Fold-style functions eligible for the bucketed fast path. */
+  private val bucketFoldFuncs = Set("sum_over_time", "avg_over_time",
+    "count_over_time", "min_over_time", "max_over_time",
+    "stddev_over_time", "stdvar_over_time")
+
+  /** Step-aligned bucketed evaluation of the fold-style `*_over_time`
+    * functions.
+    *
+    * The general `windowed()` path explodes every sample onto every
+    * covering grid step — row amplification = range/step (≈60× for
+    * `[1h]` @ 1m, 288× for `[1d]` @ 5m), the dominant scale cost of
+    * range queries. Here samples are first REDUCED to one partial row
+    * per (series, step-bucket) carrying associative aggregates
+    * (count/sum/sum²/min/max + NaN flag), and only those partials fan
+    * out to the range/step covering steps — amplification applies to
+    * rows already shrunk by the samples-per-bucket factor (e.g. 4
+    * samples per 1m bucket at 15s scrape ⇒ 4× less shuffle).
+    *
+    * Window semantics are CLOSED [t-w, t], which pure half-open buckets
+    * cannot express: a sample at exactly t belongs to the window ending
+    * at t AND to bucket t/step. Each bucket therefore carries a second
+    * partial restricted to samples at its exact start boundary; step k
+    * combines full buckets [k-m, k-1] plus bucket k's at-start partial.
+    *
+    * Applicable when range is a positive multiple of step; guarded to
+    * real range queries (several steps, bounded fan-out). */
+  private def bucketedFold(selector: VectorSelector, w: Long, tr: EvalRange,
+      name: String): DataFrame = {
+    val o = selector.offsetMs
+    val ms = allMatchers(selector)
+    require(ms.nonEmpty, "vector selector must contain at least one label matcher")
+    val hasStale = samples.columns.contains("stale")
+    val unstale = if (hasStale) samples.filter(!col("stale")) else samples
+    val step = tr.stepMs
+    val m = (w / step).toInt
+    val anchor = tr.startMs - o // bucket grid aligned to shifted eval times
+    val base = unstale
+      .filter(ms.map(matcherCond).reduce(_ && _))
+      .filter(col(T) >= tr.startMs - o - w && col(T) <= tr.endMs - o)
+      .select(Samples.sigExpr(col(L)).as(SIG), col(L),
+        (col(T) - anchor).as("_rel"), col(V))
+    // exact integer bucket index (floor): subtract the nonnegative
+    // remainder first so the division is of an exact multiple
+    val rem = pmod(col("_rel"), lit(step))
+    val b = ((col("_rel") - rem) / lit(step.toDouble)).cast("long")
+    val isStart = rem === 0
+
+    val partials = base
+      .withColumn("_b", b).withColumn("_s0", isStart)
+      .groupBy(col(SIG), col("_b"))
+      .agg(first(col(L)).as(L),
+        count(lit(1)).as("cnt"), sum(col(V)).as("sum"),
+        sum(col(V) * col(V)).as("sumsq"),
+        min(col(V)).as("mn"), max(col(V)).as("mx"),
+        max(when(isnan(col(V)), 1).otherwise(0)).as("nan"),
+        sum(when(col("_s0"), 1L).otherwise(0L)).as("cnt0"),
+        sum(when(col("_s0"), col(V))).as("sum0"),
+        sum(when(col("_s0"), col(V) * col(V))).as("sumsq0"),
+        min(when(col("_s0"), col(V))).as("mn0"),
+        max(when(col("_s0"), col(V))).as("mx0"),
+        max(when(col("_s0") && isnan(col(V)), 1).otherwise(0)).as("nan0"))
+
+    val contribType =
+      "array<struct<k:bigint,cnt:bigint,sum:double,sumsq:double," +
+        "mn:double,mx:double,nan:int>>"
+    val lo = greatest(col("_b") + 1, lit(0L))
+    val hi = least(col("_b") + m, lit(tr.numSteps - 1))
+    val fullSeq = when(lo <= hi, sequence(lo, hi, lit(1L)))
+      .otherwise(array().cast("array<bigint>"))
+    val fullContrib = transform(fullSeq, k => struct(
+      k.as("k"), col("cnt").as("cnt"), col("sum").as("sum"),
+      col("sumsq").as("sumsq"), col("mn").as("mn"), col("mx").as("mx"),
+      col("nan").as("nan")))
+    val startContrib =
+      when(col("_b").between(0, tr.numSteps - 1) && col("cnt0") > 0,
+        array(struct(col("_b").as("k"), col("cnt0").as("cnt"),
+          col("sum0").as("sum"), col("sumsq0").as("sumsq"),
+          col("mn0").as("mn"), col("mx0").as("mx"), col("nan0").as("nan"))))
+        .otherwise(array().cast(contribType))
+
+    val merged = partials
+      .select(col(SIG), col(L),
+        explode(concat(fullContrib.cast(contribType), startContrib)).as("_c"))
+      .groupBy(col(SIG), col("_c.k").as("_k"))
+      .agg(first(col(L)).as(L),
+        sum(col("_c.cnt")).as("cnt"), sum(col("_c.sum")).as("sum"),
+        sum(col("_c.sumsq")).as("sumsq"),
+        min(col("_c.mn")).as("mn"), max(col("_c.mx")).as("mx"),
+        max(col("_c.nan")).as("nan"))
+
+    val cntD = col("cnt").cast("double")
+    val value = name match {
+      case "count_over_time" => cntD
+      case "sum_over_time" => col("sum")
+      case "avg_over_time" => col("sum") / cntD
+      // Go math.Min/Max propagate NaN in *_over_time (functions.go:414-445)
+      case "min_over_time" =>
+        when(col("nan") === 1, lit(Double.NaN)).otherwise(col("mn"))
+      case "max_over_time" =>
+        when(col("nan") === 1, lit(Double.NaN)).otherwise(col("mx"))
+      // sum/sum² formulation mirrors functions.go:471-497
+      case "stdvar_over_time" =>
+        col("sumsq") / cntD - (col("sum") / cntD) * (col("sum") / cntD)
+      case "stddev_over_time" =>
+        sqrt(col("sumsq") / cntD - (col("sum") / cntD) * (col("sum") / cntD))
+    }
+    merged
+      .withColumn(T, lit(tr.startMs) + col("_k") * step)
+      .withColumn(V, value)
+      .select(col(SIG), Samples.dropMetricName(col(L)).as(L), col(T),
+        col(T).as(ST), col(V))
+      .transform(reSig)
+  }
+
   /** Range-vector functions: window per (series, step) then aggregate. */
   private def evalRangeFunc(call: Call, tr: EvalRange): DataFrame = {
     val name = call.func.name
@@ -643,7 +757,14 @@ class PromQLEngine(
       case _ => throw new IllegalArgumentException(
         s"expected range vector in call to '$name'")
     }
-    val win = windowed(ms.selector, ms.rangeMs, tr)
+    // bucketed fast path: fold-style functions on step-aligned windows
+    // of a real range query (see bucketedFold's scale rationale)
+    if (bucketFoldFuncs.contains(name) && ms.rangeMs > 0 &&
+      ms.rangeMs % tr.stepMs == 0 && ms.rangeMs / tr.stepMs <= 512 &&
+      tr.numSteps >= 8)
+      return bucketedFold(ms.selector, ms.rangeMs, tr, name)
+
+    lazy val win = windowed(ms.selector, ms.rangeMs, tr)
     val consts = scalarArgs.map(a => constFold(a).getOrElse(
       throw new IllegalArgumentException(
         s"scalar argument of $name must be constant")))

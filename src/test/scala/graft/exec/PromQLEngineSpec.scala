@@ -377,6 +377,35 @@ class PromQLEngineSpec extends SparkTestBase {
     assert(r2(("", 2 * m)).isNegInfinity)
   }
 
+  test("bucketed *_over_time fast path equals per-step evaluation at window boundaries") {
+    // samples deliberately placed ON step boundaries so the closed
+    // [t-w, t] window's at-start partial logic is exercised: a sample at
+    // exactly t must count for the window ending at t AND the one
+    // starting there
+    val s = 60000L
+    val f = samplesDF(
+      Map("__name__" -> "bk", "i" -> "1") ->
+        (0 to 20).map(k => (k * s, k.toDouble)),
+      Map("__name__" -> "bk", "i" -> "2") ->
+        (0 to 20).map(k => (k * s + 7000, 100.0 + k)))
+    val e = new PromQLEngine(spark, f)
+    for (fn <- Seq("sum_over_time", "count_over_time", "avg_over_time",
+        "min_over_time", "max_over_time", "stdvar_over_time")) {
+      val q = s"$fn(bk[5m])"
+      // range query: 13 steps ⇒ bucketed path fires (range=5m, step=1m)
+      val ranged = resultMap(e.rangeQuery(q, 8 * s, 20 * s, s))
+      // per-step instants go through the general windowed path
+      val perStep = (8 to 20).flatMap(k => resultMap(e.instant(q, k * s)))
+        .toMap
+      assert(ranged.keySet == perStep.keySet, s"$fn keys")
+      ranged.foreach { case (k, v) =>
+        val ev = perStep(k)
+        assert(v == ev || math.abs(v - ev) <= 1e-9 * math.max(math.abs(v), 1.0),
+          s"$fn $k: bucketed=$v general=$ev")
+      }
+    }
+  }
+
   test("topk is deterministic under exact value ties") {
     val f = samplesDF(
       Map("__name__" -> "t", "k" -> "a") -> Seq((0L, 7.0)),
