@@ -656,26 +656,38 @@ class PromQLEngine(
     *
     * Applicable when range is a positive multiple of step; guarded to
     * real range queries (several steps, bounded fan-out). */
-  private def bucketedFold(selector: VectorSelector, w: Long, tr: EvalRange,
-      name: String): DataFrame = {
+  /** Shared base for the bucketed paths: matched, time-bounded samples
+    * with grid-relative time `_rel` (anchor = first shifted eval time).
+    * Bucket index uses exact integer floor division. */
+  private def bucketedBase(selector: VectorSelector, w: Long,
+      tr: EvalRange): DataFrame = {
     val o = selector.offsetMs
     val ms = allMatchers(selector)
     require(ms.nonEmpty, "vector selector must contain at least one label matcher")
     val hasStale = samples.columns.contains("stale")
     val unstale = if (hasStale) samples.filter(!col("stale")) else samples
-    val step = tr.stepMs
-    val m = (w / step).toInt
     val anchor = tr.startMs - o // bucket grid aligned to shifted eval times
-    val base = unstale
+    unstale
       .filter(ms.map(matcherCond).reduce(_ && _))
       .filter(col(T) >= tr.startMs - o - w && col(T) <= tr.endMs - o)
       .select(Samples.sigExpr(col(L)).as(SIG), col(L),
         (col(T) - anchor).as("_rel"), col(V))
+  }
+
+  private def bucketCol(step: Long): Column = {
     // exact integer bucket index (floor): subtract the nonnegative
     // remainder first so the division is of an exact multiple
     val rem = pmod(col("_rel"), lit(step))
-    val b = ((col("_rel") - rem) / lit(step.toDouble)).cast("long")
-    val isStart = rem === 0
+    ((col("_rel") - rem) / lit(step.toDouble)).cast("long")
+  }
+
+  private def bucketedFold(selector: VectorSelector, w: Long, tr: EvalRange,
+      name: String): DataFrame = {
+    val step = tr.stepMs
+    val m = (w / step).toInt
+    val base = bucketedBase(selector, w, tr)
+    val b = bucketCol(step)
+    val isStart = pmod(col("_rel"), lit(step)) === 0
 
     val partials = base
       .withColumn("_b", b).withColumn("_s0", isStart)
@@ -744,6 +756,76 @@ class PromQLEngine(
       .transform(reSig)
   }
 
+  /** Bucketed `rate`/`increase`/`delta`: per-bucket partials
+    * (first/last point, in-bucket counter-correction via a lag window,
+    * count) fan out to covering steps and merge IN BUCKET ORDER with
+    * the boundary-reset correction — associative, so amplification
+    * applies to one partial row per (series, bucket) instead of every
+    * sample (see [[bucketedFold]] for the grid/boundary mechanics). */
+  private def bucketedRate(selector: VectorSelector, w: Long, tr: EvalRange,
+      isCounter: Boolean, isRate: Boolean): DataFrame = {
+    val step = tr.stepMs
+    val m = (w / step).toInt
+    val base = bucketedBase(selector, w, tr)
+    val b = bucketCol(step)
+    val isStart = pmod(col("_rel"), lit(step)) === 0
+
+    val wspec = Window.partitionBy(col(SIG), col("_b")).orderBy(col("_rel"))
+    val pv = lag(col(V), 1).over(wspec)
+    val partials = base
+      .withColumn("_b", b).withColumn("_s0", isStart)
+      .withColumn("_cinc",
+        when(pv.isNotNull && col(V) < pv, pv).otherwise(lit(0.0)))
+      .groupBy(col(SIG), col("_b"))
+      .agg(first(col(L)).as(L),
+        min(col("_rel")).as("ft"), min_by(col(V), col("_rel")).as("fv"),
+        max(col("_rel")).as("lt"), max_by(col(V), col("_rel")).as("lv"),
+        sum(col("_cinc")).as("corr"), count(lit(1)).as("cnt"),
+        max(when(col("_s0"), col(V))).as("v0"),
+        max(when(col("_s0"), 1).otherwise(0)).as("has0"))
+
+    val contribType =
+      "array<struct<b:bigint,ft:bigint,fv:double,lt:bigint,lv:double," +
+        "corr:double,cnt:bigint>>"
+    val lo = greatest(col("_b") + 1, lit(0L))
+    val hi = least(col("_b") + m, lit(tr.numSteps - 1))
+    val fullSeq = when(lo <= hi, sequence(lo, hi, lit(1L)))
+      .otherwise(array().cast("array<bigint>"))
+    val fullContrib = transform(fullSeq, k => struct(
+      k.as("k"), struct(col("_b").as("b"), col("ft").as("ft"),
+        col("fv").as("fv"), col("lt").as("lt"), col("lv").as("lv"),
+        col("corr").as("corr"), col("cnt").as("cnt")).as("p")))
+    // a sample at exactly the step time belongs to the window ending
+    // there: contribute bucket k's at-start point as the FINAL partial
+    val startRel = col("_b") * step
+    val startContrib =
+      when(col("_b").between(0, tr.numSteps - 1) && col("has0") === 1,
+        array(struct(col("_b").as("k"), struct(col("_b").as("b"),
+          startRel.as("ft"), col("v0").as("fv"), startRel.as("lt"),
+          col("v0").as("lv"), lit(0.0).as("corr"), lit(1L).as("cnt"))
+          .as("p"))))
+        .otherwise(array()
+          .cast("array<struct<k:bigint,p:struct<b:bigint,ft:bigint," +
+            "fv:double,lt:bigint,lv:double,corr:double,cnt:bigint>>>"))
+
+    partials
+      .select(col(SIG), col(L), explode(concat(
+        fullContrib.cast("array<struct<k:bigint,p:struct<b:bigint," +
+          "ft:bigint,fv:double,lt:bigint,lv:double,corr:double," +
+          "cnt:bigint>>>"), startContrib)).as("_c"))
+      .groupBy(col(SIG), col("_c.k").as("_k"))
+      .agg(first(col(L)).as(L),
+        array_sort(collect_list(col("_c.p"))).as("_ps"))
+      .withColumn(V, PromUdfs.ratePartialsUdf(col("_ps"),
+        (col("_k") - m) * step, col("_k") * step, lit(w),
+        lit(isCounter), lit(isRate)))
+      .filter(col(V).isNotNull)
+      .withColumn(T, lit(tr.startMs) + col("_k") * step)
+      .select(col(SIG), Samples.dropMetricName(col(L)).as(L), col(T),
+        col(T).as(ST), col(V))
+      .transform(reSig)
+  }
+
   /** Range-vector functions: window per (series, step) then aggregate. */
   private def evalRangeFunc(call: Call, tr: EvalRange): DataFrame = {
     val name = call.func.name
@@ -757,12 +839,16 @@ class PromQLEngine(
       case _ => throw new IllegalArgumentException(
         s"expected range vector in call to '$name'")
     }
-    // bucketed fast path: fold-style functions on step-aligned windows
-    // of a real range query (see bucketedFold's scale rationale)
-    if (bucketFoldFuncs.contains(name) && ms.rangeMs > 0 &&
-      ms.rangeMs % tr.stepMs == 0 && ms.rangeMs / tr.stepMs <= 512 &&
-      tr.numSteps >= 8)
+    // bucketed fast paths: fold-style and rate-family functions on
+    // step-aligned windows of a real range query (see bucketedFold's
+    // and bucketedRate's scale rationale)
+    val bucketable = ms.rangeMs > 0 && ms.rangeMs % tr.stepMs == 0 &&
+      ms.rangeMs / tr.stepMs <= 512 && tr.numSteps >= 8
+    if (bucketable && bucketFoldFuncs.contains(name))
       return bucketedFold(ms.selector, ms.rangeMs, tr, name)
+    if (bucketable && (name == "rate" || name == "increase" || name == "delta"))
+      return bucketedRate(ms.selector, ms.rangeMs, tr,
+        isCounter = name != "delta", isRate = name == "rate")
 
     lazy val win = windowed(ms.selector, ms.rangeMs, tr)
     val consts = scalarArgs.map(a => constFold(a).getOrElse(

@@ -62,6 +62,61 @@ object PromUdfs {
     Some(resultValue)
   }
 
+  /** Ordered merge of per-bucket rate partials, then the exact
+    * extrapolatedRate formula. Each partial row carries
+    * `(b, ft, fv, lt, lv, corr, cnt)` — bucket index, first/last
+    * (time, value) and the IN-bucket counter-correction sum; merging
+    * adjacent buckets adds the boundary correction
+    * `lastValue(left) if firstValue(right) < lastValue(left)`. The
+    * correction accumulates in time order, so the float sum is
+    * bit-identical to a sequential scan of the raw points
+    * (`promql/functions.go:50-141`). Times are grid-relative ms; the
+    * formula only consumes durations, so the shift cancels. */
+  def ratePartials(parts: Seq[Row], rangeStartRel: Long, rangeEndRel: Long,
+      rangeMs: Long, isCounter: Boolean, isRate: Boolean): Option[Double] = {
+    if (parts.isEmpty) return None
+    val h = parts.head
+    val ft = h.getLong(1); val fv = h.getDouble(2)
+    var lt = h.getLong(3); var lv = h.getDouble(4)
+    var corr = if (isCounter) h.getDouble(5) else 0.0
+    var cnt = h.getLong(6)
+    parts.tail.foreach { p =>
+      if (isCounter) {
+        if (p.getDouble(2) < lv) corr += lv // boundary reset
+        corr += p.getDouble(5)
+      }
+      lt = p.getLong(3); lv = p.getDouble(4)
+      cnt += p.getLong(6)
+    }
+    if (cnt < 2) return None
+    var resultValue = lv - fv + corr
+    var durationToStart = (ft - rangeStartRel).toDouble / 1000
+    val durationToEnd = (rangeEndRel - lt).toDouble / 1000
+    val sampledInterval = (lt - ft).toDouble / 1000
+    if (sampledInterval == 0) return None
+    val averageDurationBetweenSamples = sampledInterval / (cnt - 1)
+    if (isCounter && resultValue > 0 && fv >= 0) {
+      val durationToZero = sampledInterval * (fv / resultValue)
+      if (durationToZero < durationToStart) durationToStart = durationToZero
+    }
+    val extrapolationThreshold = averageDurationBetweenSamples * 1.1
+    var extrapolateToInterval = sampledInterval
+    extrapolateToInterval +=
+      (if (durationToStart < extrapolationThreshold) durationToStart
+       else averageDurationBetweenSamples / 2)
+    extrapolateToInterval +=
+      (if (durationToEnd < extrapolationThreshold) durationToEnd
+       else averageDurationBetweenSamples / 2)
+    resultValue *= extrapolateToInterval / sampledInterval
+    if (isRate) resultValue /= rangeMs.toDouble / 1000
+    Some(resultValue)
+  }
+
+  val ratePartialsUdf: UserDefinedFunction =
+    udf((parts: Seq[Row], rangeStartRel: Long, rangeEndRel: Long,
+         rangeMs: Long, isCounter: Boolean, isRate: Boolean) =>
+      ratePartials(parts, rangeStartRel, rangeEndRel, rangeMs, isCounter, isRate))
+
   /** `irate`/`idelta` — last two points (`promql/functions.go:145-191`). */
   def instantValue(points: Seq[Row], isRate: Boolean): Option[Double] = {
     val p = pts(points)

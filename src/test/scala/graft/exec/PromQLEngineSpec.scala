@@ -406,6 +406,31 @@ class PromQLEngineSpec extends SparkTestBase {
     }
   }
 
+  test("bucketed rate/increase/delta equals per-step evaluation incl. counter resets") {
+    val s = 60000L
+    // counter with resets placed both inside buckets and across bucket
+    // boundaries, plus samples exactly on step boundaries
+    val vals = Seq(0.0, 10, 20, 5, 15, 25, 2, 12, 22, 32, 8, 18, 28, 38,
+      48, 1, 11, 21, 31, 41, 51)
+    val f = samplesDF(
+      Map("__name__" -> "ctr", "i" -> "a") ->
+        vals.zipWithIndex.map { case (v, k) => (k * s, v) },
+      Map("__name__" -> "ctr", "i" -> "b") ->
+        vals.zipWithIndex.map { case (v, k) => (k * s + 13000, v * 2) })
+    val e = new PromQLEngine(spark, f)
+    for (fn <- Seq("rate", "increase", "delta")) {
+      val q = s"$fn(ctr[5m])"
+      val ranged = resultMap(e.rangeQuery(q, 8 * s, 20 * s, s))
+      val perStep = (8 to 20).flatMap(k => resultMap(e.instant(q, k * s))).toMap
+      assert(ranged.keySet == perStep.keySet, s"$fn keys")
+      ranged.foreach { case (k, v) =>
+        val ev = perStep(k)
+        assert(v == ev || math.abs(v - ev) <= 1e-12 * math.max(math.abs(v), 1.0),
+          s"$fn $k: bucketed=$v general=$ev")
+      }
+    }
+  }
+
   test("topk is deterministic under exact value ties") {
     val f = samplesDF(
       Map("__name__" -> "t", "k" -> "a") -> Seq((0L, 7.0)),
