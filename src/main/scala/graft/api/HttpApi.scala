@@ -41,6 +41,7 @@ class HttpApi(spark: SparkSession, engine: PromQLEngine,
   server.createContext("/api/v1/series", handler(handleSeries))
   server.createContext("/api/v1/label/", handler(handleLabelValues))
   server.createContext("/api/v1/write", handler(handleWrite))
+  server.createContext("/api/v1/export", streamingHandler(handleExport))
 
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = server.stop(0)
@@ -312,6 +313,40 @@ class HttpApi(spark: SparkSession, engine: PromQLEngine,
       case _: Exception =>
         throw ApiError(400, "bad_data", s"cannot parse write line: $line")
     }
+
+  /** Streaming responses (chunked) for endpoints whose result must not
+    * be materialized on the driver. */
+  private def streamingHandler(f: (HttpExchange, java.io.OutputStream) => Unit)
+      : com.sun.net.httpserver.HttpHandler =
+    (ex: HttpExchange) => {
+      try {
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, 0) // chunked
+        f(ex, ex.getResponseBody)
+      } catch {
+        case _: Exception => // headers already sent; close the stream
+      } finally ex.close()
+    }
+
+  /** Raw-sample egress, the remote-read stand-in (S5,
+    * `internal/read/read.go:45-126`; JSON lines instead of
+    * snappy+protobuf — offline-reproducible wire format). Rows stream
+    * through `toLocalIterator`, so the driver never holds the result. */
+  private def handleExport(ex: HttpExchange, out: java.io.OutputStream): Unit = {
+    val p = params(ex)
+    val matcher = one(p, "match[]").getOrElse(
+      throw ApiError(400, "bad_data", "no match[] parameter provided"))
+    val start = one(p, "start").map(parseTime(_, "start"))
+    val end = one(p, "end").map(parseTime(_, "end"))
+    val it = engine.rawSamples(matcher, start, end).toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      val labels = r.getMap[String, String](0).toMap
+      val line = s"""{"labels":${metricJson(labels)},"t":${r.getLong(1)},""" +
+        s""""v":"${PromUdfs.goFormatFloat(r.getDouble(2))}"}""" + "\n"
+      out.write(line.getBytes(UTF_8))
+    }
+  }
 
   private def parseOr400(query: String): Ast.Expr =
     try Parser.parse(query)

@@ -79,6 +79,24 @@ class PromQLEngine(
       .map(_.getMap[String, String](0).toMap).toSeq
   }
 
+  /** Raw matching samples for egress (S5 remote-read,
+    * `internal/read/read.go:45-126`): matcher + time bounds pushed to
+    * the scan, rows returned as a DataFrame for streaming collection. */
+  def rawSamples(matchExpr: String, startMs: Option[Long] = None,
+      endMs: Option[Long] = None): DataFrame = {
+    val vs = Parser.parse(matchExpr) match {
+      case v: VectorSelector => v
+      case _ => throw new IllegalArgumentException(
+        "match[] must be a vector selector")
+    }
+    val hasStale = samples.columns.contains("stale")
+    val unstale = if (hasStale) samples.filter(!col("stale")) else samples
+    var df = unstale.filter(allMatchers(vs).map(matcherCond).reduce(_ && _))
+    startMs.foreach(s => df = df.filter(col(T) >= s))
+    endMs.foreach(e => df = df.filter(col(T) <= e))
+    df.select(col(L), col(T), col(V)).orderBy(Samples.sigStr(col(L)), col(T))
+  }
+
   /** Distinct values of one label across the bound samples (S8,
     * `internal/api/v1/api.go:317-341`). */
   def labelValues(name: String): Seq[String] =

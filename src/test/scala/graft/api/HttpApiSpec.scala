@@ -102,6 +102,17 @@ class HttpApiSpec extends SparkTestBase {
     assert(c3 == 400)
   }
 
+  test("export streams raw samples (remote-read stand-in, read.go:45-126)") {
+    val (code, body) = get(
+      "/api/v1/export?match[]=test_metric1%7Bfoo%3D%22bar%22%7D&start=0&end=120")
+    assert(code == 200)
+    val lines = body.trim.split('\n')
+    assert(lines.length == 3) // t = 0, 60s, 120s
+    assert(lines(0) ==
+      """{"labels":{"__name__":"test_metric1","foo":"bar"},"t":0,"v":"0"}""")
+    assert(lines(2).contains(""""t":120000,"v":"200""""))
+  }
+
   test("write-then-query-back round trip (acceptance_test.go:124-161)") {
     val lines =
       """{"labels":{"__name__":"wr_metric","src":"api"},"t":0,"v":41.5}
