@@ -859,8 +859,11 @@ class PromQLEngine(
     }
     // bucketed fast paths: fold-style and rate-family functions on
     // step-aligned windows of a real range query (see bucketedFold's
-    // and bucketedRate's scale rationale)
-    val bucketable = ms.rangeMs > 0 && ms.rangeMs % tr.stepMs == 0 &&
+    // and bucketedRate's scale rationale). m = range/step must be ≥ 2:
+    // at m = 1 there is no fan-out to save and the partial+merge pair
+    // costs one extra shuffle over the single-stage general path.
+    val bucketable = ms.rangeMs >= 2 * tr.stepMs &&
+      ms.rangeMs % tr.stepMs == 0 &&
       ms.rangeMs / tr.stepMs <= 512 && tr.numSteps >= 8
     if (bucketable && bucketFoldFuncs.contains(name))
       return bucketedFold(ms.selector, ms.rangeMs, tr, name)
