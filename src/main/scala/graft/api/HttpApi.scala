@@ -194,6 +194,15 @@ class HttpApi(spark: SparkSession, engine: PromQLEngine,
           envelope("vector", rows.map { case (l, t, v) =>
             s"""{"metric":${metricJson(l)},"value":${pointJson(t, v)}}"""
           }.mkString("[", ",", "]"))
+        case Ast.ValueType.Matrix => // raw range selector at an instant
+          val rows = collectRows(engine.instant(query, ts))
+          val series = rows.groupBy(_._1).toSeq
+            .sortBy { case (l, _) => Samples.canonical(l) }
+          envelope("matrix", series.map { case (l, pts) =>
+            val vals = pts.sortBy(_._2)
+              .map { case (_, t, v) => pointJson(t, v) }.mkString(",")
+            s"""{"metric":${metricJson(l)},"values":[$vals]}"""
+          }.mkString("[", ",", "]"))
         case t => throw ApiError(400, "bad_data",
           s"unsupported result type $t for instant query")
       }

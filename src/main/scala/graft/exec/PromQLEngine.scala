@@ -57,6 +57,10 @@ class PromQLEngine(
   case class VecV(df: DataFrame) extends Value
   case class ScalV(df: DataFrame, const: Option[Double]) extends Value
   case class StrV(s: String) extends Value
+  /** Range-vector result — only legal at the top level of an instant
+    * query (`promql/engine.go:712-719`); rows keep the SAMPLE
+    * timestamps. */
+  case class MatV(df: DataFrame) extends Value
 
   // ---------- public API ----------
 
@@ -120,6 +124,7 @@ class PromQLEngine(
   /** Evaluate to the canonical (labels, t, v) result frame. */
   private def finish(value: Value): DataFrame = value match {
     case VecV(df) => df.select(col(L), col(T), col(V))
+    case MatV(df) => df.select(col(L), col(ST).as(T), col(V))
     case ScalV(df, _) =>
       df.select(map().cast("map<string,string>").as(L), col(T), col(V))
     case StrV(_) => throw new IllegalArgumentException(
@@ -219,8 +224,11 @@ class PromQLEngine(
     case StringLiteral(s) => StrV(s)
     case ParenExpr(inner) => eval(inner, tr)
     case vs: VectorSelector => VecV(vectorSelect(vs, tr))
-    case MatrixSelector(_, _) => throw new IllegalArgumentException(
-      "matrix selector only allowed as argument of a range-vector function")
+    // legal only at the top level of an instant query (the parser's
+    // typecheck rejects nested uses; rangeQuery rejects the type)
+    case m: MatrixSelector =>
+      MatV(windowed(m.selector, m.rangeMs, tr)
+        .select(col(SIG), col(L), col(T), col(ST), col(V)))
     case UnaryExpr(op, inner) => evalUnary(op, inner, tr)
     case agg: AggregateExpr => VecV(evalAggregate(agg, tr))
     case be: BinaryExpr => evalBinary(be, tr)

@@ -102,6 +102,15 @@ class HttpApiSpec extends SparkTestBase {
     assert(c3 == 400)
   }
 
+  test("matrix-typed instant query returns raw range samples") {
+    val (code, body) = get(
+      "/api/v1/query?query=test_metric1%7Bfoo%3D%22bar%22%7D%5B2m%5D&time=120")
+    assert(code == 200)
+    assert(body == """{"status":"success","data":{"resultType":"matrix","result":""" +
+      """[{"metric":{"__name__":"test_metric1","foo":"bar"},""" +
+      """"values":[[0,"0"],[60,"100"],[120,"200"]]}]}}""")
+  }
+
   test("export streams raw samples (remote-read stand-in, read.go:45-126)") {
     val (code, body) = get(
       "/api/v1/export?match[]=test_metric1%7Bfoo%3D%22bar%22%7D&start=0&end=120")
