@@ -220,6 +220,53 @@ eval instant at 50m histogram_quantile(-1, bkt)
 """)
   }
 
+  test("typecheck and evaluation failures (parse.go:996-1121 semantics)") {
+    run("""
+load 5m
+  m{job="api", instance="0"} 0+10x10
+  m{job="api", instance="1"} 0+20x10
+
+eval_fail instant at 50m unknown_function(m)
+
+eval_fail instant at 50m 1 > 2
+
+eval instant at 50m 1 > bool 2
+  {} 0
+
+eval_fail instant at 50m m + on(job) m
+
+eval_fail instant at 50m rate(m)
+
+eval_fail instant at 50m m and 1
+
+eval_fail instant at 50m sum(m) + "a string"
+""")
+  }
+
+  test("group_left label transfer and count_values") {
+    run("""
+load 5m
+  req{job="a", inst="1"} 0+10x10
+  req{job="a", inst="2"} 0+10x10
+  info{job="a", ver="v1"} 1+0x10
+
+eval instant at 50m req * on(job) group_left(ver) info
+  {job="a", inst="1", ver="v1"} 100
+  {job="a", inst="2", ver="v1"} 100
+
+eval instant at 50m count_values("val", req)
+  {val="100"} 2
+
+eval instant at 50m req == 100
+  req{job="a", inst="1"} 100
+  req{job="a", inst="2"} 100
+
+eval instant at 50m req != bool 100
+  {job="a", inst="1"} 0
+  {job="a", inst="2"} 0
+""")
+  }
+
   test("staleness: a marker as the newest lookback point hides the series") {
     run("""
 load 5m
