@@ -101,7 +101,8 @@ object Dedup {
   /** Per-doc MinHash signature: for each of `numHashes` universal hashes
     * h_i(x) = (a_i·x + b_i) mod P, the minimum over the doc's shingle
     * hashes. Computed as `numHashes` parallel `min` aggregates — a
-    * single map-side-combinable shuffle keyed by doc id. */
+    * single map-side-combinable shuffle keyed by doc id (measured
+    * faster than collecting the hash set and looping in a UDF). */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
     val h32 = pmod(xxhash64(col("s")), lit(MinhashP))
     val aggs = hashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
@@ -112,18 +113,28 @@ object Dedup {
 
   /** Near-duplicate pairs via banded MinHash-LSH, verified exactly.
     *
-    * numHashes=128 split into `bands` bands of r=numHashes/bands rows;
+    * `numHashes` split into `bands` bands of r=numHashes/bands rows;
     * docs sharing any band bucket become candidates; candidates are then
     * verified against the exact shingle-set Jaccard (via 64-bit shingle
     * hashes), so false positives are eliminated and the output matches
-    * [[ngramJaccardPairs]] up to the banding miss probability. */
+    * [[ngramJaccardPairs]] up to the banding miss probability
+    * (1−s^r)^b. The r=3, b=64 default balances recall against candidate
+    * volume: miss ≈ 1.7e-7 at s=0.6 (≈1e-20 at s=0.8) while pairs of
+    * unrelated docs (s≈0.05) collide with probability ≈1e-2 — r=2 was
+    * measured to admit ~15% of ALL pairs as candidates on word-soup
+    * corpora, making the verify join the dominant cost. */
   def minhashLshPairs(docs: DataFrame, n: Int, threshold: Double,
-      numHashes: Int = 128, bands: Int = 64,
+      numHashes: Int = 192, bands: Int = 64,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sh = shinglePostings(docs, n, idCol, textCol)
+
     val sigs = minhashSignatures(sh, numHashes)
+    // per-doc sorted shingle-hash set for the exact-verify stage
+    val sets = sh.select(col("id"), xxhash64(col("s")).as("h"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_set(col("h"))).as("hs"), count(lit(1)).as("nsh"))
 
     // band bucket keys: hash of the band's slice of the signature
     val bandStructs = array((0 until bands).map { b =>
@@ -138,11 +149,6 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("ia"), col("b.id").as("ib"))
       .distinct()
-
-    // exact verify on 64-bit shingle-hash sets (sorted-merge intersection)
-    val sets = sh.select(col("id"), xxhash64(col("s")).as("h"))
-      .groupBy(col("id"))
-      .agg(sort_array(collect_set(col("h"))).as("hs"), count(lit(1)).as("nsh"))
     candidates
       .join(sets.select(col("id").as("ia"), col("hs").as("ha"), col("nsh").as("na")), Seq("ia"))
       .join(sets.select(col("id").as("ib"), col("hs").as("hb"), col("nsh").as("nb")), Seq("ib"))
