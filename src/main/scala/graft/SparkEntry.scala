@@ -368,6 +368,12 @@ object SparkEntry {
       Similarity.annTopK(emb(spark, dir).filter(col("vec_id") < 10),
           emb(spark, dir), 5, dim = 64)
         .withColumn("cos", col("cos").cast("float"))),
+    // X2b: IVF (inverted-file) approximate top-k — centroid-probed
+    // inverted lists; rows-only like X2, recall unit-tested vs X1
+    "x3_sim_ivf" -> ((spark, dir) =>
+      Similarity.ivfTopK(emb(spark, dir).filter(col("vec_id") < 10),
+          emb(spark, dir), 5, dim = 64)
+        .withColumn("cos", col("cos").cast("float"))),
     // T1: token counting (whitespace + BPE-ish regex)
     "t1_token_count" -> ((spark, dir) =>
       docs(spark, dir).select(col("doc_id"),

@@ -120,6 +120,91 @@ object Similarity {
     }
   }
 
+  // ---- IVF (inverted-file) ANN -------------------------------------------
+
+  /** Deterministic k-means centroids: seeded sample for initialization,
+    * a few Lloyd iterations computed AS DATAFRAME JOBS (assignment is a
+    * broadcast-centroid map pass; update is one groupBy) — no driver
+    * loops over data, only over the `iters` counter. Centroid count
+    * should be ~√N; at 100 TB the centroid table stays tiny (≤ 10⁵ ×
+    * dim floats) and always broadcasts. */
+  def kmeansCentroids(corpus: DataFrame, k: Int, dim: Int, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 11L): Array[(Int, Array[Double])] = {
+    val p = prep(corpus, idCol, vecCol)
+    var centroids = p.orderBy(xxhash64(col("id"), lit(seed))).limit(k)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray).zipWithIndex.map(_.swap)
+    var it = 0
+    while (it < iters) {
+      val assignU = nearestCentroidUdf(centroids)
+      val updated = p.withColumn("_c", assignU(col("v")))
+        .select(col("_c") +:
+          (0 until dim).map(i => element_at(col("v"), i + 1).as(s"d$i")): _*)
+        .groupBy(col("_c"))
+        .agg(avg(col("d0")).as("m0"),
+          (1 until dim).map(i => avg(col(s"d$i")).as(s"m$i")): _*)
+        .collect()
+        .map(r => r.getInt(0) -> (0 until dim).map(i =>
+          r.getDouble(i + 1)).toArray)
+      // keep unchanged centroids for clusters that emptied out
+      val byId = updated.toMap
+      centroids = centroids.map { case (i, c) => i -> byId.getOrElse(i, c) }
+      it += 1
+    }
+    centroids
+  }
+
+  private def nearestCentroidUdf(centroids: Array[(Int, Array[Double])])
+      : UserDefinedFunction =
+    udf { (v: Seq[Double]) =>
+      var best = -1
+      var bestD = Double.MaxValue
+      centroids.foreach { case (ci, c) =>
+        var d = 0.0
+        var i = 0
+        val n = math.min(c.length, v.length)
+        while (i < n) { val x = c(i) - v(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = ci }
+      }
+      best
+    }
+
+  /** IVF approximate top-k: corpus vectors are assigned to their nearest
+    * centroid (one map-only pass against the broadcast centroid table);
+    * each query probes its `nprobe` nearest centroids and scores only
+    * those inverted lists exactly. Recall/cost trades via nprobe; the
+    * unit suite asserts recall against the exact top-k. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      numCentroids: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = kmeansCentroids(corpus, numCentroids, dim,
+      idCol = idCol, vecCol = vecCol)
+    val probesU = udf { (v: Seq[Double]) =>
+      centroids.map { case (ci, c) =>
+        var d = 0.0
+        var i = 0
+        val n = math.min(c.length, v.length)
+        while (i < n) { val x = c(i) - v(i); d += x * x; i += 1 }
+        (ci, d)
+      }.sortBy(_._2).take(nprobe).map(_._1)
+    }
+    val assignU = nearestCentroidUdf(centroids)
+    val c = prep(corpus, idCol, vecCol).withColumn("_c", assignU(col("v")))
+    val q = prep(queries, idCol, vecCol)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(probesU(col("v"))).as("_c"))
+    c.join(broadcast(q), Seq("_c"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+      .groupBy(col("qid"))
+      .agg(TopK.topk(k, desc = true)(col("cos"),
+        lpad(col("id").cast("string"), 12, "0"), col("id"), col("cos")).as("_w"))
+      .select(col("qid"), explode(col("_w")).as("_e"))
+      .select(col("qid"), col("_e.st").as("neighbor_id"), col("_e.v").as("cos"))
+  }
+
   /** Approximate top-k: LSH candidates (16×4-bit bands over a 64-bit
     * hyperplane signature) scored exactly, then bounded-heap top-k. */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,

@@ -65,15 +65,19 @@ class LlmOpsSpec extends SparkTestBase {
     assert(r.toSeq == Seq((0L, 1L), (0L, 3L)))
   }
 
-  test("annTopK recall vs exact topK on the sf0.001 embeddings") {
+  test("annTopK and ivfTopK recall vs exact topK on the sf0.001 embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter($"vec_id" < 10)
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairs(Similarity.topK(q, emb, 5))
-    val approx = pairs(Similarity.annTopK(q, emb, 5, dim = 64))
-    val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"ANN recall $recall too low")
+    val lsh = pairs(Similarity.annTopK(q, emb, 5, dim = 64))
+    val lshRecall = (exact & lsh).size.toDouble / exact.size
+    assert(lshRecall >= 0.5, s"LSH ANN recall $lshRecall too low")
+    val ivf = pairs(Similarity.ivfTopK(q, emb, 5, dim = 64,
+      numCentroids = 8, nprobe = 4))
+    val ivfRecall = (exact & ivf).size.toDouble / exact.size
+    assert(ivfRecall >= 0.5, s"IVF ANN recall $ivfRecall too low")
   }
 
   test("TextOps: token counts, fingerprint fold, langId argmax") {
