@@ -98,4 +98,36 @@ object Ingest {
     * predicates prune `date` partitions. */
   def readTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select(col("labels"), col("t"), col("v"), col("stale"))
+
+  /** Streaming step-aligned pre-aggregation: a watermarked windowed
+    * aggregation maintains one partial row (count/sum/min/max) per
+    * (series, bucket) — the same partial shape the query engine's
+    * bucketed fold path consumes, but materialized at INGEST time so
+    * range queries over cold history never touch raw samples. Late
+    * data within `lateness` folds into its bucket; later-than-that is
+    * dropped by the watermark (the reference's head-window
+    * out-of-bounds rejection, `tsdb/head.go:480-489`). Append mode
+    * emits a bucket exactly once, when the watermark passes it. */
+  def streamBucketed(edge: Dataset[WriteSample], path: String,
+      checkpoint: String, bucketMs: Long,
+      lateness: String = "10 minutes"): StreamingQuery =
+    canonicalize(edge)
+      .filter(!col("stale"))
+      .withColumn("ets", timestamp_millis(col("t")))
+      .withWatermark("ets", lateness)
+      .groupBy(Samples.sigExpr(col("labels")).as("sig"),
+        window(col("ets"), s"$bucketMs milliseconds").as("w"))
+      .agg(first(col("labels")).as("labels"),
+        count(lit(1)).as("cnt"), sum(col("v")).as("sum"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .select(col("sig"), col("labels"),
+        unix_millis(col("w.start")).as("bucket_start"),
+        col("cnt"), col("sum"), col("mn"), col("mx"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", path)
+      .start()
 }

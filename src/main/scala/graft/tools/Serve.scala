@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.api.HttpApi
+import graft.exec.PromQLEngine
+import graft.model.Samples
+import graft.storage.Ingest
+
+/** Runnable server: the Prometheus v1 API over a samples table.
+  *
+  * {{{
+  *   runMain graft.tools.Serve /root/testdata/sf0.01 9090          # events fixture
+  *   runMain graft.tools.Serve /path/to/ingested-table 9090 table  # Ingest layout
+  * }}}
+  *
+  * With the `table` mode the write endpoint appends back into the same
+  * table, giving the full write → query round trip of the reference's
+  * single-node acceptance setup (`acceptance_test.go:124-161`).
+  */
+object Serve {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val port = if (args.length > 1) args(1).toInt else 9090
+    val mode = if (args.length > 2) args(2) else "events"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (samples, sink) = mode match {
+      case "table" =>
+        (Ingest.readTable(spark, sfDir),
+          Some((df: org.apache.spark.sql.DataFrame) => Ingest.append(df, sfDir)))
+      case _ => (Samples.fromEventsDir(spark, sfDir), None)
+    }
+    val api = new HttpApi(spark, new PromQLEngine(spark, samples), sink, port)
+    api.start()
+    println(s"listening on :${api.boundPort} (mode=$mode, data=$sfDir)")
+    Thread.currentThread().join() // serve until killed
+  }
+}
