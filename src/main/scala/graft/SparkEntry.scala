@@ -683,13 +683,24 @@ object SparkEntry {
          |)
          |SELECT event_type, user_id, t, CAST(s1 AS REAL) AS v
          |FROM it WHERE i = len(vs)""".stripMargin,
+    // mirrors linearRegression's naive-sums formula (functions.go:
+    // 620-666) term by term: the reference anchors x at the EVAL time,
+    // which is ill-conditioned, so DuckDB's numerically-stable regr_*
+    // diverges beyond float32 on long windows — the oracle must cancel
+    // the same way the engine does
     "f8_predict_linear" ->
-      s"""WITH $STEPS, $S, ${windowSql(2 * DAY)}
+      s"""WITH $STEPS, $S, ${windowSql(2 * DAY)},
+         |s4 AS (SELECT event_type, user_id, t, CAST(count(*) AS DOUBLE) AS n,
+         |       sum((st - t) / 1000.0) AS sx, sum(v) AS sy,
+         |       sum(((st - t) / 1000.0) * v) AS sxy,
+         |       sum(((st - t) / 1000.0) * ((st - t) / 1000.0)) AS sxx
+         |       FROM w GROUP BY 1, 2, 3
+         |       HAVING count(*) >= 2 AND count(DISTINCT st) >= 2),
+         |sl AS (SELECT *, (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope
+         |       FROM s4)
          |SELECT event_type, user_id, t,
-         |  CAST(regr_slope(v, (st - t) / 1000.0) * 3600
-         |       + regr_intercept(v, (st - t) / 1000.0) AS REAL) AS v
-         |FROM w GROUP BY 1, 2, 3
-         |HAVING count(*) >= 2 AND count(DISTINCT st) >= 2""".stripMargin,
+         |  CAST(slope * 3600 + (sy / n - slope * sx / n) AS REAL) AS v
+         |FROM sl""".stripMargin,
     "g3_log2_log10" ->
       s"""WITH $STEPS, $S, ${windowSql(DAY)}
          |SELECT event_type, t,

@@ -656,10 +656,15 @@ class PromQLEngine(
       .select(col("_gs").as(SIG), col(L), col(T), col(T).as(ST), col(V))
   }
 
-  /** Fold-style functions eligible for the bucketed fast path. */
+  /** Fold-style functions eligible for the bucketed fast path.
+    * stddev/stdvar are deliberately EXCLUDED: the partial-mergeable
+    * sumsq/n − mean² form cancels catastrophically when variance ≪
+    * mean² (observed: 5e-8 relative error at sf0.1, above float32
+    * resolution), while the general path uses Spark's Welford-stable
+    * var_pop. A Chan-style centered-partial merge could restore them
+    * if the fan-out ever matters for variance queries. */
   private val bucketFoldFuncs = Set("sum_over_time", "avg_over_time",
-    "count_over_time", "min_over_time", "max_over_time",
-    "stddev_over_time", "stdvar_over_time")
+    "count_over_time", "min_over_time", "max_over_time")
 
   /** Step-aligned bucketed evaluation of the fold-style `*_over_time`
     * functions.
