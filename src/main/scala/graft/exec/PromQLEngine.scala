@@ -287,6 +287,9 @@ class PromQLEngine(
         else grouped(percentile(col(V), lit(q)))
       case "topk" | "bottomk" =>
         val k = constParam(agg.param, agg.op).toInt
+        if (k < 1) // engine.go:1259-1262: non-positive k → empty vector
+          return prepared.filter(lit(false))
+            .select(col(SIG), col(L), col(T), col(ST), col(V))
         // bounded per-group heap like the reference (engine.go:1364-1384),
         // as a partial+merge Aggregator: O(k·groups) memory and shuffle,
         // never a single-partition window. NaN always loses; exact value
@@ -612,9 +615,17 @@ class PromQLEngine(
     val Seq(vecArg, dstE, replE, srcE, regexE) = call.args
     val VecV(vdf) = (eval(vecArg, tr): @unchecked)
     val (dst, repl, src, regexStr) = (str(dstE), str(replE), str(srcE), str(regexE))
-    // fully anchored regex like the reference; $1/${name} expansion is
-    // shared Java/RE2 syntax (functions.go:779-823)
-    val pattern = java.util.regex.Pattern.compile("^(?:" + regexStr + ")$")
+    // validation order matches functions.go:788-794
+    val pattern =
+      try java.util.regex.Pattern.compile("^(?:" + regexStr + ")$")
+      catch {
+        case _: java.util.regex.PatternSyntaxException =>
+          throw new IllegalArgumentException(
+            s"invalid regular expression in label_replace(): $regexStr")
+      }
+    if (!Samples.isValidLabelName(dst))
+      throw new IllegalArgumentException(
+        s"invalid destination label name in label_replace(): $dst")
     val replaceUdf = udf { labels: Map[String, String] =>
       val srcVal = labels.getOrElse(src, "")
       val m = pattern.matcher(srcVal)
@@ -631,6 +642,13 @@ class PromQLEngine(
     val VecV(vdf) = (eval(call.args.head, tr): @unchecked)
     val dst = str(call.args(1)); val sep = str(call.args(2))
     val srcs = call.args.drop(3).map(str)
+    // functions.go:843-853
+    srcs.find(!Samples.isValidLabelName(_)).foreach(s =>
+      throw new IllegalArgumentException(
+        s"invalid source label name in label_join(): $s"))
+    if (!Samples.isValidLabelName(dst))
+      throw new IllegalArgumentException(
+        s"invalid destination label name in label_join(): $dst")
     val joinUdf = udf { labels: Map[String, String] =>
       val joined = srcs.map(s => labels.getOrElse(s, "")).mkString(sep)
       if (joined.isEmpty) labels - dst else labels + (dst -> joined)

@@ -47,6 +47,10 @@ object Samples {
           length(e.getField("value")), lit(":"), e.getField("value"))),
       ";")
 
+  /** Prometheus label-name validity (`model.LabelNameRE`). */
+  private val LabelNameRe = "^[a-zA-Z_][a-zA-Z0-9_]*$".r
+  def isValidLabelName(s: String): Boolean = LabelNameRe.matches(s)
+
   /** Driver-side twin of [[sigStr]] for sorting collected label sets. */
   def canonical(labels: Map[String, String]): String =
     labels.toSeq.sortBy(_._1)

@@ -160,7 +160,7 @@ private final class Parser(toks: Vector[Lexer.Token]) {
       expect(RPAREN, "')'")
       ParenExpr(e)
     case LBRACE => // nameless selector {job="x"}
-      VectorSelector(None, parseMatchers())
+      checkedSelector(None, parseMatchers())
     case IDENT =>
       val name = cur.text
       val lower = name.toLowerCase
@@ -171,9 +171,31 @@ private final class Parser(toks: Vector[Lexer.Token]) {
       else {
         next()
         val matchers = if (cur.typ == LBRACE) parseMatchers() else Nil
-        VectorSelector(Some(name), matchers)
+        checkedSelector(Some(name), matchers)
       }
     case _ => fail(s"unexpected '${cur.text}'")
+  }
+
+  /** Selector guards (parse.go:960-974): at least one matcher, and at
+    * least one matcher that does NOT match the empty string — prevents
+    * implicit selection of every series via e.g. `{x=~".*"}`. */
+  private def checkedSelector(name: Option[String],
+      matchers: Seq[LabelMatcher]): VectorSelector = {
+    val all = name
+      .map(n => LabelMatcher(MatchType.Eq, "__name__", n)).toSeq ++ matchers
+    if (all.isEmpty)
+      fail("vector selector must contain label matchers or metric name")
+    def matchesEmpty(m: LabelMatcher): Boolean = m.typ match {
+      case MatchType.Eq => m.value.isEmpty
+      case MatchType.NotEq => m.value.nonEmpty
+      case MatchType.Regex =>
+        try ("^(?:" + m.value + ")$").r.matches("") catch { case _: Exception => false }
+      case MatchType.NotRegex =>
+        try !("^(?:" + m.value + ")$").r.matches("") catch { case _: Exception => false }
+    }
+    if (all.forall(matchesEmpty))
+      fail("vector selector must contain at least one non-empty matcher")
+    VectorSelector(name, matchers)
   }
 
   private def parseAggregate(op: String): Expr = {

@@ -240,6 +240,16 @@ eval_fail instant at 50m rate(m)
 eval_fail instant at 50m m and 1
 
 eval_fail instant at 50m sum(m) + "a string"
+
+eval_fail instant at 50m {job=~".*"}
+
+eval_fail instant at 50m label_replace(m, "0bad", "x", "job", "(.*)")
+
+eval_fail instant at 50m label_join(m, "0bad", "-", "job")
+
+eval instant at 50m topk(0, m)
+
+eval instant at 50m m{nosuch!=""}
 """)
   }
 
