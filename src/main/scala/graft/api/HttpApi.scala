@@ -135,10 +135,33 @@ class HttpApi(spark: SparkSession, engine: PromQLEngine,
         }
     }
 
+  /** Admission: 20-slot gate + 2-minute evaluation timeout with real
+    * job cancellation (engine.go:1474-1503 / context timeout). Each
+    * request evaluates inside its own Spark job group; on timeout the
+    * group's running jobs are cancelled so executors stop working on
+    * an abandoned query. */
   private def gated[T](f: => T): T = {
     if (!gate.tryAcquire(HttpApi.QueueTimeoutMs, TimeUnit.MILLISECONDS))
       throw ApiError(503, "unavailable", "query queue is full")
-    try f finally gate.release()
+    val group = s"graft-api-${java.util.UUID.randomUUID()}"
+    val worker = new java.util.concurrent.FutureTask[T](() => {
+      spark.sparkContext.setJobGroup(group, "api query",
+        interruptOnCancel = true)
+      try f finally spark.sparkContext.clearJobGroup()
+    })
+    val t = new Thread(worker, group)
+    t.setDaemon(true)
+    t.start()
+    try worker.get(HttpApi.QueryTimeoutMs, TimeUnit.MILLISECONDS)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        spark.sparkContext.cancelJobGroup(group)
+        worker.cancel(true)
+        throw ApiError(503, "timeout",
+          "query timed out in expression evaluation")
+      case e: java.util.concurrent.ExecutionException =>
+        throw Option(e.getCause).getOrElse(e)
+    } finally gate.release()
   }
 
   // ---- JSON rendering ----------------------------------------------------
@@ -369,6 +392,7 @@ object HttpApi {
   /** Engine defaults (`cmd/timbala/main.go:218-223`). */
   val MaxConcurrent = 20
   val QueueTimeoutMs: Long = 120000L
+  val QueryTimeoutMs: Long = 120000L
   val MaxBodyBytes: Long = 10L * 1024 * 1024 // main.go:44
 
   private val LabelValuesRe = "^/api/v1/label/([^/]+)/values$".r
