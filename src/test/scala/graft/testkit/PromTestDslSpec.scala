@@ -44,6 +44,13 @@ eval instant at 50m quantile(0.5, http_requests)
 eval instant at 50m stddev(http_requests)
   {} 81.649658
 
+# scalar() of a multi-element vector is NaN (functions.go:352-365)
+eval instant at 50m scalar(http_requests)
+  {} NaN
+
+eval instant at 50m sum by () (http_requests)
+  {} 600
+
 eval_ordered instant at 50m sort_desc(http_requests)
   http_requests{job="app", instance="0"} 300
   http_requests{job="api", instance="1"} 200
@@ -127,6 +134,8 @@ eval instant at 50m vector(time())
 
 eval instant at 50m scalar(foo)
   {} 11
+
+eval_fail instant at 50m holt_winters(foo[20m], 2, 0.5)
 
 eval instant at 50m timestamp(foo)
   {job="a"} 3000
