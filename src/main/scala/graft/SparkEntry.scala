@@ -337,6 +337,16 @@ object SparkEntry {
           col("v").cast("float").as("v"))
     }),
 
+    // ---- composite end-to-end shapes (real dashboard queries) ----
+    // C1: topk over aggregated rate — selector → rate → sum by → topk
+    "c1_topk_rate" -> prom(
+      "topk(2, sum by (event_type) (rate(events_value[2d])))",
+      Seq("event_type"), f32 = true),
+    // C2: share-of-total via empty-on() many-to-one matching
+    "c2_rate_share" -> prom(
+      "sum by (event_type) (rate(events_value[2d])) / on() group_left sum(rate(events_value[2d]))",
+      Seq("event_type"), f32 = true),
+
     // ---- LLM-data-pipeline operators (documents/embeddings tables) ----
     // D1: exact dedup — content-hash groupBy, canonical id per group
     "d1_exact_dedup" -> ((spark, dir) =>
@@ -744,6 +754,20 @@ object SparkEntry {
          |    ELSE 100 END AS REAL) AS v
          |FROM q""".stripMargin,
 
+    "c1_topk_rate" ->
+      s"""${ratePipeline(isCounter = true, isRate = true)},
+         |byType AS (SELECT event_type, t, sum(v) AS sv FROM fin GROUP BY 1, 2),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY t
+         |       ORDER BY sv DESC, event_type) AS rn FROM byType)
+         |SELECT event_type, t, CAST(sv AS REAL) AS v
+         |FROM rk WHERE rn <= 2""".stripMargin,
+    "c2_rate_share" ->
+      s"""${ratePipeline(isCounter = true, isRate = true)},
+         |byType AS (SELECT event_type, t, sum(v) AS sv FROM fin GROUP BY 1, 2),
+         |tot AS (SELECT t, sum(sv) AS tv FROM byType GROUP BY 1)
+         |SELECT b.event_type, b.t, CAST(b.sv / tot.tv AS REAL) AS v
+         |FROM byType b JOIN tot ON b.t = tot.t""".stripMargin,
+
     // ---- LLM-data-pipeline oracles ----
     "d1_exact_dedup" ->
       """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
@@ -904,7 +928,10 @@ object SparkEntry {
 
   /** DuckDB formulation of the reference's extrapolatedRate
     * (promql/functions.go:50-141). */
-  private def rateOracle(isCounter: Boolean, isRate: Boolean, f32: Boolean): String = {
+  /** CTE pipeline ending in `fin(t, event_type, user_id, v)` — the
+    * reference's extrapolatedRate per series/step, reusable by the
+    * composite oracles. */
+  private def ratePipeline(isCounter: Boolean, isRate: Boolean): String = {
     val w = 2 * DAY
     val corr =
       if (isCounter) "sum(CASE WHEN v < pv THEN pv ELSE 0 END)" else "0"
@@ -938,7 +965,10 @@ object SparkEntry {
        |          + CASE WHEN durToStart2 < thresh THEN durToStart2 ELSE avgSpacing / 2 END
        |          + CASE WHEN durToEnd < thresh THEN durToEnd ELSE avgSpacing / 2 END)
        |          / sampledInterval)$div AS v
-       |        FROM ext2 WHERE sampledInterval > 0)
-       |SELECT event_type, user_id, t, CAST(v AS REAL) AS v FROM fin""".stripMargin
+       |        FROM ext2 WHERE sampledInterval > 0)""".stripMargin
   }
+
+  private def rateOracle(isCounter: Boolean, isRate: Boolean, f32: Boolean): String =
+    s"""${ratePipeline(isCounter, isRate)}
+       |SELECT event_type, user_id, t, CAST(v AS REAL) AS v FROM fin""".stripMargin
 }
