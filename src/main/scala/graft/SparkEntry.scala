@@ -417,7 +417,10 @@ object SparkEntry {
         .toDF().withColumn("mean_byte", col("mean_byte").cast("float"))),
     // M2: frame sampling over the binary payload
     "m2_frame_sample" -> ((spark, dir) =>
-      Multimodal.frameSample(Multimodal.mediaTable(docs(spark, dir)), 4))
+      Multimodal.frameSample(Multimodal.mediaTable(docs(spark, dir)), 4)),
+    // M3: resize stub — deterministic byte downsample
+    "m3_resize" -> ((spark, dir) =>
+      Multimodal.resizeStub(Multimodal.mediaTable(docs(spark, dir)), 4))
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -848,6 +851,11 @@ object SparkEntry {
         |  CAST(CAST(list_sum(list_transform(generate_series(1, len(text)),
         |    i -> ord(substr(text, i, 1)))) AS DOUBLE) / len(text) AS REAL)
         |    AS mean_byte
+        |FROM documents""".stripMargin,
+    "m3_resize" ->
+      """SELECT doc_id, lower(hex(encode(list_aggregate(
+        |  list_transform(generate_series(1, len(text), 4),
+        |    i -> substr(text, i, 1)), 'string_agg', '')))) AS resized_hex
         |FROM documents""".stripMargin,
     "m2_frame_sample" ->
       """WITH f AS (SELECT doc_id, text, len(text) // 32 AS nf FROM documents),

@@ -64,6 +64,21 @@ object Multimodal {
     }(Encoders.product[MediaFeatures])
   }
 
+  /** Resize stub: deterministic byte downsample (every `every`-th
+    * byte). A real implementation would decode + rescale via a codec;
+    * the Spark-side shape — map-only pass, output bytes shrink by the
+    * factor — is what matters at scale. */
+  def resizeStub(media: DataFrame, every: Int): DataFrame = {
+    val resize = udf { (b: Array[Byte], k: Int) =>
+      val out = new Array[Byte]((b.length + k - 1) / k)
+      var i = 0
+      while (i < out.length) { out(i) = b(i * k); i += 1 }
+      out
+    }
+    media.select(col("doc_id"),
+      lower(hex(resize(col("media"), lit(every)))).as("resized_hex"))
+  }
+
   /** Frame sampling: slice the payload into fixed-size frames and keep
     * every `every`-th full frame. Row count multiplies by frames/every;
     * byte volume DROPS by the sampling factor — at scale this runs as a
