@@ -41,6 +41,13 @@ class PromQLEngine(
     "PromQLEngine requires spark.sql.session.timeZone=UTC " +
       "(PromQL date functions are defined in UTC)")
 
+  // install the DIV-comparison pushdown rule (idempotent): lets the
+  // engine's time predicates prune parquet row groups through the
+  // nanos→ms adapter division (see graft.plans.IntDivPushdown)
+  if (!spark.experimental.extraOptimizations.contains(graft.plans.IntDivPushdown))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.IntDivPushdown
+
   /** Evaluation grid: instant = single step. */
   case class EvalRange(startMs: Long, endMs: Long, stepMs: Long) {
     require(stepMs > 0, "zero or negative query resolution step")
