@@ -20,7 +20,7 @@ import graft.promql.Parser
   * and every downstream operator is keyed by `(sig, t)` instead of `sig`.
   *
   * Vector DataFrames carry columns:
-  *   sig STRING      canonical series signature (groupable/joinable)
+  *   sig LONG        series signature, xxhash64 of the canonical labels
   *   labels MAP      full label set
   *   t LONG          step (evaluation) timestamp, ms
   *   st LONG         underlying sample timestamp, ms (for `timestamp()`)
@@ -116,7 +116,7 @@ class PromQLEngine(
       .collect().map(_.getString(0)).toSeq
 
   def instant(query: String, tsMs: Long): DataFrame =
-    finish(eval(Parser.parse(query), EvalRange(tsMs, tsMs, 1000)))
+    finish(evalRoot(Parser.parse(query), EvalRange(tsMs, tsMs, 1000)))
 
   def rangeQuery(query: String, startMs: Long, endMs: Long, stepMs: Long): DataFrame = {
     val expr = Parser.parse(query)
@@ -125,7 +125,7 @@ class PromQLEngine(
       case t => throw new IllegalArgumentException(
         s"invalid expression type $t for range query, must be scalar or instant vector")
     }
-    finish(eval(expr, EvalRange(startMs, endMs, stepMs)))
+    finish(evalRoot(expr, EvalRange(startMs, endMs, stepMs)))
   }
 
   /** Evaluate to the canonical (labels, t, v) result frame. */
@@ -218,12 +218,23 @@ class PromQLEngine(
     * and physical planning dedups their exchanges (ReuseExchange). This
     * is the common-subexpression reuse the tree-walking reference gets
     * for free from its per-node iterators — e.g.
-    * `max by(x)(m) - min by(x)(m)` scans/windows `m` once, not twice. */
-  private val memo =
-    scala.collection.mutable.HashMap.empty[(Expr, EvalRange), Value]
+    * `max by(x)(m) - min by(x)(m)` scans/windows `m` once, not twice.
+    *
+    * The memo is per-thread and cleared at each public entry point:
+    * reuse only matters WITHIN one query plan, the API server evaluates
+    * concurrent queries on a shared engine (a shared map would race),
+    * and an unbounded cross-query cache would leak in a long-running
+    * server. */
+  private val memo = ThreadLocal.withInitial(() =>
+    scala.collection.mutable.HashMap.empty[(Expr, EvalRange), Value])
+
+  private def evalRoot(e: Expr, tr: EvalRange): Value = {
+    memo.get().clear()
+    eval(e, tr)
+  }
 
   def eval(e: Expr, tr: EvalRange): Value =
-    memo.getOrElseUpdate((e, tr), evalImpl(e, tr))
+    memo.get().getOrElseUpdate((e, tr), evalImpl(e, tr))
 
   private def evalImpl(e: Expr, tr: EvalRange): Value = e match {
     case NumberLiteral(v) =>
