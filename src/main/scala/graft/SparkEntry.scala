@@ -142,6 +142,11 @@ object SparkEntry {
     "p2_instant_selector" -> prom(
       """events_value{event_type=~"click|view"}""",
       Seq("event_type", "user_id")),
+    // P2b: fine-grained grid (1m steps, 5m lookback) — exercises the
+    // bucketed instant-selector path (lookback/step = 5)
+    "p2_hires_selector" -> prom(
+      "events_value", Seq("event_type", "user_id"),
+      start = START, end = START + 6 * 3600000L, step = 60000L),
     // P3: range selector — all samples per window
     "p3_range_count" -> prom(
       "count_over_time(events_value[1d])", Seq("event_type", "user_id")),
@@ -440,6 +445,10 @@ object SparkEntry {
 
     "p2_instant_selector" ->
       s"""WITH $STEPS, $S, ${lookbackSql("AND s.event_type IN ('click','view')")}
+         |SELECT event_type, user_id, t, v FROM sel""".stripMargin,
+    "p2_hires_selector" ->
+      s"""WITH steps AS (SELECT unnest(generate_series($START, ${START + 6 * 3600000L}, 60000)) AS t),
+         |$S, ${lookbackSql()}
          |SELECT event_type, user_id, t, v FROM sel""".stripMargin,
     "p3_range_count" ->
       s"""WITH $STEPS, $S, ${windowSql(DAY)}

@@ -204,12 +204,79 @@ class PromQLEngine(
     * point excludes the series — older points are not resurrected
     * (engine.go:789-798 takes the latest point, then drops it if stale). */
   private def vectorSelect(vs: VectorSelector, tr: EvalRange): DataFrame =
-    windowed(vs, lookbackMs, tr, keepStale = true)
-      .groupBy(col(SIG), col(T))
+    if (lookbackMs >= 2 * tr.stepMs && lookbackMs % tr.stepMs == 0 &&
+      lookbackMs / tr.stepMs <= 512 && tr.numSteps >= 8)
+      bucketedSelect(vs, tr)
+    else
+      windowed(vs, lookbackMs, tr, keepStale = true)
+        .groupBy(col(SIG), col(T))
+        .agg(first(col(L)).as(L),
+          max_by(struct(col(ST), col(V), col("_stale")), col(ST)).as("_p"))
+        .filter(!col("_p._stale"))
+        .select(col(SIG), col(L), col(T), col("_p.st").as(ST), col("_p.v").as(V))
+
+  /** Bucketed instant selector for fine step grids: the general path
+    * explodes every sample onto lookback/step covering steps (20× at a
+    * 5 m lookback and 15 s steps — THE production monitoring shape).
+    * Here samples reduce to one latest-point partial per (series,
+    * bucket) first; only those fan out, and the per-step winner is the
+    * max-timestamp partial among covering buckets plus the at-start
+    * point of the step's own bucket. Staleness travels with the
+    * partial: the winner being a marker hides the series, exactly like
+    * the general path. */
+  private def bucketedSelect(vs: VectorSelector, tr: EvalRange): DataFrame = {
+    val step = tr.stepMs
+    val m = (lookbackMs / step).toInt
+    // (not bucketedBase: that drops stale rows, instant selection keeps them)
+    val hasStale = samples.columns.contains("stale")
+    val staleCol = if (hasStale) col("stale") else lit(false)
+    val o = vs.offsetMs
+    val anchor = tr.startMs - o
+    val base = {
+      val ms = allMatchers(vs)
+      val src = samples
+        .filter(ms.map(matcherCond).reduce(_ && _))
+        .filter(col(T) >= tr.startMs - o - lookbackMs &&
+          col(T) <= tr.endMs - o)
+      src.select(Samples.sigExpr(col(L)).as(SIG), col(L),
+        (col(T) - anchor).as("_rel"), col(V), staleCol.as("_st0"))
+    }
+    val b = bucketCol(step)
+    val isStart = pmod(col("_rel"), lit(step)) === 0
+    val partials = base
+      .withColumn("_b", b).withColumn("_s0", isStart)
+      .groupBy(col(SIG), col("_b"))
       .agg(first(col(L)).as(L),
-        max_by(struct(col(ST), col(V), col("_stale")), col(ST)).as("_p"))
-      .filter(!col("_p._stale"))
-      .select(col(SIG), col(L), col(T), col("_p.st").as(ST), col("_p.v").as(V))
+        max_by(struct(col("_rel").as("rel"), col(V).as("v"),
+          col("_st0").as("stale")), col("_rel")).as("lp"),
+        max_by(struct(col("_rel").as("rel"), col(V).as("v"),
+          col("_st0").as("stale")),
+          when(col("_s0"), col("_rel"))).as("sp"),
+        max(when(col("_s0"), 1).otherwise(0)).as("has0"))
+
+    val pType = "struct<rel:bigint,v:double,stale:boolean>"
+    val contribType = s"array<struct<k:bigint,p:$pType>>"
+    val lo = greatest(col("_b") + 1, lit(0L))
+    val hi = least(col("_b") + m, lit(tr.numSteps - 1))
+    val fullSeq = when(lo <= hi, sequence(lo, hi, lit(1L)))
+      .otherwise(array().cast("array<bigint>"))
+    val fullContrib = transform(fullSeq,
+      k => struct(k.as("k"), col("lp").as("p")))
+    val startContrib =
+      when(col("_b").between(0, tr.numSteps - 1) && col("has0") === 1,
+        array(struct(col("_b").as("k"), col("sp").as("p"))))
+        .otherwise(array().cast(contribType))
+    partials
+      .select(col(SIG), col(L), explode(concat(
+        fullContrib.cast(contribType), startContrib)).as("_c"))
+      .groupBy(col(SIG), col("_c.k").as("_k"))
+      .agg(first(col(L)).as(L),
+        max_by(col("_c.p"), col("_c.p.rel")).as("_w"))
+      .filter(!col("_w.stale"))
+      .withColumn(T, lit(tr.startMs) + col("_k") * step)
+      .select(col(SIG), col(L), col(T),
+        (col("_w.rel") + anchor).as(ST), col("_w.v").as(V))
+  }
 
   // ---------- evaluation ----------
 

@@ -431,6 +431,26 @@ class PromQLEngineSpec extends SparkTestBase {
     }
   }
 
+  test("bucketed instant selector equals per-step evaluation incl. staleness") {
+    val s = 60000L
+    // lookback 5m, step 1m → m=5, bucketed path on range queries;
+    // boundary samples, gaps, and a stale marker mid-series
+    val f = samplesDF(
+      Map("__name__" -> "sel", "i" -> "1") ->
+        Seq((0L, 1.0), (2 * s, 2.0), (5 * s, 5.0), (9 * s + 7000, 9.0),
+          (15 * s, 15.0)),
+      Map("__name__" -> "sel", "i" -> "2") ->
+        Seq((0L, 10.0), (4 * s, 40.0), (6 * s, graft.model.Samples.StaleNaN),
+          (12 * s + 1, 120.0)))
+    val e = new PromQLEngine(spark, f)
+    val ranged = resultMap(e.rangeQuery("sel", 8 * s, 20 * s, s))
+    val perStep = (8 to 20).flatMap(k => resultMap(e.instant("sel", k * s))).toMap
+    assert(ranged == perStep)
+    // the stale marker hides series 2 until 12m+1ms arrives
+    assert(!ranged.contains(("__name__=sel,i=2", 10 * s)))
+    assert(ranged(("__name__=sel,i=2", 13 * s)) == 120.0)
+  }
+
   test("topk is deterministic under exact value ties") {
     val f = samplesDF(
       Map("__name__" -> "t", "k" -> "a") -> Seq((0L, 7.0)),
