@@ -960,6 +960,62 @@ class PromQLEngine(
       .transform(reSig)
   }
 
+  /** Bucketed `irate`/`idelta`: only the two newest points of each
+    * window matter, so each bucket keeps its two latest points (a
+    * rank-2 window filter, one shuffle) and steps pick the two globally
+    * latest among covering-bucket candidates — ≤ 2(m+1) candidate rows
+    * per step instead of every sample. */
+  private def bucketedInstant(selector: VectorSelector, w: Long,
+      tr: EvalRange, isRate: Boolean): DataFrame = {
+    val step = tr.stepMs
+    val m = (w / step).toInt
+    val base = bucketedBase(selector, w, tr)
+    val b = bucketCol(step)
+    val isStart = pmod(col("_rel"), lit(step)) === 0
+    val wspec = Window.partitionBy(col(SIG), col("_b"))
+      .orderBy(col("_rel").desc)
+    val top2 = base
+      .withColumn("_b", b).withColumn("_s0", isStart)
+      .withColumn("_rn", row_number().over(wspec))
+      .filter(col("_rn") <= 2 || col("_s0"))
+    val partials = top2
+      .groupBy(col(SIG), col("_b"))
+      .agg(first(col(L)).as(L),
+        collect_list(when(col("_rn") <= 2,
+          struct(col("_rel").as("rel"), col(V).as("v")))).as("last2"),
+        max(when(col("_s0"), 1).otherwise(0)).as("has0"),
+        max(when(col("_s0"),
+          struct(col("_rel").as("rel"), col(V).as("v")))).as("sp"))
+
+    val pType = "array<struct<rel:bigint,v:double>>"
+    val contribType = s"array<struct<k:bigint,ps:$pType>>"
+    val lo = greatest(col("_b") + 1, lit(0L))
+    val hi = least(col("_b") + m, lit(tr.numSteps - 1))
+    val fullSeq = when(lo <= hi, sequence(lo, hi, lit(1L)))
+      .otherwise(array().cast("array<bigint>"))
+    val fullContrib = transform(fullSeq,
+      k => struct(k.as("k"), col("last2").as("ps")))
+    val startContrib =
+      when(col("_b").between(0, tr.numSteps - 1) && col("has0") === 1,
+        array(struct(col("_b").as("k"), array(col("sp")).as("ps"))))
+        .otherwise(array().cast(contribType))
+    partials
+      .select(col(SIG), col(L), explode(concat(
+        fullContrib.cast(contribType), startContrib)).as("_c"))
+      .select(col(SIG), col(L), col("_c.k").as("_k"),
+        explode(col("_c.ps")).as("_p"))
+      .groupBy(col(SIG), col("_k"))
+      .agg(first(col(L)).as(L),
+        collect_list(col("_p")).as("_cands"))
+      .withColumn(V,
+        PromUdfs.instantFromCandidatesUdf(col("_cands"), lit(isRate)))
+      .filter(col(V).isNotNull)
+      .withColumn(T, lit(tr.startMs) + col("_k") * step)
+      .select(col(SIG), Samples.dropMetricName(col(L)).as(L), col(T),
+        col(T).as(ST), col(V))
+      .transform(reSig)
+  }
+
   /** Range-vector functions: window per (series, step) then aggregate. */
   private def evalRangeFunc(call: Call, tr: EvalRange): DataFrame = {
     val name = call.func.name
@@ -986,6 +1042,9 @@ class PromQLEngine(
     if (bucketable && (name == "rate" || name == "increase" || name == "delta"))
       return bucketedRate(ms.selector, ms.rangeMs, tr,
         isCounter = name != "delta", isRate = name == "rate")
+    if (bucketable && (name == "irate" || name == "idelta"))
+      return bucketedInstant(ms.selector, ms.rangeMs, tr,
+        isRate = name == "irate")
 
     lazy val win = windowed(ms.selector, ms.rangeMs, tr)
     val consts = scalarArgs.map(a => constFold(a).getOrElse(

@@ -117,6 +117,31 @@ object PromUdfs {
          rangeMs: Long, isCounter: Boolean, isRate: Boolean) =>
       ratePartials(parts, rangeStartRel, rangeEndRel, rangeMs, isCounter, isRate))
 
+  /** `irate`/`idelta` from per-bucket candidate points: each covering
+    * bucket contributed its (up to) two latest points; pick the two
+    * globally latest and apply the instant-value formula
+    * (`promql/functions.go:145-191`). Candidate rows are (t, v). */
+  def instantFromCandidates(cands: Seq[Row], isRate: Boolean): Option[Double] = {
+    if (cands.length < 2) return None
+    var t1 = Long.MinValue; var v1 = 0.0 // latest
+    var t2 = Long.MinValue; var v2 = 0.0 // second latest
+    cands.foreach { r =>
+      val t = r.getLong(0); val v = r.getDouble(1)
+      if (t > t1) { t2 = t1; v2 = v1; t1 = t; v1 = v }
+      else if (t > t2) { t2 = t; v2 = v }
+    }
+    if (t2 == Long.MinValue || t1 == t2) return None
+    var resultValue =
+      if (isRate && v1 < v2) v1 // counter reset
+      else v1 - v2
+    if (isRate) resultValue /= (t1 - t2).toDouble / 1000
+    Some(resultValue)
+  }
+
+  val instantFromCandidatesUdf: UserDefinedFunction =
+    udf((cands: Seq[Row], isRate: Boolean) =>
+      instantFromCandidates(cands, isRate))
+
   /** `irate`/`idelta` — last two points (`promql/functions.go:145-191`). */
   def instantValue(points: Seq[Row], isRate: Boolean): Option[Double] = {
     val p = pts(points)

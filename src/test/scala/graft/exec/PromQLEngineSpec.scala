@@ -406,6 +406,24 @@ class PromQLEngineSpec extends SparkTestBase {
     }
   }
 
+  test("bucketed irate/idelta equals per-step evaluation") {
+    val s = 60000L
+    val vals = Seq(0.0, 10, 20, 5, 15, 25, 2, 12, 22, 32, 8, 18, 28, 38,
+      48, 1, 11, 21, 31, 41, 51)
+    val f = samplesDF(
+      Map("__name__" -> "iv", "i" -> "a") ->
+        vals.zipWithIndex.map { case (v, k) => (k * s, v) },
+      Map("__name__" -> "iv", "i" -> "b") ->
+        vals.zipWithIndex.map { case (v, k) => (k * s + 13000, v * 3) })
+    val e = new PromQLEngine(spark, f)
+    for (fn <- Seq("irate", "idelta")) {
+      val q = s"$fn(iv[5m])"
+      val ranged = resultMap(e.rangeQuery(q, 8 * s, 20 * s, s))
+      val perStep = (8 to 20).flatMap(k => resultMap(e.instant(q, k * s))).toMap
+      assert(ranged == perStep, s"$fn mismatch")
+    }
+  }
+
   test("bucketed rate/increase/delta equals per-step evaluation incl. counter resets") {
     val s = 60000L
     // counter with resets placed both inside buckets and across bucket
