@@ -97,6 +97,29 @@ class IngestSpec extends SparkTestBase {
     assert(first.getAs[Double]("mx") == 4.0)
   }
 
+  test("storage footprint stays within a sane bytes-per-sample budget") {
+    // reference design target is ~1.37 B/sample with Gorilla chunks
+    // (docs/assumptions.md:39-41); parquet with dictionary + delta
+    // encodings won't match that, but must stay in the same order of
+    // magnitude for the 100 TB story. Shape mirrors the reference bench
+    // harness: few labels, monotone-ish timestamps, float values.
+    val n = 50000
+    val series = 50
+    val edge = spark.range(n).as[Long].map { i =>
+      Ingest.WriteSample(
+        Map("__name__" -> "bench_metric", "inst" -> (i % series).toString),
+        i * 1000L, math.sin(i.toDouble / 100) * 100)
+    }
+    val path = tmp("ingest-size")
+    Ingest.append(Ingest.canonicalize(edge), path)
+    def dirBytes(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles).map(_.map(dirBytes).sum).getOrElse(0L)
+    val bytesPerSample = dirBytes(new java.io.File(path)).toDouble / n
+    info(f"bytes/sample: $bytesPerSample%.2f")
+    assert(bytesPerSample < 40.0, f"parquet footprint $bytesPerSample%.1f B/sample")
+  }
+
   test("date partitioning prunes by time predicate") {
     val path = tmp("ingest-part")
     val edge = Seq(
