@@ -6,7 +6,6 @@ import java.util.concurrent.{Executors, Semaphore, TimeUnit}
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 import graft.exec.{PromQLEngine, PromUdfs}
 import graft.model.Samples

@@ -329,7 +329,7 @@ class PromQLEngine(
         VecV(reSig(df.withColumn(V, -col(V))
           .withColumn(L, Samples.dropMetricName(col(L)))))
       case v: VecV => v
-      case StrV(_) => throw new IllegalArgumentException(
+      case _ => throw new IllegalArgumentException(
         "unary expression only allowed on expressions of type scalar or instant vector")
     }
 
@@ -918,9 +918,6 @@ class PromQLEngine(
         max(when(col("_s0"), col(V))).as("v0"),
         max(when(col("_s0"), 1).otherwise(0)).as("has0"))
 
-    val contribType =
-      "array<struct<b:bigint,ft:bigint,fv:double,lt:bigint,lv:double," +
-        "corr:double,cnt:bigint>>"
     val lo = greatest(col("_b") + 1, lit(0L))
     val hi = least(col("_b") + m, lit(tr.numSteps - 1))
     val fullSeq = when(lo <= hi, sequence(lo, hi, lit(1L)))
