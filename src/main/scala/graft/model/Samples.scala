@@ -122,4 +122,23 @@ object Samples {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     fromEvents(spark.read.parquet(s"$sfDir/events.parquet"))
   }
+
+  /** Batch source for the write wire format (one JSON object per line:
+    * `{"labels":{...},"t":ms,"v":x,"stale":bool}`; `v` may be a number
+    * or the strings "NaN"/"+Inf"/"-Inf"). Declaring `v` as STRING makes
+    * Spark's JSON reader preserve numeric literals textually, so both
+    * encodings parse through one branch. */
+  def fromJsonLines(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read
+      .schema("labels MAP<STRING,STRING>, t BIGINT, v STRING, stale BOOLEAN")
+      .json(path)
+    val vParsed = expr(
+      """CASE v WHEN 'NaN' THEN cast('NaN' as double)
+        |  WHEN '+Inf' THEN cast('Infinity' as double)
+        |  WHEN 'Inf' THEN cast('Infinity' as double)
+        |  WHEN '-Inf' THEN cast('-Infinity' as double)
+        |  ELSE cast(v as double) END""".stripMargin)
+    raw.select(col("labels"), col("t"), vParsed.as("v"),
+      coalesce(col("stale"), lit(false)).as("stale"))
+  }
 }

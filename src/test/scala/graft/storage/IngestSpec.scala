@@ -97,6 +97,28 @@ class IngestSpec extends SparkTestBase {
     assert(first.getAs[Double]("mx") == 4.0)
   }
 
+  test("JSON-lines batch source parses the write wire format") {
+    val dir = tmp("jsonl")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "w.jsonl"),
+      """{"labels":{"__name__":"j","k":"1"},"t":0,"v":1.5}
+        |{"labels":{"__name__":"j","k":"1"},"t":60000,"v":"NaN"}
+        |{"labels":{"__name__":"j","k":"2"},"t":0,"v":"+Inf","stale":false}
+        |{"labels":{"__name__":"j","k":"3"},"t":0,"v":"NaN","stale":true}
+        |""".stripMargin)
+    val df = graft.model.Samples.fromJsonLines(spark, dir)
+    val rows = df.orderBy("t").collect()
+    assert(rows.length == 4)
+    assert(rows.exists(r => r.getDouble(2) == 1.5))
+    assert(rows.exists(r => r.getDouble(2).isPosInfinity))
+    assert(df.filter(col("stale")).count() == 1)
+    // engine query over the parsed source: stale series hidden
+    val e = new PromQLEngine(spark, df)
+    val r = resultMap(e.instant("""j{k="2"}""", 0L))
+    assert(r(("__name__=j,k=2", 0L)).isPosInfinity)
+    assert(e.instant("""j{k="3"}""", 0L).count() == 0)
+  }
+
   test("storage footprint stays within a sane bytes-per-sample budget") {
     // reference design target is ~1.37 B/sample with Gorilla chunks
     // (docs/assumptions.md:39-41); parquet with dictionary + delta
