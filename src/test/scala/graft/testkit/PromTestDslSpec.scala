@@ -101,6 +101,30 @@ eval instant at 50m foo unless bar
 
 eval instant at 50m foo and on(job) bar
   foo{job="a"} 11
+
+# ignoring(job) leaves an empty matching signature on both sides
+eval instant at 50m foo + ignoring(job) bar
+  {} 33
+
+# vector-vector comparison with bool returns 0/1, drops __name__
+eval instant at 50m foo >= bool bar
+  {job="a"} 0
+
+eval instant at 50m foo < bool bar
+  {job="a"} 1
+""")
+  }
+
+  test("group_right mirrors group_left with sides swapped") {
+    run("""
+load 5m
+  req{job="a", inst="1"} 0+10x10
+  req{job="a", inst="2"} 0+20x10
+  info{job="a", ver="v1"} 2+0x10
+
+eval instant at 50m info * on(job) group_right(ver) req
+  {job="a", inst="1", ver="v1"} 200
+  {job="a", inst="2", ver="v1"} 400
 """)
   }
 
