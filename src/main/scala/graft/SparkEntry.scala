@@ -361,7 +361,7 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docs(spark, dir), 3, 0.5)
         .withColumn("jaccard", col("jaccard").cast("float"))),
     // D3: MinHash-LSH banded near-dup, exact-verified (scale path;
-    // output equals D2 up to banding miss prob ~1e-8)
+    // output equals D2 up to banding miss prob ~2e-4 at s=0.5, r=3/b=64)
     "d3_minhash_lsh" -> ((spark, dir) =>
       Dedup.minhashLshPairs(docs(spark, dir), 3, 0.5)
         .withColumn("jaccard", col("jaccard").cast("float"))),

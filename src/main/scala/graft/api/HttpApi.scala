@@ -244,10 +244,12 @@ class HttpApi(spark: SparkSession, engine: PromQLEngine,
         "end timestamp must not be before start time")
     val stepSec = parseDurationSec(one(p, "step").getOrElse(
       throw ApiError(400, "bad_data", "missing parameter 'step'")), "step")
-    if (stepSec <= 0)
+    // check AFTER rounding: a step in (0, 0.0005] rounds to 0 ms and
+    // would otherwise divide by zero in the resolution-cap check below
+    val stepMs = (stepSec * 1000).round
+    if (stepMs <= 0)
       throw ApiError(400, "bad_data",
         "zero or negative query resolution step width")
-    val stepMs = (stepSec * 1000).round
     // api.go:211-216 — 11,000 points per series cap
     if ((end - start) / stepMs > 11000)
       throw ApiError(400, "bad_data",
@@ -289,7 +291,7 @@ class HttpApi(spark: SparkSession, engine: PromQLEngine,
     val name = m.group(1)
     if (!HttpApi.LabelNameRe.matches(name))
       throw ApiError(400, "bad_data", s"invalid label name: $name")
-    val values = engine.labelValues(name)
+    val values = gated { engine.labelValues(name) }
     envelope0(values.sorted.map(v => s""""${esc(v)}"""").mkString("[", ",", "]"))
   }
 
@@ -323,59 +325,105 @@ class HttpApi(spark: SparkSession, engine: PromQLEngine,
     """{"status":"success","data":null}"""
   }
 
-  /** Minimal parser for the write line format (flat JSON, no nesting
-    * beyond the labels object). */
+  /** Parser for the write line format. Uses a real JSON parser (Jackson,
+    * already on Spark's classpath) so escaped quotes and braces inside
+    * label values round-trip exactly with the export endpoint's
+    * serialization; malformed lines are rejected with 400, never
+    * silently truncated. */
   private def parseWriteLine(line: String): (Map[String, String], Long, Double, Boolean) =
     try {
-      val labels = HttpApi.LabelPairRe.findAllMatchIn(
-        HttpApi.LabelsObjRe.findFirstMatchIn(line).get.group(1))
-        .map(m => m.group(1) -> m.group(2)).toMap
-      val t = HttpApi.TFieldRe.findFirstMatchIn(line).get.group(1).toLong
-      val vs = HttpApi.VFieldRe.findFirstMatchIn(line).get.group(1)
-      val stale = HttpApi.StaleFieldRe.findFirstMatchIn(line).exists(_.group(1) == "true")
-      val v = vs match {
-        case "\"NaN\"" => Double.NaN
-        case "\"+Inf\"" => Double.PositiveInfinity
-        case "\"-Inf\"" => Double.NegativeInfinity
-        case x => x.toDouble
-      }
-      (labels, t, v, stale)
+      import scala.jdk.CollectionConverters._
+      val node = HttpApi.jsonMapper.readTree(line)
+      require(node != null && node.isObject, "line is not a JSON object")
+      val labelsNode = node.get("labels")
+      require(labelsNode != null && labelsNode.isObject, "missing labels object")
+      val labels = labelsNode.fields().asScala.map { e =>
+        require(e.getValue.isTextual, s"label ${e.getKey} is not a string")
+        e.getKey -> e.getValue.asText()
+      }.toMap
+      val tn = node.get("t")
+      require(tn != null && tn.canConvertToLong && tn.isIntegralNumber,
+        "t is not an integer timestamp")
+      val vn = node.get("v")
+      require(vn != null, "missing v")
+      val v =
+        if (vn.isNumber) vn.asDouble()
+        else if (vn.isTextual) vn.asText() match {
+          case "NaN" => Double.NaN
+          case "+Inf" | "Inf" => Double.PositiveInfinity
+          case "-Inf" => Double.NegativeInfinity
+          case s => s.toDouble // "1.5" — Go clients marshal floats as strings
+        }
+        else throw new IllegalArgumentException("v is neither number nor string")
+      val sn = node.get("stale")
+      require(sn == null || sn.isBoolean, "stale is not a boolean")
+      (labels, tn.asLong(), v, sn != null && sn.asBoolean())
     } catch {
       case _: Exception =>
         throw ApiError(400, "bad_data", s"cannot parse write line: $line")
     }
 
   /** Streaming responses (chunked) for endpoints whose result must not
-    * be materialized on the driver. */
-  private def streamingHandler(f: (HttpExchange, java.io.OutputStream) => Unit)
+    * be materialized on the driver. `prepare` runs BEFORE the response
+    * headers go out, so parameter-validation and engine failures still
+    * return a proper error envelope (400/422/...); only once the writer
+    * starts (first byte committed to a 200 chunked response) do we
+    * switch to the swallow-and-close path. */
+  private def streamingHandler(prepare: HttpExchange => java.io.OutputStream => Unit)
       : com.sun.net.httpserver.HttpHandler =
     (ex: HttpExchange) => {
-      try {
-        ex.getResponseHeaders.set("Content-Type", "application/json")
-        ex.sendResponseHeaders(200, 0) // chunked
-        f(ex, ex.getResponseBody)
-      } catch {
-        case _: Exception => // headers already sent; close the stream
-      } finally ex.close()
+      val writerOrError =
+        try Right(prepare(ex))
+        catch {
+          case ApiError(status, typ, msg) => Left((status,
+            s"""{"status":"error","errorType":"${esc(typ)}","error":"${esc(msg)}"}"""))
+          case e: Exception => Left((422,
+            s"""{"status":"error","errorType":"execution","error":"${esc(String.valueOf(e.getMessage))}"}"""))
+        }
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      writerOrError match {
+        case Left((code, body)) =>
+          val bytes = body.getBytes(UTF_8)
+          ex.sendResponseHeaders(code, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        case Right(write) =>
+          try {
+            ex.sendResponseHeaders(200, 0) // chunked
+            write(ex.getResponseBody)
+          } catch {
+            case _: Exception => // headers already sent; close the stream
+          } finally ex.close()
+      }
     }
 
   /** Raw-sample egress, the remote-read stand-in (S5,
     * `internal/read/read.go:45-126`; JSON lines instead of
     * snappy+protobuf — offline-reproducible wire format). Rows stream
-    * through `toLocalIterator`, so the driver never holds the result. */
-  private def handleExport(ex: HttpExchange, out: java.io.OutputStream): Unit = {
+    * through `toLocalIterator`, so the driver never holds the result.
+    * Validation, planning, and the first-partition fetch run inside the
+    * admission gate (and its job group); the remaining partition fetches
+    * stream ungated — they are driver-paced single-partition jobs. */
+  private def handleExport(ex: HttpExchange): java.io.OutputStream => Unit = {
     val p = params(ex)
     val matcher = one(p, "match[]").getOrElse(
       throw ApiError(400, "bad_data", "no match[] parameter provided"))
+    parseOr400(matcher) // invalid selectors are bad_data, not execution
     val start = one(p, "start").map(parseTime(_, "start"))
     val end = one(p, "end").map(parseTime(_, "end"))
-    val it = engine.rawSamples(matcher, start, end).toLocalIterator()
-    while (it.hasNext) {
-      val r = it.next()
-      val labels = r.getMap[String, String](0).toMap
-      val line = s"""{"labels":${metricJson(labels)},"t":${r.getLong(1)},""" +
-        s""""v":"${PromUdfs.goFormatFloat(r.getDouble(2))}"}""" + "\n"
-      out.write(line.getBytes(UTF_8))
+    val it = gated {
+      val i = engine.rawSamples(matcher, start, end).toLocalIterator()
+      i.hasNext // force plan + first partition inside the gate
+      i
+    }
+    out => {
+      while (it.hasNext) {
+        val r = it.next()
+        val labels = r.getMap[String, String](0).toMap
+        val line = s"""{"labels":${metricJson(labels)},"t":${r.getLong(1)},""" +
+          s""""v":"${PromUdfs.goFormatFloat(r.getDouble(2))}"}""" + "\n"
+        out.write(line.getBytes(UTF_8))
+      }
     }
   }
 
@@ -396,9 +444,5 @@ object HttpApi {
 
   private val LabelValuesRe = "^/api/v1/label/([^/]+)/values$".r
   private val LabelNameRe = "^[a-zA-Z_][a-zA-Z0-9_]*$".r
-  private val LabelsObjRe = "\"labels\"\\s*:\\s*\\{([^}]*)\\}".r
-  private val LabelPairRe = "\"([^\"]+)\"\\s*:\\s*\"([^\"]*)\"".r
-  private val TFieldRe = "\"t\"\\s*:\\s*(-?\\d+)".r
-  private val VFieldRe = "\"v\"\\s*:\\s*(\"[^\"]*\"|[-+0-9.eE]+)".r
-  private val StaleFieldRe = "\"stale\"\\s*:\\s*(true|false)".r
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 }

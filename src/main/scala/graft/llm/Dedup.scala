@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   *    frequency is bounded. This is the CORRECTNESS baseline the banded
   *    variants are verified against.
   *  - [[minhashLshPairs]]: MinHash signatures + banded LSH. Shuffle per
-  *    doc = 128 longs (signature) + `bands` bucket keys; candidate pairs
+  *    doc = 192 longs (signature) + `bands` bucket keys; candidate pairs
   *    are verified with the exact Jaccard so output equals the baseline
-  *    with miss probability (1 - s^r)^b (~1e-8 at s=0.5, r=2, b=64).
-  *    At 100 TB: docs×(128+64) longs ≈ small % of input — this is the
+  *    with miss probability (1 - s^r)^b (~2e-4 at s=0.5, r=3, b=64;
+  *    ~1.7e-7 at s=0.6 — see minhashLshPairs for the r=3 rationale).
+  *    At 100 TB: docs×(192+64) longs ≈ small % of input — this is the
   *    scale path.
   *  - [[simhashPairs]]: 64-bit SimHash + 4×16-bit band join. By the
   *    pigeonhole principle any pair within Hamming distance 3 shares at

@@ -122,6 +122,46 @@ class HttpApiSpec extends SparkTestBase {
     assert(lines(2).contains(""""t":120000,"v":"200""""))
   }
 
+  test("guards: sub-millisecond step rounds to 0 and is rejected as bad_data") {
+    val (c, b) = get("/api/v1/query_range?query=x&start=0&end=100&step=0.0004")
+    assert(c == 400 && b.contains("zero or negative query resolution step"))
+  }
+
+  test("export guard failures return a 400 envelope, not an empty 200") {
+    val (c1, b1) = get("/api/v1/export")
+    assert(c1 == 400, s"body: $b1")
+    assert(b1.contains("\"errorType\":\"bad_data\"") &&
+      b1.contains("no match[] parameter provided"))
+    val (c2, b2) = get("/api/v1/export?match[]=sum%28")
+    assert(c2 == 400, s"body: $b2")
+    assert(b2.contains("\"status\":\"error\""))
+  }
+
+  test("write lines with escaped quotes and braces in label values round-trip") {
+    val line =
+      """{"labels":{"__name__":"esc_metric","q":"say \"hi\"","b":"a}b"},"t":0,"v":7}"""
+    val (code, body) = post("/api/v1/write", line)
+    assert(code == 200, s"body: $body")
+    val table = Ingest.readTable(spark, tablePath)
+    val engine2 = new PromQLEngine(spark, table)
+    val rows = engine2.instant("esc_metric", 0L).collect()
+    assert(rows.length == 1)
+    val labels = rows(0).getMap[String, String](0)
+    assert(labels("q") == "say \"hi\"" && labels("b") == "a}b")
+    assert(rows(0).getDouble(2) == 7.0)
+  }
+
+  test("malformed write lines are rejected with 400, never silently mangled") {
+    val (c1, _) = post("/api/v1/write", """{"labels":{"a":1},"t":0,"v":1}""")
+    assert(c1 == 400) // non-string label value
+    val (c2, _) = post("/api/v1/write", """{"labels":{"a":"b"},"t":1.5,"v":1}""")
+    assert(c2 == 400) // non-integral timestamp
+    val (c3, _) = post("/api/v1/write", """not json at all""")
+    assert(c3 == 400)
+    val (c4, _) = post("/api/v1/write", """{"labels":{"a":"b"},"t":0}""")
+    assert(c4 == 400) // missing v
+  }
+
   test("write-then-query-back round trip (acceptance_test.go:124-161)") {
     val lines =
       """{"labels":{"__name__":"wr_metric","src":"api"},"t":0,"v":41.5}
