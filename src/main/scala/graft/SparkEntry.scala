@@ -372,6 +372,13 @@ object SparkEntry {
     "d5_embed_dup" -> ((spark, dir) =>
       Similarity.brutePairs(emb(spark, dir), 0.45, dim = 64)
         .withColumn("cos", col("cos").cast("float"))),
+    // D6: duplicate clustering — connected components (alternating
+    // large-star/small-star) over the exact near-dup pair graph; every
+    // doc labeled with its component-min cluster id + cluster size
+    "d6_dup_clusters" -> ((spark, dir) =>
+      Dedup.dupClusters(docs(spark, dir),
+        Dedup.ngramJaccardPairs(docs(spark, dir), 3, 0.5)
+          .select(col("ia"), col("ib")))),
     // X1: brute-force cosine top-k neighbours of the first 10 vectors
     "x1_sim_topk" -> ((spark, dir) =>
       Similarity.topK(emb(spark, dir).filter(col("vec_id") < 10),
@@ -789,6 +796,7 @@ object SparkEntry {
         |FROM h JOIN g USING (content_hash)""".stripMargin,
     "d2_ngram_jaccard" -> ngramJaccardOracle,
     "d3_minhash_lsh" -> ngramJaccardOracle, // banded variant must agree
+    "d6_dup_clusters" -> dupClustersOracle,
     "d4_simhash" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |bits AS (SELECT doc_id, list_transform(generate_series(0, 63), b ->
@@ -904,6 +912,34 @@ object SparkEntry {
       |    AS jaccard
       |FROM pr JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
       |WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.5""".stripMargin
+
+  /** Connected components of the word-trigram near-dup pair graph via
+    * recursive reachability closure (fine at oracle scale; the engine
+    * side is the O(log n)-round large-star/small-star algorithm), then
+    * min-reachable-id labels and cluster sizes. */
+  private def dupClustersOracle: String =
+    """WITH RECURSIVE
+      |tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |  generate_series(1, greatest(len(tk) - 2, 0)),
+      |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s FROM tok),
+      |sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+      |pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+      |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |p AS (SELECT ia, ib
+      |      FROM pr JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+      |      WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.5),
+      |e AS (SELECT ia AS u, ib AS v FROM p
+      |      UNION ALL SELECT ib, ia FROM p),
+      |walk(u, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT w.u, e.v FROM walk w JOIN e ON w.r = e.u),
+      |lab AS (SELECT u AS doc_id, min(r) AS cluster_id FROM walk GROUP BY 1),
+      |szc AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+      |SELECT lab.doc_id, lab.cluster_id, szc.cluster_size
+      |FROM lab JOIN szc USING (cluster_id)""".stripMargin
 
   /** Stopword-profile language ID: argmax of per-language hits with a
     * lexicographic tie-break, mirroring TextOps.langId's strict-> fold. */

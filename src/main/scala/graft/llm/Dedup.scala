@@ -190,6 +190,103 @@ object Dedup {
       c
     }
 
+  // ---- duplicate clustering (connected components) -----------------------
+
+  /** Connected components of an undirected pair graph: returns one row
+    * per node that appears in `edges`, labeled with the minimum node id
+    * of its component — the canonical representative a dedup pipeline
+    * keeps.
+    *
+    * Runs the alternating large-star / small-star algorithm (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond"): each round is
+    * one shuffle keyed by node id, and the edge set converges to one
+    * star per component in O(log n) rounds. The driver loops only over
+    * the round COUNTER (bounded, with a cheap count+hash convergence
+    * probe per round) — never over data, so the operator scales to
+    * billion-node pair graphs: per-round shuffle volume stays
+    * proportional to the current edge count, which only shrinks.
+    */
+  def connectedComponents(edges0: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // canonical direction: (u, v) with u > v ("point to the smaller")
+    // each round REPLACES the lineage (localCheckpoint) rather than
+    // growing it: the iteration would otherwise double the logical plan
+    // every round and OOM the driver around round 8. On a real cluster
+    // use setCheckpointDir + .checkpoint() for fault-tolerant lineage
+    // truncation; the algorithm is unchanged.
+    var edges = edges0.select(
+        greatest(col(edges0.columns(0)), col(edges0.columns(1))).as("u"),
+        least(col(edges0.columns(0)), col(edges0.columns(1))).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    def probe(e: DataFrame): (Long, Long) = {
+      // xor-fold: order-independent, overflow-free set fingerprint
+      // (edges are distinct, so no pair can cancel its duplicate)
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    /** large-star: for every node u, connect each LARGER neighbor v to
+      * m = min(Γ(u) ∪ {u}). Emitted edges keep v > m, so the canonical
+      * direction is preserved. */
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    /** small-star: for every node u over its (all smaller) neighbors,
+      * connect u and each non-minimal neighbor to m = min(Γ(u)). */
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      e.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    var sig = probe(edges)
+    var round = 0
+    var converged = edges.isEmpty
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSig = probe(next)
+      edges.unpersist()
+      edges = next
+      converged = nextSig == sig
+      sig = nextSig
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    // at the fixpoint each non-root node carries exactly one (node, root) edge
+    edges.select(col("u").as("id"), col("v").as("component"))
+      .union(edges.select(col("v"), col("v")))
+      .distinct()
+  }
+
+  /** Duplicate clusters over a documents frame: every doc labeled with
+    * `cluster_id` = the minimum doc id reachable through `pairs` (its
+    * connected component; singletons label themselves) and the cluster
+    * size. Downstream, `doc_id == cluster_id` selects the canonical
+    * survivor per cluster — the standard near-dedup keep rule. */
+  def dupClusters(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val labels = docs.select(col(idCol))
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("cluster_id"))
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"))
+  }
+
   // ---- SimHash -----------------------------------------------------------
 
   /** 64-bit hash of one token = little-endian of bytes 8..15 of its MD5

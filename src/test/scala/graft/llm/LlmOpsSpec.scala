@@ -37,6 +37,33 @@ class LlmOpsSpec extends SparkTestBase {
     assert(banded.toSeq == exact.toSeq)
   }
 
+  test("connectedComponents: chains, stars, and multi-round convergence") {
+    // a path graph 1-2-3-...-8 (forces several large/small-star rounds),
+    // a separate pair, and edges given in arbitrary orientation
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (6L, 5L), (6L, 7L), (8L, 7L),
+      (11L, 10L)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 8L).forall(comp(_) == 1L))
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(comp.size == 10)
+  }
+
+  test("dupClusters labels every doc with its component min and size") {
+    // near-dup graph on the fixture: {0,1,3} via trigram Jaccard >= 0.5
+    val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5).select($"ia", $"ib")
+    val r = Dedup.dupClusters(docs, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(r(0L) == (0L, 3L) && r(1L) == (0L, 3L) && r(3L) == (0L, 3L))
+    assert(r(2L) == (2L, 1L) && r(4L) == (4L, 1L)) // singletons
+  }
+
+  test("connectedComponents of an empty edge set is empty") {
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(edges).collect().isEmpty)
+  }
+
   test("tokenHash64 matches the md5-low64-LE convention (DuckDB md5_number_lower)") {
     // md5('hello') = 5d41402abc4b2a76 b9719d911017c592; LE of the last 8
     // bytes = 0x92C51710919D71B9 = 10575884659879408057 (unsigned)
