@@ -34,7 +34,8 @@ class HttpApi(spark: SparkSession, engine: PromQLEngine,
 
   private val gate = new Semaphore(HttpApi.MaxConcurrent)
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
-  server.setExecutor(Executors.newFixedThreadPool(8))
+  private val pool = Executors.newFixedThreadPool(8)
+  server.setExecutor(pool)
   server.createContext("/api/v1/query", handler(handleQuery))
   server.createContext("/api/v1/query_range", handler(handleQueryRange))
   server.createContext("/api/v1/series", handler(handleSeries))
@@ -43,7 +44,7 @@ class HttpApi(spark: SparkSession, engine: PromQLEngine,
   server.createContext("/api/v1/export", streamingHandler(handleExport))
 
   def start(): Int = { server.start(); server.getAddress.getPort }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdownNow() }
   def boundPort: Int = server.getAddress.getPort
 
   // ---- plumbing ----------------------------------------------------------
@@ -212,14 +213,14 @@ class HttpApi(spark: SparkSession, engine: PromQLEngine,
             .map { case (_, t, v) => pointJson(t, v) }.getOrElse("null"))
         case Ast.ValueType.Vector =>
           val rows = collectRows(engine.instant(query, ts))
-            .sortBy { case (l, _, _) => Samples.canonical(l) }
+            .sortBy { case (l, _, _) => l }(Samples.labelsOrdering)
           envelope("vector", rows.map { case (l, t, v) =>
             s"""{"metric":${metricJson(l)},"value":${pointJson(t, v)}}"""
           }.mkString("[", ",", "]"))
         case Ast.ValueType.Matrix => // raw range selector at an instant
           val rows = collectRows(engine.instant(query, ts))
           val series = rows.groupBy(_._1).toSeq
-            .sortBy { case (l, _) => Samples.canonical(l) }
+            .sortBy { case (l, _) => l }(Samples.labelsOrdering)
           envelope("matrix", series.map { case (l, pts) =>
             val vals = pts.sortBy(_._2)
               .map { case (_, t, v) => pointJson(t, v) }.mkString(",")
@@ -261,7 +262,7 @@ class HttpApi(spark: SparkSession, engine: PromQLEngine,
       // stitch per-series, final sort by canonical labels
       // (promql/engine.go:444-458,484-486)
       val series = rows.groupBy(_._1).toSeq
-        .sortBy { case (l, _) => Samples.canonical(l) }
+        .sortBy { case (l, _) => l }(Samples.labelsOrdering)
       envelope("matrix", series.map { case (l, pts) =>
         val vals = pts.sortBy(_._2)
           .map { case (_, t, v) => pointJson(t, v) }.mkString(",")
@@ -280,7 +281,7 @@ class HttpApi(spark: SparkSession, engine: PromQLEngine,
     val sets = matchers.map { m =>
       gated { engine.series(m, start, end) }
     }
-    val all = sets.flatten.distinct.sortBy(Samples.canonical)
+    val all = sets.flatten.distinct.sorted(Samples.labelsOrdering)
     envelope0(all.map(metricJson).mkString("[", ",", "]"))
   }
 

@@ -340,9 +340,10 @@ class PromQLEngine(
     val glabels =
       if (agg.without) Samples.labelsWithout(col(L), agg.grouping)
       else Samples.labelsOn(col(L), agg.grouping)
-    val prepared = in
-      .withColumn("_gl", glabels)
-      .withColumn("_gs", Samples.sigExpr(col("_gl")))
+    val withGl = in.withColumn("_gl", glabels)
+    // the group signature is skipped for count_values, which groups on
+    // the OUTPUT label set (_os) and never touches _gs
+    lazy val prepared = withGl.withColumn("_gs", Samples.sigExpr(col("_gl")))
 
     def grouped(aggCol: Column): DataFrame = prepared
       .groupBy(col("_gs"), col(T))
@@ -404,7 +405,7 @@ class PromQLEngine(
         val outLabels = map_concat(
           map_filter(col("_gl"), (k, _) => k =!= lbl),
           map(lit(lbl), PromUdfs.formatFloatUdf(col(V))))
-        prepared
+        withGl
           .withColumn("_ol", outLabels)
           .withColumn("_os", Samples.sigExpr(col("_ol")))
           .groupBy(col("_os"), col(T))

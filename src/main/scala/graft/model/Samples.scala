@@ -51,11 +51,37 @@ object Samples {
   private val LabelNameRe = "^[a-zA-Z_][a-zA-Z0-9_]*$".r
   def isValidLabelName(s: String): Boolean = LabelNameRe.matches(s)
 
-  /** Driver-side twin of [[sigStr]] for sorting collected label sets. */
+  /** Driver-side twin of [[sigStr]] (the length-prefixed ENCODING; see
+    * [[labelsCompare]] for ordering — the length prefixes deliberately
+    * make this string unsuitable as a sort key). */
   def canonical(labels: Map[String, String]): String =
     labels.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${k.length}:$k=${v.length}:$v" }
       .mkString(";")
+
+  /** Label-set ordering matching the reference's `labels.Compare`
+    * (vendored `labels/labels.go`): pairwise over the name-sorted label
+    * list, name then value, shorter list first on a tie. This is the
+    * API-visible result ordering (`promql/engine.go:484-486`) — NOT the
+    * [[canonical]] string order, whose length prefixes would sort
+    * `view` (len 4) before `click` (len 5). */
+  def labelsCompare(a: Map[String, String], b: Map[String, String]): Int = {
+    val sa = a.toSeq.sortBy(_._1)
+    val sb = b.toSeq.sortBy(_._1)
+    var i = 0
+    while (i < sa.length && i < sb.length) {
+      val cn = sa(i)._1.compareTo(sb(i)._1)
+      if (cn != 0) return cn
+      val cv = sa(i)._2.compareTo(sb(i)._2)
+      if (cv != 0) return cv
+      i += 1
+    }
+    sa.length - sb.length
+  }
+
+  /** [[labelsCompare]] as an Ordering, for sortBy/sorted call sites. */
+  val labelsOrdering: Ordering[Map[String, String]] =
+    (a: Map[String, String], b: Map[String, String]) => labelsCompare(a, b)
 
   /** Series signature used as every groupBy/join key: xxhash64 of the
     * canonical string, mirroring the reference's labels.Hash

@@ -17,7 +17,7 @@ object Parser {
   final case class ParseException(msg: String) extends RuntimeException(msg)
 
   def parse(input: String): Expr = {
-    val p = new Parser(lex(input))
+    val p = new Parser(lex(input), input)
     val e = p.parseExpr(0)
     p.expectEOF()
     p.checkType(e)
@@ -37,7 +37,7 @@ object Parser {
     "group_left", "group_right", "offset", "bool", "and", "or", "unless")
 }
 
-private final class Parser(toks: Vector[Lexer.Token]) {
+private final class Parser(toks: Vector[Lexer.Token], input: String = "") {
   import Ast._
   import Lexer._
   import Parser._
@@ -49,7 +49,11 @@ private final class Parser(toks: Vector[Lexer.Token]) {
     s"parse error at char ${cur.pos}: $msg")
 
   def expectEOF(): Unit =
-    if (cur.typ != EOF) fail(s"unexpected '${cur.text}'")
+    if (cur.typ != EOF) {
+      // parse.go:85: could not parse remaining input %.15q...
+      val rest = input.drop(cur.pos).take(15)
+      fail(s"""could not parse remaining input "$rest"...""")
+    }
 
   private def expect(t: TokType, what: String): Token = {
     if (cur.typ != t) fail(s"expected $what, got '${cur.text}'")
@@ -87,7 +91,7 @@ private final class Parser(toks: Vector[Lexer.Token]) {
         if (cur.typ == IDENT &&
             (cur.text == "group_left" || cur.text == "group_right")) {
           if (setOps.contains(op))
-            fail(s"no grouping allowed for '$op' operation")
+            fail(s"""no grouping allowed for "$op" operation""")
           card = if (next().text == "group_left") Cardinality.ManyToOne
                  else Cardinality.OneToMany
           if (cur.typ == LPAREN) include = parseLabelList()
@@ -168,6 +172,10 @@ private final class Parser(toks: Vector[Lexer.Token]) {
       else if (functions.contains(name) && toks(pos + 1).typ == LPAREN)
         parseCall(name)
       else if (keywords.contains(lower)) fail(s"unexpected keyword '$name'")
+      else if (toks(pos + 1).typ == LPAREN)
+        // ident directly followed by '(' is a call shape — an unknown
+        // name is a parse error, not a selector (parse.go:765-771)
+        fail(s"""unknown function with name "$name"""")
       else {
         next()
         val matchers = if (cur.typ == LBRACE) parseMatchers() else Nil
@@ -241,15 +249,19 @@ private final class Parser(toks: Vector[Lexer.Token]) {
       while (cur.typ == COMMA) { next(); args += parseExpr(0) }
     }
     expect(RPAREN, "')'")
-    // variadic < 0: the last declared type repeats 0+ times
-    val minArgs =
-      if (fn.variadic < 0) fn.argTypes.length - 1
-      else fn.argTypes.length - fn.variadic
-    val maxOk =
-      if (fn.variadic < 0) args.length >= minArgs
-      else args.length >= minArgs && args.length <= fn.argTypes.length
-    if (!maxOk)
-      fail(s"wrong number of arguments for function '$name'")
+    // arity messages mirror parse.go:1083-1093 exactly (variadic < 0:
+    // the last declared type repeats without bound)
+    val nargs = fn.argTypes.length
+    if (fn.variadic == 0) {
+      if (args.length != nargs)
+        fail(s"""expected $nargs argument(s) in call to "$name", got ${args.length}""")
+    } else {
+      val na = nargs - 1
+      if (na > args.length)
+        fail(s"""expected at least $na argument(s) in call to "$name", got ${args.length}""")
+      else if (fn.variadic > 0 && na + fn.variadic < args.length)
+        fail(s"""expected at most ${na + fn.variadic} argument(s) in call to "$name", got ${args.length}""")
+    }
     Call(fn, args.toSeq)
   }
 
@@ -297,39 +309,53 @@ private final class Parser(toks: Vector[Lexer.Token]) {
     case UnaryExpr(op, inner) =>
       val t = checkType(inner)
       if (t != ValueType.Scalar && t != ValueType.Vector)
-        fail(s"unary expression only allowed on expressions of type scalar or instant vector, got $t")
+        fail("unary expression only allowed on expressions of type " +
+          s"""scalar or instant vector, got "$t"""")
       if (op != "-" && op != "+") fail(s"invalid unary operator '$op'")
       t
     case BinaryExpr(op, lhs, rhs, matching, returnBool) =>
       val lt = checkType(lhs); val rt = checkType(rhs)
       if (!arithmeticOps.contains(op) && !comparisonOps.contains(op) &&
-          !setOps.contains(op)) fail(s"binary expression does not support operator '$op'")
+          !setOps.contains(op))
+        fail(s"""binary expression does not support operator "$op"""")
       for (t <- Seq(lt, rt))
         if (t != ValueType.Scalar && t != ValueType.Vector)
           fail(s"binary expression must contain only scalar and instant vector types")
       if (lt == ValueType.Scalar && rt == ValueType.Scalar) {
         if (setOps.contains(op))
-          fail(s"set operator '$op' not allowed in binary scalar expression")
+          fail(s"""set operator "$op" not allowed in binary scalar expression""")
         if (comparisonOps.contains(op) && !returnBool)
           fail("comparisons between scalars must use BOOL modifier")
       }
+      // parse.go:1061-1079: explicit on()/ignoring() labels on a
+      // non-vector-vector operation are an error; otherwise the
+      // matching is silently dropped and the scalar set-op check fires
+      if (lt != ValueType.Vector || rt != ValueType.Vector)
+        matching.foreach { m =>
+          if (m.matchingLabels.nonEmpty)
+            fail("vector matching only allowed between instant vectors")
+        }
       if ((lt == ValueType.Scalar || rt == ValueType.Scalar) &&
           setOps.contains(op))
-        fail(s"set operations must only be used between instant vectors")
+        fail(s"""set operator "$op" not allowed in binary scalar expression""")
       matching.foreach { m =>
-        if (m.on && m.matchingLabels.intersect(m.include).nonEmpty)
-          fail("label must not occur in ON and GROUP clause at once")
+        if (m.on)
+          m.matchingLabels.intersect(m.include).headOption.foreach { l =>
+            fail(s"""label "$l" must not occur in ON and GROUP clause at once""")
+          }
       }
       if (lt == ValueType.Scalar && rt == ValueType.Scalar) ValueType.Scalar
       else ValueType.Vector
     case AggregateExpr(op, body, param, _, _) =>
-      if (checkType(body) != ValueType.Vector)
-        fail(s"expected type instant vector in aggregation expression")
+      val bt = checkType(body)
+      if (bt != ValueType.Vector)
+        fail(s"expected type instant vector in aggregation expression, got $bt")
       param.foreach { p =>
         val pt = checkType(p)
         val want =
           if (op == "count_values") ValueType.Str else ValueType.Scalar
-        if (pt != want) fail(s"expected type $want in aggregation parameter")
+        if (pt != want)
+          fail(s"expected type $want in aggregation parameter, got $pt")
       }
       ValueType.Vector
     case Call(fn, args) =>
@@ -337,7 +363,7 @@ private final class Parser(toks: Vector[Lexer.Token]) {
         val want = fn.argTypes(math.min(i, fn.argTypes.length - 1))
         val got = checkType(a)
         if (got != want)
-          fail(s"expected type $want in call to function '${fn.name}', got $got")
+          fail(s"""expected type $want in call to function "${fn.name}", got $got""")
       }
       fn.returnType
   }

@@ -6,6 +6,7 @@ import java.nio.file.Files
 
 import graft.SparkTestBase
 import graft.exec.PromQLEngine
+import graft.model.Samples
 import graft.storage.Ingest
 
 /** Acceptance-style black-box tests over the HTTP API, mirroring the
@@ -120,6 +121,23 @@ class HttpApiSpec extends SparkTestBase {
     assert(lines(0) ==
       """{"labels":{"__name__":"test_metric1","foo":"bar"},"t":0,"v":"0"}""")
     assert(lines(2).contains(""""t":120000,"v":"200""""))
+  }
+
+  test("result ordering is labels.Compare, not the length-prefixed encoding") {
+    // value lengths differ (bar=3, boo=3... use metric names instead):
+    // test_metric1 < test_metric2 lexicographically, and within
+    // test_metric1 foo=bar < foo=boo — plain string order. The
+    // length-prefixed canonical() encoding would sort any SHORTER value
+    // first regardless of content; metric-name compare catches that.
+    val (code, body) = get(
+      "/api/v1/query?query=%7B__name__%3D~%22test_metric.%22%7D&time=120")
+    assert(code == 200)
+    val order = "\"__name__\":\"([a-z0-9_]+)\",\"foo\":\"([a-z]+)\"".r
+      .findAllMatchIn(body).map(m => (m.group(1), m.group(2))).toSeq
+    assert(order == Seq(("test_metric1", "bar"), ("test_metric1", "boo"),
+      ("test_metric2", "boo")), s"body: $body")
+    assert(Samples.labelsCompare(
+      Map("a" -> "view"), Map("a" -> "click")) > 0) // 4:view vs 5:click
   }
 
   test("guards: sub-millisecond step rounds to 0 and is rejected as bad_data") {

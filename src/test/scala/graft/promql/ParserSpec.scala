@@ -105,6 +105,49 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[ParseException](parse("unknown_func(")) // syntax
   }
 
+  /** Error-string parity with the reference's typecheck
+    * (`promql/parse.go:983-1121`, `testdata` expectations in
+    * `parse_test.go`): the message AFTER the position prefix must match
+    * the reference byte-for-byte. */
+  private def errOf(q: String): String = {
+    val e = intercept[ParseException](parse(q))
+    e.getMessage.replaceFirst("^parse error at char \\d+: ", "")
+  }
+
+  test("typecheck error strings match the reference") {
+    assert(errOf("1 and 2") ==
+      """set operator "and" not allowed in binary scalar expression""")
+    assert(errOf("1 == 2") ==
+      "comparisons between scalars must use BOOL modifier")
+    assert(errOf("1 or foo") ==
+      """set operator "or" not allowed in binary scalar expression""")
+    assert(errOf("1 + on(a) foo") ==
+      "vector matching only allowed between instant vectors")
+    assert(errOf("foo and on(a) group_left bar") ==
+      """no grouping allowed for "and" operation""")
+    assert(errOf("foo + on(a) group_left(a) bar") ==
+      """label "a" must not occur in ON and GROUP clause at once""")
+    assert(errOf("rate(foo)") ==
+      """expected type range vector in call to function "rate", got instant vector""")
+    assert(errOf("sum(foo[5m])") ==
+      "expected type instant vector in aggregation expression, got range vector")
+    assert(errOf("-foo[5m]") ==
+      "unary expression only allowed on expressions of type scalar or " +
+        """instant vector, got "range vector"""")
+    assert(errOf("nonexistent_function_rr(foo)") ==
+      """unknown function with name "nonexistent_function_rr"""")
+    assert(errOf("rate(foo[5m], bar)") ==
+      """expected 1 argument(s) in call to "rate", got 2""")
+    assert(errOf("round()") ==
+      """expected at least 1 argument(s) in call to "round", got 0""")
+    assert(errOf("round(foo, 2, 3)") ==
+      """expected at most 2 argument(s) in call to "round", got 3""")
+    assert(errOf("label_join(foo)") ==
+      """expected at least 3 argument(s) in call to "label_join", got 1""")
+    assert(errOf("foo bar and a longer tail") ==
+      """could not parse remaining input "bar and a longe"...""")
+  }
+
   test("nameless selector") {
     val e = parse("""{__name__=~"foo|bar", job="x"}""")
     val vs = e.asInstanceOf[VectorSelector]
