@@ -144,10 +144,22 @@ object Samples {
       col("value").as("v"))
   }
 
-  def fromEventsDir(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    fromEvents(spark.read.parquet(s"$sfDir/events.parquet"))
-  }
+  private val eventsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Adapter entry point, memoized + Spark-cached per (session, dir):
+    * every query re-reads the same fixture table, and the reference
+    * serves reads from its in-memory TSDB head block — one cached
+    * normalized frame per table is the faithful analogue (the fixture
+    * tables are small; a production deployment would bound this to the
+    * hot head window the way `Ingest`'s date partitions do). */
+  def fromEventsDir(spark: SparkSession, sfDir: String): DataFrame =
+    eventsCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}:$sfDir",
+      _ => {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        fromEvents(spark.read.parquet(s"$sfDir/events.parquet")).cache()
+      })
 
   /** Batch source for the write wire format (one JSON object per line:
     * `{"labels":{...},"t":ms,"v":x,"stale":bool}`; `v` may be a number
