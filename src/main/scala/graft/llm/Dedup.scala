@@ -49,6 +49,24 @@ object Dedup {
         col("group_size"))
   }
 
+  /** Streaming exact dedup at the ingest edge: keeps ONE representative
+    * per content hash and drops any duplicate that arrives within the
+    * watermark horizon (across micro-batches the earlier batch wins;
+    * within a batch the pick is arbitrary — the content is identical
+    * either way). State is the content-hash set, and
+    * `dropDuplicatesWithinWatermark` expires entries once the watermark
+    * passes them — bounded state, so the stream can run forever over a
+    * 100 TB/day firehose (an unbounded `dropDuplicates` would
+    * accumulate one state row per distinct document ever seen).
+    * Batch-side [[exactDedup]] over the historical table catches dups
+    * that span beyond the horizon. */
+  def streamingExactDedup(docs: DataFrame, eventTimeCol: String,
+      lateness: String, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol).cast("binary")))
+      .withWatermark(eventTimeCol, lateness)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   // ---- shared shingle machinery -----------------------------------------
 
   /** (id, shingle) posting list: one row per distinct word n-gram per

@@ -59,6 +59,36 @@ class LlmOpsSpec extends SparkTestBase {
     assert(r(2L) == (2L, 1L) && r(4L) == (4L, 1L)) // singletons
   }
 
+  test("streamingExactDedup keeps first-seen content within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val q = Dedup.streamingExactDedup(
+        mem.toDF().toDF("doc_id", "ets", "text"), "ets", "10 minutes")
+      .writeStream.format("memory").queryName("sded")
+      .outputMode("append")
+      .start()
+    try {
+      mem.addData(
+        (0L, ts(0), "alpha doc"), (1L, ts(1), "beta doc"),
+        (2L, ts(2), "alpha doc"), // dup of 0, same batch
+        (3L, ts(3), "gamma doc"))
+      q.processAllAvailable()
+      // dup arriving in a LATER batch, still within the watermark horizon
+      mem.addData((4L, ts(4), "beta doc"), (5L, ts(5), "delta doc"))
+      q.processAllAvailable()
+      val kept = spark.sql("select doc_id from sded").collect()
+        .map(_.getLong(0)).sorted
+      // one representative per content: exactly one of the batch-1
+      // "alpha" twins {0,2} (within-batch pick is arbitrary — the
+      // content is identical), and 4 is dropped because "beta" was
+      // already seen in the earlier batch
+      assert(kept.length == 4 && Seq(1L, 3L, 5L).forall(kept.contains))
+      assert(kept.count(Seq(0L, 2L).contains) == 1)
+    } finally q.stop()
+  }
+
   test("connectedComponents of an empty edge set is empty") {
     val edges = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Dedup.connectedComponents(edges).collect().isEmpty)
