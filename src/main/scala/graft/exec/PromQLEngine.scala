@@ -83,10 +83,9 @@ class PromQLEngine(
     var df = samples.filter(allMatchers(vs).map(matcherCond).reduce(_ && _))
     startMs.foreach(s => df = df.filter(col(T) >= s))
     endMs.foreach(e => df = df.filter(col(T) <= e))
-    // distinct() rejects MAP columns — dedup via the series signature
-    df.groupBy(Samples.sigExpr(col(L)).as("_s"))
-      .agg(first(col(L)).as(L))
-      .select(col(L)).collect()
+    // distinct() rejects MAP columns — dedup via the sorted entries key
+    df.select(array_sort(map_entries(col(L))).as("_ents")).distinct()
+      .select(map_from_entries(col("_ents")).as(L)).collect()
       .map(_.getMap[String, String](0).toMap).toSeq
   }
 
@@ -208,12 +207,21 @@ class PromQLEngine(
       lookbackMs / tr.stepMs <= 512 && tr.numSteps >= 8)
       bucketedSelect(vs, tr)
     else
-      windowed(vs, lookbackMs, tr, keepStale = true)
-        .groupBy(col(SIG), col(T))
-        .agg(first(col(L)).as(L),
-          max_by(struct(col(ST), col(V), col("_stale")), col(ST)).as("_p"))
-        .filter(!col("_p._stale"))
-        .select(col(SIG), col(L), col(T), col("_p.st").as(ST), col("_p.v").as(V))
+      // the former max_by(struct(st, v, stale), st) is decomposed into
+      // per-field max_bys on the SAME key: sample timestamps are unique
+      // within a (series, step) group, so all three pick the same row —
+      // and primitive buffers keep the aggregation hash-based (a
+      // struct-typed buffer forces SortAggregate, like a map one).
+      // Labels rejoin from the cached series dimension afterwards.
+      joinLabels(
+        windowed(vs, lookbackMs, tr, keepStale = true)
+          .groupBy(col(SIG), col(T))
+          .agg(
+            max(col(ST)).as("_wst"),
+            max_by(col(V), col(ST)).as("_wv"),
+            max_by(col("_stale"), col(ST)).as("_wstale"))
+          .filter(!col("_wstale")))
+        .select(col(SIG), col(L), col(T), col("_wst").as(ST), col("_wv").as(V))
 
   /** Bucketed instant selector for fine step grids: the general path
     * explodes every sample onto lookback/step covering steps (20× at a
@@ -243,16 +251,22 @@ class PromQLEngine(
     }
     val b = bucketCol(step)
     val isStart = pmod(col("_rel"), lit(step)) === 0
-    val partials = base
-      .withColumn("_b", b).withColumn("_s0", isStart)
+    // per-field max_by decomposition (unique _rel per series+bucket; the
+    // at-start row is unique per bucket) — primitive buffers keep the
+    // aggregation hash-based where struct-valued max_by would sort
+    val partials = base.withColumn("_b", b).withColumn("_s0", isStart)
       .groupBy(col(SIG), col("_b"))
-      .agg(first(col(L)).as(L),
-        max_by(struct(col("_rel").as("rel"), col(V).as("v"),
-          col("_st0").as("stale")), col("_rel")).as("lp"),
-        max_by(struct(col("_rel").as("rel"), col(V).as("v"),
-          col("_st0").as("stale")),
-          when(col("_s0"), col("_rel"))).as("sp"),
+      .agg(
+        max(col("_rel")).as("_lprel"),
+        max_by(col(V), col("_rel")).as("_lpv"),
+        max_by(col("_st0"), col("_rel")).as("_lpstale"),
+        max(when(col("_s0"), col(V))).as("_spv"),
+        max(when(col("_s0"), col("_st0"))).as("_spstale"),
         max(when(col("_s0"), 1).otherwise(0)).as("has0"))
+      .withColumn("lp", struct(col("_lprel").as("rel"), col("_lpv").as("v"),
+        col("_lpstale").as("stale")))
+      .withColumn("sp", struct((col("_b") * step).as("rel"),
+        col("_spv").as("v"), coalesce(col("_spstale"), lit(false)).as("stale")))
 
     val pType = "struct<rel:bigint,v:double,stale:boolean>"
     val contribType = s"array<struct<k:bigint,p:$pType>>"
@@ -266,16 +280,22 @@ class PromQLEngine(
       when(col("_b").between(0, tr.numSteps - 1) && col("has0") === 1,
         array(struct(col("_b").as("k"), col("sp").as("p"))))
         .otherwise(array().cast(contribType))
-    partials
-      .select(col(SIG), col(L), explode(concat(
-        fullContrib.cast(contribType), startContrib)).as("_c"))
-      .groupBy(col(SIG), col("_c.k").as("_k"))
-      .agg(first(col(L)).as(L),
-        max_by(col("_c.p"), col("_c.p.rel")).as("_w"))
-      .filter(!col("_w.stale"))
+    // contributing rels are unique within a (series, step) group (lp
+    // rels of distinct buckets lie in disjoint ranges; the sp rel is
+    // the step boundary itself), so per-field max_bys agree on one row
+    joinLabels(
+      partials
+        .select(col(SIG), explode(concat(
+          fullContrib.cast(contribType), startContrib)).as("_c"))
+        .groupBy(col(SIG), col("_c.k").as("_k"))
+        .agg(
+          max(col("_c.p.rel")).as("_wrel"),
+          max_by(col("_c.p.v"), col("_c.p.rel")).as("_wv"),
+          max_by(col("_c.p.stale"), col("_c.p.rel")).as("_wstale"))
+        .filter(!col("_wstale")))
       .withColumn(T, lit(tr.startMs) + col("_k") * step)
       .select(col(SIG), col(L), col(T),
-        (col("_w.rel") + anchor).as(ST), col("_w.v").as(V))
+        (col("_wrel") + anchor).as(ST), col("_wv").as(V))
   }
 
   // ---------- evaluation ----------
@@ -292,6 +312,42 @@ class PromQLEngine(
     * concurrent queries on a shared engine (a shared map would race),
     * and an unbounded cross-query cache would leak in a long-running
     * server. */
+  /** The (sig → labels) dimension of the samples table: one row per
+    * series, computed once and Spark-cached, shared across engines over
+    * the same table. Selectors never transform labels, so every
+    * aggregation over SAMPLE-volume frames can aggregate numerics only,
+    * keyed by the 8-byte sig (map-typed `first(labels)` buffers
+    * disqualify hash aggregation — SortAggregate pairs sorting the full
+    * sample volume — and labels-as-grouping-key pays an entries
+    * array_sort per sample row), then [[joinLabels]] rejoins this small
+    * dimension on the aggregated output (AQE broadcasts it). */
+  private lazy val seriesDim: DataFrame =
+    seriesDimCache.computeIfAbsent(
+      samples.queryExecution.analyzed.canonicalized, _ =>
+        samples.select(array_sort(map_entries(col(L))).as("_ents")).distinct()
+          .select(map_from_entries(col("_ents")).as(L))
+          .select(Samples.sigExpr(col(L)).as(SIG), col(L))
+          .cache())
+
+  /** Rejoin full label sets onto a sig-keyed aggregated frame. */
+  private def joinLabels(aggd: DataFrame): DataFrame =
+    aggd.join(seriesDim, SIG)
+
+  /** groupBy that carries a labels map as part of the GROUPING KEY
+    * (sorted entries array) instead of a `first(map)` aggregate — for
+    * aggregations over ALREADY-REDUCED frames (≤ series×steps rows)
+    * whose labels may have been transformed, where [[seriesDim]] no
+    * longer applies. A map-typed aggregation buffer disqualifies both
+    * hash-aggregation strategies; array keys hash fine, and on small
+    * inputs the per-row entries cost is noise. The map is rebuilt on
+    * the aggregated output. */
+  private def groupByWithLabels(df: DataFrame, labelsCol: Column,
+      keys: Seq[Column])(aggs: Column*): DataFrame =
+    df.groupBy(keys :+ array_sort(map_entries(labelsCol)).as("_ents"): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn(L, map_from_entries(col("_ents")))
+      .drop("_ents")
+
   private val memo = ThreadLocal.withInitial(() =>
     scala.collection.mutable.HashMap.empty[(Expr, EvalRange), Value])
 
@@ -345,10 +401,10 @@ class PromQLEngine(
     // the OUTPUT label set (_os) and never touches _gs
     lazy val prepared = withGl.withColumn("_gs", Samples.sigExpr(col("_gl")))
 
-    def grouped(aggCol: Column): DataFrame = prepared
-      .groupBy(col("_gs"), col(T))
-      .agg(first(col("_gl")).as(L), aggCol.as(V))
-      .select(col("_gs").as(SIG), col(L), col(T), col(T).as(ST), col(V))
+    def grouped(aggCol: Column): DataFrame =
+      groupByWithLabels(prepared, col("_gl"), Seq(col("_gs"), col(T)))(
+        aggCol.as(V))
+        .select(col("_gs").as(SIG), col(L), col(T), col(T).as(ST), col(V))
 
     agg.op match {
       case "sum" => grouped(sum(col(V)))
@@ -405,11 +461,12 @@ class PromQLEngine(
         val outLabels = map_concat(
           map_filter(col("_gl"), (k, _) => k =!= lbl),
           map(lit(lbl), PromUdfs.formatFloatUdf(col(V))))
-        withGl
-          .withColumn("_ol", outLabels)
-          .withColumn("_os", Samples.sigExpr(col("_ol")))
-          .groupBy(col("_os"), col(T))
-          .agg(first(col("_ol")).as(L), count(lit(1)).cast("double").as(V))
+        groupByWithLabels(
+          withGl
+            .withColumn("_ol", outLabels)
+            .withColumn("_os", Samples.sigExpr(col("_ol"))),
+          col("_ol"), Seq(col("_os"), col(T)))(
+          count(lit(1)).cast("double").as(V))
           .select(col("_os").as(SIG), col(L), col(T), col(T).as(ST), col(V))
       case other => throw new IllegalArgumentException(
         s"unknown aggregation operator '$other'")
@@ -748,14 +805,14 @@ class PromQLEngine(
     val VecV(vdf) = (eval(call.args(1), tr): @unchecked)
     // group by labels minus le and __name__; parse le as double
     val gl = Samples.labelsWithout(col(L), Seq("le"))
-    vdf
-      .withColumn("_le", goParseFloat(col(L).getItem("le")))
-      .filter(col("_le").isNotNull) // buckets without le are skipped
-      .withColumn("_gl", gl)
-      .withColumn("_gs", Samples.sigExpr(col("_gl")))
-      .groupBy(col("_gs"), col(T))
-      .agg(first(col("_gl")).as(L),
-        collect_list(struct(col("_le"), col(V))).as("_buckets"))
+    groupByWithLabels(
+      vdf
+        .withColumn("_le", goParseFloat(col(L).getItem("le")))
+        .filter(col("_le").isNotNull) // buckets without le are skipped
+        .withColumn("_gl", gl)
+        .withColumn("_gs", Samples.sigExpr(col("_gl"))),
+      col("_gl"), Seq(col("_gs"), col(T)))(
+      collect_list(struct(col("_le"), col(V))).as("_buckets"))
       .withColumn(V, PromUdfs.bucketQuantileUdf(lit(q), col("_buckets")))
       .select(col("_gs").as(SIG), col(L), col(T), col(T).as(ST), col(V))
   }
@@ -827,7 +884,7 @@ class PromQLEngine(
     val partials = base
       .withColumn("_b", b).withColumn("_s0", isStart)
       .groupBy(col(SIG), col("_b"))
-      .agg(first(col(L)).as(L),
+      .agg(
         count(lit(1)).as("cnt"), sum(col(V)).as("sum"),
         sum(col(V) * col(V)).as("sumsq"),
         min(col(V)).as("mn"), max(col(V)).as("mx"),
@@ -857,15 +914,15 @@ class PromQLEngine(
           col("mn0").as("mn"), col("mx0").as("mx"), col("nan0").as("nan"))))
         .otherwise(array().cast(contribType))
 
-    val merged = partials
-      .select(col(SIG), col(L),
+    val merged = joinLabels(
+      partials.select(col(SIG),
         explode(concat(fullContrib.cast(contribType), startContrib)).as("_c"))
-      .groupBy(col(SIG), col("_c.k").as("_k"))
-      .agg(first(col(L)).as(L),
-        sum(col("_c.cnt")).as("cnt"), sum(col("_c.sum")).as("sum"),
-        sum(col("_c.sumsq")).as("sumsq"),
-        min(col("_c.mn")).as("mn"), max(col("_c.mx")).as("mx"),
-        max(col("_c.nan")).as("nan"))
+        .groupBy(col(SIG), col("_c.k").as("_k"))
+        .agg(
+          sum(col("_c.cnt")).as("cnt"), sum(col("_c.sum")).as("sum"),
+          sum(col("_c.sumsq")).as("sumsq"),
+          min(col("_c.mn")).as("mn"), max(col("_c.mx")).as("mx"),
+          max(col("_c.nan")).as("nan")))
 
     val cntD = col("cnt").cast("double")
     val value = name match {
@@ -912,7 +969,7 @@ class PromQLEngine(
       .withColumn("_cinc",
         when(pv.isNotNull && col(V) < pv, pv).otherwise(lit(0.0)))
       .groupBy(col(SIG), col("_b"))
-      .agg(first(col(L)).as(L),
+      .agg(
         min(col("_rel")).as("ft"), min_by(col(V), col("_rel")).as("fv"),
         max(col("_rel")).as("lt"), max_by(col(V), col("_rel")).as("lv"),
         sum(col("_cinc")).as("corr"), count(lit(1)).as("cnt"),
@@ -940,14 +997,14 @@ class PromQLEngine(
           .cast("array<struct<k:bigint,p:struct<b:bigint,ft:bigint," +
             "fv:double,lt:bigint,lv:double,corr:double,cnt:bigint>>>"))
 
-    partials
-      .select(col(SIG), col(L), explode(concat(
-        fullContrib.cast("array<struct<k:bigint,p:struct<b:bigint," +
-          "ft:bigint,fv:double,lt:bigint,lv:double,corr:double," +
-          "cnt:bigint>>>"), startContrib)).as("_c"))
-      .groupBy(col(SIG), col("_c.k").as("_k"))
-      .agg(first(col(L)).as(L),
-        array_sort(collect_list(col("_c.p"))).as("_ps"))
+    joinLabels(
+      partials
+        .select(col(SIG), explode(concat(
+          fullContrib.cast("array<struct<k:bigint,p:struct<b:bigint," +
+            "ft:bigint,fv:double,lt:bigint,lv:double,corr:double," +
+            "cnt:bigint>>>"), startContrib)).as("_c"))
+        .groupBy(col(SIG), col("_c.k").as("_k"))
+        .agg(array_sort(collect_list(col("_c.p"))).as("_ps")))
       .withColumn(V, PromUdfs.ratePartialsUdf(col("_ps"),
         (col("_k") - m) * step, col("_k") * step, lit(w),
         lit(isCounter), lit(isRate)))
@@ -976,14 +1033,17 @@ class PromQLEngine(
       .withColumn("_b", b).withColumn("_s0", isStart)
       .withColumn("_rn", row_number().over(wspec))
       .filter(col("_rn") <= 2 || col("_s0"))
+    // at-start rows of one bucket share rel == _b*step exactly, so the
+    // former max(struct(rel, v)) tie-break reduces to max(v) — kept as
+    // primitive aggregates so the whole aggregation stays hash-based
     val partials = top2
       .groupBy(col(SIG), col("_b"))
-      .agg(first(col(L)).as(L),
+      .agg(
         collect_list(when(col("_rn") <= 2,
           struct(col("_rel").as("rel"), col(V).as("v")))).as("last2"),
         max(when(col("_s0"), 1).otherwise(0)).as("has0"),
-        max(when(col("_s0"),
-          struct(col("_rel").as("rel"), col(V).as("v")))).as("sp"))
+        max(when(col("_s0"), col(V))).as("spv"))
+      .withColumn("sp", struct((col("_b") * step).as("rel"), col("spv").as("v")))
 
     val pType = "array<struct<rel:bigint,v:double>>"
     val contribType = s"array<struct<k:bigint,ps:$pType>>"
@@ -997,14 +1057,14 @@ class PromQLEngine(
       when(col("_b").between(0, tr.numSteps - 1) && col("has0") === 1,
         array(struct(col("_b").as("k"), array(col("sp")).as("ps"))))
         .otherwise(array().cast(contribType))
-    partials
-      .select(col(SIG), col(L), explode(concat(
-        fullContrib.cast(contribType), startContrib)).as("_c"))
-      .select(col(SIG), col(L), col("_c.k").as("_k"),
-        explode(col("_c.ps")).as("_p"))
-      .groupBy(col(SIG), col("_k"))
-      .agg(first(col(L)).as(L),
-        collect_list(col("_p")).as("_cands"))
+    joinLabels(
+      partials
+        .select(col(SIG), explode(concat(
+          fullContrib.cast(contribType), startContrib)).as("_c"))
+        .select(col(SIG), col("_c.k").as("_k"),
+          explode(col("_c.ps")).as("_p"))
+        .groupBy(col(SIG), col("_k"))
+        .agg(collect_list(col("_p")).as("_cands")))
       .withColumn(V,
         PromUdfs.instantFromCandidatesUdf(col("_cands"), lit(isRate)))
       .filter(col(V).isNotNull)
@@ -1052,16 +1112,14 @@ class PromQLEngine(
     def aggSimple(c: Column, guardNaN: Boolean = false): DataFrame = {
       val anyNaN = max(when(isnan(col(V)), 1).otherwise(0)) === 1
       val vc = if (guardNaN) when(anyNaN, lit(Double.NaN)).otherwise(c) else c
-      win.groupBy(col(SIG), col(T))
-        .agg(first(col(L)).as(L), vc.as(V))
+      joinLabels(win.groupBy(col(SIG), col(T)).agg(vc.as(V)))
         .select(col(SIG),
           Samples.dropMetricName(col(L)).as(L), col(T), col(T).as(ST), col(V))
         .transform(reSig)
     }
     def aggPoints(f: Column => Column): DataFrame =
-      win.groupBy(col(SIG), col(T))
-        .agg(first(col(L)).as(L),
-          array_sort(collect_list(struct(col(ST).as("t"), col(V).as("v")))).as("_pts"))
+      joinLabels(win.groupBy(col(SIG), col(T)).agg(
+        array_sort(collect_list(struct(col(ST).as("t"), col(V).as("v")))).as("_pts")))
         .withColumn(V, f(col("_pts")))
         .filter(col(V).isNotNull)
         .select(col(SIG),
@@ -1103,9 +1161,9 @@ class PromQLEngine(
           else // NaN→NaN is not a change; Spark's =!= already treats
                // NaN===NaN as true, and NaN vs real compares unequal
             when(pv.isNotNull && col(V) =!= pv, 1).otherwise(0)
-        win.withColumn("_inc", inc)
+        joinLabels(win.withColumn("_inc", inc)
           .groupBy(col(SIG), col(T))
-          .agg(first(col(L)).as(L), sum(col("_inc")).cast("double").as(V))
+          .agg(sum(col("_inc")).cast("double").as(V)))
           .select(col(SIG),
             Samples.dropMetricName(col(L)).as(L), col(T), col(T).as(ST),
             col(V))
@@ -1156,6 +1214,15 @@ class PromQLEngine(
 
 object PromQLEngine {
   val DefaultLookbackMs: Long = 300000L // engine.go:1469-1471
+
+  /** One cached (sig → labels) dimension per samples table, shared by
+    * every engine over the same table — keyed by the CANONICALIZED
+    * logical plan (Spark's sameResult identity), so engines built over
+    * structurally identical frames (fresh adapter calls, re-created
+    * synthetic tables) reuse one dimension instead of leaking a cached
+    * copy per DataFrame object. */
+  private val seriesDimCache = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]()
 
   private[exec] val SIG = "sig"
   private[exec] val L = "labels"
