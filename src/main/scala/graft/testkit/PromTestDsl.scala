@@ -119,6 +119,12 @@ object PromTestDsl {
         case "_" => idx += 1
         case "stale" =>
           out += ((labels, idx * stepMs, Samples.StaleNaN)); idx += 1
+        case "NaN" =>
+          out += ((labels, idx * stepMs, Double.NaN)); idx += 1
+        case "Inf" | "+Inf" =>
+          out += ((labels, idx * stepMs, Double.PositiveInfinity)); idx += 1
+        case "-Inf" =>
+          out += ((labels, idx * stepMs, Double.NegativeInfinity)); idx += 1
         case ExpandRe(start, null, null) =>
           out += ((labels, idx * stepMs, start.toDouble)); idx += 1
         case ExpandRe(start, delta, times) =>

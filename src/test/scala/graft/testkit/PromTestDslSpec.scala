@@ -310,6 +310,86 @@ eval instant at 50m req != bool 100
 """)
   }
 
+  test("NaN semantics: aggregation NaN loses, *_over_time NaN wins") {
+    run("""
+load 5m
+  m{s="a"} NaN NaN NaN NaN NaN NaN NaN NaN NaN NaN NaN
+  m{s="b"} 0+5x10
+  m{s="c"} 0+10x10
+
+# min/max aggregation: a NaN accumulator is REPLACED by any real value
+# (engine.go:1346-1353) — NaN only survives if the whole group is NaN
+eval instant at 50m max(m)
+  {} 100
+
+eval instant at 50m min(m)
+  {} 50
+
+eval instant at 50m max(m{s="a"})
+  {} NaN
+
+# topk: NaN always loses the heap comparison (engine.go:1364-1384)
+eval instant at 50m topk(2, m)
+  m{s="c"} 100
+  m{s="b"} 50
+
+eval instant at 50m bottomk(1, m)
+  m{s="b"} 50
+
+# *_over_time use Go math.Min/Max, which PROPAGATE NaN
+# (functions.go:414-445)
+eval instant at 50m max_over_time(m{s="a"}[30m])
+  {s="a"} NaN
+
+eval instant at 50m max_over_time(m{s="b"}[30m])
+  {s="b"} 50
+""")
+  }
+
+  test("edge semantics: quantile bounds, histogram without +Inf, or-dedup") {
+    run("""
+load 5m
+  m{s="a"} 0+10x10
+  m{s="b"} 0+20x10
+  nf{le="10"} 0+1x10
+  nf{le="50"} 0+3x10
+
+# quantile at the bounds is exact min / max
+eval instant at 50m quantile(0, m)
+  {} 100
+
+eval instant at 50m quantile(1, m)
+  {} 200
+
+# histogram_quantile requires a +Inf bucket (quantile.go:106-110)
+eval instant at 50m histogram_quantile(0.9, nf)
+  {} NaN
+
+# or: the left side wins for identical label sets (engine.go:1173-1189)
+eval instant at 50m m or (m * 100)
+  m{s="a"} 100
+  m{s="b"} 200
+
+# a sample exactly at the window start is INSIDE the closed window
+eval instant at 10m count_over_time(m{s="a"}[10m])
+  {s="a"} 3
+
+# offset composes under aggregation
+eval instant at 52m sum(m offset 2m)
+  {} 300
+
+# topk with k larger than the series count returns everything
+eval instant at 50m topk(10, m)
+  m{s="b"} 200
+  m{s="a"} 100
+
+# count_values formats like Go strconv (no trailing .0)
+eval instant at 50m count_values("v", m / 8)
+  {v="12.5"} 1
+  {v="25"} 1
+""")
+  }
+
   test("staleness: a marker as the newest lookback point hides the series") {
     run("""
 load 5m
