@@ -379,6 +379,13 @@ object SparkEntry {
       Dedup.dupClusters(docs(spark, dir),
         Dedup.ngramJaccardPairs(docs(spark, dir), 3, 0.5)
           .select(col("ia"), col("ib")))),
+    // D7: banded-LSH embedding near-dup pairs — the 100 TB replacement
+    // for D5's O(N²) scan (rows-only: banding is approximate by
+    // construction; the unit suite asserts subset-of-exact + recall)
+    "d7_embed_lsh" -> ((spark, dir) =>
+      Similarity.lshCosinePairs(emb(spark, dir), 0.45, dim = 64,
+          nBits = 64, bands = 16)
+        .withColumn("cos", col("cos").cast("float"))),
     // X1: brute-force cosine top-k neighbours of the first 10 vectors
     "x1_sim_topk" -> ((spark, dir) =>
       Similarity.topK(emb(spark, dir).filter(col("vec_id") < 10),

@@ -134,6 +134,57 @@ object Similarity {
 
   // ---- random-hyperplane LSH (approximate scale path) --------------------
 
+  /** Near-duplicate PAIRS with cosine ≥ threshold via banded
+    * random-hyperplane LSH — the 100 TB path that replaces
+    * [[brutePairs]]' O(N²) scan. Each vector hashes to `nBits` sign
+    * bits banded into `bands` keys (`nBits/bands` bits each); only
+    * bucket-colliding pairs are scored exactly, so false positives
+    * vanish and the miss probability for a pair at angle θ is
+    * (1 − (1−θ/π)^r)^b. Shuffle per vector = `bands` small rows plus
+    * one signature — independent of the corpus square. The candidate
+    * join is bucket-local; a degenerate bucket (many near-identical
+    * vectors) is the one skew hazard, the same one MinHash banding has.
+    * Rescoring reuses the same ascending-index dot-product fold as the
+    * exact baseline.
+    *
+    * BAND DEPTH MUST TRACK THE THRESHOLD: per-bit agreement is
+    * p = 1−θ/π, so the default r=8/b=8 gives recall ≈ 0.94 at
+    * cos ≥ 0.87 (the usual near-dup operating point) but only ≈ 0.2
+    * at cos = 0.45; shallow bands (r=4/b=16 → recall ≈ 0.95 at 0.45)
+    * trade candidate volume for recall — at 4 bits a band has 16
+    * buckets, so reserve that configuration for high thresholds with
+    * small corpora or add more sign bits. */
+  def lshCosinePairs(emb: DataFrame, threshold: Double, dim: Int = 64,
+      nBits: Int = 64, bands: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 7L): DataFrame = {
+    require(nBits % bands == 0, "bands must divide nBits")
+    val r = nBits / bands
+    val sigU = signatureUdf(dim, nBits, seed)
+    val p = prep(emb, idCol, vecCol)
+    val sigged = p.select(col("id"), col("v"), col("nrm"),
+      sigU(col("v")).as("sig"))
+    val mask = (1L << r) - 1
+    val bandArr = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sig"), r * b).bitwiseAND(lit(mask)).as("bkey"))
+    }: _*)
+    val buckets = sigged.select(col("id"), explode(bandArr).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"))
+      .distinct()
+    val va = p.select(col("id").as("ia"), col("v").as("va"), col("nrm").as("na"))
+    val vb = p.select(col("id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
+    cand.join(va, Seq("ia")).join(vb, Seq("ib"))
+      .select(col("ia"), col("ib"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("ia"), col("ib"), col("cos"))
+  }
+
   /** Deterministic Gaussian hyperplanes (seeded), one 64-bit signature
     * per vector: bit j = sign of ⟨plane_j, v⟩. */
   private def planes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {

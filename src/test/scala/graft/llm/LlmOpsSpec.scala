@@ -122,6 +122,21 @@ class LlmOpsSpec extends SparkTestBase {
     assert(r.toSeq == Seq((0L, 1L), (0L, 3L)))
   }
 
+  test("lshCosinePairs recall vs brutePairs on the sf0.001 embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the fixture's 0.45 threshold sits at θ≈63°, far below the usual
+    // near-dup operating point — shallow r=4 bands keep recall there
+    val exact = pairs(Similarity.brutePairs(emb, 0.45, dim = 64))
+    val banded = pairs(Similarity.lshCosinePairs(emb, 0.45, dim = 64,
+      nBits = 64, bands = 16))
+    assert(banded.subsetOf(exact), "exact rescoring must kill false positives")
+    val recall = if (exact.isEmpty) 1.0
+      else (exact & banded).size.toDouble / exact.size
+    assert(recall >= 0.7, s"LSH pair recall $recall too low (${exact.size} exact)")
+  }
+
   test("annTopK and ivfTopK recall vs exact topK on the sf0.001 embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter($"vec_id" < 10)
