@@ -380,11 +380,25 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(docs(spark, dir), 3, 0.5)
           .select(col("ia"), col("ib")))),
     // D7: banded-LSH embedding near-dup pairs — the 100 TB replacement
-    // for D5's O(N²) scan (rows-only: banding is approximate by
-    // construction; the unit suite asserts subset-of-exact + recall)
+    // for D5's O(N²) scan, demonstrated at its DESIGN operating point
+    // (cos ≥ 0.9, r=8/b=8: recall ≈ 1−1e-4 per planted pair, random
+    // pairs collide in ~3% of cases) on the planted-dup corpus — the
+    // fixture has no true near-dups, and at its 0.45 tail-threshold NO
+    // sub-quadratic method prunes (see SCALE.md). Rows-only: banding is
+    // approximate by construction; the unit suite asserts
+    // subset-of-exact + recall.
     "d7_embed_lsh" -> ((spark, dir) =>
-      Similarity.lshCosinePairs(emb(spark, dir), 0.45, dim = 64,
-          nBits = 64, bands = 16)
+      Similarity.lshCosinePairs(Similarity.withPlantedDupes(emb(spark, dir)),
+          0.9, dim = 64, nBits = 64, bands = 8)
+        .withColumn("cos", col("cos").cast("float"))),
+    // D8: cluster-blocked embedding near-dup (the SemDeDup shape) — the
+    // data-adaptive counterpart to D7's data-oblivious hyperplanes:
+    // k-means blocks + nprobe=2 probing + exact in-block rescoring, on
+    // the same planted-dup corpus (rows-only, recall unit-tested)
+    "d8_embed_blocked" -> ((spark, dir) =>
+      Similarity.clusterBlockedPairs(
+          Similarity.withPlantedDupes(emb(spark, dir)),
+          0.9, dim = 64, numCentroids = 32, nprobe = 2)
         .withColumn("cos", col("cos").cast("float"))),
     // X1: brute-force cosine top-k neighbours of the first 10 vectors
     "x1_sim_topk" -> ((spark, dir) =>

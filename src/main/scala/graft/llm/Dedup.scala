@@ -129,7 +129,7 @@ object Dedup {
     * critical path for verification). */
   def minhashSignature(numHashes: Int): UserDefinedFunction = {
     val coeffs = hashCoeffs(numHashes)
-    udf { (hs: Seq[Long]) =>
+    udf { (hs: Array[Long]) =>
       val out = Array.fill(numHashes)(Long.MaxValue)
       hs.foreach { h0 =>
         // pmod(xxhash64, P), matching Spark's pmod on negative longs
@@ -197,7 +197,7 @@ object Dedup {
   }
 
   private[llm] val sortedIntersectUdf: UserDefinedFunction =
-    udf { (a: Seq[Long], b: Seq[Long]) =>
+    udf { (a: Array[Long], b: Array[Long]) =>
       var i = 0; var j = 0; var c = 0L
       while (i < a.length && j < b.length) {
         val x = a(i); val y = b(j)

@@ -45,6 +45,27 @@ object ProfileLlm {
       time("d2_full") { Dedup.ngramJaccardPairs(docs, 3, 0.5) }
       time("d3_full") { Dedup.minhashLshPairs(docs, 3, 0.5) }
       time("d5_brute") { Similarity.brutePairs(emb, 0.45, dim = 64) }
+      time("d6_clusters") {
+        Dedup.dupClusters(docs,
+          Dedup.ngramJaccardPairs(docs, 3, 0.5).select(col("ia"), col("ib")))
+      }
+      time("d7_embed_lsh") {
+        Similarity.lshCosinePairs(Similarity.withPlantedDupes(emb), 0.9,
+          dim = 64, nBits = 64, bands = 8)
+      }
+      time("d8_embed_blocked") {
+        Similarity.clusterBlockedPairs(Similarity.withPlantedDupes(emb), 0.9,
+          dim = 64, numCentroids = 32, nprobe = 2)
+      }
+      time("x1_topk") {
+        Similarity.topK(emb.filter(col("vec_id") < 10), emb, 5)
+      }
+      time("x2_ann") {
+        Similarity.annTopK(emb.filter(col("vec_id") < 10), emb, 5, dim = 64)
+      }
+      time("x3_ivf") {
+        Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, 5, dim = 64)
+      }
     }
     spark.stop()
   }

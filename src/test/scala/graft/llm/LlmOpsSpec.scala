@@ -137,6 +137,46 @@ class LlmOpsSpec extends SparkTestBase {
     assert(recall >= 0.7, s"LSH pair recall $recall too low (${exact.size} exact)")
   }
 
+  test("withPlantedDupes: deterministic, one copy per vector at cos ≈ 0.99") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planted = Similarity.withPlantedDupes(emb)
+    assert(planted.count() == 2 * emb.count())
+    val again = Similarity.withPlantedDupes(emb)
+    assert(planted.exceptAll(again).isEmpty && again.exceptAll(planted).isEmpty)
+    // each planted copy sits in the near-identical regime
+    val cos = Similarity.brutePairs(planted, 0.95, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = emb.count()
+    val expected = (0L until n).map(i => (i, i + 1000000L)).toSet
+    assert(cos == expected, s"planted pairs off: ${cos.size} found, $n expected")
+  }
+
+  test("lshCosinePairs at its design point: near-total recall on planted dups") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planted = Similarity.withPlantedDupes(emb)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.brutePairs(planted, 0.9, dim = 64))
+    val banded = pairs(Similarity.lshCosinePairs(planted, 0.9, dim = 64,
+      nBits = 64, bands = 8))
+    assert(banded.subsetOf(exact))
+    val recall = (exact & banded).size.toDouble / exact.size
+    assert(recall >= 0.99, s"design-point LSH recall $recall (${exact.size} exact)")
+  }
+
+  test("clusterBlockedPairs: subset of exact, high recall on planted dups") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planted = Similarity.withPlantedDupes(emb)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.brutePairs(planted, 0.9, dim = 64))
+    val blocked = pairs(Similarity.clusterBlockedPairs(planted, 0.9, dim = 64,
+      numCentroids = 16, nprobe = 2))
+    assert(blocked.subsetOf(exact))
+    val recall = (exact & blocked).size.toDouble / exact.size
+    assert(recall >= 0.95, s"cluster-blocked recall $recall (${exact.size} exact)")
+  }
+
   test("annTopK and ivfTopK recall vs exact topK on the sf0.001 embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter($"vec_id" < 10)
