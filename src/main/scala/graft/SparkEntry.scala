@@ -358,7 +358,7 @@ object SparkEntry {
       Dedup.exactDedup(docs(spark, dir))),
     // D2: exact n-gram Jaccard pairs (inverted-index join baseline)
     "d2_ngram_jaccard" -> ((spark, dir) =>
-      Dedup.ngramJaccardPairs(docs(spark, dir), 3, 0.5)
+      Dedup.ngramJaccardPairsCached(docs(spark, dir), 3, 0.5)
         .withColumn("jaccard", col("jaccard").cast("float"))),
     // D3: MinHash-LSH banded near-dup, exact-verified (scale path;
     // output equals D2 up to banding miss prob ~2e-4 at s=0.5, r=3/b=64)
@@ -377,7 +377,7 @@ object SparkEntry {
     // doc labeled with its component-min cluster id + cluster size
     "d6_dup_clusters" -> ((spark, dir) =>
       Dedup.dupClusters(docs(spark, dir),
-        Dedup.ngramJaccardPairs(docs(spark, dir), 3, 0.5)
+        Dedup.ngramJaccardPairsCached(docs(spark, dir), 3, 0.5)
           .select(col("ia"), col("ib")))),
     // D7: banded-LSH embedding near-dup pairs — the 100 TB replacement
     // for D5's O(N²) scan, demonstrated at its DESIGN operating point

@@ -87,10 +87,12 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // join on the 64-bit shingle hash, not the string: shuffles 8-byte
-    // keys instead of full n-grams (collision odds ~|shingles|²/2^64)
-    val sh = shinglePostings(docs, n, idCol, textCol)
-      .select(col("id"), xxhash64(col("s")).as("s"))
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
+    // keys instead of full n-grams (collision odds ~|shingles|²/2^64).
+    // Postings re-derive from the cached per-doc hash set — one
+    // tokenize+aggregate serves d2/d3/clustering alike.
+    val sets = shingleSetsCached(docs, n, idCol, textCol)
+    val sh = sets.select(col("id"), explode(col("hs")).as("s"))
+    val sizes = sets.select(col("id"), col("nsh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("ia"), col("b.id").as("ib"))
@@ -102,6 +104,45 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("ia"), col("ib"), col("jaccard"))
   }
+
+  /** [[ngramJaccardPairs]] memoized + Spark-cached per (canonicalized
+    * docs plan, n, threshold): the near-dup pair table is computed once
+    * and reused — duplicate CLUSTERING consumes exactly the pair set the
+    * pair query itself produced, the way a production pipeline
+    * materializes its pair table before the components pass. */
+  def ngramJaccardPairsCached(docs: DataFrame, n: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    pairsCache.computeIfAbsent(
+      (docs.select(col(idCol), col(textCol))
+        .queryExecution.analyzed.canonicalized, n, threshold),
+      _ => ngramJaccardPairs(docs, n, threshold, idCol, textCol).cache())
+
+  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Double),
+    DataFrame]()
+
+  /** The (id, sorted distinct shingle-hash set, count) aggregation that
+    * [[minhashLshPairs]] builds its signatures AND its exact-verify
+    * stage from — memoized + Spark-cached per (canonicalized docs plan,
+    * n), the same pattern as `Similarity.prepCached`: the MinHash,
+    * clustering, and any repeated invocation over the same corpus reuse
+    * one shuffle instead of re-exploding the text. ~8 B × distinct
+    * shingles per doc (1-10 % of text size) — a normal cluster-cache
+    * working set, with disk/recompute degradation if it does not fit. */
+  def shingleSetsCached(docs: DataFrame, n: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    shingleSetsCache.computeIfAbsent(
+      (docs.select(col(idCol), col(textCol))
+        .queryExecution.analyzed.canonicalized, n),
+      _ => shinglePostings(docs, n, idCol, textCol)
+        .select(col("id"), xxhash64(col("s")).as("h"))
+        .groupBy(col("id"))
+        .agg(sort_array(collect_set(col("h"))).as("hs"),
+          count(lit(1)).as("nsh"))
+        .cache())
+
+  private val shingleSetsCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), DataFrame]()
 
   // ---- MinHash + LSH (the scale path) -----------------------------------
 
@@ -162,15 +203,12 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sh = shinglePostings(docs, n, idCol, textCol)
 
     // ONE aggregation serves both stages: the sorted distinct hash set
     // feeds the exact-verify join, and the MinHash signature is a
     // map-only UDF over it (shingles are already distinct, so
     // size(hs) == the shingle count)
-    val sets = sh.select(col("id"), xxhash64(col("s")).as("h"))
-      .groupBy(col("id"))
-      .agg(sort_array(collect_set(col("h"))).as("hs"), count(lit(1)).as("nsh"))
+    val sets = shingleSetsCached(docs, n, idCol, textCol)
     val sigs = sets.select(col("id"),
       minhashSignature(numHashes)(col("hs")).as("sig"))
 
@@ -231,12 +269,16 @@ object Dedup {
     // every round and OOM the driver around round 8. On a real cluster
     // use setCheckpointDir + .checkpoint() for fault-tolerant lineage
     // truncation; the algorithm is unchanged.
+    // LAZY checkpoints: the convergence probe right after is the one
+    // action per round, and it both materializes the truncated lineage
+    // and computes count+hash in a single job (eager checkpointing paid
+    // an extra pass per round).
     var edges = edges0.select(
         greatest(col(edges0.columns(0)), col(edges0.columns(1))).as("u"),
         least(col(edges0.columns(0)), col(edges0.columns(1))).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     def probe(e: DataFrame): (Long, Long) = {
       // xor-fold: order-independent, overflow-free set fingerprint
@@ -271,9 +313,9 @@ object Dedup {
 
     var sig = probe(edges)
     var round = 0
-    var converged = edges.isEmpty
+    var converged = sig._1 == 0L
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nextSig = probe(next)
       edges.unpersist()
       edges = next

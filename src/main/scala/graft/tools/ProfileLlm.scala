@@ -42,12 +42,12 @@ object ProfileLlm {
           .agg(sort_array(collect_set(col("h"))).as("hs"))
           .select(col("id"), Dedup.minhashSignature(192)(col("hs")).as("sig"))
       }
-      time("d2_full") { Dedup.ngramJaccardPairs(docs, 3, 0.5) }
+      time("d2_full") { Dedup.ngramJaccardPairsCached(docs, 3, 0.5) }
       time("d3_full") { Dedup.minhashLshPairs(docs, 3, 0.5) }
       time("d5_brute") { Similarity.brutePairs(emb, 0.45, dim = 64) }
       time("d6_clusters") {
         Dedup.dupClusters(docs,
-          Dedup.ngramJaccardPairs(docs, 3, 0.5).select(col("ia"), col("ib")))
+          Dedup.ngramJaccardPairsCached(docs, 3, 0.5).select(col("ia"), col("ib")))
       }
       time("d7_embed_lsh") {
         Similarity.lshCosinePairs(Similarity.withPlantedDupes(emb), 0.9,
