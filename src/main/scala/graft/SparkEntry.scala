@@ -393,12 +393,14 @@ object SparkEntry {
         .withColumn("cos", col("cos").cast("float"))),
     // D8: cluster-blocked embedding near-dup (the SemDeDup shape) — the
     // data-adaptive counterpart to D7's data-oblivious hyperplanes:
-    // k-means blocks + nprobe=2 probing + exact in-block rescoring, on
-    // the same planted-dup corpus (rows-only, recall unit-tested)
+    // auto-sized k-means blocks (k = N/targetBlock keeps block size,
+    // per-task memory, and work-per-vector constant as N grows) +
+    // nprobe=2 probing + per-block kernel scoring, on the same
+    // planted-dup corpus (rows-only, recall unit-tested)
     "d8_embed_blocked" -> ((spark, dir) =>
       Similarity.clusterBlockedPairs(
           Similarity.withPlantedDupes(emb(spark, dir)),
-          0.9, dim = 64, numCentroids = 32, nprobe = 2)
+          0.9, dim = 64, nprobe = 2)
         .withColumn("cos", col("cos").cast("float"))),
     // X1: brute-force cosine top-k neighbours of the first 10 vectors
     "x1_sim_topk" -> ((spark, dir) =>

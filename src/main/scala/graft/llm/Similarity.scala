@@ -194,30 +194,29 @@ object Similarity {
     * Rescoring reuses the same ascending-index dot-product fold as the
     * exact baseline.
     *
-    * BAND DEPTH MUST TRACK THE THRESHOLD: per-bit agreement is
-    * p = 1−θ/π, so the default r=8/b=8 gives recall ≈ 0.94 at
-    * cos ≥ 0.87 (the usual near-dup operating point) but only ≈ 0.2
-    * at cos = 0.45; shallow bands (r=4/b=16 → recall ≈ 0.95 at 0.45)
-    * trade candidate volume for recall — at 4 bits a band has 16
-    * buckets, so reserve that configuration for high thresholds with
-    * small corpora or add more sign bits. */
+    * BAND DEPTH MUST TRACK THE THRESHOLD AND THE CORPUS SIZE: per-bit
+    * agreement is p = 1−θ/π, so r=8/b=8 gives recall ≈ 0.94 at
+    * cos ≥ 0.87 (the usual near-dup operating point) but only ≈ 0.2 at
+    * cos = 0.45; and a band's 2^r buckets must outnumber the corpus or
+    * random collisions dominate — random pairs collide at b/2^r, so
+    * candidate volume is ~N²·b/2^r and r ≈ log₂N keeps it ~N·b.
+    * Growing r costs recall, which more bands buy back (miss =
+    * (1−p^r)^b). The defaults suit ~10³-10⁴ vectors; a 10⁵ corpus
+    * wants r=16/b≥16 (measured: r=8/b=8 went superlinear at 8×10⁴
+    * vectors — 3 % of 3.2×10⁹ pairs is still 10⁸ candidates). `nBits`
+    * may exceed 64: band keys are materialized directly (one long per
+    * band), not packed into a single word. */
   def lshCosinePairs(emb: DataFrame, threshold: Double, dim: Int = 64,
       nBits: Int = 64, bands: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
       seed: Long = 7L): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
     val r = nBits / bands
-    val sigU = sigUdfFor(dim, nBits, seed)
+    require(r <= 63, "band depth must fit in a long")
+    val keysU = bandKeysUdfFor(dim, r, bands, seed)
     val p = prepCached(emb, idCol, vecCol)
-    val sigged = p.select(col("id"), col("v"), col("nrm"),
-      sigU(col("v")).as("sig"))
-    val mask = (1L << r) - 1
-    val bandArr = array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftrightunsigned(col("sig"), r * b).bitwiseAND(lit(mask)).as("bkey"))
-    }: _*)
-    val buckets = sigged.select(col("id"), explode(bandArr).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val buckets = p.select(col("id"), posexplode(keysU(col("v"))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bkey"))
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
@@ -225,6 +224,39 @@ object Similarity {
       .distinct()
     exactRescore(cand, p, threshold)
   }
+
+  /** Memoized per (dim, r, bands, seed): the banded signature as one
+    * r-bit key PER BAND (array of longs) — no 64-bit packing limit, and
+    * a single UDF instance per plane family so plans canonicalize
+    * equal. */
+  private val bandKeysCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, Int, Long), UserDefinedFunction]()
+
+  private def bandKeysUdfFor(dim: Int, r: Int, bands: Int,
+      seed: Long): UserDefinedFunction =
+    bandKeysCache.computeIfAbsent((dim, r, bands, seed), {
+      case (dim, r, bands, seed) =>
+        val ps = planes(dim, r * bands, seed)
+        udf { (v: Array[Double]) =>
+          val out = new Array[Long](bands)
+          var b = 0
+          while (b < bands) {
+            var key = 0L
+            var j = 0
+            while (j < r) {
+              var s = 0.0
+              var i = 0
+              val p = ps(b * r + j)
+              while (i < dim && i < v.length) { s += p(i) * v(i); i += 1 }
+              if (s > 0) key |= 1L << j
+              j += 1
+            }
+            out(b) = key
+            b += 1
+          }
+          out
+        }
+    })
 
   /** Exact cosine rescoring of candidate (ia, ib) pairs against the
     * prepped corpus — false positives die here, so a banded/blocked
@@ -245,31 +277,65 @@ object Similarity {
 
   /** Near-duplicate pairs via CLUSTER BLOCKING (the SemDeDup shape,
     * Abbas et al. 2023): k-means the corpus, assign every vector to its
-    * `nprobe` nearest centroids, enumerate pairs only WITHIN a shared
-    * block, rescore exactly. Work is Σ_c C(|block c|·nprobe, 2) ≈
-    * nprobe²·N²/k — choose k ∝ N (bounded block size) and the pair scan
-    * is linear in N with a block-size constant; shuffle per vector is
-    * `nprobe` (block, id) rows plus the rescore joins. Misses are pairs
-    * whose endpoints share no probed centroid: near-identical pairs
-    * (the dedup regime) rank centroids near-identically, so recall → 1
-    * as the pair cosine → 1; like every sub-quadratic method it cannot
-    * hold recall at LOW thresholds (see SCALE.md — at cos 0.45 on
-    * random-ish vectors nothing prunes). Data-adaptive counterpart to
-    * the data-oblivious [[lshCosinePairs]]. */
+    * `nprobe` nearest centroids, and score pairs only WITHIN a shared
+    * block — with a per-block primitive kernel, not a pair join: the
+    * shuffle ships each vector `nprobe` times (grouped by block id),
+    * and the in-block dot products run in a tight loop over packed
+    * arrays, so a block of B vectors costs B·0.5 KB of shuffle and
+    * B²/2 fused multiply-adds — never B² joined rows. Work is
+    * Σ_c C(|block c|, 2) ≈ nprobe²·N²/k; `numCentroids = -1` sizes
+    * k = N/`targetBlock` from a corpus count, which keeps block size —
+    * and therefore per-task memory AND total work per vector — CONSTANT
+    * as the corpus grows (a fixed k went quadratic at 20× the dev
+    * corpus; measured 190 s before this shape). Misses are pairs whose
+    * endpoints share no probed centroid: near-identical pairs rank
+    * centroids near-identically, so recall → 1 as pair cosine → 1;
+    * like every sub-quadratic method it cannot hold recall at LOW
+    * thresholds (see SCALE.md). Data-adaptive counterpart to the
+    * data-oblivious [[lshCosinePairs]]. */
   def clusterBlockedPairs(emb: DataFrame, threshold: Double, dim: Int = 64,
-      numCentroids: Int = 32, nprobe: Int = 2,
+      numCentroids: Int = -1, nprobe: Int = 2, targetBlock: Int = 250,
       idCol: String = "vec_id", vecCol: String = "embedding",
       seed: Long = 11L): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val p = prepCached(emb, idCol, vecCol)
-    val centroids = kmeansCentroids(emb, numCentroids, dim,
+    val k =
+      if (numCentroids > 0) numCentroids
+      else math.max(16, (p.count() * nprobe / targetBlock).toInt)
+    val centroids = kmeansCentroids(emb, k, dim,
       idCol = idCol, vecCol = vecCol, seed = seed)
-    val blocks = p.select(col("id"),
-      explode(probesUdf(centroids, nprobe)(col("v"))).as("_c"))
-    val cand = blocks.as("a").join(blocks.as("b"),
-        col("a._c") === col("b._c") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("ia"), col("b.id").as("ib"))
-      .distinct()
-    exactRescore(cand, p, threshold)
+    val blocked = p.select(explode(probesUdf(centroids, nprobe)(col("v"))).as("_c"),
+        col("id"), col("v"), col("nrm"))
+      .as[(Int, Long, Array[Double], Double)]
+    val th = threshold
+    blocked.groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val n = rows.length
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        var i = 0
+        while (i < n) {
+          val (ia, va, na) = (rows(i)._2, rows(i)._3, rows(i)._4)
+          var j = i + 1
+          while (j < n) {
+            val (ib, vb, nb) = (rows(j)._2, rows(j)._3, rows(j)._4)
+            if (ia != ib) {
+              var s = 0.0
+              val m = math.min(va.length, vb.length)
+              var x = 0
+              while (x < m) { s += va(x) * vb(x); x += 1 }
+              val cos = s / (na * nb)
+              if (cos >= th) out += ((ia, ib, cos))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }
+      .toDF("ia", "ib", "cos")
+      .distinct() // a pair sharing several probed blocks scores identically
   }
 
   /** Deterministic Gaussian hyperplanes (seeded), one 64-bit signature

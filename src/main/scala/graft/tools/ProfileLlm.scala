@@ -55,7 +55,11 @@ object ProfileLlm {
       }
       time("d8_embed_blocked") {
         Similarity.clusterBlockedPairs(Similarity.withPlantedDupes(emb), 0.9,
-          dim = 64, numCentroids = 32, nprobe = 2)
+          dim = 64, nprobe = 2)
+      }
+      time("d7_deep_r16b16") {
+        Similarity.lshCosinePairs(Similarity.withPlantedDupes(emb), 0.9,
+          dim = 64, nBits = 256, bands = 16)
       }
       time("x1_topk") {
         Similarity.topK(emb.filter(col("vec_id") < 10), emb, 5)

@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Generate a k-times scaled copy of the sf0.1 documents/embeddings
+tables for local scaling profiles (ProfileLlm).
+
+Scaling model: k INDEPENDENT shards of the same distribution — the way
+a real corpus grows — not k literal copies (which would multiply every
+shingle's document frequency by k and blow up the d2 join fan-out by
+k^2 as a property of the DATA, not the operators).
+
+- documents: shard s gets doc_id += s*1_000_000 and every token tagged
+  with the shard id, so shingles never collide across shards: per-shard
+  pair structure is identical to sf0.1, df(shingle) stays constant.
+- embeddings: shard s gets vec_id += s*10_000_000 and a per-shard
+  deterministic permutation + sign-flip of the 64 dims (an orthogonal
+  map: norms and in-shard cosines exactly preserved, cross-shard
+  cosines decorrelated).
+
+Usage: python3 tools/gen_scale.py [k] [src_dir] [out_dir]
+"""
+import sys
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+out = sys.argv[3] if len(sys.argv) > 3 else f"/root/repo/tmpdata/sf0.1x{k}"
+
+import os
+os.makedirs(out, exist_ok=True)
+
+docs = pq.read_table(f"{src}/documents.parquet")
+doc_ids = docs["doc_id"].to_numpy()
+texts = docs["text"].to_pylist()
+all_ids, all_texts = [], []
+for s in range(k):
+    tag = f"s{s}"
+    all_ids.append(doc_ids + s * 1_000_000)
+    if s == 0:
+        all_texts.extend(texts)
+    else:
+        all_texts.extend(" ".join(f"{w}{tag}" for w in t.split()) for t in texts)
+other = {name: pa.concat_arrays([docs[name].combine_chunks()] * k)
+         for name in docs.column_names if name not in ("doc_id", "text")}
+scaled_docs = pa.table({"doc_id": np.concatenate(all_ids),
+                        "text": all_texts, **other})
+pq.write_table(scaled_docs, f"{out}/documents.parquet")
+
+emb = pq.read_table(f"{src}/embeddings.parquet")
+vec_ids = emb["vec_id"].to_numpy()
+V = np.array([np.array(x) for x in emb["embedding"].to_pylist()],
+             dtype=np.float32)
+labels = emb["label"].to_numpy()
+rng = np.random.RandomState(1234)
+ids_out, vecs_out, labels_out = [], [], []
+for s in range(k):
+    ids_out.append(vec_ids + s * 10_000_000)
+    if s == 0:
+        vecs_out.append(V)
+    else:
+        perm = rng.permutation(V.shape[1])
+        signs = rng.choice([-1.0, 1.0], V.shape[1]).astype(np.float32)
+        vecs_out.append(V[:, perm] * signs)
+    labels_out.append(labels)
+Vs = np.concatenate(vecs_out)
+scaled_emb = pa.table({
+    "vec_id": np.concatenate(ids_out),
+    "embedding": pa.array(list(Vs), type=pa.list_(pa.float32())),
+    "label": np.concatenate(labels_out)})
+pq.write_table(scaled_emb, f"{out}/embeddings.parquet")
+print(f"wrote {out}: {scaled_docs.num_rows} docs, {scaled_emb.num_rows} vecs")
