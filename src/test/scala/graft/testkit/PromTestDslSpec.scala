@@ -390,6 +390,146 @@ eval instant at 50m count_values("v", m / 8)
 """)
   }
 
+  test("scalar arithmetic edges: division by zero, precedence, unary") {
+    run("""
+load 5m
+  foo{job="a"} 1+1x10
+
+# IEEE semantics carried through Go: x/0 is signed Inf, 0/0 is NaN
+eval instant at 50m foo / 0
+  {job="a"} Inf
+
+eval instant at 50m -foo / 0
+  {job="a"} -Inf
+
+eval instant at 50m vector(0) / 0
+  {} NaN
+
+eval instant at 50m vector(0) ^ 0
+  {} 1
+
+# precedence: ^ binds tighter than * %, which bind tighter than +
+eval instant at 50m 2 + 3 * 2 ^ 2 % 3
+  {} 2
+
+eval instant at 50m 2 - -1
+  {} 3
+
+# arithmetic drops the metric name but keeps the labels
+eval instant at 50m foo + 0
+  {job="a"} 11
+
+eval instant at 50m foo % 4
+  {job="a"} 3
+
+# aggregating an empty selection yields an empty vector
+eval instant at 50m sum(nonexistent)
+
+eval instant at 50m vector(1) + vector(2)
+  {} 3
+""")
+  }
+
+  test("regex matchers, absent matcher labels, label_replace edges") {
+    run("""
+load 5m
+  m{s="a"} 0+10x10
+  m{s="b"} 0+20x10
+  m{s="ax"} 0+30x10
+
+# regex matchers are fully anchored (^(?:re)$)
+eval instant at 50m m{s=~"a|b"}
+  m{s="a"} 100
+  m{s="b"} 200
+
+eval instant at 50m m{s!~"a.*"}
+  m{s="b"} 200
+
+# absent() copies only EQUALITY matchers into the synthetic labels
+eval instant at 50m absent(nothing{job=~"x", a="1"})
+  {a="1"} 1
+
+# a non-matching regex leaves the metric unchanged (functions.go:779-823)
+eval instant at 50m label_replace(m{s="a"}, "new", "$1", "s", "nomatch")
+  m{s="a"} 100
+
+# an empty expansion REMOVES the destination label
+eval instant at 50m label_replace(m{s="a"}, "s", "", "s", "(.*)")
+  m 100
+
+eval_ordered instant at 50m sort(m{s=~"a|b"})
+  m{s="a"} 100
+  m{s="b"} 200
+""")
+  }
+
+  test("exact values: deriv family, holt_winters, spread aggregations") {
+    run("""
+load 5m
+  cnt 0+10x10
+  m{s="a"} 0+10x10
+  m{s="b"} 0+20x10
+
+# least-squares slope of an exactly linear series: 10 per 300 s
+eval instant at 50m deriv(cnt[50m])
+  {} 0.0333333333
+
+eval instant at 50m predict_linear(cnt[50m], 300)
+  {} 110
+
+# double exponential smoothing reproduces a linear series exactly
+eval instant at 50m holt_winters(cnt[50m], 0.5, 0.5)
+  {} 100
+
+eval instant at 50m min_over_time(cnt[50m])
+  {} 0
+
+# population stddev/stdvar of 0,10,...,100
+eval instant at 50m stdvar_over_time(cnt[50m])
+  {} 1000
+
+eval instant at 50m stddev_over_time(cnt[50m])
+  {} 31.6227766
+
+eval instant at 50m stdvar(m)
+  {} 2500
+
+# interpolated quantile between 100 and 200
+eval instant at 50m quantile(0.9, m)
+  {} 190
+
+# avg/sum PROPAGATE NaN (unlike min/max, which drop it)
+eval instant at 50m avg(m or vector(NaN))
+  {} NaN
+
+eval instant at 50m time() / 60
+  {} 50
+
+clear
+
+load 5m
+  rst 0 10 20 5 15
+
+# rate = increase / range on the reset-corrected series
+eval instant at 20m rate(rst[20m])
+  {} 0.0291666667
+
+clear
+
+load 5m
+  hour_m 90000+0x10
+
+eval instant at 0m hour(hour_m)
+  {} 1
+
+eval instant at 50m month(vector(0))
+  {} 1
+
+eval instant at 50m day_of_month(vector(0))
+  {} 1
+""")
+  }
+
   test("staleness: a marker as the newest lookback point hides the series") {
     run("""
 load 5m
