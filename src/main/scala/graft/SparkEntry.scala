@@ -62,8 +62,17 @@ object SparkEntry {
   /** Synthesize cumulative `le` bucket series from events: one indicator
     * sample (v ≤ le) per event per bucket, so
     * `sum_over_time(events_bucket[w])` yields the per-window cumulative
-    * bucket counts that `histogram_quantile` expects. */
-  private def bucketSamples(spark: SparkSession, dir: String): DataFrame = {
+    * bucket counts that `histogram_quantile` expects. Memoized +
+    * Spark-cached per (session, dir) like the events adapter — it is a
+    * synthetic TABLE (5× the events), not per-query work. */
+  private val bucketCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def bucketSamples(spark: SparkSession, dir: String): DataFrame =
+    bucketCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}:$dir",
+      _ => bucketSamplesUncached(spark, dir).cache())
+
+  private def bucketSamplesUncached(spark: SparkSession, dir: String): DataFrame = {
     val ev = Samples.fromEventsDir(spark, dir)
     val leStructs = array(
       Les.map(x => struct(lit(x.toString).as("le"),
@@ -445,6 +454,22 @@ object SparkEntry {
     "t4_fingerprint" -> ((spark, dir) =>
       docs(spark, dir).select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fingerprint"))),
+    // T5: deterministic train/val/test split by cross-engine hash
+    // bucket (md5-low64 unsigned mod — content/corpus independent)
+    "t5_hash_split" -> ((spark, dir) => TextOps.hashSplit(docs(spark, dir))),
+    // T6: GPT-style sequence packing — docs laid end-to-end per shard,
+    // cut into 512-token sequences; spanning docs carry [first, last]
+    "t6_pack_sequences" -> ((spark, dir) =>
+      TextOps.packSequences(docs(spark, dir), budget = 512, shards = 8)),
+    // T7: benchmark decontamination — distinct trigram hits against a
+    // broadcast blocklist (here: shingles of every 97th doc, a
+    // deterministic stand-in for an eval-benchmark n-gram list)
+    "t7_decontaminate" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val blocklist = d.filter(col("doc_id") % 97 === 0)
+        .select(explode(TextOps.wordShingles(col("text"), 3)).as("s"))
+      TextOps.contamination(d, blocklist, 3)
+    }),
     // M1: multimodal column model — binary payload + typed metadata,
     // batch-wise decode stub over mapPartitions
     "m1_media_meta" -> ((spark, dir) =>
@@ -880,6 +905,43 @@ object SparkEntry {
         |    i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
         |    (a, c) -> (a * 31 + c) % 999999999999989) AS fingerprint
         |FROM documents""".stripMargin,
+    "t5_hash_split" ->
+      """SELECT doc_id,
+        |  CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 AS BIGINT)
+        |    AS bucket,
+        |  CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < 900
+        |       THEN 'train'
+        |       WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < 950
+        |       THEN 'val' ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "t6_pack_sequences" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 8 AS BIGINT)
+        |    AS shard,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard
+        |  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS cum FROM s)
+        |SELECT doc_id, shard, n_tokens,
+        |  cum - n_tokens AS start_tok,
+        |  (cum - n_tokens) // 512 AS first_seq,
+        |  (cum - 1) // 512 AS last_seq
+        |FROM c""".stripMargin,
+    "t7_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    list_transform(generate_series(1, len(tk) - 2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |  FROM tok WHERE len(tk) >= 3),
+        |bl AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        |h AS (SELECT sh.doc_id, COUNT(*) AS hits
+        |  FROM sh JOIN bl USING (s) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(h.hits, 0) AS contaminated_ngrams,
+        |  CAST(COALESCE(h.hits, 0) > 0 AS BIGINT) AS contaminated
+        |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin,
     "m1_media_meta" ->
       """SELECT doc_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

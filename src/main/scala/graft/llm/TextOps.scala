@@ -123,6 +123,75 @@ object TextOps {
       "stopword_ratio" -> enHits.cast("double") / nTok)
   }
 
+  // ---- deterministic corpus splitting ------------------------------------
+
+  /** Deterministic hash bucket in [0, buckets): UNSIGNED remainder of
+    * the md5-low64 of the stringified id — the cross-engine hash
+    * convention ([[Dedup.tokenHash64]] == DuckDB `md5_number_lower`,
+    * both reduced with unsigned %). Content- and corpus-independent,
+    * so a document's bucket never changes as the corpus grows or is
+    * re-sharded — the property a train/val split must have. Map-only. */
+  def hashBucket(id: Column, buckets: Int): Column = {
+    val u = udf { (s: String) =>
+      java.lang.Long.remainderUnsigned(Dedup.tokenHash64(s), buckets.toLong)
+    }
+    u(id.cast("string"))
+  }
+
+  /** Train/val/test split by hash bucket over 1000: [0,900) train,
+    * [900,950) val, rest test. One map-only pass, zero shuffle. */
+  def hashSplit(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val b = hashBucket(col(idCol), 1000)
+    docs.select(col(idCol), b.as("bucket"),
+      when(b < 900, "train").when(b < 950, "val").otherwise("test")
+        .as("split"))
+  }
+
+  /** GPT-style sequence packing: documents are laid end-to-end in id
+    * order WITHIN A SHARD and cut into fixed `budget`-token sequences;
+    * a document occupying token offsets [start, start+nt) spans
+    * sequences [first_seq, last_seq] (split across the cut, the
+    * standard pack-then-slice pretraining layout). The running sum is
+    * windowed PER SHARD — per-shard packing IS the distributed
+    * formulation (a single global order would put every row in one
+    * window partition, and carries no training-relevant meaning
+    * anyway): shards pack in parallel, each emitting its own sequence
+    * numbering. */
+  def packSequences(docs: DataFrame, budget: Int, shards: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nt = size(tokens(col(textCol))).cast("long")
+    val sharded = docs.select(col(idCol),
+      hashBucket(col(idCol), shards).as("shard"), nt.as("n_tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sharded
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        (col("_cum") - col("n_tokens")).as("start_tok"),
+        expr(s"(_cum - n_tokens) DIV $budget").as("first_seq"),
+        expr(s"(_cum - 1) DIV $budget").as("last_seq"))
+  }
+
+  /** Benchmark decontamination: per-document count of DISTINCT word
+    * n-grams that appear in a blocklist (e.g. eval-benchmark shingles).
+    * The blocklist — typically ≤10⁶ n-grams — broadcasts; the corpus
+    * side is one map pass (shingle explode) plus a partial-aggregated
+    * count, so the only shuffle is (id, hits) partials. Documents with
+    * zero hits are retained (left join) — the downstream filter wants
+    * every doc labeled. */
+  def contamination(docs: DataFrame, blocklist: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(wordShingles(col(textCol), n)).as("s"))
+    val hits = sh.join(broadcast(blocklist.select(col("s")).distinct()), "s")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("hits"))
+    docs.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("hits"), lit(0L)).as("contaminated_ngrams"),
+        (coalesce(col("hits"), lit(0L)) > 0).cast("long").as("contaminated"))
+  }
+
   /** One-pass text-analysis projection over a documents frame. */
   def analyze(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {

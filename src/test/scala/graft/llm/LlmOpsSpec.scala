@@ -192,6 +192,43 @@ class LlmOpsSpec extends SparkTestBase {
     assert(ivfRecall >= 0.5, s"IVF ANN recall $ivfRecall too low")
   }
 
+  test("hashSplit is deterministic, content-independent, ~90/5/5") {
+    val r1 = TextOps.hashSplit(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val relabeled = docs.withColumn("text", lit("x"))
+    val r2 = TextOps.hashSplit(relabeled).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(r1 == r2, "split must not depend on content")
+    assert(r1.values.forall { case (b, s) =>
+      (b < 900) == (s == "train") && (b >= 950) == (s == "test") })
+    // cross-engine hash convention: bucket = md5-low64 unsigned mod
+    assert(r1(0L)._1 ==
+      java.lang.Long.remainderUnsigned(Dedup.tokenHash64("0"), 1000L))
+  }
+
+  test("packSequences: per-shard running layout, spanning docs split") {
+    import spark.implicits._
+    // one shard so the layout is a single known stream
+    val d = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i")) // 3,2,4 tokens
+      .toDF("doc_id", "text")
+    val r = TextOps.packSequences(d, budget = 4, shards = 1).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(r(1L) == (0L, 0L, 0L)) // tokens [0,3) in seq 0
+    assert(r(2L) == (3L, 0L, 1L)) // tokens [3,5) span the seq-0/1 cut
+    assert(r(3L) == (5L, 1L, 2L)) // tokens [5,9) span seqs 1-2
+  }
+
+  test("contamination counts distinct blocklist shingles per doc") {
+    import spark.implicits._
+    val block = Seq("quick brown fox").toDF("s")
+    val r = TextOps.contamination(docs, block, 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(r(0L) == (1L, 1L) && r(1L) == (1L, 1L) && r(3L) == (1L, 1L))
+    assert(r(2L) == (0L, 0L) && r(4L) == (0L, 0L))
+    assert(r.size == 5, "every doc must be labeled")
+  }
+
   test("TextOps: token counts, fingerprint fold, langId argmax") {
     val r = TextOps.analyze(docs).collect()
       .map(r => r.getLong(0) -> r).toMap
