@@ -461,6 +461,10 @@ object SparkEntry {
     // cut into 512-token sequences; spanning docs carry [first, last]
     "t6_pack_sequences" -> ((spark, dir) =>
       TextOps.packSequences(docs(spark, dir), budget = 512, shards = 8)),
+    // T8: vocabulary head — global top-100 term frequencies via the
+    // bounded-heap aggregator (O(k·tasks) gather, no vocabulary sort)
+    "t8_vocab_topk" -> ((spark, dir) =>
+      TextOps.topTerms(docs(spark, dir), 100)),
     // T7: benchmark decontamination — distinct trigram hits against a
     // broadcast blocklist (here: shingles of every 97th doc, a
     // deterministic stand-in for an eval-benchmark n-gram list)
@@ -928,6 +932,12 @@ object SparkEntry {
         |  (cum - n_tokens) // 512 AS first_seq,
         |  (cum - 1) // 512 AS last_seq
         |FROM c""".stripMargin,
+    "t8_vocab_topk" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1)
+        |SELECT token, cnt FROM c
+        |ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
     "t7_decontaminate" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk
         |  FROM documents),

@@ -192,6 +192,23 @@ object TextOps {
         (coalesce(col("hits"), lit(0L)) > 0).cast("long").as("contaminated"))
   }
 
+  /** Global top-k term frequencies (vocabulary head). Token explode →
+    * hash-aggregated counts (map-side combine) → the bounded-heap
+    * top-k aggregator ([[graft.exec.TopK]]) as a partial+merge global
+    * aggregate: every map task contributes at most 2k rows, so the
+    * final gather is O(k · tasks) — never a global sort of the
+    * vocabulary. Ties break on the token string, deterministically. */
+  def topTerms(docs: DataFrame, k: Int,
+      textCol: String = "text"): DataFrame = {
+    val counts = docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    counts
+      .agg(graft.exec.TopK.topk(k, desc = true)(col("cnt").cast("double"),
+        col("token"), lit(0L), col("cnt").cast("double")).as("_w"))
+      .select(explode(col("_w")).as("_e"))
+      .select(col("_e.tie").as("token"), col("_e.v").cast("long").as("cnt"))
+  }
+
   /** One-pass text-analysis projection over a documents frame. */
   def analyze(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {

@@ -229,6 +229,17 @@ class LlmOpsSpec extends SparkTestBase {
     assert(r.size == 5, "every doc must be labeled")
   }
 
+  test("topTerms: bounded-heap vocabulary head with deterministic ties") {
+    val r = TextOps.topTerms(docs, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // 'the' appears 6 times across the fixture docs; ties break on the
+    // token string ascending
+    assert(r.head == ("the", 6L))
+    assert(r.length == 3)
+    assert(r.sliding(2).forall { case Array((ta, ca), (tb, cb)) =>
+      ca > cb || (ca == cb && ta < tb) })
+  }
+
   test("TextOps: token counts, fingerprint fold, langId argmax") {
     val r = TextOps.analyze(docs).collect()
       .map(r => r.getLong(0) -> r).toMap
