@@ -28,11 +28,17 @@ object Bench {
       val warm = time { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
       (name, cold, warm)
     }
-    val qs = results.map { case (k, _, w) => "\"" + k + "\":" + w }
+    // ms precision keeps the ONE JSON line short enough to survive
+    // tail-window capture of stdout (~4 KB): full-precision doubles for
+    // 70+ queries pushed the line past the window and truncated its head
+    def r3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val qs = results.map { case (k, _, w) => "\"" + k + "\":" + r3(w) }
       .mkString("{", ",", "}")
     val total = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_sec":$coldTotal,"sf":"$sfDir"}""")
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("0")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_sec":${r3(coldTotal)},"sf":$sfNum}""")
     spark.stop()
   }
 }

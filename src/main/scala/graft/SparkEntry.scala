@@ -474,6 +474,13 @@ object SparkEntry {
         .select(explode(TextOps.wordShingles(col("text"), 3)).as("s"))
       TextOps.contamination(d, blocklist, 3)
     }),
+    // T9: Gopher-style repetition signals — duplicate n-gram fraction
+    // and most-frequent-n-gram mass for n = 1, 2, 3 (map-only)
+    "t9_repetition" -> ((spark, dir) =>
+      TextOps.repetitionSignals(docs(spark, dir))),
+    // T10: corpus TF-IDF — inverted-index tf, vocabulary-sized df,
+    // broadcast N; one row per (doc, distinct token)
+    "t10_tfidf" -> ((spark, dir) => TextOps.tfidf(docs(spark, dir))),
     // M1: multimodal column model — binary payload + typed metadata,
     // batch-wise decode stub over mapPartitions
     "m1_media_meta" -> ((spark, dir) =>
@@ -952,6 +959,52 @@ object SparkEntry {
         |  COALESCE(h.hits, 0) AS contaminated_ngrams,
         |  CAST(COALESCE(h.hits, 0) > 0 AS BIGINT) AS contaminated
         |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin,
+    "t9_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |g1 AS (SELECT doc_id, unnest(w) AS g FROM tok),
+        |c1 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g1 GROUP BY 1, 2),
+        |a1 AS (SELECT doc_id, SUM(cnt) AS total, COUNT(*) AS dis,
+        |       MAX(cnt) AS top FROM c1 GROUP BY 1),
+        |g2 AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1])) AS g FROM tok),
+        |c2 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2),
+        |a2 AS (SELECT doc_id, SUM(cnt) AS total, COUNT(*) AS dis,
+        |       MAX(cnt) AS top FROM c2 GROUP BY 1),
+        |g3 AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM tok),
+        |c3 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g3 GROUP BY 1, 2),
+        |a3 AS (SELECT doc_id, SUM(cnt) AS total, COUNT(*) AS dis,
+        |       MAX(cnt) AS top FROM c3 GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(1 - a1.dis / CAST(a1.total AS DOUBLE), 0) AS REAL)
+        |    AS dup_word_frac,
+        |  CAST(COALESCE(a1.top / CAST(a1.total AS DOUBLE), 0) AS REAL)
+        |    AS top_word_frac,
+        |  CAST(COALESCE(1 - a2.dis / CAST(a2.total AS DOUBLE), 0) AS REAL)
+        |    AS dup_2gram_frac,
+        |  CAST(COALESCE(a2.top / CAST(a2.total AS DOUBLE), 0) AS REAL)
+        |    AS top_2gram_frac,
+        |  CAST(COALESCE(1 - a3.dis / CAST(a3.total AS DOUBLE), 0) AS REAL)
+        |    AS dup_3gram_frac,
+        |  CAST(COALESCE(a3.top / CAST(a3.total AS DOUBLE), 0) AS REAL)
+        |    AS top_3gram_frac
+        |FROM documents d
+        |LEFT JOIN a1 ON d.doc_id = a1.doc_id
+        |LEFT JOIN a2 ON d.doc_id = a2.doc_id
+        |LEFT JOIN a3 ON d.doc_id = a3.doc_id""".stripMargin,
+    "t10_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT tf.doc_id, tf.token, tf.tf, df.doc_freq,
+        |  CAST(tf.tf * ln(CAST(n.n AS DOUBLE) / df.doc_freq) AS REAL)
+        |    AS tfidf
+        |FROM tf JOIN df USING (token) CROSS JOIN n""".stripMargin,
     "m1_media_meta" ->
       """SELECT doc_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -192,6 +192,87 @@ object TextOps {
         (coalesce(col("hits"), lit(0L)) > 0).cast("long").as("contaminated"))
   }
 
+  /** Per-document n-gram repetition statistics — the Gopher-style
+    * repetition quality signals (duplicate n-gram fraction and
+    * most-frequent-n-gram mass) used to drop boilerplate/spam from
+    * training corpora. One pass over the token stream per document with
+    * a counting hash map (a loop UDF for the same O(tokens²)-lambda
+    * reason as [[wordShingles]]); map-only, zero shuffle — at 100 TB
+    * the cost is the pruned column scan. Returns
+    * struct(total, distinct, top): total n-gram occurrences, distinct
+    * n-grams, and the count of the most frequent n-gram. Docs with
+    * fewer than n tokens return (0, 0, 0). */
+  def repetitionStats(text: Column, n: Int): Column = {
+    val u = udf { (text: String) =>
+      if (text == null) (0L, 0L, 0L)
+      else {
+        val t = text.split(" ", -1)
+        if (t.length < n) (0L, 0L, 0L)
+        else {
+          val counts = new java.util.HashMap[String, Long]
+          var top = 0L
+          var i = 0
+          while (i + n <= t.length) {
+            val sb = new java.lang.StringBuilder(t(i))
+            var k = 1
+            while (k < n) { sb.append(' ').append(t(i + k)); k += 1 }
+            val c = counts.merge(sb.toString, 1L, (a, b) => a + b)
+            if (c > top) top = c
+            i += 1
+          }
+          ((t.length - n + 1).toLong, counts.size.toLong, top)
+        }
+      }
+    }
+    u(text).cast("struct<total:bigint,distinct:bigint,top:bigint>")
+  }
+
+  /** Repetition-signal projection: duplicate and top-n-gram fractions
+    * for n = 1 (words), 2, 3. Zero-token edge cases yield 0.0 so every
+    * document is labeled. */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val cols = Seq(1, 2, 3).flatMap { n =>
+      val s = repetitionStats(col(textCol), n)
+      val total = s.getField("total").cast("double")
+      val dup = when(s.getField("total") > 0,
+        lit(1.0) - s.getField("distinct").cast("double") / total)
+        .otherwise(0.0)
+      val topf = when(s.getField("total") > 0,
+        s.getField("top").cast("double") / total).otherwise(0.0)
+      val tag = if (n == 1) "word" else s"${n}gram"
+      Seq(dup.cast("float").as(s"dup_${tag}_frac"),
+        topf.cast("float").as(s"top_${tag}_frac"))
+    }
+    docs.select(col(idCol) +: cols: _*)
+  }
+
+  /** Corpus TF-IDF: one row per (document, distinct token) with the
+    * term frequency, document frequency, and tf·ln(N/df) weight.
+    *
+    * Plan shape at 100 TB: the only full-volume shuffle is the
+    * (doc, token) inverted index feeding the tf hash-aggregate
+    * (map-side combined); document frequency re-aggregates the
+    * ALREADY-REDUCED tf table by token (vocabulary-sized), and the
+    * corpus size N is a scalar aggregate that broadcasts. The df-side
+    * join is broadcast when the vocabulary fits (typical: ≤10⁷ terms)
+    * and falls back to an AQE shuffle join on the token key otherwise —
+    * both sides are post-aggregation volumes, never raw token streams. */
+  def tfidf(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+    val n = docs.agg(count(lit(1)).as("_n"))
+    tf.join(broadcast(df_), "token")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("token"), col("tf"), col("doc_freq"),
+        (col("tf").cast("double") *
+          log(col("_n").cast("double") / col("doc_freq").cast("double")))
+          .cast("float").as("tfidf"))
+  }
+
   /** Global top-k term frequencies (vocabulary head). Token explode →
     * hash-aggregated counts (map-side combine) → the bounded-heap
     * top-k aggregator ([[graft.exec.TopK]]) as a partial+merge global

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan shape invariants — the properties `SCALE.md` and the
+  * README claim the engine maintains, asserted against the real
+  * formatted plans so a regression (a filter that stops reaching the
+  * scan, a top-k that reverts to a global window, a broadcast that
+  * silently becomes a shuffle) fails CI instead of surviving until a
+  * 100 TB run.
+  *
+  * Plans are inspected BEFORE execution (the AQE initial plan): the
+  * invariants are static plan properties, not runtime re-plans.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    formatted(SparkEntry.queries(name)(spark, sf))
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("time bounds reach the parquet scan through the nanos adapter") {
+    // the serving path caches the adapter frame (s4_scan plans an
+    // InMemoryTableScan), so assert the pushdown invariant on the
+    // UNCACHED read it exists for: IntDivPushdown must rewrite
+    // `t = ts DIV 1e6` bounds into raw-nanos predicates in PushedFilters
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = graft.model.Samples.fromEvents(
+      spark.read.parquet(s"$sf/events.parquet"))
+    new graft.exec.PromQLEngine(spark, raw) // installs the rule (idempotent)
+    val p = formatted(raw.filter(col("t") >= 1704153600000L &&
+      col("t") < 1704758400000L))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters:")).mkString
+    assert(pushed.contains("GreaterThan") || pushed.contains("LessThan")
+      || pushed.contains("GreaterThanOrEqual") || pushed.contains("LessThanOrEqual"),
+      s"no time bound reached the scan:\n$pushed")
+  }
+
+  test("s4_scan serves from the cached adapter frame (head-block analogue)") {
+    val p = plan("s4_scan")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"expected the cached events adapter in the plan:\n${p.take(800)}")
+  }
+
+  test("selector scans prune to the columns the query needs") {
+    val p = plan("s4_scan")
+    val read = p.linesIterator.filter(_.contains("ReadSchema:")).mkString
+    // events.parquet has more columns (event_type, region, value, ts...);
+    // the scan must not read what the adapter doesn't project
+    assert(!read.contains("payload"), s"unpruned scan:\n$read")
+  }
+
+  test("a6_topk uses the bounded-heap aggregate, never a global window") {
+    val p = plan("a6_topk")
+    assert(!p.contains("Window"), s"topk regressed to a window plan:\n" +
+      p.linesIterator.filter(_.contains("Window")).mkString("\n"))
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "bounded-heap Aggregator missing from the topk plan")
+  }
+
+  test("vector-scalar binop broadcasts the scalar side") {
+    val p = plan("j6_vector_scalar")
+    assert(p.contains("BroadcastExchange") || !p.contains("Join"),
+      "scalar side of a vector⊙scalar binop must broadcast")
+  }
+
+  test("memoized identical subtrees stay canonically equal (ReuseExchange)") {
+    // min-vs-max subtrees (a3) differ at the partial aggregate, so their
+    // exchanges legitimately differ; IDENTICAL subtrees must stay
+    // canonically equal so Catalyst's ReuseExchange collapses them. A
+    // regression here (e.g. a fresh UDF instance per translator call —
+    // ScalaUDF canonicalization compares function identity) would make
+    // every repeated subtree recompute. Asserted with AQE off: the
+    // static rule exposes the invariant deterministically, whereas
+    // AQE-runtime stage reuse keys on the post-wrapping stage plan and
+    // skips cached-relation subtrees (a Spark runtime trait, not a
+    // property of our plans — the adapter cache still serves both
+    // sides' scans either way).
+    val e = new graft.exec.PromQLEngine(spark,
+      graft.model.Samples.fromEventsDir(spark, sf))
+    val before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = e.rangeQuery(
+        "sum by (event_type) (sum_over_time(events_value[1d])) / " +
+          "sum by (event_type) (sum_over_time(events_value[1d]))",
+        1704153600000L, 1704585600000L, 86400000L)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"),
+        s"identical selector/agg subtrees must plan a ReusedExchange:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", before)
+  }
+
+  test("per-row text ops are map-only: no exchange in t1/t2/t9 plans") {
+    for (name <- Seq("t1_token_count", "t2_quality", "t9_repetition")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name must not shuffle")
+    }
+  }
+
+  test("t7_decontaminate broadcasts the blocklist") {
+    val p = plan("t7_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "blocklist join must be a broadcast hash join")
+  }
+
+  test("t10_tfidf broadcasts df and N; tf aggregate is hash-based") {
+    val p = plan("t10_tfidf")
+    assert(count(p, "BroadcastExchange") >= 2,
+      "df table and corpus-size N must both broadcast")
+    assert(p.contains("HashAggregate"), "tf must be a hash aggregate")
+  }
+
+  test("sample-volume aggregations are hash-based, not sort-based") {
+    // a1_sum is the canonical (sig, step) aggregation; a map-typed key
+    // would force SortAggregate (no UnsafeRow support for maps)
+    val p = plan("a1_sum")
+    assert(p.contains("HashAggregate"), "expected hash aggregation")
+    val agg = p.linesIterator.filter(_.contains("SortAggregate")).toSeq
+    assert(agg.isEmpty, s"sort-based aggregate in the hot path:\n${agg.mkString("\n")}")
+  }
+
+  test("d1_exact_dedup shuffles hashes, not documents") {
+    val p = plan("d1_exact_dedup")
+    // the groupBy key must be the content hash, and text must not ride
+    // through the exchange: no `text` column in any Exchange's child
+    // output that feeds the aggregate (cheap proxy: Exchange lines
+    // reference hashpartitioning on the hash column)
+    assert(p.contains("hashpartitioning"),
+      "exact dedup must hash-partition by content hash")
+  }
+}

@@ -240,6 +240,43 @@ class LlmOpsSpec extends SparkTestBase {
       ca > cb || (ca == cb && ta < tb) })
   }
 
+  test("repetitionSignals: dup/top n-gram fractions with short-doc edges") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "a a a a"),        // words: 4 total, 1 distinct, top 4
+      (1L, "a b a b a"),      // bigrams: 4 total, 2 distinct ("a b" ×2, "b a" ×2)
+      (2L, "x"),              // < 2 tokens: bigram/trigram stats are 0
+      (3L, "p q r s")         // all distinct everywhere
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetitionSignals(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(r(0L).getAs[Float]("dup_word_frac") == 0.75f)
+    assert(r(0L).getAs[Float]("top_word_frac") == 1.0f)
+    assert(r(0L).getAs[Float]("dup_2gram_frac") == (1.0 - 1.0 / 3).toFloat)
+    assert(r(1L).getAs[Float]("dup_2gram_frac") == 0.5f)
+    assert(r(1L).getAs[Float]("top_2gram_frac") == 0.5f)
+    assert(r(2L).getAs[Float]("dup_2gram_frac") == 0.0f)
+    assert(r(2L).getAs[Float]("top_3gram_frac") == 0.0f)
+    assert(r(3L).getAs[Float]("dup_word_frac") == 0.0f)
+    assert(r(3L).getAs[Float]("top_2gram_frac") == (1.0 / 3).toFloat)
+  }
+
+  test("tfidf: tf, df, and ln weight over the fixture corpus") {
+    val rows = TextOps.tfidf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getFloat(4))).toMap
+    // "the" appears twice in doc 0 and in 3 of 5 docs
+    val (tf, df, w) = rows((0L, "the"))
+    assert(tf == 2L && df == 3L)
+    assert(w == (2.0 * math.log(5.0 / 3)).toFloat)
+    // corpus-unique token: df 1, weight tf·ln(5)
+    val (tf2, df2, w2) = rows((2L, "spark"))
+    assert(tf2 == 1L && df2 == 1L && w2 == math.log(5.0).toFloat)
+    // every (doc, distinct token) pair is present exactly once
+    assert(rows.size == docs.collect().map(r =>
+      r.getString(1).split(" ", -1).distinct.length).sum)
+  }
+
   test("TextOps: token counts, fingerprint fold, langId argmax") {
     val r = TextOps.analyze(docs).collect()
       .map(r => r.getLong(0) -> r).toMap
