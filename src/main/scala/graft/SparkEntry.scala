@@ -491,8 +491,47 @@ object SparkEntry {
       Multimodal.frameSample(Multimodal.mediaTable(docs(spark, dir)), 4)),
     // M3: resize stub — deterministic byte downsample
     "m3_resize" -> ((spark, dir) =>
-      Multimodal.resizeStub(Multimodal.mediaTable(docs(spark, dir)), 4))
+      Multimodal.resizeStub(Multimodal.mediaTable(docs(spark, dir)), 4)),
+    // T11: stratified sampling — per-language keep rates over the
+    // deterministic hash bucket (map-only, id-stable across reruns)
+    "t11_stratified_sample" -> ((spark, dir) =>
+      TextOps.stratifiedSample(docs(spark, dir), "lang",
+        Seq("en" -> 900, "zh" -> 300), 500)
+        .select(col("doc_id"), col("lang"), col("source"))),
+    // T12: per-domain URL statistics over planted URLs (the fixture
+    // word-soup carries none; planting is SQL-expressible so the
+    // oracle rebuilds identical bytes)
+    "t12_domain_stats" -> ((spark, dir) =>
+      TextOps.domainStats(plantedDocs(spark, dir), "text2")),
+    // T13: PII redaction (emails/phones) with an md5 rewrite witness
+    "t13_pii_redact" -> ((spark, dir) => {
+      val cols = TextOps.redactPii(col("text2")).map { case (n, c) => c.as(n) }
+      plantedDocs(spark, dir).select(col("doc_id") +: cols: _*)
+    }),
+    // T14: per-language corpus stats with EXACT interpolated percentiles
+    "t14_corpus_stats" -> ((spark, dir) =>
+      TextOps.corpusStats(docs(spark, dir), "lang")),
+    // X4: embedding L2-normalize + int8 quantization (scalar witnesses)
+    "x4_embed_quant" -> ((spark, dir) =>
+      Similarity.normQuantize(emb(spark, dir)))
   )
+
+  /** Documents with deterministically PLANTED URLs / e-mails / phone
+    * numbers for the scrubbing operators — expressed with the same
+    * concat arithmetic in Spark and in the oracle SQL (`PLANTED`), so
+    * both engines see byte-identical text. */
+  private def plantedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    docs(spark, dir).withColumn("text2", concat(col("text"),
+      when(id % 3 === 0, concat(lit(" visit http://host"),
+        (id % 17).cast("string"), lit(".example.com/p/"), id.cast("string")))
+        .otherwise(lit("")),
+      when(id % 7 === 2, concat(lit(" mail user"), id.cast("string"),
+        lit("@mail"), (id % 4).cast("string"), lit(".example.net")))
+        .otherwise(lit("")),
+      when(id % 11 === 3, concat(lit(" call 555-"),
+        lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit(""))))
+  }
 
   // ---- oracles ----------------------------------------------------------
 
@@ -1029,8 +1068,62 @@ object SparkEntry {
         |       FROM f WHERE nf >= 1)
         |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
         |  lower(hex(encode(substr(text, fi * 32 + 1, 32)))) AS frame_hex
-        |FROM ix""".stripMargin
+        |FROM ix""".stripMargin,
+    "t11_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 <
+        |  CASE lang WHEN 'en' THEN 900 WHEN 'zh' THEN 300 ELSE 500 END""".stripMargin,
+    "t12_domain_stats" ->
+      s"""WITH $PLANTED,
+         |u AS (SELECT doc_id, unnest(regexp_extract_all(t2,
+         |  '${graft.llm.TextOps.UrlPattern}', 1)) AS domain FROM p)
+         |SELECT domain, count(*) AS n_urls,
+         |  count(DISTINCT doc_id) AS n_docs
+         |FROM u GROUP BY 1""".stripMargin,
+    "t13_pii_redact" ->
+      s"""WITH $PLANTED
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t2,
+         |    '${graft.llm.TextOps.EmailPattern}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t2,
+         |    '${graft.llm.TextOps.PhonePattern}')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(t2,
+         |    '${graft.llm.TextOps.EmailPattern}', '[EMAIL]', 'g'),
+         |    '${graft.llm.TextOps.PhonePattern}', '[PHONE]', 'g'))
+         |    AS redacted_md5
+         |FROM p""".stripMargin,
+    "t14_corpus_stats" ->
+      """WITH n AS (SELECT lang,
+        |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(avg(nt) AS REAL) AS mean_tokens,
+        |  CAST(quantile_cont(nt, 0.5) AS REAL) AS p50_tokens,
+        |  CAST(quantile_cont(nt, 0.9) AS REAL) AS p90_tokens
+        |FROM n GROUP BY 1""".stripMargin,
+    "x4_embed_quant" ->
+      s"""WITH $EMB_N,
+         |q AS (SELECT vec_id, nrm, list_transform(v, x ->
+         |  CASE WHEN nrm = 0 THEN 0
+         |       ELSE CAST(floor(x / nrm * 127 + 0.5) AS BIGINT) END) AS qv
+         |  FROM n)
+         |SELECT vec_id, CAST(nrm AS REAL) AS norm,
+         |  CAST(list_min(qv) AS BIGINT) AS q_min,
+         |  CAST(list_max(qv) AS BIGINT) AS q_max,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), qv),
+         |    (a, b) -> a + b) AS BIGINT) AS q_sum
+         |FROM q""".stripMargin
   )
+
+  /** Planted-PII documents CTE — the SQL mirror of [[plantedDocs]]. */
+  private val PLANTED =
+    """p AS (SELECT doc_id, text ||
+      |  CASE WHEN doc_id % 3 = 0 THEN ' visit http://host' ||
+      |    (doc_id % 17) || '.example.com/p/' || doc_id ELSE '' END ||
+      |  CASE WHEN doc_id % 7 = 2 THEN ' mail user' || doc_id ||
+      |    '@mail' || (doc_id % 4) || '.example.net' ELSE '' END ||
+      |  CASE WHEN doc_id % 11 = 3 THEN ' call 555-' ||
+      |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+      |  AS t2 FROM documents)""".stripMargin
 
   private val EN_STOPS =
     "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that']"

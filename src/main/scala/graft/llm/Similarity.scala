@@ -99,6 +99,35 @@ object Similarity {
       v.map(x => x + sigma * rnd.nextGaussian()).toArray
     }
 
+  /** L2-normalize + symmetric int8 quantization of each embedding —
+    * the standard compaction step before a vector index ships (4× the
+    * density of float32, 16× of the raw doubles). norm = √(Σx²) with a
+    * LEFT-TO-RIGHT fold in double (the cross-engine deterministic
+    * order the SQL oracles mirror); qᵢ = ⌊xᵢ/norm·127 + 0.5⌋
+    * (round-half-up, the PromQL-round formula — IEEE-identical in any
+    * engine). Zero vectors quantize to all-zero rather than NaN.
+    * Map-only, zero shuffle, scan-speed at 100 TB.
+    *
+    * Output: per-vector norm plus the quantized min/max/sum — scalar
+    * witnesses of the full rewrite (the oracle compare stays
+    * scalar-shaped; a consumer wanting the int8 array keeps the `_q`
+    * projection one select earlier). */
+  def normQuantize(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val sq = aggregate(col(vecCol).cast("array<double>"), lit(0.0d),
+      (a, x) => a + x * x)
+    emb.select(col(idCol), col(vecCol).cast("array<double>").as("_v"),
+        sqrt(sq).as("_norm"))
+      .select(col(idCol), col("_norm"),
+        transform(col("_v"), x =>
+          when(col("_norm") === 0.0, lit(0L))
+            .otherwise(floor(x / col("_norm") * lit(127.0d) + lit(0.5d)))
+            .cast("long")).as("_q"))
+      .select(col(idCol), col("_norm").cast("float").as("norm"),
+        array_min(col("_q")).as("q_min"), array_max(col("_q")).as("q_max"),
+        aggregate(col("_q"), lit(0L), (a, x) => a + x).as("q_sum"))
+  }
+
   /** Exact all-pairs with cosine ≥ threshold (embedding near-dup).
     * O(N²/2) — baseline only; the banded variants are the scale path.
     *

@@ -290,6 +290,84 @@ object TextOps {
       .select(col("_e.tie").as("token"), col("_e.v").cast("long").as("cnt"))
   }
 
+  /** Deterministic per-stratum hash sampling: keep a row iff its id's
+    * hash bucket ([[hashBucket]] over 1000, the unsigned md5-low64
+    * cross-engine convention) falls below the stratum's keep-rate in
+    * permille — the standard tool for rebalancing the source/language
+    * mix of a training corpus. Map-only, zero shuffle, and a pure
+    * function of the id: re-running over a grown corpus never flips a
+    * previously kept document, so downstream shards stay append-only.
+    * `rates` is ordered (first match wins) to keep the plan
+    * deterministic regardless of map iteration order. */
+  def stratifiedSample(docs: DataFrame, strataCol: String,
+      rates: Seq[(String, Int)], defaultPermille: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val rate = rates.reverse.foldLeft(lit(defaultPermille)) {
+      case (acc, (k, permille)) =>
+        when(col(strataCol) === k, lit(permille)).otherwise(acc)
+    }
+    docs.filter(hashBucket(col(idCol), 1000) < rate)
+  }
+
+  /** URL host pattern (capture group 1 = domain). RE2-compatible: the
+    * same pattern string runs unchanged in DuckDB. */
+  val UrlPattern = "https?://([A-Za-z0-9.-]+)"
+
+  /** Per-domain URL statistics: extract every URL host, explode, count
+    * occurrences and distinct documents per domain. The explode is
+    * map-side; the shuffle carries (domain, doc) pairs for the distinct
+    * count plus map-side-combined occurrence partials — bounded by the
+    * distinct (domain, doc) set, never the raw text volume. Domain
+    * cardinality is web-scale bounded (~10⁸), so the aggregate itself
+    * never skews a single reducer beyond one domain's doc list. */
+  def domainStats(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit(UrlPattern), lit(1)))
+          .as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        count_distinct(col(idCol)).as("n_docs"))
+
+  /** E-mail / phone patterns for PII scrubbing. RE2-compatible (no
+    * backreferences, no lookaround) so the DuckDB oracle runs the
+    * identical pattern; both engines use leftmost greedy matching. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "555-[0-9]{4}"
+
+  /** PII scrubbing columns: match counts plus the md5 of the redacted
+    * text — an engine-portable exact witness that the rewrite produced
+    * byte-identical output. Pure per-row regexp work: map-only, full
+    * codegen, scan-speed at 100 TB. */
+  def redactPii(text: Column): Seq[(String, Column)] = {
+    val redacted = regexp_replace(
+      regexp_replace(text, EmailPattern, "[EMAIL]"),
+      PhonePattern, "[PHONE]")
+    Seq(
+      "n_emails" -> regexp_count(text, lit(EmailPattern)).cast("long"),
+      "n_phones" -> regexp_count(text, lit(PhonePattern)).cast("long"),
+      "redacted_md5" -> md5(redacted.cast("binary")))
+  }
+
+  /** Per-stratum corpus statistics: document count, token-count mean
+    * and EXACT interpolated p50/p90 (the same exact-percentile
+    * semantics as PromQL quantile — never percentile_approx, which is
+    * neither deterministic nor oracle-comparable). One hash aggregate
+    * keyed by the stratum; the percentile buffer holds (value → count)
+    * entries, bounded by the DISTINCT token counts (≤ max document
+    * length), not by group row count — safe for billion-document
+    * strata. */
+  def corpusStats(docs: DataFrame, strataCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    val nTok = size(tokens(col(textCol))).cast("double")
+    docs.select(col(strataCol), nTok.as("_nt"))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        avg(col("_nt")).cast("float").as("mean_tokens"),
+        percentile(col("_nt"), lit(0.5)).cast("float").as("p50_tokens"),
+        percentile(col("_nt"), lit(0.9)).cast("float").as("p90_tokens"))
+  }
+
   /** One-pass text-analysis projection over a documents frame. */
   def analyze(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {

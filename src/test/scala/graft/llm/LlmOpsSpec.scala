@@ -287,6 +287,82 @@ class LlmOpsSpec extends SparkTestBase {
     assert(r(4L).getAs[Long]("fingerprint") == expected)
   }
 
+  test("stratifiedSample: per-stratum rates, id-stable, rate-monotone") {
+    val d = (0L until 2000L).map(i =>
+      (i, if (i % 2 == 0) "en" else "zh", s"text $i")).toDF("doc_id", "lang", "text")
+    val kept = TextOps.stratifiedSample(d, "lang",
+      Seq("en" -> 900, "zh" -> 200), 500).collect().map(_.getLong(0)).toSet
+    val en = kept.count(_ % 2 == 0).toDouble / 1000
+    val zh = kept.count(_ % 2 == 1).toDouble / 1000
+    assert(math.abs(en - 0.9) < 0.05, s"en keep rate $en")
+    assert(math.abs(zh - 0.2) < 0.05, s"zh keep rate $zh")
+    // monotone: lowering a rate only removes docs, never adds
+    val keptLower = TextOps.stratifiedSample(d, "lang",
+      Seq("en" -> 500, "zh" -> 200), 500).collect().map(_.getLong(0)).toSet
+    assert(keptLower.subsetOf(kept))
+    // a doc's fate is a pure function of its id: rerun is identical
+    val rerun = TextOps.stratifiedSample(d, "lang",
+      Seq("en" -> 900, "zh" -> 200), 500).collect().map(_.getLong(0)).toSet
+    assert(rerun == kept)
+  }
+
+  test("domainStats and redactPii: extraction, counts, and the md5 witness") {
+    val d = Seq(
+      (0L, "see http://a.example.com/x and https://b.example.org/y done"),
+      (1L, "again http://a.example.com/z plus mail bob@corp.example.net"),
+      (2L, "call 555-0142 or 555-9999 now"),
+      (3L, "nothing here")).toDF("doc_id", "text")
+    val dom = TextOps.domainStats(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(dom("a.example.com") == (2L, 2L)) // 2 urls in 2 docs
+    assert(dom("b.example.org") == (1L, 1L))
+    assert(!dom.contains("corp.example.net")) // emails are not URLs
+    val red = d.select(col("doc_id") +:
+      TextOps.redactPii(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(red(1L).getAs[Long]("n_emails") == 1L)
+    assert(red(2L).getAs[Long]("n_phones") == 2L)
+    assert(red(3L).getAs[Long]("n_emails") == 0L)
+    // the witness is the md5 of the rewritten text
+    val exp = java.security.MessageDigest.getInstance("MD5")
+      .digest("call [PHONE] or [PHONE] now".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(red(2L).getAs[String]("redacted_md5") == exp)
+  }
+
+  test("corpusStats: exact interpolated percentiles per stratum") {
+    // token counts en: 1,2,3,4 -> p50 = 2.5, p90 = 3.7 (linear interp)
+    val d = Seq(
+      (0L, "en", "a"), (1L, "en", "a b"), (2L, "en", "a b c"),
+      (3L, "en", "a b c d"), (4L, "fr", "x y")).toDF("doc_id", "lang", "text")
+    val r = TextOps.corpusStats(d, "lang").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(r("en").getAs[Long]("n_docs") == 4L)
+    assert(math.abs(r("en").getAs[Float]("p50_tokens") - 2.5f) < 1e-6)
+    assert(math.abs(r("en").getAs[Float]("p90_tokens") - 3.7f) < 1e-6)
+    assert(math.abs(r("en").getAs[Float]("mean_tokens") - 2.5f) < 1e-6)
+    assert(r("fr").getAs[Float]("p50_tokens") == 2.0f)
+  }
+
+  test("normQuantize: norm fold, round-half-up int8, zero-vector guard") {
+    val d = Seq(
+      (0L, Array(3.0f, 4.0f)),       // norm 5, q = (76, 102)
+      (1L, Array(-1.0f, 0.0f)),      // norm 1, q = (-127, 0)
+      (2L, Array(0.0f, 0.0f))        // zero vector -> all-zero q
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.normQuantize(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(math.abs(r(0L).getAs[Float]("norm") - 5.0f) < 1e-6)
+    // 3/5*127 + .5 = 76.7 -> 76; 4/5*127 + .5 = 102.1 -> 102
+    assert(r(0L).getAs[Long]("q_min") == 76L)
+    assert(r(0L).getAs[Long]("q_max") == 102L)
+    assert(r(0L).getAs[Long]("q_sum") == 178L)
+    assert(r(1L).getAs[Long]("q_min") == -127L)
+    assert(r(1L).getAs[Long]("q_max") == 0L)
+    assert(r(2L).getAs[Float]("norm") == 0.0f)
+    assert(r(2L).getAs[Long]("q_min") == 0L && r(2L).getAs[Long]("q_sum") == 0L)
+  }
+
   test("multimodal: frame sampling slices the payload deterministically") {
     val media = Multimodal.mediaTable(docs)
     val frames = Multimodal.frameSample(media, 4).collect()
