@@ -778,7 +778,8 @@ class PromQLEngine(
         if (out.isEmpty) labels - dst else labels + (dst -> out)
       }
     }
-    reSig(vdf.withColumn(L, replaceUdf(col(L))))
+    assertUniqueOut(reSig(vdf.withColumn(L, replaceUdf(col(L)))),
+      "label_replace")
   }
 
   private def evalLabelJoin(call: Call, tr: EvalRange): DataFrame = {
@@ -796,7 +797,8 @@ class PromQLEngine(
       val joined = srcs.map(s => labels.getOrElse(s, "")).mkString(sep)
       if (joined.isEmpty) labels - dst else labels + (dst -> joined)
     }
-    reSig(vdf.withColumn(L, joinUdf(col(L))))
+    assertUniqueOut(reSig(vdf.withColumn(L, joinUdf(col(L)))),
+      "label_join")
   }
 
   private def evalHistogramQuantile(call: Call, tr: EvalRange): DataFrame = {
@@ -1210,6 +1212,22 @@ class PromQLEngine(
   private def reSig(df: DataFrame): DataFrame =
     df.withColumn(SIG, Samples.sigExpr(col(L)))
       .select(col(SIG), col(L), col(T), col(ST), col(V))
+
+  /** Duplicate-output assert for the label-rewriting functions: the
+    * reference errors when two result series collapse to the same
+    * label set at one timestamp (`functions.go:814-818` label_replace,
+    * `:874-878` label_join). Same distributed shape as the binop
+    * duplicate check: a count over the REWRITTEN (sig, step) window —
+    * the one shuffle the semantics inherently require, since the
+    * collision is only visible after re-keying. */
+  private def assertUniqueOut(df: DataFrame, fn: String): DataFrame = {
+    val ow = Window.partitionBy(col(SIG), col(T))
+    df.withColumn("_oc", count(lit(1)).over(ow))
+      .withColumn(V, when(col("_oc") > 1,
+        raise_error(lit(s"duplicated label set in output of $fn()"))
+          .cast("double")).otherwise(col(V)))
+      .drop("_oc")
+  }
 }
 
 object PromQLEngine {

@@ -128,6 +128,17 @@ class PlanShapeSpec extends SparkTestBase {
     assert(agg.isEmpty, s"sort-based aggregate in the hot path:\n${agg.mkString("\n")}")
   }
 
+  test("curation ops are map-only: t11/t13/x4 plans have no exchange") {
+    // stratified sampling, PII redaction, and embedding quantization
+    // are pure per-row work — a shuffle appearing here means someone
+    // broke the zero-state design (SCALE.md §4)
+    for (name <- Seq("t11_stratified_sample", "t13_pii_redact",
+        "x4_embed_quant")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name must not shuffle")
+    }
+  }
+
   test("d1_exact_dedup shuffles hashes, not documents") {
     val p = plan("d1_exact_dedup")
     // the groupBy key must be the content hash, and text must not ride

@@ -530,6 +530,65 @@ eval instant at 50m day_of_month(vector(0))
 """)
   }
 
+  test("round half-up, monotonic envelope, NaN transitions, dup errors") {
+    run("""
+load 5m
+  m{s="a"} 0+10x10
+  m{s="b"} 0+20x10
+  nm{le="1"} 0+20x10
+  nm{le="2"} 0+10x10
+  nm{le="+Inf"} 0+30x10
+  one{g="1", s="a"} 1+0x10
+  one{g="1", s="b"} 1+0x10
+  many{g="1", mm="x"} 0+10x10
+
+# ensureMonotonic: a decreasing bucket count is raised to the running
+# max (quantile.go:143-153); rank 150 of 300 falls inside [0,1] at 0.75
+eval instant at 50m histogram_quantile(0.5, nm)
+  {} 0.75
+
+# round() rounds half UP (floor(v+0.5)) — also for negatives, where
+# half-even or trunc would differ (functions.go:331-350)
+eval instant at 50m round(vector(2.5))
+  {} 3
+
+eval instant at 50m round(vector(-2.5))
+  {} -2
+
+# a range selector composes with offset: window is [40m, 50m] closed
+eval instant at 52m count_over_time(m{s="a"}[10m] offset 2m)
+  {s="a"} 3
+
+# sort ascending still puts NaN LAST (comparators 1251-1307)
+eval_ordered instant at 50m sort(m or vector(NaN))
+  m{s="a"} 100
+  m{s="b"} 200
+  {} NaN
+
+# group_left requires the "one" side to be unique per signature
+eval_fail instant at 50m many * on(g) group_left one
+
+# label_replace may not produce duplicate output label sets
+eval_fail instant at 50m label_replace(m, "s", "same", "s", "(.*)")
+
+clear
+
+load 5m
+  ch 0 NaN NaN 0
+  ir 0 10 5
+
+# NaN -> NaN is NOT a change; 0 -> NaN and NaN -> 0 are
+# (functions.go:755-776)
+eval instant at 15m changes(ch[15m])
+  {} 2
+
+# irate across a counter reset uses the last raw value / interval
+# (functions.go:145-191): (5 after reset) / 300 s
+eval instant at 10m irate(ir[10m])
+  {} 0.0166666667
+""")
+  }
+
   test("staleness: a marker as the newest lookback point hides the series") {
     run("""
 load 5m
