@@ -3,11 +3,15 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line with per-query seconds.
   *
-  * Each query runs twice and reports the WARM time (second run): a
-  * 29-step range query has a ~0.5s Spark job-scheduling floor when cold,
-  * which swamps the plan cost being measured (the round-1 numbers were
-  * overhead-dominated for 21 of 49 queries). The total stays the sum of
-  * warm times; `cold_sec` carries the first-run sum for reference.
+  * Each query runs three times and reports the best of the two WARM
+  * runs: a 29-step range query has a ~0.5s Spark job-scheduling floor
+  * when cold, which swamps the plan cost being measured (the round-1
+  * numbers were overhead-dominated for 21 of 49 queries), and a single
+  * warm run still absorbs one-off costs that are not the plan's —
+  * codegen compilation and the lazily-materialized adapter cache land
+  * on whichever query touches them first (round-2's second-run numbers
+  * put 3.5s on a2_avg whose steady state is 0.7s). The total is the
+  * sum of best-warm times; `cold_sec` carries the first-run sum.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,8 +29,9 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = time { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
-      val warm = time { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
-      (name, cold, warm)
+      val warm1 = time { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
+      val warm2 = time { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
+      (name, cold, math.min(warm1, warm2))
     }
     // ms precision keeps the ONE JSON line short enough to survive
     // tail-window capture of stdout (~4 KB): full-precision doubles for

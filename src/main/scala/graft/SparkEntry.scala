@@ -388,6 +388,21 @@ object SparkEntry {
       Dedup.dupClusters(docs(spark, dir),
         Dedup.ngramJaccardPairsCached(docs(spark, dir), 3, 0.5)
           .select(col("ia"), col("ib")))),
+    // D9: end-to-end dedup apply — exact-dup edges ∪ near-dup pairs →
+    // connected components → component-min survivor per doc, with
+    // exact/near flags. The fixture has no byte-identical docs, so 50
+    // exact copies are planted (doc_id + 1_000_000, same text —
+    // mirrored verbatim in the oracle) to make the exact leg of the
+    // union graph non-trivial.
+    "d9_dedup_apply" -> ((spark, dir) => {
+      val base = docs(spark, dir)
+      val aug = base.select(col("doc_id"), col("text")).unionByName(
+        base.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.applyDedup(aug,
+        Dedup.ngramJaccardPairsCached(aug, 3, 0.5)
+          .select(col("ia"), col("ib")))
+    }),
     // D7: banded-LSH embedding near-dup pairs — the 100 TB replacement
     // for D5's O(N²) scan, demonstrated at its DESIGN operating point
     // (cos ≥ 0.9, r=8/b=8: recall ≈ 1−1e-4 per planted pair, random
@@ -895,6 +910,43 @@ object SparkEntry {
     "d2_ngram_jaccard" -> ngramJaccardOracle,
     "d3_minhash_lsh" -> ngramJaccardOracle, // banded variant must agree
     "d6_dup_clusters" -> dupClustersOracle,
+    "d9_dedup_apply" ->
+      """WITH RECURSIVE
+        |aug AS (SELECT doc_id, text FROM documents
+        |        UNION ALL
+        |        SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+        |h AS (SELECT doc_id, md5(text) AS ch FROM aug),
+        |g AS (SELECT ch, min(doc_id) AS can, count(*) AS cnt FROM h GROUP BY 1),
+        |ee AS (SELECT h.doc_id AS ia, g.can AS ib FROM h JOIN g USING (ch)
+        |       WHERE h.doc_id <> g.can),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM aug),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  generate_series(1, greatest(len(tk) - 2, 0)),
+        |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s FROM tok),
+        |sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |p AS (SELECT ia, ib
+        |      FROM pr JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+        |      WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.5),
+        |e AS (SELECT ia AS u, ib AS v FROM ee UNION ALL SELECT ib, ia FROM ee
+        |      UNION ALL SELECT ia, ib FROM p UNION ALL SELECT ib, ia FROM p),
+        |walk(u, r) AS (
+        |  SELECT doc_id, doc_id FROM aug
+        |  UNION
+        |  SELECT w.u, e.v FROM walk w JOIN e ON w.r = e.u),
+        |lab AS (SELECT u AS doc_id, min(r) AS survivor_id FROM walk GROUP BY 1),
+        |nd AS (SELECT DISTINCT u AS doc_id
+        |       FROM (SELECT ia AS u FROM p UNION ALL SELECT ib FROM p))
+        |SELECT lab.doc_id, lab.survivor_id,
+        |  CAST(CASE WHEN lab.doc_id = lab.survivor_id THEN 1 ELSE 0 END
+        |    AS BIGINT) AS kept,
+        |  CAST(CASE WHEN g.cnt > 1 THEN 1 ELSE 0 END AS BIGINT) AS exact_dup,
+        |  CAST(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END
+        |    AS BIGINT) AS near_dup
+        |FROM lab JOIN h ON h.doc_id = lab.doc_id JOIN g USING (ch)
+        |LEFT JOIN nd ON nd.doc_id = lab.doc_id""".stripMargin,
     "d4_simhash" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |bits AS (SELECT doc_id, list_transform(generate_series(0, 63), b ->

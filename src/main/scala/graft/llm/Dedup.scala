@@ -347,6 +347,49 @@ object Dedup {
       .select(col(idCol), col("cluster_id"), col("cluster_size"))
   }
 
+  /** End-to-end dedup materialization — the apply step a curation
+    * pipeline runs to produce the training corpus. Exact-duplicate
+    * edges (every doc → its content-group canonical) are unioned with
+    * the supplied near-dup pair graph (`ia`/`ib` columns, any names),
+    * connected components run over the union, and the component-min doc
+    * survives. One row per doc:
+    *
+    *   - `survivor_id`: the doc this one deduplicates to (itself if kept)
+    *   - `kept`: 1 iff `doc_id == survivor_id`
+    *   - `exact_dup`: 1 iff another doc has byte-identical content
+    *   - `near_dup`: 1 iff the doc appears in the near-dup pair graph
+    *
+    * Scale: the exact edges add one row per non-canonical duplicate
+    * (bounded by the dup rate, not the corpus), and the components pass
+    * is the O(log n)-round star algorithm of [[connectedComponents]] —
+    * the union graph only grows the edge count, never the algorithm.
+    * Downstream, `filter(kept == 1)` joined back to the corpus is the
+    * deduplicated training set. */
+  def applyDedup(docs: DataFrame, nearPairs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ex = exactDedup(docs, idCol, textCol)
+    val exactEdges = ex.filter(col("canonical_id") =!= col(idCol))
+      .select(col(idCol).as("ia"), col("canonical_id").as("ib"))
+    val near = nearPairs.select(col(nearPairs.columns(0)).as("ia"),
+      col(nearPairs.columns(1)).as("ib"))
+    val comp = connectedComponents(exactEdges.union(near))
+    val nearIds = near.select(col("ia").as(idCol))
+      .union(near.select(col("ib").as(idCol)))
+      .distinct()
+      .withColumn("near_dup", lit(1L))
+    docs.select(col(idCol))
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("survivor_id"))
+      .join(ex.select(col(idCol),
+        (col("group_size") > 1).cast("long").as("exact_dup")), Seq(idCol))
+      .join(nearIds, Seq(idCol), "left")
+      .select(col(idCol), col("survivor_id"),
+        (col(idCol) === col("survivor_id")).cast("long").as("kept"),
+        col("exact_dup"),
+        coalesce(col("near_dup"), lit(0L)).as("near_dup"))
+  }
+
   // ---- SimHash -----------------------------------------------------------
 
   /** 64-bit hash of one token = little-endian of bytes 8..15 of its MD5

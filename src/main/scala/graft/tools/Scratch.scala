@@ -27,10 +27,8 @@ object Scratch {
     val q = SparkEntry.queries
     for (round <- 1 to 3) {
       println(s"--- round $round ---")
-      for (name <- Seq("a1_sum", "f1_rate", "c2_rate_share", "g13_histogram_quantile")) {
-        var df: org.apache.spark.sql.DataFrame = null
-        t(s"${name}_build") { df = q(name)(spark, dir); df.columns.length }
-        t(s"${name}_count") { df.count() }
+      for (name <- Seq("a1_sum", "a2_avg", "f3_sum_over_time", "f3_avg_over_time", "f3_minmax_over_time", "f4_stddev_over_time")) {
+        t(name) { q(name)(spark, dir).count() }
       }
     }
     spark.stop()

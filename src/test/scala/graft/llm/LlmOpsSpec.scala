@@ -59,6 +59,21 @@ class LlmOpsSpec extends SparkTestBase {
     assert(r(2L) == (2L, 1L) && r(4L) == (4L, 1L)) // singletons
   }
 
+  test("applyDedup keeps one survivor per exact+near component with flags") {
+    // components over exact edges {0,3} ∪ near pairs {(0,1),(0,3),(1,3)}:
+    // {0,1,3} survives as 0; 2 and 4 are untouched singletons
+    val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5).select($"ia", $"ib")
+    val r = Dedup.applyDedup(docs, pairs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(r(0L) == (0L, 1L, 1L, 1L)) // survivor, yet an exact+near dup member
+    assert(r(1L) == (0L, 0L, 0L, 1L)) // near-dup only, dropped
+    assert(r(3L) == (0L, 0L, 1L, 1L)) // exact copy of 0, dropped
+    assert(r(2L) == (2L, 1L, 0L, 0L)) // clean singleton
+    assert(r(4L) == (4L, 1L, 0L, 0L))
+    assert(r.values.count(_._2 == 1L) == 3) // exactly one survivor per component
+  }
+
   test("streamingExactDedup keeps first-seen content within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime
