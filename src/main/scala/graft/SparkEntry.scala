@@ -526,6 +526,12 @@ object SparkEntry {
     // T14: per-language corpus stats with EXACT interpolated percentiles
     "t14_corpus_stats" -> ((spark, dir) =>
       TextOps.corpusStats(docs(spark, dir), "lang")),
+    // X11m: composite quality filter — the t2/t3/t9 signals combined
+    // into per-rule 0/1 flags + the keep/drop decision, one map-only
+    // pass (thresholds chosen to split the fixture non-trivially:
+    // ~9% und-language, token counts span the 20 cutoff)
+    "t15_quality_filter" -> ((spark, dir) =>
+      TextOps.qualityFilter(docs(spark, dir))),
     // X4: embedding L2-normalize + int8 quantization (scalar witnesses)
     "x4_embed_quant" -> ((spark, dir) =>
       Similarity.normQuantize(emb(spark, dir)))
@@ -1152,6 +1158,7 @@ object SparkEntry {
         |  CAST(quantile_cont(nt, 0.5) AS REAL) AS p50_tokens,
         |  CAST(quantile_cont(nt, 0.9) AS REAL) AS p90_tokens
         |FROM n GROUP BY 1""".stripMargin,
+    "t15_quality_filter" -> qualityFilterOracle,
     "x4_embed_quant" ->
       s"""WITH $EMB_N,
          |q AS (SELECT vec_id, nrm, list_transform(v, x ->
@@ -1234,9 +1241,11 @@ object SparkEntry {
       |SELECT lab.doc_id, lab.cluster_id, szc.cluster_size
       |FROM lab JOIN szc USING (cluster_id)""".stripMargin
 
-  /** Stopword-profile language ID: argmax of per-language hits with a
-    * lexicographic tie-break, mirroring TextOps.langId's strict-> fold. */
-  private def langidOracle: String = {
+  /** Profile-derived SQL fragments for the stopword language-ID argmax
+    * (shared by the t3 and t15 oracles): per-language hit columns over a
+    * lowercased token list `t`, and the strict-> argmax CASE with the
+    * lexicographic tie-break mirroring TextOps.langId. */
+  private def langidFragments: (String, String) = {
     val profiles = graft.llm.TextOps.StopwordProfiles
     val hitCols = profiles.map { case (lang, ws) =>
       val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1249,15 +1258,67 @@ object SparkEntry {
       else s"WHEN ${rest.map(r => s"${lang}_hits >= ${r}_hits").mkString(" AND ")} THEN '$lang'"
     }.mkString("\n  ")
     val maxAll = s"greatest(${langs.map(l => s"${l}_hits").mkString(", ")})"
+    (hitCols, s"CASE WHEN $maxAll = 0 THEN 'und'\n  $cases")
+  }
+
+  /** Stopword-profile language ID: argmax of per-language hits with a
+    * lexicographic tie-break, mirroring TextOps.langId's strict-> fold. */
+  private def langidOracle: String = {
+    val (hitCols, caseExpr) = langidFragments
+    val langs = graft.llm.TextOps.StopwordProfiles.map(_._1)
     s"""WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
        |sc AS (SELECT doc_id,
        |  $hitCols
        |  FROM tk)
        |SELECT doc_id,
-       |  CASE WHEN $maxAll = 0 THEN 'und'
-       |  $cases AS pred_lang,
+       |  $caseExpr AS pred_lang,
        |  ${langs.map(l => s"${l}_hits").mkString(", ")}
        |FROM sc""".stripMargin
+  }
+
+  /** Composite quality filter: the t2/t3/t9 signal formulas combined
+    * into 0/1 rule flags + kept, thresholds mirrored from
+    * TextOps.qualityFilter's defaults. */
+  private def qualityFilterOracle: String = {
+    val (hitCols, caseExpr) = langidFragments
+    s"""WITH tk AS (SELECT doc_id, text, string_split(text, ' ') AS tko,
+       |            string_split(lower(text), ' ') AS t FROM documents),
+       |sc AS (SELECT doc_id,
+       |  $hitCols
+       |  FROM tk),
+       |lid AS (SELECT doc_id, $caseExpr AS pred_lang FROM sc),
+       |q AS (SELECT doc_id,
+       |  CAST(len(tko) AS DOUBLE) AS n_tokens,
+       |  CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+       |    AS DOUBLE) / CAST(len(text) AS DOUBLE) AS punct_ratio,
+       |  CAST(len(list_filter(t, x -> list_contains($EN_STOPS, x)))
+       |    AS DOUBLE) / CAST(len(tko) AS DOUBLE) AS stopword_ratio,
+       |  CAST(len(list_distinct(tko)) AS DOUBLE) /
+       |    CAST(len(tko) AS DOUBLE) AS uniq1
+       |  FROM tk),
+       |bg AS (SELECT doc_id, unnest(list_transform(
+       |  generate_series(1, greatest(len(tko) - 1, 0)),
+       |  i -> tko[i] || ' ' || tko[i+1])) AS g FROM tk),
+       |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+       |bgt AS (SELECT doc_id, CAST(max(c) AS DOUBLE) AS topc,
+       |        CAST(sum(c) AS DOUBLE) AS tot2 FROM bgc GROUP BY 1),
+       |fl AS (SELECT q.doc_id,
+       |  CASE WHEN q.n_tokens < 20 THEN 1 ELSE 0 END AS too_short,
+       |  CASE WHEN q.punct_ratio > 0.2 THEN 1 ELSE 0 END AS high_punct,
+       |  CASE WHEN q.stopword_ratio < 0.02 THEN 1 ELSE 0 END AS low_stopword,
+       |  CASE WHEN lid.pred_lang <> 'en' THEN 1 ELSE 0 END AS lang_filtered,
+       |  CASE WHEN (1.0 - q.uniq1) > 0.65
+       |         OR coalesce(bgt.topc / bgt.tot2, 0) > 0.10
+       |       THEN 1 ELSE 0 END AS repetitive
+       |  FROM q JOIN lid USING (doc_id) LEFT JOIN bgt USING (doc_id))
+       |SELECT doc_id, CAST(too_short AS BIGINT) AS too_short,
+       |  CAST(high_punct AS BIGINT) AS high_punct,
+       |  CAST(low_stopword AS BIGINT) AS low_stopword,
+       |  CAST(lang_filtered AS BIGINT) AS lang_filtered,
+       |  CAST(repetitive AS BIGINT) AS repetitive,
+       |  CAST(CASE WHEN too_short + high_punct + low_stopword +
+       |    lang_filtered + repetitive = 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM fl""".stripMargin
   }
 
   private def lbSel: String = lookbackSql()

@@ -368,6 +368,53 @@ object TextOps {
         percentile(col("_nt"), lit(0.9)).cast("float").as("p90_tokens"))
   }
 
+  /** Composite quality filter — the C4/Gopher-style rule stack that
+    * turns the individual signals into a keep/drop decision, one flag
+    * column per rule so downstream can audit WHY a document dropped:
+    *
+    *   - `too_short`: fewer than `minTokens` whitespace tokens
+    *   - `high_punct`: punctuation ratio above `maxPunctRatio`
+    *   - `low_stopword`: English stopword ratio below
+    *     `minStopwordRatio` (the classic gibberish/word-soup signal)
+    *   - `lang_filtered`: language-ID outside `allowedLangs`
+    *   - `repetitive`: duplicate-word fraction above `maxDupWordFrac`
+    *     or most-frequent-bigram mass above `maxTop2gramFrac`
+    *
+    * `kept` = 1 iff no rule fired. Every input is a map-only column
+    * expression ([[qualityColumns]], [[langId]], [[repetitionStats]]),
+    * so the whole filter is one shuffle-free pass — at 100 TB the cost
+    * is the pruned column scan, and the filter composes with
+    * [[stratifiedSample]]/[[hashSplit]] in the same stage. Thresholds
+    * compare doubles computed by formulas mirrored verbatim in the
+    * oracle, so the 0/1 flags are exactly reproducible. */
+  def qualityFilter(docs: DataFrame, allowedLangs: Seq[String] = Seq("en"),
+      minTokens: Int = 20, maxPunctRatio: Double = 0.2,
+      minStopwordRatio: Double = 0.02, maxDupWordFrac: Double = 0.65,
+      maxTop2gramFrac: Double = 0.10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val q = qualityColumns(text).toMap
+    val r1 = repetitionStats(text, 1)
+    val r2 = repetitionStats(text, 2)
+    val dupWord = when(r1.getField("total") > 0,
+      lit(1.0) - r1.getField("distinct").cast("double") /
+        r1.getField("total").cast("double")).otherwise(0.0)
+    val top2 = when(r2.getField("total") > 0,
+      r2.getField("top").cast("double") /
+        r2.getField("total").cast("double")).otherwise(0.0)
+    val fShort = (q("n_tokens") < minTokens).cast("long")
+    val fPunct = (q("punct_ratio") > maxPunctRatio).cast("long")
+    val fStop = (q("stopword_ratio") < minStopwordRatio).cast("long")
+    val fLang = (!langId(text).isInCollection(allowedLangs)).cast("long")
+    val fRep = (dupWord > maxDupWordFrac || top2 > maxTop2gramFrac)
+      .cast("long")
+    docs.select(col(idCol),
+      fShort.as("too_short"), fPunct.as("high_punct"),
+      fStop.as("low_stopword"), fLang.as("lang_filtered"),
+      fRep.as("repetitive"),
+      (fShort + fPunct + fStop + fLang + fRep === 0).cast("long").as("kept"))
+  }
+
   /** One-pass text-analysis projection over a documents frame. */
   def analyze(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {

@@ -59,6 +59,28 @@ class LlmOpsSpec extends SparkTestBase {
     assert(r(2L) == (2L, 1L) && r(4L) == (4L, 1L)) // singletons
   }
 
+  test("qualityFilter flags each rule independently and keeps clean docs") {
+    val corpus = Seq(
+      // 20 tokens, stopword-rich, unique words -> kept
+      (0L, "the cat sat on a mat and the dog ran to a tree in the park while birds sang songs"),
+      (1L, "short text"), // too_short (and low_stopword)
+      // repetitive: one word 21x -> dup_word_frac 20/21 > 0.65
+      (2L, ("spam " * 20).trim + " spam"),
+      // 20 unique German-looking tokens -> lang_filtered (de profile wins)
+      (3L, "der hund lief und die katze sprang nicht weil das wetter mit regen kam aber ein vogel sang laut"),
+      // high punctuation: >20% of chars non-alphanumeric
+      (4L, "a!!! b??? c;;; d::: e--- f+++ g*** h=== i&&& j%%% k### l@@@ m^^^ n~~~ o||| p((( q))) r[[[ s]]] t的 u v w x")
+    ).toDF("doc_id", "text")
+    val r = TextOps.qualityFilter(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(r(0L) == (0L, 0L, 0L, 0L, 0L, 1L)) // kept, no flags
+    assert(r(1L)._1 == 1L && r(1L)._6 == 0L)  // too_short
+    assert(r(2L)._5 == 1L && r(2L)._6 == 0L)  // repetitive
+    assert(r(3L)._4 == 1L && r(3L)._6 == 0L)  // lang_filtered
+    assert(r(4L)._2 == 1L && r(4L)._6 == 0L)  // high_punct
+  }
+
   test("applyDedup keeps one survivor per exact+near component with flags") {
     // components over exact edges {0,3} ∪ near pairs {(0,1),(0,3),(1,3)}:
     // {0,1,3} survives as 0; 2 and 4 are untouched singletons
