@@ -589,6 +589,82 @@ eval instant at 10m irate(ir[10m])
 """)
   }
 
+  test("offset ranges, Inf arithmetic, count_values formats, empty on()") {
+    run("""
+load 5m
+  cnt 0+10x10
+  m{s="a"} 0+10x10
+  m{s="b"} 0+20x10
+  hb{le="+Inf"} 0+10x10
+
+# offset composes with RANGE selectors in rate/increase: the window is
+# [20m, 40m] closed, samples 40..80, boundary-aligned so factor = 1
+eval instant at 50m increase(cnt[20m] offset 10m)
+  {} 40
+
+eval instant at 50m rate(cnt[20m] offset 10m)
+  {} 0.0333333333
+
+# IEEE infinities flow through binops and aggregations
+eval instant at 50m vector(Inf) + vector(-Inf)
+  {} NaN
+
+eval instant at 50m sum(m or vector(Inf))
+  {} Inf
+
+eval instant at 50m min(m or vector(Inf))
+  {} 100
+
+eval instant at 50m avg(m or vector(Inf))
+  {} Inf
+
+# topk: NaN compares lowest, so it never displaces a real value
+eval instant at 50m topk(1, m or vector(NaN))
+  m{s="b"} 200
+
+# bottomk output is ordered ascending by value
+eval_ordered instant at 50m bottomk(2, m)
+  m{s="a"} 100
+  m{s="b"} 200
+
+# count_values formats negatives and NaN like Go strconv
+eval instant at 50m count_values("v", 0 - m / 8)
+  {v="-12.5"} 1
+  {v="-25"} 1
+
+eval instant at 50m count_values("v", m * (0 / 0))
+  {v="NaN"} 2
+
+# grouping by a label no series carries collapses to one group
+eval instant at 50m sum by (nosuch) (m)
+  {} 300
+
+# empty on(): every lhs series matches iff the rhs is non-empty
+eval instant at 50m m{s="a"} and on() m{s="b"}
+  m{s="a"} 100
+
+eval instant at 50m m{s="a"} unless on() m{s="b"}
+
+eval instant at 50m m unless on() nonexistent
+  m{s="a"} 100
+  m{s="b"} 200
+
+eval instant at 50m m{s="a"} + on() vector(5)
+  {} 105
+
+# histogram_quantile needs >= 2 buckets even when +Inf is present
+eval instant at 50m histogram_quantile(0.5, hb)
+  {} NaN
+
+# date functions: leap-year February and the minute() default argument
+eval instant at 50m days_in_month(vector(1707523200))
+  {} 29
+
+eval instant at 50m minute()
+  {} 50
+""")
+  }
+
   test("staleness: a marker as the newest lookback point hides the series") {
     run("""
 load 5m
