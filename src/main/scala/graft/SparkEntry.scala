@@ -507,6 +507,11 @@ object SparkEntry {
     // M3: resize stub — deterministic byte downsample
     "m3_resize" -> ((spark, dir) =>
       Multimodal.resizeStub(Multimodal.mediaTable(docs(spark, dir)), 4)),
+    // M4: batched "inference" over payloads — fixed-batch mapPartitions
+    // shape with exact integer witnesses (batch-boundary independent)
+    "m4_embed_batch" -> ((spark, dir) =>
+      Multimodal.embedStub(spark,
+        Multimodal.mediaTable(docs(spark, dir)), 64).toDF()),
     // T11: stratified sampling — per-language keep rates over the
     // deterministic hash bucket (map-only, id-stable across reruns)
     "t11_stratified_sample" -> ((spark, dir) =>
@@ -1119,6 +1124,17 @@ object SparkEntry {
         |  list_transform(generate_series(1, len(text), 4),
         |    i -> substr(text, i, 1)), 'string_agg', '')))) AS resized_hex
         |FROM documents""".stripMargin,
+    "m4_embed_batch" ->
+      """WITH cc AS (SELECT doc_id, unnest(list_transform(
+        |  generate_series(1, len(text)),
+        |  i -> ord(substr(text, i, 1)) // 16)) AS bin FROM documents),
+        |bc AS (SELECT doc_id, bin, count(*) AS c FROM cc GROUP BY 1, 2)
+        |SELECT doc_id, CAST(16 AS INT) AS dim,
+        |  CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(max(c) AS BIGINT) AS c_max,
+        |  CAST(sum(c * c) AS BIGINT) AS l2num,
+        |  CAST(sum(c) AS BIGINT) AS n_bytes
+        |FROM bc GROUP BY 1""".stripMargin,
     "m2_frame_sample" ->
       """WITH f AS (SELECT doc_id, text, len(text) // 32 AS nf FROM documents),
         |ix AS (SELECT doc_id, text,

@@ -64,6 +64,51 @@ object Multimodal {
     }(Encoders.product[MediaFeatures])
   }
 
+  case class MediaEmb(doc_id: Long, dim: Int, n_bins: Long, c_max: Long,
+      l2num: Long, n_bytes: Long)
+
+  /** Batched "model inference" over media payloads — the fixed-batch
+    * plumbing an embedding/caption model needs at scale: the partition
+    * iterator is regrouped into batches of `batchSize` payloads, each
+    * batch is handed to the "model" in ONE call (the stub computes a
+    * 16-bin byte histogram per item; a real implementation would run
+    * the accelerated forward pass here), and per-batch buffers are
+    * reused. Emitted witnesses are exact integers (occupied bins, max
+    * bin count, Σcount², total bytes) so results are independent of
+    * batch boundaries, partitioning, and float summation order —
+    * which also makes them oracle-checkable.
+    *
+    * Scale: map-only (zero shuffle); batch size bounds peak memory at
+    * `batchSize × payload` regardless of partition size, the property
+    * that keeps a GPU stage alive when partitions are skewed. */
+  def embedStub(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 64): Dataset[MediaEmb] = {
+    require(batchSize > 0, "batchSize must be positive")
+    val ds = media.as(Encoders.product[MediaRec])
+    ds.mapPartitions { it =>
+      val hist = new Array[Long](16) // reused across the batch
+      it.grouped(batchSize).flatMap { batch =>
+        // a real implementation submits `batch` to the model in one call
+        batch.map { rec =>
+          java.util.Arrays.fill(hist, 0L)
+          val b = rec.media
+          var i = 0
+          while (i < b.length) { hist((b(i) & 0xff) >> 4) += 1; i += 1 }
+          var nBins = 0L; var cMax = 0L; var l2 = 0L
+          var k = 0
+          while (k < 16) {
+            val c = hist(k)
+            if (c > 0) nBins += 1
+            if (c > cMax) cMax = c
+            l2 += c * c
+            k += 1
+          }
+          MediaEmb(rec.doc_id, 16, nBins, cMax, l2, b.length.toLong)
+        }
+      }
+    }(Encoders.product[MediaEmb])
+  }
+
   /** Resize stub: deterministic byte downsample (every `every`-th
     * byte). A real implementation would decode + rescale via a codec;
     * the Spark-side shape — map-only pass, output bytes shrink by the

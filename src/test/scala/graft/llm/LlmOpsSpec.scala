@@ -415,4 +415,23 @@ class LlmOpsSpec extends SparkTestBase {
     assert(math.abs(feats(0L).mean_byte -
       d0.getBytes("UTF-8").map(_ & 0xff).sum.toDouble / d0.length) < 1e-12)
   }
+
+  test("embedStub witnesses are exact and batch-boundary independent") {
+    val media = Multimodal.mediaTable(docs)
+    def collectAll(bs: Int) = Multimodal.embedStub(spark, media, bs)
+      .collect().map(e => e.doc_id -> e).toMap
+    val byOne = collectAll(1)
+    val byBig = collectAll(1000)
+    assert(byOne.keySet == byBig.keySet)
+    byOne.foreach { case (id, e) => assert(e == byBig(id)) }
+    // hand-check doc 0: histogram of (byte >> 4) over the text bytes
+    val d0 = docs.collect().find(_.getLong(0) == 0L).get.getString(1)
+    val hist = d0.getBytes("UTF-8").map(b => (b & 0xff) >> 4)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val e0 = byOne(0L)
+    assert(e0.dim == 16 && e0.n_bytes == d0.length)
+    assert(e0.n_bins == hist.size)
+    assert(e0.c_max == hist.values.max)
+    assert(e0.l2num == hist.values.map(c => c * c).sum)
+  }
 }
