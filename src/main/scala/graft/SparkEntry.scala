@@ -531,6 +531,11 @@ object SparkEntry {
     // T14: per-language corpus stats with EXACT interpolated percentiles
     "t14_corpus_stats" -> ((spark, dir) =>
       TextOps.corpusStats(docs(spark, dir), "lang")),
+    // X11n: DSIR-style importance score against the zh stratum — one
+    // token-explode shuffle computes target+corpus counts; the
+    // vocabulary-sized weight table broadcasts back onto the stream
+    "t16_importance" -> ((spark, dir) =>
+      TextOps.importanceScore(docs(spark, dir), col("lang") === "zh")),
     // X11m: composite quality filter — the t2/t3/t9 signals combined
     // into per-rule 0/1 flags + the keep/drop decision, one map-only
     // pass (thresholds chosen to split the fixture non-trivially:
@@ -1175,6 +1180,23 @@ object SparkEntry {
         |  CAST(quantile_cont(nt, 0.9) AS REAL) AS p90_tokens
         |FROM n GROUP BY 1""".stripMargin,
     "t15_quality_filter" -> qualityFilterOracle,
+    "t16_importance" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tk
+        |             FROM documents),
+        |cnt AS (SELECT tk, count(*) AS cc,
+        |        sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS tc
+        |        FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(cc) AS tcAll, sum(tc) AS tcT, count(*) AS v
+        |        FROM cnt),
+        |w AS (SELECT cnt.tk,
+        |      ln(CAST(cnt.tc + 1 AS DOUBLE) / CAST(tot.tcT + tot.v AS DOUBLE))
+        |    - ln(CAST(cnt.cc + 1 AS DOUBLE) / CAST(tot.tcAll + tot.v AS DOUBLE))
+        |      AS wt
+        |      FROM cnt CROSS JOIN tot)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(w.wt) AS REAL) AS score
+        |FROM tok t JOIN w ON t.tk = w.tk
+        |GROUP BY 1""".stripMargin,
     "x4_embed_quant" ->
       s"""WITH $EMB_N,
          |q AS (SELECT vec_id, nrm, list_transform(v, x ->

@@ -368,6 +368,42 @@ object TextOps {
         percentile(col("_nt"), lit(0.9)).cast("float").as("p90_tokens"))
   }
 
+  /** DSIR-style importance score for data selection: the add-1-smoothed
+    * unigram log-likelihood ratio of a target distribution against the
+    * whole corpus,
+    * `Σ_occurrences ln((tc+1)/(Tt+V)) − ln((cc+1)/(Tc+V))`,
+    * where tc/cc are the token's target/corpus counts, Tt/Tc the
+    * respective token totals, and V the corpus vocabulary size. Docs
+    * resembling the target (rows where `isTarget` holds) score high;
+    * sampling ∝ score is the importance-resampling recipe for steering
+    * a pretraining mix toward a target domain.
+    *
+    * Plan shape at 100 TB: ONE full-volume shuffle (the token explode
+    * feeding a hash aggregate that computes target and corpus counts
+    * together, map-side combined); the totals are a 1-row broadcast and
+    * the per-token weight table is vocabulary-sized — broadcast onto a
+    * second map-only pass over the token stream, then the per-doc sum
+    * rides the same hash aggregation as every other per-doc reduce. */
+  def importanceScore(docs: DataFrame, isTarget: Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol), isTarget.as("_t"),
+      explode(tokens(col(textCol))).as("tk"))
+    val counts = tok.groupBy(col("tk")).agg(
+      count(lit(1)).as("cc"),
+      sum(when(col("_t"), 1L).otherwise(0L)).as("tc"))
+    val tot = counts.agg(sum(col("cc")).as("tcAll"),
+      sum(col("tc")).as("tcT"), count(lit(1)).as("v"))
+    val w = counts.crossJoin(broadcast(tot)).select(col("tk"),
+      (log((col("tc") + 1).cast("double") /
+          (col("tcT") + col("v")).cast("double")) -
+        log((col("cc") + 1).cast("double") /
+          (col("tcAll") + col("v")).cast("double"))).as("wt"))
+    tok.join(broadcast(w), "tk")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("wt")).cast("float").as("score"))
+  }
+
   /** Composite quality filter — the C4/Gopher-style rule stack that
     * turns the individual signals into a keep/drop decision, one flag
     * column per rule so downstream can audit WHY a document dropped:

@@ -416,6 +416,22 @@ class LlmOpsSpec extends SparkTestBase {
       d0.getBytes("UTF-8").map(_ & 0xff).sum.toDouble / d0.length) < 1e-12)
   }
 
+  test("importanceScore: add-1 smoothed log-likelihood ratio, hand-checked") {
+    // corpus: target doc "a b", other doc "a c"
+    // counts: cc(a)=2 cc(b)=1 cc(c)=1; tc(a)=1 tc(b)=1; Tc=4 Tt=2 V=3
+    val corpus = Seq((0L, "a b", true), (1L, "a c", false))
+      .toDF("doc_id", "text", "is_t")
+    val r = TextOps.importanceScore(corpus, $"is_t").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getFloat(2))).toMap
+    def w(tc: Long, cc: Long) =
+      math.log((tc + 1.0) / (2 + 3)) - math.log((cc + 1.0) / (4 + 3))
+    assert(r(0L)._1 == 2L && r(1L)._1 == 2L)
+    assert(math.abs(r(0L)._2 - (w(1, 2) + w(1, 1))) < 1e-6)
+    assert(math.abs(r(1L)._2 - (w(1, 2) + w(0, 1))) < 1e-6)
+    // the target doc outranks the non-target doc
+    assert(r(0L)._2 > r(1L)._2)
+  }
+
   test("embedStub witnesses are exact and batch-boundary independent") {
     val media = Multimodal.mediaTable(docs)
     def collectAll(bs: Int) = Multimodal.embedStub(spark, media, bs)
