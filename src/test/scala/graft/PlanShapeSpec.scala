@@ -139,6 +139,26 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("t15_quality_filter and m4_embed_batch are map-only") {
+    // the composite filter is five per-row signals in one projection;
+    // batched inference is a mapPartitions over (id, media) — neither
+    // may introduce a shuffle
+    for (name <- Seq("t15_quality_filter", "m4_embed_batch")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name must not shuffle")
+    }
+  }
+
+  test("t16_importance broadcasts the weight table and totals") {
+    // the token stream must NEVER sit on the build side: the two
+    // broadcasts are the 1-row totals and the vocabulary-sized weights
+    val p = plan("t16_importance")
+    assert(count(p, "BroadcastExchange") >= 2,
+      "totals and per-token weight table must both broadcast")
+    assert(p.contains("HashAggregate"),
+      "token counts and per-doc sums must be hash aggregates")
+  }
+
   test("d1_exact_dedup shuffles hashes, not documents") {
     val p = plan("d1_exact_dedup")
     // the groupBy key must be the content hash, and text must not ride
