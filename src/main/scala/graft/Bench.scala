@@ -33,6 +33,32 @@ object Bench {
       val warm2 = time { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
       (name, cold, math.min(warm1, warm2))
     }
+    // concurrent instant-query throughput: the reference's SLA anchor is
+    // ≥5 queries/s on a 5-node cluster (docs/assumptions.md:48); this
+    // drives light selector/metadata queries from 8 client threads for
+    // ~5 s against the warm session and reports completions/second
+    val lightNames = Seq("p2_instant_selector", "s4_scan",
+      "s8_label_values", "g10_time").filter(SparkEntry.queries.contains)
+    val qps: Double = {
+      val stopAt = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      val done = new java.util.concurrent.atomic.AtomicLong(0)
+      val threads = (0 until 8).map { k =>
+        new Thread(() => {
+          var i = k
+          while (System.nanoTime() < stopAt) {
+            val name = lightNames(i % lightNames.length)
+            try SparkEntry.queries(name)(spark, sfDir).count()
+            catch { case _: Throwable => () }
+            done.incrementAndGet()
+            i += 1
+          }
+        })
+      }
+      val t0 = System.nanoTime()
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      done.get().toDouble / ((System.nanoTime() - t0) / 1e9)
+    }
     // ms precision keeps the ONE JSON line short enough to survive
     // tail-window capture of stdout (~4 KB): full-precision doubles for
     // 70+ queries pushed the line past the window and truncated its head
@@ -43,7 +69,7 @@ object Bench {
     val coldTotal = results.map(_._2).sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_sec":${r3(coldTotal)},"sf":$sfNum}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_sec":${r3(coldTotal)},"instant_qps":${r3(qps)},"sf":$sfNum}""")
     spark.stop()
   }
 }
