@@ -197,11 +197,17 @@ object Dedup {
     * volume: miss ≈ 1.7e-7 at s=0.6 (≈1e-20 at s=0.8) while pairs of
     * unrelated docs (s≈0.05) collide with probability ≈1e-2 — r=2 was
     * measured to admit ~15% of ALL pairs as candidates on word-soup
-    * corpora, making the verify join the dominant cost. */
+    * corpora, making the verify join the dominant cost.
+    *
+    * `maxBucket` caps band-bucket width (the w² join fan-out guard for
+    * pathologically self-similar corpora); the default is far above any
+    * non-adversarial width, so results equal the uncapped plan. */
   def minhashLshPairs(docs: DataFrame, n: Int, threshold: Double,
       numHashes: Int = 192, bands: Int = 64,
+      maxBucket: Int = 100000,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(maxBucket >= 2, "a bucket below 2 docs can emit no pair")
     val r = numHashes / bands
 
     // ONE aggregation serves both stages: the sorted distinct hash set
@@ -217,8 +223,25 @@ object Dedup {
       val slice = (0 until r).map(j => element_at(col("sig"), b * r + j + 1))
       struct(lit(b).as("band"), xxhash64(lit(b) +: slice: _*).as("bkey"))
     }: _*)
-    val buckets = sigs.select(col("id"), explode(bandStructs).as("bb"))
+    val buckets0 = sigs.select(col("id"), explode(bandStructs).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+
+    // skew guard: a degenerate band bucket shared by w docs fans the
+    // candidate join out by w² — on a pathologically self-similar
+    // corpus one bucket can dominate the whole stage. Buckets wider
+    // than `maxBucket` are dropped BEFORE the self-join (the sizing
+    // aggregation shuffles on the same (band, bkey) key the join needs,
+    // so it adds no new partitioning). A dropped bucket only loses a
+    // pair if NO other band catches it — for true near-dups at s ≥
+    // threshold the per-band miss is (1−s^r) per band and the other
+    // b−1 bands still vote, so the recall loss is bounded by the
+    // banding miss probability already documented; the default cap is
+    // far above any non-adversarial bucket width.
+    val wide = buckets0.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") > maxBucket)
+    val buckets = buckets0.join(broadcast(wide.select(col("band"), col("bkey"))),
+      Seq("band", "bkey"), "left_anti")
 
     val candidates = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&

@@ -37,6 +37,20 @@ class LlmOpsSpec extends SparkTestBase {
     assert(banded.toSeq == exact.toSeq)
   }
 
+  test("minhashLshPairs caps degenerate band buckets without hurting defaults") {
+    // 12 identical docs: every band bucket has width 12 (plus the
+    // near-dup fixture pair) — the w² fan-out hazard in miniature
+    val degen = (10L until 22L).map(i => (i, "all these words are exactly the same"))
+    val corpus = degen.toDF("doc_id", "text")
+    val full = Dedup.minhashLshPairs(corpus, 3, 0.5).collect()
+    assert(full.length == 12 * 11 / 2) // all identical pairs found
+    val capped = Dedup.minhashLshPairs(corpus, 3, 0.5, maxBucket = 5)
+    assert(capped.collect().isEmpty) // every bucket wider than the cap
+    // a cap above the bucket width changes nothing
+    val loose = Dedup.minhashLshPairs(corpus, 3, 0.5, maxBucket = 12).collect()
+    assert(loose.length == full.length)
+  }
+
   test("connectedComponents: chains, stars, and multi-round convergence") {
     // a path graph 1-2-3-...-8 (forces several large/small-star rounds),
     // a separate pair, and edges given in arbitrary orientation
