@@ -665,6 +665,53 @@ eval instant at 50m minute()
 """)
   }
 
+  test("grouped param aggregators, fmod signs, filters on range results") {
+    run("""
+load 5m
+  http_requests{job="api", instance="0"} 0+10x10
+  http_requests{job="api", instance="1"} 0+20x10
+  http_requests{job="app", instance="0"} 0+30x10
+  cnt 0+10x10
+
+# topk/bottomk respect the grouping: one heap per group
+eval instant at 50m topk by (job) (1, http_requests)
+  http_requests{job="api", instance="1"} 200
+  http_requests{job="app", instance="0"} 300
+
+eval instant at 50m bottomk by (job) (1, http_requests)
+  http_requests{job="api", instance="0"} 100
+  http_requests{job="app", instance="0"} 300
+
+# quantile with a without clause: exact interpolation per group
+eval instant at 50m quantile without (instance) (0.5, http_requests)
+  {job="api"} 150
+  {job="app"} 300
+
+# count_values composes with grouping
+eval instant at 50m count_values by (job) ("v", http_requests)
+  {job="api", v="100"} 1
+  {job="api", v="200"} 1
+  {job="app", v="300"} 1
+
+# % is Go math.Mod: the result takes the DIVIDEND's sign
+eval instant at 50m -7 % 3
+  {} -1
+
+eval instant at 50m 7 % -3
+  {} 1
+
+# fractional negative exponent
+eval instant at 50m 2 ^ -0.5
+  {} 0.7071067812
+
+# comparison filters apply to range-function results like any vector
+eval instant at 50m rate(cnt[50m]) > 0.03
+  {} 0.0333333333
+
+eval instant at 50m rate(cnt[50m]) > 0.04
+""")
+  }
+
   test("staleness: a marker as the newest lookback point hides the series") {
     run("""
 load 5m
