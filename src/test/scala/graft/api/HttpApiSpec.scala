@@ -191,4 +191,12 @@ class HttpApiSpec extends SparkTestBase {
     val r = resultMap(engine2.instant("wr_metric", 60000L))
     assert(r(("__name__=wr_metric,src=api", 60000L)) == 42.5)
   }
+
+  test("oversized write bodies get HTTP 413 (acceptance_test.go:270-292)") {
+    val line = """{"labels":{"__name__":"big"},"t":0,"v":1}""" + "\n"
+    val repeats = (HttpApi.MaxBodyBytes / line.length + 2).toInt
+    val (code, body) = post("/api/v1/write", line * repeats)
+    assert(code == 413, s"expected 413, got $code: ${body.take(200)}")
+    assert(body.contains("bad_data"))
+  }
 }
