@@ -351,8 +351,21 @@ class PromQLEngine(
   private val memo = ThreadLocal.withInitial(() =>
     scala.collection.mutable.HashMap.empty[(Expr, EvalRange), Value])
 
+  /** Per-query record of `by`-form decomposable aggregations, keyed by
+    * (child subtree, range, op): lets a coarser aggregation of the same
+    * child re-aggregate the finer result instead of the raw sample
+    * volume (see [[evalAggregate]]). */
+  private val aggMemo = ThreadLocal.withInitial(() =>
+    scala.collection.mutable.HashMap.empty[(Expr, EvalRange, String),
+      List[(Seq[String], DataFrame)]])
+
+  /** Test hook: how many aggregations were served by re-aggregating a
+    * finer partial result instead of re-reducing the sample volume. */
+  private[exec] val reaggHits = new java.util.concurrent.atomic.AtomicLong
+
   private def evalRoot(e: Expr, tr: EvalRange): Value = {
     memo.get().clear()
+    aggMemo.get().clear()
     eval(e, tr)
   }
 
@@ -391,7 +404,59 @@ class PromQLEngine(
 
   // ---------- aggregations (engine.go:1254-1448) ----------
 
+  /** Aggregations whose group results merge under the same (or a sum)
+    * operator, so a coarser grouping can re-aggregate a finer one:
+    * sum/count partials re-SUM; min/max partials re-min/max (the
+    * NaN-loses guard composes — a partial is NaN only when its whole
+    * subgroup was NaN). avg/stddev/quantile/topk do not decompose. */
+  private val decomposableAggs = Set("sum", "count", "min", "max")
+
   private def evalAggregate(agg: AggregateExpr, tr: EvalRange): DataFrame = {
+    // Partial re-aggregation: `sum by (a,b) (x)` followed by
+    // `sum by (a) (x)` (or a global `sum(x)`) in the SAME query —
+    // the share-of-total shape `sum by (k) (x) / on() group_left
+    // sum(x)` is the canonical case — re-aggregates the finer result
+    // (groups × steps rows) instead of re-reducing the raw sample
+    // volume (series × steps, 100-1000× more at monitoring scale).
+    // The reference's tree walker re-reduces from scratch; the
+    // declarative plan lets us reuse. `without` forms are skipped:
+    // their grouping sets depend on the series labels, not the AST.
+    if (agg.without || !decomposableAggs(agg.op))
+      return evalAggregateImpl(agg, tr)
+    val key = (agg.expr, tr, agg.op)
+    val finer = aggMemo.get().getOrElse(key, Nil)
+      .find { case (by, _) => agg.grouping.toSet.subsetOf(by.toSet) }
+    val result = finer match {
+      case Some((_, df)) => reaggHits.incrementAndGet(); reAggregate(df, agg)
+      case None => evalAggregateImpl(agg, tr)
+    }
+    aggMemo.get().updateWith(key)(prev =>
+      Some((agg.grouping, result) :: prev.getOrElse(Nil)))
+    result
+  }
+
+  /** Re-aggregate a finer `by`-aggregation's output under a coarser
+    * grouping (callers guarantee grouping ⊆ the finer grouping and a
+    * decomposable op). count partials merge with SUM. */
+  private def reAggregate(df: DataFrame, agg: AggregateExpr): DataFrame = {
+    val withGl = df
+      .withColumn("_gl", Samples.labelsOn(col(L), agg.grouping))
+      .withColumn("_gs", Samples.sigExpr(col("_gl")))
+    val aggCol = agg.op match {
+      case "sum" | "count" => sum(col(V))
+      case "min" =>
+        coalesce(min(when(!isnan(col(V)), col(V))), lit(Double.NaN))
+      case "max" =>
+        coalesce(max(when(!isnan(col(V)), col(V))), lit(Double.NaN))
+      case other => throw new IllegalStateException(
+        s"'$other' is not decomposable")
+    }
+    groupByWithLabels(withGl, col("_gl"), Seq(col("_gs"), col(T)))(
+      aggCol.as(V))
+      .select(col("_gs").as(SIG), col(L), col(T), col(T).as(ST), col(V))
+  }
+
+  private def evalAggregateImpl(agg: AggregateExpr, tr: EvalRange): DataFrame = {
     val VecV(in) = (eval(agg.expr, tr): @unchecked)
     val glabels =
       if (agg.without) Samples.labelsWithout(col(L), agg.grouping)

@@ -481,4 +481,20 @@ class PromQLEngineSpec extends SparkTestBase {
       ("__name__=t,k=a", 0L) -> 7.0,
       ("__name__=t,k=b", 0L) -> 7.0))
   }
+
+  test("partial re-aggregation: a coarser sum consumes the finer partials") {
+    // share-of-total: the global sum must re-aggregate the by-foo
+    // result (groups × steps rows) instead of re-reducing the raw
+    // sample volume — observable via the engine's hit counter
+    val before = engine.reaggHits.get()
+    val df = engine.instant(
+      "sum by (foo) (test_metric1) / on() group_left sum(test_metric1)",
+      2 * m)
+    assert(engine.reaggHits.get() == before + 1,
+      "the global sum did not re-aggregate the by-foo partials")
+    val r = resultMap(df)
+    assertApprox(r, Map(
+      ("foo=bar", 2 * m) -> 200.0 / 201.0,
+      ("foo=boo", 2 * m) -> 1.0 / 201.0))
+  }
 }

@@ -709,6 +709,22 @@ eval instant at 50m rate(cnt[50m]) > 0.03
   {} 0.0333333333
 
 eval instant at 50m rate(cnt[50m]) > 0.04
+
+# share-of-total: the global sum re-aggregates the by-group partials
+# (partial re-aggregation); results must be the plain ratios
+eval instant at 50m sum by (job) (http_requests) / on() group_left sum(http_requests)
+  {job="api"} 0.5
+  {job="app"} 0.5
+
+# finer side evaluated first, coarser re-aggregates its partials
+eval instant at 50m sum by (job, instance) (http_requests) / on(job) group_left sum by (job) (http_requests)
+  {job="api", instance="0"} 0.3333333333
+  {job="api", instance="1"} 0.6666666667
+  {job="app", instance="0"} 1
+
+# count partials merge with SUM; min/max partials re-min/max
+eval instant at 50m count(http_requests) + min(http_requests) + max(http_requests)
+  {} 403
 """)
   }
 
