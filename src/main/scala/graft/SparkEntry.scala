@@ -536,6 +536,10 @@ object SparkEntry {
     // vocabulary-sized weight table broadcasts back onto the stream
     "t16_importance" -> ((spark, dir) =>
       TextOps.importanceScore(docs(spark, dir), col("lang") === "zh")),
+    // X11o: fixed-size token chunking with overlap (RAG/pretraining
+    // chunker) — map-only explode, md5 chunk witnesses
+    "t17_chunk" -> ((spark, dir) =>
+      TextOps.chunk(docs(spark, dir), 32, 8)),
     // X11m: composite quality filter — the t2/t3/t9 signals combined
     // into per-rule 0/1 flags + the keep/drop decision, one map-only
     // pass (thresholds chosen to split the fixture non-trivially:
@@ -1180,6 +1184,15 @@ object SparkEntry {
         |  CAST(quantile_cont(nt, 0.9) AS REAL) AS p90_tokens
         |FROM n GROUP BY 1""".stripMargin,
     "t15_quality_filter" -> qualityFilterOracle,
+    "t17_chunk" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |st AS (SELECT doc_id, tk,
+        |       unnest(generate_series(0, len(tk) - 1, 24)) AS s FROM tok)
+        |SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_idx,
+        |  CAST(s AS BIGINT) AS start_tok,
+        |  CAST(least(32, len(tk) - s) AS BIGINT) AS chunk_tokens,
+        |  md5(array_to_string(tk[s+1 : s+32], ' ')) AS chunk_md5
+        |FROM st""".stripMargin,
     "t16_importance" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tk
         |             FROM documents),

@@ -451,6 +451,35 @@ object TextOps {
       (fShort + fPunct + fStop + fLang + fRep === 0).cast("long").as("kept"))
   }
 
+  /** Fixed-size token chunking with overlap — the RAG/pretraining
+    * chunker: chunk i covers tokens `[i·(size−overlap), …+size)`, so
+    * consecutive chunks share `overlap` tokens; the last chunk may be
+    * short. One map-only explode (row count multiplies by ~n/stride,
+    * bytes by ~size/stride); the chunk text is witnessed by its md5
+    * (engine-portable) plus offsets, so downstream can slice lazily.
+    * Chunk identity is a pure function of (doc, offsets) — re-chunking
+    * a grown corpus never renumbers existing chunks. */
+  def chunk(docs: DataFrame, chunkTokens: Int, overlap: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      "overlap must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlap
+    val tok = tokens(col(textCol))
+    docs
+      .select(col(idCol), tok.as("_tk"))
+      .select(col(idCol), col("_tk"),
+        explode(sequence(lit(0), size(col("_tk")) - 1, lit(stride)))
+          .as("start_tok"))
+      .select(col(idCol),
+        (col("start_tok") / stride).cast("long").as("chunk_idx"),
+        col("start_tok").cast("long"),
+        least(lit(chunkTokens), size(col("_tk")) - col("start_tok"))
+          .cast("long").as("chunk_tokens"),
+        md5(concat_ws(" ",
+          slice(col("_tk"), col("start_tok") + 1, lit(chunkTokens)))
+          .cast("binary")).as("chunk_md5"))
+  }
+
   /** One-pass text-analysis projection over a documents frame. */
   def analyze(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {

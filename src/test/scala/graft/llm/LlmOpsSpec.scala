@@ -430,6 +430,21 @@ class LlmOpsSpec extends SparkTestBase {
       d0.getBytes("UTF-8").map(_ & 0xff).sum.toDouble / d0.length) < 1e-12)
   }
 
+  test("chunk: stride layout, overlap sharing, short tail") {
+    // 10 tokens, size 4, overlap 1 -> stride 3: starts 0,3,6,9
+    val one = Seq((0L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val r = TextOps.chunk(one, 4, 1).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(r == Map(0L -> (0L, 4L), 1L -> (3L, 4L), 2L -> (6L, 4L),
+      3L -> (9L, 1L))) // short tail chunk
+    // md5 witness matches the joined token slice
+    val c1 = TextOps.chunk(one, 4, 1).collect().find(_.getLong(1) == 1L).get
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest("t3 t4 t5".getBytes("UTF-8") ++ " t6".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(c1.getString(4) == expect)
+  }
+
   test("importanceScore: add-1 smoothed log-likelihood ratio, hand-checked") {
     // corpus: target doc "a b", other doc "a c"
     // counts: cc(a)=2 cc(b)=1 cc(c)=1; tc(a)=1 tc(b)=1; Tc=4 Tt=2 V=3
