@@ -540,6 +540,10 @@ object SparkEntry {
     // chunker) — map-only explode, md5 chunk witnesses
     "t17_chunk" -> ((spark, dir) =>
       TextOps.chunk(docs(spark, dir), 32, 8)),
+    // X11p: cross-doc 8-gram overlap (memorization/novelty scan) —
+    // df aggregate + hash join, two 8-byte-key shuffles
+    "t18_cross_overlap" -> ((spark, dir) =>
+      TextOps.crossOverlap(docs(spark, dir), 8)),
     // X11m: composite quality filter — the t2/t3/t9 signals combined
     // into per-rule 0/1 flags + the keep/drop decision, one map-only
     // pass (thresholds chosen to split the fixture non-trivially:
@@ -1184,6 +1188,24 @@ object SparkEntry {
         |  CAST(quantile_cont(nt, 0.9) AS REAL) AS p90_tokens
         |FROM n GROUP BY 1""".stripMargin,
     "t15_quality_filter" -> qualityFilterOracle,
+    "t18_cross_overlap" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  generate_series(1, greatest(len(tk) - 7, 0)),
+        |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+        |    || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6]
+        |    || ' ' || tk[i+7]))) AS s FROM tok),
+        |df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+        |per AS (SELECT sh.doc_id, count(*) AS n_shingles,
+        |        sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS shared
+        |        FROM sh JOIN df USING (s) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(per.shared, 0) AS BIGINT) AS shared,
+        |  CAST(CASE WHEN per.n_shingles IS NULL THEN 0
+        |       ELSE CAST(per.shared AS DOUBLE) / per.n_shingles END
+        |    AS REAL) AS shared_frac
+        |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
     "t17_chunk" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |st AS (SELECT doc_id, tk,

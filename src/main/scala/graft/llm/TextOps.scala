@@ -451,6 +451,40 @@ object TextOps {
       (fShort + fPunct + fStop + fLang + fRep === 0).cast("long").as("kept"))
   }
 
+  /** Cross-document n-gram overlap — the memorization/novelty scan:
+    * for each doc, the fraction of its DISTINCT word n-grams that
+    * appear in at least one OTHER document. High fractions mark
+    * boilerplate and near-copies that pair-level dedup misses (a doc
+    * stitched from many sources shares most n-grams yet pairs with
+    * none of them above a Jaccard threshold).
+    *
+    * Plan shape at 100 TB: one explode of the per-doc distinct
+    * shingle-hash sets (8-byte keys, reusing [[Dedup.shingleSetsCached]]'s
+    * aggregation), a vocabulary-sized document-frequency aggregate
+    * (map-side combined), an equi-join back on the hash, and the
+    * per-doc reduce — two shuffles total, both on 8-byte keys, no row
+    * ever carries text. Docs with fewer than n tokens have no
+    * shingles and report (0, 0, 0.0). */
+  def crossOverlap(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sets = Dedup.shingleSetsCached(docs, n, idCol, textCol)
+    val post = sets.select(col("id"), explode(col("hs")).as("h"))
+    val dfreq = post.groupBy(col("h")).agg(count(lit(1)).as("_df"))
+    val per = post.join(dfreq, "h")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_df") >= 2, 1L).otherwise(0L)).as("shared"))
+    docs.select(col(idCol))
+      .join(per.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("shared"), lit(0L)).as("shared"),
+        when(col("n_shingles").isNull, 0.0)
+          .otherwise(col("shared").cast("double") /
+            col("n_shingles").cast("double"))
+          .cast("float").as("shared_frac"))
+  }
+
   /** Fixed-size token chunking with overlap — the RAG/pretraining
     * chunker: chunk i covers tokens `[i·(size−overlap), …+size)`, so
     * consecutive chunks share `overlap` tokens; the last chunk may be

@@ -430,6 +430,18 @@ class LlmOpsSpec extends SparkTestBase {
       d0.getBytes("UTF-8").map(_ & 0xff).sum.toDouble / d0.length) < 1e-12)
   }
 
+  test("crossOverlap marks shared n-grams, zeroes short docs") {
+    // trigram scan: docs 0 and 3 are identical (7 trigrams each, all
+    // shared); doc 1 shares 6 of its 7 with them; docs 2, 4 share
+    // none. doc 4 ("short text") has <3 tokens -> no shingles at all
+    val r = TextOps.crossOverlap(docs, 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(r(0L) == (7L, 7L) && r(3L) == (7L, 7L))
+    assert(r(1L) == (7L, 6L))
+    assert(r(2L) == (4L, 0L))
+    assert(r(4L) == (0L, 0L))
+  }
+
   test("chunk: stride layout, overlap sharing, short tail") {
     // 10 tokens, size 4, overlap 1 -> stride 3: starts 0,3,6,9
     val one = Seq((0L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
