@@ -728,6 +728,46 @@ eval instant at 50m count(http_requests) + min(http_requests) + max(http_request
 """)
   }
 
+  test("single-point windows, NaN quantile, missing join labels") {
+    run("""
+load 5m
+  single 5
+  m{s="a"} 0+10x10
+
+# rate/deriv need two points; a single-sample window yields nothing
+eval instant at 5m rate(single[10m])
+
+eval instant at 5m deriv(single[10m])
+
+# but fold-style functions emit from one point
+eval instant at 5m changes(single[10m])
+  {} 0
+
+eval instant at 5m resets(single[10m])
+  {} 0
+
+eval instant at 2m stddev(single)
+  {} 0
+
+eval instant at 50m scalar(vector(5))
+  {} 5
+
+# NaN quantile parameter propagates NaN per group
+eval instant at 50m quantile(0/0, m)
+  {} NaN
+
+# label_join treats missing source labels as empty strings
+eval instant at 50m label_join(m{s="a"}, "dst", "-", "s", "nosuch")
+  m{s="a", dst="a-"} 100
+
+# negative horizon extrapolates backwards from the eval timestamp
+eval instant at 50m predict_linear(m{s="a"}[30m], -600)
+  {s="a"} 80
+
+eval_fail instant at 50m holt_winters(m{s="a"}[30m], 0.5, 2)
+""")
+  }
+
   test("staleness: a marker as the newest lookback point hides the series") {
     run("""
 load 5m
