@@ -159,6 +159,13 @@ object SparkEntry {
     // P3: range selector — all samples per window
     "p3_range_count" -> prom(
       "count_over_time(events_value[1d])", Seq("event_type", "user_id")),
+    // P7: realistic monitoring grid — 6h window @ 5m steps (72× naive
+    // row amplification over one day): the shape the bucketed fold
+    // path exists for (SCALE.md §1)
+    "p7_fine_grid" -> prom(
+      "sum by (event_type) (count_over_time(events_value[6h]))",
+      Seq("event_type"), start = START + 9 * DAY, end = START + 10 * DAY,
+      step = 300000L),
     // P4: offset modifier
     "p4_offset" -> prom(
       "sum by (event_type) (count_over_time(events_value[1d] offset 1d))",
@@ -598,6 +605,13 @@ object SparkEntry {
       s"""WITH $STEPS, $S, ${windowSql(DAY)}
          |SELECT event_type, user_id, t, CAST(count(*) AS DOUBLE) AS v
          |FROM w GROUP BY 1, 2, 3""".stripMargin,
+    "p7_fine_grid" ->
+      s"""WITH fs AS (SELECT unnest(generate_series(${START + 9 * DAY},
+         |            ${START + 10 * DAY}, 300000)) AS t),
+         |$S
+         |SELECT s.event_type, fs.t, CAST(count(*) AS DOUBLE) AS v
+         |FROM fs JOIN s ON s.st >= fs.t - 21600000 AND s.st <= fs.t
+         |GROUP BY 1, 2""".stripMargin,
     "p4_offset" ->
       s"""WITH $STEPS, $S,
          |w AS (SELECT st2.t, s.event_type, s.st, s.v FROM steps st2 JOIN s
