@@ -99,6 +99,35 @@ object Ingest {
   def readTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select(col("labels"), col("t"), col("v"), col("stale"))
 
+  /** Compact one `date` partition: every [[append]] adds up to
+    * [[SeriesBuckets]] files, so a day receiving thousands of write
+    * batches accumulates thousands of small files (the TSDB-compaction
+    * problem in parquet form — degraded scan parallelism and row-group
+    * fragmentation). Rewrites the partition back to ≤ SeriesBuckets
+    * series-bucketed files via dynamic partition overwrite; query
+    * results are unchanged.
+    *
+    * The partition is materialized (checkpoint) BEFORE the overwrite so
+    * the job never reads files it is deleting. A production deployment
+    * on object storage would stage to a temp prefix and swap — the
+    * single-writer semantics here match the reference's background
+    * compactor, which also assumes no concurrent writer per block. */
+  def compact(spark: SparkSession, path: String, date: String): Unit = {
+    val part = spark.read.parquet(path)
+      .filter(col("date") === date)
+      .select(col("labels"), col("t"), col("v"), col("stale"))
+      .repartition(pmod(Samples.sigExpr(col("labels")), lit(SeriesBuckets)))
+      .localCheckpoint(true)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try part.withColumn("date", lit(date))
+      .write.mode("overwrite").partitionBy("date").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Streaming step-aligned pre-aggregation: a watermarked windowed
     * aggregation maintains one partial row (count/sum/min/max) per
     * (series, bucket) — the same partial shape the query engine's

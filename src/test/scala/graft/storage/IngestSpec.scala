@@ -58,6 +58,38 @@ class IngestSpec extends SparkTestBase {
     assert(ex.getMessage != null)
   }
 
+  test("compact rewrites a fragmented date partition, preserving data") {
+    val path = tmp("ingest-compact")
+    // 8 appends × up to 32 bucket files each → a fragmented day
+    for (batch <- 0 until 8) {
+      val edge = (0 until 64).map { i =>
+        Ingest.WriteSample(Map("__name__" -> "c", "s" -> i.toString),
+          (batch * 64 + i) * 1000L, i.toDouble)
+      }.toDS()
+      Ingest.append(Ingest.canonicalize(edge), path)
+    }
+    def files(date: String) = {
+      val d = new java.io.File(s"$path/date=$date")
+      d.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    val before = Ingest.readTable(spark, path).collect()
+      .map(r => (r.getMap[String, String](0).toMap, r.getLong(1),
+        r.getDouble(2), r.getBoolean(3))).toSet
+    // every append commits at least one new file, so the day holds ≥ 8
+    // (with test-sized shuffle parallelism: exactly one per append)
+    val fragmented = files("1970-01-01")
+    assert(fragmented >= 8,
+      s"expected a fragmented partition, got $fragmented files")
+    Ingest.compact(spark, path, "1970-01-01")
+    val compacted = files("1970-01-01")
+    assert(compacted < fragmented && compacted <= Ingest.SeriesBuckets,
+      s"expected fewer, bucketed files; $fragmented -> $compacted")
+    val after = Ingest.readTable(spark, path).collect()
+      .map(r => (r.getMap[String, String](0).toMap, r.getLong(1),
+        r.getDouble(2), r.getBoolean(3))).toSet
+    assert(after == before)
+  }
+
   test("streaming ingest via foreachBatch micro-batches") {
     val path = tmp("ingest-stream")
     val ckpt = tmp("ingest-ckpt")
