@@ -1,0 +1,74 @@
+package graft.promql
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Printer round-trip: every printed expression re-parses, and printing
+  * is a fixed point (print ∘ parse ∘ print = print), mirroring the
+  * guarantee of the reference's `Expr.String()` (printer.go). */
+class PrinterSpec extends AnyFunSuite {
+
+  private def p(q: String): String = Printer.print(Parser.parse(q))
+
+  private val corpus = Seq(
+    "1 + 1",
+    "-7 % 3",
+    "2 ^ -0.5",
+    "http_requests",
+    """http_requests{job="api"}""",
+    """http_requests{job="api", instance!="0"}""",
+    """m{s=~"a|b", q!~"x.*"}""",
+    "m offset 5m",
+    "m[5m]",
+    "m[1h30m]",
+    "m[2d] offset 1d",
+    "sum(m)",
+    "sum by (job) (m)",
+    "sum without (instance, job) (m)",
+    "topk(3, m)",
+    "quantile by (job) (0.9, m)",
+    """count_values("v", m)""",
+    "a + b",
+    "a / on(job) b",
+    "a * ignoring(dc) group_left(extra) b",
+    "a - on(job, az) group_right() b",
+    "a > bool b",
+    "a and on() b",
+    "a unless b",
+    "rate(m[5m])",
+    "histogram_quantile(0.9, bkt)",
+    """label_replace(m, "dst", "$1", "src", "(.*)")""",
+    "holt_winters(m[1h], 0.5, 0.5)",
+    "round(m, 0.5)",
+    "scalar(m)",
+    "vector(5)",
+    "time()",
+    "-(m + 1)",
+    "(a + b) * c",
+    "sum(rate(m[5m])) / on() group_left sum(rate(n[5m]))",
+    "absent(nothing{a=\"1\"})",
+    "minute(vector(1707523200))"
+  )
+
+  test("printed form re-parses and printing is a fixed point") {
+    corpus.foreach { q =>
+      val once = p(q)
+      val twice = Printer.print(Parser.parse(once))
+      assert(once == twice, s"not a fixed point for '$q': '$once' vs '$twice'")
+    }
+  }
+
+  test("exact shapes match the reference printer conventions") {
+    assert(p("sum by (job) (m)") == "sum(m) by(job)")
+    assert(p("m[2d] offset 1d") == "m[2d] offset 1d")
+    assert(p("""m{b="2", a="1"}""") == """m{a="1",b="2"}""")
+    assert(p("a / on(job) group_left b") == "a / on(job) group_left() b")
+    assert(p("topk(3, m)") == "topk(3, m)")
+    assert(p("m[90s]") == "m[1m30s]")
+    assert(p("a > bool 5") == "a > bool 5")
+  }
+
+  test("string escapes survive the round trip") {
+    val q = "m{x=\"a\\\"b\\\\c\"}"
+    assert(p(q) == Printer.print(Parser.parse(p(q))))
+  }
+}
