@@ -418,14 +418,19 @@ class PromQLEngine(
     // sum(x)` is the canonical case — re-aggregates the finer result
     // (groups × steps rows) instead of re-reducing the raw sample
     // volume (series × steps, 100-1000× more at monitoring scale).
-    // The reference's tree walker re-reduces from scratch; the
-    // declarative plan lets us reuse. `without` forms are skipped:
-    // their grouping sets depend on the series labels, not the AST.
-    if (agg.without || !decomposableAggs(agg.op))
+    // Same in the opposite set direction for without forms:
+    // `without (a, b)` is COARSER than `without (a)` (drops more), so
+    // it folds the without-(a) partials. by↔without never mix: whether
+    // a by-grouping survives a without-projection depends on the
+    // data's label sets, not the AST. The reference's tree walker
+    // re-reduces from scratch every time.
+    if (!decomposableAggs(agg.op))
       return evalAggregateImpl(agg, tr)
-    val key = (agg.expr, tr, agg.op)
-    val finer = aggMemo.get().getOrElse(key, Nil)
-      .find { case (by, _) => agg.grouping.toSet.subsetOf(by.toSet) }
+    val key = (agg.expr, tr, agg.op + (if (agg.without) "!w" else ""))
+    val finer = aggMemo.get().getOrElse(key, Nil).find { case (g, _) =>
+      if (agg.without) g.toSet.subsetOf(agg.grouping.toSet)
+      else agg.grouping.toSet.subsetOf(g.toSet)
+    }
     val result = finer match {
       case Some((_, df)) => reaggHits.incrementAndGet(); reAggregate(df, agg)
       case None => evalAggregateImpl(agg, tr)
@@ -435,12 +440,18 @@ class PromQLEngine(
     result
   }
 
-  /** Re-aggregate a finer `by`-aggregation's output under a coarser
-    * grouping (callers guarantee grouping ⊆ the finer grouping and a
-    * decomposable op). count partials merge with SUM. */
+  /** Re-aggregate a finer aggregation's output under a coarser
+    * grouping (callers guarantee the coarser/finer set relation and a
+    * decomposable op). count partials merge with SUM. The finer
+    * result's labels ARE its grouping labels, so the coarser
+    * projection applies to them directly — including the without
+    * form, whose dropped labels simply vanish again. */
   private def reAggregate(df: DataFrame, agg: AggregateExpr): DataFrame = {
+    val glabels =
+      if (agg.without) Samples.labelsWithout(col(L), agg.grouping)
+      else Samples.labelsOn(col(L), agg.grouping)
     val withGl = df
-      .withColumn("_gl", Samples.labelsOn(col(L), agg.grouping))
+      .withColumn("_gl", glabels)
       .withColumn("_gs", Samples.sigExpr(col("_gl")))
     val aggCol = agg.op match {
       case "sum" | "count" => sum(col(V))

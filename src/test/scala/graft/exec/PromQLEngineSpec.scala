@@ -497,4 +497,14 @@ class PromQLEngineSpec extends SparkTestBase {
       ("foo=bar", 2 * m) -> 200.0 / 201.0,
       ("foo=boo", 2 * m) -> 1.0 / 201.0))
   }
+
+  test("without re-aggregation: dropping more labels folds the finer result") {
+    val before = engine.reaggHits.get()
+    val df = engine.instant(
+      "sum without (foo) (test_metric1) + sum without (foo, nosuch) (test_metric1)",
+      2 * m)
+    assert(engine.reaggHits.get() == before + 1)
+    val r = resultMap(df)
+    assertApprox(r, Map(("", 2 * m) -> 402.0))
+  }
 }

@@ -725,6 +725,12 @@ eval instant at 50m sum by (job, instance) (http_requests) / on(job) group_left 
 # count partials merge with SUM; min/max partials re-min/max
 eval instant at 50m count(http_requests) + min(http_requests) + max(http_requests)
   {} 403
+
+# without forms re-aggregate in the opposite set direction: dropping
+# MORE labels is the coarser grouping
+eval instant at 50m sum without (instance) (http_requests) / on() group_left sum without (instance, job) (http_requests)
+  {job="api"} 0.5
+  {job="app"} 0.5
 """)
   }
 
@@ -782,6 +788,14 @@ eval instant at 11m st
 
 eval instant at 15m st
   st 3
+
+# markers are dropped from RANGE selections too: the window [0,15m]
+# holds samples 0, 1, stale, 3 -> three real points
+eval instant at 15m count_over_time(st[15m])
+  {} 3
+
+eval instant at 15m sum_over_time(st[15m])
+  {} 4
 """)
   }
 }
