@@ -71,4 +71,54 @@ class PrinterSpec extends AnyFunSuite {
     val q = "m{x=\"a\\\"b\\\\c\"}"
     assert(p(q) == Printer.print(Parser.parse(p(q))))
   }
+
+  test("seeded random typed ASTs: printed form re-parses to a fixed point") {
+    import Ast._
+    val rnd = new scala.util.Random(7)
+    def name() = "mx_" + ('a' + rnd.nextInt(26)).toChar
+    def lname() = "l" + ('a' + rnd.nextInt(26)).toChar
+    def lval() = {
+      val chars = "abz09 .*+?\"\\|"
+      (0 until (1 + rnd.nextInt(6)))
+        .map(_ => chars(rnd.nextInt(chars.length))).mkString
+    }
+    def matchers(): Seq[LabelMatcher] = {
+      val types = Seq(MatchType.Eq, MatchType.NotEq)
+      (0 until (1 + rnd.nextInt(3)))
+        .map(_ => LabelMatcher(types(rnd.nextInt(types.size)), lname(), lval()))
+    }
+    def selector(): VectorSelector =
+      VectorSelector(Some(name()), matchers(),
+        offsetMs = if (rnd.nextBoolean()) 0 else 60000L * (1 + rnd.nextInt(120)))
+    def genScalar(d: Int): Expr =
+      if (d <= 0 || rnd.nextInt(3) == 0)
+        NumberLiteral(math.round(rnd.nextDouble() * 1e4) / 100.0)
+      else BinaryExpr(Seq("+", "-", "*")(rnd.nextInt(3)),
+        ParenExpr(genScalar(d - 1)), ParenExpr(genScalar(d - 1)), None, returnBool = false)
+    def genVector(d: Int): Expr =
+      if (d <= 0) selector()
+      else rnd.nextInt(5) match {
+        case 0 => selector()
+        case 1 => AggregateExpr(
+          Seq("sum", "min", "max", "avg")(rnd.nextInt(4)), genVector(d - 1),
+          None, (0 until rnd.nextInt(3)).map(_ => lname()).distinct,
+          without = rnd.nextBoolean())
+        case 2 => Call(Ast.functions("rate"),
+          Seq(MatrixSelector(selector(), 60000L * (1 + rnd.nextInt(60)))))
+        case 3 => UnaryExpr("-", ParenExpr(genVector(d - 1)))
+        case _ =>
+          val vm = VectorMatching(Cardinality.OneToOne,
+            (0 until rnd.nextInt(2)).map(_ => lname()).distinct,
+            on = rnd.nextBoolean())
+          BinaryExpr(Seq("+", "*", "/")(rnd.nextInt(3)),
+            ParenExpr(genVector(d - 1)), ParenExpr(genVector(d - 1)),
+            Some(vm), returnBool = false)
+      }
+    (1 to 300).foreach { _ =>
+      val e = if (rnd.nextBoolean()) genVector(3) else genScalar(3)
+      val once = Printer.print(e)
+      val twice = Printer.print(Parser.parse(once))
+      assert(once == twice, s"not a fixed point: '$once' vs '$twice'")
+    }
+  }
 }
