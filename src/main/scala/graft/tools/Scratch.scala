@@ -23,8 +23,8 @@ object Scratch {
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s  -> $r")
     }
     val q = SparkEntry.queries
-    for (round <- 1 to 5)
-      for (name <- Seq("c2_rate_share", "c1_topk_rate"))
+    for (round <- 1 to 3)
+      for (name <- Seq("p7_fine_grid", "t18_cross_overlap", "t16_importance", "t17_chunk"))
         t(s"r$round $name") { q(name)(spark, dir).count() }
     spark.stop()
   }
