@@ -433,6 +433,12 @@ object SparkEntry {
           Similarity.withPlantedDupes(emb(spark, dir)),
           0.9, dim = 64, nprobe = 2)
         .withColumn("cos", col("cos").cast("float"))),
+    // D10: exact-substring dedup spans — maximal runs of 8-token
+    // windows appearing verbatim in >= 2 distinct docs (the Lee et al.
+    // suffix-array dedup tier as rolling-hash windows + hash aggregate
+    // + per-doc lag-window span merge)
+    "d10_substring_spans" -> ((spark, dir) =>
+      Dedup.substringDupSpans(docs(spark, dir), 8)),
     // X1: brute-force cosine top-k neighbours of the first 10 vectors
     "x1_sim_topk" -> ((spark, dir) =>
       Similarity.topK(emb(spark, dir).filter(col("vec_id") < 10),
@@ -997,6 +1003,24 @@ object SparkEntry {
         |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
         |SELECT ia, ib, CAST(hamming AS BIGINT) AS hamming
         |FROM pr WHERE hamming <= 3""".stripMargin,
+    "d10_substring_spans" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |w AS (SELECT doc_id,
+        |        unnest(generate_series(1, greatest(len(tk) - 7, 0))) AS p,
+        |        unnest(list_transform(generate_series(1, greatest(len(tk) - 7, 0)),
+        |          i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||
+        |               tk[i+4]||' '||tk[i+5]||' '||tk[i+6]||' '||tk[i+7])) AS s
+        |      FROM tok),
+        |dup AS (SELECT s FROM w GROUP BY s HAVING min(doc_id) <> max(doc_id)),
+        |dp AS (SELECT doc_id, p FROM w JOIN dup USING (s)),
+        |seg AS (SELECT doc_id, p,
+        |        CASE WHEN p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 8
+        |             THEN 1 ELSE 0 END AS brk FROM dp),
+        |g AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+        |        ROWS UNBOUNDED PRECEDING) AS gid FROM seg)
+        |SELECT doc_id, min(p) AS span_start, max(p) + 7 AS span_end,
+        |  max(p) + 7 - min(p) + 1 AS span_tokens
+        |FROM g GROUP BY doc_id, gid""".stripMargin,
     "d5_embed_dup" ->
       s"""WITH $EMB_N,
          |pr AS (SELECT a.vec_id AS ia, b.vec_id AS ib,

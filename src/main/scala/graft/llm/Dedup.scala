@@ -479,4 +479,82 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  // ---- exact-substring dedup spans ---------------------------------------
+
+  /** Every k-token window of a doc in position order, duplicates
+    * preserved (unlike [[TextOps.wordShingles]], which dedups) — the
+    * rolling windows that stand in for suffix-array traversal. Same
+    * loop-UDF rationale as wordShingles: the declarative
+    * `transform(sequence, element_at…)` form is O(tokens²) interpreted. */
+  private def positionedWindows(k: Int): UserDefinedFunction = udf { (text: String) =>
+    if (text == null) Seq.empty[String]
+    else {
+      val t = text.split(" ", -1)
+      if (t.length < k) Seq.empty[String]
+      else {
+        val out = new scala.collection.mutable.ArrayBuffer[String](t.length - k + 1)
+        var i = 0
+        while (i + k <= t.length) {
+          val sb = new java.lang.StringBuilder(t(i))
+          var j = 1
+          while (j < k) { sb.append(' ').append(t(i + j)); j += 1 }
+          out += sb.toString
+          i += 1
+        }
+        out.toSeq
+      }
+    }
+  }
+
+  /** Exact-substring dedup: maximal spans of tokens that appear verbatim
+    * (as a run of `k`-token windows) in at least one OTHER document —
+    * the distributed re-expression of suffix-array substring dedup
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): instead of one machine walking a corpus-wide
+    * suffix array, every k-token rolling window becomes a hash key, a
+    * hash aggregate finds windows spanning ≥ 2 distinct docs, and a
+    * per-doc lag-window merge turns the surviving positions into
+    * maximal spans (token ranges, 1-based inclusive).
+    *
+    * Output: (doc_id, span_start, span_end, span_tokens) — one row per
+    * maximal duplicated span; downstream removal is a per-row substring
+    * cut, exactly how the reference pipeline consumes the span table.
+    *
+    * Scale shape: shuffle = one (xxhash64(window), id, pos) row per
+    * TOKEN — the same volume class as the inverted-index build in
+    * tfidf, map-side combined into (hash, min id, max id) partials for
+    * the duplicate test. The join back onto the postings hash-partitions
+    * on the same 8-byte key as the aggregate, so AQE reuses one
+    * exchange for both. The final merge is a per-doc window — keyed by
+    * doc id, never global. Nothing touches the driver. */
+  def substringDupSpans(docs: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = docs
+      .select(col(idCol).as("id"),
+        posexplode(positionedWindows(k)(col(textCol))).as(Seq("p0", "s")))
+      .select(col("id"), (col("p0") + 1).cast("long").as("p"),
+        xxhash64(col("s")).as("wh"))
+    // windows present in >= 2 distinct docs; min!=max avoids a
+    // count-distinct and is exactly the "cross-document" test
+    val dup = win.groupBy(col("wh"))
+      .agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .select(col("wh"))
+    val dp = win.join(dup, Seq("wh")).select(col("id"), col("p"))
+    // consecutive duplicated windows overlap or touch when the start
+    // gap is <= k; a larger gap starts a new maximal span
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("p"))
+    val seg = dp
+      .withColumn("brk",
+        when(col("p") > lag(col("p"), 1).over(byDoc) + k, 1L).otherwise(0L))
+      .withColumn("gid", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    seg.groupBy(col("id"), col("gid"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + (k - 1)).as("span_end"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_tokens"))
+  }
 }

@@ -37,6 +37,36 @@ class LlmOpsSpec extends SparkTestBase {
     assert(banded.toSeq == exact.toSeq)
   }
 
+  test("substringDupSpans merges overlapping windows into maximal spans") {
+    val d = Seq(
+      // 1 and 2 share tokens "c d e f g h" (positions 3-8 / 1-6); the
+      // shared run is 6 tokens = three overlapping 4-token windows
+      (1L, "a b c d e f g h i j"),
+      (2L, "c d e f g h x y z w"),
+      // 3 repeats a 4-gram within ITSELF only — not a cross-doc dup
+      (3L, "p q r s p q r s t u"),
+      (4L, "unrelated words entirely here nothing shared at all ok")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringDupSpans(d, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(spans.toSeq == Seq((1L, 3L, 8L, 6L), (2L, 1L, 6L, 6L)))
+  }
+
+  test("substringDupSpans splits disjoint duplicated regions") {
+    val d = Seq(
+      // shares 1-4 and 9-12 with doc 2, with a 4-token unique gap —
+      // two maximal spans, not one
+      (1L, "a b c d gap1 gap2 gap3 gap4 w x y z"),
+      (2L, "a b c d mid1 mid2 mid3 mid4 w x y z")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringDupSpans(d, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(spans.toSeq ==
+      Seq((1L, 1L, 4L), (1L, 9L, 12L), (2L, 1L, 4L), (2L, 9L, 12L)))
+  }
+
   test("minhashLshPairs caps degenerate band buckets without hurting defaults") {
     // 12 identical docs: every band bucket has width 12 (plus the
     // near-dup fixture pair) — the w² fan-out hazard in miniature
