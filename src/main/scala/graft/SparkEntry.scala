@@ -439,6 +439,11 @@ object SparkEntry {
     // + per-doc lag-window span merge)
     "d10_substring_spans" -> ((spark, dir) =>
       Dedup.substringDupSpans(docs(spark, dir), 8)),
+    // D11: end-to-end substring cut — each duplicated 8-token window
+    // survives only in its minimum doc; every doc emits cleaned text
+    // plus removal counts (untouched docs round-trip verbatim)
+    "d11_substring_cut" -> ((spark, dir) =>
+      Dedup.cutDupSpans(docs(spark, dir), 8)),
     // X1: brute-force cosine top-k neighbours of the first 10 vectors
     "x1_sim_topk" -> ((spark, dir) =>
       Similarity.topK(emb(spark, dir).filter(col("vec_id") < 10),
@@ -1021,6 +1026,27 @@ object SparkEntry {
         |SELECT doc_id, min(p) AS span_start, max(p) + 7 AS span_end,
         |  max(p) + 7 - min(p) + 1 AS span_tokens
         |FROM g GROUP BY doc_id, gid""".stripMargin,
+    "d11_substring_cut" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |w AS (SELECT doc_id,
+        |        unnest(generate_series(1, greatest(len(tk) - 7, 0))) AS p,
+        |        unnest(list_transform(generate_series(1, greatest(len(tk) - 7, 0)),
+        |          i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||
+        |               tk[i+4]||' '||tk[i+5]||' '||tk[i+6]||' '||tk[i+7])) AS s
+        |      FROM tok),
+        |agg AS (SELECT s, min(doc_id) AS lo, max(doc_id) AS hi FROM w GROUP BY s),
+        |cutw AS (SELECT doc_id, p FROM w JOIN agg USING (s)
+        |         WHERE lo <> hi AND doc_id <> lo),
+        |cutpos AS (SELECT DISTINCT doc_id, tp FROM
+        |  (SELECT doc_id, unnest(generate_series(p, p + 7)) AS tp FROM cutw)),
+        |sel AS (SELECT doc_id, list(tp) AS cuts FROM cutpos GROUP BY doc_id)
+        |SELECT tok.doc_id,
+        |  coalesce(array_to_string(list_filter(tk,
+        |    (x, i) -> cuts IS NULL OR NOT list_contains(cuts, i)), ' '), '')
+        |    AS clean_text,
+        |  CAST(coalesce(len(cuts), 0) AS BIGINT) AS tokens_removed,
+        |  CAST(len(tk) AS BIGINT) AS tokens_total
+        |FROM tok LEFT JOIN sel USING (doc_id)""".stripMargin,
     "d5_embed_dup" ->
       s"""WITH $EMB_N,
          |pr AS (SELECT a.vec_id AS ia, b.vec_id AS ib,

@@ -528,14 +528,20 @@ object Dedup {
     * on the same 8-byte key as the aggregate, so AQE reuses one
     * exchange for both. The final merge is a per-doc window — keyed by
     * doc id, never global. Nothing touches the driver. */
-  def substringDupSpans(docs: DataFrame, k: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val win = docs
+  /** (id, 1-based window position, xxhash64(window)) postings — the
+    * shared input of [[substringDupSpans]] and [[cutDupSpans]]. */
+  private def windowPostings(docs: DataFrame, k: Int, idCol: String,
+      textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("id"),
         posexplode(positionedWindows(k)(col(textCol))).as(Seq("p0", "s")))
       .select(col("id"), (col("p0") + 1).cast("long").as("p"),
         xxhash64(col("s")).as("wh"))
+
+  def substringDupSpans(docs: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = windowPostings(docs, k, idCol, textCol)
     // windows present in >= 2 distinct docs; min!=max avoids a
     // count-distinct and is exactly the "cross-document" test
     val dup = win.groupBy(col("wh"))
@@ -556,5 +562,56 @@ object Dedup {
         (max(col("p")) + (k - 1)).as("span_end"))
       .select(col("id").as(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("span_tokens"))
+  }
+
+  /** End-to-end exact-substring dedup: every doc's text with its
+    * duplicated windows CUT, keeping one corpus-wide copy of each —
+    * a k-token window survives only in the minimum doc id that
+    * contains it (per-window owner, so overlapping spans from
+    * different partners resolve token-by-token, deterministically).
+    * Output: (doc_id, clean_text, tokens_removed, tokens_total) for
+    * EVERY doc — untouched docs round-trip their text verbatim.
+    *
+    * Scale shape: same single full-token-volume shuffle as
+    * [[substringDupSpans]] (the postings aggregate + join-back share
+    * one exchange); the per-doc cut-position list is bounded by the
+    * doc's own length and collapses to a map-side `collect_list` of
+    * window starts — the final cut is a map-only pass over the docs
+    * table. */
+  def cutDupSpans(docs: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val win = windowPostings(docs, k, idCol, textCol)
+    val agg = win.groupBy(col("wh"))
+      .agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+    val cutStarts = win.join(agg, Seq("wh"))
+      .filter(col("lo") =!= col("hi") && col("id") =!= col("lo"))
+      .groupBy(col("id")).agg(collect_list(col("p")).as("starts"))
+    val cutUdf = udf { (text: String, starts: Seq[Long]) =>
+      val t = text.split(" ", -1)
+      val cut = new Array[Boolean](t.length)
+      if (starts != null) starts.foreach { p =>
+        var i = p.toInt - 1
+        val end = math.min(i + k, t.length)
+        while (i < end) { cut(i) = true; i += 1 }
+      }
+      val kept = new java.lang.StringBuilder
+      var removed = 0L
+      var first = true
+      var i = 0
+      while (i < t.length) {
+        if (cut(i)) removed += 1
+        else {
+          if (!first) kept.append(' ')
+          kept.append(t(i)); first = false
+        }
+        i += 1
+      }
+      (kept.toString, removed, t.length.toLong)
+    }
+    docs.as("d")
+      .join(cutStarts.as("c"), col("d." + idCol) === col("c.id"), "left")
+      .withColumn("r", cutUdf(col("d." + textCol), col("c.starts")))
+      .select(col("d." + idCol).as(idCol), col("r._1").as("clean_text"),
+        col("r._2").as("tokens_removed"), col("r._3").as("tokens_total"))
   }
 }

@@ -67,6 +67,21 @@ class LlmOpsSpec extends SparkTestBase {
       Seq((1L, 1L, 4L), (1L, 9L, 12L), (2L, 1L, 4L), (2L, 9L, 12L)))
   }
 
+  test("cutDupSpans keeps the min-doc copy and cuts token-by-token") {
+    val d = Seq(
+      (1L, "a b c d e f g h i j"),   // owns the shared run — untouched
+      (2L, "c d e f g h x y z w"),   // shared run cut: 6 tokens removed
+      (3L, "only unique material here nothing else matches at all now")
+    ).toDF("doc_id", "text")
+    val r = Dedup.cutDupSpans(d, 4).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    assert(r(1L) == ("a b c d e f g h i j", 0L, 10L))
+    assert(r(2L) == ("x y z w", 6L, 10L))
+    assert(r(3L)._2 == 0L)
+    assert(r(3L)._1 == "only unique material here nothing else matches at all now")
+  }
+
   test("minhashLshPairs caps degenerate band buckets without hurting defaults") {
     // 12 identical docs: every band bucket has width 12 (plus the
     // near-dup fixture pair) — the w² fan-out hazard in miniature
