@@ -574,7 +574,12 @@ class PromQLEngine(
       case "*" => Some(a * b)
       case "/" => Some(a / b)
       case "%" => Some(a % b)
-      case "^" => Some(math.pow(a, b))
+      // Go math.Pow, not Java Math.pow: Pow(1, y) = 1 for ANY y (incl.
+      // NaN) and Pow(-1, ±Inf) = 1, where Java returns NaN for both
+      case "^" => Some(
+        if (a == 1.0) 1.0
+        else if (a == -1.0 && b.isInfinite) 1.0
+        else math.pow(a, b))
       case "==" => Some(if (a == b) 1 else 0)
       case "!=" => Some(if (a != b) 1 else 0)
       case ">" => Some(if (a > b) 1 else 0)
@@ -609,7 +614,10 @@ class PromQLEngine(
     // ±Inf/NaN — fall back to the exact IEEE result on that branch.
     case "/" => when(r =!= 0.0, l / r).otherwise(PromUdfs.divUdf(l, r))
     case "%" => when(r =!= 0.0, l % r).otherwise(PromUdfs.modUdf(l, r))
-    case "^" => pow(l, r)
+    // Go Pow(1, y) = 1 for ANY y and Pow(-1, ±Inf) = 1; Java NaNs both
+    case "^" => when(l === 1.0, lit(1.0))
+      .when(l === -1.0 && abs(r) === Double.PositiveInfinity, lit(1.0))
+      .otherwise(pow(l, r))
     case _ => throw new IllegalArgumentException(s"not arithmetic: $op")
   }
 

@@ -61,6 +61,8 @@ object ProfileLlm {
         Similarity.lshCosinePairs(Similarity.withPlantedDupes(emb), 0.9,
           dim = 64, nBits = 256, bands = 16)
       }
+      time("d10_substr_spans") { Dedup.substringDupSpans(docs, 8) }
+      time("d11_substr_cut") { Dedup.cutDupSpans(docs, 8) }
       time("x1_topk") {
         Similarity.topK(emb.filter(col("vec_id") < 10), emb, 5)
       }

@@ -798,4 +798,60 @@ eval instant at 15m sum_over_time(st[15m])
   {} 4
 """)
   }
+
+  test("Go pow special cases, mixed-Inf aggregation, quantile_over_time range") {
+    run("""
+load 5m
+  pn{s="p"} Inf Inf Inf Inf Inf Inf Inf Inf Inf Inf Inf
+  pn{s="n"} -Inf -Inf -Inf -Inf -Inf -Inf -Inf -Inf -Inf -Inf -Inf
+  cnt 0+10x10
+
+# math.Pow special cases: x^0 = 1 and 1^y = 1 even for NaN/Inf args
+eval instant at 50m (0/0) ^ 0
+  {} 1
+
+eval instant at 50m 1 ^ (0/0)
+  {} 1
+
+eval instant at 50m 1 ^ (1/0)
+  {} 1
+
+eval instant at 50m (0/0) ^ 2
+  {} NaN
+
+eval instant at 50m 2 ^ (0/0)
+  {} NaN
+
+# Pow(-1, +Inf) = 1; Pow(+0, -1) = +Inf; |x| < 1 to +Inf is 0
+eval instant at 50m (0 - 1) ^ (1/0)
+  {} 1
+
+eval instant at 50m 0 ^ (0 - 1)
+  {} Inf
+
+eval instant at 50m 0.5 ^ (1/0)
+  {} 0
+
+# +Inf and -Inf in one aggregation group: sum/avg drown to NaN,
+# min/max keep their ordered winners
+eval instant at 50m sum(pn)
+  {} NaN
+
+eval instant at 50m avg(pn)
+  {} NaN
+
+eval instant at 50m max(pn)
+  {} Inf
+
+eval instant at 50m min(pn)
+  {} -Inf
+
+# quantile_over_time clamps out-of-range phi to +/-Inf (quantile.go)
+eval instant at 50m quantile_over_time(1.5, cnt[50m])
+  {} Inf
+
+eval instant at 50m quantile_over_time(-0.5, cnt[50m])
+  {} -Inf
+""")
+  }
 }
