@@ -168,4 +168,22 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("hashpartitioning"),
       "exact dedup must hash-partition by content hash")
   }
+
+  test("substring dedup windows: per-doc merge, no global window or loop join") {
+    val p10 = plan("d10_substring_spans")
+    // the span merge must be a window PARTITIONED by doc id — a global
+    // (unpartitioned) window would funnel every duplicated position
+    // through one task at 100 TB
+    assert(!p10.contains("Window [") || p10.contains("windowspecdefinition(id#"),
+      s"span-merge window must partition by doc id:\n${p10.take(1200)}")
+    assert(!p10.contains("CartesianProduct") && !p10.contains("BroadcastNestedLoop"),
+      "substring spans must never plan a loop join")
+    val p11 = plan("d11_substring_cut")
+    assert(!p11.contains("CartesianProduct") && !p11.contains("BroadcastNestedLoop"),
+      "substring cut must never plan a loop join")
+    // the duplicate test and the postings join key on the same window
+    // hash, so both exchanges hash-partition on wh
+    assert(p11.contains("hashpartitioning(wh"),
+      s"cut must shuffle on the window hash:\n${p11.take(1200)}")
+  }
 }
