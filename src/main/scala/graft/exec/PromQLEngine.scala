@@ -1387,10 +1387,14 @@ object PromQLEngine {
         val toNearest = extra.headOption.getOrElse(1.0)
         PromUdfs.roundUdf(v, lit(toNearest))
       }),
+      // Go math.Min/Max propagate NaN from EITHER side (functions.go
+      // clamp_max/clamp_min) — a NaN limit NaNs the whole vector
       "clamp_max" -> ((v, extra) =>
-        when(isnan(v), v).otherwise(least(v, lit(extra.head)))),
+        if (extra.head.isNaN) lit(Double.NaN)
+        else when(isnan(v), v).otherwise(least(v, lit(extra.head)))),
       "clamp_min" -> ((v, extra) =>
-        when(isnan(v), v).otherwise(greatest(v, lit(extra.head))))
+        if (extra.head.isNaN) lit(Double.NaN)
+        else when(isnan(v), v).otherwise(greatest(v, lit(extra.head))))
     )
   }
 

@@ -852,6 +852,20 @@ eval instant at 50m quantile_over_time(1.5, cnt[50m])
 
 eval instant at 50m quantile_over_time(-0.5, cnt[50m])
   {} -Inf
+
+# clamp_{max,min} are Go Min/Max: a NaN limit NaNs every sample
+eval instant at 50m clamp_max(cnt, (0/0))
+  {} NaN
+
+eval instant at 50m clamp_min(cnt, (0/0))
+  {} NaN
+
+# NaN comparisons under bool: equality with NaN is always 0
+eval instant at 50m (0/0) == bool (0/0)
+  {} 0
+
+eval instant at 50m (0/0) != bool (0/0)
+  {} 1
 """)
   }
 }
