@@ -482,30 +482,19 @@ object Dedup {
 
   // ---- exact-substring dedup spans ---------------------------------------
 
-  /** Every k-token window of a doc in position order, duplicates
-    * preserved (unlike [[TextOps.wordShingles]], which dedups) — the
-    * rolling windows that stand in for suffix-array traversal. Same
-    * loop-UDF rationale as wordShingles: the declarative
-    * `transform(sequence, element_at…)` form is O(tokens²) interpreted. */
-  private def positionedWindows(k: Int): UserDefinedFunction = udf { (text: String) =>
-    if (text == null) Seq.empty[String]
-    else {
-      val t = text.split(" ", -1)
-      if (t.length < k) Seq.empty[String]
-      else {
-        val out = new scala.collection.mutable.ArrayBuffer[String](t.length - k + 1)
-        var i = 0
-        while (i + k <= t.length) {
-          val sb = new java.lang.StringBuilder(t(i))
-          var j = 1
-          while (j < k) { sb.append(' ').append(t(i + j)); j += 1 }
-          out += sb.toString
-          i += 1
-        }
-        out.toSeq
-      }
-    }
-  }
+  /** (id, 1-based window position, xxhash64(window)) postings — the
+    * shared input of [[substringDupSpans]] and [[cutDupSpans]]. Every
+    * k-token window in position order, duplicates preserved (unlike
+    * [[TextOps.wordShingles]], which dedups), via the native
+    * [[graft.functions.WordShingles]] expression. */
+  private def windowPostings(docs: DataFrame, k: Int, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        posexplode(graft.functions.WordShingles.windows(col(textCol), k))
+          .as(Seq("p0", "s")))
+      .select(col("id"), (col("p0") + 1).cast("long").as("p"),
+        xxhash64(col("s")).as("wh"))
 
   /** Exact-substring dedup: maximal spans of tokens that appear verbatim
     * (as a run of `k`-token windows) in at least one OTHER document —
@@ -528,16 +517,6 @@ object Dedup {
     * on the same 8-byte key as the aggregate, so AQE reuses one
     * exchange for both. The final merge is a per-doc window — keyed by
     * doc id, never global. Nothing touches the driver. */
-  /** (id, 1-based window position, xxhash64(window)) postings — the
-    * shared input of [[substringDupSpans]] and [[cutDupSpans]]. */
-  private def windowPostings(docs: DataFrame, k: Int, idCol: String,
-      textCol: String): DataFrame =
-    docs
-      .select(col(idCol).as("id"),
-        posexplode(positionedWindows(k)(col(textCol))).as(Seq("p0", "s")))
-      .select(col("id"), (col("p0") + 1).cast("long").as("p"),
-        xxhash64(col("s")).as("wh"))
-
   def substringDupSpans(docs: DataFrame, k: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -28,35 +28,17 @@ object TextOps {
     * for Jaccard similarity. Docs with fewer than n tokens produce an
     * empty set.
     *
-    * A loop UDF, deliberately: the declarative form
+    * A native Catalyst expression ([[graft.functions.WordShingles]]),
+    * not a UDF and not a higher-order-function form: the declarative
     * `transform(sequence(...), i -> concat_ws(element_at(tok, i+k)...))`
-    * re-evaluates the full `split` for every `element_at` inside the
-    * lambda — O(tokens²) interpreted work per document (measured 3-5 s
-    * of the d2/d3 pipelines at sf0.1; the UDF is ~50×). Tokenization
-    * matches [[tokens]]: single-space split, empties preserved. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val u = udf { (text: String) =>
-      if (text == null) null
-      else {
-        val t = text.split(" ", -1)
-        if (t.length < n) Seq.empty[String]
-        else {
-          val seen = new java.util.LinkedHashSet[String]
-          var i = 0
-          while (i + n <= t.length) {
-            val sb = new java.lang.StringBuilder(t(i))
-            var k = 1
-            while (k < n) { sb.append(' ').append(t(i + k)); k += 1 }
-            seen.add(sb.toString)
-            i += 1
-          }
-          import scala.jdk.CollectionConverters._
-          seen.asScala.toSeq
-        }
-      }
-    }
-    u(text)
-  }
+    * is O(tokens²) interpreted work per document (measured 3-5 s of
+    * the d2/d3 pipelines at sf0.1); a Scala UDF fixes that but pays a
+    * UTF8String→String→UTF8String round trip per row and breaks the
+    * codegen span. The expression stays in whole-stage codegen and
+    * emits byte-range views. Tokenization matches [[tokens]]:
+    * single-space split, empties preserved. */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.WordShingles.shingles(text, n)
 
   /** Per-character ASCII codes (the fixture corpus is ASCII; ord/ascii
     * agree across engines only on single-byte chars). */

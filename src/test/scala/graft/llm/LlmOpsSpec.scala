@@ -37,6 +37,30 @@ class LlmOpsSpec extends SparkTestBase {
     assert(banded.toSeq == exact.toSeq)
   }
 
+  test("WordShingles expression matches the split-based reference") {
+    val cases = Seq(
+      "the quick brown fox", "", "a", "a b", "  leading", "trailing  ",
+      "double  space", "unicode é ü 漢字 test ok", "a a a a",
+      "the quick the quick brown"
+    )
+    for (s <- cases; n <- 1 to 3) {
+      val df = Seq(Tuple1(s)).toDF("text")
+      val got = df.select(graft.functions.WordShingles.windows($"text", n))
+        .head.getSeq[String](0)
+      val t = s.split(" ", -1)
+      val want =
+        if (t.length < n) Seq.empty[String]
+        else (0 to t.length - n).map(i => t.slice(i, i + n).mkString(" "))
+      assert(got == want, s"windows n=$n text='$s'")
+      val gotD = df.select(graft.functions.WordShingles.shingles($"text", n))
+        .head.getSeq[String](0)
+      assert(gotD == want.distinct, s"shingles n=$n text='$s'")
+    }
+    val nullDf = Seq(Tuple1(null: String)).toDF("text")
+    assert(nullDf.select(graft.functions.WordShingles.shingles($"text", 2))
+      .head.isNullAt(0))
+  }
+
   test("substringDupSpans merges overlapping windows into maximal spans") {
     val d = Seq(
       // 1 and 2 share tokens "c d e f g h" (positions 3-8 / 1-6); the
