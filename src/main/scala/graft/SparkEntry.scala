@@ -461,6 +461,13 @@ object SparkEntry {
       Similarity.ivfTopK(emb(spark, dir).filter(col("vec_id") < 10),
           emb(spark, dir), 5, dim = 64)
         .withColumn("cos", col("cos").cast("float"))),
+    // X5: product-quantization top-k (ADC over byte codes + exact
+    // re-rank, the memory-bound FAISS tier) — rows-only like X2/X3;
+    // recall and exact-rescore invariants are unit-tested vs X1
+    "x5_sim_pq" -> ((spark, dir) =>
+      Similarity.pqTopK(emb(spark, dir).filter(col("vec_id") < 10),
+          emb(spark, dir), 5, dim = 64)
+        .withColumn("cos", col("cos").cast("float"))),
     // T1: token counting (whitespace + BPE-ish regex)
     "t1_token_count" -> ((spark, dir) =>
       docs(spark, dir).select(col("doc_id"),

@@ -510,6 +510,148 @@ object Similarity {
       .select(col("qid"), col("_e.st").as("neighbor_id"), col("_e.v").as("cos"))
   }
 
+  // ---- product quantization (memory-bound ANN tier) ----------------------
+
+  /** Per-subspace codebooks for product quantization (Jégou, Douze,
+    * Schmid 2011): the normalized vector splits into `m` subvectors of
+    * dim/m components; each subspace gets its own `ksub`-centroid
+    * k-means. Memoized per (corpus plan, dim, m, ksub, iters, seed) —
+    * the index BUILD is one-time and amortized, like [[ivfTopK]]'s
+    * centroid table. Returned shape: books(s)(j) = centroid j of
+    * subspace s. */
+  def pqCodebooks(corpus: DataFrame, dim: Int, m: Int, ksub: Int,
+      iters: Int = 3, idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 23L): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val key = (corpus.select(col(idCol), col(vecCol))
+      .queryExecution.analyzed.canonicalized, dim, m, ksub, iters, seed)
+    pqCache.computeIfAbsent(key, _ => {
+      val dsub = dim / m
+      val p = prepCached(corpus, idCol, vecCol)
+      (0 until m).toArray.map { s =>
+        // normalized subvector s as its own corpus; kmeansCentroids
+        // memoizes per sliced plan, so rebuilds are free too
+        val sub = p.select(col("id").as(idCol),
+          expr(s"transform(slice(v, ${s * dsub + 1}, $dsub), x -> x / nrm)")
+            .as(vecCol))
+        kmeansCentroids(sub, ksub, dsub, iters, idCol, vecCol, seed + s)
+          .sortBy(_._1).map(_._2)
+      }
+    })
+  }
+
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int, Int,
+      Int, Long), Array[Array[Array[Double]]]]()
+
+  /** PQ-encode: map-only pass turning each vector into `m` byte codes
+    * (nearest codebook centroid per normalized subspace) — a 32×
+    * compression of a float32 embedding at m=8, the representation
+    * that keeps a 100 TB corpus's ANN index in cluster memory. */
+  def pqEncode(corpus: DataFrame, books: Array[Array[Array[Double]]],
+      dim: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val m = books.length
+    val dsub = dim / m
+    val enc = udf { (v: Array[Double], nrm: Double) =>
+      val codes = new Array[Byte](m)
+      var s = 0
+      while (s < m) {
+        val book = books(s)
+        var best = 0
+        var bestD = Double.MaxValue
+        var j = 0
+        while (j < book.length) {
+          val c = book(j)
+          var d = 0.0
+          var i = 0
+          while (i < dsub) {
+            val x = v(s * dsub + i) / nrm - c(i)
+            d += x * x
+            i += 1
+          }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        codes(s) = best.toByte
+        s += 1
+      }
+      codes
+    }
+    prepCached(corpus, idCol, vecCol)
+      .select(col("id"), enc(col("v"), col("nrm")).as("codes"))
+  }
+
+  /** PQ approximate top-k with exact re-ranking (the FAISS ADC shape).
+    * Each query precomputes an m×ksub table of subspace inner products
+    * with the codebooks (one small array per query, broadcast with the
+    * query side); the corpus CODES make one map-only pass summing m
+    * byte-indexed lookups per (query, vector) — never touching the
+    * float vectors — and the `shortlist` ADC winners per query are
+    * re-scored exactly before the final top-k, so emitted cosines are
+    * exact and recall loss is confined to true neighbours the ADC
+    * estimate dropped from the shortlist.
+    *
+    * At 100 TB: the scan reads 8-byte codes instead of 256-byte
+    * floats; the only full-volume work is byte lookups; the exact
+    * re-rank touches |Q|·shortlist vectors via an id join. Build cost
+    * (codebooks + encode) is one-time per corpus plan. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      m: Int = 8, ksub: Int = 16, shortlist: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val books = pqCodebooks(corpus, dim, m, ksub, idCol = idCol, vecCol = vecCol)
+    val dsub = dim / m
+    val codes = pqEncode(corpus, books, dim, idCol, vecCol)
+    val tableU = udf { (qv: Array[Double], qn: Double) =>
+      val tbl = new Array[Double](m * ksub)
+      var s = 0
+      while (s < m) {
+        val book = books(s)
+        var j = 0
+        while (j < book.length) {
+          val c = book(j)
+          var ip = 0.0
+          var i = 0
+          while (i < dsub) { ip += (qv(s * dsub + i) / qn) * c(i); i += 1 }
+          tbl(s * ksub + j) = ip
+          j += 1
+        }
+        s += 1
+      }
+      tbl
+    }
+    val adcU = udf { (codes: Array[Byte], tbl: Array[Double]) =>
+      var acc = 0.0
+      var s = 0
+      while (s < codes.length) {
+        acc += tbl(s * ksub + (codes(s) & 0xff))
+        s += 1
+      }
+      acc
+    }
+    val q = prepCached(queries, idCol, vecCol)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        tableU(col("v"), col("nrm")).as("tbl"))
+    val short = codes.join(broadcast(q.select(col("qid"), col("tbl"))),
+        col("qid") =!= col("id"))
+      .select(col("qid"), col("id"), adcU(col("codes"), col("tbl")).as("adc"))
+      .groupBy(col("qid"))
+      .agg(TopK.topk(shortlist, desc = true)(col("adc"),
+        lpad(col("id").cast("string"), 12, "0"), col("id"), col("adc")).as("_w"))
+      .select(col("qid"), explode(col("_w")).as("_e"))
+      .select(col("qid"), col("_e.st").as("id"))
+    val c = prepCached(corpus, idCol, vecCol)
+    short.join(broadcast(q.select(col("qid"), col("qv"), col("qn"))), Seq("qid"))
+      .join(c, Seq("id"))
+      .select(col("qid"), col("id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+      .groupBy(col("qid"))
+      .agg(TopK.topk(k, desc = true)(col("cos"),
+        lpad(col("id").cast("string"), 12, "0"), col("id"), col("cos")).as("_w"))
+      .select(col("qid"), explode(col("_w")).as("_e"))
+      .select(col("qid"), col("_e.st").as("neighbor_id"), col("_e.v").as("cos"))
+  }
+
   /** Approximate top-k: LSH candidates (16×4-bit bands over a 64-bit
     * hyperplane signature) scored exactly, then bounded-heap top-k. */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,

@@ -72,6 +72,9 @@ object ProfileLlm {
       time("x3_ivf") {
         Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, 5, dim = 64)
       }
+      time("x5_pq") {
+        Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb, 5, dim = 64)
+      }
     }
     spark.stop()
   }

@@ -312,6 +312,28 @@ class LlmOpsSpec extends SparkTestBase {
     assert(ivfRecall >= 0.5, s"IVF ANN recall $ivfRecall too low")
   }
 
+  test("pqTopK: exact rescored cosines, high recall via ADC shortlist") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 10)
+    val exact = Similarity.topK(q, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pq = Similarity.pqTopK(q, emb, 5, dim = 64,
+      m = 8, ksub = 16, shortlist = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val recall = (exact.keySet & pq.keySet).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ ANN recall $recall too low")
+    // the re-rank makes every emitted cosine EXACT — equal to the
+    // brute value for the same (query, neighbour) pair
+    (exact.keySet & pq.keySet).foreach { key =>
+      assert(math.abs(exact(key) - pq(key)) < 1e-12, s"inexact cos at $key")
+    }
+    // determinism across invocations (codebook cache + tie-breaks)
+    val again = Similarity.pqTopK(q, emb, 5, dim = 64,
+      m = 8, ksub = 16, shortlist = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(again == pq)
+  }
+
   test("hashSplit is deterministic, content-independent, ~90/5/5") {
     val r1 = TextOps.hashSplit(docs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap

@@ -866,6 +866,12 @@ eval instant at 50m (0/0) == bool (0/0)
 
 eval instant at 50m (0/0) != bool (0/0)
   {} 1
+
+# count_values OVERWRITES an existing label with the formatted value
+# (labels.Builder.Set in engine.go's aggregation loop)
+eval instant at 50m count_values("s", pn)
+  {s="+Inf"} 1
+  {s="-Inf"} 1
 """)
   }
 }
