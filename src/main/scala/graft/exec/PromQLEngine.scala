@@ -504,7 +504,13 @@ class PromQLEngine(
         else if (q > 1) grouped(lit(Double.PositiveInfinity))
         else grouped(percentile(col(V), lit(q)))
       case "topk" | "bottomk" =>
-        val k = constParam(agg.param, agg.op).toInt
+        val kd = constParam(agg.param, agg.op)
+        // evalInt (engine.go:637-643): NaN or beyond int64 is an error,
+        // anything else truncates toward zero
+        if (kd.isNaN || kd > Long.MaxValue.toDouble || kd < Long.MinValue.toDouble)
+          throw new IllegalArgumentException(
+            s"Scalar value $kd overflows int64")
+        val k = math.min(kd.toLong, Int.MaxValue.toLong).toInt
         if (k < 1) // engine.go:1259-1262: non-positive k → empty vector
           return prepared.filter(lit(false))
             .select(col(SIG), col(L), col(T), col(ST), col(V))

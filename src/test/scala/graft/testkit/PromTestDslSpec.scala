@@ -872,6 +872,15 @@ eval instant at 50m (0/0) != bool (0/0)
 eval instant at 50m count_values("s", pn)
   {s="+Inf"} 1
   {s="-Inf"} 1
+
+# topk's k goes through evalInt: fractional truncates toward zero,
+# NaN / beyond-int64 error (engine.go:637-643)
+eval instant at 50m topk(1.9, pn)
+  pn{s="p"} Inf
+
+eval_fail instant at 50m topk(1e300, pn)
+
+eval_fail instant at 50m topk((0/0), pn)
 """)
   }
 }
