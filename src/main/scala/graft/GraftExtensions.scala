@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.WordShingles
+import graft.functions.{ArrayDot, WordShingles}
 
 /** Library entry point for Spark's extension mechanism: a user adds
   * `spark.sql.extensions=graft.GraftExtensions` (or
@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.IntDivPushdown)
     ext.injectFunction(GraftExtensions.wordShinglesFunction)
+    ext.injectFunction(GraftExtensions.arrayDotFunction)
   }
 }
 
@@ -52,6 +53,19 @@ object GraftExtensions {
           s"word_shingles: distinct must be a boolean literal, got $other")
       }
       WordShingles(args.head, n, distinct)
+    }
+  )
+
+  /** `array_dot(a, b)` — ascending-index dot product of two
+    * array<double> columns ([[ArrayDot]]). */
+  val arrayDotFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("array_dot"),
+    new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+    (args: Seq[Expression]) => {
+      if (args.size != 2)
+        throw new IllegalArgumentException("array_dot(a, b) takes 2 arguments")
+      ArrayDot(args(0), args(1))
     }
   )
 }

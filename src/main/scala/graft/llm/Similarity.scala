@@ -28,21 +28,14 @@ import graft.exec.TopK
   */
 object Similarity {
 
-  /** Left-to-right dot product of two double arrays. A compiled UDF, not
-    * `aggregate(zip_with(...))`: Spark's higher-order array expressions
-    * evaluate interpreted per element (~1000× slower than this loop on
-    * 64-dim vectors). The fold order (acc += a_i·b_i, i ascending) is
-    * the contract the SQL oracles mirror for bit-identical doubles. */
-  private val dotUdf: UserDefinedFunction =
-    udf { (a: Array[Double], b: Array[Double]) =>
-      val n = math.min(a.length, b.length)
-      var s = 0.0
-      var i = 0
-      while (i < n) { s += a(i) * b(i); i += 1 }
-      s
-    }
-
-  def dot(a: Column, b: Column): Column = dotUdf(a, b)
+  /** Left-to-right dot product of two double arrays — the native
+    * [[graft.functions.ArrayDot]] expression (codegen, reads straight
+    * from UnsafeArrayData), not `aggregate(zip_with(...))` (interpreted
+    * per element, ~1000× slower on 64-dim vectors) and no longer a
+    * Scala UDF (which deserialized both arrays per row). The fold
+    * order (acc += a_i·b_i, i ascending) is the contract the SQL
+    * oracles mirror for bit-identical doubles. */
+  def dot(a: Column, b: Column): Column = graft.functions.ArrayDot(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 

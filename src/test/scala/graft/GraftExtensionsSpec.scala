@@ -30,5 +30,13 @@ class GraftExtensionsSpec extends SparkTestBase {
       spark.sql("SELECT word_shingles('a b', length('xx')) AS s").collect()
     }
     assert(err.getMessage.contains("integer literal"))
+
+    // array_dot: ascending fold over the common prefix
+    assert(spark.sql(
+      "SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head.getDouble(0) == 11.0)
+    assert(spark.sql(
+      "SELECT array_dot(array(1.0d), array(5.0d, 7.0d)) AS d")
+      .head.getDouble(0) == 5.0)
   }
 }
