@@ -805,6 +805,7 @@ load 5m
   pn{s="p"} Inf Inf Inf Inf Inf Inf Inf Inf Inf Inf Inf
   pn{s="n"} -Inf -Inf -Inf -Inf -Inf -Inf -Inf -Inf -Inf -Inf -Inf
   cnt 0+10x10
+  ctr 1 100 200
 
 # math.Pow special cases: x^0 = 1 and 1^y = 1 even for NaN/Inf args
 eval instant at 50m (0/0) ^ 0
@@ -881,6 +882,17 @@ eval instant at 50m topk(1.9, pn)
 eval_fail instant at 50m topk(1e300, pn)
 
 eval_fail instant at 50m topk((0/0), pn)
+
+# counter zero-point clamp (functions.go:85-96): the window reaches
+# 40m before the first sample, but a counter cannot extrapolate below
+# zero, so increase anchors at the zero crossing -> the full 0->200
+# rise. delta has no clamp: start extrapolates by half-spacing only
+# (2400s > 330s threshold), end by 0 -> 199 * 750/600
+eval instant at 10m increase(ctr[50m])
+  {} 200
+
+eval instant at 10m delta(ctr[50m])
+  {} 248.75
 """)
   }
 }
