@@ -510,13 +510,18 @@ object Dedup {
     * maximal duplicated span; downstream removal is a per-row substring
     * cut, exactly how the reference pipeline consumes the span table.
     *
-    * Scale shape: shuffle = one (xxhash64(window), id, pos) row per
-    * TOKEN — the same volume class as the inverted-index build in
-    * tfidf, map-side combined into (hash, min id, max id) partials for
-    * the duplicate test. The join back onto the postings hash-partitions
-    * on the same 8-byte key as the aggregate, so AQE reuses one
-    * exchange for both. The final merge is a per-doc window — keyed by
-    * doc id, never global. Nothing touches the driver. */
+    * Scale shape: the duplicate-test aggregate exchanges a PRUNED
+    * (hash, id) posting per token, map-side combined into
+    * (hash, min, max) partials; the join-back ships the full
+    * (hash, id, pos) postings once — and when the surviving duplicate
+    * set is small (the common case: dup hashes ≪ token volume) the
+    * join builds a broadcast from it and the postings side never
+    * shuffles at all (plan-suite-asserted at the fixture scale).
+    * Sharing one repartitioned exchange between the two consumers was
+    * measured WORSE: column pruning wants different payloads per
+    * branch, and a forced repartition defeats the broadcast
+    * shortcut. The final merge is a per-doc window — keyed by doc
+    * id, never global. Nothing touches the driver. */
   def substringDupSpans(docs: DataFrame, k: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

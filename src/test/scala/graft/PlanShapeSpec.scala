@@ -186,4 +186,19 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p11.contains("hashpartitioning(wh"),
       s"cut must shuffle on the window hash:\n${p11.take(1200)}")
   }
+
+  test("substring dedup broadcasts the small dup-hash set; agg side prunes p") {
+    // the duplicate-hash set is tiny next to the postings, so the
+    // join-back must build a broadcast from it (the postings side then
+    // never shuffles for the join); and column pruning must keep the
+    // aggregate's exchange to (id, wh) — no p column
+    val p = plan("d10_substring_spans")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"dup-hash set should broadcast at this scale:\n${p.take(1500)}")
+    val aggExchange = p.linesIterator
+      .dropWhile(!_.contains("hashpartitioning(wh"))
+      .take(3).mkString("\n")
+    assert(!aggExchange.contains("p#"),
+      s"aggregate branch must prune the position column:\n$aggExchange")
+  }
 }
