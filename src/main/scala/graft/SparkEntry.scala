@@ -410,6 +410,20 @@ object SparkEntry {
         Dedup.ngramJaccardPairsCached(aug, 3, 0.5)
           .select(col("ia"), col("ib")))
     }),
+    // D12: incremental exact dedup — label a new batch against a
+    // historical corpus via a Bloom prefilter + exact verification
+    // (output exact; the Bloom only bounds the verify-join input).
+    // History = docs < 250; new = docs >= 250 plus 50 planted copies
+    // of history (same +1e6 trick as d9, mirrored in the oracle).
+    "d12_incremental_dedup" -> ((spark, dir) => {
+      val base = docs(spark, dir)
+      val history = base.filter(col("doc_id") < 250)
+      val fresh = base.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("text"))
+        .unionByName(base.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.incrementalExactDedup(fresh, history)
+    }),
     // D7: banded-LSH embedding near-dup pairs — the 100 TB replacement
     // for D5's O(N²) scan, demonstrated at its DESIGN operating point
     // (cos ≥ 0.9, r=8/b=8: recall ≈ 1−1e-4 per planted pair, random
@@ -1003,6 +1017,14 @@ object SparkEntry {
         |    AS BIGINT) AS near_dup
         |FROM lab JOIN h ON h.doc_id = lab.doc_id JOIN g USING (ch)
         |LEFT JOIN nd ON nd.doc_id = lab.doc_id""".stripMargin,
+    "d12_incremental_dedup" ->
+      """WITH hist AS (SELECT md5(text) AS ch FROM documents WHERE doc_id < 250),
+        |newd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |         UNION ALL
+        |         SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50)
+        |SELECT n.doc_id, md5(n.text) AS content_hash,
+        |  (md5(n.text) IN (SELECT ch FROM hist)) AS is_dup
+        |FROM newd n""".stripMargin,
     "d4_simhash" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |bits AS (SELECT doc_id, list_transform(generate_series(0, 63), b ->

@@ -67,6 +67,45 @@ object Dedup {
       .withWatermark(eventTimeCol, lateness)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Incremental exact dedup: label every NEW doc as dup/fresh against
+    * a historical corpus — the "dedup this crawl against the existing
+    * 100 TB" operation, which must NOT join the full history per batch.
+    *
+    * A Bloom filter over the history's content hashes (built once per
+    * history plan — index-build cost, memoized like the ANN centroid
+    * tables) rides into a map-only prefilter; only Bloom HITS (true
+    * dups + fpp of the batch) enter the exact verification semi-join,
+    * so false positives vanish and the output is exact. At scale the
+    * hit set is small enough that AQE broadcasts it and the history's
+    * hash column is scanned but never shuffled; the new batch itself
+    * shuffles nothing at all.
+    *
+    * Output: (idCol, content_hash, is_dup) for every new doc. */
+  def incrementalExactDedup(newDocs: DataFrame, history: DataFrame,
+      fpp: Double = 0.01, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val hash = md5(col(textCol).cast("binary"))
+    val newH = newDocs.select(col(idCol), hash.as("content_hash"))
+    val histH = history.select(hash.as("content_hash"))
+    val bloom = bloomCache.computeIfAbsent(
+      (history.select(col(textCol)).queryExecution.analyzed.canonicalized, fpp),
+      _ => {
+        val n = math.max(histH.count(), 1L)
+        histH.stat.bloomFilter("content_hash", n, fpp)
+      })
+    val mightBeDup = udf((h: String) => bloom.mightContainString(h))
+    val hits = newH.filter(mightBeDup(col("content_hash")))
+    val confirmed = hits.join(histH, Seq("content_hash"), "left_semi")
+      .select(col(idCol), lit(true).as("is_dup"))
+    newH.join(confirmed, Seq(idCol), "left")
+      .select(col(idCol), col("content_hash"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Double),
+    org.apache.spark.util.sketch.BloomFilter]()
+
   // ---- shared shingle machinery -----------------------------------------
 
   /** (id, shingle) posting list: one row per distinct word n-gram per

@@ -37,6 +37,19 @@ class LlmOpsSpec extends SparkTestBase {
     assert(banded.toSeq == exact.toSeq)
   }
 
+  test("incrementalExactDedup flags new docs against history, exactly") {
+    val history = Seq((1L, "alpha doc"), (2L, "beta doc")).toDF("doc_id", "text")
+    val fresh = Seq((10L, "alpha doc"), (11L, "gamma doc"), (12L, "beta doc"))
+      .toDF("doc_id", "text")
+    val r = Dedup.incrementalExactDedup(fresh, history).collect()
+      .map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(r == Map(10L -> true, 11L -> false, 12L -> true))
+    // a generous fpp cannot change the (verified) output
+    val loose = Dedup.incrementalExactDedup(fresh, history, fpp = 0.5).collect()
+      .map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(loose == r)
+  }
+
   test("WordShingles expression matches the split-based reference") {
     val cases = Seq(
       "the quick brown fox", "", "a", "a b", "  leading", "trailing  ",
