@@ -893,6 +893,23 @@ eval instant at 10m increase(ctr[50m])
 
 eval instant at 10m delta(ctr[50m])
   {} 248.75
+
+# date functions on pre-epoch timestamps: -1s is 1969-12-31T23:59:59
+# UTC, a Wednesday (Go time.Unix semantics)
+eval instant at 50m year(vector(0 - 1))
+  {} 1969
+
+eval instant at 50m month(vector(0 - 1))
+  {} 12
+
+eval instant at 50m day_of_week(vector(0 - 1))
+  {} 3
+
+eval instant at 50m hour(vector(0 - 1))
+  {} 23
+
+eval instant at 50m minute(vector(0 - 1))
+  {} 59
 """)
   }
 }
