@@ -561,17 +561,35 @@ object Dedup {
     * branch, and a forced repartition defeats the broadcast
     * shortcut. The final merge is a per-doc window — keyed by doc
     * id, never global. Nothing touches the driver. */
+  /** With `crossDocOnly = false`, within-doc repeats count too (full
+    * Lee et al. semantics): a position is flagged iff its window
+    * occurs ≥ 2 times ANYWHERE and this occurrence is not the global
+    * first (minimum (id, p)); the cross-doc default flags every
+    * position of a window shared by ≥ 2 distinct docs. */
   def substringDupSpans(docs: DataFrame, k: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      crossDocOnly: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val win = windowPostings(docs, k, idCol, textCol)
-    // windows present in >= 2 distinct docs; min!=max avoids a
-    // count-distinct and is exactly the "cross-document" test
-    val dup = win.groupBy(col("wh"))
-      .agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
-      .filter(col("lo") =!= col("hi"))
-      .select(col("wh"))
-    val dp = win.join(dup, Seq("wh")).select(col("id"), col("p"))
+    // min!=max avoids a count-distinct and is exactly the
+    // "cross-document" test; the self-repeat mode tracks the global
+    // first occurrence instead
+    val dp =
+      if (crossDocOnly) {
+        val dup = win.groupBy(col("wh"))
+          .agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+          .filter(col("lo") =!= col("hi"))
+          .select(col("wh"))
+        win.join(dup, Seq("wh")).select(col("id"), col("p"))
+      } else {
+        val agg = win.groupBy(col("wh"))
+          .agg(min(struct(col("id"), col("p"))).as("first"),
+            count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 2)
+        win.join(agg, Seq("wh"))
+          .filter(!(col("id") === col("first.id") && col("p") === col("first.p")))
+          .select(col("id"), col("p"))
+      }
     // consecutive duplicated windows overlap or touch when the start
     // gap is <= k; a larger gap starts a new maximal span
     val byDoc = Window.partitionBy(col("id")).orderBy(col("p"))
@@ -601,13 +619,26 @@ object Dedup {
     * doc's own length and collapses to a map-side `collect_list` of
     * window starts — the final cut is a map-only pass over the docs
     * table. */
+  /** With `crossDocOnly = false`, within-doc repeats are cut too: only
+    * the global first occurrence (minimum (id, p)) of each duplicated
+    * window survives; the cross-doc default keeps everything in the
+    * window's minimum DOC. */
   def cutDupSpans(docs: DataFrame, k: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      crossDocOnly: Boolean = true): DataFrame = {
     val win = windowPostings(docs, k, idCol, textCol)
     val agg = win.groupBy(col("wh"))
-      .agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
-    val cutStarts = win.join(agg, Seq("wh"))
-      .filter(col("lo") =!= col("hi") && col("id") =!= col("lo"))
+      .agg(min(col("id")).as("lo"), max(col("id")).as("hi"),
+        min(struct(col("id"), col("p"))).as("first"),
+        count(lit(1)).as("cnt"))
+    val cutW = win.join(agg, Seq("wh"))
+    val toCut =
+      if (crossDocOnly)
+        cutW.filter(col("lo") =!= col("hi") && col("id") =!= col("lo"))
+      else
+        cutW.filter(col("cnt") >= 2 &&
+          !(col("id") === col("first.id") && col("p") === col("first.p")))
+    val cutStarts = toCut
       .groupBy(col("id")).agg(collect_list(col("p")).as("starts"))
     val cutUdf = udf { (text: String, starts: Seq[Long]) =>
       val t = text.split(" ", -1)

@@ -104,6 +104,26 @@ class LlmOpsSpec extends SparkTestBase {
       Seq((1L, 1L, 4L), (1L, 9L, 12L), (2L, 1L, 4L), (2L, 9L, 12L)))
   }
 
+  test("crossDocOnly=false also dedups within-doc repeats, global-first wins") {
+    val d = Seq(
+      // "p q r s" occurs twice WITHIN doc 1 (positions 1 and 5)
+      (1L, "p q r s p q r s t u"),
+      (2L, "totally unrelated words here nothing matching at all today")
+    ).toDF("doc_id", "text")
+    // cross-doc default: no flags at all
+    assert(Dedup.substringDupSpans(d, 4).count() == 0)
+    assert(Dedup.cutDupSpans(d, 4).filter(col("tokens_removed") > 0).count() == 0)
+    // self-repeat mode: the second occurrence is the span, and the cut
+    // keeps only the global first
+    val spans = Dedup.substringDupSpans(d, 4, crossDocOnly = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSeq == Seq((1L, 5L, 8L, 4L)))
+    val cut = Dedup.cutDupSpans(d, 4, crossDocOnly = false).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(cut(1L) == ("p q r s t u", 4L))
+    assert(cut(2L)._2 == 0L)
+  }
+
   test("cutDupSpans keeps the min-doc copy and cuts token-by-token") {
     val d = Seq(
       (1L, "a b c d e f g h i j"),   // owns the shared run — untouched
