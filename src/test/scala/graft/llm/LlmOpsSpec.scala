@@ -124,6 +124,61 @@ class LlmOpsSpec extends SparkTestBase {
     assert(cut(2L)._2 == 0L)
   }
 
+  test("substring ops match brute-force references on random corpora") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("a", "b", "c", "d", "e", "f")
+    val k = 3
+    case class W(id: Long, p: Long, s: String)
+    for (trial <- 1 to 5) {
+      val corpus = (0 until 20).map { id =>
+        val len = rnd.nextInt(16)
+        (id.toLong,
+          (0 until len).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val wins = corpus.flatMap { case (id, text) =>
+        val t = text.split(" ", -1)
+        if (t.length < k) Seq.empty[W]
+        else (0 to t.length - k).map(i => W(id, i + 1L, t.slice(i, i + k).mkString(" ")))
+      }
+      val byS = wins.groupBy(_.s)
+      val dupS = byS.filter(_._2.map(_.id).distinct.size >= 2).keySet
+      def mergeSpans(id: Long, ps: Seq[Long]): Set[(Long, Long, Long, Long)] = {
+        var runs = List.empty[List[Long]]
+        ps.sorted.foreach { p =>
+          runs match {
+            case h :: rest if p <= h.head + k => runs = (p :: h) :: rest
+            case _ => runs = List(p) :: runs
+          }
+        }
+        runs.map(r =>
+          (id, r.last, r.head + k - 1, r.head + k - 1 - r.last + 1)).toSet
+      }
+      val expSpans = wins.filter(w => dupS(w.s)).groupBy(_.id)
+        .flatMap { case (id, ws) => mergeSpans(id, ws.map(_.p)) }.toSet
+      val df = corpus.toDF("doc_id", "text")
+      val gotSpans = Dedup.substringDupSpans(df, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(gotSpans == expSpans, s"trial $trial spans")
+
+      val minDoc = byS.map { case (s, occ) => s -> occ.map(_.id).min }
+      val expCut = corpus.map { case (id, text) =>
+        val t = text.split(" ", -1)
+        val cut = Array.fill(t.length)(false)
+        wins.filter(w => w.id == id && dupS(w.s) && minDoc(w.s) != id).foreach { w =>
+          ((w.p - 1) until math.min(w.p - 1 + k, t.length.toLong))
+            .foreach(i => cut(i.toInt) = true)
+        }
+        val kept = t.zipWithIndex.collect { case (tok, i) if !cut(i) => tok }
+          .mkString(" ")
+        id -> (kept, cut.count(identity).toLong, t.length.toLong)
+      }.toMap
+      val gotCut = Dedup.cutDupSpans(df, k).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(gotCut == expCut, s"trial $trial cut")
+    }
+  }
+
   test("cutDupSpans keeps the min-doc copy and cuts token-by-token") {
     val d = Seq(
       (1L, "a b c d e f g h i j"),   // owns the shared run — untouched
