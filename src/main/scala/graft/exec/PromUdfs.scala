@@ -270,7 +270,12 @@ object PromUdfs {
       i += 1
     }
     var rank = q * buckets.last._2
-    val b = buckets.indexWhere(_._2 >= rank)
+    // Go sort.Search(len-1, count >= rank): smallest index in
+    // [0, len-1) satisfying the predicate, len-1 if none — NEVER -1.
+    // A NaN rank (NaN φ) satisfies nothing and lands on len-1, so the
+    // result is the second-highest bucket bound, like the reference.
+    var b = 0
+    while (b < buckets.length - 1 && !(buckets(b)._2 >= rank)) b += 1
     if (b == buckets.length - 1) return buckets(buckets.length - 2)._1
     if (b == 0 && buckets.head._1 <= 0) return buckets.head._1
     var bucketStart = 0.0

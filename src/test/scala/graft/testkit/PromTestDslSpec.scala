@@ -806,6 +806,8 @@ load 5m
   pn{s="n"} -Inf -Inf -Inf -Inf -Inf -Inf -Inf -Inf -Inf -Inf -Inf
   cnt 0+10x10
   ctr 1 100 200
+  hq{le="1"} 0+10x10
+  hq{le="+Inf"} 0+20x10
 
 # math.Pow special cases: x^0 = 1 and 1^y = 1 even for NaN/Inf args
 eval instant at 50m (0/0) ^ 0
@@ -910,6 +912,12 @@ eval instant at 50m hour(vector(0 - 1))
 
 eval instant at 50m minute(vector(0 - 1))
   {} 59
+
+# histogram_quantile with NaN phi: rank = NaN satisfies no bucket, so
+# Go's sort.Search lands on len-1 and the SECOND-HIGHEST bound comes
+# back (quantile.go:87-92) — not NaN, and certainly not a crash
+eval instant at 50m histogram_quantile((0/0), hq)
+  {} 1
 """)
   }
 }
