@@ -261,12 +261,15 @@ object PromUdfs {
       .toArray
     if (buckets.length < 2) return Double.NaN
     if (!buckets.last._1.isPosInfinity) return Double.NaN
-    // ensureMonotonic (quantile.go:143-153)
+    // ensureMonotonic (quantile.go:143-153): only counts STRICTLY
+    // below the running max are raised — an equal count is a no-op
+    // either way, but a NaN count fails both comparisons in Go and
+    // must pass through untouched
     var maxSeen = buckets(0)._2
     var i = 1
     while (i < buckets.length) {
       if (buckets(i)._2 > maxSeen) maxSeen = buckets(i)._2
-      else buckets(i) = (buckets(i)._1, maxSeen)
+      else if (buckets(i)._2 < maxSeen) buckets(i) = (buckets(i)._1, maxSeen)
       i += 1
     }
     var rank = q * buckets.last._2

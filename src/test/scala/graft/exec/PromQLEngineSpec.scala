@@ -507,4 +507,17 @@ class PromQLEngineSpec extends SparkTestBase {
     val r = resultMap(df)
     assertApprox(r, Map(("", 2 * m) -> 402.0))
   }
+
+  test("bucketQuantile: NaN counts pass through ensureMonotonic like Go") {
+    import org.apache.spark.sql.Row
+    // counts (5, NaN, 7, 10): rank 6 selects the bucket AFTER the NaN,
+    // so Go's count/rank subtraction sees the untouched NaN and the
+    // result is NaN; raising the NaN to the running max (the old
+    // behavior) would interpolate a finite value instead
+    val rows = Seq(Row(1.0, 5.0), Row(2.0, Double.NaN), Row(3.0, 7.0),
+      Row(Double.PositiveInfinity, 10.0))
+    assert(PromUdfs.bucketQuantile(0.6, rows).isNaN)
+    // and a NaN that the predicate skips entirely stays inert
+    assert(PromUdfs.bucketQuantile(0.2, rows) == 0.4)
+  }
 }
