@@ -394,9 +394,10 @@ class PromQLEngine(
       case ScalV(df, c) if op == "-" =>
         ScalV(df.withColumn(V, -col(V)), c.map(x => -x))
       case s: ScalV => s
+      // engine.go:745-757: unary minus only negates values — the
+      // metric name is KEPT in this vintage
       case VecV(df) if op == "-" =>
-        VecV(reSig(df.withColumn(V, -col(V))
-          .withColumn(L, Samples.dropMetricName(col(L)))))
+        VecV(df.withColumn(V, -col(V)))
       case v: VecV => v
       case _ => throw new IllegalArgumentException(
         "unary expression only allowed on expressions of type scalar or instant vector")
@@ -661,7 +662,7 @@ class PromQLEngine(
     }
     val (l, r) =
       if (vecOnLeft) (col(V), col("_sv")) else (col("_sv"), col(V))
-    val dropName = shouldDropMetricName(be.op) || be.returnBool
+    val dropName = shouldDropMetricName(be.op)
     val out =
       if (comparisonOps.contains(be.op)) {
         if (be.returnBool)
@@ -719,7 +720,7 @@ class PromQLEngine(
     }
     val dupErr = col("_lc") > 1 || col("_rc") > 1
 
-    val dropName = shouldDropMetricName(be.op) || be.returnBool
+    val dropName = shouldDropMetricName(be.op)
     // result metric (engine.go:1098-1130): start from the "many" side
     val manyLabels = if (card == Cardinality.OneToMany) col("_rl") else col("_ll")
     val oneLabels = if (card == Cardinality.OneToMany) col("_ll") else col("_rl")

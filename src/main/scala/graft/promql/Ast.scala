@@ -164,5 +164,9 @@ object Ast {
 
   /** Ops whose result drops `__name__`
     * (reference `promql/engine.go:1460-1467`). */
-  def shouldDropMetricName(op: String): Boolean = arithmeticOps.contains(op)
+  // engine.go:1460-1467: ONLY + - * / % drop the metric name — NOT ^
+  // (itemPOW is deliberately absent), and bool comparisons keep it too
+  // in this vintage
+  def shouldDropMetricName(op: String): Boolean =
+    op == "+" || op == "-" || op == "*" || op == "/" || op == "%"
 }

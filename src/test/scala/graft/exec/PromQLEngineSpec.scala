@@ -99,10 +99,13 @@ class PromQLEngineSpec extends SparkTestBase {
   test("vector-scalar comparison filters, keeps name") {
     val r = resultMap(engine.instant("test_metric1 > 100", 2 * m))
     assertApprox(r, Map(("__name__=test_metric1,foo=bar", 2 * m) -> 200.0))
+    // bool keeps the name too in this vintage: shouldDropMetricName
+    // (engine.go:1460-1467) lists only + - * / %, and VectorscalarBinop
+    // never consults returnBool for the metric
     val b = resultMap(engine.instant("test_metric1 > bool 100", 2 * m))
     assertApprox(b, Map(
-      ("foo=bar", 2 * m) -> 1.0,
-      ("foo=boo", 2 * m) -> 0.0))
+      ("__name__=test_metric1,foo=bar", 2 * m) -> 1.0,
+      ("__name__=test_metric1,foo=boo", 2 * m) -> 0.0))
   }
 
   test("vector-vector one-to-one matching (ignoring name)") {
@@ -330,10 +333,11 @@ class PromQLEngineSpec extends SparkTestBase {
   }
 
   test("unary minus on vector") {
+    // negates values only — the name is KEPT (engine.go:745-757)
     val r = resultMap(engine.instant("-test_metric1", 2 * m))
     assertApprox(r, Map(
-      ("foo=bar", 2 * m) -> -200.0,
-      ("foo=boo", 2 * m) -> -1.0))
+      ("__name__=test_metric1,foo=bar", 2 * m) -> -200.0,
+      ("__name__=test_metric1,foo=boo", 2 * m) -> -1.0))
   }
 
   test("min/max/topk aggregations: NaN loses; *_over_time propagates NaN") {

@@ -85,7 +85,7 @@ eval instant at 50m foo > 5
   foo{job="a"} 11
 
 eval instant at 50m foo > bool 5
-  {job="a"} 1
+  foo{job="a"} 1
 
 eval instant at 50m foo > 100
 
@@ -106,12 +106,13 @@ eval instant at 50m foo and on(job) bar
 eval instant at 50m foo + ignoring(job) bar
   {} 33
 
-# vector-vector comparison with bool returns 0/1, drops __name__
+# vector-vector comparison with bool returns 0/1; this vintage KEEPS
+# __name__ (shouldDropMetricName lists only + - * / %, engine.go:1460)
 eval instant at 50m foo >= bool bar
-  {job="a"} 0
+  foo{job="a"} 0
 
 eval instant at 50m foo < bool bar
-  {job="a"} 1
+  foo{job="a"} 1
 """)
   }
 
@@ -305,8 +306,8 @@ eval instant at 50m req == 100
   req{job="a", inst="2"} 100
 
 eval instant at 50m req != bool 100
-  {job="a", inst="1"} 0
-  {job="a", inst="2"} 0
+  req{job="a", inst="1"} 0
+  req{job="a", inst="2"} 0
 """)
   }
 
