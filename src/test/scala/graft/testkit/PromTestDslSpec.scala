@@ -877,6 +877,10 @@ eval instant at 50m count_values("s", pn)
   {s="+Inf"} 1
   {s="-Inf"} 1
 
+# __name__ is an ordinary grouping label for by()
+eval instant at 50m sum by (__name__) (pn)
+  pn NaN
+
 # topk's k goes through evalInt: fractional truncates toward zero,
 # NaN / beyond-int64 error (engine.go:637-643)
 eval instant at 50m topk(1.9, pn)
