@@ -47,9 +47,11 @@ object Bench {
           var i = k
           while (System.nanoTime() < stopAt) {
             val name = lightNames(i % lightNames.length)
-            try SparkEntry.queries(name)(spark, sfDir).count()
+            // only a SUCCESSFUL count() is a completion — a failing
+            // query must not inflate the reported throughput
+            try { SparkEntry.queries(name)(spark, sfDir).count()
+                  done.incrementAndGet() }
             catch { case _: Throwable => () }
-            done.incrementAndGet()
             i += 1
           }
         })

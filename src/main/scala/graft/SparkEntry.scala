@@ -1143,9 +1143,9 @@ object SparkEntry {
         |  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |  AS cum FROM s)
         |SELECT doc_id, shard, n_tokens,
-        |  cum - n_tokens AS start_tok,
-        |  (cum - n_tokens) // 512 AS first_seq,
-        |  (cum - 1) // 512 AS last_seq
+        |  CAST(cum - n_tokens AS BIGINT) AS start_tok,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS first_seq,
+        |  CAST((cum - 1) // 512 AS BIGINT) AS last_seq
         |FROM c""".stripMargin,
     "t8_vocab_topk" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token

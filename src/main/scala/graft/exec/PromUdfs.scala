@@ -261,24 +261,33 @@ object PromUdfs {
       .toArray
     if (buckets.length < 2) return Double.NaN
     if (!buckets.last._1.isPosInfinity) return Double.NaN
-    // ensureMonotonic (quantile.go:143-153): only counts STRICTLY
-    // below the running max are raised — an equal count is a no-op
-    // either way, but a NaN count fails both comparisons in Go and
-    // must pass through untouched
+    // ensureMonotonic (quantile.go:143-153): `for i := range buckets[1:]`
+    // indexes buckets[i], so Go's fix-up only ever touches indices
+    // 0..len-2 — the final (+Inf) bucket is NEVER raised, and a NaN
+    // count fails both comparisons and passes through untouched. Only
+    // counts STRICTLY below the running max are raised.
     var maxSeen = buckets(0)._2
     var i = 1
-    while (i < buckets.length) {
+    while (i < buckets.length - 1) {
       if (buckets(i)._2 > maxSeen) maxSeen = buckets(i)._2
       else if (buckets(i)._2 < maxSeen) buckets(i) = (buckets(i)._1, maxSeen)
       i += 1
     }
     var rank = q * buckets.last._2
-    // Go sort.Search(len-1, count >= rank): smallest index in
-    // [0, len-1) satisfying the predicate, len-1 if none — NEVER -1.
-    // A NaN rank (NaN φ) satisfies nothing and lands on len-1, so the
+    // Go sort.Search(len-1, count >= rank): BINARY search for the
+    // smallest index in [0, len-1) satisfying the predicate, len-1 if
+    // none — NEVER -1. With a NaN bucket count the predicate is
+    // non-monotonic and the probe ORDER matters, so we replicate
+    // sort.Search's exact i/j loop rather than a linear scan. A NaN
+    // rank (NaN φ) satisfies nothing and lands on len-1, so the
     // result is the second-highest bucket bound, like the reference.
-    var b = 0
-    while (b < buckets.length - 1 && !(buckets(b)._2 >= rank)) b += 1
+    var lo = 0
+    var hi = buckets.length - 1
+    while (lo < hi) {
+      val h = (lo + hi) >>> 1
+      if (!(buckets(h)._2 >= rank)) lo = h + 1 else hi = h
+    }
+    val b = lo
     if (b == buckets.length - 1) return buckets(buckets.length - 2)._1
     if (b == 0 && buckets.head._1 <= 0) return buckets.head._1
     var bucketStart = 0.0

@@ -87,13 +87,25 @@ object Dedup {
     val hash = md5(col(textCol).cast("binary"))
     val newH = newDocs.select(col(idCol), hash.as("content_hash"))
     val histH = history.select(hash.as("content_hash"))
-    val bloom = bloomCache.computeIfAbsent(
-      (history.select(col(textCol)).queryExecution.analyzed.canonicalized, fpp),
-      _ => {
+    // The filter is multi-GB at the documented operating point (100 TB
+    // history, fpp=0.01), so it is shipped as a BROADCAST — one copy
+    // per executor, torrent-distributed — never captured in the UDF
+    // closure (which would re-serialize it into every task). The cache
+    // is a bounded LRU; evicted entries release their executor copies.
+    val key = (history.select(col(textCol)).queryExecution
+      .analyzed.canonicalized, fpp)
+    val bloomB = bloomCache.synchronized {
+      val cached = bloomCache.get(key)
+      if (cached != null) cached
+      else {
         val n = math.max(histH.count(), 1L)
-        histH.stat.bloomFilter("content_hash", n, fpp)
-      })
-    val mightBeDup = udf((h: String) => bloom.mightContainString(h))
+        val b = newDocs.sparkSession.sparkContext.broadcast(
+          histH.stat.bloomFilter("content_hash", n, fpp))
+        bloomCache.put(key, b)
+        b
+      }
+    }
+    val mightBeDup = udf((h: String) => bloomB.value.mightContainString(h))
     val hits = newH.filter(mightBeDup(col("content_hash")))
     val confirmed = hits.join(histH, Seq("content_hash"), "left_semi")
       .select(col(idCol), lit(true).as("is_dup"))
@@ -102,9 +114,17 @@ object Dedup {
         coalesce(col("is_dup"), lit(false)).as("is_dup"))
   }
 
-  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Double),
-    org.apache.spark.util.sketch.BloomFilter]()
+  private val bloomCacheMax = 4
+  private val bloomCache = new java.util.LinkedHashMap[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Double),
+      org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Double),
+        org.apache.spark.broadcast.Broadcast[
+          org.apache.spark.util.sketch.BloomFilter]]): Boolean =
+      if (size() > bloomCacheMax) { e.getValue.destroy(); true } else false
+  }
 
   // ---- shared shingle machinery -----------------------------------------
 
@@ -641,6 +661,10 @@ object Dedup {
     val cutStarts = toCut
       .groupBy(col("id")).agg(collect_list(col("p")).as("starts"))
     val cutUdf = udf { (text: String, starts: Seq[Long]) =>
+      // null-safe like the shingle paths: the left join feeds EVERY doc
+      // row through here, so a null text must not NPE the whole job
+      if (text == null) (null: String, 0L, 0L)
+      else {
       val t = text.split(" ", -1)
       val cut = new Array[Boolean](t.length)
       if (starts != null) starts.foreach { p =>
@@ -661,6 +685,7 @@ object Dedup {
         i += 1
       }
       (kept.toString, removed, t.length.toLong)
+      }
     }
     docs.as("d")
       .join(cutStarts.as("c"), col("d." + idCol) === col("c.id"), "left")

@@ -521,7 +521,22 @@ class PromQLEngineSpec extends SparkTestBase {
     val rows = Seq(Row(1.0, 5.0), Row(2.0, Double.NaN), Row(3.0, 7.0),
       Row(Double.PositiveInfinity, 10.0))
     assert(PromUdfs.bucketQuantile(0.6, rows).isNaN)
-    // and a NaN that the predicate skips entirely stays inert
-    assert(PromUdfs.bucketQuantile(0.2, rows) == 0.4)
+    // sort.Search is a BINARY search: at q=0.2 (rank 2) Go probes
+    // h=1 first (NaN>=2 is false, so i=2), lands on b=2, and the
+    // count/rank subtraction against the untouched NaN yields NaN —
+    // a linear scan would stop at b=0 and interpolate 0.4 instead
+    assert(PromUdfs.bucketQuantile(0.2, rows).isNaN)
+  }
+
+  test("bucketQuantile: ensureMonotonic never raises the +Inf bucket") {
+    import org.apache.spark.sql.Row
+    // Go's `for i := range buckets[1:]` indexes buckets[i] — the last
+    // (+Inf) bucket is outside the effective range, so a +Inf count
+    // BELOW the running max stays put and rank = q * 6, not q * 7
+    val rows = Seq(Row(1.0, 5.0), Row(2.0, 7.0),
+      Row(Double.PositiveInfinity, 6.0))
+    // rank = 0.5 * 6 = 3 -> b=0 -> 0 + 1 * (3/5) = 0.6
+    // (raising +Inf to 7 would give rank 3.5 -> 0.7)
+    assert(PromUdfs.bucketQuantile(0.5, rows) == 0.6)
   }
 }
