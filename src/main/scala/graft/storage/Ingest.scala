@@ -52,11 +52,22 @@ object Ingest {
     * collapse; conflicting dups either fail the batch (`strict`) or
     * resolve deterministically to the smallest value. */
   def dedup(batch: DataFrame, strict: Boolean): DataFrame = {
-    val keyed = batch.withColumn("_sig", Samples.sigExpr(col("labels")))
+    // Label resolution is PROVABLY deterministic: the map is rebuilt
+    // entry-sorted before grouping, so any two rows with equal sig
+    // (= equal canonical string, sig being its hash) carry an
+    // IDENTICAL `_lc` value and any pick returns the same map; under
+    // a 64-bit sig collision (differing canonical strings, same hash)
+    // min_by on the canonical string still picks deterministically —
+    // no outcome depends on row arrival order.
+    val keyed = batch
+      .withColumn("_lc",
+        map_from_entries(array_sort(map_entries(col("labels")))))
+      .withColumn("_lstr", Samples.sigStr(col("labels")))
+      .withColumn("_sig", xxhash64(col("_lstr")))
     val resolved = keyed
       .groupBy(col("_sig"), col("t"))
       .agg(
-        first(col("labels")).as("labels"),
+        min_by(col("_lc"), col("_lstr")).as("labels"),
         min(col("v")).as("v"),
         // stale marker wins over a plain value at the same timestamp
         max(col("stale")).as("stale"),
@@ -143,10 +154,14 @@ object Ingest {
     canonicalize(edge)
       .filter(!col("stale"))
       .withColumn("ets", timestamp_millis(col("t")))
+      // entry-sorted map: rows with equal sig carry identical values,
+      // so first() below is order-independent (same argument as dedup)
+      .withColumn("_lc",
+        map_from_entries(array_sort(map_entries(col("labels")))))
       .withWatermark("ets", lateness)
       .groupBy(Samples.sigExpr(col("labels")).as("sig"),
         window(col("ets"), s"$bucketMs milliseconds").as("w"))
-      .agg(first(col("labels")).as("labels"),
+      .agg(first(col("_lc")).as("labels"),
         count(lit(1)).as("cnt"), sum(col("v")).as("sum"),
         min(col("v")).as("mn"), max(col("v")).as("mx"))
       .select(col("sig"), col("labels"),

@@ -58,6 +58,34 @@ class IngestSpec extends SparkTestBase {
     assert(ex.getMessage != null)
   }
 
+  test("dedup labels are deterministic under shuffled label-map entry order") {
+    import scala.collection.immutable.ListMap
+    // > 4 entries so Scala doesn't collapse to an order-canonical MapN;
+    // ListMap preserves insertion order into the Spark map column
+    val entries = Seq("__name__" -> "z", "a" -> "1", "b" -> "2",
+      "c" -> "3", "d" -> "4")
+    val perms = Seq(entries, entries.reverse,
+      entries.drop(2) ++ entries.take(2))
+    // same logical series written with every entry order, in several
+    // arrival orders — all must dedup to ONE row carrying the
+    // entry-SORTED map, regardless of which input row "wins"
+    def run(order: Seq[Seq[(String, String)]]) = {
+      val ds = order.map(e =>
+        Ingest.WriteSample(ListMap(e: _*), 0L, 1.0)).toDS()
+      // observe the stored entry order via map_entries — Row.getMap
+      // would rebuild a hash map and hide it
+      val out = Ingest.dedup(Ingest.canonicalize(ds), strict = true)
+        .select(map_entries(col("labels"))).collect()
+      assert(out.length == 1)
+      out.head.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getString(1)))
+    }
+    val expected = entries.sortBy(_._1)
+    assert(run(perms) == expected)
+    assert(run(perms.reverse) == expected)
+    assert(run(perms.tail :+ perms.head) == expected)
+  }
+
   test("compact rewrites a fragmented date partition, preserving data") {
     val path = tmp("ingest-compact")
     // 8 appends × up to 32 bucket files each → a fragmented day
