@@ -18,9 +18,13 @@ import graft.promql.{Ast, Parser}
   *   GET/POST /api/v1/query_range  range query
   *   GET      /api/v1/series       series metadata for match[] selectors
   *   GET      /api/v1/label/{name}/values
-  *   POST     /api/v1/write        ingest (JSON lines; the reference
-  *            speaks snappy+protobuf — not reproducible offline, the
-  *            body format is the documented divergence, semantics match)
+  *   POST     /api/v1/write        ingest (snappy+protobuf prompb, the
+  *            reference wire format via [[Prompb]]; JSON lines accepted
+  *            as a fallback for hand-driven clients)
+  *   POST     /write               reference route alias (write.go:27)
+  *   POST     /read                snappy+protobuf remote read
+  *            (`internal/read/read.go:45-126`): ReadRequest in,
+  *            ReadResponse out
   *
   * Envelope and guards mirror the reference: `{status, data}` /
   * `{status:"error", errorType, error}` (`api.go:373-413`), step > 0,
@@ -42,6 +46,8 @@ class HttpApi(spark: SparkSession, engine: PromQLEngine,
   server.createContext("/api/v1/label/", handler(handleLabelValues))
   server.createContext("/api/v1/write", handler(handleWrite))
   server.createContext("/api/v1/export", streamingHandler(handleExport))
+  server.createContext("/write", handler(handleWrite))
+  server.createContext("/read", binaryHandler(handleRead))
 
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = { server.stop(0); pool.shutdownNow() }
@@ -299,13 +305,43 @@ class HttpApi(spark: SparkSession, engine: PromQLEngine,
   private def envelope0(result: String): String =
     s"""{"status":"success","data":$result}"""
 
-  /** JSON-lines ingest: one `{"labels":{...},"t":ms,"v":x}` per line
-    * ("stale":true marks a staleness marker). */
+  /** Ingest. Wire format is the reference's snappy+protobuf prompb
+    * (`write.go:53-83`) when the request says so (Content-Type
+    * application/x-protobuf or Content-Encoding snappy); JSON lines
+    * (`{"labels":{...},"t":ms,"v":x}`, "stale":true for markers)
+    * otherwise. Staleness is detected from the RAW double bits, which
+    * the proto fixed64 preserves end-to-end. */
   private def handleWrite(ex: HttpExchange): String = {
     val sink = writeSink.getOrElse(
       throw ApiError(405, "bad_data", "write sink not configured"))
-    val body = new String(readBody(ex), UTF_8)
-    val rows = body.split('\n').toSeq.filter(_.trim.nonEmpty).map(parseWriteLine)
+    val h = ex.getRequestHeaders
+    val isProto =
+      Option(h.getFirst("Content-Type"))
+        .exists(_.startsWith("application/x-protobuf")) ||
+      Option(h.getFirst("Content-Encoding"))
+        .exists(_.equalsIgnoreCase("snappy"))
+    val rows =
+      if (isProto) {
+        val req =
+          try Prompb.decodeWriteRequest(Prompb.snappyUncompress(readBody(ex)))
+          catch {
+            case e: ApiError => throw e
+            case e: Exception => throw ApiError(400, "bad_data",
+              s"cannot decode write request: ${e.getMessage}")
+          }
+        if (req.timeseries.isEmpty)
+          throw ApiError(400, "bad_data",
+            "received empty request containing zero timeseries")
+        req.timeseries.flatMap { ts =>
+          val labels = ts.labels.map(l => l.name -> l.value).toMap
+          ts.samples.map(s => (labels, s.timestamp, s.value,
+            java.lang.Double.doubleToRawLongBits(s.value) ==
+              Samples.StaleNaNBits))
+        }
+      } else {
+        val body = new String(readBody(ex), UTF_8)
+        body.split('\n').toSeq.filter(_.trim.nonEmpty).map(parseWriteLine)
+      }
     import scala.jdk.CollectionConverters._
     val df = spark.createDataFrame(
       rows.map { case (l, t, v, stale) =>
@@ -426,6 +462,85 @@ class HttpApi(spark: SparkSession, engine: PromQLEngine,
         out.write(line.getBytes(UTF_8))
       }
     }
+  }
+
+  /** Binary (protobuf) responses; errors degrade to the same plain
+    * text + status Go's `http.Error` produces (`read.go:48-66`). */
+  private def binaryHandler(f: HttpExchange => Array[Byte])
+      : com.sun.net.httpserver.HttpHandler =
+    (ex: HttpExchange) => {
+      try {
+        val body = f(ex)
+        ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
+        ex.getResponseHeaders.set("Content-Encoding", "snappy")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+      } catch {
+        case ApiError(status, _, msg) =>
+          val b = (msg + "\n").getBytes(UTF_8)
+          ex.getResponseHeaders.set("Content-Type",
+            "text/plain; charset=utf-8")
+          ex.sendResponseHeaders(status, b.length)
+          ex.getResponseBody.write(b)
+        case e: Exception =>
+          val b = (String.valueOf(e.getMessage) + "\n").getBytes(UTF_8)
+          ex.getResponseHeaders.set("Content-Type",
+            "text/plain; charset=utf-8")
+          ex.sendResponseHeaders(500, b.length)
+          ex.getResponseBody.write(b)
+      } finally ex.close()
+    }
+
+  /** Remote read (S5, `internal/read/read.go:45-126`): snappy+protobuf
+    * ReadRequest in, one QueryResult per query out, series sorted by
+    * `labels.Compare`, samples by timestamp, labels name-sorted —
+    * matching `remote.ToQueryResult` over a sorted series set. */
+  private def handleRead(ex: HttpExchange): Array[Byte] = {
+    val req =
+      try Prompb.decodeReadRequest(Prompb.snappyUncompress(readBody(ex)))
+      catch {
+        case e: ApiError => throw e
+        case e: Exception => throw ApiError(400, "bad_data",
+          s"cannot decode read request: ${e.getMessage}")
+      }
+    val results = req.queries.map { q =>
+      val selector = selectorFor(q.matchers)
+      val rows = gated {
+        collectRows(engine.rawSamples(selector, Some(q.startMs), Some(q.endMs)))
+      }
+      val series = rows.groupBy(_._1).toSeq
+        .sortBy { case (l, _) => l }(Samples.labelsOrdering)
+        .map { case (l, pts) =>
+          Prompb.TimeSeries(
+            l.toSeq.sortBy(_._1).map { case (k, v) => Prompb.Label(k, v) },
+            pts.sortBy(_._2).map { case (_, t, v) => Prompb.Sample(v, t) })
+        }
+      Prompb.QueryResult(series)
+    }
+    Prompb.snappyCompress(
+      Prompb.encodeReadResponse(Prompb.ReadResponse(results)))
+  }
+
+  /** prompb matchers → a PromQL selector the engine evaluates
+    * (`read.go:127-152`'s fromLabelMatchers, inverted through our
+    * parser — the lexer's Go-style escapes make any label value
+    * representable). */
+  private def selectorFor(ms: Seq[Prompb.LabelMatcher]): String = {
+    if (ms.isEmpty)
+      throw ApiError(400, "bad_data", "read query has no matchers")
+    val parts = ms.map { m =>
+      val op = m.typ match {
+        case 0 => "="
+        case 1 => "!="
+        case 2 => "=~"
+        case 3 => "!~"
+        case t => throw ApiError(400, "bad_data", s"unknown matcher type $t")
+      }
+      if (!Samples.isValidLabelName(m.name))
+        throw ApiError(400, "bad_data", s"invalid matcher name: ${m.name}")
+      s"""${m.name}$op"${esc(m.value)}""""
+    }
+    s"{${parts.mkString(",")}}"
   }
 
   private def parseOr400(query: String): Ast.Expr =
