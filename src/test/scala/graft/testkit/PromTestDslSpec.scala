@@ -925,4 +925,242 @@ eval instant at 50m histogram_quantile((0/0), hq)
   {} 1
 """)
   }
+
+  // ---- upstream testdata corpus slices ----------------------------------
+  // Reconstructions of the upstream `promql/testdata/*.test` shapes
+  // through the vendored harness grammar (`promql/test.go:36-193`),
+  // adjusted where the vendored VINTAGE diverges from the modern files
+  // (noted inline): shouldDropMetricName lists only + - * / %, so bool
+  // comparisons and ^ KEEP the metric name here.
+
+  test("upstream operators.test slice: the 8-series http_requests fixture") {
+    run("""
+load 5m
+  http_requests{job="api-server", instance="0", group="production"} 0+10x10
+  http_requests{job="api-server", instance="1", group="production"} 0+20x10
+  http_requests{job="api-server", instance="0", group="canary"} 0+30x10
+  http_requests{job="api-server", instance="1", group="canary"} 0+40x10
+  http_requests{job="app-server", instance="0", group="production"} 0+50x10
+  http_requests{job="app-server", instance="1", group="production"} 0+60x10
+  http_requests{job="app-server", instance="0", group="canary"} 0+70x10
+  http_requests{job="app-server", instance="1", group="canary"} 0+80x10
+
+eval instant at 50m sum(http_requests) by (job)
+  {job="api-server"} 1000
+  {job="app-server"} 2600
+
+eval instant at 50m sum(http_requests{instance="0"}) by (group)
+  {group="canary"} 1000
+  {group="production"} 600
+
+eval instant at 50m sum(http_requests) by (job) + min(http_requests) by (job)
+  {job="api-server"} 1100
+  {job="app-server"} 3100
+
+eval instant at 50m sum(http_requests) by (job) - count(http_requests) by (job)
+  {job="api-server"} 996
+  {job="app-server"} 2596
+
+eval instant at 50m 2 - sum(http_requests) by (job)
+  {job="api-server"} -998
+  {job="app-server"} -2598
+
+eval instant at 50m sum(http_requests) by (job) / min(http_requests) by (job)
+  {job="api-server"} 10
+  {job="app-server"} 5.2
+
+eval instant at 50m http_requests{group="canary"} and http_requests{instance="0"}
+  http_requests{group="canary", instance="0", job="api-server"} 300
+  http_requests{group="canary", instance="0", job="app-server"} 700
+
+eval instant at 50m (http_requests{group="canary"} + 1) and http_requests{instance="0"}
+  {group="canary", instance="0", job="api-server"} 301
+  {group="canary", instance="0", job="app-server"} 701
+
+eval instant at 50m http_requests{group="canary"} unless http_requests{instance="0"}
+  http_requests{group="canary", instance="1", job="api-server"} 400
+  http_requests{group="canary", instance="1", job="app-server"} 800
+
+eval instant at 50m http_requests{job="api-server", group="canary"} % 3
+  {job="api-server", instance="0", group="canary"} 0
+  {job="api-server", instance="1", group="canary"} 1
+
+eval instant at 50m http_requests{group="canary", instance="0"} offset 5m
+  http_requests{group="canary", instance="0", job="api-server"} 270
+  http_requests{group="canary", instance="0", job="app-server"} 630
+
+# set ops on scalars are type errors (parse.go typecheck)
+eval_fail instant at 50m 1 and 1
+
+eval_fail instant at 50m http_requests or 2
+""")
+  }
+
+  test("upstream operators.test slice: one-to-one vector matching") {
+    run("""
+load 5m
+  vector_matching_a{l="x"} 0+1x100
+  vector_matching_a{l="y"} 0+2x50
+  vector_matching_b{l="x"} 0+4x25
+
+eval instant at 50m vector_matching_a + vector_matching_a
+  {l="x"} 20
+  {l="y"} 40
+
+eval instant at 50m vector_matching_a * 2
+  {l="x"} 20
+  {l="y"} 40
+
+eval instant at 50m vector_matching_a + vector_matching_b
+  {l="x"} 50
+
+# filter comparison: 10 == 40 is false, so the matched pair drops out
+eval instant at 50m vector_matching_a == vector_matching_b
+
+eval instant at 50m vector_matching_a != vector_matching_b
+  vector_matching_a{l="x"} 10
+
+# VINTAGE divergence from the modern corpus: bool comparisons keep the
+# lhs metric name (shouldDropMetricName lists only + - * / %); the
+# modern files expect a nameless {l="x"} here
+eval instant at 50m vector_matching_a == bool vector_matching_b
+  vector_matching_a{l="x"} 0
+
+eval instant at 50m vector_matching_a < bool vector_matching_b
+  vector_matching_a{l="x"} 1
+
+# == as a FILTER: 10 == 40 is false, so l="x" drops out entirely
+eval instant at 50m vector_matching_a == 10
+  vector_matching_a{l="x"} 10
+
+eval instant at 50m vector_matching_a % vector_matching_b
+  {l="x"} 10
+""")
+  }
+
+  test("upstream functions.test slice: resets, changes, irate") {
+    run("""
+load 5m
+  http_requests{path="/foo"} 1 2 3 0 1 0 0 1 2 0
+  http_requests{path="/bar"} 1 2 3 4 5 1 2 3 4 5
+  http_requests{path="/biz"} 0 0 0 0 0 1 1 1 1 1
+
+eval instant at 50m resets(http_requests[50m])
+  {path="/foo"} 3
+  {path="/bar"} 1
+  {path="/biz"} 0
+
+eval instant at 50m resets(http_requests[20m])
+  {path="/foo"} 1
+  {path="/bar"} 0
+  {path="/biz"} 0
+
+eval instant at 50m changes(http_requests[50m])
+  {path="/foo"} 8
+  {path="/bar"} 9
+  {path="/biz"} 1
+
+eval instant at 50m changes(http_requests[20m])
+  {path="/foo"} 3
+  {path="/bar"} 3
+  {path="/biz"} 0
+
+clear
+
+load 5m
+  http_total 0 10 20 30 40 50 60 70 80 90 100
+
+eval instant at 50m irate(http_total[30m])
+  {} 0.033333333
+
+eval instant at 50m idelta(http_total[30m])
+  {} 10
+""")
+  }
+
+  test("upstream histograms.test slice: the positive/negative fixture") {
+    run("""
+load 5m
+  testhistogram_bucket{le="0.1", start="positive"} 0+5x10
+  testhistogram_bucket{le=".2", start="positive"} 0+7x10
+  testhistogram_bucket{le="1e0", start="positive"} 0+11x10
+  testhistogram_bucket{le="+Inf", start="positive"} 0+12x10
+  testhistogram_bucket{le="-.2", start="negative"} 0+1x10
+  testhistogram_bucket{le="-0.1", start="negative"} 0+2x10
+  testhistogram_bucket{le="0.3", start="negative"} 0+2x10
+  testhistogram_bucket{le="+Inf", start="negative"} 0+3x10
+
+# raw cumulative counts at 50m: positive 50/70/110/120,
+# negative 10/20/20/30
+eval instant at 50m histogram_quantile(0.5, testhistogram_bucket)
+  {start="positive"} 0.15
+  {start="negative"} -0.15
+
+eval instant at 50m histogram_quantile(0, testhistogram_bucket)
+  {start="positive"} 0
+  {start="negative"} -0.2
+
+eval instant at 50m histogram_quantile(1, testhistogram_bucket)
+  {start="positive"} 1
+  {start="negative"} 0.3
+
+# quantiles over rate(): every bucket shares the same extrapolation
+# factor, so the relative ranks — and the quantiles — match the raw
+# fixture exactly (the upstream file's values)
+eval instant at 50m histogram_quantile(0.2, rate(testhistogram_bucket[5m]))
+  {start="positive"} 0.048
+  {start="negative"} -0.2
+
+eval instant at 50m histogram_quantile(0.8, rate(testhistogram_bucket[5m]))
+  {start="positive"} 0.72
+  {start="negative"} 0.3
+""")
+  }
+
+  test("upstream selectors/aggregators slice: absent, bottomk, stddev by") {
+    run("""
+load 5m
+  http_requests{job="api-server", instance="0", group="production"} 0+10x10
+  http_requests{job="api-server", instance="1", group="production"} 0+20x10
+  http_requests{job="app-server", instance="0", group="production"} 0+50x10
+  http_requests{job="app-server", instance="1", group="production"} 0+60x10
+
+eval instant at 50m absent(nonexistent)
+  {} 1
+
+eval instant at 50m absent(nonexistent{job="myjob", instance="123"})
+  {job="myjob", instance="123"} 1
+
+eval instant at 50m absent(http_requests)
+
+eval instant at 50m bottomk(1, http_requests)
+  http_requests{job="api-server", instance="0", group="production"} 100
+
+eval instant at 50m bottomk(2, http_requests)
+  http_requests{job="api-server", instance="0", group="production"} 100
+  http_requests{job="api-server", instance="1", group="production"} 200
+
+eval instant at 50m stddev(http_requests) by (job)
+  {job="api-server"} 50
+  {job="app-server"} 50
+
+eval instant at 50m stdvar(http_requests) by (job)
+  {job="api-server"} 2500
+  {job="app-server"} 2500
+
+eval instant at 50m avg(http_requests) by (job)
+  {job="api-server"} 150
+  {job="app-server"} 550
+
+eval instant at 50m max(http_requests) by (instance)
+  {instance="0"} 500
+  {instance="1"} 600
+
+eval instant at 50m count_values("version", http_requests)
+  {version="100"} 1
+  {version="200"} 1
+  {version="500"} 1
+  {version="600"} 1
+""")
+  }
 }
