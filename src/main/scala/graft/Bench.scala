@@ -27,11 +27,15 @@ object Bench {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // median of three warm runs: best-of-two still let a single
+    // GC/compilation collision shift a sub-second query by 2-3×
+    // (r3's g2_floor read 2.5s against an identical-plan 0.8s twin);
+    // the median needs two bad draws in three to move
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = time { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
-      val warm1 = time { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
-      val warm2 = time { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
-      (name, cold, math.min(warm1, warm2))
+      val warms = Seq.fill(3)(
+        time { try fn(spark, sfDir).count() catch { case _: Throwable => () } })
+      (name, cold, warms.sorted.apply(1))
     }
     // concurrent instant-query throughput: the reference's SLA anchor is
     // ≥5 queries/s on a 5-node cluster (docs/assumptions.md:48); this
@@ -39,10 +43,17 @@ object Bench {
     // ~5 s against the warm session and reports completions/second
     val lightNames = Seq("p2_instant_selector", "s4_scan",
       "s8_label_values", "g10_time").filter(SparkEntry.queries.contains)
-    val qps: Double = {
-      val stopAt = System.nanoTime() + 5L * 1000 * 1000 * 1000
+    // `heavy` = 0: light-only throughput (the reference's ≥5 q/s SLA
+    // anchor). `heavy` > 0: that many extra threads saturate the
+    // engine with a heavy range query while the light clients run —
+    // shows the 20-slot admission gate keeps light-query throughput
+    // bounded under mixed load (the reference's 20-concurrent
+    // envelope), rather than letting one expensive query starve the
+    // instant path.
+    def runQps(heavy: Int, windowSec: Long = 5): Double = {
+      val stopAt = System.nanoTime() + windowSec * 1000 * 1000 * 1000
       val done = new java.util.concurrent.atomic.AtomicLong(0)
-      val threads = (0 until 8).map { k =>
+      val lightThreads = (0 until 8).map { k =>
         new Thread(() => {
           var i = k
           while (System.nanoTime() < stopAt) {
@@ -56,11 +67,26 @@ object Bench {
           }
         })
       }
+      val heavyThreads = (0 until heavy).map { _ =>
+        new Thread(() => {
+          while (System.nanoTime() < stopAt) {
+            try SparkEntry.queries("p7_fine_grid")(spark, sfDir).count()
+            catch { case _: Throwable => () }
+          }
+        })
+      }
       val t0 = System.nanoTime()
-      threads.foreach(_.start())
-      threads.foreach(_.join())
+      (lightThreads ++ heavyThreads).foreach(_.start())
+      (lightThreads ++ heavyThreads).foreach(_.join())
       done.get().toDouble / ((System.nanoTime() - t0) / 1e9)
     }
+    // untimed warmup: the FIRST concurrent round pays scheduler/JIT
+    // lazy-init that serial runs never touch (measured: a cold first
+    // round reads 2× slower than the same load re-run) — without it
+    // the light-only and mixed figures are not comparable
+    runQps(0, windowSec = 3)
+    val qps = runQps(0)
+    val mixedQps = runQps(2)
     // ms precision keeps the ONE JSON line short enough to survive
     // tail-window capture of stdout (~4 KB): full-precision doubles for
     // 70+ queries pushed the line past the window and truncated its head
@@ -71,7 +97,7 @@ object Bench {
     val coldTotal = results.map(_._2).sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_sec":${r3(coldTotal)},"instant_qps":${r3(qps)},"sf":$sfNum}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_sec":${r3(coldTotal)},"instant_qps":${r3(qps)},"mixed_qps":${r3(mixedQps)},"sf":$sfNum}""")
     spark.stop()
   }
 }
