@@ -571,6 +571,12 @@ class PromQLEngine(
     case BinaryExpr(op, l, r, _, _) =>
       for (a <- constFold(l); b <- constFold(r); c <- scalarBinop(op, a, b))
         yield c
+    // scalar(vector(c)) round-trips a literal through the vector world
+    // (the reference's evalInt evaluates ANY scalar expr; the
+    // data-INDEPENDENT shapes fold here, data-dependent params like
+    // scalar(metric) stay unsupported-by-design in the set-at-once plan)
+    case Call(f, Seq(Call(g, Seq(i)))) if f.name == "scalar" && g.name == "vector" =>
+      constFold(i)
     case _ => None
   }
 

@@ -201,4 +201,17 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!aggExchange.contains("p#"),
       s"aggregate branch must prune the position column:\n$aggExchange")
   }
+
+  test("p8_bucketed_range reads ONLY the partials table, never raw events") {
+    val p = plan("p8_bucketed_range")
+    // the whole point of the materialized-partials path: the plan scans
+    // the hourly partials parquet and must not touch events.parquet
+    // (directly or through the cached adapter)
+    assert(p.contains("graft-partials"),
+      s"expected a partials parquet scan:\n${p.take(1200)}")
+    assert(!p.contains("events.parquet") && !p.contains("InMemoryTableScan"),
+      s"partials query must not read raw events:\n${p.take(1200)}")
+    // one hash aggregate pair over (event_type, day) — no sort-based agg
+    assert(!p.contains("SortAggregate"), s"rollup must hash-aggregate:\n$p")
+  }
 }

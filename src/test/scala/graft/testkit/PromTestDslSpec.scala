@@ -1117,6 +1117,95 @@ eval instant at 50m histogram_quantile(0.8, rate(testhistogram_bucket[5m]))
 """)
   }
 
+  test("upstream literals.test slice: number forms") {
+    run("""
+load 5m
+  dummy 0
+
+eval instant at 50m 12.34e6
+  {} 12340000
+
+eval instant at 50m 12.34e+6
+  {} 12340000
+
+eval instant at 50m 12.34e-6
+  {} 0.00001234
+
+eval instant at 50m 0x12
+  {} 18
+
+eval instant at 50m 1e3
+  {} 1000
+
+eval instant at 50m -1
+  {} -1
+
+eval instant at 50m Inf
+  {} Inf
+
+eval instant at 50m -Inf
+  {} -Inf
+
+eval instant at 50m NaN
+  {} NaN
+
+eval instant at 50m Inf - Inf
+  {} NaN
+
+eval instant at 50m 1 / 0
+  {} Inf
+
+eval instant at 50m -1 / 0
+  {} -Inf
+
+eval instant at 50m 0 / 0
+  {} NaN
+""")
+  }
+
+  test("vintage guards: topk k<1 empty, scalar-comparison BOOL, without ()") {
+    run("""
+load 5m
+  m{i="a"} 0+10x10
+  m{i="b"} 0+20x10
+
+# engine.go:1259-1262 — non-positive k is an EMPTY vector, not an error
+eval instant at 50m topk(0, m)
+
+eval instant at 50m topk(-3, m)
+
+eval instant at 50m bottomk(0, m)
+
+# the param is any constant scalar expression (evalInt); the
+# data-independent scalar(vector(c)) shape folds
+eval instant at 50m topk(scalar(vector(1)), m)
+  m{i="b"} 200
+
+# aggregating an empty vector yields an empty vector, not a 0 row
+eval instant at 50m sum(nonexistent)
+
+# parse.go:518-531 — comparisons between scalars must use BOOL
+eval_fail instant at 50m 1 < 2
+
+eval instant at 50m 1 < bool 2
+  {} 1
+
+eval instant at 50m 1 >= bool 2
+  {} 0
+
+# scalar-vector comparison with bool KEEPS the metric name in this
+# vintage (shouldDropMetricName lists only + - * / %)
+eval instant at 50m m > bool 150
+  m{i="a"} 0
+  m{i="b"} 1
+
+# `without ()` with an empty label list still drops __name__
+eval instant at 50m sum without () (m)
+  {i="a"} 100
+  {i="b"} 200
+""")
+  }
+
   test("upstream selectors/aggregators slice: absent, bottomk, stddev by") {
     run("""
 load 5m
