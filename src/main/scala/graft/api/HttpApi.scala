@@ -48,6 +48,7 @@ class HttpApi(spark: SparkSession, engine: PromQLEngine,
   server.createContext("/api/v1/export", streamingHandler(handleExport))
   server.createContext("/write", handler(handleWrite))
   server.createContext("/read", binaryHandler(handleRead))
+  server.createContext("/metrics", textHandler(handleMetrics))
 
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = { server.stop(0); pool.shutdownNow() }
@@ -146,7 +147,10 @@ class HttpApi(spark: SparkSession, engine: PromQLEngine,
     * request evaluates inside its own Spark job group; on timeout the
     * group's running jobs are cancelled so executors stop working on
     * an abandoned query. */
+  private val queriesTotal = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def gated[T](f: => T): T = {
+    queriesTotal.incrementAndGet()
     if (!gate.tryAcquire(HttpApi.QueueTimeoutMs, TimeUnit.MILLISECONDS))
       throw ApiError(503, "unavailable", "query queue is full")
     val group = s"graft-api-${java.util.UUID.randomUUID()}"
@@ -282,6 +286,12 @@ class HttpApi(spark: SparkSession, engine: PromQLEngine,
     val matchers = p.getOrElse("match[]", Seq.empty)
     if (matchers.isEmpty)
       throw ApiError(400, "bad_data", "no match[] parameter provided")
+    // S9: DELETE /series validates match[] then fails like the
+    // reference's `panic("disabled")` (api.go:343-371 — deletion is
+    // temporarily disabled upstream; the Go HTTP stack turns the
+    // panic into a 500)
+    if (ex.getRequestMethod == "DELETE")
+      throw ApiError(500, "internal", "disabled")
     val start = one(p, "start").map(parseTime(_, "start"))
     val end = one(p, "end").map(parseTime(_, "end"))
     val sets = matchers.map { m =>
@@ -463,6 +473,40 @@ class HttpApi(spark: SparkSession, engine: PromQLEngine,
       }
     }
   }
+
+  /** Self-telemetry in the Prometheus text exposition format — the
+    * `/metrics` endpoint the reference serves via promhttp
+    * (`cmd/timbala/main.go:216`); ours exposes the engine-level
+    * counters an operator actually watches here. */
+  private def handleMetrics(ex: HttpExchange): String = {
+    val sb = new StringBuilder
+    def m(name: String, help: String, typ: String, v: Long): Unit = sb
+      .append(s"# HELP $name $help\n# TYPE $name $typ\n$name $v\n")
+    m("graft_api_queries_total",
+      "Queries admitted to the evaluation gate.", "counter",
+      queriesTotal.get())
+    m("graft_api_gate_free_slots",
+      "Admission-gate slots currently free (of 20).", "gauge",
+      gate.availablePermits().toLong)
+    m("graft_engine_reagg_hits_total",
+      "Aggregations served by re-aggregating a finer partial.", "counter",
+      engine.reaggHits.get())
+    sb.toString
+  }
+
+  private def textHandler(f: HttpExchange => String)
+      : com.sun.net.httpserver.HttpHandler =
+    (ex: HttpExchange) => {
+      val (code, body) =
+        try (200, f(ex))
+        catch { case e: Exception => (500, String.valueOf(e.getMessage)) }
+      val bytes = body.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type",
+        "text/plain; version=0.0.4; charset=utf-8")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
 
   /** Binary (protobuf) responses; errors degrade to the same plain
     * text + status Go's `http.Error` produces (`read.go:48-66`). */

@@ -361,7 +361,7 @@ class PromQLEngine(
 
   /** Test hook: how many aggregations were served by re-aggregating a
     * finer partial result instead of re-reducing the sample volume. */
-  private[exec] val reaggHits = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val reaggHits = new java.util.concurrent.atomic.AtomicLong
 
   private def evalRoot(e: Expr, tr: EvalRange): Value = {
     memo.get().clear()

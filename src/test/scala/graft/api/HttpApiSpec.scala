@@ -52,6 +52,37 @@ class HttpApiSpec extends SparkTestBase {
     (code, new String(stream.readAllBytes(), UTF_8))
   }
 
+  private def delete(path: String): (Int, String) = {
+    val url = new URI(s"http://127.0.0.1:${api.boundPort}$path").toURL
+    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("DELETE")
+    val code = conn.getResponseCode
+    val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    (code, new String(stream.readAllBytes(), UTF_8))
+  }
+
+  test("S9 drop-series: match[] validated, then disabled like the reference") {
+    // api.go:343-371 — dropSeries checks match[] (400) then
+    // panic("disabled") (500 through the Go HTTP stack)
+    val (c1, b1) = delete("/api/v1/series")
+    assert(c1 == 400 && b1.contains("no match[] parameter provided"))
+    val (c2, b2) = delete("/api/v1/series?match[]=test_metric1")
+    assert(c2 == 500, s"got $c2: $b2")
+    assert(b2.contains("disabled"))
+  }
+
+  test("/metrics serves engine counters in exposition format") {
+    get("/api/v1/query?query=1%2B1&time=120") // ensure >= 1 gated query
+    val (code, body) = get("/metrics")
+    assert(code == 200)
+    assert(body.contains("# TYPE graft_api_queries_total counter"))
+    val n = "graft_api_queries_total ([0-9]+)".r
+      .findFirstMatchIn(body).map(_.group(1).toLong)
+    assert(n.exists(_ >= 1), s"body: $body")
+    assert(body.contains("graft_api_gate_free_slots 20"))
+    assert(body.contains("graft_engine_reagg_hits_total"))
+  }
+
   test("scalar query: 1+1 at t=2m is 2 (acceptance_test.go:84-100)") {
     val (code, body) = get("/api/v1/query?query=1%2B1&time=120")
     assert(code == 200)
