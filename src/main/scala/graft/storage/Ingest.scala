@@ -156,16 +156,18 @@ object Ingest {
     canonicalize(edge)
       .filter(!col("stale"))
       .withColumn("ets", timestamp_millis(col("t")))
-      // entry-sorted map: rows with equal sig carry identical values,
-      // so first() below is order-independent (same argument as dedup)
-      .withColumn("_lc",
-        map_from_entries(array_sort(map_entries(col("labels")))))
       .withWatermark("ets", lateness)
       .groupBy(Samples.sigExpr(col("labels")).as("sig"),
         window(col("ets"), s"$bucketMs milliseconds").as("w"))
-      .agg(first(col("_lc")).as("labels"),
+      .agg(first(col("labels")).as("_l0"),
         count(lit(1)).as("cnt"), sum(col("v")).as("sum"),
         min(col("v")).as("mn"), max(col("v")).as("mx"))
+      // entry-sort AFTER the aggregation: equal sig ⇒ equal map
+      // content, so canonicalizing the order makes the emitted row
+      // independent of which input first() saw (same argument and
+      // same per-group cost as the batch dedup path)
+      .withColumn("labels",
+        map_from_entries(array_sort(map_entries(col("_l0")))))
       .select(col("sig"), col("labels"),
         unix_millis(col("w.start")).as("bucket_start"),
         col("cnt"), col("sum"), col("mn"), col("mx"))
