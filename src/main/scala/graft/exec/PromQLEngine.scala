@@ -871,7 +871,22 @@ class PromQLEngine(
       val m = pattern.matcher(srcVal)
       if (!m.matches()) labels
       else {
-        val out = m.replaceFirst(repl)
+        // Go regex.ExpandString, NOT Java replaceFirst: an
+        // out-of-range `$5` or absent named group expands to empty
+        // (functions.go:806) where Java throws; `$$` is a literal `$`
+        val out = PromUdfs.goExpand(repl, name => {
+          // Go's extract: an all-ASCII-digits name without a leading
+          // zero (and below its 1e8 overflow guard) is a group INDEX;
+          // anything else is a named-group lookup
+          val isIndex = name.nonEmpty && name.forall(c => c >= '0' && c <= '9') &&
+            name.length <= 8 && !(name.charAt(0) == '0' && name.length > 1)
+          if (isIndex) {
+            val idx = name.toInt
+            if (idx <= m.groupCount) Option(m.group(idx)) else None
+          } else
+            try Option(m.group(name))
+            catch { case _: IllegalArgumentException => None }
+        })
         if (out.isEmpty) labels - dst else labels + (dst -> out)
       }
     }

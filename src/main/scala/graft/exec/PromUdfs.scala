@@ -338,6 +338,47 @@ object PromUdfs {
       math.floor(v * toNearestInverse + 0.5) / toNearestInverse
     })
 
+  /** Go `regexp.Expand` template semantics for `label_replace`
+    * (`promql/functions.go:806` calls `regex.ExpandString`): `$name` /
+    * `${name}` with name = a unicode letter/digit/underscore run; an
+    * all-digits name is a group INDEX; an out-of-range or
+    * non-participating group expands to EMPTY (Java's `replaceFirst`
+    * throws instead — the divergence this exists to fix); `$$` is a
+    * literal `$`; a malformed `$` (no name, unclosed brace) stays raw
+    * text and the following characters re-scan as literals. */
+  def goExpand(template: String,
+      group: String => Option[String]): String = {
+    val sb = new StringBuilder
+    var t = template
+    while (t.nonEmpty) {
+      val d = t.indexOf('$')
+      if (d < 0) { sb.append(t); t = "" }
+      else {
+        sb.append(t.substring(0, d))
+        t = t.substring(d + 1)
+        if (t.nonEmpty && t.charAt(0) == '$') { sb.append('$'); t = t.substring(1) }
+        else {
+          var rest = t
+          val braced = rest.nonEmpty && rest.charAt(0) == '{'
+          if (braced) rest = rest.substring(1)
+          var j = 0
+          while (j < rest.length &&
+            (rest.charAt(j).isLetterOrDigit || rest.charAt(j) == '_')) j += 1
+          val name = rest.substring(0, j)
+          var after = rest.substring(j)
+          var ok = name.nonEmpty
+          if (braced) {
+            if (ok && after.startsWith("}")) after = after.substring(1)
+            else ok = false
+          }
+          if (!ok) sb.append('$') // raw `$`; t unchanged — re-scan rest
+          else { group(name).foreach(sb.append(_)); t = after }
+        }
+      }
+    }
+    sb.toString
+  }
+
   /** Go `strconv.FormatFloat(v, 'f', -1, 64)` for count_values label
     * values (`promql/engine.go:1269-1274`). */
   val formatFloatUdf: UserDefinedFunction = udf((v: Double) => goFormatFloat(v))

@@ -1117,6 +1117,43 @@ eval instant at 50m histogram_quantile(0.8, rate(testhistogram_bucket[5m]))
 """)
   }
 
+  test("label_replace expands templates like Go regexp.Expand") {
+    run("""
+load 5m
+  lr{src="source-value-10", dst="original"} 0
+
+# out-of-range capture group expands to EMPTY (regexp.ExpandString,
+# functions.go:806) and an empty result REMOVES dst — Java's
+# replaceFirst would throw IndexOutOfBounds here
+eval instant at 0m label_replace(lr, "dst", "$5", "src", "source-value-(.*)")
+  lr{src="source-value-10"} 0
+
+# $$ is a literal dollar
+eval instant at 0m label_replace(lr, "dst", "$$", "src", ".*")
+  lr{src="source-value-10", dst="$"} 0
+
+# $1x parses as the (absent) NAMED group "1x" -> empty -> dst removed
+eval instant at 0m label_replace(lr, "dst", "$1x", "src", "source-value-(.*)")
+  lr{src="source-value-10"} 0
+
+# ${1}x pins the group explicitly
+eval instant at 0m label_replace(lr, "dst", "${1}x", "src", "source-value-(.*)")
+  lr{src="source-value-10", dst="10x"} 0
+
+# a trailing $ with no name stays raw text
+eval instant at 0m label_replace(lr, "dst", "x$", "src", ".*")
+  lr{src="source-value-10", dst="x$"} 0
+
+# leading-zero "group" is a named lookup, not index 5 -> empty -> drop
+eval instant at 0m label_replace(lr, "dst", "$05", "src", "source-value-(.*)")
+  lr{src="source-value-10"} 0
+
+# non-participating alternation branch expands empty -> dst removed
+eval instant at 0m label_replace(lr, "dst", "$2", "src", "(source)-value-10|(zzz)")
+  lr{src="source-value-10"} 0
+""")
+  }
+
   test("upstream literals.test slice: number forms") {
     run("""
 load 5m
