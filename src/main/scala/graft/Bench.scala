@@ -13,6 +13,57 @@ import org.apache.spark.sql.SparkSession
   * put 3.5s on a2_avg whose steady state is 0.7s). The total is the
   * sum of best-warm times; `cold_sec` carries the first-run sum.
   */
+/** Renders the one-line bench JSON. Factored out of [[Bench]] so a
+  * unit test can pin the line length below the driver's ~2000-char
+  * stdout tail window without running Spark.
+  */
+object BenchFormat {
+  /** Shortest-unique underscore-token prefix per query name:
+    * `a1_sum` → `a1`, but `f1_rate`/`f1_delta` keep their second token
+    * because `f1` alone would collide. Deterministic given the name
+    * set; the full mapping is recoverable from bench_full.json.
+    */
+  def shortKeys(names: Seq[String]): Map[String, String] = {
+    names.map { n =>
+      val toks = n.split('_')
+      val cand = (1 to toks.length).iterator
+        .map(k => toks.take(k).mkString("_"))
+        .find(c => !names.exists(m =>
+          m != n && m.split('_').take(c.count(_ == '_') + 1)
+            .mkString("_") == c))
+        .getOrElse(n)
+      n -> cand
+    }.toMap
+  }
+  private def r2(d: Double): String =
+    "%.2f".formatLocal(java.util.Locale.ROOT, d)
+  private def r3(d: Double): String =
+    "%.3f".formatLocal(java.util.Locale.ROOT, d)
+
+  /** The driver-contract stdout line: abbreviated keys, centisecond
+    * values. < 1800 chars for the current query set (unit-asserted).
+    */
+  def line(results: Seq[(String, Double, Double)], coldTotal: Double,
+      qps: Double, mixedQps: Double, sfNum: String): String = {
+    val short = shortKeys(results.map(_._1))
+    val qs = results.map { case (k, _, w) => "\"" + short(k) + "\":" + r2(w) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._3).sum
+    s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"cold_sec":${r2(coldTotal)},"instant_qps":${r2(qps)},"mixed_qps":${r2(mixedQps)},"sf":$sfNum}"""
+  }
+
+  /** Full-name, ms-precision record (per-query cold AND warm) written
+    * beside the build as bench_full.json. */
+  def fullJson(results: Seq[(String, Double, Double)], coldTotal: Double,
+      qps: Double, mixedQps: Double, sfNum: String): String = {
+    val qs = results.map { case (k, c, w) =>
+      "\"" + k + "\":{\"warm\":" + r3(w) + ",\"cold\":" + r3(c) + "}"
+    }.mkString("{", ",", "}")
+    val total = results.map(_._3).sum
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_sec":${r3(coldTotal)},"instant_qps":${r3(qps)},"mixed_qps":${r3(mixedQps)},"sf":$sfNum}"""
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -87,17 +138,24 @@ object Bench {
     runQps(0, windowSec = 3)
     val qps = runQps(0)
     val mixedQps = runQps(2)
-    // ms precision keeps the ONE JSON line short enough to survive
-    // tail-window capture of stdout (~4 KB): full-precision doubles for
-    // 70+ queries pushed the line past the window and truncated its head
-    def r3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
-    val qs = results.map { case (k, _, w) => "\"" + k + "\":" + r3(w) }
-      .mkString("{", ",", "}")
     val total = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_sec":${r3(coldTotal)},"instant_qps":${r3(qps)},"mixed_qps":${r3(mixedQps)},"sf":$sfNum}""")
+    // The driver captures only the LAST ~2000 chars of stdout: the
+    // r2/r3 lines (full names, ms precision, 100+ queries) overran the
+    // window, truncating the line's HEAD — the driver recorded
+    // `parsed: null` both rounds. The stdout line therefore uses
+    // shortest-unique key abbreviations and centisecond values
+    // (BenchFormat guarantees < 1800 chars); the full-name
+    // full-precision map goes to bench_full.json beside the build.
+    val line = BenchFormat.line(results, coldTotal, qps, mixedQps, sfNum)
+    val full = BenchFormat.fullJson(results, coldTotal, qps, mixedQps, sfNum)
+    try {
+      val p = java.nio.file.Paths.get("bench_full.json")
+      java.nio.file.Files.write(p, full.getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // stdout line is the contract
+    println(line)
     spark.stop()
   }
 }
