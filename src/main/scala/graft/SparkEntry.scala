@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.exec.PromQLEngine
 import graft.llm.{AnnWitness, Dedup, Multimodal, Similarity, TextOps}
 import graft.model.Samples
+import graft.storage.Ingest
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB oracle in `oracleSql` where the
@@ -111,6 +112,32 @@ object SparkEntry {
         out
       })
 
+  /** Series-bucketed store table ([[graft.storage.Ingest.writeBucketedStore]]
+    * layout: `date` partitions × `sig` buckets, stored sig column),
+    * built ONCE per (session, fixture dir) through the full ingest path
+    * (canonical dedup included — the fixture has no duplicate
+    * (series, ms) rows, so dedup is the identity and the raw-events
+    * oracle stays exact). Build cost is ingest cost, not query cost;
+    * the s10 entry queries it through the engine, whose per-series
+    * groupings then inherit the scan's bucket partitioning and plan
+    * ZERO sample-volume shuffles (PlanShapeSpec asserts the shape). */
+  private val bucketedStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def bucketedStore(spark: SparkSession, dir: String): DataFrame =
+    bucketedStoreCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}:$dir",
+      _ => {
+        val table = "graft_bucketed_" +
+          java.lang.Long.toHexString(System.nanoTime())
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-bucketed").toString
+        Ingest.writeBucketedStore(
+          Samples.fromEventsDir(spark, dir)
+            .withColumn("stale", lit(false)),
+          table, path)
+        Ingest.readBucketedStore(spark, table)
+      })
+
   /** Run a PromQL range query on the standard grid and project the label
     * keys to top-level columns (driver compares by column name).
     *
@@ -206,6 +233,18 @@ object SparkEntry {
           sum(col("sum")).cast("float").as("sum_v"))
         .select(col("event_type"), col("day").as("t"), col("n"),
           col("sum_v"))),
+    // S10: the series-bucketed storage tier end-to-end — the SAME
+    // engine range query as p3, but over Ingest.writeBucketedStore's
+    // layout: the stored sig column + bucketed scan make every
+    // per-series grouping exchange-free (the 100 TB plan shape;
+    // PlanShapeSpec pins it). Oracle identical to p3's: the store is
+    // a layout change, never a semantics change.
+    "s10_bucketed_store" -> ((spark, dir) => {
+      val eng = new PromQLEngine(spark, bucketedStore(spark, dir))
+      eng.rangeQuery("count_over_time(events_value[1d])", START, END, DAY)
+        .select(col("labels")("event_type").as("event_type"),
+          col("labels")("user_id").as("user_id"), col("t"), col("v"))
+    }),
     // P4: offset modifier
     "p4_offset" -> prom(
       "sum by (event_type) (count_over_time(events_value[1d] offset 1d))",
@@ -700,6 +739,11 @@ object SparkEntry {
          |$S, ${lookbackSql()}
          |SELECT event_type, user_id, t, v FROM sel""".stripMargin,
     "p3_range_count" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)}
+         |SELECT event_type, user_id, t, CAST(count(*) AS DOUBLE) AS v
+         |FROM w GROUP BY 1, 2, 3""".stripMargin,
+    // the bucketed store is a LAYOUT change: same query, same oracle
+    "s10_bucketed_store" ->
       s"""WITH $STEPS, $S, ${windowSql(DAY)}
          |SELECT event_type, user_id, t, CAST(count(*) AS DOUBLE) AS v
          |FROM w GROUP BY 1, 2, 3""".stripMargin,

@@ -48,6 +48,19 @@ class PromQLEngine(
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.plans.IntDivPushdown
 
+  /** True when the samples table carries a precomputed `sig` column —
+    * the bucketed storage tier ([[graft.storage.Ingest.writeBucketedStore]]
+    * stores `sigExpr(labels)` at write time and buckets the table on
+    * it). Selectors then key by the STORED column: the scan's
+    * `HashPartitioning(sig, n)` satisfies every per-series grouping
+    * downstream, so the sample-volume shuffle vanishes from range-query
+    * plans (asserted in PlanShapeSpec). Recomputing the hash here would
+    * sever that lineage — Catalyst cannot prove `xxhash64(...)` equal
+    * to the stored attribute. */
+  private val storedSig = samples.columns.contains(SIG)
+  private def sigCol: Column =
+    if (storedSig) col(SIG) else Samples.sigExpr(col(L))
+
   /** Evaluation grid: instant = single step. */
   case class EvalRange(startMs: Long, endMs: Long, stepMs: Long) {
     require(stepMs > 0, "zero or negative query resolution step")
@@ -177,7 +190,8 @@ class PromQLEngine(
     val base = unstale
       .filter(ms.map(matcherCond).reduce(_ && _))
       .filter(col(T) >= tr.startMs - o - windowMs && col(T) <= tr.endMs - o)
-      .select(col(L), col(T).as(ST), col(V), staleCol.as("_stale"))
+      .select(sigCol.as(SIG), col(L), col(T).as(ST), col(V),
+        staleCol.as("_stale"))
     // steps covered by a sample at st: step >= st+o  &&  step <= st+o+w
     // (integer form of  step-o-w <= st <= step-o), intersected with the
     // grid and clamped to [start, end].
@@ -193,8 +207,7 @@ class PromQLEngine(
       .withColumn("_f", firstStep).withColumn("_l", lastStep)
       .filter(col("_f") <= col("_l"))
       .withColumn(T, explode(sequence(col("_f"), col("_l"), lit(tr.stepMs))))
-      .select(Samples.sigExpr(col(L)).as(SIG), col(L), col(T), col(ST),
-        col(V), col("_stale"))
+      .select(col(SIG), col(L), col(T), col(ST), col(V), col("_stale"))
   }
 
   /** Instant vector selector: latest sample per series in the lookback
@@ -246,7 +259,7 @@ class PromQLEngine(
         .filter(ms.map(matcherCond).reduce(_ && _))
         .filter(col(T) >= tr.startMs - o - lookbackMs &&
           col(T) <= tr.endMs - o)
-      src.select(Samples.sigExpr(col(L)).as(SIG), col(L),
+      src.select(sigCol.as(SIG), col(L),
         (col(T) - anchor).as("_rel"), col(V), staleCol.as("_st0"))
     }
     val b = bucketCol(step)
@@ -976,7 +989,7 @@ class PromQLEngine(
     unstale
       .filter(ms.map(matcherCond).reduce(_ && _))
       .filter(col(T) >= tr.startMs - o - w && col(T) <= tr.endMs - o)
-      .select(Samples.sigExpr(col(L)).as(SIG), col(L),
+      .select(sigCol.as(SIG), col(L),
         (col(T) - anchor).as("_rel"), col(V))
   }
 

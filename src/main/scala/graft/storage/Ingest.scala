@@ -141,6 +141,45 @@ object Ingest {
     }
   }
 
+  /** Series-bucketed storage tier — the layout that makes the 100 TB
+    * query path shuffle-free. The table is written with Spark bucketing
+    * on a STORED `sig` column (xxhash64 of the canonical labels, the
+    * engine's series identity): a scan of it reports
+    * `HashPartitioning(sig, buckets)`, which satisfies the clustering
+    * requirement of every per-series aggregation downstream — the
+    * engine's windowed selectors and bucketed folds all group on
+    * `(sig, step)` — so the sample-volume exchange (THE dominant cost
+    * of a range query at scale: reshuffling the raw points of every
+    * matched series) disappears from the plan entirely. Filters,
+    * projections and the step-grid explode all preserve the scan's
+    * partitioning, and [[graft.exec.PromQLEngine]] reuses the stored
+    * column instead of recomputing the hash (PlanShapeSpec asserts the
+    * resulting zero-sample-shuffle plan).
+    *
+    * Layout: `date` Hive partitions (time pruning, as [[append]]) ×
+    * `sig` buckets (series distribution); the pre-write repartition
+    * uses the same murmur3 hash family and modulus as the bucket-id
+    * assignment, so each write task holds exactly one bucket → ≤ 1
+    * file per (date, bucket) per append. Within a file, rows sort by
+    * (sig, t) for per-series row-group locality. */
+  def writeBucketedStore(batch: DataFrame, table: String, path: String,
+      buckets: Int = SeriesBuckets, strict: Boolean = false): Unit =
+    dedup(batch, strict)
+      .withColumn("sig", Samples.sigExpr(col("labels")))
+      .withColumn("date", date_format(timestamp_millis(col("t")), "yyyy-MM-dd"))
+      .repartition(buckets, col("sig"))
+      .write.mode("append")
+      .partitionBy("date")
+      .bucketBy(buckets, "sig").sortBy("sig", "t")
+      .option("path", path)
+      .saveAsTable(table)
+
+  /** The bucketed store in the engine's canonical shape (plus the
+    * stored `sig` the engine keys by when present). */
+  def readBucketedStore(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+      .select(col("sig"), col("labels"), col("t"), col("v"), col("stale"))
+
   /** Streaming step-aligned pre-aggregation: a watermarked windowed
     * aggregation maintains one partial row (count/sum/min/max) per
     * (series, bucket) — the same partial shape the query engine's
