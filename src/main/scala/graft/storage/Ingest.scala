@@ -180,6 +180,56 @@ object Ingest {
     spark.table(table)
       .select(col("sig"), col("labels"), col("t"), col("v"), col("stale"))
 
+  /** Compact one `date` partition of the bucketed store: like
+    * [[compact]], every append adds a file per (date, bucket), so a
+    * hot day fragments. `insertInto` routes the rewrite through the
+    * catalog table, so the writer re-applies the table's OWN bucket
+    * spec (datasource-table inserts bucket-hash their output files) —
+    * the scan's `HashPartitioning(sig, n)` contract survives
+    * compaction, it is not a path-based parquet write like [[compact]].
+    * Same single-writer assumption: partition materialized before the
+    * dynamic overwrite. */
+  def compactBucketedStore(spark: SparkSession, table: String,
+      date: String): Unit = {
+    val cols = spark.table(table).columns
+    // the table's own bucket count (public catalog surface): align the
+    // rewrite tasks with bucket ids — repartition and bucket-assignment
+    // share the murmur3 hash family and modulus — so each task emits
+    // exactly its one bucket file
+    val buckets = spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
+      .find(_.getString(0) == "Num Buckets")
+      .map(_.getString(1).trim.toInt).getOrElse(SeriesBuckets)
+    // read with auto-bucketed-scan OFF: otherwise the planner first
+    // deems the repartition redundant against the bucketed scan's
+    // partitioning, THEN DisableUnnecessaryBucketedScan (nothing left
+    // that needs the distribution) reverts the scan to size-based
+    // splits — tasks end up holding mixed buckets and the rewrite
+    // fragments into a file per (task, bucket) again
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAuto = spark.conf.getOption(autoKey)
+    spark.conf.set(autoKey, "false")
+    val part =
+      try spark.table(table)
+        .filter(col("date") === date)
+        .repartition(buckets, col("sig"))
+        .localCheckpoint(true)
+      finally prevAuto match {
+        case Some(v) => spark.conf.set(autoKey, v)
+        case None => spark.conf.unset(autoKey)
+      }
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // insertInto matches columns by POSITION: project in table order
+    try part.select(cols.map(col): _*)
+      .write.mode("overwrite").insertInto(table)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Streaming step-aligned pre-aggregation: a watermarked windowed
     * aggregation maintains one partial row (count/sum/min/max) per
     * (series, bucket) — the same partial shape the query engine's

@@ -102,6 +102,42 @@ class BucketedStoreSpec extends SparkTestBase {
       s"bucketed per-series aggregation must not shuffle:\n$p")
   }
 
+  test("compaction restores one file per bucket and keeps the bucket contract") {
+    val table = "graft_compact_spec_" +
+      java.lang.Long.toHexString(System.nanoTime())
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-compact-spec").toString
+    def batch(off: Int) = samplesDF(
+      (0 until 6).map(i => Map("__name__" -> "m", "i" -> i.toString) ->
+        Seq((off * 1000L, off * 1.0 + i), (off * 1000L + 500, off + 0.5))): _*)
+    Ingest.writeBucketedStore(batch(1), table, dir, buckets = 4)
+    Ingest.writeBucketedStore(batch(2), table, dir, buckets = 4)
+    def rows: Set[(Long, Long, Double)] = spark.table(table)
+      .select(col("sig"), col("t"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def files: Seq[String] = {
+      val d = new java.io.File(s"$dir/date=1970-01-01")
+      d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSeq
+    }
+    val before = rows
+    assert(files.size > 4, s"two appends should fragment: ${files.size} files")
+    Ingest.compactBucketedStore(spark, table, "1970-01-01")
+    assert(rows == before, "compaction must not change the data")
+    assert(files.size <= 4, s"compaction must restore ≤1 file/bucket: $files")
+    // the files must still be bucket-assigned: a shuffle-free per-sig
+    // aggregation (valid only under the bucket contract) must yield
+    // exactly one output row per series — a file in the wrong bucket
+    // would split its group across partitions and duplicate rows here
+    val agg = spark.table(table).groupBy(col("sig"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+    assert(!formatted(agg).contains("Exchange"))
+    val sigs = agg.collect().map(_.getLong(0))
+    assert(sigs.length == sigs.distinct.length,
+      "split groups: compacted files lost their bucket assignment")
+    assert(sigs.length == before.map(_._1).size &&
+      sigs.toSet == before.map(_._1))
+  }
+
   test("engine range query over the store drops the sample-volume shuffle") {
     // comparative: the SAME engine query plans strictly fewer hash
     // exchanges over the store (the windowed (sig, step) fold reads its
