@@ -60,6 +60,15 @@ private final class Parser(toks: Vector[Lexer.Token], input: String = "") {
     next()
   }
 
+  /** Keyword test, case-insensitive like the reference lexer: Go
+    * lowercases the word before the keyword-table lookup
+    * (`promql/lex.go:853`), so `SUM BY (l)`, `OFFSET 5m`, `== BOOL`
+    * all parse. Function names stay case-sensitive — they are not in
+    * the lexer's keyword table, and `getFunction` is an exact map
+    * lookup (`parse.go:765-771`). */
+  private def isKw(t: Token, k: String): Boolean =
+    t.typ == IDENT && t.text.toLowerCase == k
+
   private def isBinOp(t: Token): Boolean = t.typ match {
     case OP => precedence.contains(t.text) && t.text != "=" &&
       t.text != "=~" && t.text != "!~"
@@ -74,34 +83,33 @@ private final class Parser(toks: Vector[Lexer.Token], input: String = "") {
       val op = opText(next())
       // bool modifier (comparisons only)
       var returnBool = false
-      if (cur.typ == IDENT && cur.text == "bool") {
+      if (isKw(cur, "bool")) {
         if (!comparisonOps.contains(op))
           fail("bool modifier can only be used on comparison operators")
         returnBool = true; next()
       }
       // vector matching modifiers
       var matching: Option[VectorMatching] = None
-      if (cur.typ == IDENT &&
-          (cur.text == "on" || cur.text == "ignoring")) {
-        val on = next().text == "on"
+      if (isKw(cur, "on") || isKw(cur, "ignoring")) {
+        val on = next().text.toLowerCase == "on"
         val lbls = parseLabelList()
         var card: Cardinality = if (setOps.contains(op))
           Cardinality.ManyToMany else Cardinality.OneToOne
         var include: Seq[String] = Nil
-        if (cur.typ == IDENT &&
-            (cur.text == "group_left" || cur.text == "group_right")) {
+        if (isKw(cur, "group_left") || isKw(cur, "group_right")) {
           if (setOps.contains(op))
             fail(s"""no grouping allowed for "$op" operation""")
-          card = if (next().text == "group_left") Cardinality.ManyToOne
+          card = if (next().text.toLowerCase == "group_left")
+                   Cardinality.ManyToOne
                  else Cardinality.OneToMany
           if (cur.typ == LPAREN) include = parseLabelList()
         }
         matching = Some(VectorMatching(card, lbls, on, include))
       } else if (setOps.contains(op)) {
         matching = Some(VectorMatching(Cardinality.ManyToMany))
-      } else if (cur.typ == IDENT &&
-          (cur.text == "group_left" || cur.text == "group_right")) {
-        val card = if (next().text == "group_left") Cardinality.ManyToOne
+      } else if (isKw(cur, "group_left") || isKw(cur, "group_right")) {
+        val card = if (next().text.toLowerCase == "group_left")
+                     Cardinality.ManyToOne
                    else Cardinality.OneToMany
         val include =
           if (cur.typ == LPAREN) parseLabelList() else Nil
@@ -142,7 +150,7 @@ private final class Parser(toks: Vector[Lexer.Token], input: String = "") {
         case _ => fail("range specification only allowed on vector selectors")
       }
     }
-    if (cur.typ == IDENT && cur.text == "offset") {
+    if (isKw(cur, "offset")) {
       next()
       val d = expect(DURATION, "duration")
       val off = parseDuration(d.text)
@@ -211,8 +219,8 @@ private final class Parser(toks: Vector[Lexer.Token], input: String = "") {
     var grouping: Seq[String] = Nil
     var without = false
     var modifierSeen = false
-    if (cur.typ == IDENT && (cur.text == "by" || cur.text == "without")) {
-      without = next().text == "without"
+    if (isKw(cur, "by") || isKw(cur, "without")) {
+      without = next().text.toLowerCase == "without"
       grouping = parseLabelList()
       modifierSeen = true
     }
@@ -222,9 +230,8 @@ private final class Parser(toks: Vector[Lexer.Token], input: String = "") {
     while (cur.typ == COMMA) { next(); args += parseExpr(0) }
     expect(RPAREN, "')'")
     // trailing-modifier form: sum(x) by (l)
-    if (!modifierSeen && cur.typ == IDENT &&
-        (cur.text == "by" || cur.text == "without")) {
-      without = next().text == "without"
+    if (!modifierSeen && (isKw(cur, "by") || isKw(cur, "without"))) {
+      without = next().text.toLowerCase == "without"
       grouping = parseLabelList()
     }
     val (param, body) =

@@ -157,4 +157,22 @@ class ParserSpec extends AnyFunSuite {
   test("function name used as metric name parses as selector") {
     assert(parse("rate") == VectorSelector(Some("rate"), Nil))
   }
+
+  test("keywords are case-insensitive, function names are not") {
+    // the reference lexer lowercases before its keyword lookup
+    // (lex.go:853): aggregators and modifiers parse in any case
+    assert(parse("SUM BY (l) (foo)") == parse("sum by (l) (foo)"))
+    assert(parse("foo OFFSET 5m") == parse("foo offset 5m"))
+    assert(parse("foo == BOOL bar") == parse("foo == bool bar"))
+    assert(parse("foo AND On (l) bar") == parse("foo and on (l) bar"))
+    assert(parse("foo / IGNORING (l) GROUP_LEFT bar") ==
+      parse("foo / ignoring (l) group_left bar"))
+    assert(parse("sum WITHOUT (l) (foo)") == parse("sum without (l) (foo)"))
+    // functions are NOT keywords: getFunction is an exact map lookup
+    // (parse.go:765-771), so a cased call is an unknown function...
+    assert(intercept[ParseException](parse("Rate(foo[5m])")).msg
+      .contains("""unknown function with name "Rate""""))
+    // ...and a cased bare function name is just a metric selector
+    assert(parse("Rate") == VectorSelector(Some("Rate"), Nil))
+  }
 }

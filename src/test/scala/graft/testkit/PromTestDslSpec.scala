@@ -1289,4 +1289,77 @@ eval instant at 50m count_values("version", http_requests)
   {version="600"} 1
 """)
   }
+
+  test("upstream aggregators.test slice: by/without over the full fixture") {
+    run("""
+load 5m
+  http_requests{job="api-server", instance="0", group="production"} 0+10x10
+  http_requests{job="api-server", instance="1", group="production"} 0+20x10
+  http_requests{job="api-server", instance="0", group="canary"} 0+30x10
+  http_requests{job="api-server", instance="1", group="canary"} 0+40x10
+  http_requests{job="app-server", instance="0", group="production"} 0+50x10
+  http_requests{job="app-server", instance="1", group="production"} 0+60x10
+  http_requests{job="app-server", instance="0", group="canary"} 0+70x10
+  http_requests{job="app-server", instance="1", group="canary"} 0+80x10
+
+# aggregation keywords are case-insensitive (lex.go:853 lowercases
+# before the keyword lookup), and parens nest freely
+eval instant at 50m SUM BY (group) (http_requests{job="api-server"})
+  {group="canary"} 700
+  {group="production"} 300
+
+eval instant at 50m sum by (group) (((http_requests{job="api-server"})))
+  {group="canary"} 700
+  {group="production"} 300
+
+eval instant at 50m sum without (instance) (http_requests{job="api-server"})
+  {group="canary", job="api-server"} 700
+  {group="production", job="api-server"} 300
+
+eval instant at 50m avg by (group) (http_requests{job="api-server"})
+  {group="canary"} 350
+  {group="production"} 150
+
+eval instant at 50m count by (group) (http_requests{job="api-server"})
+  {group="canary"} 2
+  {group="production"} 2
+
+eval instant at 50m min by (group) (http_requests{job="api-server"})
+  {group="canary"} 300
+  {group="production"} 100
+
+eval instant at 50m max by (group) (http_requests{job="api-server"})
+  {group="canary"} 400
+  {group="production"} 200
+
+# population stddev/stdvar over all 8 series: mean 450, Σd²/8 = 52500
+eval instant at 50m stddev(http_requests)
+  {} 229.12878474779
+eval instant at 50m stdvar(http_requests)
+  {} 52500
+
+# topk/bottomk keep the full original series labels incl. the name
+eval instant at 50m topk(3, http_requests)
+  http_requests{group="canary", instance="1", job="app-server"} 800
+  http_requests{group="canary", instance="0", job="app-server"} 700
+  http_requests{group="production", instance="1", job="app-server"} 600
+
+eval instant at 50m topk by (group) (1, http_requests)
+  http_requests{group="canary", instance="1", job="app-server"} 800
+  http_requests{group="production", instance="1", job="app-server"} 600
+
+eval instant at 50m bottomk(3, http_requests)
+  http_requests{group="production", instance="0", job="api-server"} 100
+  http_requests{group="production", instance="1", job="api-server"} 200
+  http_requests{group="canary", instance="0", job="api-server"} 300
+
+# exact interpolated quantile: rank 0.9*(4-1)=2.7 within each job
+eval instant at 50m quantile by (job) (0.9, http_requests)
+  {job="api-server"} 370
+  {job="app-server"} 770
+
+# aggregating a nonexistent metric yields an empty vector
+eval instant at 50m sum(nonexistent)
+""")
+  }
 }
