@@ -1362,4 +1362,63 @@ eval instant at 50m quantile by (job) (0.9, http_requests)
 eval instant at 50m sum(nonexistent)
 """)
   }
+
+  test("upstream functions.test slice: date functions on pinned epochs") {
+    run("""
+load 5m
+  metric 1454284800
+  labeled{l="x"} 1454284800
+
+# 1454284800 = 2016-02-01T00:00:00Z, a Monday in a leap-year February;
+# the functions read the VALUE as epoch seconds (functions.go:886-895)
+eval instant at 0m year(metric)
+  {} 2016
+
+eval instant at 0m month(metric)
+  {} 2
+
+eval instant at 0m day_of_month(metric)
+  {} 1
+
+# Sunday = 0 convention: Monday is 1
+eval instant at 0m day_of_week(metric)
+  {} 1
+
+eval instant at 0m hour(metric)
+  {} 0
+
+eval instant at 0m minute(metric)
+  {} 0
+
+eval instant at 0m days_in_month(metric)
+  {} 29
+
+# non-leap February
+eval instant at 0m days_in_month(vector(1422748800))
+  {} 28
+
+# 31- and 30-day months (2016-01-01, 2016-04-01)
+eval instant at 0m days_in_month(vector(1451606400))
+  {} 31
+
+eval instant at 0m days_in_month(vector(1459468800))
+  {} 30
+
+# labels survive, the metric name does not
+eval instant at 0m month(labeled)
+  {l="x"} 2
+
+# zero-arg forms read the evaluation time
+eval instant at 0m month()
+  {} 1
+
+eval instant at 0m day_of_week()
+  {} 4
+
+# fractional epochs floor toward the earlier second (Go time.Unix
+# truncation on the int64 cast)
+eval instant at 0m minute(vector(59.8))
+  {} 0
+""")
+  }
 }
