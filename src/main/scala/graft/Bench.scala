@@ -3,15 +3,18 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line with per-query seconds.
   *
-  * Each query runs three times and reports the best of the two WARM
-  * runs: a 29-step range query has a ~0.5s Spark job-scheduling floor
-  * when cold, which swamps the plan cost being measured (the round-1
-  * numbers were overhead-dominated for 21 of 49 queries), and a single
-  * warm run still absorbs one-off costs that are not the plan's —
-  * codegen compilation and the lazily-materialized adapter cache land
-  * on whichever query touches them first (round-2's second-run numbers
-  * put 3.5s on a2_avg whose steady state is 0.7s). The total is the
-  * sum of best-warm times; `cold_sec` carries the first-run sum.
+  * Each query runs once cold plus three warm, reporting the warm
+  * MEDIAN: a 29-step range query has a ~0.5s Spark job-scheduling
+  * floor when cold, which swamps the plan cost being measured (the
+  * round-1 numbers were overhead-dominated for 21 of 49 queries); a
+  * single warm run still absorbs one-off costs that are not the
+  * plan's — codegen compilation and the lazily-materialized adapter
+  * cache land on whichever query touches them first (round-2's
+  * second-run numbers put 3.5s on a2_avg whose steady state is 0.7s);
+  * and best-of-two still let one GC/compaction collision shift a
+  * sub-second query 2-3× (round-3's g2_floor read 2.5s against an
+  * identical-plan 0.8s twin). The total is the sum of warm medians;
+  * `cold_sec` carries the first-run sum.
   */
 /** Renders the one-line bench JSON. Factored out of [[Bench]] so a
   * unit test can pin the line length below the driver's ~2000-char
@@ -136,8 +139,12 @@ object Bench {
     // round reads 2× slower than the same load re-run) — without it
     // the light-only and mixed figures are not comparable
     runQps(0, windowSec = 3)
-    val qps = runQps(0)
-    val mixedQps = runQps(2)
+    // best of two windows: throughput CAPACITY is the quantity of
+    // interest, and a single 5 s window can lose half its budget to
+    // one GC/JIT stall (observed: a light-only window reading 21 q/s
+    // while the HEAVIER mixed window right after it read 44)
+    val qps = math.max(runQps(0), runQps(0))
+    val mixedQps = math.max(runQps(2), runQps(2))
     val total = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
