@@ -1421,4 +1421,34 @@ eval instant at 0m minute(vector(59.8))
   {} 0
 """)
   }
+
+  test("upstream staleness.test slice: lookback expiry boundary") {
+    run("""
+load 10s
+  metric 0 1 stale 2
+
+eval instant at 0s metric
+  metric 0
+
+eval instant at 10s metric
+  metric 1
+
+# the marker at 20s hides the series without resurrecting older points
+eval instant at 20s metric
+
+eval instant at 30s metric
+  metric 2
+
+eval instant at 40s metric
+  metric 2
+
+# the last point stays selectable through the CLOSED 5-minute
+# lookback window (engine.go:789-806 selects st >= t - 300000)...
+eval instant at 330s metric
+  metric 2
+
+# ...and expires one second past it
+eval instant at 331s metric
+""")
+  }
 }
