@@ -86,6 +86,9 @@ object SparkEntry {
           lit("event_type"), col("labels")("event_type"),
           lit("le"), col("b.le")).as("labels"),
         col("t"), col("b.ind").as("v"))
+      // precomputed stored sig, same contract as fromEventsDir: the
+      // engine keys by it instead of re-hashing per query
+      .withColumn("sig", Samples.sigExpr(col("labels")))
   }
 
   /** Hourly per-series partials parquet — the batch twin of

@@ -152,13 +152,22 @@ object Samples {
     * serves reads from its in-memory TSDB head block — one cached
     * normalized frame per table is the faithful analogue (the fixture
     * tables are small; a production deployment would bound this to the
-    * hot head window the way `Ingest`'s date partitions do). */
+    * hot head window the way `Ingest`'s date partitions do).
+    *
+    * The series signature is computed ONCE here and cached as a
+    * column: the canonical-string hash (entries sort + string build +
+    * xxhash64 per row) was the dominant per-row compute of every
+    * selector query — the engine reuses a stored `sig` instead of
+    * recomputing it (the same contract the bucketed store tier uses,
+    * where it additionally carries the scan's partitioning). */
   def fromEventsDir(spark: SparkSession, sfDir: String): DataFrame =
     eventsCache.computeIfAbsent(
       s"${System.identityHashCode(spark)}:$sfDir",
       _ => {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        fromEvents(spark.read.parquet(s"$sfDir/events.parquet")).cache()
+        fromEvents(spark.read.parquet(s"$sfDir/events.parquet"))
+          .withColumn("sig", sigExpr(col("labels")))
+          .cache()
       })
 
   /** Batch source for the write wire format (one JSON object per line:

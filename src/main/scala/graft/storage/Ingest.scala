@@ -85,13 +85,19 @@ object Ingest {
     guarded.select(col("labels"), col("t"), col("v"), col("stale"))
   }
 
-  /** Append one batch to the date-partitioned table. */
+  /** Append one batch to the date-partitioned table. The series
+    * signature is STORED (8 B/row raw, near-zero encoded — constant
+    * per series within a bucket file): the engine keys selectors by a
+    * stored `sig` instead of re-hashing the canonical labels per
+    * query, which profiling showed was the dominant per-row compute
+    * of every selector over a sig-less table. */
   def append(batch: DataFrame, path: String, strict: Boolean = false): Unit =
     dedup(batch, strict)
+      .withColumn("sig", Samples.sigExpr(col("labels")))
       .withColumn("date", date_format(timestamp_millis(col("t")), "yyyy-MM-dd"))
       // co-locate each series' day into one bucket → bounded file count
       // and mergeable row groups per series
-      .repartition(col("date"), pmod(Samples.sigExpr(col("labels")), lit(SeriesBuckets)))
+      .repartition(col("date"), pmod(col("sig"), lit(SeriesBuckets)))
       .write.mode("append").partitionBy("date").parquet(path)
 
   /** Structured Streaming ingest: micro-batches through [[append]] —
@@ -107,10 +113,17 @@ object Ingest {
       .start()
 
   /** Read the table back in the engine's canonical shape (with the
-    * `stale` column the engine's selector filters on — P5). Time
-    * predicates prune `date` partitions. */
-  def readTable(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).select(col("labels"), col("t"), col("v"), col("stale"))
+    * `stale` column the engine's selector filters on — P5, and the
+    * stored `sig` when the layout carries one). Time predicates prune
+    * `date` partitions. */
+  def readTable(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val base = Seq(col("labels"), col("t"), col("v"), col("stale"))
+    // pre-sig layouts: older tables lack the column; selecting it
+    // would surface nulls, so fall back to per-query computation
+    if (df.columns.contains("sig")) df.select(col("sig") +: base: _*)
+    else df.select(base: _*)
+  }
 
   /** Compact one `date` partition: every [[append]] adds up to
     * [[SeriesBuckets]] files, so a day receiving thousands of write
@@ -126,10 +139,18 @@ object Ingest {
     * single-writer semantics here match the reference's background
     * compactor, which also assumes no concurrent writer per block. */
   def compact(spark: SparkSession, path: String, date: String): Unit = {
-    val part = spark.read.parquet(path)
-      .filter(col("date") === date)
-      .select(col("labels"), col("t"), col("v"), col("stale"))
-      .repartition(pmod(Samples.sigExpr(col("labels")), lit(SeriesBuckets)))
+    val raw = spark.read.parquet(path).filter(col("date") === date)
+    // preserve the stored sig across the rewrite (a mixed layout would
+    // surface nulls through readTable's sig projection); pre-sig
+    // layouts compact as they were written
+    val hasSig = raw.columns.contains("sig")
+    val sigCol =
+      if (hasSig) col("sig") else Samples.sigExpr(col("labels"))
+    val cols = (if (hasSig) Seq(col("sig")) else Nil) ++
+      Seq(col("labels"), col("t"), col("v"), col("stale"))
+    val part = raw
+      .select(cols: _*)
+      .repartition(pmod(sigCol, lit(SeriesBuckets)))
       .localCheckpoint(true)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -49,8 +49,8 @@ class IngestSpec extends SparkTestBase {
     Ingest.append(batch, path) // lenient: conflict resolves to min
     val rows = Ingest.readTable(spark, path).orderBy("t").collect()
     assert(rows.length == 2)
-    assert(rows(0).getDouble(2) == 5.0)
-    assert(rows(1).getDouble(2) == 1.0) // deterministic min
+    assert(rows(0).getAs[Double]("v") == 5.0)
+    assert(rows(1).getAs[Double]("v") == 1.0) // deterministic min
     // strict mode raises ErrAmendSample-style error
     val ex = intercept[Exception] {
       Ingest.append(batch, tmp("ingest-strict"), strict = true)
@@ -101,8 +101,8 @@ class IngestSpec extends SparkTestBase {
       d.listFiles().count(_.getName.endsWith(".parquet"))
     }
     val before = Ingest.readTable(spark, path).collect()
-      .map(r => (r.getMap[String, String](0).toMap, r.getLong(1),
-        r.getDouble(2), r.getBoolean(3))).toSet
+      .map(r => (r.getAs[Map[String, String]]("labels"), r.getAs[Long]("t"),
+        r.getAs[Double]("v"), r.getAs[Boolean]("stale"))).toSet
     // every append commits at least one new file, so the day holds ≥ 8
     // (with test-sized shuffle parallelism: exactly one per append)
     val fragmented = files("1970-01-01")
@@ -113,8 +113,8 @@ class IngestSpec extends SparkTestBase {
     assert(compacted < fragmented && compacted <= Ingest.SeriesBuckets,
       s"expected fewer, bucketed files; $fragmented -> $compacted")
     val after = Ingest.readTable(spark, path).collect()
-      .map(r => (r.getMap[String, String](0).toMap, r.getLong(1),
-        r.getDouble(2), r.getBoolean(3))).toSet
+      .map(r => (r.getAs[Map[String, String]]("labels"), r.getAs[Long]("t"),
+        r.getAs[Double]("v"), r.getAs[Boolean]("stale"))).toSet
     assert(after == before)
   }
 
@@ -169,8 +169,8 @@ class IngestSpec extends SparkTestBase {
     val df = graft.model.Samples.fromJsonLines(spark, dir)
     val rows = df.orderBy("t").collect()
     assert(rows.length == 4)
-    assert(rows.exists(r => r.getDouble(2) == 1.5))
-    assert(rows.exists(r => r.getDouble(2).isPosInfinity))
+    assert(rows.exists(r => r.getAs[Double]("v") == 1.5))
+    assert(rows.exists(r => r.getAs[Double]("v").isPosInfinity))
     assert(df.filter(col("stale")).count() == 1)
     // engine query over the parsed source: stale series hidden
     val e = new PromQLEngine(spark, df)
