@@ -202,6 +202,35 @@ class PlanShapeSpec extends SparkTestBase {
       s"aggregate branch must prune the position column:\n$aggExchange")
   }
 
+  test("selector queries reuse the STORED sig — no per-query label hashing") {
+    // the canonical-string hash (entries sort + string build + xxhash64
+    // per row) was the dominant per-row compute of every selector; it
+    // now runs ONCE at cache fill / ingest, and query plans consume the
+    // stored column. The cache-fill projection lives INSIDE the
+    // InMemoryRelation leaf, so the query-side optimized plan must be
+    // hash-free.
+    import org.apache.spark.sql.catalyst.expressions.XxHash64
+    val samples = graft.model.Samples.fromEventsDir(spark, sf)
+    assert(samples.columns.contains("sig"), "events cache must store sig")
+    val engine = new graft.exec.PromQLEngine(spark, samples)
+    // plain selector + fold queries: their plans touch the FULL sample
+    // volume, so any hash there is per-sample. (by-form aggregations DO
+    // re-hash their transformed label groups — that runs on the already
+    // reduced series×steps volume and is by design.)
+    for (df <- Seq(
+        engine.instant("events_value", 1704240000000L),
+        engine.rangeQuery("count_over_time(events_value[1d])",
+          1704153600000L, 1704412800000L, 86400000L))) {
+      val opt = df.queryExecution.optimizedPlan
+      val hashed = opt.collect {
+        case n if n.expressions.exists(
+          _.exists(_.isInstanceOf[XxHash64])) => n.nodeName
+      }
+      assert(hashed.isEmpty,
+        s"per-query plan recomputes the series hash in: $hashed")
+    }
+  }
+
   test("p8_bucketed_range reads ONLY the partials table, never raw events") {
     val p = plan("p8_bucketed_range")
     // the whole point of the materialized-partials path: the plan scans
