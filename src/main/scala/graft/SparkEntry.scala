@@ -7,6 +7,7 @@ import graft.exec.PromQLEngine
 import graft.llm.{AnnWitness, Dedup, Multimodal, Similarity, TextOps}
 import graft.model.Samples
 import graft.storage.Ingest
+import graft.streaming.RecordingRules
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB oracle in `oracleSql` where the
@@ -141,6 +142,33 @@ object SparkEntry {
         Ingest.readBucketedStore(spark, table)
       })
 
+  /** A store with the daily recording rule evaluated over it
+    * ([[graft.streaming.RecordingRules]]), built ONCE per
+    * (session, fixture dir): events ingested through the standard
+    * append path, then one event-time-driven rule pass records
+    * `type:events:count1d` back into the same table. The r1 entry
+    * reads the RECORDED series — the oracle is the underlying
+    * aggregation's SQL, so the whole record-and-read-back loop is
+    * hash-checked. */
+  private val rulesStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def recordedRulesPath(spark: SparkSession, dir: String): String =
+    rulesStoreCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}:$dir",
+      _ => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-rules").toString
+        Ingest.append(
+          Samples.fromEventsDir(spark, dir).withColumn("stale", lit(false)),
+          path)
+        RecordingRules.evalGroup(spark, path,
+          RecordingRules.Group(DAY, Seq(RecordingRules.Rule(
+            "type:events:count1d",
+            "sum by (event_type) (count_over_time(events_value[1d]))",
+            Map("rule" -> "daily")))))
+        path
+      })
+
   /** Run a PromQL range query on the standard grid and project the label
     * keys to top-level columns (driver compares by column name).
     *
@@ -247,6 +275,22 @@ object SparkEntry {
       eng.rangeQuery("count_over_time(events_value[1d])", START, END, DAY)
         .select(col("labels")("event_type").as("event_type"),
           col("labels")("user_id").as("user_id"), col("t"), col("v"))
+    }),
+    // R1: recording rules — evaluate a rule group over the ingested
+    // store (event-time grid), record renamed series back into it, and
+    // read the recorded rows. The grid the rule derives from the data
+    // covers [START, END]; the projection pins exactly that window so
+    // the oracle grid matches at every sf. Markers (stale=true) are
+    // rule OUTPUT state, not values — excluded like any stale row.
+    "r1_recording_rule" -> ((spark, dir) => {
+      val path = recordedRulesPath(spark, dir)
+      Ingest.readTable(spark, path)
+        .filter(col("labels")("__name__") === "type:events:count1d" &&
+          !col("stale") && col("t").between(START, END))
+        .select(col("labels")("__name__").as("name"),
+          col("labels")("rule").as("rule"),
+          col("labels")("event_type").as("event_type"),
+          col("t"), col("v"))
     }),
     // P4: offset modifier
     "p4_offset" -> prom(
@@ -750,6 +794,13 @@ object SparkEntry {
       s"""WITH $STEPS, $S, ${windowSql(DAY)}
          |SELECT event_type, user_id, t, CAST(count(*) AS DOUBLE) AS v
          |FROM w GROUP BY 1, 2, 3""".stripMargin,
+    // the recorded series carries the rule's renamed labels; its values
+    // are the underlying aggregation's, read back from the store
+    "r1_recording_rule" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)}
+         |SELECT 'type:events:count1d' AS name, 'daily' AS rule,
+         |  event_type, t, CAST(count(*) AS DOUBLE) AS v
+         |FROM w GROUP BY 3, 4""".stripMargin,
     "p7_fine_grid" ->
       s"""WITH fs AS (SELECT unnest(generate_series(${START + 9 * DAY},
          |            ${START + 10 * DAY}, 300000)) AS t),

@@ -1,0 +1,193 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.exec.PromQLEngine
+import graft.storage.Ingest
+
+/** Recording rules: precomputed PromQL results written back to the
+  * store as first-class series — the standard Prometheus mechanism for
+  * making expensive aggregations cheap to query. The reference engine
+  * has no rule evaluator (timbala serves raw queries only), so this is
+  * an extension, but its SEMANTICS follow the public Prometheus rule
+  * contract:
+  *
+  *  - a rule is `record: <name>  expr: <promql>  labels: {...}`; rules
+  *    evaluate in groups at a fixed interval, sequentially within a
+  *    group, so a later rule can read an earlier rule's output;
+  *  - the result keeps the expression's labels, then `__name__` is set
+  *    to the record name and the rule's labels overwrite on collision;
+  *  - a series that was present at the previous evaluation and absent
+  *    at this one gets a STALENESS MARKER, so instant queries stop
+  *    returning it immediately instead of resurrecting the last value
+  *    for a full lookback window (the same marker-hides-series
+  *    semantics the engine applies to scraped series,
+  *    `vendor/.../promql/engine.go:789-798`, `pkg/value/value.go:20-34`
+  *    — here carried by the store's `stale` flag, since raw NaN bits
+  *    do not survive Tungsten).
+  *
+  * Spark-first shape: evaluation is EVENT-TIME driven, not wall-clock —
+  * each pass evaluates exactly the interval-aligned steps the ingested
+  * data has covered since the last recorded step. That makes results
+  * deterministic (a replayed micro-batch recomputes identical rows and
+  * the resume point, derived from the recorded data itself, skips
+  * them), makes catch-up after downtime automatic, and composes with
+  * [[Ingest.stream]]'s at-least-once micro-batching.
+  *
+  * Scale: one evaluation touches (a) the rule's query over
+  * `[lo − window, hi]` — date-partition-pruned like any engine query;
+  * (b) resume-point discovery over the trailing
+  * `maxBackfillSteps × interval` window — date-pruned by the same
+  * bound, NEVER a full-history scan; (c) an append of series × steps
+  * rows. A rule added over deep history starts `maxBackfillSteps`
+  * behind the newest sample rather than backfilling years (Prometheus
+  * likewise starts at "now").
+  */
+object RecordingRules {
+
+  /** One rule: evaluate `expr`, record the result as `record`, with
+    * `labels` overlaid on the result's label sets. */
+  case class Rule(record: String, expr: String,
+      labels: Map[String, String] = Map.empty)
+
+  /** A rule group: shared evaluation interval, sequential rule order.
+    * `maxBackfillSteps` bounds how far behind the newest sample an
+    * evaluation pass may reach (backfill cap AND the bound that keeps
+    * resume-point discovery date-pruned). */
+  case class Group(intervalMs: Long, rules: Seq[Rule],
+      maxBackfillSteps: Int = 256) {
+    require(intervalMs > 0, "rule group interval must be positive")
+    require(maxBackfillSteps > 0 && maxBackfillSteps <= 10000,
+      "maxBackfillSteps must be in [1, 10000]")
+  }
+
+  /** Evaluate one rule over the aligned step grid `[startMs, endMs]`
+    * and return rows in the store's canonical sample shape (labels
+    * renamed, `stale` = false). Pure query — no writes. */
+  def evalRule(spark: SparkSession, samples: DataFrame, rule: Rule,
+      startMs: Long, endMs: Long, stepMs: Long): DataFrame =
+    rename(new PromQLEngine(spark, samples)
+      .rangeQuery(rule.expr, startMs, endMs, stepMs), rule)
+
+  /** `__name__` := record; rule labels overwrite result labels (the
+    * public rule-output contract). Entry order is canonicalized by the
+    * store's append path, so overlay order here is free. */
+  private def rename(out: DataFrame, rule: Rule): DataFrame = {
+    val fixed = ("__name__" -> rule.record) +: rule.labels.toSeq
+    val dropKeys = fixed.map(_._1)
+    val overlay = map(fixed.flatMap {
+      case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    out.withColumn("labels", map_concat(
+      map_filter(col("labels"), (k, _) => !k.isInCollection(dropKeys)),
+      overlay))
+  }
+
+  /** One evaluation pass of a group against the date-partitioned store
+    * at `path`: for each rule in order, evaluate every interval-aligned
+    * step in `(last recorded step, floor(max sample time))`, write the
+    * renamed results plus staleness markers for series that
+    * disappeared, and append to the SAME store — recorded series are
+    * immediately queryable (and visible to the group's later rules).
+    *
+    * `knownMaxT` lets the streaming path pass the micro-batch's own
+    * maximum event time instead of scanning the store for it. */
+  def evalGroup(spark: SparkSession, path: String, group: Group,
+      knownMaxT: Option[Long] = None): Unit = {
+    val step = group.intervalMs
+    val maxT = knownMaxT.orElse {
+      val r = Ingest.readTable(spark, path).agg(max(col("t"))).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    maxT.foreach { mt =>
+      val hi = Math.floorDiv(mt, step) * step
+      // everything this pass can touch lies in the trailing window —
+      // including the previous-step row staleness detection reads
+      val windowLo = hi - step * group.maxBackfillSteps.toLong
+      group.rules.foreach { rule =>
+        // re-read per rule: earlier rules' output must be visible
+        val recent = Ingest.readTable(spark, path)
+          .filter(col("t") >= windowLo)
+        evalRuleIncremental(spark, path, recent, rule, hi, step)
+      }
+    }
+  }
+
+  private def nameIs(record: String): Column =
+    col("labels")("__name__") === record
+
+  private def evalRuleIncremental(spark: SparkSession, path: String,
+      recent: DataFrame, rule: Rule, hi: Long, step: Long): Unit = {
+    // resume after the newest recorded step (markers included: a
+    // marker IS an evaluation result); first evaluation starts at the
+    // first aligned step the window's data covers
+    val b = recent.agg(
+      max(when(nameIs(rule.record), col("t"))).as("rec"),
+      min(col("t")).as("mn")).head()
+    if (b.isNullAt(1)) return
+    val lo =
+      if (!b.isNullAt(0)) b.getLong(0) + step
+      else Math.floorDiv(b.getLong(1) + step - 1, step) * step // ceil
+    if (lo > hi) return
+
+    val out = evalRule(spark, recent, rule, lo, hi, step)
+      .localCheckpoint(true) // evaluated once: reused below as past-step state
+    // staleness: a series present at step s-1 (recorded or just
+    // evaluated) and absent at s gets a marker at s. One marker, no
+    // cascade — markers never count as "present". Disappearance at
+    // `hi` itself is detected by the NEXT pass, whose grid starts at
+    // hi + step.
+    val presentPrev = recent
+      .filter(nameIs(rule.record) && col("t") === lo - step && !col("stale"))
+      .select(col("labels"), col("t"))
+      .union(out.select(col("labels"), col("t")))
+      .withColumn("t", col("t") + step)
+      .filter(col("t") <= hi)
+    // Series identity for the anti-join is the entry-sorted entries
+    // array — `sort_array` (natural struct ordering), NOT
+    // `Samples.sigExpr`: lambda-bearing expressions (array_sort with a
+    // comparator, transform) are UNSAFE as join keys. NamedLambdaVariable
+    // carries per-instance mutable state, join-key evaluation contexts
+    // (HashedRelationBroadcastMode build vs probe-side tasks) can share
+    // one instance across threads in local mode, and the race bakes a
+    // wrong key into the broadcast relation — observed here as an
+    // intermittent phantom marker that append-dedup then collapsed
+    // with the real row into a stale one. Materialized sig COLUMNS
+    // (what the engine joins on everywhere) are unaffected.
+    val markers = presentPrev
+      .join(
+        out.select(sort_array(map_entries(col("labels"))).as("_ce"),
+          col("t").as("_ct")),
+        sort_array(map_entries(col("labels"))) === col("_ce") &&
+          col("t") === col("_ct"),
+        "left_anti")
+      .select(col("labels"), col("t"),
+        lit(Double.NaN).as("v"), lit(true).as("stale"))
+    Ingest.append(
+      out.withColumn("stale", lit(false)).unionByName(markers), path)
+  }
+
+  /** Streaming ingest with rule evaluation: each micro-batch is
+    * appended through the standard ingest path, then the group
+    * evaluates the newly covered steps. Sharing the batch boundary
+    * means recorded series lag raw data by at most one trigger — the
+    * streaming twin of Prometheus's evaluation loop
+    * (at-least-once like [[Ingest.stream]]; a replayed batch
+    * re-appends raw rows, while rule output is naturally idempotent
+    * because the resume point is derived from recorded data). */
+  def stream(edge: Dataset[Ingest.WriteSample], path: String,
+      checkpoint: String, group: Group): StreamingQuery =
+    Ingest.canonicalize(edge).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val bMax = batch.agg(max(col("t"))).head()
+        Ingest.append(batch, path)
+        if (!bMax.isNullAt(0))
+          evalGroup(spark, path, group, Some(bMax.getLong(0)))
+      }
+      .start()
+}
