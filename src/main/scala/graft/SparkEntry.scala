@@ -162,10 +162,17 @@ object SparkEntry {
           Samples.fromEventsDir(spark, dir).withColumn("stale", lit(false)),
           path)
         RecordingRules.evalGroup(spark, path,
-          RecordingRules.Group(DAY, Seq(RecordingRules.Rule(
-            "type:events:count1d",
-            "sum by (event_type) (count_over_time(events_value[1d]))",
-            Map("rule" -> "daily")))))
+          RecordingRules.Group(DAY,
+            Seq(RecordingRules.Rule(
+              "type:events:count1d",
+              "sum by (event_type) (count_over_time(events_value[1d]))",
+              Map("rule" -> "daily"))),
+            alerts = Seq(RecordingRules.AlertRule(
+              "CountShareHigh",
+              "sum by (event_type) (count_over_time(events_value[1d]))" +
+                " / on() group_left sum(count_over_time(events_value[1d]))" +
+                " > 0.21",
+              forMs = DAY))))
         path
       })
 
@@ -289,6 +296,23 @@ object SparkEntry {
           !col("stale") && col("t").between(START, END))
         .select(col("labels")("__name__").as("name"),
           col("labels")("rule").as("rule"),
+          col("labels")("event_type").as("event_type"),
+          col("t"), col("v"))
+    }),
+    // R2: alerting rules — a share-of-total threshold alert with a 1d
+    // `for` hold, evaluated by the set-at-once state machine: ALERTS
+    // rows carry alertstate (pending until continuously active ≥ for,
+    // then firing). Integer counts → exact division → the state
+    // boundary is deterministic cross-engine. Same grid pinning and
+    // marker exclusion as r1.
+    "r2_alert_rule" -> ((spark, dir) => {
+      val path = recordedRulesPath(spark, dir)
+      Ingest.readTable(spark, path)
+        .filter(col("labels")("__name__") === "ALERTS" &&
+          !col("stale") && col("t").between(START, END))
+        .select(col("labels")("__name__").as("name"),
+          col("labels")("alertname").as("alertname"),
+          col("labels")("alertstate").as("alertstate"),
           col("labels")("event_type").as("event_type"),
           col("t"), col("v"))
     }),
@@ -801,6 +825,23 @@ object SparkEntry {
          |SELECT 'type:events:count1d' AS name, 'daily' AS rule,
          |  event_type, t, CAST(count(*) AS DOUBLE) AS v
          |FROM w GROUP BY 3, 4""".stripMargin,
+    // the alert state machine in SQL: active steps -> gaps-and-islands
+    // runs -> pending/firing by run age vs the 1d `for` hold
+    "r2_alert_rule" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)},
+         |byType AS (SELECT event_type, t, count(*) AS c FROM w GROUP BY 1, 2),
+         |tot AS (SELECT t, sum(c) AS tc FROM byType GROUP BY 1),
+         |act AS (SELECT b.event_type, b.t FROM byType b JOIN tot
+         |        ON b.t = tot.t WHERE b.c / tot.tc > 0.21),
+         |runs AS (SELECT event_type, t, t / $DAY - row_number()
+         |         OVER (PARTITION BY event_type ORDER BY t) AS r FROM act),
+         |st AS (SELECT event_type, t,
+         |       min(t) OVER (PARTITION BY event_type, r) AS active_at FROM runs)
+         |SELECT 'ALERTS' AS name, 'CountShareHigh' AS alertname,
+         |  CASE WHEN t - active_at >= $DAY THEN 'firing'
+         |       ELSE 'pending' END AS alertstate,
+         |  event_type, t, CAST(1.0 AS DOUBLE) AS v
+         |FROM st""".stripMargin,
     "p7_fine_grid" ->
       s"""WITH fs AS (SELECT unnest(generate_series(${START + 9 * DAY},
          |            ${START + 10 * DAY}, 300000)) AS t),

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -52,12 +53,26 @@ object RecordingRules {
   case class Rule(record: String, expr: String,
       labels: Map[String, String] = Map.empty)
 
-  /** A rule group: shared evaluation interval, sequential rule order.
+  /** An alerting rule: elements returned by `expr` are ACTIVE; an
+    * element continuously active for at least `forMs` is `firing`,
+    * else `pending` (the public alerting-rule contract). Each active
+    * element records two series per step: `ALERTS{alertname, alertstate,
+    * <element labels>, <rule labels>} = 1`, and
+    * `ALERTS_FOR_STATE{alertname, ...} = activeAt` (the run's start,
+    * epoch ms as a double) — the state-restore series, exactly the
+    * mechanism Prometheus uses to survive restarts. */
+  case class AlertRule(alert: String, expr: String, forMs: Long = 0L,
+      labels: Map[String, String] = Map.empty) {
+    require(forMs >= 0, "alert `for` duration must be non-negative")
+  }
+
+  /** A rule group: shared evaluation interval, sequential rule order
+    * (recording rules first, then alerting rules).
     * `maxBackfillSteps` bounds how far behind the newest sample an
     * evaluation pass may reach (backfill cap AND the bound that keeps
     * resume-point discovery date-pruned). */
   case class Group(intervalMs: Long, rules: Seq[Rule],
-      maxBackfillSteps: Int = 256) {
+      maxBackfillSteps: Int = 256, alerts: Seq[AlertRule] = Nil) {
     require(intervalMs > 0, "rule group interval must be positive")
     require(maxBackfillSteps > 0 && maxBackfillSteps <= 10000,
       "maxBackfillSteps must be in [1, 10000]")
@@ -105,56 +120,60 @@ object RecordingRules {
       // everything this pass can touch lies in the trailing window —
       // including the previous-step row staleness detection reads
       val windowLo = hi - step * group.maxBackfillSteps.toLong
-      group.rules.foreach { rule =>
-        // re-read per rule: earlier rules' output must be visible
-        val recent = Ingest.readTable(spark, path)
-          .filter(col("t") >= windowLo)
-        evalRuleIncremental(spark, path, recent, rule, hi, step)
-      }
+      // re-read per rule: earlier rules' output must be visible
+      def recent() = Ingest.readTable(spark, path)
+        .filter(col("t") >= windowLo)
+      group.rules.foreach(rule =>
+        evalRuleIncremental(spark, path, recent(), rule, hi, step))
+      group.alerts.foreach(a =>
+        evalAlertIncremental(spark, path, recent(), a, hi, step))
     }
   }
 
   private def nameIs(record: String): Column =
     col("labels")("__name__") === record
 
-  private def evalRuleIncremental(spark: SparkSession, path: String,
-      recent: DataFrame, rule: Rule, hi: Long, step: Long): Unit = {
-    // resume after the newest recorded step (markers included: a
-    // marker IS an evaluation result); first evaluation starts at the
-    // first aligned step the window's data covers
+  /** Resume point: after the newest row matching `recorded` (markers
+    * included — a marker IS an evaluation result); first evaluation
+    * starts at the first aligned step the window's data covers. None =
+    * nothing to evaluate. */
+  private def resumeLo(recent: DataFrame, recorded: Column,
+      step: Long): Option[Long] = {
     val b = recent.agg(
-      max(when(nameIs(rule.record), col("t"))).as("rec"),
+      max(when(recorded, col("t"))).as("rec"),
       min(col("t")).as("mn")).head()
-    if (b.isNullAt(1)) return
-    val lo =
-      if (!b.isNullAt(0)) b.getLong(0) + step
-      else Math.floorDiv(b.getLong(1) + step - 1, step) * step // ceil
-    if (lo > hi) return
+    if (b.isNullAt(1)) None
+    else if (!b.isNullAt(0)) Some(b.getLong(0) + step)
+    else Some(Math.floorDiv(b.getLong(1) + step - 1, step) * step) // ceil
+  }
 
-    val out = evalRule(spark, recent, rule, lo, hi, step)
-      .localCheckpoint(true) // evaluated once: reused below as past-step state
-    // staleness: a series present at step s-1 (recorded or just
-    // evaluated) and absent at s gets a marker at s. One marker, no
-    // cascade — markers never count as "present". Disappearance at
-    // `hi` itself is detected by the NEXT pass, whose grid starts at
-    // hi + step.
+  /** Append `out` (canonical (labels, t, v) rows for steps [lo, hi])
+    * plus staleness markers: a series matching `owned` present at step
+    * s-1 (recorded or in `out`) and absent at s gets a marker at s.
+    * One marker, no cascade — markers never count as "present".
+    * Disappearance at `hi` itself is detected by the NEXT pass, whose
+    * grid starts at hi + step.
+    *
+    * Series identity for the anti-join is the entry-sorted entries
+    * array — `sort_array` (natural struct ordering), NOT
+    * `Samples.sigExpr`: lambda-bearing expressions (array_sort with a
+    * comparator, transform) are UNSAFE as join keys. NamedLambdaVariable
+    * carries per-instance mutable state, join-key evaluation contexts
+    * (HashedRelationBroadcastMode build vs probe-side tasks) can share
+    * one instance across threads in local mode, and the race bakes a
+    * wrong key into the broadcast relation — observed here as an
+    * intermittent phantom marker that append-dedup then collapsed
+    * with the real row into a stale one. Materialized sig COLUMNS
+    * (what the engine joins on everywhere) are unaffected. */
+  private def recordWithMarkers(path: String, recent: DataFrame,
+      owned: Column, out: DataFrame, lo: Long, hi: Long,
+      step: Long): Unit = {
     val presentPrev = recent
-      .filter(nameIs(rule.record) && col("t") === lo - step && !col("stale"))
+      .filter(owned && col("t") === lo - step && !col("stale"))
       .select(col("labels"), col("t"))
       .union(out.select(col("labels"), col("t")))
       .withColumn("t", col("t") + step)
       .filter(col("t") <= hi)
-    // Series identity for the anti-join is the entry-sorted entries
-    // array — `sort_array` (natural struct ordering), NOT
-    // `Samples.sigExpr`: lambda-bearing expressions (array_sort with a
-    // comparator, transform) are UNSAFE as join keys. NamedLambdaVariable
-    // carries per-instance mutable state, join-key evaluation contexts
-    // (HashedRelationBroadcastMode build vs probe-side tasks) can share
-    // one instance across threads in local mode, and the race bakes a
-    // wrong key into the broadcast relation — observed here as an
-    // intermittent phantom marker that append-dedup then collapsed
-    // with the real row into a stale one. Materialized sig COLUMNS
-    // (what the engine joins on everywhere) are unaffected.
     val markers = presentPrev
       .join(
         out.select(sort_array(map_entries(col("labels"))).as("_ce"),
@@ -166,6 +185,80 @@ object RecordingRules {
         lit(Double.NaN).as("v"), lit(true).as("stale"))
     Ingest.append(
       out.withColumn("stale", lit(false)).unionByName(markers), path)
+  }
+
+  private def evalRuleIncremental(spark: SparkSession, path: String,
+      recent: DataFrame, rule: Rule, hi: Long, step: Long): Unit =
+    resumeLo(recent, nameIs(rule.record), step)
+      .filter(_ <= hi).foreach { lo =>
+        val out = evalRule(spark, recent, rule, lo, hi, step)
+          .localCheckpoint(true) // evaluated once: reused as past-step state
+        recordWithMarkers(path, recent, nameIs(rule.record), out, lo, hi, step)
+      }
+
+  private val Alerts = "ALERTS"
+  private val ForState = "ALERTS_FOR_STATE"
+
+  /** One incremental alerting pass. State (how long has this element
+    * been continuously active) is reconstructed SET-AT-ONCE, not by a
+    * per-step loop: `expr` evaluates over the whole [lo, hi] grid in
+    * one range query, a gaps-and-islands window over each element's
+    * active steps finds the start of the current run, and the
+    * `ALERTS_FOR_STATE` row at lo − step seeds runs that began before
+    * this pass — so a restart (or a months-long catch-up) replays the
+    * state machine in one distributed plan. */
+  private def evalAlertIncremental(spark: SparkSession, path: String,
+      recent: DataFrame, a: AlertRule, hi: Long, step: Long): Unit = {
+    val owned = (nameIs(Alerts) || nameIs(ForState)) &&
+      col("labels")("alertname") === a.alert
+    resumeLo(recent, owned, step).filter(_ <= hi).foreach { lo =>
+      // active elements per step, keyed by the alert identity: element
+      // labels minus __name__/alertstate, plus alertname + rule labels
+      val fixed = ("alertname" -> a.alert) +: a.labels.toSeq
+      val dropKeys = "__name__" +: "alertstate" +: fixed.map(_._1)
+      val overlay = map(fixed.flatMap {
+        case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      val base = new PromQLEngine(spark, recent)
+        .rangeQuery(a.expr, lo, hi, step)
+        .withColumn("labels", map_concat(
+          map_filter(col("labels"), (k, _) => !k.isInCollection(dropKeys)),
+          overlay))
+        .select(col("labels"), col("t"),
+          lit(null).cast("double").as("_seedAt"))
+      val seed = recent
+        .filter(nameIs(ForState) && col("labels")("alertname") === a.alert &&
+          col("t") === lo - step && !col("stale"))
+        .select(map_filter(col("labels"),
+            (k, _) => k =!= "__name__").as("labels"),
+          col("t"), col("v").as("_seedAt"))
+      // gaps-and-islands: consecutive active steps share
+      // step-index − row-number; activeAt = run minimum (a seed row
+      // contributes the activeAt it recorded, chaining runs across
+      // passes). Identity key is the lambda-free entries array (see
+      // recordWithMarkers on why not sigExpr).
+      val byEnts = Window.partitionBy(col("_ents")).orderBy(col("t"))
+      val runs = base.unionByName(seed)
+        .withColumn("_ents", sort_array(map_entries(col("labels"))))
+        .withColumn("_run",
+          (col("t") / lit(step)).cast("long") - row_number().over(byEnts))
+        .withColumn("activeAt",
+          min(coalesce(col("_seedAt"), col("t").cast("double")))
+            .over(Window.partitionBy(col("_ents"), col("_run"))))
+        .filter(col("t") >= lo) // drop the seed echo
+      val forState = runs.select(
+        map_concat(col("labels"),
+          map(lit("__name__"), lit(ForState))).as("labels"),
+        col("t"), col("activeAt").as("v"))
+      val alerts = runs.select(
+        map_concat(col("labels"), map(
+          lit("__name__"), lit(Alerts),
+          lit("alertstate"),
+          when(col("t") - col("activeAt") >= a.forMs, "firing")
+            .otherwise("pending"))).as("labels"),
+        col("t"), lit(1.0).as("v"))
+      val out = forState.unionByName(alerts).localCheckpoint(true)
+      recordWithMarkers(path, recent, owned, out, lo, hi, step)
+    }
   }
 
   /** Streaming ingest with rule evaluation: each micro-batch is

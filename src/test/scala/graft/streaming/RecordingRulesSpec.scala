@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.SparkTestBase
 import graft.exec.PromQLEngine
 import graft.storage.Ingest
-import graft.streaming.RecordingRules.{Group, Rule}
+import graft.streaming.RecordingRules.{AlertRule, Group, Rule}
 
 class RecordingRulesSpec extends SparkTestBase {
   import spark.implicits._
@@ -89,6 +89,79 @@ class RecordingRulesSpec extends SparkTestBase {
     val eng = new PromQLEngine(spark, Ingest.readTable(spark, path))
     val total = resultMap(eng.instant("total:sum5m", 10 * m))
     assert(total.values.toSeq == Seq(135.0)) // 45 + 90, same pass
+  }
+
+  private val alertGroup = Group(5 * m, Nil, alerts = Seq(AlertRule(
+    "HighSum", "sum by (k) (sum_over_time(mtr[5m])) > 50",
+    forMs = 10 * m, labels = Map("severity" -> "page"))))
+
+  private def alertRows(path: String, name: String) =
+    Ingest.readTable(spark, path)
+      .filter(col("labels")("__name__") === name)
+      .select(col("labels")("k").as("k"),
+        coalesce(col("labels")("alertstate"), lit("-")).as("st"),
+        col("t"), col("v"), col("stale"))
+      .as[(String, String, Long, Double, Boolean)].collect()
+
+  test("alerting rules: pending->firing after `for`, state series carry " +
+      "activeAt, transitions and resolutions write markers") {
+    val path = tmp("alerts")
+    // a crosses 50 from 15m on (through 30m); b crosses at 10m and
+    // disappears after 15m (its samples stop at minute 14)
+    Ingest.append(Ingest.canonicalize(
+      (feed(Seq("a", "b"), 0 to 14) ++ feed(Seq("a"), 15 to 30)).toDS()), path)
+    RecordingRules.evalGroup(spark, path, alertGroup)
+
+    val al = alertRows(path, "ALERTS")
+    // a: pending at 15m/20m (activeAt 15m), firing from 25m; the
+    // pending->firing label change writes a marker for the pending
+    // series at 25m
+    assert(al.filter(r => r._1 == "a" && !r._5).map(r => (r._2, r._3)).toSet ==
+      Set(("pending", 15 * m), ("pending", 20 * m),
+        ("firing", 25 * m), ("firing", 30 * m)))
+    assert(al.filter(r => r._1 == "a" && r._5).map(r => (r._2, r._3)).toSet ==
+      Set(("pending", 25 * m)))
+    // b: pending at 10m/15m, never fires; resolution at 20m writes
+    // markers for BOTH its series
+    assert(al.filter(r => r._1 == "b" && !r._5).map(r => (r._2, r._3)).toSet ==
+      Set(("pending", 10 * m), ("pending", 15 * m)))
+    assert(al.filter(r => r._1 == "b" && r._5).map(r => (r._2, r._3)).toSet ==
+      Set(("pending", 20 * m)))
+    val fs = alertRows(path, "ALERTS_FOR_STATE")
+    assert(fs.filter(r => r._1 == "a" && !r._5).map(r => (r._3, r._4)).toSet ==
+      (3 to 6).map(k => (k * 5 * m, 15.0 * m)).toSet)
+    assert(fs.filter(r => r._1 == "b" && r._5).map(_._3).toSet == Set(20 * m))
+
+    // ALERTS is a first-class series: rule labels present, engine
+    // queries see firing alerts and marker-hidden resolved ones
+    val eng = new PromQLEngine(spark, Ingest.readTable(spark, path))
+    val firing = resultMap(
+      eng.instant("""ALERTS{alertstate="firing",severity="page"}""", 25 * m))
+    assert(firing.size == 1 && firing.values.toSeq == Seq(1.0))
+    assert(eng.instant("""ALERTS{k="b"}""", 20 * m).count() == 0)
+  }
+
+  test("alert state restores across passes from ALERTS_FOR_STATE") {
+    val split = tmp("alerts-split")
+    Ingest.append(Ingest.canonicalize(feed(Seq("a", "b"), 0 to 14).toDS()), split)
+    RecordingRules.evalGroup(spark, split, alertGroup)
+    Ingest.append(Ingest.canonicalize(feed(Seq("a"), 15 to 30).toDS()), split)
+    RecordingRules.evalGroup(spark, split, alertGroup)
+
+    val whole = tmp("alerts-whole")
+    Ingest.append(Ingest.canonicalize(
+      (feed(Seq("a", "b"), 0 to 14) ++ feed(Seq("a"), 15 to 30)).toDS()), whole)
+    RecordingRules.evalGroup(spark, whole, alertGroup)
+
+    def key(p: String) =
+      (alertRows(p, "ALERTS") ++ alertRows(p, "ALERTS_FOR_STATE"))
+        .map(r => (r._1, r._2, r._3, if (r._5) 0.0 else r._4, r._5))
+        .sortBy(r => (r._1, r._2, r._3)).toSeq
+    assert(key(split) == key(whole))
+    // the split run restored b's activeAt=10m from the recorded state
+    assert(alertRows(split, "ALERTS_FOR_STATE")
+      .filter(r => r._1 == "b" && r._3 == 15 * m && !r._5)
+      .map(_._4).toSeq == Seq(10.0 * m))
   }
 
   test("streaming ingest evaluates rules per micro-batch, matching " +
