@@ -25,6 +25,10 @@ import graft.promql.{Ast, Parser}
   *   POST     /read                snappy+protobuf remote read
   *            (`internal/read/read.go:45-126`): ReadRequest in,
   *            ReadResponse out
+  *   GET      /api/v1/rules        configured rule group (extension —
+  *            the reference has no rule engine; public API shape)
+  *   GET      /api/v1/alerts       active alerts at the newest
+  *            recorded evaluation step
   *
   * Envelope and guards mirror the reference: `{status, data}` /
   * `{status:"error", errorType, error}` (`api.go:373-413`), step > 0,
@@ -34,7 +38,8 @@ import graft.promql.{Ast, Parser}
   * Range results are sorted by canonical labels (`engine.go:484-486`).
   */
 class HttpApi(spark: SparkSession, engine: PromQLEngine,
-    writeSink: Option[DataFrame => Unit] = None, port: Int = 0) {
+    writeSink: Option[DataFrame => Unit] = None, port: Int = 0,
+    rules: Option[graft.streaming.RecordingRules.Group] = None) {
 
   private val gate = new Semaphore(HttpApi.MaxConcurrent)
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -49,6 +54,8 @@ class HttpApi(spark: SparkSession, engine: PromQLEngine,
   server.createContext("/write", handler(handleWrite))
   server.createContext("/read", binaryHandler(handleRead))
   server.createContext("/metrics", textHandler(handleMetrics))
+  server.createContext("/api/v1/rules", handler(handleRules))
+  server.createContext("/api/v1/alerts", handler(handleAlerts))
 
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = { server.stop(0); pool.shutdownNow() }
@@ -314,6 +321,68 @@ class HttpApi(spark: SparkSession, engine: PromQLEngine,
 
   private def envelope0(result: String): String =
     s"""{"status":"success","data":$result}"""
+
+  /** Currently-active alert elements: the recorded `ALERTS` /
+    * `ALERTS_FOR_STATE` rows at the NEWEST recorded alert step (alerts
+    * are event-time series here, so "now" is the latest evaluation the
+    * data has reached). Returns (response labels, state, activeAt ms). */
+  private def currentAlerts(): Seq[(Map[String, String], String, Long)] = {
+    val latest = gated {
+      val r = engine.rawSamples("ALERTS")
+        .agg(org.apache.spark.sql.functions.max("t")).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    latest.toSeq.flatMap { mt =>
+      val al = collectRows(gated { engine.instant("ALERTS", mt) })
+      val fs = collectRows(gated { engine.instant("ALERTS_FOR_STATE", mt) })
+      val activeAt = fs.map { case (l, _, v) =>
+        (l - "__name__") -> v.toLong }.toMap
+      al.map { case (l, _, _) =>
+        val ident = l - "__name__" - "alertstate"
+        (ident, l.getOrElse("alertstate", "pending"),
+          activeAt.getOrElse(ident, mt))
+      }.sortBy(_._1)(Samples.labelsOrdering)
+    }
+  }
+
+  /** GET /api/v1/alerts — public API shape: alert labels (alertname +
+    * element + rule labels; the state travels as a FIELD, not a
+    * label), RFC 3339 activeAt from the state series' value. */
+  private def handleAlerts(ex: HttpExchange): String =
+    envelope0(s"""{"alerts":${
+      currentAlerts().map { case (l, state, at) =>
+        s"""{"labels":${metricJson(l)},"annotations":{},""" +
+          s""""state":"${esc(state)}","activeAt":"${
+            java.time.Instant.ofEpochMilli(at)}",""" +
+          s""""value":"${PromUdfs.goFormatFloat(1.0)}"}"""
+      }.mkString("[", ",", "]")}}""")
+
+  /** GET /api/v1/rules — the configured rule group in the public API
+    * shape (`type` recording/alerting, durations in seconds; an
+    * alerting rule's `state` is the highest state among its current
+    * elements, firing > pending > inactive). */
+  private def handleRules(ex: HttpExchange): String = rules match {
+    case None => envelope0("""{"groups":[]}""")
+    case Some(g) =>
+      val byAlert = currentAlerts().groupBy(_._1.getOrElse("alertname", ""))
+      val rec = g.rules.map { r =>
+        s"""{"type":"recording","name":"${esc(r.record)}",""" +
+          s""""query":"${esc(r.expr)}","labels":${metricJson(r.labels)},""" +
+          s""""health":"ok"}"""
+      }
+      val alr = g.alerts.map { a =>
+        val states = byAlert.getOrElse(a.alert, Seq.empty).map(_._2)
+        val st = if (states.contains("firing")) "firing"
+          else if (states.contains("pending")) "pending" else "inactive"
+        s"""{"type":"alerting","name":"${esc(a.alert)}",""" +
+          s""""query":"${esc(a.expr)}","duration":${a.forMs / 1000.0},""" +
+          s""""labels":${metricJson(a.labels)},"state":"$st",""" +
+          s""""health":"ok"}"""
+      }
+      envelope0(s"""{"groups":[{"name":"group",""" +
+        s""""interval":${g.intervalMs / 1000.0},""" +
+        s""""rules":${(rec ++ alr).mkString("[", ",", "]")}}]}""")
+  }
 
   /** Ingest. Wire format is the reference's snappy+protobuf prompb
     * (`write.go:53-83`) when the request says so (Content-Type

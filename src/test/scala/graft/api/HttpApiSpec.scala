@@ -230,4 +230,51 @@ class HttpApiSpec extends SparkTestBase {
     assert(code == 413, s"expected 413, got $code: ${body.take(200)}")
     assert(body.contains("bad_data"))
   }
+
+  test("rules and alerts endpoints expose the configured group and " +
+      "the active alerts at the newest evaluation") {
+    import graft.streaming.RecordingRules
+    import graft.streaming.RecordingRules.{AlertRule, Group, Rule}
+    // a store where one alert element is firing at the latest step and
+    // another has resolved (see RecordingRulesSpec for the timeline)
+    val path = Files.createTempDirectory("api-rules").toString
+    val group = Group(5 * m,
+      Seq(Rule("k:rsum", "sum by (k) (sum_over_time(rmtr[5m]))")),
+      alerts = Seq(AlertRule("RSumHigh",
+        "sum by (k) (sum_over_time(rmtr[5m])) > 50",
+        forMs = 10 * m, labels = Map("severity" -> "page"))))
+    val edge = (0 to 30).map(i =>
+      Ingest.WriteSample(Map("__name__" -> "rmtr", "k" -> "a"),
+        i * m, i.toDouble)) ++ (0 to 14).map(i =>
+      Ingest.WriteSample(Map("__name__" -> "rmtr", "k" -> "b"),
+        i * m, 2.0 * i))
+    import spark.implicits._
+    Ingest.append(Ingest.canonicalize(edge.toDS()), path)
+    RecordingRules.evalGroup(spark, path, group)
+
+    val rulesApi = new HttpApi(spark,
+      new PromQLEngine(spark, Ingest.readTable(spark, path)),
+      rules = Some(group))
+    rulesApi.start()
+    try {
+      def getR(p: String): String = {
+        val url = new URI(
+          s"http://127.0.0.1:${rulesApi.boundPort}$p").toURL
+        new String(url.openStream().readAllBytes(), UTF_8)
+      }
+      val r = getR("/api/v1/rules")
+      assert(r.contains(""""type":"recording","name":"k:rsum""""))
+      assert(r.contains(""""type":"alerting","name":"RSumHigh""""))
+      assert(r.contains(""""duration":600.0""") && r.contains(""""interval":300.0"""))
+      assert(r.contains(""""state":"firing"""")) // a is firing at 30m
+      val a = getR("/api/v1/alerts")
+      // a: firing since 15m; b resolved at 20m — absent from the list
+      assert(a.contains(""""state":"firing""""))
+      assert(a.contains(""""activeAt":"1970-01-01T00:15:00Z""""))
+      assert(a.contains(""""alertname":"RSumHigh"""") &&
+        a.contains(""""severity":"page"""") && a.contains(""""k":"a""""))
+      assert(!a.contains(""""k":"b""""))
+      assert(!a.contains("alertstate"), "state must be a field, not a label")
+    } finally rulesApi.stop()
+  }
 }
