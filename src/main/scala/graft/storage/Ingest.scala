@@ -109,8 +109,36 @@ object Ingest {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) => append(batch, path) }
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendOnce(batch, path, checkpoint, id) }
       .start()
+
+  /** Idempotent micro-batch append. `foreachBatch` is at-least-once:
+    * after a crash between the sink write and the checkpoint commit,
+    * the last batch REPLAYS — and a parquet append is not idempotent
+    * (the replay writes fresh part files, duplicating every row, which
+    * silently doubles `*_over_time` counts). A marker file under the
+    * table records completed (stream, batch) pairs, so the replay
+    * becomes a no-op: the standard batch-id commit pattern for
+    * non-transactional sinks. The `_commits` prefix is
+    * underscore-hidden from Spark's file index, and markers are
+    * namespaced by a checkpoint-path hash so independent streams into
+    * one table never collide. Honest caveat: a crash BETWEEN the
+    * append and the marker creation still replays — closing that
+    * window needs a transactional table format, the same trade the
+    * reference makes by fsyncing its WAL per append. */
+  private[graft] def appendOnce(batch: DataFrame, path: String,
+      checkpoint: String, batchId: Long): Unit = {
+    val ns = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        new java.io.File(checkpoint).getAbsolutePath))
+    val marker = new java.io.File(s"$path/_commits/$ns-$batchId")
+    if (!marker.exists()) {
+      append(batch, path)
+      marker.getParentFile.mkdirs()
+      marker.createNewFile()
+    }
+  }
 
   /** Read the table back in the engine's canonical shape (with the
     * `stale` column the engine's selector filters on — P5, and the

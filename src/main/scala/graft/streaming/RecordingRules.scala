@@ -265,20 +265,20 @@ object RecordingRules {
     * appended through the standard ingest path, then the group
     * evaluates the newly covered steps. Sharing the batch boundary
     * means recorded series lag raw data by at most one trigger — the
-    * streaming twin of Prometheus's evaluation loop
-    * (at-least-once like [[Ingest.stream]]; a replayed batch
-    * re-appends raw rows, while rule output is naturally idempotent
-    * because the resume point is derived from recorded data). */
+    * streaming twin of Prometheus's evaluation loop. Replay-safe end
+    * to end: raw rows go through [[Ingest.appendOnce]]'s batch-id
+    * commit markers, and rule output is naturally idempotent because
+    * the resume point is derived from the recorded data. */
   def stream(edge: Dataset[Ingest.WriteSample], path: String,
       checkpoint: String, group: Group): StreamingQuery =
     Ingest.canonicalize(edge).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
         val bMax = batch.agg(max(col("t"))).head()
-        Ingest.append(batch, path)
+        Ingest.appendOnce(batch, path, checkpoint, id)
         if (!bMax.isNullAt(0))
           evalGroup(spark, path, group, Some(bMax.getLong(0)))
       }

@@ -135,6 +135,21 @@ class IngestSpec extends SparkTestBase {
     assert(r.size == 2)
   }
 
+  test("replayed micro-batches append once (foreachBatch is at-least-once)") {
+    val path = tmp("ingest-replay")
+    val ckpt = tmp("ingest-replay-ckpt")
+    val batch = Ingest.canonicalize(Seq(
+      Ingest.WriteSample(Map("__name__" -> "rp"), 0L, 1.0),
+      Ingest.WriteSample(Map("__name__" -> "rp"), 60000L, 2.0)).toDS())
+    Ingest.appendOnce(batch, path, ckpt, batchId = 7L)
+    Ingest.appendOnce(batch, path, ckpt, batchId = 7L) // crash replay
+    assert(Ingest.readTable(spark, path).count() == 2)
+    // a genuinely new batch (and another stream's same batch id) land
+    Ingest.appendOnce(batch, path, ckpt, batchId = 8L)
+    Ingest.appendOnce(batch, path, tmp("other-ckpt"), batchId = 7L)
+    assert(Ingest.readTable(spark, path).count() == 6)
+  }
+
   test("streaming watermarked pre-aggregation emits finalized buckets") {
     val path = tmp("ingest-bkt")
     val ckpt = tmp("ingest-bkt-ckpt")
