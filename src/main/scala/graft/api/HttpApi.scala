@@ -325,8 +325,11 @@ class HttpApi(spark: SparkSession, engine: PromQLEngine,
   /** Currently-active alert elements: the recorded `ALERTS` /
     * `ALERTS_FOR_STATE` rows at the NEWEST recorded alert step (alerts
     * are event-time series here, so "now" is the latest evaluation the
-    * data has reached). Returns (response labels, state, activeAt ms). */
-  private def currentAlerts(): Seq[(Map[String, String], String, Long)] = {
+    * data has reached). Returns (response labels, state, activeAt ms,
+    * expr value) — the value re-evaluates the configured expr at that
+    * step, since `ALERTS` itself stores 1. */
+  private def currentAlerts()
+      : Seq[(Map[String, String], String, Long, Double)] = {
     val latest = gated {
       val r = engine.rawSamples("ALERTS")
         .agg(org.apache.spark.sql.functions.max("t")).head()
@@ -337,25 +340,44 @@ class HttpApi(spark: SparkSession, engine: PromQLEngine,
       val fs = collectRows(gated { engine.instant("ALERTS_FOR_STATE", mt) })
       val activeAt = fs.map { case (l, _, v) =>
         (l - "__name__") -> v.toLong }.toMap
+      // expr values keyed by the same identity surgery the rule
+      // evaluator applies (element labels minus reserved keys, plus
+      // alertname + rule labels)
+      val values = rules.toSeq.flatMap(_.alerts).flatMap { a =>
+        val fixed = ("alertname" -> a.alert) +: a.labels.toSeq
+        val drop = Set("__name__", "alertstate") ++ fixed.map(_._1)
+        collectRows(gated { engine.instant(a.expr, mt) }).map {
+          case (l, _, v) =>
+            (l.view.filterKeys(!drop.contains(_)).toMap ++ fixed) -> v
+        }
+      }.toMap
       al.map { case (l, _, _) =>
         val ident = l - "__name__" - "alertstate"
         (ident, l.getOrElse("alertstate", "pending"),
-          activeAt.getOrElse(ident, mt))
+          activeAt.getOrElse(ident, mt), values.getOrElse(ident, 1.0))
       }.sortBy(_._1)(Samples.labelsOrdering)
     }
   }
 
   /** GET /api/v1/alerts — public API shape: alert labels (alertname +
     * element + rule labels; the state travels as a FIELD, not a
-    * label), RFC 3339 activeAt from the state series' value. */
-  private def handleAlerts(ex: HttpExchange): String =
+    * label), RFC 3339 activeAt from the state series' value,
+    * annotations expanded with the `$labels`/`$value` bindings. */
+  private def handleAlerts(ex: HttpExchange): String = {
+    val annByAlert = rules.toSeq.flatMap(_.alerts)
+      .map(a => a.alert -> a.annotations).toMap
     envelope0(s"""{"alerts":${
-      currentAlerts().map { case (l, state, at) =>
-        s"""{"labels":${metricJson(l)},"annotations":{},""" +
+      currentAlerts().map { case (l, state, at, value) =>
+        val anns = annByAlert.getOrElse(l.getOrElse("alertname", ""),
+            Map.empty[String, String])
+          .map { case (k, tpl) =>
+            k -> graft.streaming.RecordingRules.expandTemplate(tpl, l, value) }
+        s"""{"labels":${metricJson(l)},"annotations":${metricJson(anns)},""" +
           s""""state":"${esc(state)}","activeAt":"${
             java.time.Instant.ofEpochMilli(at)}",""" +
-          s""""value":"${PromUdfs.goFormatFloat(1.0)}"}"""
+          s""""value":"${esc(PromUdfs.goFormatFloat(value))}"}"""
       }.mkString("[", ",", "]")}}""")
+  }
 
   /** GET /api/v1/rules — the configured rule group in the public API
     * shape (`type` recording/alerting, durations in seconds; an

@@ -62,9 +62,26 @@ object RecordingRules {
     * epoch ms as a double) — the state-restore series, exactly the
     * mechanism Prometheus uses to survive restarts. */
   case class AlertRule(alert: String, expr: String, forMs: Long = 0L,
-      labels: Map[String, String] = Map.empty) {
+      labels: Map[String, String] = Map.empty,
+      annotations: Map[String, String] = Map.empty) {
     require(forMs >= 0, "alert `for` duration must be non-negative")
   }
+
+  /** Expand the template subset the alert annotations support:
+    * `{{ $labels.<name> }}` and `{{ $value }}` (the two bindings the
+    * public template contract guarantees per alert element; full Go
+    * templating is out of scope and documented as such). Unknown
+    * labels expand to the empty string, like a missing map key in a
+    * Go template. Annotations are API-read-time strings — they are
+    * never stored in the TSDB, matching Prometheus. */
+  private[graft] val TemplateRe =
+    """\{\{\s*\$(?:labels\.([a-zA-Z_][a-zA-Z0-9_]*)|(value))\s*\}\}""".r
+  private[graft] def expandTemplate(tpl: String,
+      labels: Map[String, String], value: Double): String =
+    TemplateRe.replaceAllIn(tpl, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        if (m.group(2) != null) graft.exec.PromUdfs.goFormatFloat(value)
+        else labels.getOrElse(m.group(1), "")))
 
   /** A rule group: shared evaluation interval, sequential rule order
     * (recording rules first, then alerting rules).

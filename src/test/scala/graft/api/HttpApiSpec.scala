@@ -242,7 +242,9 @@ class HttpApiSpec extends SparkTestBase {
       Seq(Rule("k:rsum", "sum by (k) (sum_over_time(rmtr[5m]))")),
       alerts = Seq(AlertRule("RSumHigh",
         "sum by (k) (sum_over_time(rmtr[5m])) > 50",
-        forMs = 10 * m, labels = Map("severity" -> "page"))))
+        forMs = 10 * m, labels = Map("severity" -> "page"),
+        annotations = Map(
+          "summary" -> "k={{ $labels.k }} crossed: {{ $value }}"))))
     val edge = (0 to 30).map(i =>
       Ingest.WriteSample(Map("__name__" -> "rmtr", "k" -> "a"),
         i * m, i.toDouble)) ++ (0 to 14).map(i =>
@@ -275,6 +277,10 @@ class HttpApiSpec extends SparkTestBase {
         a.contains(""""severity":"page"""") && a.contains(""""k":"a""""))
       assert(!a.contains(""""k":"b""""))
       assert(!a.contains("alertstate"), "state must be a field, not a label")
+      // annotations expand $labels/$value; value re-evaluates the expr
+      // at the latest step (a's closed 5m sum at 30m = 25+...+30 = 165)
+      assert(a.contains(""""summary":"k=a crossed: 165""""))
+      assert(a.contains(""""value":"165""""))
     } finally rulesApi.stop()
   }
 }

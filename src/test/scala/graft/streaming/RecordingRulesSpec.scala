@@ -141,6 +141,16 @@ class RecordingRulesSpec extends SparkTestBase {
     assert(eng.instant("""ALERTS{k="b"}""", 20 * m).count() == 0)
   }
 
+  test("annotation templates expand $labels and $value; unknown labels " +
+      "expand empty like a Go template") {
+    assert(RecordingRules.expandTemplate(
+      "{{ $labels.k }}/{{$value}} {{ $labels.missing }}!",
+      Map("k" -> "a"), 1.5) == "a/1.5 !")
+    assert(RecordingRules.expandTemplate(
+      "no placeholders $value {{ x }}", Map.empty, 0.0) ==
+      "no placeholders $value {{ x }}")
+  }
+
   test("alert state restores across passes from ALERTS_FOR_STATE") {
     val split = tmp("alerts-split")
     Ingest.append(Ingest.canonicalize(feed(Seq("a", "b"), 0 to 14).toDS()), split)
