@@ -37,9 +37,23 @@ import graft.promql.{Ast, Parser}
   * 20 concurrent queries, 2-minute timeout (`engine.go:1474-1503`).
   * Range results are sorted by canonical labels (`engine.go:484-486`).
   */
-class HttpApi(spark: SparkSession, engine: PromQLEngine,
+class HttpApi(spark: SparkSession, engine0: PromQLEngine,
     writeSink: Option[DataFrame => Unit] = None, port: Int = 0,
     rules: Option[graft.streaming.RecordingRules.Group] = None) {
+
+  /** The serving engine. A table-backed deployment swaps this after
+    * each write: a DataFrame's parquet file listing is SNAPSHOTTED
+    * into the analyzed plan at read time (`refreshByPath` does not
+    * reach it — verified empirically), so the engine built at startup
+    * can never see appended files. In-flight queries keep their old
+    * engine; the next request reads the fresh one. */
+  @volatile private var engineV: PromQLEngine = engine0
+  private def engine: PromQLEngine = engineV
+  /** Swap the serving engine, returning the previous one so the
+    * caller can release its cached series dimension. */
+  def swapEngine(e: PromQLEngine): PromQLEngine = {
+    val old = engineV; engineV = e; old
+  }
 
   private val gate = new Semaphore(HttpApi.MaxConcurrent)
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -687,6 +701,32 @@ class HttpApi(spark: SparkSession, engine: PromQLEngine,
 }
 
 object HttpApi {
+  /** A server over an [[graft.storage.Ingest]] table where `/write`
+    * appends land in the SAME table the queries read: after each
+    * write the sink rebuilds the engine over a fresh file listing and
+    * swaps it in (see [[HttpApi.swapEngine]]), releasing the old
+    * engine's cached series dimension so a long-running writer never
+    * accumulates stale caches. This is the reference's single-node
+    * write → query round trip (`acceptance_test.go:124-161`) as a
+    * deployment shape. */
+  def forTable(spark: SparkSession, path: String, port: Int = 0,
+      rules: Option[graft.streaming.RecordingRules.Group] = None): HttpApi = {
+    def freshEngine() = new PromQLEngine(spark,
+      graft.storage.Ingest.readTable(spark, path))
+    var api: HttpApi = null
+    val sink = (df: DataFrame) => {
+      graft.storage.Ingest.append(df, path)
+      // two layers of staleness: the session-shared FileStatusCache
+      // (refreshByPath clears it — without this even a brand-new read
+      // reuses the old listing) and the analyzed plan's own index
+      // snapshot (which only the engine swap can replace)
+      spark.catalog.refreshByPath(path)
+      api.swapEngine(freshEngine()).releaseSeriesDim()
+    }
+    api = new HttpApi(spark, freshEngine(), Some(sink), port, rules)
+    api
+  }
+
   /** Engine defaults (`cmd/timbala/main.go:218-223`). */
   val MaxConcurrent = 20
   val QueueTimeoutMs: Long = 120000L

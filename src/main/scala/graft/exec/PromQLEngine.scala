@@ -346,6 +346,18 @@ class PromQLEngine(
   private def joinLabels(aggd: DataFrame): DataFrame =
     aggd.join(seriesDim, SIG)
 
+  /** Drop this engine's cached series dimension (entry + Spark cache).
+    * For serving deployments that rebuild the engine when the
+    * underlying table grows ([[graft.api.HttpApi.forTable]]): each
+    * table state canonicalizes to a distinct plan key, so without an
+    * explicit release a long-running writer would accumulate one
+    * cached dimension per write. Safe while queries are in flight —
+    * an unpersisted frame recomputes on demand. */
+  def releaseSeriesDim(): Unit =
+    Option(seriesDimCache.remove(
+      samples.queryExecution.analyzed.canonicalized))
+      .foreach(_.unpersist(false))
+
   /** groupBy that carries a labels map as part of the GROUPING KEY
     * (sorted entries array) instead of a `first(map)` aggregate — for
     * aggregations over ALREADY-REDUCED frames (≤ series×steps rows)

@@ -31,13 +31,14 @@ object Serve {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (samples, sink) = mode match {
-      case "table" =>
-        (Ingest.readTable(spark, sfDir),
-          Some((df: org.apache.spark.sql.DataFrame) => Ingest.append(df, sfDir)))
-      case _ => (Samples.fromEventsDir(spark, sfDir), None)
+    val api = mode match {
+      // writes append into the served table; the sink swaps in a
+      // fresh-listing engine so queries see them (HttpApi.forTable)
+      case "table" => HttpApi.forTable(spark, sfDir, port)
+      case _ => new HttpApi(spark,
+        new PromQLEngine(spark, Samples.fromEventsDir(spark, sfDir)),
+        None, port)
     }
-    val api = new HttpApi(spark, new PromQLEngine(spark, samples), sink, port)
     api.start()
     println(s"listening on :${api.boundPort} (mode=$mode, data=$sfDir)")
     Thread.currentThread().join() // serve until killed

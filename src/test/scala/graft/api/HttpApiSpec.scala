@@ -231,6 +231,38 @@ class HttpApiSpec extends SparkTestBase {
     assert(body.contains("bad_data"))
   }
 
+  test("table-backed server sees its own writes (engine swap on append)") {
+    // a DataFrame snapshots the parquet file listing at read time, so
+    // without the swap the startup engine would NEVER see appended
+    // files (refreshByPath does not reach the analyzed plan's index)
+    val path = Files.createTempDirectory("api-table").toString
+    import spark.implicits._
+    Ingest.append(Ingest.canonicalize(Seq(
+      Ingest.WriteSample(Map("__name__" -> "tbl_m"), 0L, 1.0)).toDS()), path)
+    val tApi = HttpApi.forTable(spark, path)
+    tApi.start()
+    try {
+      def getT(p: String): String = {
+        val url = new URI(s"http://127.0.0.1:${tApi.boundPort}$p").toURL
+        new String(url.openStream().readAllBytes(), UTF_8)
+      }
+      def postT(p: String, body: String): Int = {
+        val url = new URI(s"http://127.0.0.1:${tApi.boundPort}$p").toURL
+        val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes(UTF_8))
+        conn.getResponseCode
+      }
+      assert(getT("/api/v1/query?query=tbl_m&time=0").contains(""""1""""))
+      assert(postT("/api/v1/write",
+        """{"labels":{"__name__":"tbl_m"},"t":60000,"v":7.5}""") == 200)
+      // the write landed in new part files; the swapped engine serves
+      // it (API time params are SECONDS, like the reference)
+      val fresh = getT("/api/v1/query?query=tbl_m&time=60")
+      assert(fresh.contains(""""7.5""""), fresh)
+    } finally tApi.stop()
+  }
+
   test("rules and alerts endpoints expose the configured group and " +
       "the active alerts at the newest evaluation") {
     import graft.streaming.RecordingRules
