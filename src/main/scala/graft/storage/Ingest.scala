@@ -145,6 +145,23 @@ object Ingest {
     * stored `sig` when the layout carries one). Time predicates prune
     * `date` partitions. */
   def readTable(spark: SparkSession, path: String): DataFrame = {
+    // a table that has not received its first write yet reads as the
+    // EMPTY canonical frame (schema inference has nothing to infer
+    // from) — a fresh serving deployment starts on an empty dir
+    val hasData = {
+      val d = new java.io.File(path)
+      def any(f: java.io.File): Boolean =
+        if (f.isFile) f.getName.endsWith(".parquet")
+        else !f.getName.startsWith("_") &&
+          Option(f.listFiles).exists(_.exists(any))
+      d.isDirectory && any(d)
+    }
+    if (!hasData)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "sig BIGINT, labels MAP<STRING,STRING>, t BIGINT, " +
+            "v DOUBLE, stale BOOLEAN"))
     val df = spark.read.parquet(path)
     val base = Seq(col("labels"), col("t"), col("v"), col("stale"))
     // pre-sig layouts: older tables lack the column; selecting it

@@ -235,10 +235,10 @@ class HttpApiSpec extends SparkTestBase {
     // a DataFrame snapshots the parquet file listing at read time, so
     // without the swap the startup engine would NEVER see appended
     // files (refreshByPath does not reach the analyzed plan's index)
+    // the table starts EMPTY — a fresh deployment has no parquet to
+    // infer a schema from, and the first write must still land
     val path = Files.createTempDirectory("api-table").toString
     import spark.implicits._
-    Ingest.append(Ingest.canonicalize(Seq(
-      Ingest.WriteSample(Map("__name__" -> "tbl_m"), 0L, 1.0)).toDS()), path)
     val tApi = HttpApi.forTable(spark, path)
     tApi.start()
     try {
@@ -253,6 +253,10 @@ class HttpApiSpec extends SparkTestBase {
         conn.getOutputStream.write(body.getBytes(UTF_8))
         conn.getResponseCode
       }
+      assert(getT("/api/v1/query?query=tbl_m&time=0")
+        .contains(""""result":[]"""))
+      assert(postT("/api/v1/write",
+        """{"labels":{"__name__":"tbl_m"},"t":0,"v":1}""") == 200)
       assert(getT("/api/v1/query?query=tbl_m&time=0").contains(""""1""""))
       assert(postT("/api/v1/write",
         """{"labels":{"__name__":"tbl_m"},"t":60000,"v":7.5}""") == 200)
