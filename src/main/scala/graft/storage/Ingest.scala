@@ -296,6 +296,85 @@ object Ingest {
     }
   }
 
+  /** Canonical-row shape for typed streaming stages. */
+  case class CanonSample(labels: Map[String, String], t: Long, v: Double,
+      stale: Boolean)
+  private[storage] case class KeyedSample(sig: Long,
+      labels: Map[String, String], t: Long, v: Double, stale: Boolean,
+      ets: java.sql.Timestamp)
+  private[storage] case class SeriesState(labels: Map[String, String],
+      lastSeenMs: Long)
+
+  /** Streaming ingest with scrape-absence staleness. In the
+    * reference's ecosystem the SCRAPER appends a StaleNaN marker
+    * (`pkg/value/value.go:20-34`) when a target stops existing between
+    * scrapes — the write path timbala ingests already carries the
+    * marker — so a disappeared series vanishes from instant queries
+    * immediately instead of ghosting for a full lookback window
+    * (`promql/engine.go:789-798` is the read side that honors it). Batch-written stores get that only if the writer sends
+    * markers; this stage synthesizes them for ANY series that stops
+    * reporting: per-series state (`flatMapGroupsWithState`, event-time
+    * timeout) tracks the newest sample; when the watermark passes
+    * `lastSeen + graceIntervals × scrapeInterval` without new data,
+    * the state emits one marker at `lastSeen + scrapeInterval` — the
+    * timestamp the next scrape would have had — and clears. An
+    * EXPLICIT in-stream marker also clears the state (a deliberately
+    * ended series must not get a second, synthetic ending).
+    *
+    * State volume is one (labels, lastSeen) row per LIVE series —
+    * the same cardinality the reference's scrape cache holds — and
+    * the stage keys by the 8-byte sig, so the stateful shuffle never
+    * carries label maps. */
+  def streamWithStaleness(edge: Dataset[WriteSample], path: String,
+      checkpoint: String, scrapeIntervalMs: Long,
+      graceIntervals: Int = 2): StreamingQuery = {
+    require(scrapeIntervalMs > 0 && graceIntervals > 0,
+      "scrape interval and grace must be positive")
+    val spark = edge.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val graceMs = scrapeIntervalMs * graceIntervals
+    val rows = canonicalize(edge)
+      .withColumn("sig", Samples.sigExpr(col("labels")))
+      .withColumn("ets", timestamp_millis(col("t")))
+      .withWatermark("ets", s"$graceMs milliseconds")
+      .as[KeyedSample]
+    val out = rows.groupByKey(_.sig)
+      .flatMapGroupsWithState[SeriesState, CanonSample](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, it, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(CanonSample(s.labels,
+              s.lastSeenMs + scrapeIntervalMs, Double.NaN, stale = true))
+          } else {
+            val batch = it.toVector
+            val newest = batch.maxBy(_.t)
+            if (newest.stale) state.remove() // explicit end: no synthetic one
+            else {
+              val last = math.max(newest.t,
+                state.getOption.map(_.lastSeenMs).getOrElse(Long.MinValue))
+              state.update(SeriesState(newest.labels, last))
+              // fire once the watermark is past the grace window (and
+              // never at-or-below the current watermark, which the
+              // state API rejects for late stragglers)
+              state.setTimeoutTimestamp(math.max(last + graceMs,
+                state.getCurrentWatermarkMs()) + 1)
+            }
+            batch.iterator.map(r =>
+              CanonSample(r.labels, r.t, r.v, r.stale))
+          }
+      }
+    out.toDF().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendOnce(batch, path, checkpoint, id) }
+      .start()
+  }
+
   /** Streaming step-aligned pre-aggregation: a watermarked windowed
     * aggregation maintains one partial row (count/sum/min/max) per
     * (series, bucket) — the same partial shape the query engine's

@@ -150,6 +150,53 @@ class IngestSpec extends SparkTestBase {
     assert(Ingest.readTable(spark, path).count() == 6)
   }
 
+  test("streaming staleness: a series that stops reporting gets a " +
+      "synthetic marker; an explicitly-ended one does not") {
+    val path = tmp("ingest-stale")
+    val ckpt = tmp("ingest-stale-ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Ingest.WriteSample]
+    val m = 60000L
+    def run() = Ingest.streamWithStaleness(mem.toDS(), path, ckpt,
+      scrapeIntervalMs = m, graceIntervals = 2).awaitTermination(120000)
+    def s(k: String, t: Long, v: Double) =
+      Ingest.WriteSample(Map("__name__" -> "sc", "k" -> k), t, v)
+    // batch 1: three series reporting at t=1m..3m (not epoch: the
+    // initial watermark is 0 and rows AT the watermark drop as late)
+    mem.addData((1 to 3).flatMap(i => Seq(
+      s("a", i * m, i), s("b", i * m, i), s("c", i * m, i))): _*)
+    run()
+    // batch 2: only a continues; c ends EXPLICITLY with a marker.
+    // b's timeout arms at lastSeen 3m + grace 2m; a's samples push
+    // the watermark to 8m − 2m = 6m, past it
+    mem.addData(Seq(s("a", 7 * m, 7), s("a", 8 * m, 8),
+      s("c", 4 * m, Samples.StaleNaN)): _*)
+    run()
+    // batch 3: one more batch so the advanced watermark takes effect
+    // and fires b's timeout
+    mem.addData(s("a", 9 * m, 9))
+    run()
+
+    val table = Ingest.readTable(spark, path)
+    val bRows = table.filter(col("labels")("k") === "b")
+      .select(col("t"), col("stale")).as[(Long, Boolean)].collect().toMap
+    // b: samples at 1..3m plus ONE synthetic marker at lastSeen+interval
+    assert(bRows == Map(m -> false, 2 * m -> false, 3 * m -> false,
+      4 * m -> true))
+    // c: explicit marker only — no synthetic second ending
+    val cRows = table.filter(col("labels")("k") === "c" && col("stale"))
+      .select(col("t")).as[Long].collect().toSeq
+    assert(cRows == Seq(4 * m))
+    // a: still live, no marker
+    assert(table.filter(col("labels")("k") === "a" && col("stale")).count() == 0)
+    // P5 end-to-end: the synthetic marker hides b at its step
+    val eng = new PromQLEngine(spark, table)
+    assert(eng.instant("""sc{k="b"}""", 4 * m).count() == 0)
+    assert(resultMap(eng.instant("""sc{k="b"}""", 3 * m)).values.toSeq ==
+      Seq(3.0))
+  }
+
   test("streaming watermarked pre-aggregation emits finalized buckets") {
     val path = tmp("ingest-bkt")
     val ckpt = tmp("ingest-bkt-ckpt")
