@@ -1422,6 +1422,61 @@ eval instant at 0m minute(vector(59.8))
 """)
   }
 
+  test("upstream functions.test slice: ceil/exp/sqrt/log2/log10 on " +
+      "exactly-representable points") {
+    // points chosen so Go and the JVM agree bit-for-bit: IEEE sqrt is
+    // correctly rounded by spec, powers of two are exact in log2, and
+    // the 0/negative/overflow edges are fixed constants
+    run("""
+load 5m
+  m{x="neg"} -4
+  m{x="zero"} 0
+  m{x="sq"} 64
+  m{x="half"} -0.5
+  m{x="big"} 1000
+
+eval instant at 0m sqrt(m)
+  {x="neg"} NaN
+  {x="zero"} 0
+  {x="sq"} 8
+  {x="half"} NaN
+  {x="big"} 31.622776601683793
+
+eval instant at 0m log2(m)
+  {x="neg"} NaN
+  {x="zero"} -Inf
+  {x="sq"} 6
+  {x="half"} NaN
+  {x="big"} 9.965784284662087
+
+eval instant at 0m log10(vector(1))
+  {} 0
+
+eval instant at 0m log10(vector(0))
+  {} -Inf
+
+eval instant at 0m log10(vector(-1))
+  {} NaN
+
+eval instant at 0m exp(vector(0))
+  {} 1
+
+# e^1000 overflows to +Inf; e^-Inf is exactly 0
+eval instant at 0m exp(m{x="big"})
+  {x="big"} +Inf
+
+eval instant at 0m exp(ln(vector(0)))
+  {} 0
+
+# ceil/floor straddle: Go returns -0 for ceil(-0.5), == 0
+eval instant at 0m ceil(m{x="half"})
+  {x="half"} 0
+
+eval instant at 0m floor(m{x="half"})
+  {x="half"} -1
+""")
+  }
+
   test("upstream staleness.test slice: lookback expiry boundary") {
     run("""
 load 10s
