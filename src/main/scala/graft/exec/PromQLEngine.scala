@@ -121,11 +121,19 @@ class PromQLEngine(
   }
 
   /** Distinct values of one label across the bound samples (S8,
-    * `internal/api/v1/api.go:317-341`). */
+    * `internal/api/v1/api.go:317-341`). Memoized per engine: the
+    * engine serves one immutable table state (a table that grows gets
+    * a NEW engine — [[graft.api.HttpApi.forTable]] swaps on write), so
+    * the answer cannot change, and metadata endpoints are the
+    * highest-rate queries a dashboard fires. */
   def labelValues(name: String): Seq[String] =
-    samples.select(col(L).getItem(name).as("v"))
-      .filter(col("v").isNotNull).distinct()
-      .collect().map(_.getString(0)).toSeq
+    labelValuesMemo.computeIfAbsent(name, n =>
+      samples.select(col(L).getItem(n).as("v"))
+        .filter(col("v").isNotNull).distinct()
+        .collect().map(_.getString(0)).toSeq)
+
+  private val labelValuesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
   def instant(query: String, tsMs: Long): DataFrame =
     finish(evalRoot(Parser.parse(query), EvalRange(tsMs, tsMs, 1000)))
