@@ -142,6 +142,26 @@ object SparkEntry {
         Ingest.readBucketedStore(spark, table)
       })
 
+  /** Materialized fold-partials table ([[graft.storage.Ingest
+    * .foldPartials]] at 1 h buckets over the events fixture), built
+    * ONCE per (session, fixture dir). The p9 entry runs the SAME
+    * engine range query as p3 over an engine constructed with it —
+    * the fold routes to the partials scan and never reads raw
+    * samples (plan-asserted); results are bit-identical, so the
+    * oracle is p3's. */
+  private val foldPartialsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def foldPartialsPath(spark: SparkSession, dir: String): String =
+    foldPartialsCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}:$dir",
+      _ => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-foldpartials").toString
+        Ingest.foldPartials(Samples.fromEventsDir(spark, dir), 3600000L)
+          .write.mode("overwrite").parquet(out)
+        out
+      })
+
   /** A store with the daily recording rule evaluated over it
     * ([[graft.streaming.RecordingRules]]), built ONCE per
     * (session, fixture dir): events ingested through the standard
@@ -280,6 +300,19 @@ object SparkEntry {
     "s10_bucketed_store" -> ((spark, dir) => {
       val eng = new PromQLEngine(spark, bucketedStore(spark, dir))
       eng.rangeQuery("count_over_time(events_value[1d])", START, END, DAY)
+        .select(col("labels")("event_type").as("event_type"),
+          col("labels")("user_id").as("user_id"), col("t"), col("v"))
+    }),
+    // P9: materialized-partials fold routing — p3's query on a 12h
+    // sliding grid, over an engine holding the 1h fold-partials
+    // table: the aligned [1d]@12h fold routes to the partials scan
+    // and reads series×buckets rows, never raw samples (plan-asserted
+    // in PlanShapeSpec). A plan change, never a semantics change.
+    "p9_engine_partials" -> ((spark, dir) => {
+      val tbl = spark.read.parquet(foldPartialsPath(spark, dir))
+      val eng = new PromQLEngine(spark, Samples.fromEventsDir(spark, dir),
+        foldPartials = Some((tbl, 3600000L)))
+      eng.rangeQuery("count_over_time(events_value[1d])", START, END, DAY / 2)
         .select(col("labels")("event_type").as("event_type"),
           col("labels")("user_id").as("user_id"), col("t"), col("v"))
     }),
@@ -816,6 +849,14 @@ object SparkEntry {
     // the bucketed store is a LAYOUT change: same query, same oracle
     "s10_bucketed_store" ->
       s"""WITH $STEPS, $S, ${windowSql(DAY)}
+         |SELECT event_type, user_id, t, CAST(count(*) AS DOUBLE) AS v
+         |FROM w GROUP BY 1, 2, 3""".stripMargin,
+    // the partials route is a PLAN change, never a semantics change
+    // (p3's window shape on the 12h grid)
+    "p9_engine_partials" ->
+      s"""WITH steps AS (SELECT unnest(generate_series($START, $END,
+         |  ${DAY / 2})) AS t),
+         |$S, ${windowSql(DAY)}
          |SELECT event_type, user_id, t, CAST(count(*) AS DOUBLE) AS v
          |FROM w GROUP BY 1, 2, 3""".stripMargin,
     // the recorded series carries the rule's renamed labels; its values

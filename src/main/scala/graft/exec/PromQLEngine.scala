@@ -31,7 +31,11 @@ class PromQLEngine(
     spark: SparkSession,
     samples: DataFrame,
     lookbackMs: Long = PromQLEngine.DefaultLookbackMs,
-    maxPointsPerSeries: Int = 11000) {
+    maxPointsPerSeries: Int = 11000,
+    // (table, bucketMs) from graft.storage.Ingest.foldPartials over the
+    // SAME samples: aligned *_over_time queries route to it and never
+    // touch the raw sample volume (see materializedStepPartials)
+    foldPartials: Option[(DataFrame, Long)] = None) {
 
   import PromQLEngine._
 
@@ -1020,28 +1024,70 @@ class PromQLEngine(
     ((col("_rel") - rem) / lit(step.toDouble)).cast("long")
   }
 
+  /** Step-bucket partials served from the MATERIALIZED fold-partials
+    * table instead of raw samples, when the query grid aligns: step a
+    * multiple of the table's bucket size and the (offset-shifted)
+    * start on a bucket boundary (w is then aligned too, since the
+    * caller guarantees w % step == 0 — so the closed window's low
+    * edge is also a bucket boundary). Materialized buckets merge into
+    * step buckets; only rows whose bucket start IS a step boundary
+    * contribute their at-start partials (the others' boundaries are
+    * interior points of the step bucket, already inside the full
+    * aggregates). Input volume: series × buckets, never samples. */
+  private def materializedStepPartials(selector: VectorSelector, w: Long,
+      tr: EvalRange): Option[DataFrame] =
+    foldPartials.flatMap { case (tbl, bkt) =>
+      val o = selector.offsetMs
+      val anchor = tr.startMs - o
+      if (tr.stepMs % bkt != 0 || Math.floorMod(anchor, bkt) != 0) None
+      else {
+        val ms = allMatchers(selector)
+        val rows = tbl
+          .filter(ms.map(matcherCond).reduce(_ && _))
+          .filter(col("bucket_start") >= anchor - w &&
+            col("bucket_start") <= tr.endMs - o)
+          .withColumn("_rel", col("bucket_start") - anchor)
+        val onStep = pmod(col("_rel"), lit(tr.stepMs)) === 0
+        Some(rows
+          .withColumn("_b", bucketCol(tr.stepMs))
+          .groupBy(col("sig").as(SIG), col("_b"))
+          .agg(
+            sum(col("cnt")).as("cnt"), sum(col("sum")).as("sum"),
+            sum(col("sumsq")).as("sumsq"),
+            min(col("mn")).as("mn"), max(col("mx")).as("mx"),
+            max(col("nan")).as("nan"),
+            sum(when(onStep, col("cnt0")).otherwise(0L)).as("cnt0"),
+            sum(when(onStep, col("sum0"))).as("sum0"),
+            sum(when(onStep, col("sumsq0"))).as("sumsq0"),
+            min(when(onStep, col("mn0"))).as("mn0"),
+            max(when(onStep, col("mx0"))).as("mx0"),
+            max(when(onStep, col("nan0")).otherwise(0)).as("nan0")))
+      }
+    }
+
   private def bucketedFold(selector: VectorSelector, w: Long, tr: EvalRange,
       name: String): DataFrame = {
     val step = tr.stepMs
     val m = (w / step).toInt
-    val base = bucketedBase(selector, w, tr)
     val b = bucketCol(step)
     val isStart = pmod(col("_rel"), lit(step)) === 0
 
-    val partials = base
-      .withColumn("_b", b).withColumn("_s0", isStart)
-      .groupBy(col(SIG), col("_b"))
-      .agg(
-        count(lit(1)).as("cnt"), sum(col(V)).as("sum"),
-        sum(col(V) * col(V)).as("sumsq"),
-        min(col(V)).as("mn"), max(col(V)).as("mx"),
-        max(when(isnan(col(V)), 1).otherwise(0)).as("nan"),
-        sum(when(col("_s0"), 1L).otherwise(0L)).as("cnt0"),
-        sum(when(col("_s0"), col(V))).as("sum0"),
-        sum(when(col("_s0"), col(V) * col(V))).as("sumsq0"),
-        min(when(col("_s0"), col(V))).as("mn0"),
-        max(when(col("_s0"), col(V))).as("mx0"),
-        max(when(col("_s0") && isnan(col(V)), 1).otherwise(0)).as("nan0"))
+    val partials = materializedStepPartials(selector, w, tr).getOrElse {
+      bucketedBase(selector, w, tr)
+        .withColumn("_b", b).withColumn("_s0", isStart)
+        .groupBy(col(SIG), col("_b"))
+        .agg(
+          count(lit(1)).as("cnt"), sum(col(V)).as("sum"),
+          sum(col(V) * col(V)).as("sumsq"),
+          min(col(V)).as("mn"), max(col(V)).as("mx"),
+          max(when(isnan(col(V)), 1).otherwise(0)).as("nan"),
+          sum(when(col("_s0"), 1L).otherwise(0L)).as("cnt0"),
+          sum(when(col("_s0"), col(V))).as("sum0"),
+          sum(when(col("_s0"), col(V) * col(V))).as("sumsq0"),
+          min(when(col("_s0"), col(V))).as("mn0"),
+          max(when(col("_s0"), col(V))).as("mx0"),
+          max(when(col("_s0") && isnan(col(V)), 1).otherwise(0)).as("nan0"))
+    }
 
     val contribType =
       "array<struct<k:bigint,cnt:bigint,sum:double,sumsq:double," +
@@ -1242,7 +1288,14 @@ class PromQLEngine(
     val bucketable = ms.rangeMs >= 2 * tr.stepMs &&
       ms.rangeMs % tr.stepMs == 0 &&
       ms.rangeMs / tr.stepMs <= 512 && tr.numSteps >= 8
-    if (bucketable && bucketFoldFuncs.contains(name))
+    // with a MATERIALIZED partials table the m >= 2 economics don't
+    // apply: even a tumbling window (m = 1) reads series × buckets
+    // rows instead of raw samples, so route whenever the grid aligns
+    val materializable = foldPartials.exists { case (_, bkt) =>
+      tr.stepMs % bkt == 0 &&
+        Math.floorMod(tr.startMs - ms.selector.offsetMs, bkt) == 0 } &&
+      ms.rangeMs % tr.stepMs == 0 && ms.rangeMs / tr.stepMs <= 512
+    if ((bucketable || materializable) && bucketFoldFuncs.contains(name))
       return bucketedFold(ms.selector, ms.rangeMs, tr, name)
     if (bucketable && (name == "rate" || name == "increase" || name == "delta"))
       return bucketedRate(ms.selector, ms.rangeMs, tr,

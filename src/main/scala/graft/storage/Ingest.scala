@@ -296,6 +296,54 @@ object Ingest {
     }
   }
 
+  /** Materialized fold partials: one row per (series, epoch-aligned
+    * `bucketMs` bucket) carrying EXACTLY the associative partial shape
+    * the engine's bucketed fold path computes from raw samples at
+    * query time — count/sum/sum²/min/max + NaN flag, plus the same
+    * aggregates restricted to the bucket's exact start boundary (the
+    * at-start partial that makes CLOSED `[t−w, t]` windows exactly
+    * reconstructable from half-open buckets). An engine constructed
+    * with this table serves every aligned `*_over_time` query from it
+    * without touching raw samples (`PromQLEngine` fold routing): the
+    * cold-history range query reads series × buckets rows instead of
+    * the raw sample volume — the materialized-view lever at 100 TB.
+    *
+    * Must be derived from the SAME logical samples as the engine's
+    * table (it answers for them); stale rows are excluded like every
+    * fold read. Buckets are epoch-anchored, so any query grid whose
+    * step is a multiple of `bucketMs` and whose (offset-shifted) start
+    * is bucket-aligned routes here. */
+  def foldPartials(samples: DataFrame, bucketMs: Long): DataFrame = {
+    require(bucketMs > 0, "bucket size must be positive")
+    val unstale =
+      if (samples.columns.contains("stale")) samples.filter(!col("stale"))
+      else samples
+    val s0 = pmod(col("t"), lit(bucketMs)) === 0
+    val sigC = if (samples.columns.contains("sig")) col("sig")
+      else Samples.sigExpr(col("labels"))
+    unstale
+      .withColumn("bucket_start", col("t") - pmod(col("t"), lit(bucketMs)))
+      .withColumn("_s0", s0)
+      .groupBy(sigC.as("sig"), col("bucket_start"))
+      .agg(
+        first(col("labels")).as("_l0"),
+        count(lit(1)).as("cnt"), sum(col("v")).as("sum"),
+        sum(col("v") * col("v")).as("sumsq"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"),
+        max(when(isnan(col("v")), 1).otherwise(0)).as("nan"),
+        sum(when(col("_s0"), 1L).otherwise(0L)).as("cnt0"),
+        sum(when(col("_s0"), col("v"))).as("sum0"),
+        sum(when(col("_s0"), col("v") * col("v"))).as("sumsq0"),
+        min(when(col("_s0"), col("v"))).as("mn0"),
+        max(when(col("_s0"), col("v"))).as("mx0"),
+        max(when(col("_s0") && isnan(col("v")), 1).otherwise(0)).as("nan0"))
+      // entry-sort after the aggregation (same determinism argument as
+      // the dedup path: equal sig ⇒ equal map content)
+      .withColumn("labels",
+        map_from_entries(array_sort(map_entries(col("_l0")))))
+      .drop("_l0")
+  }
+
   /** Canonical-row shape for typed streaming stages. */
   case class CanonSample(labels: Map[String, String], t: Long, v: Double,
       stale: Boolean)

@@ -231,6 +231,16 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("p9_engine_partials: the engine fold routes to the materialized " +
+      "partials scan") {
+    val p = plan("p9_engine_partials")
+    // the aligned fold must read the fold-partials parquet (the raw
+    // path could never reference it); the only events read left is the
+    // small cached series dimension rejoining labels
+    assert(p.contains("graft-foldpartials"),
+      s"expected a fold-partials scan in the plan:\n${p.take(1500)}")
+  }
+
   test("p8_bucketed_range reads ONLY the partials table, never raw events") {
     val p = plan("p8_bucketed_range")
     // the whole point of the materialized-partials path: the plan scans

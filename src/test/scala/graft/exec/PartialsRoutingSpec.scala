@@ -1,0 +1,84 @@
+package graft.exec
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.storage.Ingest
+
+/** Materialized fold-partials routing: an engine given
+  * `Ingest.foldPartials` must serve aligned `*_over_time` queries
+  * from the partials table with results IDENTICAL to the raw path,
+  * and fall back to raw when the grid does not align. */
+class PartialsRoutingSpec extends SparkTestBase {
+
+  private val m = 60000L
+  // 30s cadence across 2h, three series: one rising, one with a NaN
+  // mid-stream, one constant — boundary samples land exactly on the
+  // 5m step grid, exercising the closed-window at-start partial
+  private lazy val fixture = samplesDF(
+    Map("__name__" -> "pm", "s" -> "rise") ->
+      (0 to 240).map(i => (i * 30000L, i.toDouble)),
+    Map("__name__" -> "pm", "s" -> "nan") ->
+      (0 to 240).map(i =>
+        (i * 30000L, if (i == 77) Double.NaN else 2.0 * i)),
+    Map("__name__" -> "pm", "s" -> "flat") ->
+      (0 to 240).map(i => (i * 30000L, 7.0)))
+
+  private val funcs = Seq("sum_over_time", "avg_over_time",
+    "count_over_time", "min_over_time", "max_over_time")
+
+  private def results(e: PromQLEngine, q: String,
+      start: Long, end: Long, step: Long) =
+    e.rangeQuery(q, start, end, step)
+      .select(col("labels")("s").as("s"), col("t"), col("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .map { case (s, t, v) =>
+        // NaN != NaN would fail tuple equality; compare the bits
+        (s, t, java.lang.Double.doubleToLongBits(v)) }
+      .toSet
+
+  test("aligned grids: partials-served results equal the raw path " +
+      "for every fold function (NaN and boundary samples included)") {
+    val raw = new PromQLEngine(spark, fixture)
+    val routed = new PromQLEngine(spark, fixture,
+      foldPartials = Some((Ingest.foldPartials(fixture, 5 * m), 5 * m)))
+    for (f <- funcs; offset <- Seq("", " offset 10m")) {
+      val q = s"$f(pm[10m]$offset)"
+      // start 20m, end 115m, step 5m: aligned to the 5m buckets
+      val a = results(raw, q, 20 * m, 115 * m, 5 * m)
+      val b = results(routed, q, 20 * m, 115 * m, 5 * m)
+      assert(a == b, s"$q diverged between raw and partials paths")
+      assert(a.nonEmpty)
+    }
+  }
+
+  test("misaligned grids fall back to the raw path and stay correct") {
+    val raw = new PromQLEngine(spark, fixture)
+    // 2m buckets do not divide the 5m step — must fall back
+    val routed = new PromQLEngine(spark, fixture,
+      foldPartials = Some((Ingest.foldPartials(fixture, 2 * m), 2 * m)))
+    val q = "sum_over_time(pm[10m])"
+    assert(results(raw, q, 20 * m, 115 * m, 5 * m) ==
+      results(routed, q, 20 * m, 115 * m, 5 * m))
+    // unaligned start (20m30s on a 5m-bucket table) also falls back
+    val routed5 = new PromQLEngine(spark, fixture,
+      foldPartials = Some((Ingest.foldPartials(fixture, 5 * m), 5 * m)))
+    assert(results(raw, q, 20 * m + 30000, 115 * m + 30000, 5 * m) ==
+      results(routed5, q, 20 * m + 30000, 115 * m + 30000, 5 * m))
+  }
+
+  test("aligned queries READ the partials table, not raw samples") {
+    // partials deliberately built from an EMPTY frame: an aligned
+    // query must come back empty, proving the route; a misaligned one
+    // falls back to raw and still sees data
+    val empty = Ingest.foldPartials(
+      fixture.filter(lit(false)), 5 * m)
+    val e = new PromQLEngine(spark, fixture,
+      foldPartials = Some((empty, 5 * m)))
+    assert(e.rangeQuery("sum_over_time(pm[10m])",
+      20 * m, 115 * m, 5 * m).count() == 0)
+    assert(e.rangeQuery("sum_over_time(pm[10m])",
+      20 * m + 30000, 115 * m + 30000, 5 * m).count() > 0)
+  }
+}
