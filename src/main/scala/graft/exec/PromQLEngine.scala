@@ -1147,27 +1147,55 @@ class PromQLEngine(
     * the boundary-reset correction — associative, so amplification
     * applies to one partial row per (series, bucket) instead of every
     * sample (see [[bucketedFold]] for the grid/boundary mechanics). */
+  /** Step-bucket rate partials served from the MATERIALIZED table when
+    * the step EQUALS the bucket size (and the grid aligns): rows map
+    * one-to-one onto step buckets, in-bucket reset corrections are
+    * prepaid, and the existing fan-out + ordered merge run unchanged.
+    * Coarser steps (step = k × bucket) would need an ordered sub-bucket
+    * merge inside each step bucket — left on the raw path. */
+  private def materializedRatePartials(selector: VectorSelector, w: Long,
+      tr: EvalRange): Option[DataFrame] =
+    foldPartials.flatMap { case (tbl, bkt) =>
+      val o = selector.offsetMs
+      val anchor = tr.startMs - o
+      if (tr.stepMs != bkt || Math.floorMod(anchor, bkt) != 0) None
+      else {
+        val ms = allMatchers(selector)
+        Some(tbl
+          .filter(ms.map(matcherCond).reduce(_ && _))
+          .filter(col("bucket_start") >= anchor - w &&
+            col("bucket_start") <= tr.endMs - o)
+          .select(col("sig").as(SIG),
+            ((col("bucket_start") - anchor) / lit(bkt.toDouble))
+              .cast("long").as("_b"),
+            (col("ft") - anchor).as("ft"), col("fv"),
+            (col("lt") - anchor).as("lt"), col("lv"),
+            col("corr"), col("cnt"), col("v0"), col("has0")))
+      }
+    }
+
   private def bucketedRate(selector: VectorSelector, w: Long, tr: EvalRange,
       isCounter: Boolean, isRate: Boolean): DataFrame = {
     val step = tr.stepMs
     val m = (w / step).toInt
-    val base = bucketedBase(selector, w, tr)
     val b = bucketCol(step)
     val isStart = pmod(col("_rel"), lit(step)) === 0
 
-    val wspec = Window.partitionBy(col(SIG), col("_b")).orderBy(col("_rel"))
-    val pv = lag(col(V), 1).over(wspec)
-    val partials = base
-      .withColumn("_b", b).withColumn("_s0", isStart)
-      .withColumn("_cinc",
-        when(pv.isNotNull && col(V) < pv, pv).otherwise(lit(0.0)))
-      .groupBy(col(SIG), col("_b"))
-      .agg(
-        min(col("_rel")).as("ft"), min_by(col(V), col("_rel")).as("fv"),
-        max(col("_rel")).as("lt"), max_by(col(V), col("_rel")).as("lv"),
-        sum(col("_cinc")).as("corr"), count(lit(1)).as("cnt"),
-        max(when(col("_s0"), col(V))).as("v0"),
-        max(when(col("_s0"), 1).otherwise(0)).as("has0"))
+    val partials = materializedRatePartials(selector, w, tr).getOrElse {
+      val wspec = Window.partitionBy(col(SIG), col("_b")).orderBy(col("_rel"))
+      val pv = lag(col(V), 1).over(wspec)
+      bucketedBase(selector, w, tr)
+        .withColumn("_b", b).withColumn("_s0", isStart)
+        .withColumn("_cinc",
+          when(pv.isNotNull && col(V) < pv, pv).otherwise(lit(0.0)))
+        .groupBy(col(SIG), col("_b"))
+        .agg(
+          min(col("_rel")).as("ft"), min_by(col(V), col("_rel")).as("fv"),
+          max(col("_rel")).as("lt"), max_by(col(V), col("_rel")).as("lv"),
+          sum(col("_cinc")).as("corr"), count(lit(1)).as("cnt"),
+          max(when(col("_s0"), col(V))).as("v0"),
+          max(when(col("_s0"), 1).otherwise(0)).as("has0"))
+    }
 
     val lo = greatest(col("_b") + 1, lit(0L))
     val hi = least(col("_b") + m, lit(tr.numSteps - 1))
@@ -1297,7 +1325,14 @@ class PromQLEngine(
       ms.rangeMs % tr.stepMs == 0 && ms.rangeMs / tr.stepMs <= 512
     if ((bucketable || materializable) && bucketFoldFuncs.contains(name))
       return bucketedFold(ms.selector, ms.rangeMs, tr, name)
-    if (bucketable && (name == "rate" || name == "increase" || name == "delta"))
+    // the rate-family materialized route needs step == bucket (1:1 row
+    // mapping; see materializedRatePartials)
+    val rateMaterializable = foldPartials.exists { case (_, bkt) =>
+      tr.stepMs == bkt &&
+        Math.floorMod(tr.startMs - ms.selector.offsetMs, bkt) == 0 } &&
+      ms.rangeMs % tr.stepMs == 0 && ms.rangeMs / tr.stepMs <= 512
+    if ((bucketable || rateMaterializable) &&
+        (name == "rate" || name == "increase" || name == "delta"))
       return bucketedRate(ms.selector, ms.rangeMs, tr,
         isCounter = name != "delta", isRate = name == "rate")
     if (bucketable && (name == "irate" || name == "idelta"))

@@ -321,10 +321,20 @@ object Ingest {
     val s0 = pmod(col("t"), lit(bucketMs)) === 0
     val sigC = if (samples.columns.contains("sig")) col("sig")
       else Samples.sigExpr(col("labels"))
-    unstale
+    val base = unstale
       .withColumn("bucket_start", col("t") - pmod(col("t"), lit(bucketMs)))
       .withColumn("_s0", s0)
-      .groupBy(sigC.as("sig"), col("bucket_start"))
+      .withColumn("_psig", sigC)
+    // in-bucket counter-reset correction (sum of pre-reset values) —
+    // the rate/increase partial the engine's bucketed rate path
+    // computes with the same lag window at query time
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_psig"), col("bucket_start")).orderBy(col("t"))
+    val pv = lag(col("v"), 1).over(wl)
+    base
+      .withColumn("_cinc",
+        when(pv.isNotNull && col("v") < pv, pv).otherwise(lit(0.0)))
+      .groupBy(col("_psig").as("sig"), col("bucket_start"))
       .agg(
         first(col("labels")).as("_l0"),
         count(lit(1)).as("cnt"), sum(col("v")).as("sum"),
@@ -336,7 +346,13 @@ object Ingest {
         sum(when(col("_s0"), col("v") * col("v"))).as("sumsq0"),
         min(when(col("_s0"), col("v"))).as("mn0"),
         max(when(col("_s0"), col("v"))).as("mx0"),
-        max(when(col("_s0") && isnan(col("v")), 1).otherwise(0)).as("nan0"))
+        max(when(col("_s0") && isnan(col("v")), 1).otherwise(0)).as("nan0"),
+        // rate-family partials: first/last point + reset correction
+        min(col("t")).as("ft"), min_by(col("v"), col("t")).as("fv"),
+        max(col("t")).as("lt"), max_by(col("v"), col("t")).as("lv"),
+        sum(col("_cinc")).as("corr"),
+        max(when(col("_s0"), col("v"))).as("v0"),
+        max(when(col("_s0"), 1).otherwise(0)).as("has0"))
       // entry-sort after the aggregation (same determinism argument as
       // the dedup path: equal sig ⇒ equal map content)
       .withColumn("labels",

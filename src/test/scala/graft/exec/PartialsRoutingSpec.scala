@@ -53,6 +53,48 @@ class PartialsRoutingSpec extends SparkTestBase {
     }
   }
 
+  test("rate/increase/delta route at step == bucket, bit-identical to " +
+      "the raw path (counter resets and boundary samples included)") {
+    // a counter with two in-window resets plus the rising/flat series
+    val withCtr = samplesDF(
+      Map("__name__" -> "pm", "s" -> "rise") ->
+        (0 to 240).map(i => (i * 30000L, i.toDouble)),
+      Map("__name__" -> "pm", "s" -> "ctr") ->
+        (0 to 240).map(i => (i * 30000L, ((i * 7) % 100).toDouble)),
+      Map("__name__" -> "pm", "s" -> "flat") ->
+        (0 to 240).map(i => (i * 30000L, 7.0)))
+    val raw = new PromQLEngine(spark, withCtr)
+    val routed = new PromQLEngine(spark, withCtr,
+      foldPartials = Some((Ingest.foldPartials(withCtr, 5 * m), 5 * m)))
+    for (f <- Seq("rate", "increase", "delta");
+        w <- Seq("5m", "10m"); offset <- Seq("", " offset 10m")) {
+      val q = s"$f(pm[$w]$offset)"
+      val a = results(raw, q, 20 * m, 115 * m, 5 * m)
+      val b = results(routed, q, 20 * m, 115 * m, 5 * m)
+      assert(a == b, s"$q diverged between raw and partials paths")
+      assert(a.nonEmpty)
+    }
+  }
+
+  test("rate routing requires step == bucket: coarser steps fall back") {
+    val raw = new PromQLEngine(spark, fixture)
+    val routed = new PromQLEngine(spark, fixture,
+      foldPartials = Some((Ingest.foldPartials(fixture, 5 * m), 5 * m)))
+    // step 10m over 5m buckets: fold routes (merging is associative),
+    // rate falls back (ordered sub-bucket merge not materialized)
+    val q = "increase(pm[20m])"
+    assert(results(raw, q, 20 * m, 110 * m, 10 * m) ==
+      results(routed, q, 20 * m, 110 * m, 10 * m))
+    // routing proof at step == bucket: empty partials -> empty result
+    val empty = Ingest.foldPartials(fixture.filter(lit(false)), 5 * m)
+    val e = new PromQLEngine(spark, fixture,
+      foldPartials = Some((empty, 5 * m)))
+    assert(e.rangeQuery("rate(pm[10m])", 20 * m, 115 * m, 5 * m)
+      .count() == 0)
+    assert(e.rangeQuery("increase(pm[20m])", 20 * m, 110 * m, 10 * m)
+      .count() > 0) // coarser step: raw fallback still sees data
+  }
+
   test("misaligned grids fall back to the raw path and stay correct") {
     val raw = new PromQLEngine(spark, fixture)
     // 2m buckets do not divide the 5m step — must fall back
