@@ -239,6 +239,11 @@ class PlanShapeSpec extends SparkTestBase {
     // small cached series dimension rejoining labels
     assert(p.contains("graft-foldpartials"),
       s"expected a fold-partials scan in the plan:\n${p.take(1500)}")
+    // and the window's time bounds must prune that scan's row groups
+    val pushed = p.linesIterator
+      .filter(_.contains("PushedFilters:")).mkString
+    assert(pushed.contains("bucket_start"),
+      s"time bounds did not reach the partials scan:\n$pushed")
   }
 
   test("p8_bucketed_range reads ONLY the partials table, never raw events") {
