@@ -228,8 +228,11 @@ class PromQLEngine(
     * point excludes the series — older points are not resurrected
     * (engine.go:789-798 takes the latest point, then drops it if stale). */
   private def vectorSelect(vs: VectorSelector, tr: EvalRange): DataFrame =
-    if (lookbackMs >= 2 * tr.stepMs && lookbackMs % tr.stepMs == 0 &&
-      lookbackMs / tr.stepMs <= 512 && tr.numSteps >= 8)
+    if ((lookbackMs >= 2 * tr.stepMs && lookbackMs % tr.stepMs == 0 &&
+      lookbackMs / tr.stepMs <= 512 && tr.numSteps >= 8) ||
+      // materialized route (step == bucket): beneficial at any m
+      (lookbackMs % tr.stepMs == 0 && lookbackMs / tr.stepMs <= 512 &&
+        materializedSelectPartials(vs, tr).isDefined))
       bucketedSelect(vs, tr)
     else
       // the former max_by(struct(st, v, stale), st) is decomposed into
@@ -257,37 +260,66 @@ class PromQLEngine(
     * point of the step's own bucket. Staleness travels with the
     * partial: the winner being a marker hides the series, exactly like
     * the general path. */
+  /** Step-bucket instant-select partials from the MATERIALIZED table
+    * (step == bucket, aligned grid): the stored last/at-start points
+    * CARRY the stale flag, so a marker as a bucket's newest point
+    * hides the series exactly like the raw path. Marker-only buckets
+    * are present by construction (the select columns aggregate over
+    * all rows — see [[graft.storage.Ingest.foldPartials]]). */
+  private def materializedSelectPartials(vs: VectorSelector,
+      tr: EvalRange): Option[DataFrame] =
+    foldPartials.flatMap { case (tbl, bkt) =>
+      val o = vs.offsetMs
+      val anchor = tr.startMs - o
+      if (tr.stepMs != bkt || Math.floorMod(anchor, bkt) != 0) None
+      else {
+        val ms = allMatchers(vs)
+        Some(tbl
+          .filter(ms.map(matcherCond).reduce(_ && _))
+          .filter(col("bucket_start") >= anchor - lookbackMs &&
+            col("bucket_start") <= tr.endMs - o)
+          .select(col("sig").as(SIG),
+            ((col("bucket_start") - anchor) / lit(bkt.toDouble))
+              .cast("long").as("_b"),
+            (col("lta") - anchor).as("_lprel"), col("lva").as("_lpv"),
+            col("lsa").as("_lpstale"), col("v0a").as("_spv"),
+            col("s0a").as("_spstale"), col("has0a").as("has0")))
+      }
+    }
+
   private def bucketedSelect(vs: VectorSelector, tr: EvalRange): DataFrame = {
     val step = tr.stepMs
     val m = (lookbackMs / step).toInt
-    // (not bucketedBase: that drops stale rows, instant selection keeps them)
-    val hasStale = samples.columns.contains("stale")
-    val staleCol = if (hasStale) col("stale") else lit(false)
     val o = vs.offsetMs
     val anchor = tr.startMs - o
-    val base = {
-      val ms = allMatchers(vs)
-      val src = samples
-        .filter(ms.map(matcherCond).reduce(_ && _))
-        .filter(col(T) >= tr.startMs - o - lookbackMs &&
-          col(T) <= tr.endMs - o)
-      src.select(sigCol.as(SIG), col(L),
-        (col(T) - anchor).as("_rel"), col(V), staleCol.as("_st0"))
-    }
     val b = bucketCol(step)
     val isStart = pmod(col("_rel"), lit(step)) === 0
     // per-field max_by decomposition (unique _rel per series+bucket; the
     // at-start row is unique per bucket) — primitive buffers keep the
     // aggregation hash-based where struct-valued max_by would sort
-    val partials = base.withColumn("_b", b).withColumn("_s0", isStart)
-      .groupBy(col(SIG), col("_b"))
-      .agg(
-        max(col("_rel")).as("_lprel"),
-        max_by(col(V), col("_rel")).as("_lpv"),
-        max_by(col("_st0"), col("_rel")).as("_lpstale"),
-        max(when(col("_s0"), col(V))).as("_spv"),
-        max(when(col("_s0"), col("_st0"))).as("_spstale"),
-        max(when(col("_s0"), 1).otherwise(0)).as("has0"))
+    val partials0 = materializedSelectPartials(vs, tr).getOrElse {
+      // (not bucketedBase: that drops stale rows, instant selection
+      // keeps them)
+      val hasStale = samples.columns.contains("stale")
+      val staleCol = if (hasStale) col("stale") else lit(false)
+      val ms = allMatchers(vs)
+      samples
+        .filter(ms.map(matcherCond).reduce(_ && _))
+        .filter(col(T) >= tr.startMs - o - lookbackMs &&
+          col(T) <= tr.endMs - o)
+        .select(sigCol.as(SIG), col(L),
+          (col(T) - anchor).as("_rel"), col(V), staleCol.as("_st0"))
+        .withColumn("_b", b).withColumn("_s0", isStart)
+        .groupBy(col(SIG), col("_b"))
+        .agg(
+          max(col("_rel")).as("_lprel"),
+          max_by(col(V), col("_rel")).as("_lpv"),
+          max_by(col("_st0"), col("_rel")).as("_lpstale"),
+          max(when(col("_s0"), col(V))).as("_spv"),
+          max(when(col("_s0"), col("_st0"))).as("_spstale"),
+          max(when(col("_s0"), 1).otherwise(0)).as("has0"))
+    }
+    val partials = partials0
       .withColumn("lp", struct(col("_lprel").as("rel"), col("_lpv").as("v"),
         col("_lpstale").as("stale")))
       .withColumn("sp", struct((col("_b") * step).as("rel"),
@@ -1049,6 +1081,7 @@ class PromQLEngine(
           .withColumn("_rel", col("bucket_start") - anchor)
         val onStep = pmod(col("_rel"), lit(tr.stepMs)) === 0
         Some(rows
+          .filter(col("cnt").isNotNull) // marker-only buckets: no values
           .withColumn("_b", bucketCol(tr.stepMs))
           .groupBy(col("sig").as(SIG), col("_b"))
           .agg(
@@ -1165,6 +1198,7 @@ class PromQLEngine(
           .filter(ms.map(matcherCond).reduce(_ && _))
           .filter(col("bucket_start") >= anchor - w &&
             col("bucket_start") <= tr.endMs - o)
+          .filter(col("cnt").isNotNull) // marker-only buckets: no values
           .select(col("sig").as(SIG),
             ((col("bucket_start") - anchor) / lit(bkt.toDouble))
               .cast("long").as("_b"),

@@ -309,34 +309,53 @@ object Ingest {
     * the raw sample volume — the materialized-view lever at 100 TB.
     *
     * Must be derived from the SAME logical samples as the engine's
-    * table (it answers for them); stale rows are excluded like every
-    * fold read. Buckets are epoch-anchored, so any query grid whose
-    * step is a multiple of `bucketMs` and whose (offset-shifted) start
-    * is bucket-aligned routes here. */
+    * table (it answers for them). Stale rows contribute only to the
+    * instant-select columns (where the marker-hides-series semantics
+    * need them), never to fold/rate values. Buckets are
+    * epoch-anchored, so any query grid whose step is a multiple of
+    * `bucketMs` and whose (offset-shifted) start is bucket-aligned
+    * routes here. */
   def foldPartials(samples: DataFrame, bucketMs: Long): DataFrame = {
     require(bucketMs > 0, "bucket size must be positive")
-    val unstale =
-      if (samples.columns.contains("stale")) samples.filter(!col("stale"))
-      else samples
+    val staleC = if (samples.columns.contains("stale")) col("stale")
+      else lit(false)
     val s0 = pmod(col("t"), lit(bucketMs)) === 0
     val sigC = if (samples.columns.contains("sig")) col("sig")
       else Samples.sigExpr(col("labels"))
-    val base = unstale
+    val base = samples
+      .withColumn("_stale", staleC)
       .withColumn("bucket_start", col("t") - pmod(col("t"), lit(bucketMs)))
       .withColumn("_s0", s0)
       .withColumn("_psig", sigC)
+    // INSTANT-SELECT partials run over ALL rows, markers included: a
+    // staleness marker as a bucket's newest point must hide the
+    // series, so the stale flag travels with the last/at-start points.
+    // This frame is the superset (every bucket with any row), so it
+    // anchors the join.
+    val sel = base
+      .groupBy(col("_psig").as("sig"), col("bucket_start"))
+      .agg(
+        first(col("labels")).as("_l0"),
+        max(col("t")).as("lta"), max_by(col("v"), col("t")).as("lva"),
+        max_by(col("_stale"), col("t")).as("lsa"),
+        max(when(col("_s0"), col("v"))).as("v0a"),
+        max(when(col("_s0"), col("_stale"))).as("s0a"),
+        max(when(col("_s0"), 1).otherwise(0)).as("has0a"))
+    // fold/rate partials run over LIVE rows only (stale samples never
+    // contribute values); buckets holding only markers surface with
+    // these columns null — materialized fold/rate readers drop them
+    val live = base.filter(!col("_stale"))
     // in-bucket counter-reset correction (sum of pre-reset values) —
     // the rate/increase partial the engine's bucketed rate path
     // computes with the same lag window at query time
     val wl = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_psig"), col("bucket_start")).orderBy(col("t"))
     val pv = lag(col("v"), 1).over(wl)
-    base
+    val foldRate = live
       .withColumn("_cinc",
         when(pv.isNotNull && col("v") < pv, pv).otherwise(lit(0.0)))
       .groupBy(col("_psig").as("sig"), col("bucket_start"))
       .agg(
-        first(col("labels")).as("_l0"),
         count(lit(1)).as("cnt"), sum(col("v")).as("sum"),
         sum(col("v") * col("v")).as("sumsq"),
         min(col("v")).as("mn"), max(col("v")).as("mx"),
@@ -353,6 +372,7 @@ object Ingest {
         sum(col("_cinc")).as("corr"),
         max(when(col("_s0"), col("v"))).as("v0"),
         max(when(col("_s0"), 1).otherwise(0)).as("has0"))
+    sel.join(foldRate, Seq("sig", "bucket_start"), "left")
       // entry-sort after the aggregation (same determinism argument as
       // the dedup path: equal sig ⇒ equal map content)
       .withColumn("labels",

@@ -95,6 +95,37 @@ class PartialsRoutingSpec extends SparkTestBase {
       .count() > 0) // coarser step: raw fallback still sees data
   }
 
+  test("instant selectors route at step == bucket; staleness markers " +
+      "still hide series through the materialized path") {
+    // series "gone" ends with a stale marker at 60m — the marker is
+    // its bucket's newest point, and the lookback (5m default) must
+    // hide the series at the steps the marker covers, on BOTH routes
+    val withStale = samplesDF(
+      Map("__name__" -> "pm", "s" -> "rise") ->
+        (0 to 240).map(i => (i * 30000L, i.toDouble)),
+      Map("__name__" -> "pm", "s" -> "gone") ->
+        ((0 to 119).map(i => (i * 30000L, 5.0)) :+
+          ((120 * 30000L, graft.model.Samples.StaleNaN))))
+    val raw = new PromQLEngine(spark, withStale)
+    val routed = new PromQLEngine(spark, withStale,
+      foldPartials = Some((Ingest.foldPartials(withStale, 5 * m), 5 * m)))
+    for (q <- Seq("pm", """pm{s="gone"}""", "pm offset 10m")) {
+      val a = results(raw, q, 20 * m, 115 * m, 5 * m)
+      val b = results(routed, q, 20 * m, 115 * m, 5 * m)
+      assert(a == b, s"$q diverged between raw and partials paths")
+    }
+    // the marker semantics end-to-end on the routed path: gone at 60m+
+    assert(routed.rangeQuery("""pm{s="gone"}""", 60 * m, 115 * m, 5 * m)
+      .count() == 0)
+    assert(routed.rangeQuery("""pm{s="gone"}""", 55 * m, 55 * m, 5 * m)
+      .count() == 1)
+    // routing proof: empty partials -> empty aligned instant selector
+    val empty = Ingest.foldPartials(withStale.filter(lit(false)), 5 * m)
+    val e = new PromQLEngine(spark, withStale,
+      foldPartials = Some((empty, 5 * m)))
+    assert(e.rangeQuery("pm", 20 * m, 115 * m, 5 * m).count() == 0)
+  }
+
   test("misaligned grids fall back to the raw path and stay correct") {
     val raw = new PromQLEngine(spark, fixture)
     // 2m buckets do not divide the 5m step — must fall back
