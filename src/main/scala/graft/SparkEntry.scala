@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.exec.PromQLEngine
 import graft.llm.{AnnWitness, Dedup, Multimodal, Similarity, TextOps}
 import graft.model.Samples
-import graft.storage.Ingest
+import graft.storage.{ChunkStore, Ingest}
 import graft.streaming.RecordingRules
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -159,6 +159,24 @@ object SparkEntry {
           .createTempDirectory("graft-foldpartials").toString
         Ingest.foldPartials(Samples.fromEventsDir(spark, dir), 3600000L)
           .write.mode("overwrite").parquet(out)
+        out
+      })
+
+  /** Gorilla/XOR chunk store ([[graft.storage.ChunkStore]] layout:
+    * `date` partitions × per-series ≤240-sample chunk blobs with
+    * min/max-t envelopes), encoded ONCE per (session, fixture dir)
+    * from the events fixture. Build cost is ingest/compaction cost,
+    * not query cost — the reference likewise pays chunk encoding at
+    * ingest (`tsdb/head.go`), never at query time. */
+  private val chunkStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def chunkStorePath(spark: SparkSession, dir: String): String =
+    chunkStoreCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}:$dir",
+      _ => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-chunkstore").toString
+        ChunkStore.write(Samples.fromEventsDir(spark, dir), out)
         out
       })
 
@@ -315,6 +333,43 @@ object SparkEntry {
       eng.rangeQuery("count_over_time(events_value[1d])", START, END, DAY / 2)
         .select(col("labels")("event_type").as("event_type"),
           col("labels")("user_id").as("user_id"), col("t"), col("v"))
+    }),
+    // S11: the Gorilla/XOR chunk storage tier end-to-end — the SAME
+    // engine range query as p3, but over ChunkStore's compressed
+    // layout (delta-of-delta timestamps + XOR values, the reference's
+    // on-disk format, ≈1.37 B/sample envelope): chunks decode map-side
+    // after date-partition + min/max-t envelope pruning, then enter
+    // the engine as the canonical frame. A layout change, never a
+    // semantics change — oracle identical to p3's.
+    "s11_chunk_store" -> ((spark, dir) => {
+      val eng = new PromQLEngine(spark,
+        ChunkStore.read(spark, chunkStorePath(spark, dir)))
+      eng.rangeQuery("count_over_time(events_value[1d])", START, END, DAY)
+        .select(col("labels")("event_type").as("event_type"),
+          col("labels")("user_id").as("user_id"), col("t"), col("v"))
+    }),
+    // S12: chunk-codec round-trip witness, computed IN Spark — the
+    // decoded store must contain exactly the raw sample set: count
+    // both frames and count value mismatches under a full join on
+    // (sig, t). Hash-checkable: n_raw/n_chunk are the fixture's row
+    // count (DuckDB counts events); mismatch is 0 when the codec is
+    // the identity. (Compression is measured on regular-cadence
+    // workloads — GorillaChunkSpec/ChunkStoreSpec + SCALE.md §6 — the
+    // events fixture averages ~1 sample per series-day, the shape
+    // chunking exists to avoid, so a ratio gate here would test the
+    // fixture, not the codec.)
+    "s12_chunk_roundtrip" -> ((spark, dir) => {
+      val raw = Samples.fromEventsDir(spark, dir)
+        .select(col("sig"), col("t"), col("v"))
+      val dec = ChunkStore.read(spark, chunkStorePath(spark, dir))
+        .select(col("sig"), col("t"), col("v").as("vd"))
+      val mismatches = raw.join(dec, Seq("sig", "t"), "full")
+        .filter(not(col("v") <=> col("vd"))).count()
+      val (samples, _, _) =
+        ChunkStore.stats(spark, chunkStorePath(spark, dir))
+      import spark.implicits._
+      Seq((raw.count(), samples, mismatches))
+        .toDF("n_raw", "n_chunk", "mismatch")
     }),
     // R1: recording rules — evaluate a rule group over the ingested
     // store (event-time grid), record renamed series back into it, and
@@ -851,6 +906,16 @@ object SparkEntry {
       s"""WITH $STEPS, $S, ${windowSql(DAY)}
          |SELECT event_type, user_id, t, CAST(count(*) AS DOUBLE) AS v
          |FROM w GROUP BY 1, 2, 3""".stripMargin,
+    // the chunk store is a LAYOUT change: same query, same oracle
+    "s11_chunk_store" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)}
+         |SELECT event_type, user_id, t, CAST(count(*) AS DOUBLE) AS v
+         |FROM w GROUP BY 1, 2, 3""".stripMargin,
+    // codec round-trip: decoded chunks ≡ raw samples, so both counts
+    // are the events row count and the mismatch count is zero
+    "s12_chunk_roundtrip" ->
+      s"""SELECT COUNT(*) AS n_raw, COUNT(*) AS n_chunk,
+         |  CAST(0 AS BIGINT) AS mismatch FROM events""".stripMargin,
     // the partials route is a PLAN change, never a semantics change
     // (p3's window shape on the 12h grid)
     "p9_engine_partials" ->

@@ -1,0 +1,171 @@
+package graft.storage
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Samples
+
+/** One encoded chunk: ≤ `maxPerChunk` consecutive samples of ONE
+  * series within ONE date partition, as a Gorilla/XOR blob plus the
+  * min/max-t envelope the read path prunes on. */
+case class ChunkRow(sig: Long, labels: Map[String, String], date: String,
+    min_t: Long, max_t: Long, n: Int, chunk: Array[Byte])
+
+/** A decoded sample point (the UDF return shape of the read path). */
+case class ChunkPoint(t: Long, v: Double, stale: Boolean)
+
+/** Chunk-compressed storage tier: the reference's on-disk story
+  * (Gorilla/XOR chunks inside date blocks — vendor
+  * `prometheus/tsdb/chunkenc/xor.go`, `tsdb/block.go`; design target
+  * ≈ 1.37 bytes/sample, `docs/assumptions.md:39-41`) re-expressed as a
+  * parquet table OF chunks:
+  *
+  *   date=yyyy-MM-dd / (sig, labels, min_t, max_t, n, chunk BINARY)
+  *
+  * Spark-first rationale: the raw-sample parquet tables already get
+  * general-purpose compression, but a chunk tier buys the two things
+  * that matter for COLD HISTORY at 100 TB — (1) ~5-20× fewer rows
+  * (one per ≤240 samples) so scan/filter/shuffle row overheads
+  * amortize, and (2) time-series-aware compression (delta-of-delta
+  * timestamps are ~1 bit/sample on regular scrapes vs 8 bytes raw).
+  * Pruning happens BEFORE decode at three levels: `date` Hive
+  * partitions, parquet min/max row-group stats on `min_t`/`max_t`
+  * (both driver-pushable — the filters are plain comparisons), and
+  * matcher filters on `labels` per chunk row (one evaluation per 240
+  * samples instead of per sample). Decode is map-side only — the
+  * exploded frame enters the engine exactly like raw samples, so
+  * every operator downstream is unchanged.
+  *
+  * Staleness markers survive the codec: the writer folds the `stale`
+  * flag back into the value's raw bits ([[Samples.StaleNaNBits]])
+  * before encoding, and the reader re-derives the flag from the
+  * decoded bits — inside the blob Spark cannot normalize NaNs.
+  */
+object ChunkStore {
+
+  /** Max samples per chunk. The reference targets 120 per chunk
+    * (`tsdb/head.go` samplesPerChunk); 240 halves per-chunk row
+    * overhead at the same intra-chunk seek cost, which a columnar
+    * scan does not pay anyway. Hard cap 65535 (uint16 header). */
+  val DefaultMaxPerChunk = 240
+
+  /** Encode canonical samples into the chunk layout at `path`.
+    * Input must be deduped per (series, t) — the strictly-increasing
+    * timestamp contract is [[Ingest.dedup]]'s output contract (the
+    * encoder fails fast on violations, the ErrAmendSample stance).
+    *
+    * Plan shape: one hash exchange on `sig` (the same murmur3 family
+    * the bucketed store uses) then a per-partition sort — encoding is
+    * a single pass over each partition's (sig, t)-ordered run. No
+    * driver-side state; scales with executors. */
+  def write(samples: DataFrame, path: String,
+      maxPerChunk: Int = DefaultMaxPerChunk,
+      buckets: Int = Ingest.SeriesBuckets): Unit = {
+    require(maxPerChunk > 0 && maxPerChunk <= 0xffff,
+      s"maxPerChunk out of range: $maxPerChunk")
+    val spark = samples.sparkSession
+    import spark.implicits._
+    val sigC =
+      if (samples.columns.contains("sig")) col("sig")
+      else Samples.sigExpr(col("labels"))
+    val staleC =
+      if (samples.columns.contains("stale")) col("stale") else lit(false)
+    val typed = samples
+      .select(sigC.as("sig"), col("labels"),
+        date_format(timestamp_millis(col("t")), "yyyy-MM-dd").as("date"),
+        col("t"), col("v"), staleC.as("stale"))
+      .as[(Long, Map[String, String], String, Long, Double, Boolean)]
+    val chunks = typed
+      .repartition(buckets, col("sig"))
+      .sortWithinPartitions(col("sig"), col("t"))
+      .mapPartitions { it =>
+        new Iterator[ChunkRow] {
+          private val buf = it.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): ChunkRow = {
+            val (sig, labels, date, _, _, _) = buf.head
+            val ts = Array.newBuilder[Long]
+            val vb = Array.newBuilder[Long]
+            var n = 0
+            var minT = Long.MaxValue
+            var maxT = Long.MinValue
+            while (n < maxPerChunk && buf.hasNext &&
+                buf.head._1 == sig && buf.head._3 == date) {
+              val (_, _, _, t, v, stale) = buf.next()
+              ts += t
+              vb += (if (stale) Samples.StaleNaNBits
+                     else java.lang.Double.doubleToRawLongBits(v))
+              if (t < minT) minT = t
+              if (t > maxT) maxT = t
+              n += 1
+            }
+            ChunkRow(sig, labels, date, minT, maxT, n,
+              GorillaChunk.encode(ts.result(), vb.result()))
+          }
+        }
+      }
+    chunks.toDF()
+      .write.mode("append").partitionBy("date").parquet(path)
+  }
+
+  private val decodeUdf = udf { bytes: Array[Byte] =>
+    val (ts, vb) = GorillaChunk.decode(bytes)
+    val out = new Array[ChunkPoint](ts.length)
+    var i = 0
+    while (i < ts.length) {
+      out(i) = ChunkPoint(ts(i),
+        java.lang.Double.longBitsToDouble(vb(i)),
+        vb(i) == Samples.StaleNaNBits)
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** The chunk table itself (no decode) — for stats and pruning
+    * plan assertions. */
+  def readChunks(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Decode the whole store back to the engine's canonical sample
+    * frame (sig, labels, t, v, stale). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    decoded(readChunks(spark, path))
+
+  /** Decode only chunks overlapping `[startMs, endMs]`: `date`
+    * partition pruning + parquet min/max stats on the envelope columns
+    * drop non-overlapping chunks BEFORE any decode runs; the exact
+    * `t` range filter after decode trims the chunk-boundary overhang.
+    * This is the cold-history read path: a 5-minute query against a
+    * year of 100 TB history touches only the two days' partitions and,
+    * within them, only row groups whose envelope overlaps. */
+  def read(spark: SparkSession, path: String,
+      startMs: Long, endMs: Long): DataFrame = {
+    val d0 = java.time.Instant.ofEpochMilli(startMs)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    val d1 = java.time.Instant.ofEpochMilli(endMs)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    decoded(readChunks(spark, path)
+      .filter(col("date") >= d0 && col("date") <= d1)
+      .filter(col("max_t") >= startMs && col("min_t") <= endMs))
+      .filter(col("t") >= startMs && col("t") <= endMs)
+  }
+
+  private def decoded(chunks: DataFrame): DataFrame =
+    chunks
+      .select(col("sig"), col("labels"),
+        explode(decodeUdf(col("chunk"))).as("p"))
+      .select(col("sig"), col("labels"), col("p.t").as("t"),
+        col("p.v").as("v"), col("p.stale").as("stale"))
+
+  /** Compression accounting: (samples, chunk payload bytes,
+    * bytes/sample). Payload = the Gorilla blobs alone; the parquet
+    * file footprint (dictionary-compressed labels, envelope columns)
+    * is measured separately by callers via the filesystem. */
+  def stats(spark: SparkSession, path: String): (Long, Long, Double) = {
+    val row = readChunks(spark, path)
+      .agg(sum(col("n")), sum(length(col("chunk")))).head()
+    val samples = row.getLong(0)
+    val bytes = row.getLong(1)
+    (samples, bytes, bytes.toDouble / samples)
+  }
+}
