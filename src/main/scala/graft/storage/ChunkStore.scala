@@ -60,7 +60,8 @@ object ChunkStore {
     * driver-side state; scales with executors. */
   def write(samples: DataFrame, path: String,
       maxPerChunk: Int = DefaultMaxPerChunk,
-      buckets: Int = Ingest.SeriesBuckets): Unit = {
+      buckets: Int = Ingest.SeriesBuckets,
+      overwrite: Boolean = false): Unit = {
     require(maxPerChunk > 0 && maxPerChunk <= 0xffff,
       s"maxPerChunk out of range: $maxPerChunk")
     val spark = samples.sparkSession
@@ -105,7 +106,8 @@ object ChunkStore {
         }
       }
     chunks.toDF()
-      .write.mode("append").partitionBy("date").parquet(path)
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("date").parquet(path)
   }
 
   private val decodeUdf = udf { bytes: Array[Byte] =>
@@ -156,6 +158,32 @@ object ChunkStore {
         explode(decodeUdf(col("chunk"))).as("p"))
       .select(col("sig"), col("labels"), col("p.t").as("t"),
         col("p.v").as("v"), col("p.stale").as("stale"))
+
+  /** Compact one `date` partition: every append cuts its own chunks,
+    * so a day receiving many write batches accumulates short chunks
+    * per series (an interleaved append can't extend a sealed blob —
+    * the same reason the reference rewrites whole blocks when
+    * compacting, `tsdb/compact.go`). Decode the partition, re-encode
+    * through the standard write pass (full chunks again), and swap it
+    * in via dynamic partition overwrite. The decoded rows are
+    * materialized first so the job never reads files it is deleting —
+    * the same single-writer contract as [[Ingest.compact]]. */
+  def compact(spark: SparkSession, path: String, date: String,
+      maxPerChunk: Int = DefaultMaxPerChunk,
+      buckets: Int = Ingest.SeriesBuckets): Unit = {
+    val day = decoded(readChunks(spark, path)
+      .filter(col("date") === date))
+      .localCheckpoint(true)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try write(day, path, maxPerChunk, buckets, overwrite = true)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 
   /** Compression accounting: (samples, chunk payload bytes,
     * bytes/sample). Payload = the Gorilla blobs alone; the parquet

@@ -109,6 +109,28 @@ class ChunkStoreSpec extends SparkTestBase {
       s"date partition filters missing:\n$plan")
   }
 
+  test("compact merges fragmented appends back to full chunks, " +
+      "preserving the decoded frame exactly") {
+    val dir = tmpDir()
+    // interleaved appends: even then odd samples of one day — each
+    // append cuts its own short chunks, the day ends up fragmented
+    val mk = (parity: Int) => samplesDF(
+      Map("__name__" -> "cm") ->
+        (0 until 1440).filter(_ % 2 == parity)
+          .map(i => (1704067200000L + i * 60000L, i.toDouble)))
+    ChunkStore.write(mk(0), dir)
+    ChunkStore.write(mk(1), dir)
+    val before = asSet(ChunkStore.read(spark, dir))
+    assert(ChunkStore.readChunks(spark, dir).count() == 6) // 2 × 720/240
+    ChunkStore.compact(spark, dir, "2024-01-01")
+    // 1440 samples → 6 full chunks, but now each spans the MERGED
+    // sample stream (interleaving gone, delta-of-delta regular again)
+    val chunks = ChunkStore.readChunks(spark, dir)
+    assert(chunks.count() == 6)
+    assert(chunks.agg(min(col("n"))).head().getInt(0) == 240)
+    assert(asSet(ChunkStore.read(spark, dir)) == before)
+  }
+
   test("compression: regular cadence lands in the reference's " +
       "bytes/sample envelope") {
     val dir = tmpDir()
