@@ -1,7 +1,8 @@
 package graft.storage
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.model.Samples
 
@@ -158,6 +159,36 @@ object ChunkStore {
         explode(decodeUdf(col("chunk"))).as("p"))
       .select(col("sig"), col("labels"), col("p.t").as("t"),
         col("p.v").as("v"), col("p.stale").as("stale"))
+
+  /** Structured Streaming ingest straight into the chunk tier: each
+    * micro-batch canonicalizes + dedups (per-batch ErrAmendSample, as
+    * [[Ingest.stream]]) and cuts its own chunks — the streaming twin
+    * of the reference's head-chunk cutting. Replay-safe with the same
+    * batch-id commit markers as [[Ingest.appendOnce]] (a parquet
+    * append of chunk rows is no more idempotent than one of sample
+    * rows). Per-batch chunks are SHORT by construction; run
+    * [[compact]] behind the ingest watermark to restore full chunks,
+    * exactly like the reference's background compactor. */
+  def stream(edge: Dataset[Ingest.WriteSample], path: String,
+      checkpoint: String,
+      maxPerChunk: Int = DefaultMaxPerChunk): StreamingQuery =
+    Ingest.canonicalize(edge).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val ns = Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(
+            new java.io.File(checkpoint).getAbsolutePath))
+        val marker = new java.io.File(s"$path/_commits/$ns-$id")
+        if (!marker.exists()) {
+          write(Ingest.dedup(batch, strict = false), path, maxPerChunk)
+          marker.getParentFile.mkdirs()
+          marker.createNewFile()
+        }
+        ()
+      }
+      .start()
 
   /** Compact one `date` partition: every append cuts its own chunks,
     * so a day receiving many write batches accumulates short chunks

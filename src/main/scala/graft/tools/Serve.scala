@@ -10,8 +10,9 @@ import graft.storage.Ingest
 /** Runnable server: the Prometheus v1 API over a samples table.
   *
   * {{{
-  *   runMain graft.tools.Serve /root/testdata/sf0.01 9090          # events fixture
-  *   runMain graft.tools.Serve /path/to/ingested-table 9090 table  # Ingest layout
+  *   runMain graft.tools.Serve /root/testdata/sf0.01 9090           # events fixture
+  *   runMain graft.tools.Serve /path/to/ingested-table 9090 table   # Ingest layout
+  *   runMain graft.tools.Serve /path/to/chunk-store 9090 chunks     # ChunkStore layout
   * }}}
   *
   * With the `table` mode the write endpoint appends back into the same
@@ -35,6 +36,11 @@ object Serve {
       // writes append into the served table; the sink swaps in a
       // fresh-listing engine so queries see them (HttpApi.forTable)
       case "table" => HttpApi.forTable(spark, sfDir, port)
+      // read-only API over a Gorilla/XOR chunk store (ChunkStore
+      // layout): decode is lazy + pruned per query
+      case "chunks" => new HttpApi(spark,
+        new PromQLEngine(spark, graft.storage.ChunkStore.read(spark, sfDir)),
+        None, port)
       case _ => new HttpApi(spark,
         new PromQLEngine(spark, Samples.fromEventsDir(spark, sfDir)),
         None, port)

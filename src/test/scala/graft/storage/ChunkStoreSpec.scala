@@ -131,6 +131,27 @@ class ChunkStoreSpec extends SparkTestBase {
     assert(asSet(ChunkStore.read(spark, dir)) == before)
   }
 
+  test("streaming ingest cuts chunks per micro-batch, replay-safe") {
+    val dir = tmpDir()
+    val ckpt = tmpDir()
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Ingest.WriteSample]
+    mem.addData((1 to 100).map(i =>
+      Ingest.WriteSample(Map("__name__" -> "sc"),
+        1704067200000L + i * 1000L, i.toDouble)): _*)
+    ChunkStore.stream(mem.toDS(), dir, ckpt).awaitTermination(60000)
+    assert(ChunkStore.read(spark, dir).count() == 100)
+    // the batch-0 commit marker exists under the stream's namespace
+    val ns = Integer.toHexString(scala.util.hashing.MurmurHash3
+      .stringHash(new java.io.File(ckpt).getAbsolutePath))
+    assert(new java.io.File(s"$dir/_commits/$ns-0").exists())
+    // second stream over the same checkpoint adds nothing (no new data)
+    ChunkStore.stream(mem.toDS(), dir, ckpt).awaitTermination(60000)
+    assert(ChunkStore.read(spark, dir).count() == 100)
+  }
+
   test("compression: regular cadence lands in the reference's " +
       "bytes/sample envelope") {
     val dir = tmpDir()
