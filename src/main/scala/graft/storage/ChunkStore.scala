@@ -12,9 +12,6 @@ import graft.model.Samples
 case class ChunkRow(sig: Long, labels: Map[String, String], date: String,
     min_t: Long, max_t: Long, n: Int, chunk: Array[Byte])
 
-/** A decoded sample point (the UDF return shape of the read path). */
-case class ChunkPoint(t: Long, v: Double, stale: Boolean)
-
 /** Chunk-compressed storage tier: the reference's on-disk story
   * (Gorilla/XOR chunks inside date blocks — vendor
   * `prometheus/tsdb/chunkenc/xor.go`, `tsdb/block.go`; design target
@@ -111,18 +108,6 @@ object ChunkStore {
       .partitionBy("date").parquet(path)
   }
 
-  private val decodeUdf = udf { bytes: Array[Byte] =>
-    val (ts, vb) = GorillaChunk.decode(bytes)
-    val out = new Array[ChunkPoint](ts.length)
-    var i = 0
-    while (i < ts.length) {
-      out(i) = ChunkPoint(ts(i),
-        java.lang.Double.longBitsToDouble(vb(i)),
-        vb(i) == Samples.StaleNaNBits)
-      i += 1
-    }
-    out.toSeq
-  }
 
   /** The chunk table itself (no decode) — for stats and pruning
     * plan assertions. */
@@ -153,12 +138,15 @@ object ChunkStore {
       .filter(col("t") >= startMs && col("t") <= endMs)
   }
 
+  /** Map-side decode via the native generator
+    * ([[graft.functions.ChunkDecode]]): the analyzer extracts it into
+    * a `Generate` node emitting (t, v, stale) directly as internal
+    * rows — no per-point object boxing, and label predicates still
+    * push below the Generate (plan-asserted in ChunkStoreSpec), so
+    * non-matching chunks are never decoded. */
   private def decoded(chunks: DataFrame): DataFrame =
-    chunks
-      .select(col("sig"), col("labels"),
-        explode(decodeUdf(col("chunk"))).as("p"))
-      .select(col("sig"), col("labels"), col("p.t").as("t"),
-        col("p.v").as("v"), col("p.stale").as("stale"))
+    chunks.select(col("sig"), col("labels"),
+      graft.functions.ChunkDecode.decode(col("chunk")))
 
   /** Structured Streaming ingest straight into the chunk tier: each
     * micro-batch canonicalizes + dedups (per-batch ErrAmendSample, as

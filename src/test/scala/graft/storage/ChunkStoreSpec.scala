@@ -131,6 +131,32 @@ class ChunkStoreSpec extends SparkTestBase {
     assert(asSet(ChunkStore.read(spark, dir)) == before)
   }
 
+  test("label filters push below the decode Generate: non-matching " +
+      "chunks are never decoded") {
+    val dir = tmpDir()
+    ChunkStore.write(fixture, dir)
+    // an engine-shaped matcher on the decoded frame: references only
+    // the pass-through labels column, so Catalyst must push it through
+    // the Generate node — decode then runs ONLY on matching chunks
+    val filtered = ChunkStore.read(spark, dir)
+      .filter(col("labels")("s") === "rise")
+    val plan = filtered.queryExecution.optimizedPlan.toString
+    val genIdx = plan.indexOf("Generate")
+    val filtIdx = plan.indexOf("labels#")
+    assert(genIdx >= 0)
+    // the labels predicate appears BELOW the Generate in the tree
+    // rendering (child plans print after their parents)
+    val below = plan.substring(genIdx)
+    assert(below.contains("= rise") || below.contains("rise"),
+      s"matcher did not push below decode:\n$plan")
+    // and the Filter node is not a parent of Generate (no Filter
+    // before Generate in the rendering that references labels)
+    val head = plan.substring(0, genIdx)
+    assert(!head.contains("rise"),
+      s"matcher stuck above the decode Generate:\n$plan")
+    assert(filtered.count() == 501)
+  }
+
   test("streaming ingest cuts chunks per micro-batch, replay-safe") {
     val dir = tmpDir()
     val ckpt = tmpDir()
