@@ -371,6 +371,20 @@ object SparkEntry {
       Seq((raw.count(), samples, mismatches))
         .toDF("n_raw", "n_chunk", "mismatch")
     }),
+    // S13: series-index (postings) routing — the SAME engine range
+    // query as p3, over an engine holding Ingest.seriesIndex: matchers
+    // evaluate once per series on the index table and the sample scan
+    // is restricted by a sig semi-join (the reference TSDB's
+    // PostingsForMatchers read path; SeriesIndexSpec pins the plan).
+    // A plan change, never a semantics change — oracle identical.
+    "s13_series_index" -> ((spark, dir) => {
+      val samples = Samples.fromEventsDir(spark, dir)
+      val eng = new PromQLEngine(spark, samples,
+        seriesIndex = Some(Ingest.seriesIndex(samples)))
+      eng.rangeQuery("count_over_time(events_value[1d])", START, END, DAY)
+        .select(col("labels")("event_type").as("event_type"),
+          col("labels")("user_id").as("user_id"), col("t"), col("v"))
+    }),
     // R1: recording rules — evaluate a rule group over the ingested
     // store (event-time grid), record renamed series back into it, and
     // read the recorded rows. The grid the rule derives from the data
@@ -916,6 +930,11 @@ object SparkEntry {
     "s12_chunk_roundtrip" ->
       s"""SELECT COUNT(*) AS n_raw, COUNT(*) AS n_chunk,
          |  CAST(0 AS BIGINT) AS mismatch FROM events""".stripMargin,
+    // the series-index route is a PLAN change: same query, same oracle
+    "s13_series_index" ->
+      s"""WITH $STEPS, $S, ${windowSql(DAY)}
+         |SELECT event_type, user_id, t, CAST(count(*) AS DOUBLE) AS v
+         |FROM w GROUP BY 1, 2, 3""".stripMargin,
     // the partials route is a PLAN change, never a semantics change
     // (p3's window shape on the 12h grid)
     "p9_engine_partials" ->

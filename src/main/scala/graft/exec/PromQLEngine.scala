@@ -35,7 +35,14 @@ class PromQLEngine(
     // (table, bucketMs) from graft.storage.Ingest.foldPartials over the
     // SAME samples: aligned *_over_time queries route to it and never
     // touch the raw sample volume (see materializedStepPartials)
-    foldPartials: Option[(DataFrame, Long)] = None) {
+    foldPartials: Option[(DataFrame, Long)] = None,
+    // (sig, labels) one row per distinct series, from
+    // graft.storage.Ingest.seriesIndex over the SAME samples: matchers
+    // then evaluate on the series DIMENSION and the sample scan becomes
+    // a sig semi-join — the reference TSDB's inverted-index read path
+    // (vendor tsdb/querier.go PostingsForMatchers). Requires a stored
+    // sig column on the samples table (see applyMatchers).
+    seriesIndex: Option[DataFrame] = None) {
 
   import PromQLEngine._
 
@@ -97,7 +104,7 @@ class PromQLEngine(
       case _ => throw new IllegalArgumentException(
         "match[] must be a vector selector")
     }
-    var df = samples.filter(allMatchers(vs).map(matcherCond).reduce(_ && _))
+    var df = applyMatchers(samples, allMatchers(vs))
     startMs.foreach(s => df = df.filter(col(T) >= s))
     endMs.foreach(e => df = df.filter(col(T) <= e))
     // distinct() rejects MAP columns — dedup via the sorted entries key
@@ -118,7 +125,7 @@ class PromQLEngine(
     }
     val hasStale = samples.columns.contains("stale")
     val unstale = if (hasStale) samples.filter(!col("stale")) else samples
-    var df = unstale.filter(allMatchers(vs).map(matcherCond).reduce(_ && _))
+    var df = applyMatchers(unstale, allMatchers(vs))
     startMs.foreach(s => df = df.filter(col(T) >= s))
     endMs.foreach(e => df = df.filter(col(T) <= e))
     df.select(col(L), col(T), col(V)).orderBy(Samples.sigStr(col(L)), col(T))
@@ -180,6 +187,27 @@ class PromQLEngine(
     vs.name.map(n => LabelMatcher(MatchType.Eq, Samples.MetricNameLabel, n)).toSeq ++
       vs.matchers
 
+  /** Apply a selector's matchers to a samples-shaped frame. With a
+    * series index (and a stored sig to join on), matchers — regexes
+    * included — evaluate once per SERIES on the index table, and the
+    * sample volume is restricted by a sig semi-join instead of a
+    * per-sample labels probe: the postings read path of the reference
+    * TSDB (`tsdb/querier.go` PostingsForMatchers → chunk reads). At
+    * 100 TB the matcher cost drops by the samples-per-series factor
+    * (a regex over 10⁹ samples becomes a regex over 10⁶ index rows),
+    * and AQE turns the semi-join into a broadcast when the matched
+    * set is small — the common dashboard case. Without an index (or
+    * without a stored sig, where hashing every row to join would cost
+    * more than the probe saves) this is a plain per-row filter. */
+  private def applyMatchers(df: DataFrame, ms: Seq[LabelMatcher]): DataFrame = {
+    val cond = ms.map(matcherCond).reduce(_ && _)
+    seriesIndex match {
+      case Some(idx) if df.columns.contains(SIG) =>
+        df.join(idx.filter(cond).select(col(SIG)), Seq(SIG), "left_semi")
+      case _ => df.filter(cond)
+    }
+  }
+
   /** All samples falling in each step's window `[step-o-w, step-o]`
     * (closed on both ends, matching the vendored engine's `t >= mint`
     * selection — engine.go:789-806,837-892), exploded onto the step grid.
@@ -199,8 +227,7 @@ class PromQLEngine(
     val staleCol = if (hasStale) col("stale") else lit(false)
     val unstale =
       if (keepStale || !hasStale) samples else samples.filter(!col("stale"))
-    val base = unstale
-      .filter(ms.map(matcherCond).reduce(_ && _))
+    val base = applyMatchers(unstale, ms)
       .filter(col(T) >= tr.startMs - o - windowMs && col(T) <= tr.endMs - o)
       .select(sigCol.as(SIG), col(L), col(T).as(ST), col(V),
         staleCol.as("_stale"))
@@ -303,8 +330,7 @@ class PromQLEngine(
       val hasStale = samples.columns.contains("stale")
       val staleCol = if (hasStale) col("stale") else lit(false)
       val ms = allMatchers(vs)
-      samples
-        .filter(ms.map(matcherCond).reduce(_ && _))
+      applyMatchers(samples, ms)
         .filter(col(T) >= tr.startMs - o - lookbackMs &&
           col(T) <= tr.endMs - o)
         .select(sigCol.as(SIG), col(L),
@@ -1042,8 +1068,7 @@ class PromQLEngine(
     val hasStale = samples.columns.contains("stale")
     val unstale = if (hasStale) samples.filter(!col("stale")) else samples
     val anchor = tr.startMs - o // bucket grid aligned to shifted eval times
-    unstale
-      .filter(ms.map(matcherCond).reduce(_ && _))
+    applyMatchers(unstale, ms)
       .filter(col(T) >= tr.startMs - o - w && col(T) <= tr.endMs - o)
       .select(sigCol.as(SIG), col(L),
         (col(T) - anchor).as("_rel"), col(V))

@@ -296,6 +296,26 @@ object Ingest {
     }
   }
 
+  /** Series index: one (sig, labels) row per distinct series — the
+    * reference TSDB's postings/inverted index re-expressed as a
+    * series-dimension table (`vendor tsdb/index.go`,
+    * `tsdb/querier.go` PostingsForMatchers). An engine constructed
+    * with it evaluates matchers here (series cardinality, ~10⁶ rows
+    * at 40 M active series — broadcastable) instead of per sample
+    * (~10⁹+ rows), and restricts the scan by a sig semi-join.
+    * Incremental maintenance is an upsert of the batch's distinct
+    * sigs; over the bucketed store the distinct is shuffle-free (the
+    * scan is already hash-partitioned by sig). Determinism of
+    * `first(labels)`: equal sig ⇒ equal canonical label content (the
+    * same argument as the dedup path). */
+  def seriesIndex(samples: DataFrame): DataFrame = {
+    val sigC = if (samples.columns.contains("sig")) col("sig")
+      else Samples.sigExpr(col("labels"))
+    samples
+      .groupBy(sigC.as("sig"))
+      .agg(first(col("labels")).as("labels"))
+  }
+
   /** Materialized fold partials: one row per (series, epoch-aligned
     * `bucketMs` bucket) carrying EXACTLY the associative partial shape
     * the engine's bucketed fold path computes from raw samples at

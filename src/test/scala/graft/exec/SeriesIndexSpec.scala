@@ -1,0 +1,92 @@
+package graft.exec
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.model.Samples
+import graft.storage.Ingest
+
+/** Series-index (postings) routing: an engine given
+  * `Ingest.seriesIndex` must resolve matchers on the index and
+  * restrict the sample scan by a sig semi-join, with results
+  * IDENTICAL to the per-row filter path for every matcher type —
+  * staleness semantics included. */
+class SeriesIndexSpec extends SparkTestBase {
+
+  private val m = 60000L
+  private lazy val fixture = samplesDF(
+    Map("__name__" -> "px", "job" -> "api", "inst" -> "a") ->
+      (0 to 120).map(i => (i * 30000L, i.toDouble)),
+    Map("__name__" -> "px", "job" -> "api", "inst" -> "b") ->
+      (0 to 120).map(i => (i * 30000L, 2.0 * i)),
+    Map("__name__" -> "px", "job" -> "web") ->
+      (0 to 120).map(i => (i * 30000L, 7.0)),
+    Map("__name__" -> "py", "job" -> "api") ->
+      ((0 to 60).map(i => (i * 30000L, 1.0)) :+
+        ((61 * 30000L, Samples.StaleNaN))))
+    .withColumn("sig", Samples.sigExpr(col("labels")))
+
+  private def engines = {
+    val plain = new PromQLEngine(spark, fixture)
+    val indexed = new PromQLEngine(spark, fixture,
+      seriesIndex = Some(Ingest.seriesIndex(fixture)))
+    (plain, indexed)
+  }
+
+  private def asSet(df: org.apache.spark.sql.DataFrame) = df
+    .select(Samples.sigStr(col("labels")).as("k"), col("t"), col("v"))
+    .collect()
+    .map(r => (r.getString(0), r.getLong(1),
+      java.lang.Double.doubleToLongBits(r.getDouble(2))))
+    .toSet
+
+  test("indexed and plain paths agree for every matcher type") {
+    val (plain, indexed) = engines
+    for (q <- Seq(
+        "px", // name only
+        """px{job="api"}""", // eq
+        """px{job!="api"}""", // neq
+        """{__name__=~"p.*"}""", // regex, cross-metric
+        """px{inst=~"a|b"}""", // regex on sometimes-absent label
+        """px{inst!~"a"}""", // neg regex incl. absent-as-empty
+        """sum by (job) (rate(px[5m]))""", // through agg + range fn
+        "py")) { // staleness: marker hides the series at covered steps
+      val a = asSet(plain.rangeQuery(q, 10 * m, 55 * m, 5 * m))
+      val b = asSet(indexed.rangeQuery(q, 10 * m, 55 * m, 5 * m))
+      assert(a == b, s"$q diverged between plain and indexed paths")
+      assert(a.nonEmpty, s"$q empty — fixture does not exercise it")
+    }
+    // marker semantics through the index path
+    assert(indexed.rangeQuery("py", 62 * m, 90 * m, 5 * m).count() == 0)
+  }
+
+  test("the sample scan is restricted by a semi-join; the regex " +
+      "evaluates only on the index side") {
+    val (_, indexed) = engines
+    val df = indexed.rangeQuery("""{__name__=~"p.*", job="api"}""",
+      10 * m, 20 * m, 5 * m)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), s"no semi-join in plan:\n$plan")
+    // the regex appears exactly once — on the index subtree, not as a
+    // per-sample filter too
+    val hits = "RLIKE".r.findAllIn(plan).size +
+      "rlike".r.findAllIn(plan).size
+    assert(hits == 1, s"regex evaluated $hits times in plan:\n$plan")
+  }
+
+  test("series and label-values APIs route through the index too") {
+    val (plain, indexed) = engines
+    assert(plain.series("""{job=~"a.*"}""").toSet ==
+      indexed.series("""{job=~"a.*"}""").toSet)
+    assert(plain.labelValues("job").toSet == indexed.labelValues("job").toSet)
+  }
+
+  test("without a stored sig the engine falls back to per-row filters") {
+    val noSig = fixture.drop("sig")
+    val eng = new PromQLEngine(spark, noSig,
+      seriesIndex = Some(Ingest.seriesIndex(noSig)))
+    val (plain, _) = engines
+    assert(asSet(eng.rangeQuery("""px{job="api"}""", 10 * m, 55 * m, 5 * m)) ==
+      asSet(plain.rangeQuery("""px{job="api"}""", 10 * m, 55 * m, 5 * m)))
+  }
+}
