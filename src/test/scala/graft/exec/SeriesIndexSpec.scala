@@ -81,6 +81,23 @@ class SeriesIndexSpec extends SparkTestBase {
     assert(plain.labelValues("job").toSet == indexed.labelValues("job").toSet)
   }
 
+  test("the tiers compose: chunk store + series index + fold partials " +
+      "in one engine, identical to the plain path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compose").toString
+    graft.storage.ChunkStore.write(fixture, dir)
+    val decoded = graft.storage.ChunkStore.read(spark, dir)
+    val eng = new PromQLEngine(spark, decoded,
+      foldPartials = Some((Ingest.foldPartials(decoded, 5 * m), 5 * m)),
+      seriesIndex = Some(Ingest.seriesIndex(decoded)))
+    val (plain, _) = engines
+    for (q <- Seq("""sum by (job) (count_over_time(px[10m]))""",
+        """px{job="api"}""", "py")) {
+      assert(asSet(eng.rangeQuery(q, 10 * m, 55 * m, 5 * m)) ==
+        asSet(plain.rangeQuery(q, 10 * m, 55 * m, 5 * m)),
+        s"$q diverged on the composed tiers")
+    }
+  }
+
   test("without a stored sig the engine falls back to per-row filters") {
     val noSig = fixture.drop("sig")
     val eng = new PromQLEngine(spark, noSig,
