@@ -104,7 +104,14 @@ class PromQLEngine(
       case _ => throw new IllegalArgumentException(
         "match[] must be a vector selector")
     }
-    var df = applyMatchers(samples, allMatchers(vs))
+    // unbounded series(): a pure series-dimension question — answer
+    // from the postings index alone, no sample scan (the reference's
+    // index-only path, tsdb/querier.go)
+    var df = seriesIndex match {
+      case Some(idx) if startMs.isEmpty && endMs.isEmpty =>
+        idx.filter(allMatchers(vs).map(matcherCond).reduce(_ && _))
+      case _ => applyMatchers(samples, allMatchers(vs))
+    }
     startMs.foreach(s => df = df.filter(col(T) >= s))
     endMs.foreach(e => df = df.filter(col(T) <= e))
     // distinct() rejects MAP columns — dedup via the sorted entries key
@@ -139,7 +146,11 @@ class PromQLEngine(
     * highest-rate queries a dashboard fires. */
   def labelValues(name: String): Seq[String] =
     labelValuesMemo.computeIfAbsent(name, n =>
-      samples.select(col(L).getItem(n).as("v"))
+      // a pure series-dimension question: with a postings index the
+      // answer never touches the sample volume (the reference reads
+      // it from the index too, tsdb/index.go LabelValues)
+      seriesIndex.getOrElse(samples)
+        .select(col(L).getItem(n).as("v"))
         .filter(col("v").isNotNull).distinct()
         .collect().map(_.getString(0)).toSeq)
 

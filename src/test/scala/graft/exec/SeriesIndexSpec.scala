@@ -79,6 +79,14 @@ class SeriesIndexSpec extends SparkTestBase {
     assert(plain.series("""{job=~"a.*"}""").toSet ==
       indexed.series("""{job=~"a.*"}""").toSet)
     assert(plain.labelValues("job").toSet == indexed.labelValues("job").toSet)
+    // proof the unbounded metadata path is index-ONLY: an engine whose
+    // samples frame is empty still answers from the index
+    val indexOnly = new PromQLEngine(spark, fixture.filter(lit(false)),
+      seriesIndex = Some(Ingest.seriesIndex(fixture)))
+    assert(indexOnly.series("px").size == 3)
+    assert(indexOnly.labelValues("job").toSet == Set("api", "web"))
+    // time-BOUNDED series() must consult samples and go empty
+    assert(indexOnly.series("px", startMs = Some(0L)).isEmpty)
   }
 
   test("the tiers compose: chunk store + series index + fold partials " +
