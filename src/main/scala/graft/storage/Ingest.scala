@@ -316,6 +316,29 @@ object Ingest {
       .agg(first(col("labels")).as("labels"))
   }
 
+  /** Incrementally maintain a parquet series index at `path`: append
+    * only the batch's sigs that are NOT yet present (left_anti against
+    * the existing index — the batch's distinct-series set is small, so
+    * this is a broadcast probe against an index scan pruned to the sig
+    * column). Idempotent: re-appending a replayed batch adds nothing.
+    * This is the ingest-time twin of the reference's head-index upsert
+    * (`tsdb/head.go` getOrCreate → MemPostings.Add). */
+  def appendSeriesIndex(batch: DataFrame, path: String): Unit = {
+    val fresh = seriesIndex(batch)
+    // an empty or absent dir has no schema to infer — same probe as
+    // readTable's unwritten-table case
+    def any(f: java.io.File): Boolean =
+      f.isFile && f.getName.endsWith(".parquet") ||
+        (f.isDirectory && f.listFiles().exists(any))
+    val existing = new java.io.File(path)
+    val novel =
+      if (existing.exists() && any(existing))
+        fresh.join(batch.sparkSession.read.parquet(path).select(col("sig")),
+          Seq("sig"), "left_anti")
+      else fresh
+    novel.write.mode("append").parquet(path)
+  }
+
   /** Materialized fold partials: one row per (series, epoch-aligned
     * `bucketMs` bucket) carrying EXACTLY the associative partial shape
     * the engine's bucketed fold path computes from raw samples at

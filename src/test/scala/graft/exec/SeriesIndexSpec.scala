@@ -106,6 +106,26 @@ class SeriesIndexSpec extends SparkTestBase {
     }
   }
 
+  test("appendSeriesIndex upserts incrementally and is idempotent " +
+      "under replay") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-sidx").toString
+    val b1 = fixture.filter(col("labels")("__name__") === "px")
+    val b2 = fixture // superset: px series repeat, py is new
+    Ingest.appendSeriesIndex(b1, path)
+    assert(spark.read.parquet(path).count() == 3)
+    Ingest.appendSeriesIndex(b2, path)
+    assert(spark.read.parquet(path).count() == 4)
+    Ingest.appendSeriesIndex(b2, path) // replayed batch: no-op
+    assert(spark.read.parquet(path).count() == 4)
+    // the persisted index serves an engine like the in-memory one
+    val eng = new PromQLEngine(spark, fixture,
+      seriesIndex = Some(spark.read.parquet(path)))
+    val (plain, _) = engines
+    assert(asSet(eng.rangeQuery("px", 10 * m, 55 * m, 5 * m)) ==
+      asSet(plain.rangeQuery("px", 10 * m, 55 * m, 5 * m)))
+  }
+
   test("without a stored sig the engine falls back to per-row filters") {
     val noSig = fixture.drop("sig")
     val eng = new PromQLEngine(spark, noSig,
