@@ -146,8 +146,14 @@ object Bench {
     // a virtualized host a whole two-window sequence can land in a
     // noisy-neighbor patch (observed: back-to-back runs reading 38
     // and 78 q/s with identical binaries and an idle guest)
-    val qps = Seq.fill(3)(runQps(0)).max
-    val mixedQps = Seq.fill(3)(runQps(2)).max
+    // …and INTERLEAVE the light and mixed windows: three consecutive
+    // windows of one kind all land inside a single ~15 s noisy patch
+    // (observed: a mixed best-of-three reading 3.4 q/s between two
+    // runs reading 48 and 65 with identical binaries); alternating
+    // means a patch must span the whole sequence to poison either max
+    val ws = Seq.fill(3)(Seq(runQps(0), runQps(2))).flatten
+    val qps = ws.grouped(2).map(_.head).max
+    val mixedQps = ws.grouped(2).map(_.last).max
     val total = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
