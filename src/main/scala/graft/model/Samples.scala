@@ -126,12 +126,17 @@ object Samples {
   /** Adapter: driver test table `events` → canonical samples.
     * Series labels: metric name + event_type + user_id. */
   def fromEvents(events: DataFrame): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS): read as LongType nanos under
-    // spark.sql.legacy.parquet.nanosAsLong (Spark has no nanos timestamp).
-    // MUST be integer division: `/` promotes to double, and epoch nanos
-    // (~1.7e18) exceed double's 2^53 mantissa, yielding ms values 1 off.
+    // events.ts arrives in one of three parquet encodings depending on the
+    // generator's pyarrow version: TIMESTAMP(NANOS) read as LongType nanos
+    // under spark.sql.legacy.parquet.nanosAsLong (integer division is a
+    // MUST: `/` promotes to double and epoch nanos ~1.7e18 exceed double's
+    // 2^53 mantissa, yielding ms values 1 off), TIMESTAMP_NTZ (naive
+    // micros; the session tz is pinned UTC everywhere, so casting to
+    // TIMESTAMP reads the naive value as UTC — exactly DuckDB's
+    // epoch_ms(ts) on the same column), or a zoned TIMESTAMP.
     val tMs = events.schema("ts").dataType match {
       case LongType => expr("ts DIV 1000000")
+      case _: TimestampNTZType => unix_millis(col("ts").cast(TimestampType))
       case _ => unix_millis(col("ts"))
     }
     events.select(
