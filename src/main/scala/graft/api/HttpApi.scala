@@ -344,6 +344,31 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
     * step, since `ALERTS` itself stores 1. */
   private def currentAlerts()
       : Seq[(Map[String, String], String, Long, Double)] = {
+    // Nothing configured ⇒ nothing active, without touching Spark:
+    // /api/v1/rules calls this unconditionally, and a recording-only
+    // group would otherwise pay a max-t scan + two instant queries
+    // per dashboard poll for an always-empty answer.
+    if (!rules.exists(_.alerts.nonEmpty)) return Seq.empty
+    // The reference serves rule/alert state from the rule manager's
+    // in-memory snapshot, refreshed once per evaluation interval —
+    // a TTL cache keyed by the serving engine is the analogue here;
+    // without it every poll of /api/v1/alerts re-runs 3+N collect()
+    // jobs under the admission gate and can starve real queries.
+    val now = System.currentTimeMillis()
+    val ttlMs = rules.map(_.intervalMs).getOrElse(10000L)
+    val cached = alertsCache.get()
+    if (cached != null && (cached._1 eq engine) && now - cached._2 < ttlMs)
+      return cached._3
+    val computed = computeAlerts()
+    alertsCache.set((engine, now, computed))
+    computed
+  }
+
+  private val alertsCache = new java.util.concurrent.atomic.AtomicReference[
+    (PromQLEngine, Long, Seq[(Map[String, String], String, Long, Double)])](null)
+
+  private def computeAlerts()
+      : Seq[(Map[String, String], String, Long, Double)] = {
     val latest = gated {
       val r = engine.rawSamples("ALERTS")
         .agg(org.apache.spark.sql.functions.max("t")).head()
@@ -714,7 +739,16 @@ object HttpApi {
     def freshEngine() = new PromQLEngine(spark,
       graft.storage.Ingest.readTable(spark, path))
     var api: HttpApi = null
-    val sink = (df: DataFrame) => {
+    // one writer at a time: the HTTP pool is multi-threaded, and two
+    // concurrent Spark appends to ONE parquet path race on the shared
+    // `_temporary` staging dir — whichever job commits first deletes
+    // the other's in-flight task files, silently losing acknowledged
+    // writes. The reference's TSDB head serializes appends per series
+    // under its own locks; a coarse per-table lock is the analogue
+    // (writes stay concurrent WITH queries, which read committed
+    // listings only).
+    val writeLock = new Object
+    val sink = (df: DataFrame) => writeLock.synchronized {
       graft.storage.Ingest.append(df, path)
       // two layers of staleness: the session-shared FileStatusCache
       // (refreshByPath clears it — without this even a brand-new read

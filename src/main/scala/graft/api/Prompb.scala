@@ -179,7 +179,10 @@ object Prompb {
     /** (offset, length) of a length-delimited field payload. */
     def delimited(): (Int, Int) = {
       val n = varint()
-      if (n < 0 || pos + n > end)
+      // compare as `n > end - pos` (both sides small): a hostile length
+      // near Long.MaxValue would overflow `pos + n` to negative and
+      // sail past the bound, corrupting the parse position
+      if (n < 0 || n > end - pos)
         throw new IllegalArgumentException("truncated length-delimited field")
       val off = pos; pos += n.toInt; (off, n.toInt)
     }

@@ -123,7 +123,13 @@ object Dedup {
         (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Double),
         org.apache.spark.broadcast.Broadcast[
           org.apache.spark.util.sketch.BloomFilter]]): Boolean =
-      if (size() > bloomCacheMax) { e.getValue.destroy(); true } else false
+      // unpersist, NOT destroy: a concurrent isDuplicate query may
+      // still hold this broadcast — destroy() would fail its in-flight
+      // tasks, while unpersist(false) only drops executor copies (the
+      // driver re-ships the value on next access) and still releases
+      // the multi-GB executor memory the eviction exists to bound
+      if (size() > bloomCacheMax) { e.getValue.unpersist(false); true }
+      else false
   }
 
   // ---- shared shingle machinery -----------------------------------------

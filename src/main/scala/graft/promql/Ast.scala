@@ -94,6 +94,28 @@ object Ast {
     def typ: ValueType = func.returnType
   }
 
+  /** Widest history reach of an expression below an evaluation step:
+    * the max over its selectors of offset + (range window for matrix
+    * selectors, the instant lookback for vector selectors). The
+    * public-engine analogue is `FindMinTime`'s per-query start bound;
+    * the rule evaluator uses it to extend a bounded read window so the
+    * earliest evaluated steps still see their FULL range windows —
+    * truncating at the window bound records silently-low values. */
+  def maxLookbackMs(e: Expr, lookbackMs: Long): Long = e match {
+    case VectorSelector(_, _, off) => off + lookbackMs
+    case MatrixSelector(sel, r) => sel.offsetMs + r
+    case ParenExpr(i) => maxLookbackMs(i, lookbackMs)
+    case UnaryExpr(_, i) => maxLookbackMs(i, lookbackMs)
+    case BinaryExpr(_, a, b, _, _) =>
+      math.max(maxLookbackMs(a, lookbackMs), maxLookbackMs(b, lookbackMs))
+    case AggregateExpr(_, ex, p, _, _) =>
+      math.max(maxLookbackMs(ex, lookbackMs),
+        p.map(maxLookbackMs(_, lookbackMs)).getOrElse(0L))
+    case Call(_, args) =>
+      (0L +: args.map(maxLookbackMs(_, lookbackMs))).max
+    case _ => 0L
+  }
+
   /** Fixed function registry (reference `promql/functions.go:957-1243`) —
     * PromQL has no user-defined functions. Variadic slots use defaults. */
   final case class Function(

@@ -71,7 +71,10 @@ object ChunkStore {
       if (samples.columns.contains("stale")) col("stale") else lit(false)
     val typed = samples
       .select(sigC.as("sig"), col("labels"),
-        date_format(timestamp_millis(col("t")), "yyyy-MM-dd").as("date"),
+        // pure-UTC epoch-day derivation: read() prunes with UTC date
+        // strings, so a session-timezone date_format here would make
+        // chunks near midnight invisible under a non-UTC session
+        Ingest.utcDate(col("t")).as("date"),
         col("t"), col("v"), staleC.as("stale"))
       .as[(Long, Map[String, String], String, Long, Double, Boolean)]
     val chunks = typed
@@ -165,16 +168,9 @@ object ChunkStore {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val ns = Integer.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(
-            new java.io.File(checkpoint).getAbsolutePath))
-        val marker = new java.io.File(s"$path/_commits/$ns-$id")
-        if (!marker.exists()) {
+        Ingest.commitOnce(path, checkpoint, id) {
           write(Ingest.dedup(batch, strict = false), path, maxPerChunk)
-          marker.getParentFile.mkdirs()
-          marker.createNewFile()
         }
-        ()
       }
       .start()
 
@@ -190,8 +186,23 @@ object ChunkStore {
   def compact(spark: SparkSession, path: String, date: String,
       maxPerChunk: Int = DefaultMaxPerChunk,
       buckets: Int = Ingest.SeriesBuckets): Unit = {
+    // Collapse duplicate (series, t) samples across append batches:
+    // [[stream]] dedups only WITHIN a batch, so an at-least-once client
+    // re-sending a sample in two batches (distinct batch ids — the
+    // _commits markers can't catch it) leaves the day with two rows at
+    // one (sig, t). Without this, the re-encode pass would violate the
+    // encoder's strictly-increasing-timestamp contract and the
+    // compaction would fail forever. Resolution mirrors
+    // [[Ingest.dedup]] non-strict: smallest value wins, a stale marker
+    // wins over a plain value at the same timestamp.
     val day = decoded(readChunks(spark, path)
       .filter(col("date") === date))
+      .groupBy(col("sig"), col("t"))
+      .agg(first(col("labels")).as("_l0"),
+        min(col("v")).as("v"), max(col("stale")).as("stale"))
+      .withColumn("labels",
+        map_from_entries(array_sort(map_entries(col("_l0")))))
+      .select(col("sig"), col("labels"), col("t"), col("v"), col("stale"))
       .localCheckpoint(true)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -209,8 +220,11 @@ object ChunkStore {
     * file footprint (dictionary-compressed labels, envelope columns)
     * is measured separately by callers via the filesystem. */
   def stats(spark: SparkSession, path: String): (Long, Long, Double) = {
+    if (!Ingest.hasParquetData(path)) return (0L, 0L, Double.NaN)
     val row = readChunks(spark, path)
       .agg(sum(col("n")), sum(length(col("chunk")))).head()
+    // sum() over zero rows is null, not 0
+    if (row.isNullAt(0)) return (0L, 0L, Double.NaN)
     val samples = row.getLong(0)
     val bytes = row.getLong(1)
     (samples, bytes, bytes.toDouble / samples)

@@ -1,6 +1,6 @@
 package graft.storage
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -32,6 +32,18 @@ object Ingest {
   /** Number of series buckets per date partition used to bound file
     * counts (each write task emits ≤ 1 file per (date, bucket)). */
   val SeriesBuckets = 32
+
+  /** UTC day of an epoch-millis column as `yyyy-MM-dd` — via pure
+    * integer epoch-day arithmetic, NEVER `date_format(timestamp_millis)`,
+    * which renders in the SESSION timezone: a non-UTC session would
+    * write partitions that the read paths (which prune with
+    * hardcoded-UTC date strings, e.g. [[ChunkStore.read]]) silently
+    * miss. `date_from_unix_date` and the date→string cast are both
+    * timezone-free. */
+  private[storage] def utcDate(t: Column): Column =
+    date_from_unix_date(
+      ((t - pmod(t, lit(86400000L))) / lit(86400000L)).cast("int"))
+      .cast("string")
 
   /** Canonicalize an edge dataset: detect staleness markers (the
     * signalling-NaN bit pattern, `pkg/value/value.go:20-34`) while the
@@ -94,7 +106,7 @@ object Ingest {
   def append(batch: DataFrame, path: String, strict: Boolean = false): Unit =
     dedup(batch, strict)
       .withColumn("sig", Samples.sigExpr(col("labels")))
-      .withColumn("date", date_format(timestamp_millis(col("t")), "yyyy-MM-dd"))
+      .withColumn("date", utcDate(col("t")))
       // co-locate each series' day into one bucket → bounded file count
       // and mergeable row groups per series
       .repartition(col("date"), pmod(col("sig"), lit(SeriesBuckets)))
@@ -128,16 +140,38 @@ object Ingest {
     * window needs a transactional table format, the same trade the
     * reference makes by fsyncing its WAL per append. */
   private[graft] def appendOnce(batch: DataFrame, path: String,
-      checkpoint: String, batchId: Long): Unit = {
+      checkpoint: String, batchId: Long): Unit =
+    commitOnce(path, checkpoint, batchId) { append(batch, path) }
+
+  /** The batch-id commit-marker scheme itself, shared by every
+    * streaming sink that appends to a non-transactional parquet table
+    * ([[appendOnce]], [[ChunkStore.stream]]): run `write` only if the
+    * (stream, batch) marker is absent, then record it. */
+  private[storage] def commitOnce(path: String, checkpoint: String,
+      batchId: Long)(write: => Unit): Unit = {
     val ns = Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(
         new java.io.File(checkpoint).getAbsolutePath))
     val marker = new java.io.File(s"$path/_commits/$ns-$batchId")
     if (!marker.exists()) {
-      append(batch, path)
+      write
       marker.getParentFile.mkdirs()
       marker.createNewFile()
     }
+  }
+
+  /** Does `path` hold any visible parquet data? Skips underscore-
+    * prefixed entries (Spark hidden dirs: `_commits`, `_temporary`,
+    * `_SUCCESS` leftovers) and tolerates unreadable subdirs — reading
+    * a dir whose only parquet lives under a hidden prefix would fail
+    * schema inference, exactly the case this probe exists to guard. */
+  private[storage] def hasParquetData(path: String): Boolean = {
+    def any(f: java.io.File): Boolean =
+      if (f.isFile) f.getName.endsWith(".parquet")
+      else !f.getName.startsWith("_") && !f.getName.startsWith(".") &&
+        Option(f.listFiles).exists(_.exists(any))
+    val d = new java.io.File(path)
+    d.isDirectory && Option(d.listFiles).exists(_.exists(any))
   }
 
   /** Read the table back in the engine's canonical shape (with the
@@ -148,15 +182,7 @@ object Ingest {
     // a table that has not received its first write yet reads as the
     // EMPTY canonical frame (schema inference has nothing to infer
     // from) — a fresh serving deployment starts on an empty dir
-    val hasData = {
-      val d = new java.io.File(path)
-      def any(f: java.io.File): Boolean =
-        if (f.isFile) f.getName.endsWith(".parquet")
-        else !f.getName.startsWith("_") &&
-          Option(f.listFiles).exists(_.exists(any))
-      d.isDirectory && any(d)
-    }
-    if (!hasData)
+    if (!hasParquetData(path))
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
@@ -232,7 +258,7 @@ object Ingest {
       buckets: Int = SeriesBuckets, strict: Boolean = false): Unit =
     dedup(batch, strict)
       .withColumn("sig", Samples.sigExpr(col("labels")))
-      .withColumn("date", date_format(timestamp_millis(col("t")), "yyyy-MM-dd"))
+      .withColumn("date", utcDate(col("t")))
       .repartition(buckets, col("sig"))
       .write.mode("append")
       .partitionBy("date")
@@ -326,13 +352,10 @@ object Ingest {
   def appendSeriesIndex(batch: DataFrame, path: String): Unit = {
     val fresh = seriesIndex(batch)
     // an empty or absent dir has no schema to infer — same probe as
-    // readTable's unwritten-table case
-    def any(f: java.io.File): Boolean =
-      f.isFile && f.getName.endsWith(".parquet") ||
-        (f.isDirectory && f.listFiles().exists(any))
-    val existing = new java.io.File(path)
+    // readTable's unwritten-table case (underscore-hidden leftovers,
+    // e.g. _temporary from a crashed append, must read as "no data")
     val novel =
-      if (existing.exists() && any(existing))
+      if (hasParquetData(path))
         fresh.join(batch.sparkSession.read.parquet(path).select(col("sig")),
           Seq("sig"), "left_anti")
       else fresh

@@ -134,16 +134,29 @@ object RecordingRules {
     }
     maxT.foreach { mt =>
       val hi = Math.floorDiv(mt, step) * step
-      // everything this pass can touch lies in the trailing window —
+      // everything this pass RECORDS lies in the trailing window —
       // including the previous-step row staleness detection reads
       val windowLo = hi - step * group.maxBackfillSteps.toLong
       // re-read per rule: earlier rules' output must be visible
-      def recent() = Ingest.readTable(spark, path)
-        .filter(col("t") >= windowLo)
+      def recentFrom(bound: Long) = Ingest.readTable(spark, path)
+        .filter(col("t") >= bound)
+      // The frame the rule's QUERY evaluates over must reach further
+      // back than the evaluation grid by the expression's own history
+      // reach (range windows + offsets + the instant lookback,
+      // `Ast.maxLookbackMs`): evaluating `x[1d]` at the first backfill
+      // steps over a frame truncated at windowLo would silently record
+      // undercounts that the advancing resume point then makes
+      // permanent. Resume/staleness discovery stays bounded at
+      // windowLo; only the eval input widens, by the rule's own
+      // window — both remain date-pruned.
+      def lookOf(expr: String): Long = graft.promql.Ast.maxLookbackMs(
+        graft.promql.Parser.parse(expr), PromQLEngine.DefaultLookbackMs)
       group.rules.foreach(rule =>
-        evalRuleIncremental(spark, path, recent(), rule, hi, step))
+        evalRuleIncremental(spark, path, recentFrom(windowLo),
+          recentFrom(windowLo - lookOf(rule.expr)), rule, hi, step))
       group.alerts.foreach(a =>
-        evalAlertIncremental(spark, path, recent(), a, hi, step))
+        evalAlertIncremental(spark, path, recentFrom(windowLo),
+          recentFrom(windowLo - lookOf(a.expr)), a, hi, step))
     }
   }
 
@@ -205,10 +218,11 @@ object RecordingRules {
   }
 
   private def evalRuleIncremental(spark: SparkSession, path: String,
-      recent: DataFrame, rule: Rule, hi: Long, step: Long): Unit =
+      recent: DataFrame, evalFrame: DataFrame, rule: Rule, hi: Long,
+      step: Long): Unit =
     resumeLo(recent, nameIs(rule.record), step)
       .filter(_ <= hi).foreach { lo =>
-        val out = evalRule(spark, recent, rule, lo, hi, step)
+        val out = evalRule(spark, evalFrame, rule, lo, hi, step)
           .localCheckpoint(true) // evaluated once: reused as past-step state
         recordWithMarkers(path, recent, nameIs(rule.record), out, lo, hi, step)
       }
@@ -225,7 +239,8 @@ object RecordingRules {
     * this pass — so a restart (or a months-long catch-up) replays the
     * state machine in one distributed plan. */
   private def evalAlertIncremental(spark: SparkSession, path: String,
-      recent: DataFrame, a: AlertRule, hi: Long, step: Long): Unit = {
+      recent: DataFrame, evalFrame: DataFrame, a: AlertRule, hi: Long,
+      step: Long): Unit = {
     val owned = (nameIs(Alerts) || nameIs(ForState)) &&
       col("labels")("alertname") === a.alert
     resumeLo(recent, owned, step).filter(_ <= hi).foreach { lo =>
@@ -235,7 +250,7 @@ object RecordingRules {
       val dropKeys = "__name__" +: "alertstate" +: fixed.map(_._1)
       val overlay = map(fixed.flatMap {
         case (k, v) => Seq(lit(k), lit(v)) }: _*)
-      val base = new PromQLEngine(spark, recent)
+      val base = new PromQLEngine(spark, evalFrame)
         .rangeQuery(a.expr, lo, hi, step)
         .withColumn("labels", map_concat(
           map_filter(col("labels"), (k, _) => !k.isInCollection(dropKeys)),

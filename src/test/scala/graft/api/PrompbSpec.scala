@@ -160,6 +160,15 @@ class PrompbSpec extends SparkTestBase {
         snappyCompress(Array.empty[Byte]),
         Map("Content-Type" -> "application/x-protobuf"))
       assert(c3 == 400)
+      // hostile length-delimited field: varint length near Long.MaxValue
+      // must be rejected as truncated (an overflowing `pos + n` bound
+      // check would sail past it and corrupt the parse position) — a
+      // clean 400, never a 500
+      val hostile = Array[Byte](0x0a.toByte) ++ // field 1, wire type 2
+        Array.fill(8)(0xff.toByte) :+ 0x7f.toByte // varint ~Long.MaxValue
+      val (c4, _) = postBytes(port, "/write", snappyCompress(hostile),
+        Map("Content-Type" -> "application/x-protobuf"))
+      assert(c4 == 400)
     } finally api.stop()
   }
 }

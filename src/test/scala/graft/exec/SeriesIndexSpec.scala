@@ -118,6 +118,18 @@ class SeriesIndexSpec extends SparkTestBase {
     assert(spark.read.parquet(path).count() == 4)
     Ingest.appendSeriesIndex(b2, path) // replayed batch: no-op
     assert(spark.read.parquet(path).count() == 4)
+    // a dir holding only underscore-hidden leftovers (a _temporary
+    // parquet from a crashed append) must read as "no data": probing
+    // it as data would fail schema inference on the visible file set
+    val ghost = java.nio.file.Files
+      .createTempDirectory("graft-sidx-ghost").toString
+    val hidden = new java.io.File(s"$ghost/_leftovers")
+    hidden.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$ghost/_leftovers/part-0.parquet"),
+      Array[Byte](1, 2, 3))
+    Ingest.appendSeriesIndex(b1, ghost)
+    assert(spark.read.parquet(ghost).count() == 3)
     // the persisted index serves an engine like the in-memory one
     val eng = new PromQLEngine(spark, fixture,
       seriesIndex = Some(spark.read.parquet(path)))

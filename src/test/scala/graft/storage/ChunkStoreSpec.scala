@@ -196,4 +196,36 @@ class ChunkStoreSpec extends SparkTestBase {
     assert(perSample < 2.0, s"$perSample B/sample (raw is 16)")
     assert(bytes > 0)
   }
+
+  test("stats on an empty or unwritten store is (0, 0, NaN), not a crash") {
+    val (s0, b0, p0) = ChunkStore.stats(spark, tmpDir() + "/never-written")
+    assert(s0 == 0L && b0 == 0L && p0.isNaN)
+  }
+
+  test("compact collapses duplicate (series, t) samples arriving in " +
+      "different append batches instead of crashing forever") {
+    val dir = tmpDir()
+    val labels = Map("__name__" -> "dup", "s" -> "a")
+    val t0 = 1704067200000L
+    // an at-least-once client re-sends (t0+60s, 7.0) in a second batch
+    // with extra points; per-batch dedup can't see across the appends
+    ChunkStore.write(samplesDF(
+      labels -> Seq((t0, 1.0), (t0 + 60000L, 7.0))), dir)
+    ChunkStore.write(samplesDF(
+      labels -> Seq((t0 + 60000L, 7.0), (t0 + 120000L, 3.0))), dir)
+    // pre-compaction the day holds 4 rows (the dup twice)
+    assert(ChunkStore.read(spark, dir).count() == 4)
+    ChunkStore.compact(spark, dir, "2024-01-01")
+    val back = ChunkStore.read(spark, dir)
+      .select(col("t"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(back == Set((t0, 1.0), (t0 + 60000L, 7.0), (t0 + 120000L, 3.0)))
+    // conflicting-value dups resolve like Ingest.dedup: smallest wins
+    ChunkStore.write(samplesDF(
+      labels -> Seq((t0 + 120000L, 2.0))), dir)
+    ChunkStore.compact(spark, dir, "2024-01-01")
+    val vAt = ChunkStore.read(spark, dir).filter(col("t") === t0 + 120000L)
+      .select(col("v")).collect().map(_.getDouble(0)).toSeq
+    assert(vAt == Seq(2.0))
+  }
 }

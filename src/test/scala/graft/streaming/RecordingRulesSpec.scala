@@ -79,6 +79,27 @@ class RecordingRulesSpec extends SparkTestBase {
       .values.toSeq == Seq(120.0))
   }
 
+  test("backfill-window boundary: the first evaluated steps see their " +
+      "FULL range windows, not a frame truncated at the window bound") {
+    val path = tmp("rules-window")
+    // 21 minutes of data; a 1m-interval group capped at 3 backfill
+    // steps starts evaluating at hi - 3m = 17m — but the rule's [10m]
+    // window at that step reaches back to 7m, far below the bound
+    Ingest.append(Ingest.canonicalize(feed(Seq("a"), 0 to 20).toDS()), path)
+    val rule = Rule("k:mtr:sum10m", "sum by (k) (sum_over_time(mtr[10m]))")
+    RecordingRules.evalGroup(spark, path,
+      Group(m, Seq(rule), maxBackfillSteps = 3))
+    val rec = Ingest.readTable(spark, path)
+      .filter(col("labels")("__name__") === "k:mtr:sum10m")
+      .select(col("t"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // closed [7m, 17m] window: 7+8+...+17 — an eval frame truncated at
+    // the backfill bound would record 17 here and make it permanent
+    assert(rec(17 * m) == (7 to 17).sum.toDouble, s"got $rec")
+    assert(rec(20 * m) == (10 to 20).sum.toDouble)
+    assert(rec.keySet == Set(17 * m, 18 * m, 19 * m, 20 * m))
+  }
+
   test("rules in a group evaluate sequentially: later rules read " +
       "earlier rules' output of the same pass") {
     val path = tmp("rules-chain")
