@@ -171,9 +171,11 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
   private val queriesTotal = new java.util.concurrent.atomic.AtomicLong(0)
 
   private def gated[T](f: => T): T = {
-    queriesTotal.incrementAndGet()
     if (!gate.tryAcquire(HttpApi.QueueTimeoutMs, TimeUnit.MILLISECONDS))
       throw ApiError(503, "unavailable", "query queue is full")
+    // counted AFTER admission: /metrics documents this as "admitted",
+    // so 503-rejected requests must not inflate it
+    queriesTotal.incrementAndGet()
     val group = s"graft-api-${java.util.UUID.randomUUID()}"
     val worker = new java.util.concurrent.FutureTask[T](() => {
       spark.sparkContext.setJobGroup(group, "api query",
@@ -369,14 +371,18 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
 
   private def computeAlerts()
       : Seq[(Map[String, String], String, Long, Double)] = {
-    val latest = gated {
-      val r = engine.rawSamples("ALERTS")
-        .agg(org.apache.spark.sql.functions.max("t")).head()
-      if (r.isNullAt(0)) None else Some(r.getLong(0))
-    }
+    // event-time "now" = newest ALERTS step, staleness markers INCLUDED:
+    // a resolved alert's final step is recorded only as its marker, and
+    // a non-stale probe would freeze "now" at the last firing step and
+    // report the resolved alert active forever. Evaluating AT the
+    // marker step correctly yields no element (marker hides the series).
+    val latest = gated { engine.latestSampleMs("ALERTS") }
     latest.toSeq.flatMap { mt =>
-      val al = collectRows(gated { engine.instant("ALERTS", mt) })
-      val fs = collectRows(gated { engine.instant("ALERTS_FOR_STATE", mt) })
+      // collect() runs INSIDE gated so it executes in the admission
+      // gate's job group (cancellable, timed out) — a collect on the
+      // handler thread would be unbounded and uncancellable
+      val al = gated { collectRows(engine.instant("ALERTS", mt)) }
+      val fs = gated { collectRows(engine.instant("ALERTS_FOR_STATE", mt)) }
       val activeAt = fs.map { case (l, _, v) =>
         (l - "__name__") -> v.toLong }.toMap
       // expr values keyed by the same identity surgery the rule
@@ -385,7 +391,7 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
       val values = rules.toSeq.flatMap(_.alerts).flatMap { a =>
         val fixed = ("alertname" -> a.alert) +: a.labels.toSeq
         val drop = Set("__name__", "alertstate") ++ fixed.map(_._1)
-        collectRows(gated { engine.instant(a.expr, mt) }).map {
+        gated { collectRows(engine.instant(a.expr, mt)) }.map {
           case (l, _, v) =>
             (l.view.filterKeys(!drop.contains(_)).toMap ++ fixed) -> v
         }
@@ -679,8 +685,20 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
       }
     val results = req.queries.map { q =>
       val selector = selectorFor(q.matchers)
+      // markers INCLUDED: the reference's remote read serves stored
+      // samples, staleness markers among them — a federating reader
+      // that never receives a series' end marker resurrects its last
+      // value for a full lookback window. The stale flag travels as a
+      // column (Tungsten normalizes NaN bits) and the StaleNaN payload
+      // is reconstituted driver-side; prompb's fixed64 carries the
+      // exact bits over the wire.
       val rows = gated {
-        collectRows(engine.rawSamples(selector, Some(q.startMs), Some(q.endMs)))
+        engine
+          .rawSamplesWithMarkers(selector, Some(q.startMs), Some(q.endMs))
+          .collect().toSeq.map { r =>
+            val v = if (r.getBoolean(3)) Samples.StaleNaN else r.getDouble(2)
+            (r.getMap[String, String](0).toMap, r.getLong(1), v)
+          }
       }
       val series = rows.groupBy(_._1).toSeq
         .sortBy { case (l, _) => l }(Samples.labelsOrdering)

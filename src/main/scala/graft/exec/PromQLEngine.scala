@@ -138,6 +138,45 @@ class PromQLEngine(
     df.select(col(L), col(T), col(V)).orderBy(Samples.sigStr(col(L)), col(T))
   }
 
+  /** [[rawSamples]] with staleness markers INCLUDED, carried as a
+    * fourth boolean `stale` column (the raw NaN payload bits don't
+    * survive Tungsten, so the flag travels separately and egress
+    * reconstitutes [[Samples.StaleNaN]] driver-side). The protobuf
+    * remote-read path needs this: the reference's stored samples
+    * include the markers, and a federating reader that never receives
+    * them resurrects ended series for a full lookback window. */
+  def rawSamplesWithMarkers(matchExpr: String, startMs: Option[Long] = None,
+      endMs: Option[Long] = None): DataFrame = {
+    val vs = Parser.parse(matchExpr) match {
+      case v: VectorSelector => v
+      case _ => throw new IllegalArgumentException(
+        "match[] must be a vector selector")
+    }
+    val hasStale = samples.columns.contains("stale")
+    var df = applyMatchers(samples, allMatchers(vs))
+    startMs.foreach(s => df = df.filter(col(T) >= s))
+    endMs.foreach(e => df = df.filter(col(T) <= e))
+    val staleCol = if (hasStale) col("stale") else lit(false)
+    df.select(col(L), col(T), col(V), staleCol.as("stale"))
+      .orderBy(Samples.sigStr(col(L)), col(T))
+  }
+
+  /** Newest recorded timestamp for `matchExpr`, staleness markers
+    * INCLUDED — a marker IS an evaluation result. The alert-state
+    * probe needs this: a resolved alert's final step is recorded ONLY
+    * as its marker, so a non-stale max(t) would freeze event-time
+    * "now" at the last firing step and report the alert active
+    * forever. */
+  def latestSampleMs(matchExpr: String): Option[Long] = {
+    val vs = Parser.parse(matchExpr) match {
+      case v: VectorSelector => v
+      case _ => throw new IllegalArgumentException(
+        "match[] must be a vector selector")
+    }
+    val r = applyMatchers(samples, allMatchers(vs)).agg(max(col(T))).head()
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
   /** Distinct values of one label across the bound samples (S8,
     * `internal/api/v1/api.go:317-341`). Memoized per engine: the
     * engine serves one immutable table state (a table that grows gets
@@ -268,9 +307,11 @@ class PromQLEngine(
   private def vectorSelect(vs: VectorSelector, tr: EvalRange): DataFrame =
     if ((lookbackMs >= 2 * tr.stepMs && lookbackMs % tr.stepMs == 0 &&
       lookbackMs / tr.stepMs <= 512 && tr.numSteps >= 8) ||
-      // materialized route (step == bucket): beneficial at any m
+      // materialized route (step == bucket): beneficial at any m.
+      // Routing checks ONLY the cheap alignment predicate here — the
+      // partials plan itself is built once, inside bucketedSelect
       (lookbackMs % tr.stepMs == 0 && lookbackMs / tr.stepMs <= 512 &&
-        materializedSelectPartials(vs, tr).isDefined))
+        materializedSelectAligned(vs, tr)))
       bucketedSelect(vs, tr)
     else
       // the former max_by(struct(st, v, stale), st) is decomposed into
@@ -304,6 +345,18 @@ class PromQLEngine(
     * hides the series exactly like the raw path. Marker-only buckets
     * are present by construction (the select columns aggregate over
     * all rows — see [[graft.storage.Ingest.foldPartials]]). */
+  /** Cheap routing predicate for [[materializedSelectPartials]]: true
+    * iff the partials table exists and the grid aligns. Keeping this
+    * separate lets [[vectorSelect]] route without building (and
+    * discarding) the partials plan it would build again inside
+    * [[bucketedSelect]]. */
+  private def materializedSelectAligned(vs: VectorSelector,
+      tr: EvalRange): Boolean =
+    foldPartials.exists { case (_, bkt) =>
+      tr.stepMs == bkt &&
+        Math.floorMod(tr.startMs - vs.offsetMs, bkt) == 0
+    }
+
   private def materializedSelectPartials(vs: VectorSelector,
       tr: EvalRange): Option[DataFrame] =
     foldPartials.flatMap { case (tbl, bkt) =>

@@ -168,7 +168,7 @@ object ChunkStore {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        Ingest.commitOnce(path, checkpoint, id) {
+        Ingest.commitOnce(batch.sparkSession, path, checkpoint, id) {
           write(Ingest.dedup(batch, strict = false), path, maxPerChunk)
         }
       }
@@ -220,7 +220,7 @@ object ChunkStore {
     * file footprint (dictionary-compressed labels, envelope columns)
     * is measured separately by callers via the filesystem. */
   def stats(spark: SparkSession, path: String): (Long, Long, Double) = {
-    if (!Ingest.hasParquetData(path)) return (0L, 0L, Double.NaN)
+    if (!Ingest.hasParquetData(spark, path)) return (0L, 0L, Double.NaN)
     val row = readChunks(spark, path)
       .agg(sum(col("n")), sum(length(col("chunk")))).head()
     // sum() over zero rows is null, not 0

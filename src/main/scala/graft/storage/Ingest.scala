@@ -141,22 +141,34 @@ object Ingest {
     * reference makes by fsyncing its WAL per append. */
   private[graft] def appendOnce(batch: DataFrame, path: String,
       checkpoint: String, batchId: Long): Unit =
-    commitOnce(path, checkpoint, batchId) { append(batch, path) }
+    commitOnce(batch.sparkSession, path, checkpoint, batchId) {
+      append(batch, path)
+    }
 
   /** The batch-id commit-marker scheme itself, shared by every
     * streaming sink that appends to a non-transactional parquet table
     * ([[appendOnce]], [[ChunkStore.stream]]): run `write` only if the
-    * (stream, batch) marker is absent, then record it. */
-  private[storage] def commitOnce(path: String, checkpoint: String,
-      batchId: Long)(write: => Unit): Unit = {
+    * (stream, batch) marker is absent, then record it. Markers live on
+    * the TABLE's filesystem (Hadoop `FileSystem`, not `java.io.File` —
+    * a `java.io.File` probe on an `hdfs://`/`s3a://` table path always
+    * reports "absent" and every replayed batch would re-append). */
+  private[storage] def commitOnce(spark: SparkSession, path: String,
+      checkpoint: String, batchId: Long)(write: => Unit): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val table = new org.apache.hadoop.fs.Path(path)
+    val fs = table.getFileSystem(conf)
+    // namespace by the QUALIFIED checkpoint path so two spellings of
+    // one checkpoint (relative vs absolute) share a marker namespace
+    val cp = new org.apache.hadoop.fs.Path(checkpoint)
+    val qualified = cp.getFileSystem(conf).makeQualified(cp).toString
     val ns = Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(
-        new java.io.File(checkpoint).getAbsolutePath))
-    val marker = new java.io.File(s"$path/_commits/$ns-$batchId")
-    if (!marker.exists()) {
+      scala.util.hashing.MurmurHash3.stringHash(qualified))
+    val marker = new org.apache.hadoop.fs.Path(table,
+      s"_commits/$ns-$batchId")
+    if (!fs.exists(marker)) {
       write
-      marker.getParentFile.mkdirs()
-      marker.createNewFile()
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, false).close()
     }
   }
 
@@ -164,14 +176,21 @@ object Ingest {
     * prefixed entries (Spark hidden dirs: `_commits`, `_temporary`,
     * `_SUCCESS` leftovers) and tolerates unreadable subdirs — reading
     * a dir whose only parquet lives under a hidden prefix would fail
-    * schema inference, exactly the case this probe exists to guard. */
-  private[storage] def hasParquetData(path: String): Boolean = {
-    def any(f: java.io.File): Boolean =
-      if (f.isFile) f.getName.endsWith(".parquet")
-      else !f.getName.startsWith("_") && !f.getName.startsWith(".") &&
-        Option(f.listFiles).exists(_.exists(any))
-    val d = new java.io.File(path)
-    d.isDirectory && Option(d.listFiles).exists(_.exists(any))
+    * schema inference, exactly the case this probe exists to guard.
+    * Probes through Hadoop `FileSystem`, so remote table paths
+    * (`hdfs://`, `s3a://`) answer truthfully instead of "no data". */
+  private[storage] def hasParquetData(spark: SparkSession,
+      path: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def any(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      if (st.isFile) st.getPath.getName.endsWith(".parquet")
+      else !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".") &&
+        (try fs.listStatus(st.getPath).exists(any)
+         catch { case _: java.io.IOException => false })
+    try fs.getFileStatus(root).isDirectory && fs.listStatus(root).exists(any)
+    catch { case _: java.io.IOException => false }
   }
 
   /** Read the table back in the engine's canonical shape (with the
@@ -182,7 +201,7 @@ object Ingest {
     // a table that has not received its first write yet reads as the
     // EMPTY canonical frame (schema inference has nothing to infer
     // from) — a fresh serving deployment starts on an empty dir
-    if (!hasParquetData(path))
+    if (!hasParquetData(spark, path))
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
@@ -355,7 +374,7 @@ object Ingest {
     // readTable's unwritten-table case (underscore-hidden leftovers,
     // e.g. _temporary from a crashed append, must read as "no data")
     val novel =
-      if (hasParquetData(path))
+      if (hasParquetData(batch.sparkSession, path))
         fresh.join(batch.sparkSession.read.parquet(path).select(col("sig")),
           Seq("sig"), "left_anti")
       else fresh

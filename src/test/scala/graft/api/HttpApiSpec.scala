@@ -319,4 +319,45 @@ class HttpApiSpec extends SparkTestBase {
       assert(a.contains(""""value":"165""""))
     } finally rulesApi.stop()
   }
+
+  test("a fully resolved alert clears from /api/v1/alerts: the newest-" +
+      "step probe must see the resolution marker") {
+    import graft.streaming.RecordingRules
+    import graft.streaming.RecordingRules.{AlertRule, Group}
+    // ONE alerting element that fires and then resolves while an
+    // unrelated series keeps the evaluation clock running: after
+    // resolution the only ALERTS row at the newest step is the
+    // staleness marker. A probe over non-stale rows would freeze
+    // event-time "now" at the last firing step and report the alert
+    // active forever.
+    val path = Files.createTempDirectory("api-resolved").toString
+    val group = Group(5 * m, Seq.empty,
+      alerts = Seq(AlertRule("GoneHigh",
+        "sum by (k) (sum_over_time(rmtr3[5m])) > 50", forMs = 0L)))
+    val edge = (0 to 14).map(i =>
+      Ingest.WriteSample(Map("__name__" -> "rmtr3", "k" -> "b"),
+        i * m, 2.0 * i)) ++ (0 to 30).map(i =>
+      Ingest.WriteSample(Map("__name__" -> "clockmtr", "k" -> "z"),
+        i * m, 1.0))
+    import spark.implicits._
+    Ingest.append(Ingest.canonicalize(edge.toDS()), path)
+    RecordingRules.evalGroup(spark, path, group)
+
+    val resolvedApi = new HttpApi(spark,
+      new PromQLEngine(spark, Ingest.readTable(spark, path)),
+      rules = Some(group))
+    resolvedApi.start()
+    try {
+      def getR(p: String): String = {
+        val url = new URI(
+          s"http://127.0.0.1:${resolvedApi.boundPort}$p").toURL
+        new String(url.openStream().readAllBytes(), UTF_8)
+      }
+      val a = getR("/api/v1/alerts")
+      assert(a.contains(""""alerts":[]"""), a)
+      val r = getR("/api/v1/rules")
+      assert(r.contains(""""name":"GoneHigh"""") &&
+        !r.contains(""""state":"firing""""), r)
+    } finally resolvedApi.stop()
+  }
 }

@@ -141,6 +141,53 @@ class PrompbSpec extends SparkTestBase {
     } finally readApi.stop()
   }
 
+  test("remote read serves staleness markers with exact StaleNaN bits: " +
+      "a reader that never sees the end marker would resurrect the series") {
+    import graft.model.Samples
+    val path = Files.createTempDirectory("prompb-stale").toString
+    val nowMs = 1704067200000L
+    val metric = "rw_stale_metric"
+
+    val writeApi = new HttpApi(spark,
+      new PromQLEngine(spark, samplesDF()),
+      writeSink = Some(df => Ingest.append(df, path)))
+    val wrotePort = writeApi.start()
+    try {
+      // a live sample followed by the series' staleness marker — the
+      // raw signalling bits travel through prompb's fixed64 intact
+      val wreq = WriteRequest(Seq(TimeSeries(
+        Seq(Label("__name__", metric)),
+        Seq(Sample(7.5, nowMs), Sample(Samples.StaleNaN, nowMs + 60000)))))
+      val (wc, _) = postBytes(wrotePort, "/write",
+        snappyCompress(encodeWriteRequest(wreq)),
+        Map("Content-Encoding" -> "snappy",
+          "Content-Type" -> "application/x-protobuf",
+          "X-Prometheus-Remote-Write-Version" -> "0.1.0"))
+      assert(wc == 200, s"write returned $wc")
+    } finally writeApi.stop()
+
+    val readApi = new HttpApi(spark,
+      new PromQLEngine(spark, Ingest.readTable(spark, path)))
+    val readPort = readApi.start()
+    try {
+      val rreq = ReadRequest(Seq(Query(nowMs, nowMs + 60000, Seq(
+        LabelMatcher(0, "__name__", metric)))))
+      val (rc, rbody) = postBytes(readPort, "/read",
+        snappyCompress(encodeReadRequest(rreq)),
+        Map("Content-Encoding" -> "snappy",
+          "Content-Type" -> "application/x-protobuf",
+          "X-Prometheus-Remote-Read-Version" -> "0.1.0"))
+      assert(rc == 200, s"read returned $rc: ${new String(rbody)}")
+      val resp = decodeReadResponse(snappyUncompress(rbody))
+      val ts = resp.results.head.timeseries.head
+      assert(ts.samples.map(_.timestamp) == Seq(nowMs, nowMs + 60000))
+      assert(ts.samples.head.value == 7.5)
+      // NaN payload equality must compare RAW bits (NaN != NaN)
+      assert(java.lang.Double.doubleToRawLongBits(ts.samples(1).value) ==
+        Samples.StaleNaNBits, "marker must arrive as StaleNaN, bit-exact")
+    } finally readApi.stop()
+  }
+
   test("malformed proto writes are 400, not 500 (write.go:61-74)") {
     val api = new HttpApi(spark, new PromQLEngine(spark, samplesDF()),
       writeSink = Some(_ => ()))

@@ -170,8 +170,12 @@ class ChunkStoreSpec extends SparkTestBase {
     ChunkStore.stream(mem.toDS(), dir, ckpt).awaitTermination(60000)
     assert(ChunkStore.read(spark, dir).count() == 100)
     // the batch-0 commit marker exists under the stream's namespace
-    val ns = Integer.toHexString(scala.util.hashing.MurmurHash3
-      .stringHash(new java.io.File(ckpt).getAbsolutePath))
+    // (derived from the QUALIFIED checkpoint path, matching commitOnce)
+    val cp = new org.apache.hadoop.fs.Path(ckpt)
+    val qualified = cp.getFileSystem(
+      spark.sessionState.newHadoopConf()).makeQualified(cp).toString
+    val ns = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(qualified))
     assert(new java.io.File(s"$dir/_commits/$ns-0").exists())
     // second stream over the same checkpoint adds nothing (no new data)
     ChunkStore.stream(mem.toDS(), dir, ckpt).awaitTermination(60000)
