@@ -70,6 +70,15 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
   server.createContext("/metrics", textHandler(handleMetrics))
   server.createContext("/api/v1/rules", handler(handleRules))
   server.createContext("/api/v1/alerts", handler(handleAlerts))
+  // catch-all: the reference's router answers OPTIONS on ANY path with
+  // 204 + CORS (api_test.go:621-648); everything else unmatched is 404
+  server.createContext("/", (ex: HttpExchange) => {
+    if (!handleOptions(ex)) {
+      setCors(ex)
+      ex.sendResponseHeaders(404, -1)
+      ex.close()
+    }
+  })
 
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = { server.stop(0); pool.shutdownNow() }
@@ -80,8 +89,29 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
   private case class ApiError(status: Int, errorType: String, msg: String)
     extends RuntimeException(msg)
 
+  /** The reference sets these on every API response and answers
+    * OPTIONS with 204 (`api.go:54-59`, `setCORS` at `api.go:79-82`). */
+  private def setCors(ex: HttpExchange): Unit = {
+    val h = ex.getResponseHeaders
+    h.set("Access-Control-Allow-Headers",
+      "Accept, Authorization, Content-Type, Origin")
+    h.set("Access-Control-Allow-Methods", "GET, OPTIONS")
+    h.set("Access-Control-Allow-Origin", "*")
+    h.set("Access-Control-Expose-Headers", "Date")
+  }
+
+  /** Answer an OPTIONS preflight (204, no body, CORS headers) and
+    * report whether the exchange was consumed. */
+  private def handleOptions(ex: HttpExchange): Boolean =
+    ex.getRequestMethod == "OPTIONS" && {
+      setCors(ex)
+      ex.sendResponseHeaders(204, -1)
+      ex.close()
+      true
+    }
+
   private def handler(f: HttpExchange => String): com.sun.net.httpserver.HttpHandler =
-    (ex: HttpExchange) => {
+    (ex: HttpExchange) => if (!handleOptions(ex)) {
       val (code, body) =
         try (200, f(ex))
         catch {
@@ -91,6 +121,7 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
             (422, s"""{"status":"error","errorType":"execution","error":"${esc(String.valueOf(e.getMessage))}"}""")
         }
       val bytes = body.getBytes(UTF_8)
+      setCors(ex)
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(code, bytes.length)
       ex.getResponseBody.write(bytes)
@@ -149,19 +180,32 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
           s"invalid parameter '$what': cannot parse \"$s\" to a valid timestamp")
     }
 
-  private def parseDurationSec(s: String, what: String): Double =
-    try {
-      val d = s.toDouble
-      if (d.isNaN || d.isInfinite) throw new NumberFormatException
-      d
-    } catch {
-      case _: Exception =>
-        try graft.promql.Lexer.parseDuration(s).toDouble / 1000
-        catch {
-          case _: Exception => throw ApiError(400, "bad_data",
-            s"invalid parameter '$what': cannot parse \"$s\" to a valid duration")
-        }
-    }
+  private def parseDurationSec(s: String, what: String): Double = {
+    val asFloat =
+      try {
+        val d = s.toDouble
+        if (d.isNaN || d.isInfinite) throw new NumberFormatException
+        // Go rejects float-second durations whose NANOSECOND count
+        // overflows int64 (`api.go` parseDuration; api_test.go pins
+        // ±148966367200.372 as failures) — without this guard a
+        // ~4722-year step silently truncates downstream
+        if (d * 1e9 > Long.MaxValue.toDouble ||
+          d * 1e9 < Long.MinValue.toDouble)
+          throw ApiError(400, "bad_data",
+            s"invalid parameter '$what': cannot parse \"$s\" to a " +
+              "valid duration. It overflows int64")
+        Some(d)
+      } catch {
+        case a: ApiError => throw a
+        case _: Exception => None
+      }
+    asFloat.getOrElse(
+      try graft.promql.Lexer.parseDuration(s).toDouble / 1000
+      catch {
+        case _: Exception => throw ApiError(400, "bad_data",
+          s"invalid parameter '$what': cannot parse \"$s\" to a valid duration")
+      })
+  }
 
   /** Admission: 20-slot gate + 2-minute evaluation timeout with real
     * job cancellation (engine.go:1474-1503 / context timeout). Each
@@ -215,9 +259,17 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
       .mkString("{", ",", "}")
 
   private def pointJson(tMs: Long, v: Double): String = {
-    // Go's json.Marshal renders whole floats without a fraction
-    val ts = if (tMs % 1000 == 0) (tMs / 1000).toString
-      else (tMs / 1000.0).toString
+    // Go's json.Marshal renders whole floats without a fraction, and
+    // fractional epoch seconds in PLAIN decimal ("1433337718.555") —
+    // Scala's Double.toString would emit "1.433337718555E9" here
+    val ts =
+      if (tMs % 1000 == 0) (tMs / 1000).toString
+      else {
+        val sign = if (tMs < 0) "-" else ""
+        val abs = math.abs(tMs)
+        val frac = f"${abs % 1000}%03d".reverse.dropWhile(_ == '0').reverse
+        s"$sign${abs / 1000}.$frac"
+      }
     s"""[$ts,"${PromUdfs.goFormatFloat(v)}"]"""
   }
 
@@ -554,7 +606,7 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
     * switch to the swallow-and-close path. */
   private def streamingHandler(prepare: HttpExchange => java.io.OutputStream => Unit)
       : com.sun.net.httpserver.HttpHandler =
-    (ex: HttpExchange) => {
+    (ex: HttpExchange) => if (!handleOptions(ex)) {
       val writerOrError =
         try Right(prepare(ex))
         catch {
@@ -563,6 +615,7 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
           case e: Exception => Left((422,
             s"""{"status":"error","errorType":"execution","error":"${esc(String.valueOf(e.getMessage))}"}"""))
         }
+      setCors(ex)
       ex.getResponseHeaders.set("Content-Type", "application/json")
       writerOrError match {
         case Left((code, body)) =>

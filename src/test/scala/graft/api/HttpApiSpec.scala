@@ -61,6 +61,52 @@ class HttpApiSpec extends SparkTestBase {
     (code, new String(stream.readAllBytes(), UTF_8))
   }
 
+  test("OPTIONS answers 204 with the CORS headers on any path " +
+      "(api_test.go:621-648); API responses carry them too") {
+    def options(path: String): HttpURLConnection = {
+      val url = new URI(s"http://127.0.0.1:${api.boundPort}$path").toURL
+      val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("OPTIONS")
+      conn
+    }
+    for (p <- Seq("/api/v1/query", "/any_path")) {
+      val conn = options(p)
+      assert(conn.getResponseCode == 204, s"OPTIONS $p")
+      // getHeaderField is case-insensitive (the server normalizes names)
+      assert(conn.getHeaderField("Access-Control-Allow-Origin") == "*")
+      assert(conn.getHeaderField("Access-Control-Allow-Methods") ==
+        "GET, OPTIONS")
+      assert(conn.getHeaderField("Access-Control-Allow-Headers") ==
+        "Accept, Authorization, Content-Type, Origin")
+      assert(conn.getHeaderField("Access-Control-Expose-Headers") == "Date")
+    }
+    val url = new URI(
+      s"http://127.0.0.1:${api.boundPort}/api/v1/query?query=1%2B1&time=2").toURL
+    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    assert(conn.getResponseCode == 200)
+    assert(conn.getHeaderField("Access-Control-Allow-Origin") == "*")
+  }
+
+  test("duration params reject int64-nanosecond overflow " +
+      "(api_test.go:567-619); RFC3339 offsets parse (api_test.go:516-565)") {
+    // ±148966367200.372 s * 1e9 ns overflows int64 — Go rejects both
+    for (s <- Seq("148966367200.372", "-148966367200.372")) {
+      val (c, b) = get("/api/v1/query_range?query=test_metric1" +
+        s"&start=0&end=60&step=$s")
+      assert(c == 400 && b.contains("duration"), s"step=$s: $c $b")
+    }
+    // plain float seconds still parse ("123.333" → 123.333 s)
+    val (okC, _) = get("/api/v1/query_range?query=test_metric1" +
+      "&start=0&end=600&step=123.333")
+    assert(okC == 200)
+    // RFC3339 with a numeric offset is a valid time parameter
+    // ("2015-06-03T14:21:58.555+01:00" == ...13:21:58.555Z)
+    val (tc, tb) = get("/api/v1/query?query=1%2B1" +
+      "&time=2015-06-03T14:21:58.555%2B01:00")
+    assert(tc == 200, s"$tc $tb")
+    assert(tb.contains("1433337718.555"), tb)
+  }
+
   test("S9 drop-series: match[] validated, then disabled like the reference") {
     // api.go:343-371 — dropSeries checks match[] (400) then
     // panic("disabled") (500 through the Go HTTP stack)
