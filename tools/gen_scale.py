@@ -68,4 +68,25 @@ scaled_emb = pa.table({
     "embedding": pa.array(list(Vs), type=pa.list_(pa.float32())),
     "label": np.concatenate(labels_out)})
 pq.write_table(scaled_emb, f"{out}/embeddings.parquet")
-print(f"wrote {out}: {scaled_docs.num_rows} docs, {scaled_emb.num_rows} vecs")
+
+# events: k independent SERIES shards — shard s offsets user_id (one of
+# the two series-identity labels) by s*10_000_000, so the series count
+# scales k-fold while the time range and per-series cadence stay
+# constant. That is how a metrics workload actually grows (more series,
+# same retention), and it is the axis the engine's (sig, step) shuffle
+# keys scale on. ts/value/event_type are copied verbatim per shard.
+ev = pq.read_table(f"{src}/events.parquet")
+user_ids = ev["user_id"].to_numpy()
+event_ids = ev["event_id"].to_numpy()
+ev_other = {name: pa.concat_arrays([ev[name].combine_chunks()] * k)
+            for name in ev.column_names if name not in ("user_id", "event_id")}
+scaled_ev = pa.table({
+    "event_id": np.concatenate([event_ids + s * 100_000_000 for s in range(k)]),
+    "user_id": np.concatenate([user_ids + s * 10_000_000 for s in range(k)]),
+    **ev_other})
+# keep the source column order (the adapter is order-agnostic, but
+# diffs against the base table read cleaner)
+scaled_ev = scaled_ev.select(ev.column_names)
+pq.write_table(scaled_ev, f"{out}/events.parquet")
+print(f"wrote {out}: {scaled_docs.num_rows} docs, {scaled_emb.num_rows} "
+      f"vecs, {scaled_ev.num_rows} events")
