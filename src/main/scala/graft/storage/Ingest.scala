@@ -62,7 +62,15 @@ object Ingest {
     * different value (ErrAmendSample) and accepts byte-identical
     * re-writes. Batch ingest has no append order, so: identical dups
     * collapse; conflicting dups either fail the batch (`strict`) or
-    * resolve deterministically to the smallest value. */
+    * resolve deterministically to the smallest value.
+    *
+    * Output carries the `sig` computed for the grouping: every
+    * consumer ([[append]], [[writeBucketedStore]],
+    * [[ChunkStore.write]]) needs exactly this column, and reusing it
+    * saves a second canonical-string hash pass over the batch (cheap
+    * per row — codegen'd — but a whole extra pass; the ingest path's
+    * real costs are the dedup shuffle and the parquet encode, see
+    * `graft.tools.IngestBench`). */
   def dedup(batch: DataFrame, strict: Boolean): DataFrame = {
     // Label resolution is PROVABLY deterministic: first() picks an
     // arbitrary map among the group's rows, but equal sig means equal
@@ -94,7 +102,8 @@ object Ingest {
               "(ErrAmendSample, tsdb/head.go:1150-1166)")).cast("double"))
             .otherwise(col("v")))
       else resolved
-    guarded.select(col("labels"), col("t"), col("v"), col("stale"))
+    guarded.select(col("_sig").as("sig"), col("labels"), col("t"),
+      col("v"), col("stale"))
   }
 
   /** Append one batch to the date-partitioned table. The series
@@ -104,8 +113,7 @@ object Ingest {
     * query, which profiling showed was the dominant per-row compute
     * of every selector over a sig-less table. */
   def append(batch: DataFrame, path: String, strict: Boolean = false): Unit =
-    dedup(batch, strict)
-      .withColumn("sig", Samples.sigExpr(col("labels")))
+    dedup(batch, strict) // already carries the stored `sig`
       .withColumn("date", utcDate(col("t")))
       // co-locate each series' day into one bucket → bounded file count
       // and mergeable row groups per series
@@ -275,8 +283,7 @@ object Ingest {
     * (sig, t) for per-series row-group locality. */
   def writeBucketedStore(batch: DataFrame, table: String, path: String,
       buckets: Int = SeriesBuckets, strict: Boolean = false): Unit =
-    dedup(batch, strict)
-      .withColumn("sig", Samples.sigExpr(col("labels")))
+    dedup(batch, strict) // already carries the stored `sig`
       .withColumn("date", utcDate(col("t")))
       .repartition(buckets, col("sig"))
       .write.mode("append")
