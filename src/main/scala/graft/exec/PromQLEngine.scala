@@ -480,6 +480,37 @@ class PromQLEngine(
   private def joinLabels(aggd: DataFrame): DataFrame =
     aggd.join(seriesDim, SIG)
 
+  /** Memoized (minT, maxT, rows, series) of the bound table — the
+    * inputs of the density cost model that picks between the sliding
+    * and explode fold routes. One tiny aggregation per engine, plus a
+    * count of the (already Spark-cached) series dimension; the probe
+    * runs lazily on the first routing decision that needs it. */
+  private lazy val tableStats: Option[(Long, Long, Long, Long)] = {
+    val r = samples.agg(min(col(T)), max(col(T)), count(lit(1))).head()
+    if (r.isNullAt(0)) None
+    else Some((r.getLong(0), r.getLong(1), r.getLong(2), seriesDim.count()))
+  }
+
+  /** Density-aware route choice: sliding costs ~2×(steps + m) rows
+    * per series regardless of window width; the explode route costs
+    * (partials per series) × m. On a SPARSE table (the test fixture
+    * averages ~3 samples per series-day) the explode side is tiny and
+    * sliding's dense step coverage would be pure overhead; at
+    * production scrape density (≥ 1 sample per bucket) the explode
+    * side is bucketCount × m and sliding wins by the
+    * samples-per-bucket factor. Estimated from the memoized table
+    * stats under a uniform-cadence assumption, with 1.5× hysteresis
+    * toward the explode route (the single-stage plan). */
+  private def slidingWins(w: Long, tr: EvalRange): Boolean =
+    tableStats.exists { case (t0, t1, rows, series) =>
+      val span = math.max(1L, t1 - t0)
+      val qspan = math.min(span, (tr.endMs - tr.startMs) + w)
+      val m = (w / tr.stepMs).toDouble
+      val perSeries = rows.toDouble / math.max(1L, series) * qspan / span
+      val partials = math.min(perSeries, qspan.toDouble / tr.stepMs)
+      partials * m > 3.0 * (tr.numSteps + m)
+    }
+
   /** Drop this engine's cached series dimension (entry + Spark cache).
     * For serving deployments that rebuild the engine when the
     * underlying table grows ([[graft.api.HttpApi.forTable]]): each
@@ -1187,6 +1218,146 @@ class PromQLEngine(
       }
     }
 
+  /** Range functions with SUBTRACTABLE folds, which slidingFold can
+    * serve with amplification ~2 instead of m = range/step. */
+  private val slidableFoldFuncs = Set("count_over_time", "sum_over_time",
+    "avg_over_time", "stddev_over_time", "stdvar_over_time")
+
+  /** Sliding-window fold via per-series prefix sums: the bucketed path
+    * still fans every (series, bucket) partial out to the m = w/step
+    * steps it covers — 72× at `[6h]` @ 5 m, 288× at `[1d]` @ 5 m, THE
+    * term that scales a fine-grid range query superlinearly in window
+    * width. For subtractable folds the fan-out is unnecessary:
+    * window(s) = P[s−1] − P[s−m−1] + at-start(s), where P is the
+    * running prefix of per-bucket partials in bucket order. Each
+    * partial row then serves each step with at most TWO lookups (its
+    * prefix as the newest at-or-below s−1, and as the newest
+    * at-or-below s−m−1), so total row volume is ~2×steps per series
+    * regardless of m.
+    *
+    * Exactness: count subtracts exactly (integers). Sums accumulate
+    * FINITE values only, with NaN/±Inf tracked as subtractable COUNTS
+    * and the IEEE outcome reconstructed per window exactly as the
+    * reference's sequential loop produces it (`functions.go:436-497`:
+    * any NaN → NaN; +Inf and −Inf both present → NaN; one Inf sign →
+    * ±Inf for sum/avg, NaN for stddev/stdvar since squaredSum and
+    * avg² both go infinite). Caveat shared by every O(1) sliding-sum
+    * scheme: a FINITE prefix overflowing to ±Inf (values summing past
+    * ~1.8e308) degrades later windows to NaN — the explode path, not
+    * this one, serves such pathological series. Floating-point
+    * subtraction reorders the summation, as the bucketed path's
+    * partial merge already does. */
+  private def slidingFold(selector: VectorSelector, w: Long, tr: EvalRange,
+      name: String): DataFrame = {
+    val step = tr.stepMs
+    val m = (w / step).toInt
+    val n = tr.numSteps
+    val isStart = pmod(col("_rel"), lit(step)) === 0
+    val finite = !isnan(col(V)) && col(V) =!= Double.PositiveInfinity &&
+      col(V) =!= Double.NegativeInfinity
+
+    val parts = bucketedBase(selector, w, tr)
+      .withColumn("_b", bucketCol(step)).withColumn("_s0", isStart)
+      .groupBy(col(SIG), col("_b"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(when(finite, col(V)).otherwise(0.0)).as("fsum"),
+        sum(when(finite, col(V) * col(V)).otherwise(0.0)).as("fsumsq"),
+        sum(when(isnan(col(V)), 1L).otherwise(0L)).as("nanc"),
+        sum(when(col(V) === Double.PositiveInfinity, 1L).otherwise(0L))
+          .as("pinf"),
+        sum(when(col(V) === Double.NegativeInfinity, 1L).otherwise(0L))
+          .as("ninf"),
+        sum(when(col("_s0"), 1L).otherwise(0L)).as("cnt0"),
+        sum(when(col("_s0") && finite, col(V)).otherwise(0.0)).as("fsum0"),
+        sum(when(col("_s0") && finite, col(V) * col(V)).otherwise(0.0))
+          .as("fsumsq0"),
+        sum(when(col("_s0") && isnan(col(V)), 1L).otherwise(0L)).as("nan0c"),
+        sum(when(col("_s0") && col(V) === Double.PositiveInfinity, 1L)
+          .otherwise(0L)).as("pinf0"),
+        sum(when(col("_s0") && col(V) === Double.NegativeInfinity, 1L)
+          .otherwise(0L)).as("ninf0"))
+
+    // running prefix over EXISTING buckets (sparse series stay sparse:
+    // a bucket's prefix serves every step until the next bucket)
+    val cumW = Window.partitionBy(col(SIG)).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seqW = Window.partitionBy(col(SIG)).orderBy(col("_b"))
+    val cum = parts.select(col(SIG), col("_b"),
+      sum(col("cnt")).over(cumW).as("ccnt"),
+      sum(col("fsum")).over(cumW).as("cfsum"),
+      sum(col("fsumsq")).over(cumW).as("cfsumsq"),
+      sum(col("nanc")).over(cumW).as("cnanc"),
+      sum(col("pinf")).over(cumW).as("cpinf"),
+      sum(col("ninf")).over(cumW).as("cninf"),
+      lead(col("_b"), 1).over(seqW).as("_nb"),
+      col("cnt0"), col("fsum0"), col("fsumsq0"),
+      col("nan0c"), col("pinf0"), col("ninf0"))
+
+    val contribType = "array<struct<k:bigint,cnt:bigint,fsum:double," +
+      "fsumsq:double,nanc:bigint,pinf:bigint,ninf:bigint>>"
+    def span(lo: Column, hi: Column): Column =
+      when(lo <= hi, sequence(lo, hi, lit(1L)))
+        .otherwise(array().cast("array<bigint>"))
+    val far = lit(Long.MaxValue / 4)
+    val nbc = coalesce(col("_nb"), far)
+    def cumStruct(k: Column, sign: Int): Column = struct(
+      k.as("k"), (col("ccnt") * sign).as("cnt"),
+      (col("cfsum") * sign).as("fsum"), (col("cfsumsq") * sign).as("fsumsq"),
+      (col("cnanc") * sign).as("nanc"), (col("cpinf") * sign).as("pinf"),
+      (col("cninf") * sign).as("ninf"))
+    // +P as the newest prefix at-or-below s−1: s ∈ [_b+1, nb] ∩ [0, n)
+    val plusP = transform(
+      span(greatest(col("_b") + 1, lit(0L)), least(nbc, lit(n - 1L))),
+      k => cumStruct(k, 1))
+    // −P as the newest prefix at-or-below s−m−1: s ∈ [_b+m+1, nb+m] ∩ [0, n)
+    val minusP = transform(
+      span(greatest(col("_b") + m + 1, lit(0L)),
+        least(nbc + m, lit(n - 1L))),
+      k => cumStruct(k, -1))
+    // the closed window's own at-start point: k = _b (as the explode
+    // path's startContrib)
+    val start0 = when(col("_b").between(0, n - 1) && col("cnt0") > 0,
+      array(struct(col("_b").as("k"), col("cnt0").as("cnt"),
+        col("fsum0").as("fsum"), col("fsumsq0").as("fsumsq"),
+        col("nan0c").as("nanc"), col("pinf0").as("pinf"),
+        col("ninf0").as("ninf"))))
+      .otherwise(array().cast(contribType))
+
+    val windows = cum
+      .select(col(SIG), explode(concat(plusP.cast(contribType),
+        minusP.cast(contribType), start0)).as("_c"))
+      .groupBy(col(SIG), col("_c.k").as("_k"))
+      .agg(
+        sum(col("_c.cnt")).as("cnt"), sum(col("_c.fsum")).as("fsum"),
+        sum(col("_c.fsumsq")).as("fsumsq"), sum(col("_c.nanc")).as("nanc"),
+        sum(col("_c.pinf")).as("pinf"), sum(col("_c.ninf")).as("ninf"))
+      .filter(col("cnt") > 0)
+
+    val cntD = col("cnt").cast("double")
+    val anyNaN = col("nanc") > 0 || (col("pinf") > 0 && col("ninf") > 0)
+    val sumV = when(anyNaN, Double.NaN)
+      .when(col("pinf") > 0, Double.PositiveInfinity)
+      .when(col("ninf") > 0, Double.NegativeInfinity)
+      .otherwise(col("fsum"))
+    val anyAbnormal = col("nanc") > 0 || col("pinf") > 0 || col("ninf") > 0
+    val varV = when(anyAbnormal, Double.NaN)
+      .otherwise(col("fsumsq") / cntD - (col("fsum") / cntD) * (col("fsum") / cntD))
+    val value = name match {
+      case "count_over_time" => cntD
+      case "sum_over_time" => sumV
+      case "avg_over_time" => sumV / cntD
+      case "stdvar_over_time" => varV
+      case "stddev_over_time" => sqrt(varV)
+    }
+    joinLabels(windows)
+      .withColumn(T, lit(tr.startMs) + col("_k") * step)
+      .withColumn(V, value)
+      .select(col(SIG), Samples.dropMetricName(col(L)).as(L), col(T),
+        col(T).as(ST), col(V))
+      .transform(reSig)
+  }
+
   private def bucketedFold(selector: VectorSelector, w: Long, tr: EvalRange,
       name: String): DataFrame = {
     val step = tr.stepMs
@@ -1446,6 +1617,18 @@ class PromQLEngine(
       tr.stepMs % bkt == 0 &&
         Math.floorMod(tr.startMs - ms.selector.offsetMs, bkt) == 0 } &&
       ms.rangeMs % tr.stepMs == 0 && ms.rangeMs / tr.stepMs <= 512
+    // sliding prefix-sum route for subtractable folds: amplification
+    // ~2 regardless of m, so unlike `bucketable` it carries NO m ≤ 512
+    // cap — the wider the window, the bigger its win over the explode.
+    // m ≥ 16 keeps small windows on the single-explode path (sliding
+    // pays two extra window functions); with a materialized partials
+    // table bound, that route wins on scan volume and keeps priority.
+    val slidable = ms.rangeMs % tr.stepMs == 0 &&
+      ms.rangeMs / tr.stepMs >= PromQLEngine.slideMinM && tr.numSteps >= 8 &&
+      !materializable && slidableFoldFuncs.contains(name) &&
+      slidingWins(ms.rangeMs, tr)
+    if (slidable)
+      return slidingFold(ms.selector, ms.rangeMs, tr, name)
     if ((bucketable || materializable) && bucketFoldFuncs.contains(name))
       return bucketedFold(ms.selector, ms.rangeMs, tr, name)
     // the rate-family materialized route needs step == bucket (1:1 row
@@ -1673,4 +1856,10 @@ object PromQLEngine {
   private[exec] val dateFuncs: Set[String] = Set(
     "minute", "hour", "day_of_week", "day_of_month", "days_in_month",
     "month", "year")
+
+  /** Minimum m = range/step for the sliding prefix-sum fold route.
+    * Production default 16 (below it the single explode is cheaper);
+    * tests raise it to Int.MaxValue to force the explode path and
+    * assert route equivalence. */
+  @volatile private[exec] var slideMinM: Int = 16
 }
