@@ -685,7 +685,7 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
 
   private def textHandler(f: HttpExchange => String)
       : com.sun.net.httpserver.HttpHandler =
-    (ex: HttpExchange) => {
+    (ex: HttpExchange) => if (!handleOptions(ex)) {
       val (code, body) =
         try (200, f(ex))
         catch { case e: Exception => (500, String.valueOf(e.getMessage)) }
@@ -701,7 +701,7 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
     * text + status Go's `http.Error` produces (`read.go:48-66`). */
   private def binaryHandler(f: HttpExchange => Array[Byte])
       : com.sun.net.httpserver.HttpHandler =
-    (ex: HttpExchange) => {
+    (ex: HttpExchange) => if (!handleOptions(ex)) {
       try {
         val body = f(ex)
         ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")

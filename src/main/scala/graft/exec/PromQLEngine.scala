@@ -123,20 +123,22 @@ class PromQLEngine(
   /** Raw matching samples for egress (S5 remote-read,
     * `internal/read/read.go:45-126`): matcher + time bounds pushed to
     * the scan, rows returned as a DataFrame for streaming collection. */
-  def rawSamples(matchExpr: String, startMs: Option[Long] = None,
-      endMs: Option[Long] = None): DataFrame = {
+  /** Matcher-filtered samples for one selector expression, staleness
+    * markers INCLUDED — the shared core of the egress and probe
+    * surfaces below (one place to fix matcher handling). */
+  private def matchedSamples(matchExpr: String): DataFrame = {
     val vs = Parser.parse(matchExpr) match {
       case v: VectorSelector => v
       case _ => throw new IllegalArgumentException(
-        "match[] must be a vector selector")
+        s"expected a vector selector, got: $matchExpr")
     }
-    val hasStale = samples.columns.contains("stale")
-    val unstale = if (hasStale) samples.filter(!col("stale")) else samples
-    var df = applyMatchers(unstale, allMatchers(vs))
-    startMs.foreach(s => df = df.filter(col(T) >= s))
-    endMs.foreach(e => df = df.filter(col(T) <= e))
-    df.select(col(L), col(T), col(V)).orderBy(Samples.sigStr(col(L)), col(T))
+    applyMatchers(samples, allMatchers(vs))
   }
+
+  def rawSamples(matchExpr: String, startMs: Option[Long] = None,
+      endMs: Option[Long] = None): DataFrame =
+    rawSamplesWithMarkers(matchExpr, startMs, endMs)
+      .filter(!col("stale")).drop("stale")
 
   /** [[rawSamples]] with staleness markers INCLUDED, carried as a
     * fourth boolean `stale` column (the raw NaN payload bits don't
@@ -147,13 +149,8 @@ class PromQLEngine(
     * them resurrects ended series for a full lookback window. */
   def rawSamplesWithMarkers(matchExpr: String, startMs: Option[Long] = None,
       endMs: Option[Long] = None): DataFrame = {
-    val vs = Parser.parse(matchExpr) match {
-      case v: VectorSelector => v
-      case _ => throw new IllegalArgumentException(
-        "match[] must be a vector selector")
-    }
     val hasStale = samples.columns.contains("stale")
-    var df = applyMatchers(samples, allMatchers(vs))
+    var df = matchedSamples(matchExpr)
     startMs.foreach(s => df = df.filter(col(T) >= s))
     endMs.foreach(e => df = df.filter(col(T) <= e))
     val staleCol = if (hasStale) col("stale") else lit(false)
@@ -168,12 +165,7 @@ class PromQLEngine(
     * "now" at the last firing step and report the alert active
     * forever. */
   def latestSampleMs(matchExpr: String): Option[Long] = {
-    val vs = Parser.parse(matchExpr) match {
-      case v: VectorSelector => v
-      case _ => throw new IllegalArgumentException(
-        "match[] must be a vector selector")
-    }
-    val r = applyMatchers(samples, allMatchers(vs)).agg(max(col(T))).head()
+    val r = matchedSamples(matchExpr).agg(max(col(T))).head()
     if (r.isNullAt(0)) None else Some(r.getLong(0))
   }
 
@@ -482,14 +474,19 @@ class PromQLEngine(
 
   /** Memoized (minT, maxT, rows, series) of the bound table — the
     * inputs of the density cost model that picks between the sliding
-    * and explode fold routes. One tiny aggregation per engine, plus a
-    * count of the (already Spark-cached) series dimension; the probe
-    * runs lazily on the first routing decision that needs it. */
-  private lazy val tableStats: Option[(Long, Long, Long, Long)] = {
-    val r = samples.agg(min(col(T)), max(col(T)), count(lit(1))).head()
-    if (r.isNullAt(0)) None
-    else Some((r.getLong(0), r.getLong(1), r.getLong(2), seriesDim.count()))
-  }
+    * and explode fold routes. Keyed by the CANONICALIZED plan and
+    * shared across engines (like [[seriesDim]]): a serving deployment
+    * that swaps engines per write pays one probe per table STATE, not
+    * per engine object, and only when a sliding-candidate query shape
+    * actually arrives. */
+  private lazy val tableStats: Option[(Long, Long, Long, Long)] =
+    tableStatsCache.computeIfAbsent(
+      samples.queryExecution.analyzed.canonicalized, _ => {
+        val r = samples.agg(min(col(T)), max(col(T)), count(lit(1))).head()
+        if (r.isNullAt(0)) None
+        else Some((r.getLong(0), r.getLong(1), r.getLong(2),
+          seriesDim.count()))
+      })
 
   /** Density-aware route choice: sliding costs ~2×(steps + m) rows
     * per series regardless of window width; the explode route costs
@@ -518,10 +515,11 @@ class PromQLEngine(
     * explicit release a long-running writer would accumulate one
     * cached dimension per write. Safe while queries are in flight —
     * an unpersisted frame recomputes on demand. */
-  def releaseSeriesDim(): Unit =
-    Option(seriesDimCache.remove(
-      samples.queryExecution.analyzed.canonicalized))
-      .foreach(_.unpersist(false))
+  def releaseSeriesDim(): Unit = {
+    val key = samples.queryExecution.analyzed.canonicalized
+    Option(seriesDimCache.remove(key)).foreach(_.unpersist(false))
+    tableStatsCache.remove(key) // tiny, but same lifecycle
+  }
 
   /** groupBy that carries a labels map as part of the GROUPING KEY
     * (sorted entries array) instead of a `first(map)` aggregate — for
@@ -1219,9 +1217,14 @@ class PromQLEngine(
     }
 
   /** Range functions with SUBTRACTABLE folds, which slidingFold can
-    * serve with amplification ~2 instead of m = range/step. */
+    * serve with amplification ~2 instead of m = range/step.
+    * stddev/stdvar are EXCLUDED for the same measured reason they are
+    * excluded from [[bucketFoldFuncs]]: the subtractable sumsq/n −
+    * mean² form cancels catastrophically when variance ≪ mean², and a
+    * whole-span prefix of squares makes that strictly worse than the
+    * per-bucket form that was already rejected. */
   private val slidableFoldFuncs = Set("count_over_time", "sum_over_time",
-    "avg_over_time", "stddev_over_time", "stdvar_over_time")
+    "avg_over_time")
 
   /** Sliding-window fold via per-series prefix sums: the bucketed path
     * still fans every (series, bucket) partial out to the m = w/step
@@ -1240,11 +1243,15 @@ class PromQLEngine(
     * and the IEEE outcome reconstructed per window exactly as the
     * reference's sequential loop produces it (`functions.go:436-497`:
     * any NaN → NaN; +Inf and −Inf both present → NaN; one Inf sign →
-    * ±Inf for sum/avg, NaN for stddev/stdvar since squaredSum and
-    * avg² both go infinite). Caveat shared by every O(1) sliding-sum
-    * scheme: a FINITE prefix overflowing to ±Inf (values summing past
-    * ~1.8e308) degrades later windows to NaN — the explode path, not
-    * this one, serves such pathological series. Floating-point
+    * ±Inf for sum/avg). Two caveats shared by every O(1)
+    * sliding-sum scheme: (a) a FINITE prefix overflowing to ±Inf
+    * (values summing past ~1.8e308) degrades later windows to NaN;
+    * (b) a series mixing magnitudes across MANY orders (one 1e15
+    * spike among 1e-3 values) loses the bits of later small windows
+    * below ulp(prefix) — for same-magnitude series the error is
+    * ~(span/window)·ε, negligible. The explode path, which sums only
+    * in-window values, serves such pathological series; this route
+    * targets the scrape-density monitoring shape. Floating-point
     * subtraction reorders the summation, as the bucketed path's
     * partial merge already does. */
   private def slidingFold(selector: VectorSelector, w: Long, tr: EvalRange,
@@ -1262,7 +1269,6 @@ class PromQLEngine(
       .agg(
         count(lit(1)).as("cnt"),
         sum(when(finite, col(V)).otherwise(0.0)).as("fsum"),
-        sum(when(finite, col(V) * col(V)).otherwise(0.0)).as("fsumsq"),
         sum(when(isnan(col(V)), 1L).otherwise(0L)).as("nanc"),
         sum(when(col(V) === Double.PositiveInfinity, 1L).otherwise(0L))
           .as("pinf"),
@@ -1270,8 +1276,6 @@ class PromQLEngine(
           .as("ninf"),
         sum(when(col("_s0"), 1L).otherwise(0L)).as("cnt0"),
         sum(when(col("_s0") && finite, col(V)).otherwise(0.0)).as("fsum0"),
-        sum(when(col("_s0") && finite, col(V) * col(V)).otherwise(0.0))
-          .as("fsumsq0"),
         sum(when(col("_s0") && isnan(col(V)), 1L).otherwise(0L)).as("nan0c"),
         sum(when(col("_s0") && col(V) === Double.PositiveInfinity, 1L)
           .otherwise(0L)).as("pinf0"),
@@ -1286,16 +1290,15 @@ class PromQLEngine(
     val cum = parts.select(col(SIG), col("_b"),
       sum(col("cnt")).over(cumW).as("ccnt"),
       sum(col("fsum")).over(cumW).as("cfsum"),
-      sum(col("fsumsq")).over(cumW).as("cfsumsq"),
       sum(col("nanc")).over(cumW).as("cnanc"),
       sum(col("pinf")).over(cumW).as("cpinf"),
       sum(col("ninf")).over(cumW).as("cninf"),
       lead(col("_b"), 1).over(seqW).as("_nb"),
-      col("cnt0"), col("fsum0"), col("fsumsq0"),
+      col("cnt0"), col("fsum0"),
       col("nan0c"), col("pinf0"), col("ninf0"))
 
     val contribType = "array<struct<k:bigint,cnt:bigint,fsum:double," +
-      "fsumsq:double,nanc:bigint,pinf:bigint,ninf:bigint>>"
+      "nanc:bigint,pinf:bigint,ninf:bigint>>"
     def span(lo: Column, hi: Column): Column =
       when(lo <= hi, sequence(lo, hi, lit(1L)))
         .otherwise(array().cast("array<bigint>"))
@@ -1303,7 +1306,7 @@ class PromQLEngine(
     val nbc = coalesce(col("_nb"), far)
     def cumStruct(k: Column, sign: Int): Column = struct(
       k.as("k"), (col("ccnt") * sign).as("cnt"),
-      (col("cfsum") * sign).as("fsum"), (col("cfsumsq") * sign).as("fsumsq"),
+      (col("cfsum") * sign).as("fsum"),
       (col("cnanc") * sign).as("nanc"), (col("cpinf") * sign).as("pinf"),
       (col("cninf") * sign).as("ninf"))
     // +P as the newest prefix at-or-below s−1: s ∈ [_b+1, nb] ∩ [0, n)
@@ -1319,7 +1322,7 @@ class PromQLEngine(
     // path's startContrib)
     val start0 = when(col("_b").between(0, n - 1) && col("cnt0") > 0,
       array(struct(col("_b").as("k"), col("cnt0").as("cnt"),
-        col("fsum0").as("fsum"), col("fsumsq0").as("fsumsq"),
+        col("fsum0").as("fsum"),
         col("nan0c").as("nanc"), col("pinf0").as("pinf"),
         col("ninf0").as("ninf"))))
       .otherwise(array().cast(contribType))
@@ -1330,7 +1333,7 @@ class PromQLEngine(
       .groupBy(col(SIG), col("_c.k").as("_k"))
       .agg(
         sum(col("_c.cnt")).as("cnt"), sum(col("_c.fsum")).as("fsum"),
-        sum(col("_c.fsumsq")).as("fsumsq"), sum(col("_c.nanc")).as("nanc"),
+        sum(col("_c.nanc")).as("nanc"),
         sum(col("_c.pinf")).as("pinf"), sum(col("_c.ninf")).as("ninf"))
       .filter(col("cnt") > 0)
 
@@ -1340,15 +1343,10 @@ class PromQLEngine(
       .when(col("pinf") > 0, Double.PositiveInfinity)
       .when(col("ninf") > 0, Double.NegativeInfinity)
       .otherwise(col("fsum"))
-    val anyAbnormal = col("nanc") > 0 || col("pinf") > 0 || col("ninf") > 0
-    val varV = when(anyAbnormal, Double.NaN)
-      .otherwise(col("fsumsq") / cntD - (col("fsum") / cntD) * (col("fsum") / cntD))
     val value = name match {
       case "count_over_time" => cntD
       case "sum_over_time" => sumV
       case "avg_over_time" => sumV / cntD
-      case "stdvar_over_time" => varV
-      case "stddev_over_time" => sqrt(varV)
     }
     joinLabels(windows)
       .withColumn(T, lit(tr.startMs) + col("_k") * step)
@@ -1624,7 +1622,11 @@ class PromQLEngine(
     // pays two extra window functions); with a materialized partials
     // table bound, that route wins on scan volume and keeps priority.
     val slidable = ms.rangeMs % tr.stepMs == 0 &&
-      ms.rangeMs / tr.stepMs >= PromQLEngine.slideMinM && tr.numSteps >= 8 &&
+      ms.rangeMs / tr.stepMs >= PromQLEngine.slideMinM &&
+      // no 512 cap, but bound m before .toInt: a sub-ms step against a
+      // years-wide window must fall through (to the general path),
+      // never wrap Int and mis-seed the lookup offsets
+      ms.rangeMs / tr.stepMs <= (1L << 20) && tr.numSteps >= 8 &&
       !materializable && slidableFoldFuncs.contains(name) &&
       slidingWins(ms.rangeMs, tr)
     if (slidable)
@@ -1780,6 +1782,11 @@ object PromQLEngine {
     * copy per DataFrame object. */
   private val seriesDimCache = new java.util.concurrent.ConcurrentHashMap[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]()
+
+  /** One density-stats probe per table state (see `tableStats`). */
+  private val tableStatsCache = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    Option[(Long, Long, Long, Long)]]()
 
   private[exec] val SIG = "sig"
   private[exec] val L = "labels"

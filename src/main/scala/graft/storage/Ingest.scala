@@ -173,7 +173,16 @@ object Ingest {
       scala.util.hashing.MurmurHash3.stringHash(qualified))
     val marker = new org.apache.hadoop.fs.Path(table,
       s"_commits/$ns-$batchId")
-    if (!fs.exists(marker)) {
+    // markers written before the Hadoop-qualified namespace derived it
+    // from java.io.File(checkpoint).getAbsolutePath — honor them, or a
+    // crash-recovery replay of an already-appended batch would
+    // re-append it (the exact duplication this scheme prevents)
+    val legacyNs = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        new java.io.File(checkpoint).getAbsolutePath))
+    val legacyMarker = new org.apache.hadoop.fs.Path(table,
+      s"_commits/$legacyNs-$batchId")
+    if (!fs.exists(marker) && !fs.exists(legacyMarker)) {
       write
       fs.mkdirs(marker.getParent)
       fs.create(marker, false).close()

@@ -69,7 +69,10 @@ class HttpApiSpec extends SparkTestBase {
       conn.setRequestMethod("OPTIONS")
       conn
     }
-    for (p <- Seq("/api/v1/query", "/any_path")) {
+    // every handler family: JSON, streaming (/api/v1/export), binary
+    // (/read), text (/metrics), and the unmatched-path catch-all
+    for (p <- Seq("/api/v1/query", "/api/v1/export", "/read", "/metrics",
+        "/any_path")) {
       val conn = options(p)
       assert(conn.getResponseCode == 204, s"OPTIONS $p")
       // getHeaderField is case-insensitive (the server normalizes names)

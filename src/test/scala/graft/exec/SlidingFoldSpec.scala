@@ -13,7 +13,7 @@ import graft.SparkTestBase
 class SlidingFoldSpec extends SparkTestBase {
 
   private val funcs = Seq("count_over_time", "sum_over_time",
-    "avg_over_time", "stddev_over_time", "stdvar_over_time")
+    "avg_over_time")
 
   private def fixture = samplesDF(
     // dense on-grid series with NaN and an isolated +Inf and -Inf
@@ -83,6 +83,20 @@ class SlidingFoldSpec extends SparkTestBase {
     val general = run(q, 60000, 80000, 100, minM = Int.MaxValue)
     assert(sliding.nonEmpty)
     assertSame(sliding, general)
+  }
+
+  test("stddev/stdvar never route sliding: the subtractable sumsq form " +
+      "cancels catastrophically when variance << mean^2") {
+    // same exclusion (and reason) as bucketFoldFuncs — a whole-span
+    // prefix of squares is strictly worse than the per-bucket form
+    // that was already measured and rejected
+    for (fn <- Seq("stddev_over_time", "stdvar_over_time")) {
+      val plan = new PromQLEngine(spark, fixture)
+        .rangeQuery(s"$fn(sf_m[24s])", 30000, 80000, 1000)
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.toLowerCase.contains("windowspecdefinition"),
+        s"$fn must not take the sliding route")
+    }
   }
 
   test("density cost model: a sparse table keeps the explode route " +
