@@ -1439,30 +1439,40 @@ class PromQLEngine(
     * applies to one partial row per (series, bucket) instead of every
     * sample (see [[bucketedFold]] for the grid/boundary mechanics). */
   /** Step-bucket rate partials served from the MATERIALIZED table when
-    * the step EQUALS the bucket size (and the grid aligns): rows map
-    * one-to-one onto step buckets, in-bucket reset corrections are
-    * prepaid, and the existing fan-out + ordered merge run unchanged.
-    * Coarser steps (step = k × bucket) would need an ordered sub-bucket
-    * merge inside each step bucket — left on the raw path. */
+    * the step is a MULTIPLE of the bucket size (and the grid aligns).
+    * Rows stay at sub-bucket granularity: `_j` is the sub-bucket index
+    * (the ordered-merge sort key — [[PromUdfs.ratePartials]] folds
+    * partials in time order, adding the boundary reset at each seam,
+    * so q sub-bucket partials inside one step window merge exactly
+    * like the raw points they summarize), `_b` is the STEP index the
+    * fan-out targets. Only sub-buckets starting ON a step boundary
+    * contribute their at-start point (the others' start points are
+    * interior samples of the step window, already inside their full
+    * partial). In-bucket reset corrections are prepaid at ingest. */
   private def materializedRatePartials(selector: VectorSelector, w: Long,
       tr: EvalRange): Option[DataFrame] =
     foldPartials.flatMap { case (tbl, bkt) =>
       val o = selector.offsetMs
       val anchor = tr.startMs - o
-      if (tr.stepMs != bkt || Math.floorMod(anchor, bkt) != 0) None
+      if (tr.stepMs % bkt != 0 || Math.floorMod(anchor, bkt) != 0) None
       else {
         val ms = allMatchers(selector)
+        val rel = col("bucket_start") - anchor
+        val onStep = pmod(rel, lit(tr.stepMs)) === 0
         Some(tbl
           .filter(ms.map(matcherCond).reduce(_ && _))
           .filter(col("bucket_start") >= anchor - w &&
             col("bucket_start") <= tr.endMs - o)
           .filter(col("cnt").isNotNull) // marker-only buckets: no values
           .select(col("sig").as(SIG),
-            ((col("bucket_start") - anchor) / lit(bkt.toDouble))
+            (rel / lit(bkt.toDouble)).cast("long").as("_j"),
+            ((rel - pmod(rel, lit(tr.stepMs))) / lit(tr.stepMs.toDouble))
               .cast("long").as("_b"),
             (col("ft") - anchor).as("ft"), col("fv"),
             (col("lt") - anchor).as("lt"), col("lv"),
-            col("corr"), col("cnt"), col("v0"), col("has0")))
+            col("corr"), col("cnt"),
+            when(onStep, col("v0")).as("v0"),
+            when(onStep, col("has0")).otherwise(0).as("has0")))
       }
     }
 
@@ -1487,22 +1497,30 @@ class PromQLEngine(
           sum(col("_cinc")).as("corr"), count(lit(1)).as("cnt"),
           max(when(col("_s0"), col(V))).as("v0"),
           max(when(col("_s0"), 1).otherwise(0)).as("has0"))
+        // query-time partials ARE step-granular: sub-index == step index
+        .withColumn("_j", col("_b"))
     }
 
     val lo = greatest(col("_b") + 1, lit(0L))
     val hi = least(col("_b") + m, lit(tr.numSteps - 1))
     val fullSeq = when(lo <= hi, sequence(lo, hi, lit(1L)))
       .otherwise(array().cast("array<bigint>"))
+    // partial struct field `b` = the SUB-bucket index `_j`: the merge
+    // sort key. On the materialized route a step window holds q =
+    // step/bucket sub-partials; _j orders them in time (query-time
+    // path: _j == _b, one partial per window as before).
     val fullContrib = transform(fullSeq, k => struct(
-      k.as("k"), struct(col("_b").as("b"), col("ft").as("ft"),
+      k.as("k"), struct(col("_j").as("b"), col("ft").as("ft"),
         col("fv").as("fv"), col("lt").as("lt"), col("lv").as("lv"),
         col("corr").as("corr"), col("cnt").as("cnt")).as("p")))
     // a sample at exactly the step time belongs to the window ending
     // there: contribute bucket k's at-start point as the FINAL partial
+    // (_j of an on-boundary sub-bucket = q·_b, sorting after every
+    // full partial of window _b, whose sub-indices are < q·_b)
     val startRel = col("_b") * step
     val startContrib =
       when(col("_b").between(0, tr.numSteps - 1) && col("has0") === 1,
-        array(struct(col("_b").as("k"), struct(col("_b").as("b"),
+        array(struct(col("_b").as("k"), struct(col("_j").as("b"),
           startRel.as("ft"), col("v0").as("fv"), startRel.as("lt"),
           col("v0").as("lv"), lit(0.0).as("corr"), lit(1L).as("cnt"))
           .as("p"))))
@@ -1633,10 +1651,12 @@ class PromQLEngine(
       return slidingFold(ms.selector, ms.rangeMs, tr, name)
     if ((bucketable || materializable) && bucketFoldFuncs.contains(name))
       return bucketedFold(ms.selector, ms.rangeMs, tr, name)
-    // the rate-family materialized route needs step == bucket (1:1 row
-    // mapping; see materializedRatePartials)
+    // the rate-family materialized route: any step that is a multiple
+    // of the bucket size with the grid on a bucket boundary — coarser
+    // steps merge q = step/bucket ordered sub-partials per window
+    // (see materializedRatePartials)
     val rateMaterializable = foldPartials.exists { case (_, bkt) =>
-      tr.stepMs == bkt &&
+      tr.stepMs % bkt == 0 &&
         Math.floorMod(tr.startMs - ms.selector.offsetMs, bkt) == 0 } &&
       ms.rangeMs % tr.stepMs == 0 && ms.rangeMs / tr.stepMs <= 512
     if ((bucketable || rateMaterializable) &&

@@ -76,23 +76,42 @@ class PartialsRoutingSpec extends SparkTestBase {
     }
   }
 
-  test("rate routing requires step == bucket: coarser steps fall back") {
-    val raw = new PromQLEngine(spark, fixture)
-    val routed = new PromQLEngine(spark, fixture,
-      foldPartials = Some((Ingest.foldPartials(fixture, 5 * m), 5 * m)))
-    // step 10m over 5m buckets: fold routes (merging is associative),
-    // rate falls back (ordered sub-bucket merge not materialized)
-    val q = "increase(pm[20m])"
-    assert(results(raw, q, 20 * m, 110 * m, 10 * m) ==
-      results(routed, q, 20 * m, 110 * m, 10 * m))
-    // routing proof at step == bucket: empty partials -> empty result
-    val empty = Ingest.foldPartials(fixture.filter(lit(false)), 5 * m)
-    val e = new PromQLEngine(spark, fixture,
+  test("rate/increase/delta route at COARSER aligned steps: q = " +
+      "step/bucket ordered sub-partials merge bit-identically") {
+    // the counter's in-window resets cross sub-bucket seams, so the
+    // boundary-reset correction of the ordered merge is load-bearing;
+    // a sparse series exercises windows whose sub-buckets are empty
+    val withCtr = samplesDF(
+      Map("__name__" -> "pm", "s" -> "rise") ->
+        (0 to 240).map(i => (i * 30000L, i.toDouble)),
+      Map("__name__" -> "pm", "s" -> "ctr") ->
+        (0 to 240).map(i => (i * 30000L, ((i * 7) % 100).toDouble)),
+      Map("__name__" -> "pm", "s" -> "sparse") ->
+        (0 to 12).map(i => (i * 600000L + 90000L, (i * 3).toDouble)))
+    val raw = new PromQLEngine(spark, withCtr)
+    val routed = new PromQLEngine(spark, withCtr,
+      foldPartials = Some((Ingest.foldPartials(withCtr, 5 * m), 5 * m)))
+    // step 10m and 15m over 5m buckets: q = 2 and q = 3
+    for (f <- Seq("rate", "increase", "delta");
+        (w, step) <- Seq(("20m", 10 * m), ("30m", 15 * m), ("10m", 10 * m));
+        offset <- Seq("", " offset 10m")) {
+      val q = s"$f(pm[$w]$offset)"
+      val a = results(raw, q, 30 * m, 110 * m, step)
+      val b = results(routed, q, 30 * m, 110 * m, step)
+      assert(a == b, s"$q @ step=$step diverged between raw and partials")
+      assert(a.nonEmpty)
+    }
+    // routing proof: empty partials -> empty result at the coarser step
+    val empty = Ingest.foldPartials(withCtr.filter(lit(false)), 5 * m)
+    val e = new PromQLEngine(spark, withCtr,
       foldPartials = Some((empty, 5 * m)))
     assert(e.rangeQuery("rate(pm[10m])", 20 * m, 115 * m, 5 * m)
       .count() == 0)
     assert(e.rangeQuery("increase(pm[20m])", 20 * m, 110 * m, 10 * m)
-      .count() > 0) // coarser step: raw fallback still sees data
+      .count() == 0) // coarser aligned step now routes too
+    // a NON-multiple step (7m over 5m buckets) still falls back to raw
+    assert(e.rangeQuery("increase(pm[14m])", 21 * m, 105 * m, 7 * m)
+      .count() > 0)
   }
 
   test("instant selectors route at step == bucket; staleness markers " +
