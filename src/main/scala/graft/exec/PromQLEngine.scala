@@ -1546,6 +1546,48 @@ class PromQLEngine(
       .transform(reSig)
   }
 
+  /** Materialized route for the instant-value family: the partials
+    * table's (lt, lv, lt2, lv2) columns ARE each bucket's two newest
+    * live points, so aligned irate/idelta windows can draw their
+    * candidates from the table instead of raw samples. Gated on the
+    * columns' presence (tables written before the top-2 columns fall
+    * back to the query-time path). Same sub-bucket geometry as
+    * [[materializedRatePartials]]: `_b` is the STEP index the fan-out
+    * targets; only sub-buckets ON a step boundary contribute their
+    * at-start point. The candidate UDF picks the two globally newest,
+    * so multiple sub-partials per window need no ordering key. */
+  private def materializedInstantPartials(selector: VectorSelector,
+      w: Long, tr: EvalRange): Option[DataFrame] =
+    foldPartials.flatMap { case (tbl, bkt) =>
+      val o = selector.offsetMs
+      val anchor = tr.startMs - o
+      if (tr.stepMs % bkt != 0 || Math.floorMod(anchor, bkt) != 0 ||
+          !tbl.columns.contains("lt2")) None
+      else {
+        val ms = allMatchers(selector)
+        val rel = col("bucket_start") - anchor
+        val onStep = pmod(rel, lit(tr.stepMs)) === 0
+        val l2t = "array<struct<rel:bigint,v:double>>"
+        Some(tbl
+          .filter(ms.map(matcherCond).reduce(_ && _))
+          .filter(col("bucket_start") >= anchor - w &&
+            col("bucket_start") <= tr.endMs - o)
+          .filter(col("cnt").isNotNull) // marker-only buckets: no values
+          .select(col("sig").as(SIG),
+            ((rel - pmod(rel, lit(tr.stepMs))) / lit(tr.stepMs.toDouble))
+              .cast("long").as("_b"),
+            concat(
+              array(struct((col("lt") - anchor).as("rel"),
+                col("lv").as("v"))),
+              when(col("lt2").isNotNull,
+                array(struct((col("lt2") - anchor).as("rel"),
+                  col("lv2").as("v"))))
+                .otherwise(array().cast(l2t))).as("last2"),
+            when(onStep, col("has0")).otherwise(0).as("has0"),
+            when(onStep, col("v0")).as("spv")))
+      }
+    }
+
   /** Bucketed `irate`/`idelta`: only the two newest points of each
     * window matter, so each bucket keeps its two latest points (a
     * rank-2 window filter, one shuffle) and steps pick the two globally
@@ -1555,25 +1597,24 @@ class PromQLEngine(
       tr: EvalRange, isRate: Boolean): DataFrame = {
     val step = tr.stepMs
     val m = (w / step).toInt
-    val base = bucketedBase(selector, w, tr)
-    val b = bucketCol(step)
     val isStart = pmod(col("_rel"), lit(step)) === 0
-    val wspec = Window.partitionBy(col(SIG), col("_b"))
-      .orderBy(col("_rel").desc)
-    val top2 = base
-      .withColumn("_b", b).withColumn("_s0", isStart)
-      .withColumn("_rn", row_number().over(wspec))
-      .filter(col("_rn") <= 2 || col("_s0"))
     // at-start rows of one bucket share rel == _b*step exactly, so the
     // former max(struct(rel, v)) tie-break reduces to max(v) — kept as
     // primitive aggregates so the whole aggregation stays hash-based
-    val partials = top2
-      .groupBy(col(SIG), col("_b"))
-      .agg(
-        collect_list(when(col("_rn") <= 2,
-          struct(col("_rel").as("rel"), col(V).as("v")))).as("last2"),
-        max(when(col("_s0"), 1).otherwise(0)).as("has0"),
-        max(when(col("_s0"), col(V))).as("spv"))
+    val partials = materializedInstantPartials(selector, w, tr).getOrElse {
+      val wspec = Window.partitionBy(col(SIG), col("_b"))
+        .orderBy(col("_rel").desc)
+      bucketedBase(selector, w, tr)
+        .withColumn("_b", bucketCol(step)).withColumn("_s0", isStart)
+        .withColumn("_rn", row_number().over(wspec))
+        .filter(col("_rn") <= 2 || col("_s0"))
+        .groupBy(col(SIG), col("_b"))
+        .agg(
+          collect_list(when(col("_rn") <= 2,
+            struct(col("_rel").as("rel"), col(V).as("v")))).as("last2"),
+          max(when(col("_s0"), 1).otherwise(0)).as("has0"),
+          max(when(col("_s0"), col(V))).as("spv"))
+    }
       .withColumn("sp", struct((col("_b") * step).as("rel"), col("spv").as("v")))
 
     val pType = "array<struct<rel:bigint,v:double>>"
@@ -1663,7 +1704,11 @@ class PromQLEngine(
         (name == "rate" || name == "increase" || name == "delta"))
       return bucketedRate(ms.selector, ms.rangeMs, tr,
         isCounter = name != "delta", isRate = name == "rate")
-    if (bucketable && (name == "irate" || name == "idelta"))
+    // the instant-value family shares rateMaterializable's geometry;
+    // materializedInstantPartials additionally requires the table's
+    // top-2 columns and falls back to the query-time bucketed path
+    if ((bucketable || rateMaterializable) &&
+        (name == "irate" || name == "idelta"))
       return bucketedInstant(ms.selector, ms.rangeMs, tr,
         isRate = name == "irate")
 

@@ -452,9 +452,12 @@ object Ingest {
     val wl = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_psig"), col("bucket_start")).orderBy(col("t"))
     val pv = lag(col("v"), 1).over(wl)
+    val pt = lag(col("t"), 1).over(wl)
     val foldRate = live
+      .withColumn("_pv", pv).withColumn("_pt", pt)
       .withColumn("_cinc",
-        when(pv.isNotNull && col("v") < pv, pv).otherwise(lit(0.0)))
+        when(col("_pv").isNotNull && col("v") < col("_pv"), col("_pv"))
+          .otherwise(lit(0.0)))
       .groupBy(col("_psig").as("sig"), col("bucket_start"))
       .agg(
         count(lit(1)).as("cnt"), sum(col("v")).as("sum"),
@@ -472,7 +475,16 @@ object Ingest {
         max(col("t")).as("lt"), max_by(col("v"), col("t")).as("lv"),
         sum(col("_cinc")).as("corr"),
         max(when(col("_s0"), col("v"))).as("v0"),
-        max(when(col("_s0"), 1).otherwise(0)).as("has0"))
+        max(when(col("_s0"), 1).otherwise(0)).as("has0"),
+        // instant-value partials: the SECOND-newest point (= the lag
+        // fields of the newest row; wrapped in a struct so max_by
+        // carries the single-point bucket's nulls faithfully) — with
+        // the newest (lt, lv) this is the per-bucket top-2 the
+        // irate/idelta candidate route needs
+        max_by(struct(col("_pt").as("t2"), col("_pv").as("v2")),
+          col("t")).as("_l2"))
+      .withColumn("lt2", col("_l2.t2")).withColumn("lv2", col("_l2.v2"))
+      .drop("_l2")
     sel.join(foldRate, Seq("sig", "bucket_start"), "left")
       // entry-sort after the aggregation (same determinism argument as
       // the dedup path: equal sig ⇒ equal map content)

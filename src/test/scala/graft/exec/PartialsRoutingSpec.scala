@@ -114,6 +114,48 @@ class PartialsRoutingSpec extends SparkTestBase {
       .count() > 0)
   }
 
+  test("irate/idelta route through the table's per-bucket top-2 " +
+      "columns, bit-identical at step == bucket and coarser steps") {
+    // sparse series: single-point buckets (lt2 null) and windows whose
+    // two newest points span DIFFERENT sub-buckets; ctr: same-bucket
+    // adjacent points with resets
+    val withCtr = samplesDF(
+      Map("__name__" -> "pm", "s" -> "rise") ->
+        (0 to 240).map(i => (i * 30000L, i.toDouble)),
+      Map("__name__" -> "pm", "s" -> "ctr") ->
+        (0 to 240).map(i => (i * 30000L, ((i * 7) % 100).toDouble)),
+      Map("__name__" -> "pm", "s" -> "sparse") ->
+        (0 to 12).map(i => (i * 600000L + 90000L, (i * 3).toDouble)))
+    val raw = new PromQLEngine(spark, withCtr)
+    val routed = new PromQLEngine(spark, withCtr,
+      foldPartials = Some((Ingest.foldPartials(withCtr, 5 * m), 5 * m)))
+    for (f <- Seq("irate", "idelta");
+        (w, step) <- Seq(("10m", 5 * m), ("20m", 10 * m), ("30m", 15 * m));
+        offset <- Seq("", " offset 10m")) {
+      val q = s"$f(pm[$w]$offset)"
+      val a = results(raw, q, 30 * m, 110 * m, step)
+      val b = results(routed, q, 30 * m, 110 * m, step)
+      assert(a == b, s"$q @ step=$step diverged between raw and partials")
+      assert(a.nonEmpty)
+    }
+    // routing proof: empty partials -> empty result on aligned grids
+    val empty = Ingest.foldPartials(withCtr.filter(lit(false)), 5 * m)
+    val e = new PromQLEngine(spark, withCtr,
+      foldPartials = Some((empty, 5 * m)))
+    assert(e.rangeQuery("irate(pm[10m])", 20 * m, 115 * m, 5 * m)
+      .count() == 0)
+    assert(e.rangeQuery("idelta(pm[20m])", 20 * m, 110 * m, 10 * m)
+      .count() == 0)
+    // a table WITHOUT the top-2 columns falls back to raw and stays
+    // correct (pre-existing materializations keep working)
+    val legacy = new PromQLEngine(spark, withCtr,
+      foldPartials = Some((Ingest.foldPartials(withCtr, 5 * m)
+        .drop("lt2", "lv2"), 5 * m)))
+    val q = "irate(pm[10m])"
+    assert(results(raw, q, 30 * m, 110 * m, 5 * m) ==
+      results(legacy, q, 30 * m, 110 * m, 5 * m))
+  }
+
   test("instant selectors route at step == bucket; staleness markers " +
       "still hide series through the materialized path") {
     // series "gone" ends with a stale marker at 60m — the marker is
