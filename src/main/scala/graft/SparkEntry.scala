@@ -835,6 +835,13 @@ object SparkEntry {
       TextOps.stratifiedSample(docs(spark, dir), "lang",
         Seq("en" -> 900, "zh" -> 300), 500)
         .select(col("doc_id"), col("lang"), col("source"))),
+    // T19: temperature-style source balancing — per-stratum
+    // inverse-sqrt keep rates (min(1, k/sqrt(c)) as an exact ppm
+    // threshold) with the deterministic per-doc hash decision; `lang`
+    // is the fixture's skewed dimension (en 218 docs vs fr 64), so one
+    // stratum downsamples while the small ones keep everything
+    "t19_source_mix" -> ((spark, dir) =>
+      TextOps.sourceMix(docs(spark, dir), 10.0, "lang")),
     // T12: per-domain URL statistics over planted URLs (the fixture
     // word-soup carries none; planting is SQL-expressible so the
     // oracle rebuilds identical bytes)
@@ -1588,6 +1595,17 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 <
         |  CASE lang WHEN 'en' THEN 900 WHEN 'zh' THEN 300 ELSE 500 END""".stripMargin,
+    "t19_source_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS src_docs
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT lang, src_docs,
+        |  LEAST(1000000,
+        |    CAST(FLOOR(10.0 / sqrt(src_docs) * 1000000.0) AS BIGINT))
+        |    AS keep_ppm FROM c)
+        |SELECT d.doc_id, d.lang, r.src_docs, r.keep_ppm,
+        |  CAST(md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 1000000
+        |    < r.keep_ppm AS BIGINT) AS keep
+        |FROM documents d JOIN r USING (lang)""".stripMargin,
     "t12_domain_stats" ->
       s"""WITH $PLANTED,
          |u AS (SELECT doc_id, unnest(regexp_extract_all(t2,

@@ -291,6 +291,36 @@ object TextOps {
     docs.filter(hashBucket(col(idCol), 1000) < rate)
   }
 
+  /** Temperature-style source balancing — the data-mixing lever that
+    * flattens source skew in a training mixture (α = 0.5 "temperature
+    * sampling" of XLM / The Pile, expressed per-stratum): a stratum
+    * holding c docs keeps each doc with rate min(1, k/√c), so its
+    * sampled mass grows ∝ √c instead of c and no stratum needs a
+    * hand-tuned rate. The keep decision is the deterministic
+    * md5-low64 ppm bucket of the id (the [[hashBucket]] convention):
+    * content- and corpus-independent, so growing one stratum never
+    * flips another's documents and re-runs are idempotent. The ppm
+    * threshold is computed from √, one division and one
+    * multiplication — all correctly-rounded IEEE ops, so any engine
+    * derives the same integer (a Σcᵅ-normalized weight would hang the
+    * threshold on an order-dependent float SUM instead). Cost: one
+    * stratum-count aggregate (strata × 1 row, broadcast back) + a
+    * map-only pass — scan-speed at 100 TB. */
+  def sourceMix(docs: DataFrame, k: Double, strataCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val counts = docs.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("src_docs"))
+      .withColumn("keep_ppm",
+        least(lit(1000000L),
+          floor(lit(k) / sqrt(col("src_docs")) * lit(1000000.0))
+            .cast("long")))
+    docs.select(col(idCol), col(strataCol))
+      .join(broadcast(counts), Seq(strataCol))
+      .select(col(idCol), col(strataCol), col("src_docs"), col("keep_ppm"),
+        (hashBucket(col(idCol), 1000000) < col("keep_ppm")).cast("long")
+          .as("keep"))
+  }
+
   /** URL host pattern (capture group 1 = domain). RE2-compatible: the
     * same pattern string runs unchanged in DuckDB. */
   val UrlPattern = "https?://([A-Za-z0-9.-]+)"

@@ -536,6 +536,34 @@ class LlmOpsSpec extends SparkTestBase {
     assert(rerun == kept)
   }
 
+  test("sourceMix: inverse-sqrt keep rates, small strata uncut, " +
+      "growth of one stratum never flips another") {
+    // big: 1600 docs, small: 100 — k = 10 gives big 250000 ppm
+    // (10/40), small capped at 1000000 (10/10 = 1.0)
+    val d = (0L until 1700L).map(i =>
+      (i, if (i < 1600) "big" else "small", s"text $i"))
+      .toDF("doc_id", "stratum", "text")
+    val r = TextOps.sourceMix(d, 10.0, "stratum").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2),
+        x.getLong(3), x.getLong(4)))
+    val byStratum = r.groupBy(_._2)
+    assert(byStratum("big").head._4 == 250000L) // floor(10/40 * 1e6)
+    assert(byStratum("small").head._4 == 1000000L) // capped: rate 1.0
+    assert(byStratum("small").forall(_._5 == 1L)) // small keeps all
+    val bigKeep = byStratum("big").count(_._5 == 1L).toDouble / 1600
+    assert(math.abs(bigKeep - 0.25) < 0.05, s"big keep rate $bigKeep")
+    // stability: tripling the small stratum must not flip any of the
+    // big stratum's decisions (per-stratum rate + id-pure hash)
+    val d2 = (0L until 1900L).map(i =>
+      (i, if (i < 1600) "big" else "small", s"text $i"))
+      .toDF("doc_id", "stratum", "text")
+    val r2 = TextOps.sourceMix(d2, 10.0, "stratum").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(4)))
+    val bigBefore = r.filter(_._2 == "big").map(x => (x._1, x._5)).toSet
+    val bigAfter = r2.filter(_._2 == "big").map(x => (x._1, x._3)).toSet
+    assert(bigBefore == bigAfter)
+  }
+
   test("domainStats and redactPii: extraction, counts, and the md5 witness") {
     val d = Seq(
       (0L, "see http://a.example.com/x and https://b.example.org/y done"),
