@@ -996,6 +996,113 @@ eval_fail instant at 50m http_requests or 2
 """)
   }
 
+  test("upstream operators.test slice: group_left/group_right with " +
+      "on/ignoring and include labels") {
+    run("""
+load 5m
+  node_var{instance="abc",job="node"} 2
+  node_role{instance="abc",job="node",role="prometheus"} 1
+  node_cpu{instance="abc",job="node",mode="idle"} 3
+  node_cpu{instance="abc",job="node",mode="user"} 8
+  node_cpu{instance="def",job="node",mode="idle"} 8
+  node_cpu{instance="def",job="node",mode="user"} 2
+
+# many side keeps its labels; group_x(role) copies role from the one side
+eval instant at 5m node_role * on (instance) group_right (role) node_var
+  {instance="abc",job="node",role="prometheus"} 2
+
+eval instant at 5m node_var * on (instance) group_left (role) node_role
+  {instance="abc",job="node",role="prometheus"} 2
+
+eval instant at 5m node_var * ignoring (role) group_left (role) node_role
+  {instance="abc",job="node",role="prometheus"} 2
+
+eval instant at 5m node_role * ignoring (role) group_right (role) node_var
+  {instance="abc",job="node",role="prometheus"} 2
+
+# share-of-instance: the canonical group_left against an aggregate
+eval instant at 5m node_cpu / on (instance) group_left sum by (instance,job) (node_cpu)
+  {instance="abc",job="node",mode="idle"} 0.2727272727272727
+  {instance="abc",job="node",mode="user"} 0.7272727272727273
+  {instance="def",job="node",mode="idle"} 0.8
+  {instance="def",job="node",mode="user"} 0.2
+
+# ignoring the extra dimension instead of naming the join keys
+eval instant at 5m node_cpu / ignoring (mode) group_left sum without (mode) (node_cpu)
+  {instance="abc",job="node",mode="idle"} 0.2727272727272727
+  {instance="abc",job="node",mode="user"} 0.7272727272727273
+  {instance="def",job="node",mode="idle"} 0.8
+  {instance="def",job="node",mode="user"} 0.2
+""")
+  }
+
+  test("upstream functions.test slice: clamp family, math functions, " +
+      "sort_desc ordering") {
+    run("""
+load 5m
+  test_clamp{src="a"} -50
+  test_clamp{src="b"} 0
+  test_clamp{src="c"} 100
+  http_requests{job="api",instance="0"} 0+10x10
+  http_requests{job="api",instance="1"} 0+20x10
+  http_requests{job="app",instance="0"} 0+30x10
+  http_requests{job="app",instance="1"} 0+40x10
+
+eval instant at 5m clamp_max(test_clamp, 75)
+  {src="a"} -50
+  {src="b"} 0
+  {src="c"} 75
+
+eval instant at 5m clamp_min(test_clamp, -25)
+  {src="a"} -25
+  {src="b"} 0
+  {src="c"} 100
+
+eval instant at 5m clamp_max(clamp_min(test_clamp, -20), 70)
+  {src="a"} -20
+  {src="b"} 0
+  {src="c"} 70
+
+eval instant at 5m abs(test_clamp)
+  {src="a"} 50
+  {src="b"} 0
+  {src="c"} 100
+
+eval instant at 5m floor(test_clamp / 7)
+  {src="a"} -8
+  {src="b"} 0
+  {src="c"} 14
+
+eval instant at 5m ceil(test_clamp / 7)
+  {src="a"} -7
+  {src="b"} 0
+  {src="c"} 15
+
+eval instant at 5m sqrt(abs(test_clamp))
+  {src="a"} 7.0710678118654755
+  {src="b"} 0
+  {src="c"} 10
+
+# Go math.Log2 semantics: log2(0) = -Inf (Spark's log2 would null it)
+eval instant at 5m log2(abs(test_clamp))
+  {src="a"} 5.643856189774724
+  {src="b"} -Inf
+  {src="c"} 6.643856189774724
+
+eval_ordered instant at 50m sort_desc(http_requests)
+  http_requests{job="app",instance="1"} 400
+  http_requests{job="app",instance="0"} 300
+  http_requests{job="api",instance="1"} 200
+  http_requests{job="api",instance="0"} 100
+
+eval_ordered instant at 50m sort(http_requests)
+  http_requests{job="api",instance="0"} 100
+  http_requests{job="api",instance="1"} 200
+  http_requests{job="app",instance="0"} 300
+  http_requests{job="app",instance="1"} 400
+""")
+  }
+
   test("upstream operators.test slice: one-to-one vector matching") {
     run("""
 load 5m
