@@ -36,6 +36,14 @@ class PromQLEngine(
     // SAME samples: aligned *_over_time queries route to it and never
     // touch the raw sample volume (see materializedStepPartials)
     foldPartials: Option[(DataFrame, Long)] = None,
+    // additional fold-partials tables at OTHER bucket sizes — the
+    // downsampling resolution ladder (e.g. 1m + 1h + 1d). For each
+    // aligned query the engine serves from the COARSEST table whose
+    // bucket divides the step: coarser buckets mean fewer rows, and
+    // every rung reconstructs exactly (the partials are lossless
+    // associative shapes, not approximations), so resolution selection
+    // never changes results — only scan volume.
+    partialsLadder: Seq[(DataFrame, Long)] = Nil,
     // (sig, labels) one row per distinct series, from
     // graft.storage.Ingest.seriesIndex over the SAME samples: matchers
     // then evaluate on the series DIMENSION and the sample scan becomes
@@ -337,38 +345,55 @@ class PromQLEngine(
     * hides the series exactly like the raw path. Marker-only buckets
     * are present by construction (the select columns aggregate over
     * all rows — see [[graft.storage.Ingest.foldPartials]]). */
+  /** Every bound partials table — the downsampling resolution ladder. */
+  private val allPartials: Seq[(DataFrame, Long)] =
+    foldPartials.toSeq ++ partialsLadder
+
+  /** The COARSEST bound partials table servable for a grid: bucket
+    * divides the step and the (offset-shifted) start sits on a bucket
+    * boundary. Coarser buckets hold fewer rows, and every rung is an
+    * exact associative shape, so resolution selection changes scan
+    * volume only, never results. `needTop2` additionally requires the
+    * table's instant-value (lt2/lv2) columns. */
+  private def bestPartials(stepMs: Long, anchor: Long,
+      needTop2: Boolean = false): Option[(DataFrame, Long)] =
+    allPartials
+      .filter { case (tbl, bkt) =>
+        stepMs % bkt == 0 && Math.floorMod(anchor, bkt) == 0 &&
+          (!needTop2 || tbl.columns.contains("lt2")) }
+      .sortBy(-_._2).headOption
+
   /** Cheap routing predicate for [[materializedSelectPartials]]: true
-    * iff the partials table exists and the grid aligns. Keeping this
-    * separate lets [[vectorSelect]] route without building (and
-    * discarding) the partials plan it would build again inside
-    * [[bucketedSelect]]. */
+    * iff a partials table exists whose bucket divides the step on an
+    * aligned grid. Keeping this separate lets [[vectorSelect]] route
+    * without building (and discarding) the partials plan it would
+    * build again inside [[bucketedSelect]]. */
   private def materializedSelectAligned(vs: VectorSelector,
       tr: EvalRange): Boolean =
-    foldPartials.exists { case (_, bkt) =>
-      tr.stepMs == bkt &&
-        Math.floorMod(tr.startMs - vs.offsetMs, bkt) == 0
-    }
+    bestPartials(tr.stepMs, tr.startMs - vs.offsetMs).nonEmpty
 
   private def materializedSelectPartials(vs: VectorSelector,
-      tr: EvalRange): Option[DataFrame] =
-    foldPartials.flatMap { case (tbl, bkt) =>
-      val o = vs.offsetMs
-      val anchor = tr.startMs - o
-      if (tr.stepMs != bkt || Math.floorMod(anchor, bkt) != 0) None
-      else {
-        val ms = allMatchers(vs)
-        Some(tbl
-          .filter(ms.map(matcherCond).reduce(_ && _))
-          .filter(col("bucket_start") >= anchor - lookbackMs &&
-            col("bucket_start") <= tr.endMs - o)
-          .select(col("sig").as(SIG),
-            ((col("bucket_start") - anchor) / lit(bkt.toDouble))
-              .cast("long").as("_b"),
-            (col("lta") - anchor).as("_lprel"), col("lva").as("_lpv"),
-            col("lsa").as("_lpstale"), col("v0a").as("_spv"),
-            col("s0a").as("_spstale"), col("has0a").as("has0")))
-      }
+      tr: EvalRange): Option[DataFrame] = {
+    val o = vs.offsetMs
+    val anchor = tr.startMs - o
+    bestPartials(tr.stepMs, anchor).map { case (tbl, bkt) =>
+      val ms = allMatchers(vs)
+      val rel = col("bucket_start") - anchor
+      val onStep = pmod(rel, lit(tr.stepMs)) === 0
+      tbl
+        .filter(ms.map(matcherCond).reduce(_ && _))
+        .filter(col("bucket_start") >= anchor - lookbackMs &&
+          col("bucket_start") <= tr.endMs - o)
+        .select(col("sig").as(SIG),
+          ((rel - pmod(rel, lit(tr.stepMs))) / lit(tr.stepMs.toDouble))
+            .cast("long").as("_b"),
+          (col("lta") - anchor).as("_lprel"), col("lva").as("_lpv"),
+          col("lsa").as("_lpstale"),
+          when(onStep, col("v0a")).as("_spv"),
+          when(onStep, col("s0a")).as("_spstale"),
+          when(onStep, col("has0a")).otherwise(0).as("has0"))
     }
+  }
 
   private def bucketedSelect(vs: VectorSelector, tr: EvalRange): DataFrame = {
     val step = tr.stepMs
@@ -1185,36 +1210,34 @@ class PromQLEngine(
     * interior points of the step bucket, already inside the full
     * aggregates). Input volume: series × buckets, never samples. */
   private def materializedStepPartials(selector: VectorSelector, w: Long,
-      tr: EvalRange): Option[DataFrame] =
-    foldPartials.flatMap { case (tbl, bkt) =>
-      val o = selector.offsetMs
-      val anchor = tr.startMs - o
-      if (tr.stepMs % bkt != 0 || Math.floorMod(anchor, bkt) != 0) None
-      else {
-        val ms = allMatchers(selector)
-        val rows = tbl
-          .filter(ms.map(matcherCond).reduce(_ && _))
-          .filter(col("bucket_start") >= anchor - w &&
-            col("bucket_start") <= tr.endMs - o)
-          .withColumn("_rel", col("bucket_start") - anchor)
-        val onStep = pmod(col("_rel"), lit(tr.stepMs)) === 0
-        Some(rows
-          .filter(col("cnt").isNotNull) // marker-only buckets: no values
-          .withColumn("_b", bucketCol(tr.stepMs))
-          .groupBy(col("sig").as(SIG), col("_b"))
-          .agg(
-            sum(col("cnt")).as("cnt"), sum(col("sum")).as("sum"),
-            sum(col("sumsq")).as("sumsq"),
-            min(col("mn")).as("mn"), max(col("mx")).as("mx"),
-            max(col("nan")).as("nan"),
-            sum(when(onStep, col("cnt0")).otherwise(0L)).as("cnt0"),
-            sum(when(onStep, col("sum0"))).as("sum0"),
-            sum(when(onStep, col("sumsq0"))).as("sumsq0"),
-            min(when(onStep, col("mn0"))).as("mn0"),
-            max(when(onStep, col("mx0"))).as("mx0"),
-            max(when(onStep, col("nan0")).otherwise(0)).as("nan0")))
-      }
+      tr: EvalRange): Option[DataFrame] = {
+    val o = selector.offsetMs
+    val anchor = tr.startMs - o
+    bestPartials(tr.stepMs, anchor).map { case (tbl, bkt) =>
+      val ms = allMatchers(selector)
+      val rows = tbl
+        .filter(ms.map(matcherCond).reduce(_ && _))
+        .filter(col("bucket_start") >= anchor - w &&
+          col("bucket_start") <= tr.endMs - o)
+        .withColumn("_rel", col("bucket_start") - anchor)
+      val onStep = pmod(col("_rel"), lit(tr.stepMs)) === 0
+      rows
+        .filter(col("cnt").isNotNull) // marker-only buckets: no values
+        .withColumn("_b", bucketCol(tr.stepMs))
+        .groupBy(col("sig").as(SIG), col("_b"))
+        .agg(
+          sum(col("cnt")).as("cnt"), sum(col("sum")).as("sum"),
+          sum(col("sumsq")).as("sumsq"),
+          min(col("mn")).as("mn"), max(col("mx")).as("mx"),
+          max(col("nan")).as("nan"),
+          sum(when(onStep, col("cnt0")).otherwise(0L)).as("cnt0"),
+          sum(when(onStep, col("sum0"))).as("sum0"),
+          sum(when(onStep, col("sumsq0"))).as("sumsq0"),
+          min(when(onStep, col("mn0"))).as("mn0"),
+          max(when(onStep, col("mx0"))).as("mx0"),
+          max(when(onStep, col("nan0")).otherwise(0)).as("nan0"))
     }
+  }
 
   /** Range functions with SUBTRACTABLE folds, which slidingFold can
     * serve with amplification ~2 instead of m = range/step.
@@ -1450,31 +1473,29 @@ class PromQLEngine(
     * interior samples of the step window, already inside their full
     * partial). In-bucket reset corrections are prepaid at ingest. */
   private def materializedRatePartials(selector: VectorSelector, w: Long,
-      tr: EvalRange): Option[DataFrame] =
-    foldPartials.flatMap { case (tbl, bkt) =>
-      val o = selector.offsetMs
-      val anchor = tr.startMs - o
-      if (tr.stepMs % bkt != 0 || Math.floorMod(anchor, bkt) != 0) None
-      else {
-        val ms = allMatchers(selector)
-        val rel = col("bucket_start") - anchor
-        val onStep = pmod(rel, lit(tr.stepMs)) === 0
-        Some(tbl
-          .filter(ms.map(matcherCond).reduce(_ && _))
-          .filter(col("bucket_start") >= anchor - w &&
-            col("bucket_start") <= tr.endMs - o)
-          .filter(col("cnt").isNotNull) // marker-only buckets: no values
-          .select(col("sig").as(SIG),
-            (rel / lit(bkt.toDouble)).cast("long").as("_j"),
-            ((rel - pmod(rel, lit(tr.stepMs))) / lit(tr.stepMs.toDouble))
-              .cast("long").as("_b"),
-            (col("ft") - anchor).as("ft"), col("fv"),
-            (col("lt") - anchor).as("lt"), col("lv"),
-            col("corr"), col("cnt"),
-            when(onStep, col("v0")).as("v0"),
-            when(onStep, col("has0")).otherwise(0).as("has0")))
-      }
+      tr: EvalRange): Option[DataFrame] = {
+    val o = selector.offsetMs
+    val anchor = tr.startMs - o
+    bestPartials(tr.stepMs, anchor).map { case (tbl, bkt) =>
+      val ms = allMatchers(selector)
+      val rel = col("bucket_start") - anchor
+      val onStep = pmod(rel, lit(tr.stepMs)) === 0
+      tbl
+        .filter(ms.map(matcherCond).reduce(_ && _))
+        .filter(col("bucket_start") >= anchor - w &&
+          col("bucket_start") <= tr.endMs - o)
+        .filter(col("cnt").isNotNull) // marker-only buckets: no values
+        .select(col("sig").as(SIG),
+          (rel / lit(bkt.toDouble)).cast("long").as("_j"),
+          ((rel - pmod(rel, lit(tr.stepMs))) / lit(tr.stepMs.toDouble))
+            .cast("long").as("_b"),
+          (col("ft") - anchor).as("ft"), col("fv"),
+          (col("lt") - anchor).as("lt"), col("lv"),
+          col("corr"), col("cnt"),
+          when(onStep, col("v0")).as("v0"),
+          when(onStep, col("has0")).otherwise(0).as("has0"))
     }
+  }
 
   private def bucketedRate(selector: VectorSelector, w: Long, tr: EvalRange,
       isCounter: Boolean, isRate: Boolean): DataFrame = {
@@ -1488,8 +1509,14 @@ class PromQLEngine(
       val pv = lag(col(V), 1).over(wspec)
       bucketedBase(selector, w, tr)
         .withColumn("_b", b).withColumn("_s0", isStart)
+        // Go `v < prev` is FALSE when either side is NaN
+        // (functions.go:57-63); Spark orders NaN greatest, so a real
+        // value after a NaN would otherwise count as a reset and leak
+        // NaN into the correction sum — hence the isnan guards (same
+        // hazard as resets/changes below)
         .withColumn("_cinc",
-          when(pv.isNotNull && col(V) < pv, pv).otherwise(lit(0.0)))
+          when(pv.isNotNull && !isnan(col(V)) && !isnan(pv) &&
+            col(V) < pv, pv).otherwise(lit(0.0)))
         .groupBy(col(SIG), col("_b"))
         .agg(
           min(col("_rel")).as("ft"), min_by(col(V), col("_rel")).as("fv"),
@@ -1557,36 +1584,33 @@ class PromQLEngine(
     * at-start point. The candidate UDF picks the two globally newest,
     * so multiple sub-partials per window need no ordering key. */
   private def materializedInstantPartials(selector: VectorSelector,
-      w: Long, tr: EvalRange): Option[DataFrame] =
-    foldPartials.flatMap { case (tbl, bkt) =>
-      val o = selector.offsetMs
-      val anchor = tr.startMs - o
-      if (tr.stepMs % bkt != 0 || Math.floorMod(anchor, bkt) != 0 ||
-          !tbl.columns.contains("lt2")) None
-      else {
-        val ms = allMatchers(selector)
-        val rel = col("bucket_start") - anchor
-        val onStep = pmod(rel, lit(tr.stepMs)) === 0
-        val l2t = "array<struct<rel:bigint,v:double>>"
-        Some(tbl
-          .filter(ms.map(matcherCond).reduce(_ && _))
-          .filter(col("bucket_start") >= anchor - w &&
-            col("bucket_start") <= tr.endMs - o)
-          .filter(col("cnt").isNotNull) // marker-only buckets: no values
-          .select(col("sig").as(SIG),
-            ((rel - pmod(rel, lit(tr.stepMs))) / lit(tr.stepMs.toDouble))
-              .cast("long").as("_b"),
-            concat(
-              array(struct((col("lt") - anchor).as("rel"),
-                col("lv").as("v"))),
-              when(col("lt2").isNotNull,
-                array(struct((col("lt2") - anchor).as("rel"),
-                  col("lv2").as("v"))))
-                .otherwise(array().cast(l2t))).as("last2"),
-            when(onStep, col("has0")).otherwise(0).as("has0"),
-            when(onStep, col("v0")).as("spv")))
-      }
+      w: Long, tr: EvalRange): Option[DataFrame] = {
+    val o = selector.offsetMs
+    val anchor = tr.startMs - o
+    bestPartials(tr.stepMs, anchor, needTop2 = true).map { case (tbl, bkt) =>
+      val ms = allMatchers(selector)
+      val rel = col("bucket_start") - anchor
+      val onStep = pmod(rel, lit(tr.stepMs)) === 0
+      val l2t = "array<struct<rel:bigint,v:double>>"
+      tbl
+        .filter(ms.map(matcherCond).reduce(_ && _))
+        .filter(col("bucket_start") >= anchor - w &&
+          col("bucket_start") <= tr.endMs - o)
+        .filter(col("cnt").isNotNull) // marker-only buckets: no values
+        .select(col("sig").as(SIG),
+          ((rel - pmod(rel, lit(tr.stepMs))) / lit(tr.stepMs.toDouble))
+            .cast("long").as("_b"),
+          concat(
+            array(struct((col("lt") - anchor).as("rel"),
+              col("lv").as("v"))),
+            when(col("lt2").isNotNull,
+              array(struct((col("lt2") - anchor).as("rel"),
+                col("lv2").as("v"))))
+              .otherwise(array().cast(l2t))).as("last2"),
+          when(onStep, col("has0")).otherwise(0).as("has0"),
+          when(onStep, col("v0")).as("spv"))
     }
+  }
 
   /** Bucketed `irate`/`idelta`: only the two newest points of each
     * window matter, so each bucket keeps its two latest points (a
@@ -1670,9 +1694,8 @@ class PromQLEngine(
     // with a MATERIALIZED partials table the m >= 2 economics don't
     // apply: even a tumbling window (m = 1) reads series × buckets
     // rows instead of raw samples, so route whenever the grid aligns
-    val materializable = foldPartials.exists { case (_, bkt) =>
-      tr.stepMs % bkt == 0 &&
-        Math.floorMod(tr.startMs - ms.selector.offsetMs, bkt) == 0 } &&
+    val materializable =
+      bestPartials(tr.stepMs, tr.startMs - ms.selector.offsetMs).nonEmpty &&
       ms.rangeMs % tr.stepMs == 0 && ms.rangeMs / tr.stepMs <= 512
     // sliding prefix-sum route for subtractable folds: amplification
     // ~2 regardless of m, so unlike `bucketable` it carries NO m ≤ 512
@@ -1693,12 +1716,11 @@ class PromQLEngine(
     if ((bucketable || materializable) && bucketFoldFuncs.contains(name))
       return bucketedFold(ms.selector, ms.rangeMs, tr, name)
     // the rate-family materialized route: any step that is a multiple
-    // of the bucket size with the grid on a bucket boundary — coarser
-    // steps merge q = step/bucket ordered sub-partials per window
-    // (see materializedRatePartials)
-    val rateMaterializable = foldPartials.exists { case (_, bkt) =>
-      tr.stepMs % bkt == 0 &&
-        Math.floorMod(tr.startMs - ms.selector.offsetMs, bkt) == 0 } &&
+    // of a bound table's bucket size with the grid on a bucket
+    // boundary — coarser steps merge q = step/bucket ordered
+    // sub-partials per window (see materializedRatePartials)
+    val rateMaterializable =
+      bestPartials(tr.stepMs, tr.startMs - ms.selector.offsetMs).nonEmpty &&
       ms.rangeMs % tr.stepMs == 0 && ms.rangeMs / tr.stepMs <= 512
     if ((bucketable || rateMaterializable) &&
         (name == "rate" || name == "increase" || name == "delta"))

@@ -455,8 +455,13 @@ object Ingest {
     val pt = lag(col("t"), 1).over(wl)
     val foldRate = live
       .withColumn("_pv", pv).withColumn("_pt", pt)
+      // Go `v < prev` is FALSE when either side is NaN — Spark orders
+      // NaN greatest, so without the isnan guards a real value after a
+      // NaN counts as a reset and the NaN "previous value" poisons the
+      // correction sum (the engine's raw path uses the Go comparison)
       .withColumn("_cinc",
-        when(col("_pv").isNotNull && col("v") < col("_pv"), col("_pv"))
+        when(col("_pv").isNotNull && !isnan(col("v")) &&
+          !isnan(col("_pv")) && col("v") < col("_pv"), col("_pv"))
           .otherwise(lit(0.0)))
       .groupBy(col("_psig").as("sig"), col("bucket_start"))
       .agg(

@@ -187,6 +187,60 @@ class PartialsRoutingSpec extends SparkTestBase {
     assert(e.rangeQuery("pm", 20 * m, 115 * m, 5 * m).count() == 0)
   }
 
+  test("resolution ladder: the engine serves from the COARSEST aligned " +
+      "rung, falling down the ladder as grids misalign") {
+    val raw = new PromQLEngine(spark, fixture)
+    val p5 = Ingest.foldPartials(fixture, 5 * m)
+    val p15 = Ingest.foldPartials(fixture, 15 * m)
+    // both rungs bound: results identical to raw on every aligned grid
+    val laddered = new PromQLEngine(spark, fixture,
+      foldPartials = Some((p5, 5 * m)),
+      partialsLadder = Seq((p15, 15 * m)))
+    for (q <- Seq("sum_over_time(pm[30m])", "increase(pm[30m])",
+        "irate(pm[30m])", "pm");
+        step <- Seq(5 * m, 15 * m, 30 * m)) {
+      val a = results(raw, q, 30 * m, 105 * m, step)
+      val b = results(laddered, q, 30 * m, 105 * m, step)
+      assert(a == b, s"$q @ step=$step diverged on the ladder")
+      assert(a.nonEmpty)
+    }
+    // routing proof — coarse rung EMPTY, fine rung full: a
+    // 15m-divisible step reads the (empty) coarse rung; a 5m-only
+    // step falls to the fine rung and sees data
+    val emptyCoarse = Ingest.foldPartials(fixture.filter(lit(false)), 15 * m)
+    val e = new PromQLEngine(spark, fixture,
+      foldPartials = Some((p5, 5 * m)),
+      partialsLadder = Seq((emptyCoarse, 15 * m)))
+    assert(e.rangeQuery("sum_over_time(pm[30m])", 30 * m, 105 * m, 15 * m)
+      .count() == 0) // coarsest aligned rung (15m) chosen — and empty
+    assert(e.rangeQuery("sum_over_time(pm[30m])", 30 * m, 105 * m, 5 * m)
+      .count() > 0) // 5m step only aligns to the fine rung
+  }
+
+  test("bucketed rate paths use Go NaN comparison semantics: a real " +
+      "value after a NaN is NOT a counter reset") {
+    // Spark orders NaN greatest (156 < NaN is TRUE), Go's v < prev is
+    // false with either side NaN — without the isnan guards the lag
+    // correction adds the NaN "previous value" and poisons the window.
+    // The nan series rises by 2 per 30s with one mid-stream NaN, so
+    // every fully-covered 30m window's increase is exactly 120 —
+    // including the windows spanning the NaN.
+    val raw = new PromQLEngine(spark, fixture)
+    // 15 steps ≥ 8, m = 6: the QUERY-TIME bucketedRate path
+    val r = results(raw, "increase(pm[30m])", 35 * m, 105 * m, 5 * m)
+      .filter(_._1 == "nan")
+    assert(r.size == 15)
+    assert(r.forall(_._3 == java.lang.Double.doubleToLongBits(120.0)),
+      s"NaN-window increase diverged: $r")
+    // and the MATERIALIZED route (6 steps < 8 forces raw onto the UDF
+    // path, so this also pins materialized == sequential-scan formula)
+    val routed = new PromQLEngine(spark, fixture,
+      foldPartials = Some((Ingest.foldPartials(fixture, 15 * m), 15 * m)))
+    val q = "increase(pm[30m])"
+    assert(results(raw, q, 30 * m, 105 * m, 15 * m) ==
+      results(routed, q, 30 * m, 105 * m, 15 * m))
+  }
+
   test("misaligned grids fall back to the raw path and stay correct") {
     val raw = new PromQLEngine(spark, fixture)
     // 2m buckets do not divide the 5m step — must fall back
