@@ -161,6 +161,19 @@ object SparkEntry {
           .write.mode("overwrite").parquet(out)
         out
       })
+  /** Second rung of the resolution ladder: DAILY partials over the
+    * same events (p10 binds hourly + daily and the engine picks the
+    * coarsest aligned rung). */
+  private def foldPartialsDailyPath(spark: SparkSession, dir: String): String =
+    foldPartialsCache.computeIfAbsent(
+      s"daily:${System.identityHashCode(spark)}:$dir",
+      _ => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-foldpartials-daily").toString
+        Ingest.foldPartials(Samples.fromEventsDir(spark, dir), DAY)
+          .write.mode("overwrite").parquet(out)
+        out
+      })
 
   /** Gorilla/XOR chunk store ([[graft.storage.ChunkStore]] layout:
     * `date` partitions × per-series ≤240-sample chunk blobs with
@@ -333,6 +346,22 @@ object SparkEntry {
       eng.rangeQuery("count_over_time(events_value[1d])", START, END, DAY / 2)
         .select(col("labels")("event_type").as("event_type"),
           col("labels")("user_id").as("user_id"), col("t"), col("v"))
+    }),
+    // P10: the multi-resolution ladder end-to-end — HOURLY and DAILY
+    // partials tables both bound; the daily-step query routes to the
+    // COARSEST (daily) rung, reading series × days rows. Rung choice
+    // never changes results (lossless associative partials), so the
+    // oracle is the plain window SQL; f32 cast like f3 (float sums)
+    "p10_resolution_ladder" -> ((spark, dir) => {
+      val hourly = spark.read.parquet(foldPartialsPath(spark, dir))
+      val daily = spark.read.parquet(foldPartialsDailyPath(spark, dir))
+      val eng = new PromQLEngine(spark, Samples.fromEventsDir(spark, dir),
+        foldPartials = Some((hourly, 3600000L)),
+        partialsLadder = Seq((daily, DAY)))
+      eng.rangeQuery("sum_over_time(events_value[2d])", START, END, DAY)
+        .select(col("labels")("event_type").as("event_type"),
+          col("labels")("user_id").as("user_id"), col("t"),
+          col("v").cast("float").as("v"))
     }),
     // S11: the Gorilla/XOR chunk storage tier end-to-end — the SAME
     // engine range query as p3, but over ChunkStore's compressed
@@ -949,6 +978,10 @@ object SparkEntry {
          |  ${DAY / 2})) AS t),
          |$S, ${windowSql(DAY)}
          |SELECT event_type, user_id, t, CAST(count(*) AS DOUBLE) AS v
+         |FROM w GROUP BY 1, 2, 3""".stripMargin,
+    "p10_resolution_ladder" ->
+      s"""WITH $STEPS, $S, ${windowSql(2 * DAY)}
+         |SELECT event_type, user_id, t, CAST(sum(v) AS REAL) AS v
          |FROM w GROUP BY 1, 2, 3""".stripMargin,
     // the recorded series carries the rule's renamed labels; its values
     // are the underlying aggregation's, read back from the store
