@@ -1480,7 +1480,8 @@ class PromQLEngine(
       val ms = allMatchers(selector)
       val rel = col("bucket_start") - anchor
       val onStep = pmod(rel, lit(tr.stepMs)) === 0
-      tbl
+      val q = tr.stepMs / bkt
+      val sub = tbl
         .filter(ms.map(matcherCond).reduce(_ && _))
         .filter(col("bucket_start") >= anchor - w &&
           col("bucket_start") <= tr.endMs - o)
@@ -1494,6 +1495,27 @@ class PromQLEngine(
           col("corr"), col("cnt"),
           when(onStep, col("v0")).as("v0"),
           when(onStep, col("has0")).otherwise(0).as("has0"))
+      // pre-merge the q sub-partials of each step bucket into ONE
+      // partial (ordered fold, boundary reset at each seam) BEFORE the
+      // m-fold fan-out: fanning out sub-bucket rows directly costs
+      // q × m exploded rows per (series, step bucket) — measured 1.4×
+      // SLOWER than raw at q = 60 (LadderBench, 15 s cadence / 1 m
+      // rung / 1 h steps) where the merged route reads the same rows
+      // and beats raw ~2×. _j of the merged row = the step bucket's
+      // first sub-index, keeping the downstream merge-ordering key.
+      if (q == 1) sub
+      else sub
+        .groupBy(col(SIG), col("_b"))
+        .agg(
+          array_sort(collect_list(struct(col("_j"), col("ft"), col("fv"),
+            col("lt"), col("lv"), col("corr"), col("cnt")))).as("_sub"),
+          max(col("v0")).as("v0"), max(col("has0")).as("has0"))
+        .withColumn("_m", PromUdfs.mergeRatePartsUdf(col("_sub")))
+        .select(col(SIG), (col("_b") * q).as("_j"), col("_b"),
+          col("_m._1").as("ft"), col("_m._2").as("fv"),
+          col("_m._3").as("lt"), col("_m._4").as("lv"),
+          col("_m._5").as("corr"), col("_m._6").as("cnt"),
+          col("v0"), col("has0"))
     }
   }
 
@@ -1592,7 +1614,7 @@ class PromQLEngine(
       val rel = col("bucket_start") - anchor
       val onStep = pmod(rel, lit(tr.stepMs)) === 0
       val l2t = "array<struct<rel:bigint,v:double>>"
-      tbl
+      val sub = tbl
         .filter(ms.map(matcherCond).reduce(_ && _))
         .filter(col("bucket_start") >= anchor - w &&
           col("bucket_start") <= tr.endMs - o)
@@ -1609,6 +1631,19 @@ class PromQLEngine(
               .otherwise(array().cast(l2t))).as("last2"),
           when(onStep, col("has0")).otherwise(0).as("has0"),
           when(onStep, col("v0")).as("spv"))
+      // pre-merge: the step bucket's two newest points are among its
+      // sub-buckets' top-2s — flatten, sort by (rel, v) natural struct
+      // order (rels are distinct, so v never decides), keep the two
+      // newest. One row per (series, step bucket) enters the fan-out,
+      // like the query-time path (same q × m economics as the rate
+      // route's pre-merge). All lambda-free built-ins.
+      if (tr.stepMs == bkt) sub
+      else sub
+        .groupBy(col(SIG), col("_b"))
+        .agg(
+          slice(reverse(array_sort(flatten(collect_list(col("last2"))))),
+            1, 2).as("last2"),
+          max(col("has0")).as("has0"), max(col("spv")).as("spv"))
     }
   }
 

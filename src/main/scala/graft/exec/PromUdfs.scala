@@ -117,6 +117,34 @@ object PromUdfs {
          rangeMs: Long, isCounter: Boolean, isRate: Boolean) =>
       ratePartials(parts, rangeStartRel, rangeEndRel, rangeMs, isCounter, isRate))
 
+  /** Pre-merge of time-ordered sub-bucket rate partials into ONE
+    * step-bucket partial — the same fold as [[ratePartials]] without
+    * the extrapolation, so the materialized route can fan out one row
+    * per (series, step bucket) instead of one per sub-bucket (q =
+    * step/bucket fewer exploded rows). corr accumulates
+    * counter-style (boundary reset at each seam, Go NaN-comparison
+    * semantics); consumers ignore it for delta exactly as
+    * [[ratePartials]] does. Input rows: (j, ft, fv, lt, lv, corr,
+    * cnt) sorted by j. */
+  def mergeRateParts(parts: Seq[Row])
+      : (Long, Double, Long, Double, Double, Long) = {
+    val h = parts.head
+    val ft = h.getLong(1); val fv = h.getDouble(2)
+    var lt = h.getLong(3); var lv = h.getDouble(4)
+    var corr = h.getDouble(5)
+    var cnt = h.getLong(6)
+    parts.tail.foreach { p =>
+      if (p.getDouble(2) < lv) corr += lv // boundary reset (NaN-safe)
+      corr += p.getDouble(5)
+      lt = p.getLong(3); lv = p.getDouble(4)
+      cnt += p.getLong(6)
+    }
+    (ft, fv, lt, lv, corr, cnt)
+  }
+
+  val mergeRatePartsUdf: UserDefinedFunction =
+    udf((parts: Seq[Row]) => mergeRateParts(parts))
+
   /** `irate`/`idelta` from per-bucket candidate points: each covering
     * bucket contributed its (up to) two latest points; pick the two
     * globally latest and apply the instant-value formula
