@@ -13,17 +13,29 @@ import graft.storage.Ingest
   *   runMain graft.tools.Serve /root/testdata/sf0.01 9090           # events fixture
   *   runMain graft.tools.Serve /path/to/ingested-table 9090 table   # Ingest layout
   *   runMain graft.tools.Serve /path/to/chunk-store 9090 chunks     # ChunkStore layout
+  *   runMain graft.tools.Serve /root/testdata/sf0.01 9090 events 60000,3600000
   * }}}
   *
   * With the `table` mode the write endpoint appends back into the same
   * table, giving the full write → query round trip of the reference's
   * single-node acceptance setup (`acceptance_test.go:124-161`).
+  *
+  * A 4th argument (comma-separated bucket sizes, ms) materializes a
+  * fold-partials RESOLUTION LADDER at startup and binds it to the
+  * engine: aligned dashboard queries then read the coarsest rung
+  * instead of raw samples. Read-only modes only — the `table` mode's
+  * engine swaps on every write, and statically-built rollups would go
+  * stale (production keeps rollups fresh behind the ingest watermark
+  * instead).
   */
 object Serve {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val port = if (args.length > 1) args(1).toInt else 9090
     val mode = if (args.length > 2) args(2) else "events"
+    val rollups: Seq[Long] =
+      if (args.length > 3) args(3).split(',').toSeq.map(_.trim.toLong)
+      else Nil
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions",
@@ -32,21 +44,38 @@ object Serve {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // materialize one parquet rollup per requested bucket size; the
+    // engine picks the coarsest aligned rung per query
+    def ladder(samples: org.apache.spark.sql.DataFrame)
+        : Seq[(org.apache.spark.sql.DataFrame, Long)] =
+      rollups.map { bkt =>
+        val out = java.nio.file.Files
+          .createTempDirectory(s"graft-serve-rollup-$bkt").toString
+        Ingest.foldPartials(samples, bkt)
+          .write.mode("overwrite").parquet(out)
+        println(s"rollup rung $bkt ms materialized at $out")
+        (spark.read.parquet(out), bkt)
+      }
+    def laddered(samples: org.apache.spark.sql.DataFrame): PromQLEngine =
+      new PromQLEngine(spark, samples, partialsLadder = ladder(samples))
     val api = mode match {
       // writes append into the served table; the sink swaps in a
       // fresh-listing engine so queries see them (HttpApi.forTable)
-      case "table" => HttpApi.forTable(spark, sfDir, port)
+      case "table" =>
+        require(rollups.isEmpty,
+          "rollup rungs are read-only-mode options (the table mode's " +
+            "engine swaps on write; static rollups would go stale)")
+        HttpApi.forTable(spark, sfDir, port)
       // read-only API over a Gorilla/XOR chunk store (ChunkStore
       // layout): decode is lazy + pruned per query
       case "chunks" => new HttpApi(spark,
-        new PromQLEngine(spark, graft.storage.ChunkStore.read(spark, sfDir)),
-        None, port)
+        laddered(graft.storage.ChunkStore.read(spark, sfDir)), None, port)
       case _ => new HttpApi(spark,
-        new PromQLEngine(spark, Samples.fromEventsDir(spark, sfDir)),
-        None, port)
+        laddered(Samples.fromEventsDir(spark, sfDir)), None, port)
     }
     api.start()
-    println(s"listening on :${api.boundPort} (mode=$mode, data=$sfDir)")
+    println(s"listening on :${api.boundPort} (mode=$mode, data=$sfDir" +
+      (if (rollups.nonEmpty) s", rungs=${rollups.mkString("+")}" else "") + ")")
     Thread.currentThread().join() // serve until killed
   }
 }
