@@ -151,26 +151,14 @@ object SparkEntry {
     * oracle is p3's. */
   private val foldPartialsCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def foldPartialsPath(spark: SparkSession, dir: String): String =
+  private def foldPartialsPath(spark: SparkSession, dir: String,
+      bucketMs: Long = 3600000L): String =
     foldPartialsCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}:$dir",
+      s"$bucketMs:${System.identityHashCode(spark)}:$dir",
       _ => {
         val out = java.nio.file.Files
-          .createTempDirectory("graft-foldpartials").toString
-        Ingest.foldPartials(Samples.fromEventsDir(spark, dir), 3600000L)
-          .write.mode("overwrite").parquet(out)
-        out
-      })
-  /** Second rung of the resolution ladder: DAILY partials over the
-    * same events (p10 binds hourly + daily and the engine picks the
-    * coarsest aligned rung). */
-  private def foldPartialsDailyPath(spark: SparkSession, dir: String): String =
-    foldPartialsCache.computeIfAbsent(
-      s"daily:${System.identityHashCode(spark)}:$dir",
-      _ => {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-foldpartials-daily").toString
-        Ingest.foldPartials(Samples.fromEventsDir(spark, dir), DAY)
+          .createTempDirectory(s"graft-foldpartials-$bucketMs").toString
+        Ingest.foldPartials(Samples.fromEventsDir(spark, dir), bucketMs)
           .write.mode("overwrite").parquet(out)
         out
       })
@@ -354,7 +342,7 @@ object SparkEntry {
     // oracle is the plain window SQL; f32 cast like f3 (float sums)
     "p10_resolution_ladder" -> ((spark, dir) => {
       val hourly = spark.read.parquet(foldPartialsPath(spark, dir))
-      val daily = spark.read.parquet(foldPartialsDailyPath(spark, dir))
+      val daily = spark.read.parquet(foldPartialsPath(spark, dir, DAY))
       val eng = new PromQLEngine(spark, Samples.fromEventsDir(spark, dir),
         foldPartials = Some((hourly, 3600000L)),
         partialsLadder = Seq((daily, DAY)))

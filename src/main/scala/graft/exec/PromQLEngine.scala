@@ -307,9 +307,10 @@ class PromQLEngine(
   private def vectorSelect(vs: VectorSelector, tr: EvalRange): DataFrame =
     if ((lookbackMs >= 2 * tr.stepMs && lookbackMs % tr.stepMs == 0 &&
       lookbackMs / tr.stepMs <= 512 && tr.numSteps >= 8) ||
-      // materialized route (step == bucket): beneficial at any m.
-      // Routing checks ONLY the cheap alignment predicate here — the
-      // partials plan itself is built once, inside bucketedSelect
+      // materialized route (a rung's bucket divides the step, aligned
+      // grid): beneficial at any m. Routing checks ONLY the cheap
+      // alignment predicate here — the partials plan itself is built
+      // once, inside bucketedSelect
       (lookbackMs % tr.stepMs == 0 && lookbackMs / tr.stepMs <= 512 &&
         materializedSelectAligned(vs, tr)))
       bucketedSelect(vs, tr)
@@ -340,9 +341,12 @@ class PromQLEngine(
     * partial: the winner being a marker hides the series, exactly like
     * the general path. */
   /** Step-bucket instant-select partials from the MATERIALIZED table
-    * (step == bucket, aligned grid): the stored last/at-start points
-    * CARRY the stale flag, so a marker as a bucket's newest point
-    * hides the series exactly like the raw path. Marker-only buckets
+    * (a rung's bucket divides the step, aligned grid — sub-bucket
+    * rows keep their own latest points, the per-step winner is the
+    * max-rel candidate): the stored last/at-start points CARRY the
+    * stale flag, so a marker as a bucket's newest point hides the
+    * series exactly like the raw path. Only sub-buckets ON a step
+    * boundary contribute their at-start point. Marker-only buckets
     * are present by construction (the select columns aggregate over
     * all rows — see [[graft.storage.Ingest.foldPartials]]). */
   /** Every bound partials table — the downsampling resolution ladder. */
@@ -1531,14 +1535,7 @@ class PromQLEngine(
       val pv = lag(col(V), 1).over(wspec)
       bucketedBase(selector, w, tr)
         .withColumn("_b", b).withColumn("_s0", isStart)
-        // Go `v < prev` is FALSE when either side is NaN
-        // (functions.go:57-63); Spark orders NaN greatest, so a real
-        // value after a NaN would otherwise count as a reset and leak
-        // NaN into the correction sum — hence the isnan guards (same
-        // hazard as resets/changes below)
-        .withColumn("_cinc",
-          when(pv.isNotNull && !isnan(col(V)) && !isnan(pv) &&
-            col(V) < pv, pv).otherwise(lit(0.0)))
+        .withColumn("_cinc", PromUdfs.counterResetCorrection(col(V), pv))
         .groupBy(col(SIG), col("_b"))
         .agg(
           min(col("_rel")).as("ft"), min_by(col(V), col("_rel")).as("fv"),
@@ -1748,23 +1745,18 @@ class PromQLEngine(
       slidingWins(ms.rangeMs, tr)
     if (slidable)
       return slidingFold(ms.selector, ms.rangeMs, tr, name)
+    // the same alignment geometry routes folds, the rate family, and
+    // the instant-value family (coarser steps merge q = step/bucket
+    // ordered sub-partials per window — see materializedRatePartials;
+    // materializedInstantPartials additionally requires the table's
+    // top-2 columns and falls back to the query-time bucketed path)
     if ((bucketable || materializable) && bucketFoldFuncs.contains(name))
       return bucketedFold(ms.selector, ms.rangeMs, tr, name)
-    // the rate-family materialized route: any step that is a multiple
-    // of a bound table's bucket size with the grid on a bucket
-    // boundary — coarser steps merge q = step/bucket ordered
-    // sub-partials per window (see materializedRatePartials)
-    val rateMaterializable =
-      bestPartials(tr.stepMs, tr.startMs - ms.selector.offsetMs).nonEmpty &&
-      ms.rangeMs % tr.stepMs == 0 && ms.rangeMs / tr.stepMs <= 512
-    if ((bucketable || rateMaterializable) &&
+    if ((bucketable || materializable) &&
         (name == "rate" || name == "increase" || name == "delta"))
       return bucketedRate(ms.selector, ms.rangeMs, tr,
         isCounter = name != "delta", isRate = name == "rate")
-    // the instant-value family shares rateMaterializable's geometry;
-    // materializedInstantPartials additionally requires the table's
-    // top-2 columns and falls back to the query-time bucketed path
-    if ((bucketable || rateMaterializable) &&
+    if ((bucketable || materializable) &&
         (name == "irate" || name == "idelta"))
       return bucketedInstant(ms.selector, ms.rangeMs, tr,
         isRate = name == "irate")

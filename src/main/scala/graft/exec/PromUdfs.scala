@@ -117,6 +117,21 @@ object PromUdfs {
          rangeMs: Long, isCounter: Boolean, isRate: Boolean) =>
       ratePartials(parts, rangeStartRel, rangeEndRel, rangeMs, isCounter, isRate))
 
+  /** Shared counter-reset correction term for the bucketed rate
+    * partials (both the query-time path and [[graft.storage.Ingest
+    * .foldPartials]]'s materialization — the two MUST stay in
+    * lockstep for route equivalence, hence one definition): the
+    * previous value when a strict decrease is observed, with Go's
+    * NaN-comparison semantics (`v < prev` is FALSE when either side
+    * is NaN, `functions.go:57-63`; Spark alone would order NaN
+    * greatest and poison the sum). */
+  def counterResetCorrection(v: org.apache.spark.sql.Column,
+      pv: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{isnan, lit, when}
+    when(pv.isNotNull && !isnan(v) && !isnan(pv) && v < pv, pv)
+      .otherwise(lit(0.0))
+  }
+
   /** Pre-merge of time-ordered sub-bucket rate partials into ONE
     * step-bucket partial — the same fold as [[ratePartials]] without
     * the extrapolation, so the materialized route can fan out one row
@@ -125,7 +140,14 @@ object PromUdfs {
     * counter-style (boundary reset at each seam, Go NaN-comparison
     * semantics); consumers ignore it for delta exactly as
     * [[ratePartials]] does. Input rows: (j, ft, fv, lt, lv, corr,
-    * cnt) sorted by j. */
+    * cnt) sorted by j.
+    *
+    * Float caveat shared by every partial-merge scheme here: the
+    * correction SUM associates differently than the sequential scan
+    * (per-sub-bucket partial sums first), so for corrections that are
+    * not exactly representable the routes can differ in the last ulp.
+    * Exact-integer corrections (and the common no-reset case, corr =
+    * 0) stay bit-identical, which is what the specs pin. */
   def mergeRateParts(parts: Seq[Row])
       : (Long, Double, Long, Double, Double, Long) = {
     val h = parts.head

@@ -455,14 +455,10 @@ object Ingest {
     val pt = lag(col("t"), 1).over(wl)
     val foldRate = live
       .withColumn("_pv", pv).withColumn("_pt", pt)
-      // Go `v < prev` is FALSE when either side is NaN — Spark orders
-      // NaN greatest, so without the isnan guards a real value after a
-      // NaN counts as a reset and the NaN "previous value" poisons the
-      // correction sum (the engine's raw path uses the Go comparison)
+      // shared with the engine's query-time bucketed rate path — the
+      // two must stay in lockstep for route equivalence
       .withColumn("_cinc",
-        when(col("_pv").isNotNull && !isnan(col("v")) &&
-          !isnan(col("_pv")) && col("v") < col("_pv"), col("_pv"))
-          .otherwise(lit(0.0)))
+        graft.exec.PromUdfs.counterResetCorrection(col("v"), col("_pv")))
       .groupBy(col("_psig").as("sig"), col("bucket_start"))
       .agg(
         count(lit(1)).as("cnt"), sum(col("v")).as("sum"),

@@ -185,6 +185,23 @@ class PartialsRoutingSpec extends SparkTestBase {
     val e = new PromQLEngine(spark, withStale,
       foldPartials = Some((empty, 5 * m)))
     assert(e.rangeQuery("pm", 20 * m, 115 * m, 5 * m).count() == 0)
+    // q = 5: a 1m rung serving 5m steps — the default-lookback shape a
+    // production 1m rollup serves. Multiple sub-bucket rows per step
+    // bucket, at-start gating, and the staleness winner all run at
+    // q > 1 (the q = 1 tests above never reach that path).
+    val routed1m = new PromQLEngine(spark, withStale,
+      foldPartials = Some((Ingest.foldPartials(withStale, m), m)))
+    for (q <- Seq("pm", """pm{s="gone"}""", "pm offset 10m")) {
+      val a = results(raw, q, 20 * m, 115 * m, 5 * m)
+      val b = results(routed1m, q, 20 * m, 115 * m, 5 * m)
+      assert(a == b, s"$q diverged on the q=5 select route")
+      assert(a.nonEmpty)
+    }
+    // routing proof at q = 5: empty 1m rung -> empty result
+    val empty1m = Ingest.foldPartials(withStale.filter(lit(false)), m)
+    assert(new PromQLEngine(spark, withStale,
+        foldPartials = Some((empty1m, m)))
+      .rangeQuery("pm", 20 * m, 115 * m, 5 * m).count() == 0)
   }
 
   test("resolution ladder: the engine serves from the COARSEST aligned " +
