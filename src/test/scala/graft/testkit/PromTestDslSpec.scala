@@ -797,6 +797,16 @@ eval instant at 15m count_over_time(st[15m])
 
 eval instant at 15m sum_over_time(st[15m])
   {} 4
+
+# the rate family sees the same marker-free points {0, 1, 3}: no
+# reset across the dropped marker (1 -> 3 rises), increase = 3,
+# boundary samples sit exactly on the window edges so extrapolation
+# is the identity; rate = 3 / 900s
+eval instant at 15m increase(st[15m])
+  {} 3
+
+eval instant at 15m rate(st[15m])
+  {} 0.0033333333333333335
 """)
   }
 
