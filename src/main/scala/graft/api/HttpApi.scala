@@ -49,6 +49,9 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
     * engine; the next request reads the fresh one. */
   @volatile private var engineV: PromQLEngine = engine0
   private def engine: PromQLEngine = engineV
+  /** The engine currently serving requests — spec surface for
+    * asserting which acceleration tiers a swapped-in engine carries. */
+  private[graft] def servingEngine: PromQLEngine = engineV
   /** Swap the serving engine, returning the previous one so the
     * caller can release its cached series dimension. */
   def swapEngine(e: PromQLEngine): PromQLEngine = {
@@ -804,11 +807,58 @@ object HttpApi {
     * engine's cached series dimension so a long-running writer never
     * accumulates stale caches. This is the reference's single-node
     * write → query round trip (`acceptance_test.go:124-161`) as a
-    * deployment shape. */
+    * deployment shape.
+    *
+    * The live-write deployment gets the SAME acceleration tiers as
+    * the read-only `Serve` modes — the reference's TSDB head keeps
+    * its inverted index live during appends (`tsdb/head.go`,
+    * `tsdb/index/postings.go:267-418`), and this is the analogue:
+    *   - a series index at `path/_index`, incrementally upserted per
+    *     write ([[graft.storage.Ingest.appendSeriesIndex]] — only the
+    *     batch's NOVEL sigs are appended), so matchers evaluate on
+    *     the series dimension and selectors become sig semi-joins;
+    *   - optional `rollups` fold-partials rungs at `path/_rollup_<ms>`,
+    *     incrementally refreshed per write for exactly the UTC dates
+    *     the batch touched ([[graft.storage.Ingest.refreshFoldPartials]]),
+    *     so aligned dashboard queries route to partials immediately
+    *     after the write that fed them.
+    * The tier dirs are underscore-prefixed, so the table's own file
+    * index never picks them up as data. On a pre-existing table the
+    * missing tiers are bootstrapped once at startup. */
   def forTable(spark: SparkSession, path: String, port: Int = 0,
-      rules: Option[graft.streaming.RecordingRules.Group] = None): HttpApi = {
-    def freshEngine() = new PromQLEngine(spark,
-      graft.storage.Ingest.readTable(spark, path))
+      rules: Option[graft.streaming.RecordingRules.Group] = None,
+      rollups: Seq[Long] = Nil): HttpApi = {
+    import graft.storage.Ingest
+    val indexPath = new org.apache.hadoop.fs.Path(path, "_index").toString
+    def rollupPath(b: Long) =
+      new org.apache.hadoop.fs.Path(path, s"_rollup_$b").toString
+    // bootstrap missing tiers over whatever the table already holds
+    // (a server started on a previously written table must not serve
+    // index-less plans until the next write)
+    if (Ingest.hasParquetData(spark, path)) {
+      if (!Ingest.hasParquetData(spark, indexPath))
+        Ingest.appendSeriesIndex(Ingest.readTable(spark, path), indexPath)
+      rollups.foreach { b =>
+        if (!Ingest.hasParquetData(spark, rollupPath(b)))
+          Ingest.refreshFoldPartials(spark, path, rollupPath(b), b)
+      }
+    }
+    def freshEngine() = {
+      val idx =
+        if (Ingest.hasParquetData(spark, indexPath))
+          Some(spark.read.parquet(indexPath))
+        else None
+      val ladder = rollups.flatMap { b =>
+        val p = rollupPath(b)
+        if (Ingest.hasParquetData(spark, p))
+          // drop the partition key the refresh writes by — the engine
+          // consumes the exact foldPartials schema
+          Some((spark.read.parquet(p).drop("date"), b))
+        else None
+      }
+      new PromQLEngine(spark, Ingest.readTable(spark, path),
+        partialsLadder = ladder, seriesIndex = idx)
+    }
     var api: HttpApi = null
     // one writer at a time: the HTTP pool is multi-threaded, and two
     // concurrent Spark appends to ONE parquet path race on the shared
@@ -820,12 +870,27 @@ object HttpApi {
     // listings only).
     val writeLock = new Object
     val sink = (df: DataFrame) => writeLock.synchronized {
-      graft.storage.Ingest.append(df, path)
+      Ingest.append(df, path)
+      // invalidate the index listing BEFORE the upsert's left_anti
+      // probe: a stale cached listing would miss recently appended
+      // sigs and re-append them as duplicates
+      spark.catalog.refreshByPath(indexPath)
+      Ingest.appendSeriesIndex(df, indexPath)
+      // refresh the rungs AFTER the append so they read the committed
+      // listing — but compute the affected dates from the batch, so a
+      // write touching one day rewrites one partials partition
+      val touched = Ingest.datesOf(df)
       // two layers of staleness: the session-shared FileStatusCache
       // (refreshByPath clears it — without this even a brand-new read
       // reuses the old listing) and the analyzed plan's own index
       // snapshot (which only the engine swap can replace)
       spark.catalog.refreshByPath(path)
+      rollups.foreach { b =>
+        Ingest.refreshFoldPartials(spark, path, rollupPath(b), b,
+          Some(touched))
+        spark.catalog.refreshByPath(rollupPath(b))
+      }
+      spark.catalog.refreshByPath(indexPath)
       api.swapEngine(freshEngine()).releaseSeriesDim()
     }
     api = new HttpApi(spark, freshEngine(), Some(sink), port, rules)

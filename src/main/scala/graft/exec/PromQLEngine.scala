@@ -349,9 +349,15 @@ class PromQLEngine(
     * boundary contribute their at-start point. Marker-only buckets
     * are present by construction (the select columns aggregate over
     * all rows — see [[graft.storage.Ingest.foldPartials]]). */
-  /** Every bound partials table — the downsampling resolution ladder. */
-  private val allPartials: Seq[(DataFrame, Long)] =
+  /** Every bound partials table — the downsampling resolution ladder.
+    * `private[graft]` so deployment specs can assert a swapped-in
+    * engine actually carries its tiers (HttpApi.forTable). */
+  private[graft] val allPartials: Seq[(DataFrame, Long)] =
     foldPartials.toSeq ++ partialsLadder
+
+  /** Spec surface: whether this engine resolves matchers on a series
+    * index (the postings path) rather than per-sample filters. */
+  private[graft] def hasSeriesIndex: Boolean = seriesIndex.isDefined
 
   /** The COARSEST bound partials table servable for a grid: bucket
     * divides the step and the (offset-shifted) start sits on a bucket

@@ -196,7 +196,7 @@ object Ingest {
     * schema inference, exactly the case this probe exists to guard.
     * Probes through Hadoop `FileSystem`, so remote table paths
     * (`hdfs://`, `s3a://`) answer truthfully instead of "no data". */
-  private[storage] def hasParquetData(spark: SparkSession,
+  private[graft] def hasParquetData(spark: SparkSession,
       path: String): Boolean = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -395,6 +395,56 @@ object Ingest {
           Seq("sig"), "left_anti")
       else fresh
     novel.write.mode("append").parquet(path)
+  }
+
+  /** UTC dates a batch touches — the partition keys an incremental
+    * partials refresh must rewrite (see [[refreshFoldPartials]]). */
+  def datesOf(batch: DataFrame): Seq[String] =
+    batch.select(utcDate(col("t")).as("date")).distinct()
+      .collect().map(_.getString(0)).toSeq
+
+  /** Refresh a materialized [[foldPartials]] table from the
+    * date-partitioned samples table at `tablePath`, rewriting ONLY the
+    * given `dates` (all dates when `None` — the bootstrap case). The
+    * partials table is itself partitioned by the UTC date of
+    * `bucket_start`; because `bucketMs` must evenly divide a day and
+    * buckets are epoch-anchored, a bucket never spans a date boundary,
+    * so a date partition's partials depend only on that date's samples
+    * and a write touching d dates rewrites exactly d partitions —
+    * bounded incremental maintenance, not a full rebuild. This is the
+    * live-head analogue of the reference keeping its index/head
+    * structures fresh during appends (`tsdb/head.go`): the batch
+    * lands, then the rollup rungs for the affected days are recomputed
+    * from the committed listing and swapped in via dynamic partition
+    * overwrite. */
+  def refreshFoldPartials(spark: SparkSession, tablePath: String,
+      partialsPath: String, bucketMs: Long,
+      dates: Option[Seq[String]] = None): Unit = {
+    require(bucketMs > 0 && 86400000L % bucketMs == 0,
+      s"rollup bucket ($bucketMs ms) must evenly divide a day so a " +
+        "date partition's partials depend only on that date's samples")
+    if (!hasParquetData(spark, tablePath)) return
+    if (dates.exists(_.isEmpty)) return // touched nothing: no-op
+    val raw = spark.read.parquet(tablePath)
+    val scoped = dates match {
+      case Some(ds) => raw.filter(col("date").isin(ds: _*))
+      case None => raw
+    }
+    val base = Seq(col("labels"), col("t"), col("v"), col("stale"))
+    val cols =
+      if (raw.columns.contains("sig")) col("sig") +: base else base
+    val parts = foldPartials(scoped.select(cols: _*), bucketMs)
+      .withColumn("date", utcDate(col("bucket_start")))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try parts.write.mode("overwrite").partitionBy("date")
+      .parquet(partialsPath)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
   }
 
   /** Materialized fold partials: one row per (series, epoch-aligned

@@ -21,12 +21,14 @@ import graft.storage.Ingest
   * single-node acceptance setup (`acceptance_test.go:124-161`).
   *
   * A 4th argument (comma-separated bucket sizes, ms) materializes a
-  * fold-partials RESOLUTION LADDER at startup and binds it to the
-  * engine: aligned dashboard queries then read the coarsest rung
-  * instead of raw samples. Read-only modes only — the `table` mode's
-  * engine swaps on every write, and statically-built rollups would go
-  * stale (production keeps rollups fresh behind the ingest watermark
-  * instead).
+  * fold-partials RESOLUTION LADDER and binds it to the engine:
+  * aligned dashboard queries then read the coarsest rung instead of
+  * raw samples. In the read-only modes the rungs are built once at
+  * startup into temp dirs (removed on shutdown); in the `table` mode
+  * they live under the table (`<path>/_rollup_<ms>`) and are
+  * incrementally refreshed on every write along with the series
+  * index — the write→query deployment serves the same accelerated
+  * plans as the read-only ones (see [[HttpApi.forTable]]).
   */
 object Serve {
   def main(args: Array[String]): Unit = {
@@ -49,8 +51,17 @@ object Serve {
     def ladder(samples: org.apache.spark.sql.DataFrame)
         : Seq[(org.apache.spark.sql.DataFrame, Long)] =
       rollups.map { bkt =>
-        val out = java.nio.file.Files
-          .createTempDirectory(s"graft-serve-rollup-$bkt").toString
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-serve-rollup-$bkt")
+        // temp rungs die with the server — without this every restart
+        // leaves a full partials table in /tmp (ADVICE r4)
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: Throwable => () }))
+        val out = dir.toString
         Ingest.foldPartials(samples, bkt)
           .write.mode("overwrite").parquet(out)
         println(s"rollup rung $bkt ms materialized at $out")
@@ -62,10 +73,7 @@ object Serve {
       // writes append into the served table; the sink swaps in a
       // fresh-listing engine so queries see them (HttpApi.forTable)
       case "table" =>
-        require(rollups.isEmpty,
-          "rollup rungs are read-only-mode options (the table mode's " +
-            "engine swaps on write; static rollups would go stale)")
-        HttpApi.forTable(spark, sfDir, port)
+        HttpApi.forTable(spark, sfDir, port, rollups = rollups)
       // read-only API over a Gorilla/XOR chunk store (ChunkStore
       // layout): decode is lazy + pruned per query
       case "chunks" => new HttpApi(spark,

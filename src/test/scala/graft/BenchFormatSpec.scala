@@ -31,9 +31,21 @@ class BenchFormatSpec extends AnyFunSuite {
     }
   }
 
-  test("full json carries every query under its full name") {
-    val results = names.map(n => (n, 1.0, 0.5))
-    val full = BenchFormat.fullJson(results, 1.0, 2.0, 3.0, "0.01")
+  test("full json carries every query under its full name with all draws") {
+    val recs = names.map(n =>
+      BenchFormat.Rec(n, 1.0, 0.5, Seq(0.6, 0.5, 0.4), 1.12, 0))
+    val full = BenchFormat.fullJson(recs, 1.0, 2.0, 3.0, "0.01", 0.041)
     names.foreach(n => assert(full.contains("\"" + n + "\":{")))
+    // every individual draw is adjudicable from the artifact (the r4
+    // bench's contaminated medians could not be diagnosed without this)
+    assert(full.contains("\"draws\":[0.600,0.500,0.400]"))
+    assert(full.contains("\"probe_ratio\":1.12"))
+    assert(full.contains("\"retries\":0"))
+    assert(full.contains("\"probe_baseline_ms\":41.000"))
+  }
+
+  test("calibration probe does fixed work in bounded time") {
+    val t = Bench.probeOnce()
+    assert(t > 0.0 && t < 2.0, s"probe took ${t}s — not a usable probe")
   }
 }
