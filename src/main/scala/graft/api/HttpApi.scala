@@ -830,8 +830,7 @@ object HttpApi {
       rollups: Seq[Long] = Nil): HttpApi = {
     import graft.storage.Ingest
     val indexPath = new org.apache.hadoop.fs.Path(path, "_index").toString
-    def rollupPath(b: Long) =
-      new org.apache.hadoop.fs.Path(path, s"_rollup_$b").toString
+    def rollupPath(b: Long) = Ingest.rollupPath(path, b)
     // bootstrap missing tiers over whatever the table already holds
     // (a server started on a previously written table must not serve
     // index-less plans until the next write)

@@ -133,6 +133,50 @@ object Ingest {
         appendOnce(batch, path, checkpoint, id) }
       .start()
 
+  /** Canonical location of a table's materialized rollup rung:
+    * underscore-prefixed beside the data, so the table's own file
+    * index never lists it as samples. Shared by [[streamWithRollups]]
+    * and the live-write server (`HttpApi.forTable`). */
+  def rollupPath(table: String, bucketMs: Long): String =
+    new org.apache.hadoop.fs.Path(table, s"_rollup_$bucketMs").toString
+
+  /** Streaming ingest that keeps fold-partials rollup rungs fresh per
+    * micro-batch: each batch appends idempotently ([[appendOnce]]),
+    * then the rungs' partitions for exactly the UTC dates the batch
+    * touched are recomputed FROM THE COMMITTED TABLE and swapped in
+    * ([[refreshFoldPartials]], dynamic partition overwrite). A ladder
+    * bound to these rungs therefore answers bit-equally to the raw
+    * path after every batch — the streaming analogue of the
+    * reference's head keeping its derived structures live during
+    * appends, and the production shape for `partialsLadder` serving
+    * (the batch Serve modes build the same rungs once at startup).
+    * Refresh is recompute-from-table, so a crash-replayed batch
+    * (whose append is skipped by the commit marker) re-refreshes to
+    * the same bytes — idempotent end to end. */
+  def streamWithRollups(edge: Dataset[WriteSample], path: String,
+      checkpoint: String, rollups: Seq[Long]): StreamingQuery = {
+    rollups.foreach(b => require(b > 0 && 86400000L % b == 0,
+      s"rollup bucket ($b ms) must evenly divide a day"))
+    canonicalize(edge).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendOnce(batch, path, checkpoint, id)
+        val spark = batch.sparkSession
+        // the append just changed the table listing; clear the shared
+        // FileStatusCache so the refresh reads the committed files
+        spark.catalog.refreshByPath(path)
+        val touched = datesOf(batch)
+        rollups.foreach { b =>
+          refreshFoldPartials(spark, path, rollupPath(path, b), b,
+            Some(touched))
+          spark.catalog.refreshByPath(rollupPath(path, b))
+        }
+      }
+      .start()
+  }
+
   /** Idempotent micro-batch append. `foreachBatch` is at-least-once:
     * after a crash between the sink write and the checkpoint commit,
     * the last batch REPLAYS — and a parquet append is not idempotent

@@ -135,6 +135,62 @@ class IngestSpec extends SparkTestBase {
     assert(r.size == 2)
   }
 
+  test("streaming rollup refresh: ladder-routed queries stay bit-equal " +
+      "to raw after every micro-batch") {
+    val path = tmp("ingest-rollup")
+    val ckpt = tmp("ingest-rollup-ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Ingest.WriteSample]
+    val m = 60000L
+    def s(k: String, t: Long, v: Double) =
+      Ingest.WriteSample(Map("__name__" -> "rm", "k" -> k), t, v)
+    def run() = Ingest.streamWithRollups(mem.toDS(), path, ckpt,
+      Seq(5 * m)).awaitTermination(120000)
+    def bits(e: PromQLEngine, q: String, start: Long, end: Long) =
+      e.rangeQuery(q, start, end, 5 * m)
+        .select(col("labels")("k").as("k"), col("t"), col("v"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2))))
+        .toSet
+    // after each batch the on-disk rung must answer exactly like raw
+    def check(start: Long, end: Long): Set[(String, Long, Long)] = {
+      val samples = Ingest.readTable(spark, path)
+      val rung = spark.read.parquet(Ingest.rollupPath(path, 5 * m))
+        .drop("date")
+      val raw = new PromQLEngine(spark, samples)
+      val routed = new PromQLEngine(spark, samples,
+        partialsLadder = Seq((rung, 5 * m)))
+      var last = Set.empty[(String, Long, Long)]
+      for (q <- Seq("sum_over_time(rm[10m])", "rate(rm[10m])")) {
+        val a = bits(raw, q, start, end)
+        val b = bits(routed, q, start, end)
+        assert(a == b, s"$q diverged from raw after streaming refresh")
+        assert(a.nonEmpty)
+        last = a
+      }
+      last
+    }
+    // batch 1: a counter with resets + a rising series, 30s cadence
+    // over the first hour
+    mem.addData((0 to 120).flatMap(i => Seq(
+      s("ctr", i * 30000L, ((i * 7) % 50).toDouble),
+      s("rise", i * 30000L, i.toDouble))): _*)
+    run()
+    val r1 = check(20 * m, 55 * m)
+    // batch 2: the next hour lands in the SAME UTC date — the refresh
+    // must rewrite that date's partition, not append beside it
+    mem.addData((121 to 240).flatMap(i => Seq(
+      s("ctr", i * 30000L, ((i * 7) % 50).toDouble),
+      s("rise", i * 30000L, i.toDouble))): _*)
+    run()
+    val r2 = check(20 * m, 115 * m)
+    assert(r2.exists(_._2 > 60 * m), "refresh missed the second batch")
+    assert(r2.filter(_._2 <= 55 * m) == r1.filter(_._2 <= 55 * m),
+      "second refresh changed already-correct earlier windows")
+  }
+
   test("replayed micro-batches append once (foreachBatch is at-least-once)") {
     val path = tmp("ingest-replay")
     val ckpt = tmp("ingest-replay-ckpt")
