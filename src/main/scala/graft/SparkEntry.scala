@@ -679,6 +679,41 @@ object SparkEntry {
           col("v").cast("float").as("v"))
     }),
 
+    // G13 edge semantics, driver-visible (r4 advice): a synthetic
+    // 4-bucket fixture per series pins the two vendored quantile.go
+    // behaviors a natural histogram never exercises —
+    //  * submax: the +Inf bucket count (25) sits BELOW the largest
+    //    inner bucket (30). ensureMonotonic never raises the final
+    //    bucket (quantile.go:143-153 indexes buckets[0..len-2]), and
+    //    rank = q·25, NOT q·max: expected 2 + 2·(22.5−20)/10 = 2.5.
+    //  * nancount: a NaN inner count passes ensureMonotonic untouched
+    //    (both comparisons false) and fails every sort.Search
+    //    predicate probe → the search lands on len−1 and the result
+    //    is the second-highest le (4.0).
+    //  * nanprobe: count₀=50 ≥ rank=36, but Go's sort.Search BINARY
+    //    probe order hits the NaN at index 1 first and never examines
+    //    index 0 (lo jumps to 2), landing on the bucket whose
+    //    count-delta is NaN → NaN. A linear scan would answer 0.72 —
+    //    this row discriminates the exact probe replica.
+    "g13_histogram_edge" -> ((spark, dir) => {
+      import spark.implicits._
+      val rows = Seq(
+        ("submax", "1", 5.0), ("submax", "2", 20.0),
+        ("submax", "4", 30.0), ("submax", "+Inf", 25.0),
+        ("nancount", "1", 10.0), ("nancount", "2", Double.NaN),
+        ("nancount", "4", 30.0), ("nancount", "+Inf", 40.0),
+        ("nanprobe", "1", 50.0), ("nanprobe", "2", Double.NaN),
+        ("nanprobe", "4", 30.0), ("nanprobe", "+Inf", 40.0))
+      val df = rows.toDF("g", "le", "v").select(
+        map(lit(Samples.MetricNameLabel), lit("hb"),
+          lit("g"), col("g"), lit("le"), col("le")).as("labels"),
+        lit(0L).as("t"), col("v"), lit(false).as("stale"))
+      new PromQLEngine(spark, df)
+        .instant("histogram_quantile(0.9, hb)", 0L)
+        .select(col("labels")("g").as("g"), col("t"),
+          col("v").cast("float").as("v"))
+    }),
+
     // ---- composite end-to-end shapes (real dashboard queries) ----
     // C1: topk over aggregated rate — selector → rate → sum by → topk
     "c1_topk_rate" -> prom(
@@ -1376,6 +1411,16 @@ object SparkEntry {
          |    WHEN c4 >= rk THEN 50 + (100 - 50) * ((rk - c3) / (c4 - c3))
          |    ELSE 100 END AS REAL) AS v
          |FROM q""".stripMargin,
+    // expected rows derived from the vendored quantile.go algorithm on
+    // the entry's synthetic fixture (see the entry's comment for the
+    // per-series derivation); literal oracle like the ANN witnesses —
+    // the compare treats NaN == NaN
+    "g13_histogram_edge" ->
+      """SELECT 'nancount' AS g, CAST(0 AS BIGINT) AS t, CAST(4.0 AS REAL) AS v
+        |UNION ALL
+        |SELECT 'nanprobe', CAST(0 AS BIGINT), CAST('nan' AS REAL)
+        |UNION ALL
+        |SELECT 'submax', CAST(0 AS BIGINT), CAST(2.5 AS REAL)""".stripMargin,
 
     "c1_topk_rate" ->
       s"""${ratePipeline(isCounter = true, isRate = true)},
