@@ -129,7 +129,13 @@ private final class Parser(toks: Vector[Lexer.Token], input: String = "") {
   private def parseUnary(): Expr = {
     if (cur.typ == OP && (cur.text == "-" || cur.text == "+")) {
       val op = next().text
-      val inner = parseExpr(precedence("*") + 1) // unary binds tight
+      // the operand is a UNARY expression (primary/postfix chain), not
+      // a binop climb: vintage unaryExpr() recurses into itself before
+      // the expr() loop sees ANY operator (parse.go:546-560), so the
+      // sign binds tighter than even `^` and `-1^2` is (-1)^2 = 1 —
+      // the modern -(1^2) grammar postdates this vintage. Passing
+      // precedence("^")+1 keeps every binop out of the operand.
+      val inner = parseExpr(precedence("^") + 1)
       inner match {
         case NumberLiteral(v) if op == "-" => NumberLiteral(-v)
         case NumberLiteral(v) => NumberLiteral(v)

@@ -28,12 +28,18 @@ class ParserSpec extends AnyFunSuite {
       None, false))
   }
 
-  test("unary minus binds around pow like the reference") {
-    // -2^2 == -(2^2)
-    val e = parse("-2^2")
-    e match {
-      case UnaryExpr("-", BinaryExpr("^", _, _, _, _)) => ()
-      case NumberLiteral(v) => assert(v == -4.0)
+  test("unary minus folds into the literal BEFORE pow, like the " +
+      "vintage reference") {
+    // vintage unaryExpr() folds the sign into a number literal before
+    // the expr() binop loop runs (parse.go:546-560), so -2^2 parses as
+    // (-2)^2 — the modern -(2^2) grammar postdates this vintage
+    parse("-2^2") match {
+      case BinaryExpr("^", NumberLiteral(-2.0), NumberLiteral(2.0), _, _) => ()
+      case other => fail(s"unexpected: $other")
+    }
+    // a non-literal operand still binds under the unary before ^
+    parse("-(2)^2") match {
+      case BinaryExpr("^", UnaryExpr("-", _), NumberLiteral(2.0), _, _) => ()
       case other => fail(s"unexpected: $other")
     }
   }

@@ -1623,4 +1623,335 @@ eval instant at 330s metric
 eval instant at 331s metric
 """)
   }
+
+  test("precedence torture (parse.go:442-545): right-assoc pow, vintage " +
+      "unary fold, comparison/set layering") {
+    run("""
+load 5m
+  pm{k="a"} 0+10x10
+
+# ^ is RIGHT-associative (lex.go:114-121): 2^(3^2), not (2^3)^2
+eval instant at 50m 2 ^ 3 ^ 2
+  {} 512
+
+# vintage unaryExpr folds the sign INTO a number literal before the
+# binop loop runs (parse.go:552-558), so -1^2 is (-1)^2 — the modern
+# grammar's -(1^2) reading postdates this vintage
+eval instant at 50m -1 ^ 2
+  {} 1
+
+# same fold on the right operand: 2^(-1)
+eval instant at 50m 2 ^ -1
+  {} 0.5
+
+# a parenthesized operand defeats the literal fold but the unary node
+# still binds before the binop loop sees ^
+eval instant at 50m -(1) ^ 2
+  {} 1
+
+eval instant at 50m 2 + 3 * 4 ^ 2
+  {} 50
+
+# same-precedence * / % associate LEFT
+eval instant at 50m 100 / 10 % 3
+  {} 1
+
+# Go math.Mod: result carries the DIVIDEND's sign
+eval instant at 50m (0 - 10) % 3
+  {} -1
+
+# comparisons sit below arithmetic: both sides reduce first
+eval instant at 50m 1 < bool 2 + 3
+  {} 1
+
+eval instant at 50m 4 >= bool 2 * 2
+  {} 1
+
+eval instant at 50m pm * 2 ^ 2
+  {k="a"} 400
+
+# comparison filters keep the metric name; or merges the survivors
+eval instant at 50m pm > 50 or pm < 20
+  pm{k="a"} 100
+""")
+  }
+
+  test("staleness markers drop from range-selector windows but hide " +
+      "instant selections") {
+    run("""
+load 1m
+  sf 0 1 2 stale 4 5
+
+# closed [0m,5m] window: five real points, the marker is not a sample
+eval instant at 5m count_over_time(sf[5m])
+  {} 5
+
+# window straddling the marker sums only the real points
+eval instant at 4m sum_over_time(sf[2m])
+  {} 6
+
+eval instant at 3m avg_over_time(sf[3m])
+  {} 1
+
+eval instant at 5m max_over_time(sf[5m])
+  {} 5
+
+# the same timestamp as an INSTANT selection: marker is newest -> hidden
+eval instant at 3m sf
+
+eval instant at 4m sf
+  sf 4
+""")
+  }
+
+  test("staleness interacts with offset: the marker hides the " +
+      "OFFSET-SHIFTED lookback, and absent() sees the hidden series") {
+    run("""
+load 1m
+  so 0 1 stale 3
+
+# shifted evaluation time 2m: the marker is the newest lookback point
+eval instant at 12m so offset 10m
+
+eval instant at 12m absent(so offset 10m)
+  {} 1
+
+eval instant at 12m sum(so offset 10m)
+
+# one minute later the 3m sample is newest again
+eval instant at 13m so offset 10m
+  so 3
+
+# range windows behind offset drop the marker like any other window
+eval instant at 13m count_over_time(so[3m] offset 10m)
+  {} 3
+""")
+  }
+
+  test("histogram_quantile golden edges: out-of-range q, missing +Inf, " +
+      "q=0/q=1 bounds, non-monotone envelope") {
+    run("""
+load 5m
+  hq{le="0.1"} 0+5x10
+  hq{le="1"} 0+8x10
+  hq{le="+Inf"} 0+10x10
+  hn{le="1"} 0+5x10
+  hn{le="2"} 0+10x10
+  hs{le="+Inf"} 0+10x10
+  hm{le="1"} 30+0x10
+  hm{le="2"} 20+0x10
+  hm{le="+Inf"} 40+0x10
+
+eval instant at 50m histogram_quantile(1.5, hq)
+  {} Inf
+
+eval instant at 50m histogram_quantile(-1, hq)
+  {} -Inf
+
+# q=1: rank equals the +Inf count, the search lands past every inner
+# bucket and returns the HIGHEST FINITE le (quantile.go:75-83)
+eval instant at 50m histogram_quantile(1, hq)
+  {} 1
+
+# q=0 interpolates to the lower edge of the first bucket
+eval instant at 50m histogram_quantile(0, hq)
+  {} 0
+
+# no +Inf bucket -> NaN
+eval instant at 50m histogram_quantile(0.9, hn)
+  {} NaN
+
+# a lone +Inf bucket is fewer than the 2-bucket minimum -> NaN
+eval instant at 50m histogram_quantile(0.9, hs)
+  {} NaN
+
+# ensureMonotonic raises the sagging inner bucket (20 -> 30) and the
+# rank-20 search then resolves inside the FIRST bucket
+eval instant at 50m histogram_quantile(0.5, hm)
+  {} 0.666667
+""")
+  }
+
+  test("extrapolated rate boundaries: counter zero-clamp vs delta, " +
+      "closed-window sample inclusion") {
+    run("""
+load 10s
+  bd 0 1 2 3
+
+# closed [10s,20s]: BOTH boundary samples are in (engine.go:789-806)
+eval instant at 20s count_over_time(bd[10s])
+  {} 2
+
+eval instant at 20s count_over_time(bd[20s])
+  {} 3
+
+eval instant at 20s count_over_time(bd[1s])
+  {} 1
+
+# a single in-window point cannot produce a delta
+eval instant at 20s delta(bd[1s])
+
+clear
+
+load 5m
+  zc _ _ _ _ _ 1+10x5
+  nc _ _ _ _ _ 100+10x5
+
+# counter starting near zero: the zero-crossing clamp shortens the
+# start extrapolation to durationToZero = 1500s*(1/50) = 30s, so
+# increase = 50 * (1500+30)/1500 (functions.go:85-97)
+eval instant at 50m increase(zc[50m])
+  {} 51
+
+# delta has no zero clamp: start extrapolation falls back to half the
+# average interval (150s) -> 50 * (1500+150)/1500
+eval instant at 50m delta(zc[50m])
+  {} 55
+
+# a large starting value puts the zero crossing beyond the window, so
+# increase extrapolates exactly like delta
+eval instant at 50m increase(nc[50m])
+  {} 55
+
+eval instant at 50m rate(zc[50m])
+  {} 0.017
+""")
+  }
+
+  test("vector-matching label algebra: on/ignoring result labels, " +
+      "group_left include, set ops with on()") {
+    run("""
+load 5m
+  lft{k="a", e="x"} 0+10x10
+  lft{k="b", e="y"} 0+20x10
+  rgt{k="a", side="r"} 2+0x10
+  rgt{k="b", side="s"} 4+0x10
+
+# many-to-one keeps the MANY side's labels (minus __name__)
+eval instant at 50m lft * on(k) group_left rgt
+  {k="a", e="x"} 200
+  {k="b", e="y"} 800
+
+# group_left(side) additionally copies the named label from the one side
+eval instant at 50m lft * on(k) group_left(side) rgt
+  {k="a", e="x", side="r"} 200
+  {k="b", e="y", side="s"} 800
+
+# one-to-one with ignoring DROPS the ignored labels from the result
+eval instant at 50m lft / ignoring(e, side) rgt
+  {k="a"} 50
+  {k="b"} 50
+
+# set ops keep the LHS samples verbatim, metric name included
+eval instant at 50m lft and on(k) rgt
+  lft{k="a", e="x"} 100
+  lft{k="b", e="y"} 200
+
+eval instant at 50m lft unless on(k) rgt{side="r"}
+  lft{k="b", e="y"} 200
+""")
+  }
+
+  test("time/timestamp/scalar interplay on pinned sample timestamps") {
+    run("""
+load 5m
+  tm 1 2 3
+
+# timestamp() reports the SAMPLE's time in seconds, not the eval time
+eval instant at 12m timestamp(tm)
+  {} 600
+
+# offset shifts which sample is newest before timestamp() reads it
+eval instant at 12m timestamp(tm offset 5m)
+  {} 300
+
+eval instant at 12m time()
+  {} 720
+
+eval instant at 12m vector(time())
+  {} 720
+
+eval instant at 12m scalar(tm)
+  {} 3
+
+eval instant at 12m tm * time()
+  {} 2160
+""")
+  }
+
+  test("regex matchers are fully anchored (vintage ^(?:re)$ wrap)") {
+    run("""
+load 5m
+  rx{s="aa"} 1+0x10
+  rx{s="ab"} 2+0x10
+  rx{s="b"} 3+0x10
+
+eval instant at 50m rx{s=~"a+"}
+  rx{s="aa"} 1
+
+eval instant at 50m rx{s=~"a."}
+  rx{s="aa"} 1
+  rx{s="ab"} 2
+
+# anchoring wraps the WHOLE alternation: ^(?:a|b)$ matches only "b"
+eval instant at 50m rx{s=~"a|b"}
+  rx{s="b"} 3
+
+eval instant at 50m rx{s!~"a+"}
+  rx{s="ab"} 2
+  rx{s="b"} 3
+
+eval_fail instant at 50m rx{s=~"(a"}
+""")
+  }
+
+  test("typecheck failures the vintage parser rejects (parse.go " +
+      "checkType, offset/range placement)") {
+    run("""
+load 5m
+  foo 0+10x10
+
+eval_fail instant at 50m rate(foo)
+
+eval_fail instant at 50m foo[5m] + 1
+
+eval_fail instant at 50m sum(foo) offset 5m
+
+eval_fail instant at 50m topk(foo, 2)
+
+eval_fail instant at 50m 1 and 2
+
+eval_fail instant at 50m foo and scalar(foo)
+
+eval_fail instant at 50m histogram_quantile(0.9, foo[5m])
+""")
+  }
+
+  test("topk/bottomk NaN ordering and over-wide k") {
+    run("""
+load 5m
+  tk{s="lo"} 0+10x10
+  tk{s="hi"} 0+30x10
+  tk{s="nan"} _ _ _ _ _ _ _ _ _ _ NaN
+
+# k wider than the series count returns everything
+eval instant at 50m topk(10, tk{s=~"lo|hi"})
+  tk{s="lo"} 100
+  tk{s="hi"} 300
+
+# NaN loses every comparison: at k = n it is included (nothing
+# displaces it) but never evicts a real value at k < n
+eval instant at 50m topk(3, tk)
+  tk{s="lo"} 100
+  tk{s="hi"} 300
+  tk{s="nan"} NaN
+
+eval instant at 50m topk(2, tk)
+  tk{s="lo"} 100
+  tk{s="hi"} 300
+
+eval instant at 50m bottomk(1, tk{s=~"lo|hi"})
+  tk{s="lo"} 100
+""")
+  }
 }
