@@ -112,6 +112,22 @@ class PlanShapeSpec extends SparkTestBase {
       "blocklist join must be a broadcast hash join")
   }
 
+  test("d3 banding shuffles the band rows exactly once (fused bucket " +
+      "aggregation), and the verify joins broadcast") {
+    // the 64×N band rows are THE volume of the LSH stage; an earlier
+    // shape shuffled them three times (bucket-width sizing aggregate,
+    // self-join build, self-join probe) — the fused groupBy must plan
+    // exactly one (band, bkey) exchange, with i<j pairs expanded
+    // map-side from the grouped array
+    val p = plan("d3_minhash_lsh")
+    val bandExchanges = p.linesIterator.count(l =>
+      l.contains("hashpartitioning(band"))
+    assert(bandExchanges == 1,
+      s"band rows must shuffle exactly once, found $bandExchanges:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"candidate-verify joins must broadcast, not sort-merge:\n$p")
+  }
+
   test("t10_tfidf broadcasts df and N; tf aggregate is hash-based") {
     val p = plan("t10_tfidf")
     assert(count(p, "BroadcastExchange") >= 2,
