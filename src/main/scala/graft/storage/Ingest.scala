@@ -491,6 +491,24 @@ object Ingest {
     }
   }
 
+  /** Compact a series index: every [[appendSeriesIndex]] adds one
+    * parquet file per batch that carried novel sigs, so a long-running
+    * writer fragments the index into thousands of tiny files — the
+    * same operational hazard [[compact]] addresses for the samples
+    * table, on the dimension table the matcher path scans every query.
+    * Rewrites the index to ≤ [[SeriesBuckets]] sig-partitioned files;
+    * content is unchanged. Same single-writer assumption as
+    * [[compact]]: the index is materialized (localCheckpoint) before
+    * the overwrite so the job never reads files it is deleting. */
+  def compactSeriesIndex(spark: SparkSession, path: String): Unit = {
+    if (!hasParquetData(spark, path)) return
+    val idx = spark.read.parquet(path)
+      .repartition(SeriesBuckets, pmod(col("sig"), lit(SeriesBuckets)))
+      .localCheckpoint(true)
+    idx.write.mode("overwrite").parquet(path)
+    spark.catalog.refreshByPath(path)
+  }
+
   /** Materialized fold partials: one row per (series, epoch-aligned
     * `bucketMs` bucket) carrying EXACTLY the associative partial shape
     * the engine's bucketed fold path computes from raw samples at

@@ -136,6 +136,16 @@ class SeriesIndexSpec extends SparkTestBase {
     val (plain, _) = engines
     assert(asSet(eng.rangeQuery("px", 10 * m, 55 * m, 5 * m)) ==
       asSet(plain.rangeQuery("px", 10 * m, 55 * m, 5 * m)))
+    // compaction rewrites the per-batch file fragments into bounded
+    // sig-partitioned files with content unchanged
+    val before = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getMap[String, String](1).toMap)).toSet
+    Ingest.compactSeriesIndex(spark, path)
+    val after = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getMap[String, String](1).toMap)).toSet
+    assert(after == before, "compaction changed index content")
+    assert(new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet")) <= Ingest.SeriesBuckets)
   }
 
   test("without a stored sig the engine falls back to per-row filters") {
