@@ -460,7 +460,16 @@ object Ingest {
     * structures fresh during appends (`tsdb/head.go`): the batch
     * lands, then the rollup rungs for the affected days are recomputed
     * from the committed listing and swapped in via dynamic partition
-    * overwrite. */
+    * overwrite.
+    *
+    * Concurrency caveat (same class as [[compact]]): the overwrite
+    * deletes the partition's previous files, so a query started
+    * BEFORE the refresh that reads the rung mid-rewrite can fail on a
+    * missing file and needs a retry against the swapped listing — the
+    * serving path bounds the window by swapping engines right after
+    * the refresh. A production deployment on object storage stages
+    * the partition to a temp prefix and commits with a rename, the
+    * same trade the reference's compactor makes per block. */
   def refreshFoldPartials(spark: SparkSession, tablePath: String,
       partialsPath: String, bucketMs: Long,
       dates: Option[Seq[String]] = None): Unit = {
