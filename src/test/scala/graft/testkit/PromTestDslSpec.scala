@@ -1927,6 +1927,81 @@ eval_fail instant at 50m histogram_quantile(0.9, foo[5m])
 """)
   }
 
+  test("counter-function NaN transitions and the irate reset branch " +
+      "(functions.go:154-177,731-776)") {
+    run("""
+load 5m
+  cn 1 NaN NaN 1 2
+  cr 5 3 NaN 2 4
+
+# changes counts X->NaN and NaN->X but never NaN->NaN
+# (current != prev is TRUE for NaN pairs in IEEE; the explicit
+# both-NaN guard is what excludes them)
+eval instant at 20m changes(cn[20m])
+  {} 3
+
+eval instant at 20m changes(cr[20m])
+  {} 4
+
+# resets uses current < prev, which is false whenever NaN is involved
+eval instant at 20m resets(cn[20m])
+  {} 0
+
+eval instant at 20m resets(cr[20m])
+  {} 1
+
+clear
+
+load 5m
+  ir 10 20 5
+
+# irate sees last(5) < prev(20): counter reset -> the raw last value
+# over the 300s gap, NOT the negative diff
+eval instant at 10m irate(ir[15m])
+  {} 0.016666667
+
+# idelta has no reset branch: plain difference
+eval instant at 10m idelta(ir[15m])
+  {} -15
+""")
+  }
+
+  test("function argument edges: quantile_over_time bounds and " +
+      "interpolation, holt_winters guards, flat-series regressions") {
+    run("""
+load 5m
+  qv 10 20 30 40
+  cst 7 7 7 7 7 7 7 7 7 7 7
+
+eval instant at 15m quantile_over_time(-1, qv[15m])
+  {} -Inf
+
+eval instant at 15m quantile_over_time(2, qv[15m])
+  {} Inf
+
+# rank = q*(n-1): 0.25*3 = 0.75 -> 10*(1-0.75) + 20*0.75
+eval instant at 15m quantile_over_time(0.25, qv[15m])
+  {} 17.5
+
+eval instant at 15m quantile_over_time(0.5, qv[15m])
+  {} 25
+
+# holt_winters demands 0 < sf < 1 and 0 < tf < 1 (functions.go:227-232)
+eval_fail instant at 15m holt_winters(qv[15m], 2, 0.1)
+
+eval_fail instant at 15m holt_winters(qv[15m], 0.1, 1)
+
+eval_fail instant at 15m holt_winters(qv[15m], 0, 0.5)
+
+# a perfectly flat series regresses to slope 0 / its own value
+eval instant at 50m deriv(cst[50m])
+  {} 0
+
+eval instant at 50m predict_linear(cst[50m], 3600)
+  {} 7
+""")
+  }
+
   test("topk/bottomk NaN ordering and over-wide k") {
     run("""
 load 5m
