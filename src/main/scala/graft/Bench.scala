@@ -85,7 +85,8 @@ object BenchFormat {
     */
   def fullJson(recs: Seq[Rec], coldTotal: Double, qps: Double,
       mixedQps: Double, sfNum: String, probeBaseline: Double,
-      prepSec: Double = 0.0): String = {
+      prepSec: Double = 0.0,
+      qpsWindows: Seq[(Double, Double)] = Nil): String = {
     val qs = recs.map { r =>
       val draws = r.draws.map(r3).mkString("[", ",", "]")
       "\"" + r.name + "\":{\"warm\":" + r3(r.warm) +
@@ -94,7 +95,14 @@ object BenchFormat {
         ",\"retries\":" + r.retries + "}"
     }.mkString("{", ",", "}")
     val total = recs.map(_.warm).sum
-    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_sec":${r3(coldTotal)},"instant_qps":${r3(qps)},"mixed_qps":${r3(mixedQps)},"probe_baseline_ms":${r3(probeBaseline * 1000)},"fixture_prep_sec":${r3(prepSec)},"sf":$sfNum}"""
+    // every interleaved (light, mixed) throughput window, in run
+    // order: the reported figures are best-of — the windows say
+    // whether "best" summarizes a stable session or cherry-picks one
+    // good patch out of a noisy one
+    val wins = qpsWindows
+      .map { case (l, x) => "[" + r2(l) + "," + r2(x) + "]" }
+      .mkString("[", ",", "]")
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_sec":${r3(coldTotal)},"instant_qps":${r3(qps)},"mixed_qps":${r3(mixedQps)},"qps_windows":$wins,"probe_baseline_ms":${r3(probeBaseline * 1000)},"fixture_prep_sec":${r3(prepSec)},"sf":$sfNum}"""
   }
 }
 
@@ -244,9 +252,9 @@ object Bench {
     // (observed: a mixed best-of-three reading 3.4 q/s between two
     // runs reading 48 and 65 with identical binaries); alternating
     // means a patch must span the whole sequence to poison either max
-    val ws = Seq.fill(3)(Seq(runQps(0), runQps(2))).flatten
-    val qps = ws.grouped(2).map(_.head).max
-    val mixedQps = ws.grouped(2).map(_.last).max
+    val windows = Seq.fill(3)((runQps(0), runQps(2)))
+    val qps = windows.map(_._1).max
+    val mixedQps = windows.map(_._2).max
     val coldTotal = results.map(_._2).sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
@@ -259,7 +267,7 @@ object Bench {
     // full-precision map goes to bench_full.json beside the build.
     val line = BenchFormat.line(results, coldTotal, qps, mixedQps, sfNum)
     val full = BenchFormat.fullJson(recs, coldTotal, qps, mixedQps, sfNum,
-      probeBaseline, prepSec)
+      probeBaseline, prepSec, windows)
     try {
       val p = java.nio.file.Paths.get("bench_full.json")
       java.nio.file.Files.write(p, full.getBytes("UTF-8"))

@@ -829,6 +829,10 @@ object HttpApi {
       rules: Option[graft.streaming.RecordingRules.Group] = None,
       rollups: Seq[Long] = Nil): HttpApi = {
     import graft.storage.Ingest
+    // fail at construction, not on the first /write: a rung that does
+    // not divide a day would otherwise surface as a 500 to the writer
+    rollups.foreach(b => require(b > 0 && 86400000L % b == 0,
+      s"rollup bucket ($b ms) must evenly divide a day"))
     val indexPath = new org.apache.hadoop.fs.Path(path, "_index").toString
     def rollupPath(b: Long) = Ingest.rollupPath(path, b)
     // bootstrap missing tiers over whatever the table already holds

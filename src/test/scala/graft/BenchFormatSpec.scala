@@ -34,7 +34,8 @@ class BenchFormatSpec extends AnyFunSuite {
   test("full json carries every query under its full name with all draws") {
     val recs = names.map(n =>
       BenchFormat.Rec(n, 1.0, 0.5, Seq(0.6, 0.5, 0.4), 1.12, 0))
-    val full = BenchFormat.fullJson(recs, 1.0, 2.0, 3.0, "0.01", 0.041)
+    val full = BenchFormat.fullJson(recs, 1.0, 2.0, 3.0, "0.01", 0.041,
+      qpsWindows = Seq((40.0, 30.0), (42.5, 31.0)))
     names.foreach(n => assert(full.contains("\"" + n + "\":{")))
     // every individual draw is adjudicable from the artifact (the r4
     // bench's contaminated medians could not be diagnosed without this)
@@ -42,6 +43,7 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(full.contains("\"probe_ratio\":1.12"))
     assert(full.contains("\"retries\":0"))
     assert(full.contains("\"probe_baseline_ms\":41.000"))
+    assert(full.contains("\"qps_windows\":[[40.00,30.00],[42.50,31.00]]"))
   }
 
   test("calibration probe does fixed work in bounded time") {
