@@ -2002,6 +2002,39 @@ eval instant at 50m predict_linear(cst[50m], 3600)
 """)
   }
 
+  test("sort/sort_desc put NaN at the bottom BOTH ways; clamp " +
+      "propagates NaN through Go's math.Min/Max") {
+    run("""
+load 5m
+  sv{s="a"} 30+0x10
+  sv{s="b"} 10+0x10
+  sv{s="n"} _ _ _ _ _ _ _ _ _ _ NaN
+
+# funcSort/funcSortDesc (functions.go:288-303): both directions are a
+# reversed sort with NaN FIRST, so NaN lands at the bottom either way
+eval_ordered instant at 50m sort(sv)
+  sv{s="b"} 10
+  sv{s="a"} 30
+  sv{s="n"} NaN
+
+eval_ordered instant at 50m sort_desc(sv)
+  sv{s="a"} 30
+  sv{s="b"} 10
+  sv{s="n"} NaN
+
+# clamp_* is Go math.Min/Max: NaN in -> NaN out (it never "clamps"
+# a NaN to the bound), and the metric name drops
+eval instant at 50m clamp_max(sv, 20)
+  {s="a"} 20
+  {s="b"} 10
+  {s="n"} NaN
+
+eval instant at 50m clamp_min(sv{s=~"a|n"}, 15)
+  {s="a"} 30
+  {s="n"} NaN
+""")
+  }
+
   test("topk/bottomk NaN ordering and over-wide k") {
     run("""
 load 5m
