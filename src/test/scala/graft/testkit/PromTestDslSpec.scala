@@ -2002,6 +2002,36 @@ eval instant at 50m predict_linear(cst[50m], 3600)
 """)
   }
 
+  test("aggregation params are full scalar EXPRESSIONS, and by " +
+      "(__name__) groups on the reserved label") {
+    run("""
+load 5m
+  tp{s="a"} 10+0x10
+  tp{s="b"} 30+0x10
+  tp{s="c"} 20+0x10
+
+# the vendored engine evaluates the param with evalFloat/evalInt over
+# an arbitrary scalar expression, not just a literal
+eval instant at 50m topk(1+1, tp)
+  tp{s="b"} 30
+  tp{s="c"} 20
+
+eval instant at 50m topk(scalar(vector(2)), tp)
+  tp{s="b"} 30
+  tp{s="c"} 20
+
+eval instant at 50m quantile(scalar(vector(0.5)), tp)
+  {} 20
+
+eval instant at 50m quantile(0.1*5, tp)
+  {} 20
+
+# __name__ is an ordinary grouping label to `by`: the result KEEPS it
+eval instant at 50m sum by (__name__) (tp)
+  tp 60
+""")
+  }
+
   test("sort/sort_desc put NaN at the bottom BOTH ways; clamp " +
       "propagates NaN through Go's math.Min/Max") {
     run("""
