@@ -53,6 +53,18 @@ object SparkEntry {
   private def engine(spark: SparkSession, sfDir: String): PromQLEngine =
     new PromQLEngine(spark, Samples.fromEventsDir(spark, sfDir))
 
+  /** Collision-free session component for the fixture-cache keys.
+    * `identityHashCode` is NOT unique: a cached DataFrame pins its
+    * session, so a colliding hash from a later session could silently
+    * hand it a frame bound to the old one. A weak identity map
+    * assigns each live session one UUID instead (`sessionUUID` is
+    * `private[sql]`, so it is not usable here). */
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private def sessionKey(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(spark,
+      _ => java.util.UUID.randomUUID().toString)
+
   /** The docs/embeddings readers are MEMOIZED per (session, dir) so
     * repeated invocations return the SAME DataFrame object: the
     * similarity tier's index-build caches (Similarity.prepCached /
@@ -68,27 +80,36 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def docs(spark: SparkSession, dir: String): DataFrame =
     readerCache.computeIfAbsent(
-      s"docs:${System.identityHashCode(spark)}:$dir",
+      s"docs:${sessionKey(spark)}:$dir",
       _ => spark.read.parquet(s"$dir/documents.parquet"))
   private def emb(spark: SparkSession, dir: String): DataFrame =
     readerCache.computeIfAbsent(
-      s"emb:${System.identityHashCode(spark)}:$dir",
+      s"emb:${sessionKey(spark)}:$dir",
       _ => spark.read.parquet(s"$dir/embeddings.parquet"))
 
   /** Exact top-k baseline the ANN witnesses (x2/x3/x5) compare
-    * against, computed ONCE per (session, dir) and Spark-cached: the
-    * baseline is the verification ORACLE, not part of the approximate
-    * operator under test — a production vector index is validated
-    * against a brute-force pass once, not per query — and topK is
-    * deterministic, so the cache is exact. x1 still measures the
-    * brute-force path itself, every draw. */
+    * against, computed ONCE per (session, dir): the baseline is the
+    * verification ORACLE, not part of the approximate operator under
+    * test — a production vector index is validated against a
+    * brute-force pass once, not per query — and topK is
+    * deterministic, so memoizing is exact. The result is MATERIALIZED
+    * to local rows (50 per fixture) rather than `.cache()`d:
+    * registering the cached plan would let Spark's cache substitution
+    * silently serve x1 — whose brute-force plan is canonically equal
+    * by construction — from memory whenever it runs after a witness
+    * entry, re-creating the cached-vs-live bench asymmetry this round
+    * removed from d2/d3. */
   private val exactTopkCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def exactTopk(spark: SparkSession, dir: String): DataFrame =
     exactTopkCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}:$dir",
-      _ => Similarity.topK(emb(spark, dir).filter(col("vec_id") < 10),
-        emb(spark, dir), 5).cache())
+      s"${sessionKey(spark)}:$dir",
+      _ => {
+        val r = Similarity.topK(
+          emb(spark, dir).filter(col("vec_id") < 10), emb(spark, dir), 5)
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(r.collect().toSeq, 1), r.schema)
+      })
 
   /** Histogram-bucket boundaries for g13 (events values span 0.01..490). */
   private val Les = Seq(10, 25, 50, 100)
@@ -103,7 +124,7 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def bucketSamples(spark: SparkSession, dir: String): DataFrame =
     bucketCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}:$dir",
+      s"${sessionKey(spark)}:$dir",
       _ => bucketSamplesUncached(spark, dir).cache())
 
   private def bucketSamplesUncached(spark: SparkSession, dir: String): DataFrame = {
@@ -134,7 +155,7 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def hourlyPartialsPath(spark: SparkSession, dir: String): String =
     partialsCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}:$dir",
+      s"${sessionKey(spark)}:$dir",
       _ => {
         val out = java.nio.file.Files
           .createTempDirectory("graft-partials").toString
@@ -161,7 +182,7 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def bucketedStore(spark: SparkSession, dir: String): DataFrame =
     bucketedStoreCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}:$dir",
+      s"${sessionKey(spark)}:$dir",
       _ => {
         val table = "graft_bucketed_" +
           java.lang.Long.toHexString(System.nanoTime())
@@ -186,7 +207,7 @@ object SparkEntry {
   private def foldPartialsPath(spark: SparkSession, dir: String,
       bucketMs: Long = 3600000L): String =
     foldPartialsCache.computeIfAbsent(
-      s"$bucketMs:${System.identityHashCode(spark)}:$dir",
+      s"$bucketMs:${sessionKey(spark)}:$dir",
       _ => {
         val out = java.nio.file.Files
           .createTempDirectory(s"graft-foldpartials-$bucketMs").toString
@@ -205,7 +226,7 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def chunkStorePath(spark: SparkSession, dir: String): String =
     chunkStoreCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}:$dir",
+      s"${sessionKey(spark)}:$dir",
       _ => {
         val out = java.nio.file.Files
           .createTempDirectory("graft-chunkstore").toString
@@ -225,7 +246,7 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def recordedRulesPath(spark: SparkSession, dir: String): String =
     rulesStoreCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}:$dir",
+      s"${sessionKey(spark)}:$dir",
       _ => {
         val path = java.nio.file.Files
           .createTempDirectory("graft-rules").toString

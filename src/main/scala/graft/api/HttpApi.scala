@@ -831,21 +831,42 @@ object HttpApi {
     import graft.storage.Ingest
     // fail at construction, not on the first /write: a rung that does
     // not divide a day would otherwise surface as a 500 to the writer
-    rollups.foreach(b => require(b > 0 && 86400000L % b == 0,
-      s"rollup bucket ($b ms) must evenly divide a day"))
+    rollups.foreach(Ingest.requireDayDivisible)
     val indexPath = new org.apache.hadoop.fs.Path(path, "_index").toString
     def rollupPath(b: Long) = Ingest.rollupPath(path, b)
-    // bootstrap missing tiers over whatever the table already holds
-    // (a server started on a previously written table must not serve
-    // index-less plans until the next write)
-    if (Ingest.hasParquetData(spark, path)) {
-      if (!Ingest.hasParquetData(spark, indexPath))
+    // tier-freshness marker: the sink DELETES it before the append
+    // and re-creates it only after the index upsert + rung refresh
+    // complete, so a crash anywhere in that window leaves the marker
+    // absent and the next startup HEALS the tiers from the table
+    // (existence checks alone cannot see a stale tier — an index that
+    // exists but missed the last batch would silently hide the new
+    // series from every matcher, diverging from raw forever)
+    val tableFs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tiersOk = new org.apache.hadoop.fs.Path(path, "_tiers_ok")
+    def healTiers(): Unit = {
+      if (Ingest.hasParquetData(spark, path)) {
+        spark.catalog.refreshByPath(path)
+        spark.catalog.refreshByPath(indexPath)
+        // full-table upsert is idempotent (left_anti keeps only novel
+        // sigs) and the rung refresh rebuilds every date — heal cost
+        // is one pass over the table, paid only after a crash or on
+        // first boot over a pre-existing table
         Ingest.appendSeriesIndex(Ingest.readTable(spark, path), indexPath)
-      rollups.foreach { b =>
-        if (!Ingest.hasParquetData(spark, rollupPath(b)))
-          Ingest.refreshFoldPartials(spark, path, rollupPath(b), b)
+        rollups.foreach(b =>
+          Ingest.refreshFoldPartials(spark, path, rollupPath(b), b))
       }
+      tableFs.mkdirs(tiersOk.getParent)
+      tableFs.create(tiersOk, true).close()
     }
+    // bootstrap: heal when the marker is missing (first boot, a crash
+    // mid-write, or a pre-existing table served for the first time)
+    // or when a tier was removed out-of-band
+    if (!tableFs.exists(tiersOk) ||
+        (Ingest.hasParquetData(spark, path) &&
+          (!Ingest.hasParquetData(spark, indexPath) ||
+            rollups.exists(b => !Ingest.hasParquetData(spark, rollupPath(b))))))
+      healTiers()
     def freshEngine() = {
       val idx =
         if (Ingest.hasParquetData(spark, indexPath))
@@ -873,27 +894,34 @@ object HttpApi {
     // listings only).
     val writeLock = new Object
     val sink = (df: DataFrame) => writeLock.synchronized {
+      // dirty until the tiers catch up with this batch (see healTiers)
+      tableFs.delete(tiersOk, false)
       Ingest.append(df, path)
       // invalidate the index listing BEFORE the upsert's left_anti
       // probe: a stale cached listing would miss recently appended
       // sigs and re-append them as duplicates
       spark.catalog.refreshByPath(indexPath)
       Ingest.appendSeriesIndex(df, indexPath)
-      // refresh the rungs AFTER the append so they read the committed
-      // listing — but compute the affected dates from the batch, so a
-      // write touching one day rewrites one partials partition
-      val touched = Ingest.datesOf(df)
       // two layers of staleness: the session-shared FileStatusCache
       // (refreshByPath clears it — without this even a brand-new read
       // reuses the old listing) and the analyzed plan's own index
       // snapshot (which only the engine swap can replace)
       spark.catalog.refreshByPath(path)
-      rollups.foreach { b =>
-        Ingest.refreshFoldPartials(spark, path, rollupPath(b), b,
-          Some(touched))
-        spark.catalog.refreshByPath(rollupPath(b))
+      if (rollups.nonEmpty) {
+        // refresh the rungs AFTER the append so they read the
+        // committed listing — but compute the affected dates from the
+        // batch (one Spark job, skipped entirely without rollups), so
+        // a write touching one day rewrites one partials partition
+        val touched = Ingest.datesOf(df)
+        rollups.foreach { b =>
+          Ingest.refreshFoldPartials(spark, path, rollupPath(b), b,
+            Some(touched))
+          spark.catalog.refreshByPath(rollupPath(b))
+        }
       }
       spark.catalog.refreshByPath(indexPath)
+      // tiers are consistent with the committed table again
+      tableFs.create(tiersOk, true).close()
       api.swapEngine(freshEngine()).releaseSeriesDim()
     }
     api = new HttpApi(spark, freshEngine(), Some(sink), port, rules)

@@ -291,25 +291,32 @@ object Dedup {
     val buckets0 = sigs.select(col("id"), explode(bandStructs).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
 
-    // ONE aggregation replaces the [bucket-width sizing + anti-join +
-    // bucket self-join] trio of the earlier shape: group each band
-    // bucket once, drop singletons (no pair to emit) and over-wide
-    // buckets (the skew guard — a degenerate bucket shared by w docs
-    // fans out w² candidates, and on a pathologically self-similar
-    // corpus one bucket dominates the stage), then expand i<j pairs
-    // MAP-SIDE from the grouped id array. The old shape shuffled the
-    // 64×N bucket rows three times (sizing agg, join build, join
-    // probe); this shuffles them once — measured 1.4 s → 0.9 s at
-    // sf0.1, and the saving scales with the banding volume. A dropped
+    // Grouped-bucket candidate expansion replaces the bucket SELF-JOIN
+    // of the earlier shape: collect each surviving band bucket's id
+    // set once and expand i<j pairs MAP-SIDE from the grouped array
+    // (the join shuffled the 64×N band rows twice more — build and
+    // probe; measured 1.4 s → 0.9 s at sf0.1 after the fusion). The
+    // skew guard MUST stay a count-based pre-filter: a degenerate
+    // bucket shared by w ≫ maxBucket docs would otherwise have to be
+    // fully materialized by collect_set before a size() filter could
+    // drop it — unbounded per-group memory on exactly the adversarial
+    // corpus the guard exists for. The sizing aggregate shuffles on
+    // the SAME (band, bkey) key as the collect, so Catalyst plans one
+    // physical exchange and reuses it (plan-asserted); the wide list
+    // is ≤ rows/maxBucket entries and always broadcasts. A dropped
     // over-wide bucket only loses a pair if NO other band catches it:
-    // for true near-dups at s ≥ threshold the other b−1 bands still
-    // vote, so recall loss stays bounded by the documented banding
-    // miss probability; the default cap is far above any
-    // non-adversarial width. Grouped-bucket memory is bounded by the
-    // same cap (8 B × maxBucket ≈ 800 KB worst case per group).
-    val candidates = buckets0.groupBy(col("band"), col("bkey"))
+    // the other b−1 bands still vote, so recall loss stays bounded by
+    // the documented banding miss probability, and the surviving
+    // groups are bounded by the cap (≤ maxBucket ids each).
+    val wide = buckets0.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") > maxBucket)
+      .select(col("band"), col("bkey"))
+    val candidates = buckets0
+      .join(broadcast(wide), Seq("band", "bkey"), "left_anti")
+      .groupBy(col("band"), col("bkey"))
       .agg(collect_set(col("id")).as("_ids"))
-      .filter(size(col("_ids")).between(2, maxBucket))
+      .filter(size(col("_ids")) >= 2)
       .select(explode(col("_ids")).as("ia"), col("_ids"))
       .select(col("ia"), explode(col("_ids")).as("ib"))
       .filter(col("ia") < col("ib"))

@@ -155,8 +155,7 @@ object Ingest {
     * the same bytes — idempotent end to end. */
   def streamWithRollups(edge: Dataset[WriteSample], path: String,
       checkpoint: String, rollups: Seq[Long]): StreamingQuery = {
-    rollups.foreach(b => require(b > 0 && 86400000L % b == 0,
-      s"rollup bucket ($b ms) must evenly divide a day"))
+    rollups.foreach(requireDayDivisible)
     canonicalize(edge).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -233,6 +232,31 @@ object Ingest {
     }
   }
 
+  /** Run `body` with dynamic partition-overwrite mode, restoring the
+    * prior session setting afterwards — the one save/set/restore
+    * shared by every partition-rewrite path ([[compact]],
+    * [[compactBucketedStore]], [[refreshFoldPartials]]); three
+    * hand-maintained copies were drifting apart. */
+  private def withDynamicPartitionOverwrite(spark: SparkSession)(
+      body: => Unit): Unit = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Shared guard for rollup bucket sizes: a bucket that divides a
+    * day keeps every epoch-aligned bucket inside one `date`
+    * partition, which is what makes the partials refresh date-local. */
+  private[graft] def requireDayDivisible(bucketMs: Long): Unit =
+    require(bucketMs > 0 && 86400000L % bucketMs == 0,
+      s"rollup bucket ($bucketMs ms) must evenly divide a day so a " +
+        "date partition's partials depend only on that date's samples")
+
   /** Does `path` hold any visible parquet data? Skips underscore-
     * prefixed entries (Spark hidden dirs: `_commits`, `_temporary`,
     * `_SUCCESS` leftovers) and tolerates unreadable subdirs — reading
@@ -303,13 +327,9 @@ object Ingest {
       .select(cols: _*)
       .repartition(pmod(sigCol, lit(SeriesBuckets)))
       .localCheckpoint(true)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try part.withColumn("date", lit(date))
-      .write.mode("overwrite").partitionBy("date").parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    withDynamicPartitionOverwrite(spark) {
+      part.withColumn("date", lit(date))
+        .write.mode("overwrite").partitionBy("date").parquet(path)
     }
   }
 
@@ -388,16 +408,10 @@ object Ingest {
         case Some(v) => spark.conf.set(autoKey, v)
         case None => spark.conf.unset(autoKey)
       }
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    // insertInto matches columns by POSITION: project in table order
-    try part.select(cols.map(col): _*)
-      .write.mode("overwrite").insertInto(table)
-    finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    withDynamicPartitionOverwrite(spark) {
+      // insertInto matches columns by POSITION: project in table order
+      part.select(cols.map(col): _*)
+        .write.mode("overwrite").insertInto(table)
     }
   }
 
@@ -473,9 +487,7 @@ object Ingest {
   def refreshFoldPartials(spark: SparkSession, tablePath: String,
       partialsPath: String, bucketMs: Long,
       dates: Option[Seq[String]] = None): Unit = {
-    require(bucketMs > 0 && 86400000L % bucketMs == 0,
-      s"rollup bucket ($bucketMs ms) must evenly divide a day so a " +
-        "date partition's partials depend only on that date's samples")
+    requireDayDivisible(bucketMs)
     if (!hasParquetData(spark, tablePath)) return
     if (dates.exists(_.isEmpty)) return // touched nothing: no-op
     val raw = spark.read.parquet(tablePath)
@@ -488,15 +500,9 @@ object Ingest {
       if (raw.columns.contains("sig")) col("sig") +: base else base
     val parts = foldPartials(scoped.select(cols: _*), bucketMs)
       .withColumn("date", utcDate(col("bucket_start")))
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try parts.write.mode("overwrite").partitionBy("date")
-      .parquet(partialsPath)
-    finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    withDynamicPartitionOverwrite(spark) {
+      parts.write.mode("overwrite").partitionBy("date")
+        .parquet(partialsPath)
     }
   }
 

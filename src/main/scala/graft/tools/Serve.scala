@@ -54,13 +54,21 @@ object Serve {
         val dir = java.nio.file.Files
           .createTempDirectory(s"graft-serve-rollup-$bkt")
         // temp rungs die with the server — without this every restart
-        // leaves a full partials table in /tmp (ADVICE r4)
+        // leaves a full partials table in /tmp (ADVICE r4). The walk
+        // stream is closed (it holds directory handles) and a failed
+        // delete is reported: silently leaving the rung behind is the
+        // exact leak the hook exists to prevent.
         Runtime.getRuntime.addShutdownHook(new Thread(() =>
           try {
             import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(dir).iterator().asScala.toSeq
-              .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-          } catch { case _: Throwable => () }))
+            val walk = java.nio.file.Files.walk(dir)
+            try walk.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+            finally walk.close()
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"rollup rung cleanup failed for $dir: $e")
+          }))
         val out = dir.toString
         Ingest.foldPartials(samples, bkt)
           .write.mode("overwrite").parquet(out)

@@ -112,18 +112,25 @@ class PlanShapeSpec extends SparkTestBase {
       "blocklist join must be a broadcast hash join")
   }
 
-  test("d3 banding shuffles the band rows exactly once (fused bucket " +
-      "aggregation), and the verify joins broadcast") {
+  test("d3 banding ships the band-id volume once (grouped expansion, " +
+      "count-partial sizing), and the verify joins broadcast") {
     // the 64×N band rows are THE volume of the LSH stage; an earlier
-    // shape shuffled them three times (bucket-width sizing aggregate,
-    // self-join build, self-join probe) — the fused groupBy must plan
-    // exactly one (band, bkey) exchange, with i<j pairs expanded
-    // map-side from the grouped array
+    // shape self-joined the bucket rows (build + probe shuffles on
+    // top of the sizing aggregate). The fused shape plans exactly two
+    // (band, bkey) exchanges, and only ONE carries the id volume: the
+    // sizing exchange ships map-side-combined COUNT partials (one row
+    // per bucket per task), the grouped-collect exchange ships each
+    // surviving bucket's id set once, and i<j pairs expand map-side
+    // from the grouped array. The count-based sizing must stay a
+    // PRE-filter (anti-join before the collect): filtering on
+    // size(collect_set(...)) after the fact would materialize a
+    // degenerate bucket's full width in one aggregation group.
     val p = plan("d3_minhash_lsh")
     val bandExchanges = p.linesIterator.count(l =>
       l.contains("hashpartitioning(band"))
-    assert(bandExchanges == 1,
-      s"band rows must shuffle exactly once, found $bandExchanges:\n$p")
+    assert(bandExchanges == 2,
+      s"expected the sizing + grouped-collect band exchanges, " +
+        s"found $bandExchanges:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"candidate-verify joins must broadcast, not sort-merge:\n$p")
   }

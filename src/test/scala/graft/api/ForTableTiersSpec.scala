@@ -120,4 +120,51 @@ class ForTableTiersSpec extends SparkTestBase {
         .filter(col("labels")("k") === "b").count() == 1)
     } finally tApi.stop()
   }
+
+  test("a crash between the table append and the tier refresh heals " +
+      "at the next startup (the _tiers_ok marker protocol)") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("api-table-heal").toString
+    // a server wrote one healthy batch and stopped
+    val tApi = HttpApi.forTable(spark, path, rollups = Seq(5 * m))
+    tApi.stop()
+    val healthy = (0 to 60).map(i => Ingest.WriteSample(
+      Map("__name__" -> "hm", "k" -> "a"), i * m, i.toDouble))
+    Ingest.append(Ingest.canonicalize(healthy.toDS()), path)
+    spark.catalog.refreshByPath(path)
+    Ingest.appendSeriesIndex(Ingest.canonicalize(healthy.toDS()),
+      s"$path/_index")
+    Ingest.refreshFoldPartials(spark, path,
+      Ingest.rollupPath(path, 5 * m), 5 * m)
+    // CRASH WINDOW: the sink deletes the marker, appends a batch with
+    // a NEW series, and dies before the index upsert / rung refresh
+    assert(new java.io.File(s"$path/_tiers_ok").delete() ||
+      !new java.io.File(s"$path/_tiers_ok").exists())
+    val crashed = (0 to 60).map(i => Ingest.WriteSample(
+      Map("__name__" -> "hm", "k" -> "crash"), i * m, 2.0 * i))
+    Ingest.append(Ingest.canonicalize(crashed.toDS()), path)
+    spark.catalog.refreshByPath(path)
+    // restart: the missing marker forces a full tier heal
+    val tApi2 = HttpApi.forTable(spark, path, rollups = Seq(5 * m))
+    try {
+      val e = tApi2.servingEngine
+      assert(e.hasSeriesIndex && e.allPartials.nonEmpty)
+      // the crashed batch's series is matcher-resolvable via the index
+      assert(spark.read.parquet(s"$path/_index")
+        .filter(col("labels")("k") === "crash").count() == 1)
+      // and the rung-routed query covers its points, bit-equal to raw
+      val raw = new PromQLEngine(spark, Ingest.readTable(spark, path))
+      def bits2(en: PromQLEngine) =
+        en.rangeQuery("sum_over_time(hm[10m])", 20 * m, 55 * m, 5 * m)
+          .select(col("labels")("k"), col("t"), col("v")).collect()
+          .map(r => (r.getString(0), r.getLong(1),
+            java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+      val a = bits2(raw); val b = bits2(e)
+      assert(a == b, "healed tiers diverged from raw")
+      assert(a.exists(_._1 == "crash"),
+        "healed index/rung missed the crashed batch's series")
+      assert(new java.io.File(s"$path/_tiers_ok").exists(),
+        "heal did not restore the freshness marker")
+    } finally tApi2.stop()
+  }
 }
