@@ -68,6 +68,7 @@ object DedupCrossover {
     probe("sf0.1", sf01)
     probe("sf0.1 x2 dup-dense", dense(sf01, 2))
     probe("sf0.1 x4 dup-dense", dense(sf01, 4))
+    probe("sf0.1 x8 dup-dense", dense(sf01, 8))
     spark.stop()
   }
 }
