@@ -308,12 +308,22 @@ object Dedup {
     // the other b−1 bands still vote, so recall loss stays bounded by
     // the documented banding miss probability, and the surviving
     // groups are bounded by the cap (≤ maxBucket ids each).
-    val wide = buckets0.groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("_bn"))
-      .filter(col("_bn") > maxBucket)
-      .select(col("band"), col("bkey"))
-    val candidates = buckets0
-      .join(broadcast(wide), Seq("band", "bkey"), "left_anti")
+    // ADAPTIVE guard: a bucket can only exceed the cap when the corpus
+    // itself does — for nDocs ≤ maxBucket the sizing pass proves
+    // nothing, so skip its aggregate+anti-join entirely (one count on
+    // the already-cached shingle sets, ~50 ms, vs ~0.5 s of sizing
+    // stages at sf0.1). Past the cap the pre-filter engages exactly as
+    // documented above.
+    val pruned =
+      if (sets.count() <= maxBucket) buckets0
+      else {
+        val wide = buckets0.groupBy(col("band"), col("bkey"))
+          .agg(count(lit(1)).as("_bn"))
+          .filter(col("_bn") > maxBucket)
+          .select(col("band"), col("bkey"))
+        buckets0.join(broadcast(wide), Seq("band", "bkey"), "left_anti")
+      }
+    val candidates = pruned
       .groupBy(col("band"), col("bkey"))
       .agg(collect_set(col("id")).as("_ids"))
       .filter(size(col("_ids")) >= 2)

@@ -112,27 +112,35 @@ class PlanShapeSpec extends SparkTestBase {
       "blocklist join must be a broadcast hash join")
   }
 
-  test("d3 banding ships the band-id volume once (grouped expansion, " +
-      "count-partial sizing), and the verify joins broadcast") {
+  test("d3 banding ships the band-id volume once; the skew-sizing " +
+      "pass engages only past the maxBucket cap") {
     // the 64×N band rows are THE volume of the LSH stage; an earlier
     // shape self-joined the bucket rows (build + probe shuffles on
-    // top of the sizing aggregate). The fused shape plans exactly two
-    // (band, bkey) exchanges, and only ONE carries the id volume: the
-    // sizing exchange ships map-side-combined COUNT partials (one row
-    // per bucket per task), the grouped-collect exchange ships each
-    // surviving bucket's id set once, and i<j pairs expand map-side
-    // from the grouped array. The count-based sizing must stay a
-    // PRE-filter (anti-join before the collect): filtering on
-    // size(collect_set(...)) after the fact would materialize a
-    // degenerate bucket's full width in one aggregation group.
+    // top of the sizing aggregate). Below the cap no bucket can be
+    // over-wide, so the plan is ONE grouped-collect exchange with
+    // i<j pairs expanded map-side from the grouped array...
     val p = plan("d3_minhash_lsh")
     val bandExchanges = p.linesIterator.count(l =>
       l.contains("hashpartitioning(band"))
-    assert(bandExchanges == 2,
-      s"expected the sizing + grouped-collect band exchanges, " +
+    assert(bandExchanges == 1,
+      s"sub-cap corpus must plan only the grouped-collect exchange, " +
         s"found $bandExchanges:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"candidate-verify joins must broadcast, not sort-merge:\n$p")
+    // ...and past the cap the count-based sizing PRE-filter appears
+    // (count partials only — one row per bucket per task, never the
+    // id volume) ahead of the collect: filtering on
+    // size(collect_set(...)) instead would materialize a degenerate
+    // bucket's full width in one aggregation group.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val guarded = formatted(
+      graft.llm.Dedup.minhashLshPairs(docs, 3, 0.5, maxBucket = 4))
+    val guardedExchanges = guarded.linesIterator.count(l =>
+      l.contains("hashpartitioning(band"))
+    assert(guardedExchanges == 2,
+      s"past-cap plan must add the sizing exchange:\n$guarded")
+    assert(guarded.contains("BroadcastExchange"),
+      "the wide-bucket list must broadcast into the anti-join")
   }
 
   test("t10_tfidf broadcasts df and N; tf aggregate is hash-based") {
