@@ -2032,6 +2032,54 @@ eval instant at 50m sum by (__name__) (tp)
 """)
   }
 
+  test("absent of non-selector args, scientific-notation le buckets, " +
+      "label_join with missing sources, single-sample spreads") {
+    run("""
+load 5m
+  lm{a="x"} 1+0x10
+  hs2{le="5e2"} 30+0x10
+  hs2{le="1e3"} 60+0x10
+  hs2{le="+Inf"} 100+0x10
+  one 7
+
+# absent() derives labels only from a PLAIN selector argument; any
+# other expression shape yields the bare {} 1
+eval instant at 50m absent(sum(nonexistent))
+  {} 1
+
+eval instant at 50m absent(nonexistent + on() vector(0))
+  {} 1
+
+# le values parse as Go floats: "5e2" and "1e3" are the 500/1000
+# bucket bounds (rank 0.5*100=50 -> second bucket, interpolated
+# 500 + 500*(50-30)/30)
+eval instant at 50m histogram_quantile(0.5, hs2)
+  {} 833.3333333
+
+# label_join writes the JOINED value including empty strings for
+# missing source labels (Go strings.Join, not a null-skipping concat)
+# and — unlike arithmetic — KEEPS the metric name
+eval instant at 50m label_join(lm, "dst", "-", "a", "nosuch")
+  lm{a="x", dst="x-"} 1
+
+eval instant at 50m label_join(lm, "dst", "-", "nosuch", "a")
+  lm{a="x", dst="-x"} 1
+
+# population spreads of a single sample are exactly 0
+eval instant at 12m stddev_over_time(one[5m])
+  {} 0
+
+eval instant at 12m stdvar_over_time(one[5m])
+  {} 0
+
+eval instant at 12m avg_over_time(one[5m])
+  {} 7
+
+eval instant at 12m quantile_over_time(0.9, one[5m])
+  {} 7
+""")
+  }
+
   test("sort/sort_desc put NaN at the bottom BOTH ways; clamp " +
       "propagates NaN through Go's math.Min/Max") {
     run("""
