@@ -2066,16 +2066,16 @@ eval instant at 50m label_join(lm, "dst", "-", "nosuch", "a")
   lm{a="x", dst="-x"} 1
 
 # population spreads of a single sample are exactly 0
-eval instant at 12m stddev_over_time(one[5m])
+eval instant at 5m stddev_over_time(one[5m])
   {} 0
 
-eval instant at 12m stdvar_over_time(one[5m])
+eval instant at 5m stdvar_over_time(one[5m])
   {} 0
 
-eval instant at 12m avg_over_time(one[5m])
+eval instant at 5m avg_over_time(one[5m])
   {} 7
 
-eval instant at 12m quantile_over_time(0.9, one[5m])
+eval instant at 5m quantile_over_time(0.9, one[5m])
   {} 7
 """)
   }
