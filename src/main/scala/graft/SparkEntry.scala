@@ -53,17 +53,12 @@ object SparkEntry {
   private def engine(spark: SparkSession, sfDir: String): PromQLEngine =
     new PromQLEngine(spark, Samples.fromEventsDir(spark, sfDir))
 
-  /** Collision-free session component for the fixture-cache keys.
-    * `identityHashCode` is NOT unique: a cached DataFrame pins its
-    * session, so a colliding hash from a later session could silently
-    * hand it a frame bound to the old one. A weak identity map
-    * assigns each live session one UUID instead (`sessionUUID` is
-    * `private[sql]`, so it is not usable here). */
-  private val sessionIds = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, String]())
+  /** Collision-free session component for the fixture-cache keys —
+    * shared with the events adapter's memo (see
+    * [[graft.model.Samples.sessionKey]] for the identityHashCode
+    * hazard it replaces). */
   private def sessionKey(spark: SparkSession): String =
-    sessionIds.computeIfAbsent(spark,
-      _ => java.util.UUID.randomUUID().toString)
+    Samples.sessionKey(spark)
 
   /** The docs/embeddings readers are MEMOIZED per (session, dir) so
     * repeated invocations return the SAME DataFrame object: the

@@ -300,10 +300,13 @@ object Dedup {
     // bucket shared by w ≫ maxBucket docs would otherwise have to be
     // fully materialized by collect_set before a size() filter could
     // drop it — unbounded per-group memory on exactly the adversarial
-    // corpus the guard exists for. The sizing aggregate shuffles on
-    // the SAME (band, bkey) key as the collect, so Catalyst plans one
-    // physical exchange and reuses it (plan-asserted); the wide list
-    // is ≤ rows/maxBucket entries and always broadcasts. A dropped
+    // corpus the guard exists for. The sizing pass does add a second
+    // (band, bkey) exchange when it engages (its child is buckets0,
+    // the collect's is the anti-joined rows — different subtrees, so
+    // ReuseExchange cannot merge them; plan-asserted), but it ships
+    // only map-side-combined COUNT partials — one row per bucket per
+    // task, never the id volume — and the wide list is ≤
+    // rows/maxBucket entries, so it always broadcasts. A dropped
     // over-wide bucket only loses a pair if NO other band catches it:
     // the other b−1 bands still vote, so recall loss stays bounded by
     // the documented banding miss probability, and the surviving

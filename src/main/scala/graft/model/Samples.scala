@@ -152,6 +152,19 @@ object Samples {
   private val eventsCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Collision-free session component for per-(session, dir) cache
+    * keys, shared by every fixture memo ([[fromEventsDir]], the
+    * SparkEntry derived-store caches). `identityHashCode` is NOT
+    * unique: a cached DataFrame pins its session, so a colliding hash
+    * from a later session could be handed a frame bound to a stopped
+    * one. A weak identity map assigns each live session one UUID
+    * instead (`SparkSession.sessionUUID` is `private[sql]`). */
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  def sessionKey(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(spark,
+      _ => java.util.UUID.randomUUID().toString)
+
   /** Adapter entry point, memoized + Spark-cached per (session, dir):
     * every query re-reads the same fixture table, and the reference
     * serves reads from its in-memory TSDB head block — one cached
@@ -167,7 +180,7 @@ object Samples {
     * where it additionally carries the scan's partitioning). */
   def fromEventsDir(spark: SparkSession, sfDir: String): DataFrame =
     eventsCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}:$sfDir",
+      s"${sessionKey(spark)}:$sfDir",
       _ => {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         fromEvents(spark.read.parquet(s"$sfDir/events.parquet"))
