@@ -827,7 +827,9 @@ object HttpApi {
     * missing tiers are bootstrapped once at startup. */
   def forTable(spark: SparkSession, path: String, port: Int = 0,
       rules: Option[graft.streaming.RecordingRules.Group] = None,
-      rollups: Seq[Long] = Nil): HttpApi = {
+      rollups: Seq[Long] = Nil,
+      indexCompactThreshold: Int = 4 * graft.storage.Ingest.SeriesBuckets)
+      : HttpApi = {
     import graft.storage.Ingest
     // fail at construction, not on the first /write: a rung that does
     // not divide a day would otherwise surface as a 500 to the writer
@@ -920,6 +922,18 @@ object HttpApi {
         }
       }
       spark.catalog.refreshByPath(indexPath)
+      // bound index fragmentation: every batch with novel sigs appends
+      // a file, so a long-running writer would accumulate thousands of
+      // tiny files on the dimension table every matcher scans — when
+      // the listing crosses the threshold (default 4× the compacted
+      // width), rewrite it in place (cheap fs listing per write; the
+      // compaction itself runs rarely and inside the same write lock)
+      val idxDir = new org.apache.hadoop.fs.Path(indexPath)
+      if (tableFs.exists(idxDir) &&
+          tableFs.listStatus(idxDir).count(
+            _.getPath.getName.endsWith(".parquet")) > indexCompactThreshold) {
+        graft.storage.Ingest.compactSeriesIndex(spark, indexPath)
+      }
       // tiers are consistent with the committed table again
       tableFs.create(tiersOk, true).close()
       api.swapEngine(freshEngine()).releaseSeriesDim()

@@ -517,8 +517,16 @@ object Ingest {
     * the overwrite so the job never reads files it is deleting. */
   def compactSeriesIndex(spark: SparkSession, path: String): Unit = {
     if (!hasParquetData(spark, path)) return
-    val idx = spark.read.parquet(path)
-      .repartition(SeriesBuckets, pmod(col("sig"), lit(SeriesBuckets)))
+    val idx0 = spark.read.parquet(path)
+    // size the output to the index volume — one file per ~1M series,
+    // capped at SeriesBuckets: a fixed 32-way fan-out would FRAGMENT
+    // a small index (rewriting 40 rows into 32 files), defeating the
+    // compaction; a 40M-series index still lands on the full width
+    val rows = idx0.count()
+    val files = math.max(1L,
+      math.min(SeriesBuckets.toLong, 1 + rows / 1000000L)).toInt
+    val idx = idx0
+      .repartition(files, pmod(col("sig"), lit(files)))
       .localCheckpoint(true)
     idx.write.mode("overwrite").parquet(path)
     spark.catalog.refreshByPath(path)

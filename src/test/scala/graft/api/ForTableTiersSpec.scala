@@ -121,6 +121,38 @@ class ForTableTiersSpec extends SparkTestBase {
     } finally tApi.stop()
   }
 
+  test("the write path auto-compacts the series index past the " +
+      "fragmentation threshold") {
+    val path = Files.createTempDirectory("api-table-compact").toString
+    val tApi = HttpApi.forTable(spark, path, indexCompactThreshold = 3)
+    tApi.start()
+    try {
+      def postT(body: String): Int = {
+        val url = new URI(
+          s"http://127.0.0.1:${tApi.boundPort}/api/v1/write").toURL
+        val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes(UTF_8))
+        conn.getResponseCode
+      }
+      def idxFiles: Int = new java.io.File(s"$path/_index").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      // each write carries a NOVEL series → one index file per write
+      // when uncompacted, so 8 writes would mean exactly 8 files; the
+      // threshold-3 compactions must keep growth SUB-linear (the
+      // rewritten bucket files fan out by sig, so the exact count
+      // depends on hash placement — the invariant is boundedness, not
+      // a specific number)
+      for (i <- 1 to 8)
+        assert(postT(s"""{"labels":{"__name__":"cm","k":"$i"},"t":0,"v":$i}""") == 200)
+      assert(idxFiles < 8,
+        s"index never compacted: $idxFiles files for 8 single-series writes")
+      // the rewrites lost nothing: every series ever written answers
+      assert(spark.read.parquet(s"$path/_index").count() == 8)
+      assert(tApi.servingEngine.series("cm").size == 8)
+    } finally tApi.stop()
+  }
+
   test("a crash between the table append and the tier refresh heals " +
       "at the next startup (the _tiers_ok marker protocol)") {
     import spark.implicits._
