@@ -1902,6 +1902,17 @@ eval instant at 50m rx{s!~"a+"}
   rx{s="b"} 3
 
 eval_fail instant at 50m rx{s=~"(a"}
+
+# RE2 inline flags are in the Java-regex common subset: (?i) applies
+# case-insensitivity inside the anchored wrap. (Full RE2 parity is
+# not total — Java additionally accepts backreferences RE2 rejects —
+# but every RE2-legal pattern behaves identically here.)
+eval instant at 50m rx{s=~"(?i)AA"}
+  rx{s="aa"} 1
+
+eval instant at 50m rx{s=~"(?i)a[AB]"}
+  rx{s="aa"} 1
+  rx{s="ab"} 2
 """)
   }
 
