@@ -1935,6 +1935,14 @@ eval_fail instant at 50m 1 and 2
 eval_fail instant at 50m foo and scalar(foo)
 
 eval_fail instant at 50m histogram_quantile(0.9, foo[5m])
+
+# modern-grammar shapes this vintage must REJECT: subquery ranges,
+# the @ modifier, and negative offsets all postdate it
+eval_fail instant at 50m rate(foo[5m:1m])
+
+eval_fail instant at 50m foo @ 1500
+
+eval_fail instant at 50m foo offset -5m
 """)
   }
 
