@@ -683,6 +683,27 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
     m("graft_engine_reagg_hits_total",
       "Aggregations served by re-aggregating a finer partial.", "counter",
       engine.reaggHits.get())
+    // which acceleration tier served each range-function evaluation —
+    // routing is silent by design (results are bit-identical either
+    // way), so this counter is how an operator verifies dashboards
+    // actually hit the materialized rungs
+    val routes = engine.routeHits
+    if (!routes.isEmpty) {
+      sb.append("# HELP graft_engine_route_total Range-function " +
+        "evaluations served per acceleration route.\n")
+      sb.append("# TYPE graft_engine_route_total counter\n")
+      import scala.jdk.CollectionConverters._
+      routes.asScala.toSeq.sortBy(_._1).foreach { case (key, n) =>
+        val (route, bucket) = key.split(':') match {
+          case Array(r, b) => (r, b)
+          case _ => (key, "")
+        }
+        val lbl = if (bucket.nonEmpty)
+          s"""{route="$route",bucket_ms="$bucket"}"""
+        else s"""{route="$route"}"""
+        sb.append(s"graft_engine_route_total$lbl ${n.get()}\n")
+      }
+    }
     sb.toString
   }
 

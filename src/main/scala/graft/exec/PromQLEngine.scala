@@ -586,6 +586,22 @@ class PromQLEngine(
     * finer partial result instead of re-reducing the sample volume. */
   private[graft] val reaggHits = new java.util.concurrent.atomic.AtomicLong
 
+  /** Route observability: how many range-function evaluations each
+    * acceleration tier served (`fold_partials:<bucketMs>`,
+    * `rate_partials:<bucketMs>`, `instant_partials:<bucketMs>`,
+    * `sliding_fold`, `bucketed_query_time`, `raw_general`) — surfaced as
+    * `graft_engine_route_total` on `/metrics` so an operator can SEE
+    * whether production dashboards actually hit the materialized
+    * tiers (the routing is silent by design: results are
+    * bit-identical either way, so only a counter can tell). Like
+    * [[reaggHits]], scoped to this engine instance. */
+  private[graft] val routeHits = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
+  private def countRoute(route: String, bucketMs: Long = -1L): Unit =
+    routeHits.computeIfAbsent(
+      if (bucketMs > 0) s"$route:$bucketMs" else route,
+      _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
+
   private def evalRoot(e: Expr, tr: EvalRange): Value = {
     memo.get().clear()
     aggMemo.get().clear()
@@ -1224,6 +1240,7 @@ class PromQLEngine(
     val o = selector.offsetMs
     val anchor = tr.startMs - o
     bestPartials(tr.stepMs, anchor).map { case (tbl, bkt) =>
+      countRoute("fold_partials", bkt)
       val ms = allMatchers(selector)
       val rows = tbl
         .filter(ms.map(matcherCond).reduce(_ && _))
@@ -1289,6 +1306,7 @@ class PromQLEngine(
     * partial merge already does. */
   private def slidingFold(selector: VectorSelector, w: Long, tr: EvalRange,
       name: String): DataFrame = {
+    countRoute("sliding_fold")
     val step = tr.stepMs
     val m = (w / step).toInt
     val n = tr.numSteps
@@ -1397,6 +1415,7 @@ class PromQLEngine(
     val isStart = pmod(col("_rel"), lit(step)) === 0
 
     val partials = materializedStepPartials(selector, w, tr).getOrElse {
+      countRoute("bucketed_query_time")
       bucketedBase(selector, w, tr)
         .withColumn("_b", b).withColumn("_s0", isStart)
         .groupBy(col(SIG), col("_b"))
@@ -1487,6 +1506,7 @@ class PromQLEngine(
     val o = selector.offsetMs
     val anchor = tr.startMs - o
     bestPartials(tr.stepMs, anchor).map { case (tbl, bkt) =>
+      countRoute("rate_partials", bkt)
       val ms = allMatchers(selector)
       val rel = col("bucket_start") - anchor
       val onStep = pmod(rel, lit(tr.stepMs)) === 0
@@ -1537,6 +1557,7 @@ class PromQLEngine(
     val isStart = pmod(col("_rel"), lit(step)) === 0
 
     val partials = materializedRatePartials(selector, w, tr).getOrElse {
+      countRoute("bucketed_query_time")
       val wspec = Window.partitionBy(col(SIG), col("_b")).orderBy(col("_rel"))
       val pv = lag(col(V), 1).over(wspec)
       bucketedBase(selector, w, tr)
@@ -1613,6 +1634,7 @@ class PromQLEngine(
     val o = selector.offsetMs
     val anchor = tr.startMs - o
     bestPartials(tr.stepMs, anchor, needTop2 = true).map { case (tbl, bkt) =>
+      countRoute("instant_partials", bkt)
       val ms = allMatchers(selector)
       val rel = col("bucket_start") - anchor
       val onStep = pmod(rel, lit(tr.stepMs)) === 0
@@ -1664,6 +1686,7 @@ class PromQLEngine(
     // former max(struct(rel, v)) tie-break reduces to max(v) — kept as
     // primitive aggregates so the whole aggregation stays hash-based
     val partials = materializedInstantPartials(selector, w, tr).getOrElse {
+      countRoute("bucketed_query_time")
       val wspec = Window.partitionBy(col(SIG), col("_b"))
         .orderBy(col("_rel").desc)
       bucketedBase(selector, w, tr)
@@ -1776,6 +1799,8 @@ class PromQLEngine(
       return bucketedInstant(ms.selector, ms.rangeMs, tr,
         isRate = name == "irate")
 
+    // none of the accelerated routes fired: the general windowed path
+    countRoute("raw_general")
     lazy val win = windowed(ms.selector, ms.rangeMs, tr)
     val consts = scalarArgs.map(a => constFold(a).getOrElse(
       throw new IllegalArgumentException(

@@ -108,6 +108,15 @@ class ForTableTiersSpec extends SparkTestBase {
       assert(a2.exists(_._2 > 120 * m),
         "refresh did not pick up the second write's points")
 
+      // the serving engine's route counters surface on /metrics — the
+      // bits() comparisons above ran rate/sum/irate through the rungs
+      val metricsUrl = new URI(
+        s"http://127.0.0.1:${tApi.boundPort}/metrics").toURL
+      val metrics = new String(
+        metricsUrl.openStream().readAllBytes(), UTF_8)
+      assert(metrics.contains("graft_engine_route_total{route=\"rate_partials\""),
+        s"route counters missing from /metrics:\n$metrics")
+
       // a new series in the second batch reaches the index incrementally
       assert(postT("/api/v1/write",
         """{"labels":{"__name__":"live_m","k":"b"},"t":0,"v":1}""") == 200)

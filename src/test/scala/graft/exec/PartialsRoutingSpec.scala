@@ -51,6 +51,18 @@ class PartialsRoutingSpec extends SparkTestBase {
       assert(a == b, s"$q diverged between raw and partials paths")
       assert(a.nonEmpty)
     }
+    // the route counters (the /metrics observability surface) agree
+    // with what actually ran: every routed query hit the 5m partials,
+    // every raw one fell through to the general path
+    assert(Option(routed.routeHits.get(s"fold_partials:${5 * m}"))
+      .exists(_.get() >= funcs.size), "routed engine did not count its hits")
+    assert(routed.routeHits.get("raw_general") == null,
+      "routed engine unexpectedly fell back to the general path")
+    // the partials-less engine serves the same aligned grids from the
+    // QUERY-TIME bucketed path (m=2 is bucketable), not the general one
+    assert(Option(raw.routeHits.get("bucketed_query_time"))
+      .exists(_.get() > 0),
+      "raw engine did not count its query-time bucketed evaluations")
   }
 
   test("rate/increase/delta route at step == bucket, bit-identical to " +
