@@ -387,6 +387,7 @@ class PromQLEngine(
     val o = vs.offsetMs
     val anchor = tr.startMs - o
     bestPartials(tr.stepMs, anchor).map { case (tbl, bkt) =>
+      countRoute("select_partials", bkt)
       val ms = allMatchers(vs)
       val rel = col("bucket_start") - anchor
       val onStep = pmod(rel, lit(tr.stepMs)) === 0
@@ -589,7 +590,8 @@ class PromQLEngine(
   /** Route observability: how many range-function evaluations each
     * acceleration tier served (`fold_partials:<bucketMs>`,
     * `rate_partials:<bucketMs>`, `instant_partials:<bucketMs>`,
-    * `sliding_fold`, `bucketed_query_time`, `raw_general`) — surfaced as
+    * `select_partials:<bucketMs>`, `sliding_fold`, `bucketed_query_time`,
+    * `raw_general`) — surfaced as
     * `graft_engine_route_total` on `/metrics` so an operator can SEE
     * whether production dashboards actually hit the materialized
     * tiers (the routing is silent by design: results are
