@@ -2157,6 +2157,35 @@ eval instant at 50m topk(2, tk)
 
 eval instant at 50m bottomk(1, tk{s=~"lo|hi"})
   tk{s="lo"} 100
+
+# bottomk mirrors topk: NaN loses the comparison both ways, so it is
+# included only when k reaches the full set
+eval instant at 50m bottomk(3, tk)
+  tk{s="lo"} 100
+  tk{s="hi"} 300
+  tk{s="nan"} NaN
+
+eval instant at 50m bottomk(2, tk)
+  tk{s="lo"} 100
+  tk{s="hi"} 300
+
+# spread aggregations across series: one NaN poisons the whole group
+# (Go float arithmetic, no NaN-skipping)
+eval instant at 50m stddev(tk)
+  {} NaN
+
+eval instant at 50m stdvar(tk)
+  {} NaN
+
+eval instant at 50m stddev(tk{s=~"lo|hi"})
+  {} 100
+
+# scalar()/vector() roundtrips: multi-element -> NaN propagates
+eval instant at 50m vector(scalar(tk))
+  {} NaN
+
+eval instant at 50m vector(scalar(tk{s="lo"}))
+  {} 100
 """)
   }
 }
