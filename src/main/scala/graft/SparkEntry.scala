@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.api.Prompb
 import graft.exec.PromQLEngine
 import graft.llm.{AnnWitness, Dedup, Multimodal, Similarity, TextOps}
 import graft.model.Samples
@@ -313,6 +314,103 @@ object SparkEntry {
   // ---- operator queries -------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/S5: prompb wire codec roundtrip witness — encode a known
+    // WriteRequest (staleness-marker bits included), snappy-compress,
+    // decode, and emit one scalar verdict row: sizes, a CRC32 of the
+    // protobuf bytes (our encoder is deterministic, so the bytes are
+    // pinnable), and bit-exact roundtrip verdicts. Converts the wire
+    // tier from unit-only to driver-hash-checked (same literal-oracle
+    // pattern as the ANN witnesses).
+    "s1_prompb_roundtrip" -> ((spark, dir) => {
+      import spark.implicits._
+      val req = Prompb.WriteRequest(Seq(
+        Prompb.TimeSeries(
+          Seq(Prompb.Label("__name__", "wire_m"), Prompb.Label("k", "a")),
+          Seq(Prompb.Sample(1.5, 1000L),
+            Prompb.Sample(Samples.StaleNaN, 2000L))),
+        Prompb.TimeSeries(
+          Seq(Prompb.Label("__name__", "wire_m"), Prompb.Label("k", "b")),
+          Seq(Prompb.Sample(-3.25, 3000L)))))
+      val enc = Prompb.encodeWriteRequest(req)
+      val dec = Prompb.decodeWriteRequest(
+        Prompb.snappyUncompress(Prompb.snappyCompress(enc)))
+      def bits(ts: Seq[Prompb.TimeSeries]) = ts.map(s => (s.labels,
+        s.samples.map(p =>
+          (java.lang.Double.doubleToRawLongBits(p.value), p.timestamp))))
+      val ok = bits(dec.timeseries) == bits(req.timeseries)
+      // the marker's signalling-NaN payload must survive the fixed64
+      // wire both ways — the staleness contract of S1/S5
+      val markerOk = java.lang.Double.doubleToRawLongBits(
+        dec.timeseries.head.samples(1).value) == Samples.StaleNaNBits
+      val crc = new java.util.zip.CRC32(); crc.update(enc)
+      Seq((req.timeseries.size.toLong,
+        req.timeseries.map(_.samples.size).sum.toLong,
+        enc.length.toLong, crc.getValue,
+        (if (ok) 1L else 0L), (if (markerOk) 1L else 0L)))
+        .toDF("n_series", "n_samples", "proto_len", "proto_crc32",
+          "roundtrip_ok", "marker_bits_ok")
+    }),
+    // S3: duplicate-timestamp policy as driver-visible rows — identical
+    // dups collapse, conflicting dups resolve to the min, a marker at
+    // an existing timestamp wins the stale flag (tsdb/head.go:1150-1166
+    // semantics, batch formulation; the strict ErrAmendSample arm stays
+    // unit-tested because an error cannot be a row)
+    "s3_dedup_policy" -> ((spark, dir) => {
+      import spark.implicits._
+      val edge = Seq(
+        Ingest.WriteSample(Map("__name__" -> "dm"), 0L, 5.0),
+        Ingest.WriteSample(Map("__name__" -> "dm"), 0L, 5.0),
+        Ingest.WriteSample(Map("__name__" -> "dm"), 60000L, 9.0),
+        Ingest.WriteSample(Map("__name__" -> "dm"), 60000L, 3.0),
+        Ingest.WriteSample(Map("__name__" -> "dm"), 120000L, 7.0),
+        Ingest.WriteSample(Map("__name__" -> "dm"), 180000L, 2.0),
+        Ingest.WriteSample(Map("__name__" -> "dm"), 180000L, Samples.StaleNaN))
+      Ingest.dedup(Ingest.canonicalize(edge.toDS()), strict = false)
+        .select(col("t"), when(col("stale"), lit(0.0)).otherwise(col("v"))
+          .as("v"), col("stale"))
+    }),
+    // P5: staleness semantics as driver-visible rows — a marker as the
+    // newest lookback point hides the series (no fallback to older
+    // samples), the series returns with its next real sample, and
+    // range windows drop markers from the sample set. The NaN PAYLOAD
+    // can't cross a DuckDB oracle, but these row-level EFFECTS can.
+    "p5_staleness" -> ((spark, dir) => {
+      val rows = Seq(
+        ("a", 0L, 1.0, false), ("a", 60000L, Double.NaN, true),
+        ("a", 120000L, 3.0, false),
+        ("b", 0L, 5.0, false), ("b", 60000L, 6.0, false),
+        ("b", 120000L, 7.0, false))
+      import spark.implicits._
+      val df = rows.toDF("k", "t", "v", "stale").select(
+        map(lit(Samples.MetricNameLabel), lit("pm5"),
+          lit("k"), col("k")).as("labels"),
+        col("t"), col("v"), col("stale"))
+      val e = new PromQLEngine(spark, df)
+      def shape(probe: String, q: DataFrame) = q.select(
+        lit(probe).as("probe"), col("labels")("k").as("k"), col("t"),
+        col("v").cast("float").as("v"))
+      shape("instant_at_marker", e.instant("pm5", 60000L))
+        .unionByName(shape("instant_after", e.instant("pm5", 120000L)))
+        .unionByName(shape("range_count",
+          e.rangeQuery("count_over_time(pm5[2m])", 120000L, 120000L, 60000L)))
+    }),
+    // L3: metric-name semantics as driver-visible rows — functions and
+    // arithmetic DROP __name__, comparison filters KEEP it (the
+    // vintage drop list, engine.go:1061-1063 + funcs)
+    "l3_name_drop" -> ((spark, dir) => {
+      import spark.implicits._
+      val df = Seq(("a", 0L, 4.0, false)).toDF("k", "t", "v", "stale")
+        .select(map(lit(Samples.MetricNameLabel), lit("l3m"),
+          lit("k"), col("k")).as("labels"), col("t"), col("v"), col("stale"))
+      val e = new PromQLEngine(spark, df)
+      def shape(probe: String, q: DataFrame) = q.select(
+        lit(probe).as("probe"),
+        col("labels")(Samples.MetricNameLabel).as("name"),
+        col("labels")("k").as("k"), col("v").cast("float").as("v"))
+      shape("func", e.instant("abs(l3m)", 0L))
+        .unionByName(shape("arith", e.instant("l3m + 0", 0L)))
+        .unionByName(shape("filter", e.instant("l3m > 0", 0L)))
+    }),
     // S4: selector scan — matchers + time predicate, Catalyst pushdown
     "s4_scan" -> ((spark, dir) => {
       val ss = Samples.fromEventsDir(spark, dir)
@@ -1427,6 +1525,33 @@ object SparkEntry {
          |    WHEN c4 >= rk THEN 50 + (100 - 50) * ((rk - c3) / (c4 - c3))
          |    ELSE 100 END AS REAL) AS v
          |FROM q""".stripMargin,
+    // wire/staleness/name/dedup semantic witnesses: literal oracles
+    // (the fixtures are synthetic constants; the rows are derived from
+    // the reference's documented semantics — see each entry's comment)
+    "s1_prompb_roundtrip" ->
+      """SELECT CAST(2 AS BIGINT) AS n_series, CAST(3 AS BIGINT) AS n_samples,
+        |  CAST(102 AS BIGINT) AS proto_len,
+        |  CAST(2232579234 AS BIGINT) AS proto_crc32,
+        |  CAST(1 AS BIGINT) AS roundtrip_ok,
+        |  CAST(1 AS BIGINT) AS marker_bits_ok""".stripMargin,
+    "s3_dedup_policy" ->
+      """SELECT CAST(0 AS BIGINT) AS t, CAST(5.0 AS DOUBLE) AS v, false AS stale
+        |UNION ALL SELECT 60000, CAST(3.0 AS DOUBLE), false
+        |UNION ALL SELECT 120000, CAST(7.0 AS DOUBLE), false
+        |UNION ALL SELECT 180000, CAST(0.0 AS DOUBLE), true""".stripMargin,
+    "p5_staleness" ->
+      """SELECT 'instant_at_marker' AS probe, 'b' AS k,
+        |  CAST(60000 AS BIGINT) AS t, CAST(6.0 AS REAL) AS v
+        |UNION ALL SELECT 'instant_after', 'a', 120000, CAST(3.0 AS REAL)
+        |UNION ALL SELECT 'instant_after', 'b', 120000, CAST(7.0 AS REAL)
+        |UNION ALL SELECT 'range_count', 'a', 120000, CAST(2.0 AS REAL)
+        |UNION ALL SELECT 'range_count', 'b', 120000, CAST(3.0 AS REAL)""".stripMargin,
+    "l3_name_drop" ->
+      """SELECT 'func' AS probe, CAST(NULL AS VARCHAR) AS name,
+        |  'a' AS k, CAST(4.0 AS REAL) AS v
+        |UNION ALL SELECT 'arith', CAST(NULL AS VARCHAR), 'a', CAST(4.0 AS REAL)
+        |UNION ALL SELECT 'filter', 'l3m', 'a', CAST(4.0 AS REAL)""".stripMargin,
+
     // expected rows derived from the vendored quantile.go algorithm on
     // the entry's synthetic fixture (see the entry's comment for the
     // per-series derivation); literal oracle like the ANN witnesses —
