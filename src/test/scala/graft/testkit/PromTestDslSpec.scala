@@ -1946,6 +1946,39 @@ eval_fail instant at 50m foo offset -5m
 """)
   }
 
+  test("rate family with a NaN mid-window: Go comparisons are false " +
+      "with NaN, so it is NOT a counter reset") {
+    run("""
+load 5m
+  rn 0 5 NaN 10 15
+
+# the NaN sample adds no counterCorrection (5 < NaN and NaN < 10 are
+# both false in Go — functions.go:70-75), so increase is last − first
+# with both boundary extrapolations zero (samples sit on the bounds)
+eval instant at 20m increase(rn[20m])
+  {} 15
+
+eval instant at 20m delta(rn[20m])
+  {} 15
+
+eval instant at 20m rate(rn[20m])
+  {} 0.0125
+
+# resets: same false comparisons — zero resets across the NaN
+eval instant at 20m resets(rn[20m])
+  {} 0
+
+# irate at the window end sees (10, 15): finite, no reset
+eval instant at 20m irate(rn[20m])
+  {} 0.016666667
+
+# but an irate whose newest pair INCLUDES the NaN propagates it:
+# 10 < NaN is false -> plain difference NaN - 5 = NaN
+eval instant at 10m irate(rn[10m])
+  {} NaN
+""")
+  }
+
   test("counter-function NaN transitions and the irate reset branch " +
       "(functions.go:154-177,731-776)") {
     run("""
