@@ -69,7 +69,13 @@ object BenchFormat {
   def line(results: Seq[(String, Double, Double)], coldTotal: Double,
       qps: Double, mixedQps: Double, sfNum: String): String = {
     val short = shortKeys(results.map(_._1))
-    val qs = results.map { case (k, _, w) => "\"" + short(k) + "\":" + r2(w) }
+    // adaptive precision: centiseconds under 10s, deciseconds above —
+    // the worst-case line width is what the driver's ~2000-char stdout
+    // window bounds, and ≥10s readings don't need the second decimal
+    def rq(d: Double) =
+      if (d < 9.995) r2(d)
+      else "%.1f".formatLocal(java.util.Locale.ROOT, d)
+    val qs = results.map { case (k, _, w) => "\"" + short(k) + "\":" + rq(w) }
       .mkString("{", ",", "}")
     val total = results.map(_._3).sum
     s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"cold_sec":${r2(coldTotal)},"instant_qps":${r2(qps)},"mixed_qps":${r2(mixedQps)},"sf":$sfNum}"""

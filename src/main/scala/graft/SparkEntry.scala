@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.api.Prompb
+import graft.api.{HttpApi, Prompb}
 import graft.exec.PromQLEngine
 import graft.llm.{AnnWitness, Dedup, Multimodal, Similarity, TextOps}
 import graft.model.Samples
@@ -349,6 +349,58 @@ object SparkEntry {
         (if (ok) 1L else 0L), (if (markerOk) 1L else 0L)))
         .toDF("n_series", "n_samples", "proto_len", "proto_crc32",
           "roundtrip_ok", "marker_bits_ok")
+    }),
+    // S5: remote-read egress witness — a fixed ReadRequest query
+    // (matcher + time bounds) runs through the PRODUCTION egress path
+    // (HttpApi.readQueryResult → prompb ReadResponse → snappy), and
+    // the verdict row pins: series/sample counts after matcher+bound
+    // filtering (the non-matching metric and the out-of-bounds sample
+    // must be absent), a CRC32 of the deterministic ReadResponse proto
+    // bytes, the snappy+proto roundtrip, the StaleNaN payload's
+    // fixed64 survival, and the codec ordering contract (series by
+    // labels.Compare, labels name-sorted, samples by timestamp) —
+    // mirroring s1_prompb_roundtrip for the read direction
+    // (internal/read/read.go:45-126, storage/remote/codec.go:111-139).
+    "s5_read_roundtrip" -> ((spark, dir) => {
+      import spark.implicits._
+      val fixture = Seq(
+        ("wire_m", "a", 1000L, 1.5, false),
+        ("wire_m", "a", 2000L, Double.NaN, true), // staleness marker
+        ("wire_m", "b", 1500L, -3.25, false),
+        ("wire_m", "b", 9000L, 4.0, false), // > endMs: bound-excluded
+        ("wire_x", "a", 1000L, 7.0, false)) // matcher-excluded
+      val df = fixture.toDF("name", "k", "t", "v", "stale").select(
+        map(lit(Samples.MetricNameLabel), col("name"),
+          lit("k"), col("k")).as("labels"),
+        col("t"), col("v"), col("stale"))
+      val e = new PromQLEngine(spark, df)
+      val q = Prompb.Query(0L, 2500L,
+        Seq(Prompb.LabelMatcher(0, Samples.MetricNameLabel, "wire_m")))
+      val qr = HttpApi.readQueryResult(e, q)
+      val enc = Prompb.encodeReadResponse(Prompb.ReadResponse(Seq(qr)))
+      val dec = Prompb.decodeReadResponse(
+        Prompb.snappyUncompress(Prompb.snappyCompress(enc)))
+      def bits(ts: Seq[Prompb.TimeSeries]) = ts.map(s => (s.labels,
+        s.samples.map(p =>
+          (java.lang.Double.doubleToRawLongBits(p.value), p.timestamp))))
+      val ds = dec.results.head.timeseries
+      val roundtripOk = bits(ds) == bits(qr.timeseries)
+      val markerOk = java.lang.Double.doubleToRawLongBits(
+        ds.head.samples(1).value) == Samples.StaleNaNBits
+      val orderOk =
+        ds.map(_.labels.map(_.name)).forall(ns => ns == ns.sorted) &&
+          ds.map(_.labels.map(l => s"${l.name} ${l.value}")
+            .mkString("")).sliding(2).forall(w =>
+              w.size < 2 || w(0) <= w(1)) &&
+          ds.forall(s => s.samples.map(_.timestamp) ==
+            s.samples.map(_.timestamp).sorted)
+      val crc = new java.util.zip.CRC32(); crc.update(enc)
+      Seq((ds.size.toLong, ds.map(_.samples.size).sum.toLong,
+        enc.length.toLong, crc.getValue,
+        (if (roundtripOk) 1L else 0L), (if (markerOk) 1L else 0L),
+        (if (orderOk) 1L else 0L)))
+        .toDF("n_series", "n_samples", "proto_len", "proto_crc32",
+          "roundtrip_ok", "marker_bits_ok", "order_ok")
     }),
     // S3: duplicate-timestamp policy as driver-visible rows — identical
     // dups collapse, conflicting dups resolve to the min, a marker at
@@ -1534,6 +1586,13 @@ object SparkEntry {
         |  CAST(2232579234 AS BIGINT) AS proto_crc32,
         |  CAST(1 AS BIGINT) AS roundtrip_ok,
         |  CAST(1 AS BIGINT) AS marker_bits_ok""".stripMargin,
+    "s5_read_roundtrip" ->
+      """SELECT CAST(2 AS BIGINT) AS n_series, CAST(3 AS BIGINT) AS n_samples,
+        |  CAST(104 AS BIGINT) AS proto_len,
+        |  CAST(2422794877 AS BIGINT) AS proto_crc32,
+        |  CAST(1 AS BIGINT) AS roundtrip_ok,
+        |  CAST(1 AS BIGINT) AS marker_bits_ok,
+        |  CAST(1 AS BIGINT) AS order_ok""".stripMargin,
     "s3_dedup_policy" ->
       """SELECT CAST(0 AS BIGINT) AS t, CAST(5.0 AS DOUBLE) AS v, false AS stale
         |UNION ALL SELECT 60000, CAST(3.0 AS DOUBLE), false

@@ -89,8 +89,7 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
 
   // ---- plumbing ----------------------------------------------------------
 
-  private case class ApiError(status: Int, errorType: String, msg: String)
-    extends RuntimeException(msg)
+  import HttpApi.ApiError
 
   /** The reference sets these on every API response and answers
     * OPTIONS with 204 (`api.go:54-59`, `setCORS` at `api.go:79-82`). */
@@ -246,15 +245,7 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
 
   // ---- JSON rendering ----------------------------------------------------
 
-  private def esc(s: String): String = s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  }
+  private def esc(s: String): String = HttpApi.esc(s)
 
   private def metricJson(labels: Map[String, String]): String =
     labels.toSeq.sortBy(_._1)
@@ -761,55 +752,10 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
           s"cannot decode read request: ${e.getMessage}")
       }
     val results = req.queries.map { q =>
-      val selector = selectorFor(q.matchers)
-      // markers INCLUDED: the reference's remote read serves stored
-      // samples, staleness markers among them — a federating reader
-      // that never receives a series' end marker resurrects its last
-      // value for a full lookback window. The stale flag travels as a
-      // column (Tungsten normalizes NaN bits) and the StaleNaN payload
-      // is reconstituted driver-side; prompb's fixed64 carries the
-      // exact bits over the wire.
-      val rows = gated {
-        engine
-          .rawSamplesWithMarkers(selector, Some(q.startMs), Some(q.endMs))
-          .collect().toSeq.map { r =>
-            val v = if (r.getBoolean(3)) Samples.StaleNaN else r.getDouble(2)
-            (r.getMap[String, String](0).toMap, r.getLong(1), v)
-          }
-      }
-      val series = rows.groupBy(_._1).toSeq
-        .sortBy { case (l, _) => l }(Samples.labelsOrdering)
-        .map { case (l, pts) =>
-          Prompb.TimeSeries(
-            l.toSeq.sortBy(_._1).map { case (k, v) => Prompb.Label(k, v) },
-            pts.sortBy(_._2).map { case (_, t, v) => Prompb.Sample(v, t) })
-        }
-      Prompb.QueryResult(series)
+      gated { HttpApi.readQueryResult(engine, q) }
     }
     Prompb.snappyCompress(
       Prompb.encodeReadResponse(Prompb.ReadResponse(results)))
-  }
-
-  /** prompb matchers → a PromQL selector the engine evaluates
-    * (`read.go:127-152`'s fromLabelMatchers, inverted through our
-    * parser — the lexer's Go-style escapes make any label value
-    * representable). */
-  private def selectorFor(ms: Seq[Prompb.LabelMatcher]): String = {
-    if (ms.isEmpty)
-      throw ApiError(400, "bad_data", "read query has no matchers")
-    val parts = ms.map { m =>
-      val op = m.typ match {
-        case 0 => "="
-        case 1 => "!="
-        case 2 => "=~"
-        case 3 => "!~"
-        case t => throw ApiError(400, "bad_data", s"unknown matcher type $t")
-      }
-      if (!Samples.isValidLabelName(m.name))
-        throw ApiError(400, "bad_data", s"invalid matcher name: ${m.name}")
-      s"""${m.name}$op"${esc(m.value)}""""
-    }
-    s"{${parts.mkString(",")}}"
   }
 
   private def parseOr400(query: String): Ast.Expr =
@@ -821,6 +767,9 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
 }
 
 object HttpApi {
+  private[api] case class ApiError(status: Int, errorType: String,
+      msg: String) extends RuntimeException(msg)
+
   /** A server over an [[graft.storage.Ingest]] table where `/write`
     * appends land in the SAME table the queries read: after each
     * write the sink rebuilds the engine over a fresh file listing and
@@ -961,6 +910,70 @@ object HttpApi {
     }
     api = new HttpApi(spark, freshEngine(), Some(sink), port, rules)
     api
+  }
+
+  /** One remote-read query's egress (S5, `internal/read/read.go:45-126`
+    * + `storage/remote/codec.go:111-139` ToQueryResult): matchers become
+    * a selector the engine scans with the time bounds pushed down;
+    * series sorted by `labels.Compare`, labels name-sorted, samples by
+    * timestamp. Markers INCLUDED: the reference's remote read serves
+    * stored samples, staleness markers among them — a federating reader
+    * that never receives a series' end marker resurrects its last value
+    * for a full lookback window. The stale flag travels as a column
+    * (Tungsten normalizes NaN bits) and the StaleNaN payload is
+    * reconstituted driver-side; prompb's fixed64 carries the exact bits
+    * over the wire. Shared by the live `/read` handler and the
+    * `s5_read_roundtrip` oracle witness so the witness exercises the
+    * production egress path. */
+  def readQueryResult(engine: PromQLEngine, q: Prompb.Query)
+      : Prompb.QueryResult = {
+    val selector = selectorFor(q.matchers)
+    val rows = engine
+      .rawSamplesWithMarkers(selector, Some(q.startMs), Some(q.endMs))
+      .collect().toSeq.map { r =>
+        val v = if (r.getBoolean(3)) Samples.StaleNaN else r.getDouble(2)
+        (r.getMap[String, String](0).toMap, r.getLong(1), v)
+      }
+    val series = rows.groupBy(_._1).toSeq
+      .sortBy { case (l, _) => l }(Samples.labelsOrdering)
+      .map { case (l, pts) =>
+        Prompb.TimeSeries(
+          l.toSeq.sortBy(_._1).map { case (k, v) => Prompb.Label(k, v) },
+          pts.sortBy(_._2).map { case (_, t, v) => Prompb.Sample(v, t) })
+      }
+    Prompb.QueryResult(series)
+  }
+
+  /** prompb matchers → a PromQL selector the engine evaluates
+    * (`read.go:127-152`'s fromLabelMatchers, inverted through our
+    * parser — the lexer's Go-style escapes make any label value
+    * representable). */
+  private[api] def selectorFor(ms: Seq[Prompb.LabelMatcher]): String = {
+    if (ms.isEmpty)
+      throw ApiError(400, "bad_data", "read query has no matchers")
+    val parts = ms.map { m =>
+      val op = m.typ match {
+        case 0 => "="
+        case 1 => "!="
+        case 2 => "=~"
+        case 3 => "!~"
+        case t => throw ApiError(400, "bad_data", s"unknown matcher type $t")
+      }
+      if (!Samples.isValidLabelName(m.name))
+        throw ApiError(400, "bad_data", s"invalid matcher name: ${m.name}")
+      s"""${m.name}$op"${esc(m.value)}""""
+    }
+    s"{${parts.mkString(",")}}"
+  }
+
+  private[api] def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
   }
 
   /** Engine defaults (`cmd/timbala/main.go:218-223`). */
