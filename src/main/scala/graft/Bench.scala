@@ -35,11 +35,16 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchFormat {
   /** One query's full measurement record: every warm draw taken
-    * (across retries), the probe ratio that accepted the final batch,
-    * and how many contended batches were discarded.
+    * (across retries), the probe ratio that accepted the final batch
+    * (the MAX of the bracketing before/after probes), how many
+    * contended batches were discarded, and whether the entry serves
+    * from a memoized artifact ([[graft.SparkEntry.memoizedEntries]] —
+    * flagged so near-identical draws on those rows are read as
+    * memo-serving, not as a suspiciously stable live plan).
     */
   final case class Rec(name: String, cold: Double, warm: Double,
-      draws: Seq[Double], probeRatio: Double, retries: Int)
+      draws: Seq[Double], probeRatio: Double, retries: Int,
+      memoized: Boolean = false)
 
   /** Shortest-unique underscore-token prefix per query name:
     * `a1_sum` → `a1`, but `f1_rate`/`f1_delta` keep their second token
@@ -98,7 +103,8 @@ object BenchFormat {
       "\"" + r.name + "\":{\"warm\":" + r3(r.warm) +
         ",\"cold\":" + r3(r.cold) + ",\"draws\":" + draws +
         ",\"probe_ratio\":" + r2(r.probeRatio) +
-        ",\"retries\":" + r.retries + "}"
+        ",\"retries\":" + r.retries +
+        (if (r.memoized) ",\"memoized\":true" else "") + "}"
     }.mkString("{", ",", "}")
     val total = recs.map(_.warm).sum
     // every interleaved (light, mixed) throughput window, in run
@@ -161,12 +167,16 @@ object Bench {
     // landing on whichever query touches it first (r4's r1 row)
     val prepSec = time { SparkEntry.prepareFixtures(spark, sfDir) }
     // median of three warm runs (escalating to five when the three
-    // disagree by >2.5×, see scaladoc), and a calibration probe after
-    // each batch: a ratio >1.5× baseline means the HOST was contended
-    // while those draws ran, so the batch is discarded and re-drawn
-    // after a GC + settle pause (up to 2 retries). Round 4's storm
-    // poisoned all draws of 3 queries at 10s each — under this scheme
-    // those batches would have been rejected and re-drawn post-storm.
+    // disagree by >2.5×, see scaladoc), each batch BRACKETED by
+    // calibration probes: a ratio >1.5× baseline on EITHER side means
+    // the host was (or may have been) contended while those draws ran,
+    // so the batch is discarded and re-drawn after a GC + settle pause
+    // (up to 2 retries). A trailing-only probe accepts a batch whose
+    // contention storm ended just before the probe ran — the leading
+    // probe closes that gap; the recorded probe_ratio is the max of
+    // the accepted batch's two brackets. Round 4's storm poisoned all
+    // draws of 3 queries at 10s each — under this scheme those batches
+    // would have been rejected and re-drawn post-storm.
     val recs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = time { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
       def drawBatch(): Seq[Double] = {
@@ -178,20 +188,25 @@ object Bench {
         else warms
       }
       var allDraws = Vector.empty[Double]
+      var pre = probeOnce() / probeBaseline
       var batch = drawBatch()
       allDraws ++= batch
-      var ratio = probeOnce() / probeBaseline
+      var post = probeOnce() / probeBaseline
+      var ratio = math.max(pre, post)
       var retries = 0
       while (ratio > 1.5 && retries < 2) {
         System.gc()
         Thread.sleep(250)
         retries += 1
+        pre = probeOnce() / probeBaseline
         batch = drawBatch()
         allDraws ++= batch
-        ratio = probeOnce() / probeBaseline
+        post = probeOnce() / probeBaseline
+        ratio = math.max(pre, post)
       }
       val warm = batch.sorted.apply(batch.size / 2)
-      BenchFormat.Rec(name, cold, warm, allDraws, ratio, retries)
+      BenchFormat.Rec(name, cold, warm, allDraws, ratio, retries,
+        memoized = SparkEntry.memoizedEntries.contains(name))
     }
     val results = recs.map(r => (r.name, r.cold, r.warm))
     // settle before the throughput section: the serial section leaves

@@ -107,6 +107,21 @@ object SparkEntry {
           spark.sparkContext.parallelize(r.collect().toSeq, 1), r.schema)
       })
 
+  /** Entries whose measured plan consumes a per-session MEMOIZED or
+    * pre-evaluated RESULT (a cached pair table, a driver-materialized
+    * exact baseline, a Spark-cached index build, or rule output
+    * recorded at fixture prep) — as opposed to merely reading a
+    * prebuilt fixture TABLE (s10/s11/p8/p9/p10/g13, whose plans still
+    * execute in full each draw). The bench marks these rows
+    * `"memoized": true` in bench_full.json so near-identical draws are
+    * read as memo-serving, not as suspiciously stable live plans
+    * (the r4 d2-vs-d3 adjudication lesson, made explicit). */
+  val memoizedEntries: Set[String] = Set(
+    "d6_dup_clusters", "d9_dedup_apply", // ngramJaccardPairsCached pairs
+    "d7_embed_lsh", "d8_embed_blocked", // prepCached banded index builds
+    "x2_sim_ann", "x3_sim_ivf", "x5_sim_pq", // materialized exact baseline
+    "r1_recording_rule", "r2_alert_rule") // rule output recorded at prep
+
   /** Histogram-bucket boundaries for g13 (events values span 0.01..490). */
   private val Les = Seq(10, 25, 50, 100)
 
@@ -263,6 +278,13 @@ object SparkEntry {
               forMs = DAY))))
         path
       })
+
+  // all fixture caches key by sessionKey — evicted when their
+  // session's context ends (Samples.sessionKey installs the listener),
+  // so a JVM that cycles sessions does not pin stopped ones
+  Seq(readerCache, exactTopkCache, bucketCache, partialsCache,
+    bucketedStoreCache, foldPartialsCache, chunkStoreCache,
+    rulesStoreCache).foreach(Samples.registerSessionKeyedCache)
 
   /** Build every derived store the entries read — synthetic histogram
     * buckets, hourly partials, bucketed store, fold-partials rungs,

@@ -87,6 +87,21 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
   def stop(): Unit = { server.stop(0); pool.shutdownNow() }
   def boundPort: Int = server.getAddress.getPort
 
+  /** Rollup-rung refresh passes the write path has run — one increment
+    * per write (or [[flushTiers]] call) that actually refreshed, so a
+    * debounced sink's refresh cadence is assertable ([[HttpApi.forTable]]
+    * `refreshEveryWrites`). */
+  private[api] val rollupRefreshes =
+    new java.util.concurrent.atomic.AtomicLong(0)
+  def rollupRefreshCount: Long = rollupRefreshes.get()
+
+  /** Deferred-tier flush (wired by [[HttpApi.forTable]] when
+    * `refreshEveryWrites > 1`): run any pending rollup refresh NOW,
+    * re-certify `_tiers_ok`, and swap in a fully-tiered engine. No-op
+    * when nothing is deferred or the server has no sink. */
+  private[api] var tierFlushHook: () => Unit = () => ()
+  def flushTiers(): Unit = tierFlushHook()
+
   // ---- plumbing ----------------------------------------------------------
 
   import HttpApi.ApiError
@@ -798,12 +813,14 @@ object HttpApi {
   def forTable(spark: SparkSession, path: String, port: Int = 0,
       rules: Option[graft.streaming.RecordingRules.Group] = None,
       rollups: Seq[Long] = Nil,
-      indexCompactThreshold: Int = 4 * graft.storage.Ingest.SeriesBuckets)
+      indexCompactThreshold: Int = 4 * graft.storage.Ingest.SeriesBuckets,
+      refreshEveryWrites: Int = 1, refreshMaxLagMs: Long = 0L)
       : HttpApi = {
     import graft.storage.Ingest
     // fail at construction, not on the first /write: a rung that does
     // not divide a day would otherwise surface as a 500 to the writer
     rollups.foreach(Ingest.requireDayDivisible)
+    require(refreshEveryWrites >= 1, "refreshEveryWrites must be >= 1")
     val indexPath = new org.apache.hadoop.fs.Path(path, "_index").toString
     def rollupPath(b: Long) = Ingest.rollupPath(path, b)
     // tier-freshness marker: the sink DELETES it before the append
@@ -825,8 +842,15 @@ object HttpApi {
         // is one pass over the table, paid only after a crash or on
         // first boot over a pre-existing table
         Ingest.appendSeriesIndex(Ingest.readTable(spark, path), indexPath)
-        rollups.foreach(b =>
-          Ingest.refreshFoldPartials(spark, path, rollupPath(b), b))
+        rollups.foreach { b =>
+          Ingest.refreshFoldPartials(spark, path, rollupPath(b), b)
+          // the session FileStatusCache may hold the pre-heal listing
+          // (mid-session heal after a failed write, or a test session
+          // that served this path before) — invalidate like the sink's
+          // incremental path does
+          spark.catalog.refreshByPath(rollupPath(b))
+        }
+        spark.catalog.refreshByPath(indexPath)
       }
       tableFs.mkdirs(tiersOk.getParent)
       tableFs.create(tiersOk, true).close()
@@ -839,12 +863,17 @@ object HttpApi {
           (!Ingest.hasParquetData(spark, indexPath) ||
             rollups.exists(b => !Ingest.hasParquetData(spark, rollupPath(b))))))
       healTiers()
-    def freshEngine() = {
+    def freshEngine(bindRungs: Boolean = true) = {
       val idx =
         if (Ingest.hasParquetData(spark, indexPath))
           Some(spark.read.parquet(indexPath))
         else None
-      val ladder = rollups.flatMap { b =>
+      // bindRungs=false while a debounced refresh is outstanding: the
+      // rungs on disk lag the table, and routing an aligned query to a
+      // stale rung would silently return pre-deferral results — the
+      // engine falls back to the (correct, slower) raw path until the
+      // deferred refresh lands and a fully-tiered engine swaps in
+      val ladder = if (!bindRungs) Nil else rollups.flatMap { b =>
         val p = rollupPath(b)
         if (Ingest.hasParquetData(spark, p))
           // drop the partition key the refresh writes by — the engine
@@ -865,50 +894,114 @@ object HttpApi {
     // (writes stay concurrent WITH queries, which read committed
     // listings only).
     val writeLock = new Object
+    // debounce/dirty state, all guarded by writeLock:
+    //  - pendingDates: dates whose rung partitions lag the table
+    //    because their refresh was deferred (refreshEveryWrites > 1);
+    //    nonempty ⇔ the marker is absent FOR A KNOWN, HEALTHY reason
+    //  - writesSinceRefresh / lastRefreshNs: the two debounce triggers
+    //  - failedDirty: a sink invocation threw mid-write in this
+    //    process (handler() answers 500 and keeps serving), so the
+    //    failed batch's rows are in the table but its novel sigs and
+    //    dates never reached the tiers — the NEXT write must heal
+    //    everything, not just its own batch, or the marker it
+    //    re-creates would certify tiers that permanently hide the
+    //    failed batch's series from every matcher
+    var pendingDates = Set.empty[String]
+    var writesSinceRefresh = 0
+    var lastRefreshNs = System.nanoTime()
+    var failedDirty = false
+    def refreshRungs(dates: Option[Seq[String]]): Unit = {
+      rollups.foreach { b =>
+        Ingest.refreshFoldPartials(spark, path, rollupPath(b), b, dates)
+        spark.catalog.refreshByPath(rollupPath(b))
+      }
+      api.rollupRefreshes.incrementAndGet()
+      pendingDates = Set.empty
+      writesSinceRefresh = 0
+      lastRefreshNs = System.nanoTime()
+    }
     val sink = (df: DataFrame) => writeLock.synchronized {
-      // dirty until the tiers catch up with this batch (see healTiers)
-      tableFs.delete(tiersOk, false)
-      Ingest.append(df, path)
-      // invalidate the index listing BEFORE the upsert's left_anti
-      // probe: a stale cached listing would miss recently appended
-      // sigs and re-append them as duplicates
-      spark.catalog.refreshByPath(indexPath)
-      Ingest.appendSeriesIndex(df, indexPath)
-      // two layers of staleness: the session-shared FileStatusCache
-      // (refreshByPath clears it — without this even a brand-new read
-      // reuses the old listing) and the analyzed plan's own index
-      // snapshot (which only the engine swap can replace)
-      spark.catalog.refreshByPath(path)
-      if (rollups.nonEmpty) {
-        // refresh the rungs AFTER the append so they read the
-        // committed listing — but compute the affected dates from the
-        // batch (one Spark job, skipped entirely without rollups), so
-        // a write touching one day rewrites one partials partition
-        val touched = Ingest.datesOf(df)
-        rollups.foreach { b =>
-          Ingest.refreshFoldPartials(spark, path, rollupPath(b), b,
-            Some(touched))
-          spark.catalog.refreshByPath(rollupPath(b))
+      // dirty until the tiers catch up with this batch (see healTiers).
+      // delete() returning false means the marker was ALREADY absent:
+      // with no deferral outstanding that is a prior write's failure
+      // (or an out-of-band deletion) — its batch is in the table but
+      // not the tiers, so take the full-heal path below
+      val markerWasAbsent = !tableFs.delete(tiersOk, false)
+      val needHeal = failedDirty || (markerWasAbsent && pendingDates.isEmpty)
+      try {
+        Ingest.append(df, path)
+        if (needHeal) {
+          // full-table index upsert + all-dates rung refresh: covers
+          // this batch AND whatever the failed/unknown batch left out
+          healTiers()
+          if (rollups.nonEmpty) api.rollupRefreshes.incrementAndGet()
+          failedDirty = false
+          pendingDates = Set.empty
+          writesSinceRefresh = 0
+          lastRefreshNs = System.nanoTime()
+        } else {
+          // invalidate the index listing BEFORE the upsert's left_anti
+          // probe: a stale cached listing would miss recently appended
+          // sigs and re-append them as duplicates
+          spark.catalog.refreshByPath(indexPath)
+          Ingest.appendSeriesIndex(df, indexPath)
+          // two layers of staleness: the session-shared FileStatusCache
+          // (refreshByPath clears it — without this even a brand-new
+          // read reuses the old listing) and the analyzed plan's own
+          // index snapshot (which only the engine swap can replace)
+          spark.catalog.refreshByPath(path)
+          if (rollups.nonEmpty) {
+            // refresh the rungs AFTER the append so they read the
+            // committed listing — but compute the affected dates from
+            // the batch (one Spark job), so a write touching one day
+            // rewrites one partials partition. With
+            // refreshEveryWrites > 1 the refresh is DEBOUNCED: the
+            // touched dates accumulate and the rungs are rewritten
+            // once per k writes (or once refreshMaxLagMs has passed),
+            // amortizing the ~per-write rewrite cost across a burst;
+            // until then the marker stays deleted and the swapped
+            // engine skips the stale rungs (raw-path correctness)
+            pendingDates ++= Ingest.datesOf(df)
+            writesSinceRefresh += 1
+            val lagged = refreshMaxLagMs > 0 &&
+              (System.nanoTime() - lastRefreshNs) / 1000000L >= refreshMaxLagMs
+            if (writesSinceRefresh >= refreshEveryWrites || lagged)
+              refreshRungs(Some(pendingDates.toSeq))
+          }
+          spark.catalog.refreshByPath(indexPath)
+          // tiers are consistent with the committed table again —
+          // unless a rung refresh is still deferred, in which case the
+          // marker stays absent (a crash now heals at next startup,
+          // exactly as if this write had failed)
+          if (pendingDates.isEmpty) tableFs.create(tiersOk, true).close()
         }
+        // bound index fragmentation: every batch with novel sigs
+        // appends a file, so a long-running writer would accumulate
+        // thousands of tiny files on the dimension table every matcher
+        // scans — when the listing crosses the threshold (default 4×
+        // the compacted width), rewrite it in place (cheap fs listing
+        // per write; the compaction itself runs rarely and inside the
+        // same write lock)
+        val idxDir = new org.apache.hadoop.fs.Path(indexPath)
+        if (tableFs.exists(idxDir) &&
+            tableFs.listStatus(idxDir).count(
+              _.getPath.getName.endsWith(".parquet")) > indexCompactThreshold) {
+          graft.storage.Ingest.compactSeriesIndex(spark, indexPath)
+        }
+      } catch {
+        case e: Throwable => failedDirty = true; throw e
       }
-      spark.catalog.refreshByPath(indexPath)
-      // bound index fragmentation: every batch with novel sigs appends
-      // a file, so a long-running writer would accumulate thousands of
-      // tiny files on the dimension table every matcher scans — when
-      // the listing crosses the threshold (default 4× the compacted
-      // width), rewrite it in place (cheap fs listing per write; the
-      // compaction itself runs rarely and inside the same write lock)
-      val idxDir = new org.apache.hadoop.fs.Path(indexPath)
-      if (tableFs.exists(idxDir) &&
-          tableFs.listStatus(idxDir).count(
-            _.getPath.getName.endsWith(".parquet")) > indexCompactThreshold) {
-        graft.storage.Ingest.compactSeriesIndex(spark, indexPath)
-      }
-      // tiers are consistent with the committed table again
-      tableFs.create(tiersOk, true).close()
-      api.swapEngine(freshEngine()).releaseSeriesDim()
+      api.swapEngine(freshEngine(bindRungs = pendingDates.isEmpty))
+        .releaseSeriesDim()
     }
     api = new HttpApi(spark, freshEngine(), Some(sink), port, rules)
+    api.tierFlushHook = () => writeLock.synchronized {
+      if (pendingDates.nonEmpty && !failedDirty) {
+        refreshRungs(Some(pendingDates.toSeq))
+        tableFs.create(tiersOk, true).close()
+        api.swapEngine(freshEngine()).releaseSeriesDim()
+      }
+    }
     api
   }
 

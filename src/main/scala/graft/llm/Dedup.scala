@@ -720,4 +720,11 @@ object Dedup {
       .select(col("d." + idCol).as(idCol), col("r._1").as("clean_text"),
         col("r._2").as("tokens_removed"), col("r._3").as("tokens_total"))
   }
+
+  // plan-keyed caches pin their session via the canonicalized
+  // plan; cleared wholesale when any session's context ends
+  // (graft.model.Samples.registerSessionBoundCache)
+  graft.model.Samples.registerSessionBoundCache(pairsCache)
+  graft.model.Samples.registerSessionBoundCache(shingleSetsCache)
+
 }

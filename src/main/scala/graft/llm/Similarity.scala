@@ -683,4 +683,12 @@ object Similarity {
       .select(col("qid"), explode(col("_w")).as("_e"))
       .select(col("qid"), col("_e.st").as("neighbor_id"), col("_e.v").as("cos"))
   }
+
+  // plan-keyed caches pin their session via the canonicalized
+  // plan; cleared wholesale when any session's context ends
+  // (graft.model.Samples.registerSessionBoundCache)
+  graft.model.Samples.registerSessionBoundCache(prepCache)
+  graft.model.Samples.registerSessionBoundCache(centroidCache)
+  graft.model.Samples.registerSessionBoundCache(pqCache)
+
 }

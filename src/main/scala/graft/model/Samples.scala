@@ -162,8 +162,48 @@ object Samples {
   private val sessionIds = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, String]())
   def sessionKey(spark: SparkSession): String =
-    sessionIds.computeIfAbsent(spark,
-      _ => java.util.UUID.randomUUID().toString)
+    sessionIds.computeIfAbsent(spark, _ => {
+      val id = java.util.UUID.randomUUID().toString
+      // retention, not just collision-freedom: cached DataFrames pin
+      // their (possibly stopped) session, so a long-lived JVM that
+      // cycles sessions would accumulate unbounded dead entries — when
+      // this session's context ends, evict every cache entry minted
+      // under its key (and clear the plan-keyed caches wholesale: a
+      // canonicalized plan does not name its session, and a context
+      // end in this single-context-per-JVM architecture orphans them
+      // all; worst case a survivor rebuilds its entry)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+              : Unit = evictSession(id)
+        })
+      id
+    })
+
+  /** Caches keyed by strings CONTAINING a [[sessionKey]] UUID —
+    * entries for a dead session are removed by key match. */
+  private val keyedCaches = new java.util.concurrent.CopyOnWriteArrayList[
+    java.util.concurrent.ConcurrentHashMap[String, _]]()
+  /** Caches whose keys embed session-bound objects (canonicalized
+    * plans) that cannot be matched to a session id — cleared wholesale
+    * when any session's context ends. */
+  private val planCaches = new java.util.concurrent.CopyOnWriteArrayList[
+    java.util.concurrent.ConcurrentHashMap[_, _]]()
+
+  def registerSessionKeyedCache(
+      m: java.util.concurrent.ConcurrentHashMap[String, _]): Unit =
+    keyedCaches.add(m)
+  def registerSessionBoundCache(
+      m: java.util.concurrent.ConcurrentHashMap[_, _]): Unit =
+    planCaches.add(m)
+
+  private def evictSession(id: String): Unit = {
+    keyedCaches.forEach(m => m.keySet.removeIf(_.contains(id)))
+    planCaches.forEach(_.clear())
+  }
+
+  registerSessionKeyedCache(eventsCache)
 
   /** Adapter entry point, memoized + Spark-cached per (session, dir):
     * every query re-reads the same fixture table, and the reference

@@ -513,8 +513,19 @@ object Ingest {
     * table, on the dimension table the matcher path scans every query.
     * Rewrites the index to ≤ [[SeriesBuckets]] sig-partitioned files;
     * content is unchanged. Same single-writer assumption as
-    * [[compact]]: the index is materialized (localCheckpoint) before
-    * the overwrite so the job never reads files it is deleting. */
+    * [[compact]].
+    *
+    * Concurrency: the rewrite is STAGED — the compacted files are
+    * written to a sibling temp prefix while the live index keeps
+    * serving, then committed with a delete + rename (two filesystem
+    * metadata ops). An in-flight matcher query whose analyzed plan
+    * holds the OLD listing can still lose the race against that
+    * two-op commit window and fail on a missing file — the same
+    * residual window [[refreshFoldPartials]] documents for the rung
+    * overwrite; the serving path bounds it by swapping engines right
+    * after, and a client retry lands on the fresh listing. (A plain
+    * filesystem has no atomic replace-directory; an object-storage
+    * deployment would commit via a manifest/pointer swap instead.) */
   def compactSeriesIndex(spark: SparkSession, path: String): Unit = {
     if (!hasParquetData(spark, path)) return
     val idx0 = spark.read.parquet(path)
@@ -525,10 +536,22 @@ object Ingest {
     val rows = idx0.count()
     val files = math.max(1L,
       math.min(SeriesBuckets.toLong, 1 + rows / 1000000L)).toInt
-    val idx = idx0
-      .repartition(files, pmod(col("sig"), lit(files)))
-      .localCheckpoint(true)
-    idx.write.mode("overwrite").parquet(path)
+    val target = new org.apache.hadoop.fs.Path(path)
+    // underscore-prefixed sibling: invisible to the table's own file
+    // index even while half-written
+    val tmp = new org.apache.hadoop.fs.Path(
+      target.getParent, target.getName + "_compacting")
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(tmp, true) // leftover from a crashed compaction
+    idx0.repartition(files, pmod(col("sig"), lit(files)))
+      .write.mode("overwrite").parquet(tmp.toString)
+    // commit: the live index served reads for the whole rewrite above;
+    // only this two-op window can strand an in-flight plan
+    fs.delete(target, true)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(
+        s"compactSeriesIndex: rename $tmp -> $target failed")
+    spark.catalog.refreshByPath(tmp.toString)
     spark.catalog.refreshByPath(path)
   }
 

@@ -33,7 +33,8 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("full json carries every query under its full name with all draws") {
     val recs = names.map(n =>
-      BenchFormat.Rec(n, 1.0, 0.5, Seq(0.6, 0.5, 0.4), 1.12, 0))
+      BenchFormat.Rec(n, 1.0, 0.5, Seq(0.6, 0.5, 0.4), 1.12, 0,
+        memoized = SparkEntry.memoizedEntries.contains(n)))
     val full = BenchFormat.fullJson(recs, 1.0, 2.0, 3.0, "0.01", 0.041,
       qpsWindows = Seq((40.0, 30.0), (42.5, 31.0)))
     names.foreach(n => assert(full.contains("\"" + n + "\":{")))
@@ -44,6 +45,19 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(full.contains("\"retries\":0"))
     assert(full.contains("\"probe_baseline_ms\":41.000"))
     assert(full.contains("\"qps_windows\":[[40.00,30.00],[42.50,31.00]]"))
+    // memo-serving rows are flagged so near-identical draws are
+    // adjudicable as memoization, not plan stability; live rows carry
+    // no flag
+    SparkEntry.memoizedEntries.foreach(n =>
+      assert(names.contains(n), s"memoizedEntries names unknown query $n"))
+    assert(full.contains(
+      "\"r1_recording_rule\":{\"warm\":0.500,\"cold\":1.000," +
+        "\"draws\":[0.600,0.500,0.400],\"probe_ratio\":1.12," +
+        "\"retries\":0,\"memoized\":true}"))
+    assert(full.contains(
+      "\"f1_rate\":{\"warm\":0.500,\"cold\":1.000," +
+        "\"draws\":[0.600,0.500,0.400],\"probe_ratio\":1.12," +
+        "\"retries\":0}"))
   }
 
   test("calibration probe does fixed work in bounded time") {

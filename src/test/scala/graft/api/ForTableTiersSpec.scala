@@ -162,6 +162,119 @@ class ForTableTiersSpec extends SparkTestBase {
     } finally tApi.stop()
   }
 
+  test("debounced rollup refresh: N rapid writes trigger ceil(N/k) " +
+      "refreshes, queries stay raw-path-correct between them, and the " +
+      "ladder is bit-equal to raw after quiesce") {
+    val path = Files.createTempDirectory("api-table-debounce").toString
+    val tApi = HttpApi.forTable(spark, path, rollups = Seq(5 * m),
+      refreshEveryWrites = 3)
+    tApi.start()
+    try {
+      def postT(body: String): Int = {
+        val url = new URI(
+          s"http://127.0.0.1:${tApi.boundPort}/api/v1/write").toURL
+        val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes(UTF_8))
+        conn.getResponseCode
+      }
+      def write(lo: Int, hi: Int): Unit = assert(postT((lo to hi).map(i =>
+        s"""{"labels":{"__name__":"db_m","k":"a"},"t":${i * m},"v":$i}""")
+        .mkString("\n")) == 200)
+      // 8 rapid writes at k=3 → refreshes after writes 3 and 6 only
+      write(0, 10); write(11, 20)
+      assert(tApi.rollupRefreshCount == 0,
+        "refresh ran before the debounce threshold")
+      // deferred window: the marker is absent (a crash here must heal)
+      assert(!new java.io.File(s"$path/_tiers_ok").exists(),
+        "marker certified stale rungs")
+      // ...and the serving engine must NOT route to the stale rungs —
+      // raw-path answers stay correct for the deferred writes' points
+      val eMid = tApi.servingEngine
+      assert(eMid.allPartials.isEmpty,
+        "engine bound rungs that lag the table")
+      val rawMid = new PromQLEngine(spark, Ingest.readTable(spark, path))
+      val aMid = bits(rawMid, "sum_over_time(db_m[10m])", 0, 20 * m, 5 * m)
+      assert(aMid == bits(eMid, "sum_over_time(db_m[10m])", 0, 20 * m, 5 * m)
+        && aMid.nonEmpty, "mid-debounce query diverged from raw")
+      write(21, 30) // third write: refresh fires
+      assert(tApi.rollupRefreshCount == 1,
+        s"expected 1 refresh after 3 writes, got ${tApi.rollupRefreshCount}")
+      assert(new java.io.File(s"$path/_tiers_ok").exists())
+      assert(tApi.servingEngine.allPartials.map(_._2) == Seq(5 * m),
+        "post-refresh engine did not rebind the rungs")
+      write(31, 40); write(41, 50); write(51, 60) // writes 4..6
+      write(61, 70); write(71, 80) // writes 7..8: deferred again
+      assert(tApi.rollupRefreshCount == 2,
+        s"8 writes at k=3 should refresh twice (ceil only after flush), " +
+          s"got ${tApi.rollupRefreshCount}")
+      // quiesce: flush runs the trailing deferred refresh
+      tApi.flushTiers()
+      assert(tApi.rollupRefreshCount == 3)
+      assert(new java.io.File(s"$path/_tiers_ok").exists(),
+        "flush did not re-certify the marker")
+      // after quiesce the ladder-routed answers are bit-equal to raw
+      // over the FULL written range (all 8 writes' points included)
+      val e = tApi.servingEngine
+      assert(e.allPartials.nonEmpty)
+      val raw = new PromQLEngine(spark, Ingest.readTable(spark, path))
+      val a = bits(raw, "sum_over_time(db_m[10m])", 0, 80 * m, 5 * m)
+      val b = bits(e, "sum_over_time(db_m[10m])", 0, 80 * m, 5 * m)
+      assert(a == b, "post-quiesce ladder diverged from raw")
+      assert(a.exists(_._2 == 80 * m), "ladder missed the trailing writes")
+      // flush with nothing pending is a no-op
+      tApi.flushTiers()
+      assert(tApi.rollupRefreshCount == 3)
+    } finally tApi.stop()
+  }
+
+  test("a write that FAILED between append and tier refresh is healed " +
+      "by the next successful write (not just certified over)") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("api-table-failheal").toString
+    val tApi = HttpApi.forTable(spark, path, rollups = Seq(5 * m))
+    tApi.start()
+    try {
+      def postT(body: String): Int = {
+        val url = new URI(
+          s"http://127.0.0.1:${tApi.boundPort}/api/v1/write").toURL
+        val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes(UTF_8))
+        conn.getResponseCode
+      }
+      assert(postT((0 to 30).map(i =>
+        s"""{"labels":{"__name__":"fh","k":"a"},"t":${i * m},"v":$i}""")
+        .mkString("\n")) == 200)
+      // simulate a sink failure AFTER Ingest.append but BEFORE the
+      // index upsert / rung refresh: exactly the on-disk state such a
+      // failure leaves — marker deleted, batch rows in the table,
+      // tiers unaware of the batch's novel series
+      assert(new java.io.File(s"$path/_tiers_ok").delete())
+      val orphan = (0 to 30).map(i => Ingest.WriteSample(
+        Map("__name__" -> "fh", "k" -> "orphan"), i * m, 3.0 * i))
+      Ingest.append(Ingest.canonicalize(orphan.toDS()), path)
+      spark.catalog.refreshByPath(path)
+      // next successful write: the absent marker (with no deferral
+      // outstanding) must force a FULL heal, so the orphan batch's
+      // series reaches the index and its dates' rungs
+      assert(postT(
+        s"""{"labels":{"__name__":"fh","k":"b"},"t":0,"v":1}""") == 200)
+      assert(new java.io.File(s"$path/_tiers_ok").exists())
+      assert(spark.read.parquet(s"$path/_index")
+        .filter(col("labels")("k") === "orphan").count() == 1,
+        "healed index missed the failed batch's series")
+      // the served engine answers for the orphan series bit-equal to raw
+      val e = tApi.servingEngine
+      assert(e.hasSeriesIndex && e.allPartials.nonEmpty)
+      val raw = new PromQLEngine(spark, Ingest.readTable(spark, path))
+      val q = """sum_over_time(fh{k="orphan"}[10m])"""
+      val a = bits(raw, q, 0, 30 * m, 5 * m)
+      assert(a == bits(e, q, 0, 30 * m, 5 * m) && a.nonEmpty,
+        "healed engine diverged from raw on the failed batch's series")
+    } finally tApi.stop()
+  }
+
   test("a crash between the table append and the tier refresh heals " +
       "at the next startup (the _tiers_ok marker protocol)") {
     import spark.implicits._
