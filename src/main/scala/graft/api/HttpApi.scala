@@ -193,8 +193,10 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
       else (s.toDouble * 1000).round
     } catch {
       case _: Exception =>
+        // verbatim `api.go:423` — the vintage responds with the bare
+        // parse error, no parameter-name wrapper
         throw ApiError(400, "bad_data",
-          s"invalid parameter '$what': cannot parse \"$s\" to a valid timestamp")
+          s"cannot parse \"$s\" to a valid timestamp")
     }
 
   private def parseDurationSec(s: String, what: String): Double = {
@@ -209,8 +211,7 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
         if (d * 1e9 > Long.MaxValue.toDouble ||
           d * 1e9 < Long.MinValue.toDouble)
           throw ApiError(400, "bad_data",
-            s"invalid parameter '$what': cannot parse \"$s\" to a " +
-              "valid duration. It overflows int64")
+            s"cannot parse \"$s\" to a valid duration. It overflows int64")
         Some(d)
       } catch {
         case a: ApiError => throw a
@@ -220,22 +221,48 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
       try graft.promql.Lexer.parseDuration(s).toDouble / 1000
       catch {
         case _: Exception => throw ApiError(400, "bad_data",
-          s"invalid parameter '$what': cannot parse \"$s\" to a valid duration")
+          s"cannot parse \"$s\" to a valid duration")
       })
   }
 
-  /** Admission: 20-slot gate + 2-minute evaluation timeout with real
-    * job cancellation (engine.go:1474-1503 / context timeout). Each
-    * request evaluates inside its own Spark job group; on timeout the
-    * group's running jobs are cancelled so executors stop working on
-    * an abandoned query. */
+  /** Per-request evaluation budget: the optional `?timeout=` duration
+    * (api.go:151-162,217-227) can only SHRINK the engine's 2-minute
+    * ceiling — the reference nests its context timeout inside the
+    * engine's own, so the smaller wins. */
+  private def requestBudgetMs(p: Map[String, Seq[String]]): Long =
+    one(p, "timeout") match {
+      case Some(s) =>
+        val ms = (parseDurationSec(s, "timeout") * 1000).round
+        math.min(math.max(1L, ms), queryTimeoutMs)
+      case None => queryTimeoutMs
+    }
+
+  /** Admission: 20-slot gate + 2-minute timeout with real job
+    * cancellation, vintage-shaped (`engine.go:1474-1503`): ONE budget
+    * covers queue wait AND execution (the reference arms the context
+    * timeout before `gate.Start`), the 21st concurrent query QUEUES
+    * rather than being rejected, and expiry surfaces as errorType
+    * `timeout` with the contextDone environment in the message —
+    * "query queue" if it never got a slot (`engine.go:1490`), "query
+    * execution" if it did (`engine.go:336`). Each request evaluates
+    * inside its own Spark job group; on timeout the group's running
+    * jobs are cancelled so executors stop working on an abandoned
+    * query. */
   private val queriesTotal = new java.util.concurrent.atomic.AtomicLong(0)
 
-  private def gated[T](f: => T): T = {
-    if (!gate.tryAcquire(HttpApi.QueueTimeoutMs, TimeUnit.MILLISECONDS))
-      throw ApiError(503, "unavailable", "query queue is full")
+  /** Per-instance override for specs; requests can only shrink their
+    * own budget below this via `?timeout=` (api.go:217-227). */
+  private[api] var queryTimeoutMs: Long = HttpApi.QueryTimeoutMs
+
+  private def gated[T](f: => T): T = gatedBudget(queryTimeoutMs)(f)
+
+  private def gatedBudget[T](budgetMs: Long)(f: => T): T = {
+    val deadlineNs = System.nanoTime() + budgetMs * 1000000L
+    def remainingMs = (deadlineNs - System.nanoTime()) / 1000000L
+    if (!gate.tryAcquire(math.max(0L, remainingMs), TimeUnit.MILLISECONDS))
+      throw ApiError(503, "timeout", "query timed out in query queue")
     // counted AFTER admission: /metrics documents this as "admitted",
-    // so 503-rejected requests must not inflate it
+    // so queue-expired requests must not inflate it
     queriesTotal.incrementAndGet()
     val group = s"graft-api-${java.util.UUID.randomUUID()}"
     val worker = new java.util.concurrent.FutureTask[T](() => {
@@ -246,13 +273,12 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
     val t = new Thread(worker, group)
     t.setDaemon(true)
     t.start()
-    try worker.get(HttpApi.QueryTimeoutMs, TimeUnit.MILLISECONDS)
+    try worker.get(math.max(1L, remainingMs), TimeUnit.MILLISECONDS)
     catch {
       case _: java.util.concurrent.TimeoutException =>
         spark.sparkContext.cancelJobGroup(group)
         worker.cancel(true)
-        throw ApiError(503, "timeout",
-          "query timed out in expression evaluation")
+        throw ApiError(503, "timeout", "query timed out in query execution")
       case e: java.util.concurrent.ExecutionException =>
         throw Option(e.getCause).getOrElse(e)
     } finally gate.release()
@@ -294,11 +320,12 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
 
   private def handleQuery(ex: HttpExchange): String = {
     val p = params(ex)
-    val query = one(p, "query").getOrElse(
-      throw ApiError(400, "bad_data", "missing parameter 'query'"))
+    // missing query = empty query, rejected by the parser as "no
+    // expression found in input" (Go FormValue semantics)
+    val query = one(p, "query").getOrElse("")
     val ts = one(p, "time").map(parseTime(_, "time"))
       .getOrElse(System.currentTimeMillis())
-    gated {
+    gatedBudget(requestBudgetMs(p)) {
       val expr = parseOr400(query)
       expr.typ match {
         case Ast.ValueType.Scalar =>
@@ -328,29 +355,30 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
 
   private def handleQueryRange(ex: HttpExchange): String = {
     val p = params(ex)
-    val query = one(p, "query").getOrElse(
-      throw ApiError(400, "bad_data", "missing parameter 'query'"))
-    val start = parseTime(one(p, "start").getOrElse(
-      throw ApiError(400, "bad_data", "missing parameter 'start'")), "start")
-    val end = parseTime(one(p, "end").getOrElse(
-      throw ApiError(400, "bad_data", "missing parameter 'end'")), "end")
+    // absent params surface as empty strings (Go's FormValue), so a
+    // missing start/end/step fails in the parser with the same
+    // diagnostic as a malformed one — `cannot parse "" to a valid
+    // timestamp/duration` (api_test.go:145-172 pins all three)
+    val query = one(p, "query").getOrElse("")
+    val start = parseTime(one(p, "start").getOrElse(""), "start")
+    val end = parseTime(one(p, "end").getOrElse(""), "end")
     if (end < start)
       throw ApiError(400, "bad_data",
         "end timestamp must not be before start time")
-    val stepSec = parseDurationSec(one(p, "step").getOrElse(
-      throw ApiError(400, "bad_data", "missing parameter 'step'")), "step")
+    val stepSec = parseDurationSec(one(p, "step").getOrElse(""), "step")
     // check AFTER rounding: a step in (0, 0.0005] rounds to 0 ms and
     // would otherwise divide by zero in the resolution-cap check below
     val stepMs = (stepSec * 1000).round
     if (stepMs <= 0)
       throw ApiError(400, "bad_data",
-        "zero or negative query resolution step width")
+        "zero or negative query resolution step widths are not " +
+          "accepted. Try a positive integer")
     // api.go:211-216 — 11,000 points per series cap
     if ((end - start) / stepMs > 11000)
       throw ApiError(400, "bad_data",
         "exceeded maximum resolution of 11,000 points per timeseries. " +
           "Try decreasing the query resolution (?step=XX)")
-    gated {
+    gatedBudget(requestBudgetMs(p)) {
       parseOr400(query)
       val rows = collectRows(engine.rangeQuery(query, start, end, stepMs))
       // stitch per-series, final sort by canonical labels
@@ -391,7 +419,7 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
       throw ApiError(400, "bad_data", s"unknown path $path"))
     val name = m.group(1)
     if (!HttpApi.LabelNameRe.matches(name))
-      throw ApiError(400, "bad_data", s"invalid label name: $name")
+      throw ApiError(400, "bad_data", s"""invalid label name: "$name"""")
     val values = gated { engine.labelValues(name) }
     envelope0(values.sorted.map(v => s""""${esc(v)}"""").mkString("[", ",", "]"))
   }

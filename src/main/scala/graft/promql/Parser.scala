@@ -17,7 +17,14 @@ object Parser {
   final case class ParseException(msg: String) extends RuntimeException(msg)
 
   def parse(input: String): Expr = {
-    val p = new Parser(lex(input), input)
+    val toks = lex(input)
+    // empty / whitespace-only input is its own diagnostic, not a
+    // generic expected-token failure (`parse.go:150-153`)
+    if (toks.head.typ == Lexer.EOF)
+      throw ParseException(
+        s"parse error at char ${toks.head.pos}: " +
+          "no expression found in input")
+    val p = new Parser(toks, input)
     val e = p.parseExpr(0)
     p.expectEOF()
     p.checkType(e)
