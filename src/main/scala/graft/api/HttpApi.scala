@@ -60,7 +60,13 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
 
   private val gate = new Semaphore(HttpApi.MaxConcurrent)
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
-  private val pool = Executors.newFixedThreadPool(8)
+  // request-per-thread like the reference's Go server (goroutine per
+  // connection): ADMISSION control is the query gate, so the socket
+  // layer must be able to hold more in-flight requests than the gate
+  // has slots — a fixed pool smaller than MaxConcurrent would cap
+  // concurrency below the 20 the engine contract promises, and queued
+  // queries could never saturate the gate
+  private val pool = Executors.newCachedThreadPool()
   server.setExecutor(pool)
   server.createContext("/api/v1/query", handler(handleQuery))
   server.createContext("/api/v1/query_range", handler(handleQueryRange))
@@ -101,6 +107,10 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
     * when nothing is deferred or the server has no sink. */
   private[api] var tierFlushHook: () => Unit = () => ()
   def flushTiers(): Unit = tierFlushHook()
+
+  /** Free admission slots right now (20 = idle); the same figure
+    * /metrics exports as `graft_api_gate_free_slots`. */
+  def gateFreeSlots: Int = gate.availablePermits()
 
   // ---- plumbing ----------------------------------------------------------
 

@@ -1,0 +1,130 @@
+package graft.api
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.functions.{col, udf}
+
+import graft.SparkTestBase
+import graft.exec.PromQLEngine
+
+/** Live conformance for the reference's admission control
+  * (`promql/engine.go:1474-1503`): a 20-slot query gate where the 21st
+  * concurrent query QUEUES (gate.Start blocks until a slot frees or
+  * the context expires) and ONE timeout budget covers queue wait and
+  * execution, surfacing as errorType `timeout` with the contextDone
+  * environment in the message — "query queue" when the query never got
+  * a slot (`engine.go:1490`), "query execution" once it did
+  * (`engine.go:336`). Driven over live HTTP with evaluations made
+  * genuinely slow by a sleeping UDF inside the fixture plan, so slots
+  * are held for real while the probes arrive. */
+class AdmissionControlSpec extends SparkTestBase {
+
+  // one row, one task: each evaluation sleeps ~3s inside its Spark
+  // task, holding its gate slot without eating more than one of the
+  // local[32] task slots (21 concurrent queries all sleep in parallel)
+  private lazy val api = {
+    val base = samplesDF(
+      Map("__name__" -> "slow_metric") -> Seq(60000L -> 1.0))
+    val sleepy = udf { (v: Double) => Thread.sleep(3000); v }
+    val a = new HttpApi(spark,
+      new PromQLEngine(spark, base.withColumn("v", sleepy(col("v")))))
+    a.start()
+    a
+  }
+
+  private def get(path: String): (Int, String) = {
+    val url = new URI(s"http://127.0.0.1:${api.boundPort}$path").toURL
+    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    val code = conn.getResponseCode
+    val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    (code, new String(stream.readAllBytes(), UTF_8))
+  }
+
+  private val slowQuery = "/api/v1/query?query=slow_metric&time=60"
+
+  /** Wait (bounded) for every gate slot to be claimed — the HTTP
+    * round trips race the caller, so poll rather than sleep. */
+  private def awaitSaturated(): Unit = {
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (api.gateFreeSlots > 0 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(api.gateFreeSlots == 0,
+      s"expected a saturated gate, ${api.gateFreeSlots} slots free")
+  }
+
+  test("the 21st concurrent query queues behind the 20-slot gate and " +
+      "completes once a slot frees (engine.go:1486-1494)") {
+    get("/metrics") // force server init before the clock starts
+    val pool = Executors.newFixedThreadPool(21)
+    try {
+      val started = new CountDownLatch(20)
+      val first = (1 to 20).map { _ =>
+        pool.submit[(Int, String)] { () =>
+          started.countDown()
+          get(slowQuery)
+        }
+      }
+      // let the 20 requests land and claim every slot (each holds it
+      // for ~3s while the sleeping UDF runs)
+      started.await(10, TimeUnit.SECONDS)
+      awaitSaturated()
+      // the 21st query with the default 2-minute budget QUEUES — the
+      // vintage gate never rejects outright — and succeeds once the
+      // first wave drains
+      val (code, body) = get(slowQuery)
+      assert(code == 200, s"queued query failed: $code $body")
+      assert(body.contains(""""value":[60,"1"]"""), body)
+      first.foreach { f =>
+        val (c, b) = f.get(60, TimeUnit.SECONDS)
+        assert(c == 200, s"slow query failed: $c $b")
+      }
+    } finally pool.shutdownNow()
+  }
+
+  test("a query whose budget expires while QUEUED times out with the " +
+      "query-queue environment (engine.go:1490, contextDone)") {
+    val pool = Executors.newFixedThreadPool(20)
+    try {
+      val started = new CountDownLatch(20)
+      val wave = (1 to 20).map { _ =>
+        pool.submit[(Int, String)] { () =>
+          started.countDown()
+          get(slowQuery)
+        }
+      }
+      started.await(10, TimeUnit.SECONDS)
+      awaitSaturated()
+      // ?timeout=1 shrinks THIS request's budget to 1s — it expires
+      // before any of the ~3s evaluations frees a slot
+      val (code, body) = get(s"$slowQuery&timeout=1")
+      assert(code == 503, s"$code $body")
+      assert(body == """{"status":"error","errorType":"timeout",""" +
+        """"error":"query timed out in query queue"}""", body)
+      wave.foreach(_.get(60, TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+  }
+
+  test("a query whose budget expires while EXECUTING times out with " +
+      "the query-execution environment (engine.go:336)") {
+    // a free gate admits immediately; the 1s budget then expires
+    // mid-sleep, the job group is cancelled, and the vintage error
+    // shape comes back
+    val (code, body) = get(s"$slowQuery&timeout=1")
+    assert(code == 503, s"$code $body")
+    assert(body == """{"status":"error","errorType":"timeout",""" +
+      """"error":"query timed out in query execution"}""", body)
+    // the slot was released on timeout: a follow-up query succeeds
+    val (c2, b2) = get(slowQuery)
+    assert(c2 == 200, s"$c2 $b2")
+  }
+
+  test("an unparseable ?timeout= is bad_data with the verbatim " +
+      "duration diagnostic (api.go:217-227)") {
+    val (code, body) = get(s"$slowQuery&timeout=bogus")
+    assert(code == 400, s"$code $body")
+    assert(body == """{"status":"error","errorType":"bad_data",""" +
+      """"error":"cannot parse \"bogus\" to a valid duration"}""", body)
+  }
+}
