@@ -227,9 +227,14 @@ class PromQLEngine(
     m.typ match {
       case MatchType.Eq => value === m.value
       case MatchType.NotEq => value =!= m.value
-      // fully anchored like the reference (matcher.go:55-69)
-      case MatchType.Regex => value.rlike("^(?:" + m.value + ")$")
-      case MatchType.NotRegex => !value.rlike("^(?:" + m.value + ")$")
+      // fully anchored like the reference (matcher.go:55-69), with
+      // the RE2 dialect mapped onto Java regex (promql.Re2): RE2-only
+      // spellings translate, Java-only constructs were rejected at
+      // parse time
+      case MatchType.Regex =>
+        value.rlike("^(?:" + graft.promql.Re2.toJava(m.value) + ")$")
+      case MatchType.NotRegex =>
+        !value.rlike("^(?:" + graft.promql.Re2.toJava(m.value) + ")$")
     }
   }
 
@@ -1096,11 +1101,14 @@ class PromQLEngine(
     val Seq(vecArg, dstE, replE, srcE, regexE) = call.args
     val VecV(vdf) = (eval(vecArg, tr): @unchecked)
     val (dst, repl, src, regexStr) = (str(dstE), str(replE), str(srcE), str(regexE))
-    // validation order matches functions.go:788-794
+    // validation order matches functions.go:788-794; the RE2 facade
+    // makes the reference's canonical (?P<name>…) group syntax work
+    // and rejects what RE2 rejects
     val pattern =
-      try java.util.regex.Pattern.compile("^(?:" + regexStr + ")$")
+      try graft.promql.Re2.compileAnchored(regexStr)
       catch {
-        case _: java.util.regex.PatternSyntaxException =>
+        case _: java.util.regex.PatternSyntaxException |
+            _: graft.promql.Re2.Re2SyntaxException =>
           throw new IllegalArgumentException(
             s"invalid regular expression in label_replace(): $regexStr")
       }

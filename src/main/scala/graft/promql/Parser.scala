@@ -217,10 +217,12 @@ private final class Parser(toks: Vector[Lexer.Token], input: String = "") {
     def matchesEmpty(m: LabelMatcher): Boolean = m.typ match {
       case MatchType.Eq => m.value.isEmpty
       case MatchType.NotEq => m.value.nonEmpty
+      // patterns were validated by parseMatchers, so compile cannot
+      // throw here (name-position selectors carry only Eq matchers)
       case MatchType.Regex =>
-        try ("^(?:" + m.value + ")$").r.matches("") catch { case _: Exception => false }
+        Re2.compileAnchored(m.value).matcher("").matches()
       case MatchType.NotRegex =>
-        try !("^(?:" + m.value + ")$").r.matches("") catch { case _: Exception => false }
+        !Re2.compileAnchored(m.value).matcher("").matches()
     }
     if (all.forall(matchesEmpty))
       fail("vector selector must contain at least one non-empty matcher")
@@ -310,6 +312,17 @@ private final class Parser(toks: Vector[Lexer.Token], input: String = "") {
         case other => fail(s"invalid label match operator '$other'")
       }
       val value = expect(STRING, "label value string").text
+      // regex matchers compile at PARSE time like the reference's
+      // NewMatcher (parse.go:919-931) — an invalid pattern is a parse
+      // error (HTTP bad_data), not a runtime execution failure
+      if (typ == MatchType.Regex || typ == MatchType.NotRegex)
+        try Re2.compileAnchored(value)
+        catch {
+          case e: Re2.Re2SyntaxException =>
+            fail(s"error parsing regexp: ${e.msg}")
+          case e: java.util.regex.PatternSyntaxException =>
+            fail(s"error parsing regexp: ${e.getDescription}: `$value`")
+        }
       ms += LabelMatcher(typ, name, value)
       if (cur.typ == COMMA) next()
       else if (cur.typ != RBRACE) fail("expected ',' or '}'")

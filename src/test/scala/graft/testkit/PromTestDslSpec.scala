@@ -2221,4 +2221,221 @@ eval instant at 50m vector(scalar(tk{s="lo"}))
   {} 100
 """)
   }
+
+  test("empty-string matchers select series WITHOUT the label " +
+      "(labels.Get of an absent name is \"\", matcher.go:74-88)") {
+    run("""
+load 5m
+  em{env="prod"} 1+0x10
+  em{env="dev"} 2+0x10
+  em 3+0x10
+
+# equality with "" matches the label-less series only
+eval instant at 50m em{env=""}
+  em 3
+
+eval instant at 50m em{env!=""}
+  em{env="prod"} 1
+  em{env="dev"} 2
+
+# =~"" anchors to ^(?:)$ — exactly the empty value, absent included
+eval instant at 50m em{env=~""}
+  em 3
+
+eval instant at 50m em{env!~""}
+  em{env="prod"} 1
+  em{env="dev"} 2
+
+# .* matches the empty string too: absent labels are selected
+eval instant at 50m em{env=~".*"}
+  em{env="prod"} 1
+  em{env="dev"} 2
+  em 3
+
+# .+ requires at least one character: absent labels are NOT
+eval instant at 50m em{env=~".+"}
+  em{env="prod"} 1
+  em{env="dev"} 2
+
+# optional-suffix patterns that CAN match empty behave like .*
+eval instant at 50m em{env=~"(prod)?"}
+  em{env="prod"} 1
+  em 3
+
+eval instant at 50m em{env!~".+"}
+  em 3
+""")
+  }
+
+  test("character classes: ranges, negation, escapes, and RE2 POSIX " +
+      "[[:class:]] spellings (regexp/syntax, parse.go:919-931)") {
+    run("""
+load 5m
+  cc{s="a1"} 1+0x10
+  cc{s="b2"} 2+0x10
+  cc{s="C3"} 3+0x10
+  cc{s="d-4"} 4+0x10
+  cc{s="e_5"} 5+0x10
+
+eval instant at 50m cc{s=~"[a-z][0-9]"}
+  cc{s="a1"} 1
+  cc{s="b2"} 2
+
+# negated class: first char NOT in a-z (anchored, two chars total)
+eval instant at 50m cc{s=~"[^a-z][0-9]"}
+  cc{s="C3"} 3
+
+# escaped dash and literal dash placement both work
+eval instant at 50m cc{s=~"[a-z][-_][0-9]"}
+  cc{s="d-4"} 4
+  cc{s="e_5"} 5
+
+# RE2 POSIX classes translate to the same US-ASCII sets
+eval instant at 50m cc{s=~"[[:lower:]][[:digit:]]"}
+  cc{s="a1"} 1
+  cc{s="b2"} 2
+
+eval instant at 50m cc{s=~"[[:alpha:]][[:digit:]]"}
+  cc{s="a1"} 1
+  cc{s="b2"} 2
+  cc{s="C3"} 3
+
+# negated-POSIX inside a class
+eval instant at 50m cc{s=~"[[:^lower:]][0-9]"}
+  cc{s="C3"} 3
+
+# \d and \w shorthand classes
+eval instant at 50m cc{s=~"\\w\\d"}
+  cc{s="a1"} 1
+  cc{s="b2"} 2
+  cc{s="C3"} 3
+
+eval instant at 50m cc{s=~"[[:word:]][[:xdigit:]]"}
+  cc{s="a1"} 1
+  cc{s="b2"} 2
+  cc{s="C3"} 3
+""")
+  }
+
+  test("alternation is anchored as ONE group: ^(?:a|b)$ variants " +
+      "(matcher.go:61 wrap semantics)") {
+    run("""
+load 5m
+  alt{s="a"} 1+0x10
+  alt{s="ab"} 2+0x10
+  alt{s="ba"} 3+0x10
+  alt{s="b"} 4+0x10
+
+# the wrap spans the whole alternation, not its first branch
+eval instant at 50m alt{s=~"a|b"}
+  alt{s="a"} 1
+  alt{s="b"} 4
+
+# explicit inner anchors are redundant but harmless under the wrap
+eval instant at 50m alt{s=~"^a$|^b$"}
+  alt{s="a"} 1
+  alt{s="b"} 4
+
+# inner anchors bind to their BRANCH: ^(?:^a|b$)$ still needs the
+# branch to cover the whole value
+eval instant at 50m alt{s=~"^a|b$"}
+  alt{s="a"} 1
+  alt{s="b"} 4
+
+# grouping releases the suffix: (a|b)b? covers ab and b and a and bb
+eval instant at 50m alt{s=~"(a|b)b?"}
+  alt{s="a"} 1
+  alt{s="ab"} 2
+  alt{s="b"} 4
+
+# negated alternation
+eval instant at 50m alt{s!~"a|b"}
+  alt{s="ab"} 2
+  alt{s="ba"} 3
+
+# alternation with class branches
+eval instant at 50m alt{s=~"[ab]|ba"}
+  alt{s="a"} 1
+  alt{s="ba"} 3
+  alt{s="b"} 4
+""")
+  }
+
+  test("RE2-only named groups (?P<name>…) work in label_replace " +
+      "(functions.go:788-812, regexp.Expand)") {
+    run("""
+load 5m
+  src{path="api/users"} 1+0x10
+  src{path="web/login"} 2+0x10
+
+eval instant at 50m label_replace(src, "svc", "$1", "path", "(?P<kind>[a-z]+)/.*")
+  src{path="api/users", svc="api"} 1
+  src{path="web/login", svc="web"} 2
+
+# named reference in the template
+eval instant at 50m label_replace(src, "svc", "${kind}", "path", "(?P<kind>[a-z]+)/.*")
+  src{path="api/users", svc="api"} 1
+  src{path="web/login", svc="web"} 2
+
+# an absent named group expands to empty -> dst removed, not errored
+eval instant at 50m label_replace(src, "svc", "${missing}", "path", "(?P<kind>[a-z]+)/.*")
+  src{path="api/users"} 1
+  src{path="web/login"} 2
+""")
+  }
+
+  test("Java-only regex constructs are rejected like RE2 rejects them " +
+      "(lookaround, backreferences, possessive, (?U), \\Z)") {
+    run("""
+load 5m
+  rj{s="aa"} 1+0x10
+
+# lookahead / lookbehind: no RE2 equivalent
+eval_fail instant at 50m rj{s=~"a(?=a)"}
+eval_fail instant at 50m rj{s=~"a(?!b)"}
+eval_fail instant at 50m rj{s=~"(?<=a)a"}
+eval_fail instant at 50m rj{s=~"(?<!b)a"}
+
+# backreferences
+eval_fail instant at 50m rj{s=~"(a)\\1"}
+eval_fail instant at 50m rj{s!~"(a)\\1"}
+
+# possessive / nested quantifiers
+eval_fail instant at 50m rj{s=~"a++"}
+eval_fail instant at 50m rj{s=~"a*+"}
+eval_fail instant at 50m rj{s=~"a{1,2}{2}"}
+
+# ungreedy flag and \Z
+eval_fail instant at 50m rj{s=~"(?U)a+"}
+eval_fail instant at 50m rj{s=~"aa\\Z"}
+
+# Java-style named groups are not RE2's spelling
+eval_fail instant at 50m rj{s=~"(?<g>a)a"}
+
+# and the still-shared subset keeps working beside them
+eval instant at 50m rj{s=~"a{2}"}
+  rj{s="aa"} 1
+
+eval instant at 50m rj{s=~"a+?"}
+  rj{s="aa"} 1
+""")
+  }
+
+  test("invalid regexes fail at PARSE time in every matcher position " +
+      "(parse.go:919-931 NewMatcher)") {
+    run("""
+load 5m
+  pf{s="x"} 1+0x10
+
+eval_fail instant at 50m pf{s=~"(unclosed"}
+eval_fail instant at 50m pf{s!~"(unclosed"}
+eval_fail instant at 50m pf{s=~"[z-a]"}
+eval_fail instant at 50m pf{s=~"a[["}
+eval_fail instant at 50m {__name__=~"pf(("}
+
+# a valid pattern in the same shapes still selects
+eval instant at 50m {__name__=~"p.", s=~"[w-y]"}
+  pf{s="x"} 1
+""")
+  }
 }
