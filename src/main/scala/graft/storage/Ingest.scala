@@ -154,7 +154,8 @@ object Ingest {
     * (whose append is skipped by the commit marker) re-refreshes to
     * the same bytes — idempotent end to end. */
   def streamWithRollups(edge: Dataset[WriteSample], path: String,
-      checkpoint: String, rollups: Seq[Long]): StreamingQuery = {
+      checkpoint: String, rollups: Seq[Long],
+      indexed: Boolean = false): StreamingQuery = {
     rollups.foreach(requireDayDivisible)
     canonicalize(edge).writeStream
       .outputMode("append")
@@ -166,6 +167,15 @@ object Ingest {
         // the append just changed the table listing; clear the shared
         // FileStatusCache so the refresh reads the committed files
         spark.catalog.refreshByPath(path)
+        if (indexed) {
+          // keep the series index live like forTable's write path:
+          // invalidate the listing BEFORE the upsert's left_anti probe
+          // (a stale cached listing would re-append recent sigs)
+          val idx = new org.apache.hadoop.fs.Path(path, "_index").toString
+          spark.catalog.refreshByPath(idx)
+          appendSeriesIndex(batch, idx)
+          spark.catalog.refreshByPath(idx)
+        }
         val touched = datesOf(batch)
         rollups.foreach { b =>
           refreshFoldPartials(spark, path, rollupPath(path, b), b,

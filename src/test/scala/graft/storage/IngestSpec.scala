@@ -146,7 +146,7 @@ class IngestSpec extends SparkTestBase {
     def s(k: String, t: Long, v: Double) =
       Ingest.WriteSample(Map("__name__" -> "rm", "k" -> k), t, v)
     def run() = Ingest.streamWithRollups(mem.toDS(), path, ckpt,
-      Seq(5 * m)).awaitTermination(120000)
+      Seq(5 * m), indexed = true).awaitTermination(120000)
     def bits(e: PromQLEngine, q: String, start: Long, end: Long) =
       e.rangeQuery(q, start, end, 5 * m)
         .select(col("labels")("k").as("k"), col("t"), col("v"))
@@ -189,6 +189,20 @@ class IngestSpec extends SparkTestBase {
     assert(r2.exists(_._2 > 60 * m), "refresh missed the second batch")
     assert(r2.filter(_._2 <= 55 * m) == r1.filter(_._2 <= 55 * m),
       "second refresh changed already-correct earlier windows")
+    // indexed=true kept the series index live across BOTH batches:
+    // exactly one row per distinct series (the replayed sigs of batch
+    // 2 upserted as no-ops), and an index-bound engine answers
+    // matchers identically to the plain one
+    val idxPath = new org.apache.hadoop.fs.Path(path, "_index").toString
+    val idx = spark.read.parquet(idxPath)
+    assert(idx.count() == 2, "streaming index upsert duplicated sigs")
+    val samples = Ingest.readTable(spark, path)
+    val viaIndex = new PromQLEngine(spark, samples,
+      seriesIndex = Some(idx))
+    assert(resultMap(viaIndex.instant("""rm{k="rise"}""", 60 * m)) ==
+      resultMap(new PromQLEngine(spark, samples)
+        .instant("""rm{k="rise"}""", 60 * m)),
+      "index-bound matcher diverged after streaming upserts")
   }
 
   test("rollup refresh across a UTC midnight rewrites BOTH touched " +
