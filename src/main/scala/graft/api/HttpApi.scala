@@ -389,7 +389,16 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
         "exceeded maximum resolution of 11,000 points per timeseries. " +
           "Try decreasing the query resolution (?step=XX)")
     gatedBudget(requestBudgetMs(p)) {
-      parseOr400(query)
+      val expr = parseOr400(query)
+      // NewRangeQuery's type guard is a bad_data error, not an
+      // execution failure (api.go:229-232 ← engine.go:269-273)
+      expr.typ match {
+        case graft.promql.Ast.ValueType.Vector |
+            graft.promql.Ast.ValueType.Scalar => ()
+        case t => throw ApiError(400, "bad_data",
+          s"""invalid expression type "$t" for range query, """ +
+            "must be Scalar or instant Vector")
+      }
       val rows = collectRows(engine.rangeQuery(query, start, end, stepMs))
       // stitch per-series, final sort by canonical labels
       // (promql/engine.go:444-458,484-486)

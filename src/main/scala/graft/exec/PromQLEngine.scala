@@ -204,7 +204,9 @@ class PromQLEngine(
     expr.typ match {
       case ValueType.Vector | ValueType.Scalar => ()
       case t => throw new IllegalArgumentException(
-        s"invalid expression type $t for range query, must be scalar or instant vector")
+        // verbatim engine.go:271 (%q around documentedType)
+        s"""invalid expression type "$t" for range query, """ +
+          "must be Scalar or instant Vector")
     }
     finish(evalRoot(expr, EvalRange(startMs, endMs, stepMs)))
   }

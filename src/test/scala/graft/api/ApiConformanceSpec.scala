@@ -111,6 +111,14 @@ class ApiConformanceSpec extends SparkTestBase {
     assert(c3 == 400 && b3.contains("no expression found in input"), b3)
   }
 
+  test("a matrix-typed expression on query_range is bad_data with the " +
+      "documentedType wording (engine.go:269-273, api.go:229-232)") {
+    badData("/api/v1/query_range?query=test_metric1%5B5m%5D" +
+      "&start=0&end=100&step=1",
+      "invalid expression type \"range vector\" for range query, " +
+        "must be Scalar or instant Vector")
+  }
+
   test("zero step is rejected with the verbatim message (api_test.go:191-201)") {
     badData("/api/v1/query_range?query=time%28%29&start=1&end=2&step=0",
       "zero or negative query resolution step widths are not accepted. " +
