@@ -638,7 +638,13 @@ object SparkEntry {
       val samples = Samples.fromEventsDir(spark, dir)
       val eng = new PromQLEngine(spark, samples,
         seriesIndex = Some(Ingest.seriesIndex(samples)))
-      eng.rangeQuery("count_over_time(events_value[1d])", START, END, DAY)
+      // a REGEX matcher so the query actually routes through the
+      // index (r6: cheap equality probes stay per-row — the semi-join
+      // only pays where per-row evaluation is expensive); anchored
+      // ^(?:click|view)$ ≡ the oracle's IN ('click','view')
+      eng.rangeQuery(
+        """count_over_time(events_value{event_type=~"click|view"}[1d])""",
+        START, END, DAY)
         .select(col("labels")("event_type").as("event_type"),
           col("labels")("user_id").as("user_id"), col("t"), col("v"))
     }),
@@ -1235,11 +1241,13 @@ object SparkEntry {
     "s12_chunk_roundtrip" ->
       s"""SELECT COUNT(*) AS n_raw, COUNT(*) AS n_chunk,
          |  CAST(0 AS BIGINT) AS mismatch FROM events""".stripMargin,
-    // the series-index route is a PLAN change: same query, same oracle
+    // the series-index route is a PLAN change: the anchored regex
+    // ^(?:click|view)$ is exactly the IN-list predicate
     "s13_series_index" ->
       s"""WITH $STEPS, $S, ${windowSql(DAY)}
          |SELECT event_type, user_id, t, CAST(count(*) AS DOUBLE) AS v
-         |FROM w GROUP BY 1, 2, 3""".stripMargin,
+         |FROM w WHERE event_type IN ('click', 'view')
+         |GROUP BY 1, 2, 3""".stripMargin,
     // the partials route is a PLAN change, never a semantics change
     // (p3's window shape on the 12h grid)
     "p9_engine_partials" ->

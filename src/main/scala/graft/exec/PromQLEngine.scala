@@ -258,8 +258,21 @@ class PromQLEngine(
     * more than the probe saves) this is a plain per-row filter. */
   private def applyMatchers(df: DataFrame, ms: Seq[LabelMatcher]): DataFrame = {
     val cond = ms.map(matcherCond).reduce(_ && _)
+    // Route through the index only when a matcher is EXPENSIVE per
+    // row (regex): that is where amortizing evaluation across the
+    // samples-per-series factor pays for the extra join stage.
+    // Equality/inequality probes on the labels map are a few
+    // comparisons inside whole-stage codegen, so for them the
+    // semi-join can only ADD cost (a small extra stage, measured
+    // +0.03-0.05 s locally — SCALE.md §6 "Tier scale points", s13
+    // rows); unlike the reference's TSDB, whose postings lists are
+    // the ONLY access path, this engine can evaluate them on the
+    // scan directly.
+    val expensive = ms.exists(m =>
+      m.typ == MatchType.Regex || m.typ == MatchType.NotRegex)
     seriesIndex match {
-      case Some(idx) if df.columns.contains(SIG) =>
+      case Some(idx) if expensive && df.columns.contains(SIG) =>
+        countRoute("index_semi")
         df.join(idx.filter(cond).select(col(SIG)), Seq(SIG), "left_semi")
       case _ => df.filter(cond)
     }

@@ -147,14 +147,20 @@ object TierScaleBench {
     val chunkEng = new PromQLEngine(spark, ChunkStore.read(spark, chunkDir))
     val (_, s11Warm, s11Route) = measure(chunkEng, battery(5))
     println(f"${"s11_chunk_p3"}%-16s ${"-"}%9s $s11Warm%8.2fs  $s11Route")
-    // s13 witness: a narrow matcher through the index-backed engine —
-    // the matcher evaluates on the index, the scan is sig-semi-joined
-    val s13q = ("s13_index_match",
+    // s13 witness, both matcher classes: EQUALITY stays per-row (the
+    // r6 heuristic — map probes are codegen-cheap, the semi-join is
+    // not), REGEX routes through the index (`index_semi` counter)
+    val s13eq = ("s13_eq_match",
       "count_over_time(events_value{event_type=\"click\"}[1d])",
       START, END, DAY)
-    val (_, s13Raw, _) = measure(raw, s13q)
-    val (_, s13Tier, s13Route) = measure(tiered, s13q)
-    println(f"${"s13_index_match"}%-16s $s13Raw%8.2fs $s13Tier%8.2fs  $s13Route")
+    val s13re = ("s13_regex_match",
+      "count_over_time(events_value{event_type=~\"click|view\"}[1d])",
+      START, END, DAY)
+    for (q <- Seq(s13eq, s13re)) {
+      val (_, s13Raw, _) = measure(raw, q)
+      val (_, s13Tier, s13Route) = measure(tiered, q)
+      println(f"${q._1}%-16s $s13Raw%8.2fs $s13Tier%8.2fs  $s13Route")
+    }
 
     // ---- the counters ARE the /metrics surface: scrape them live ----
     val api = new graft.api.HttpApi(spark, tiered)

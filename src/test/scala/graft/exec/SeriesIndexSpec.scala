@@ -74,6 +74,21 @@ class SeriesIndexSpec extends SparkTestBase {
     assert(hits == 1, s"regex evaluated $hits times in plan:\n$plan")
   }
 
+  test("equality-only matchers stay per-row — the semi-join engages " +
+      "only for expensive (regex) matchers, observable via index_semi") {
+    val (_, indexed) = engines
+    // equality: no semi-join stage, no index_semi count
+    val eqPlan = indexed.rangeQuery("""px{job="api"}""", 10 * m, 20 * m, 5 * m)
+      .queryExecution.optimizedPlan.toString
+    assert(!eqPlan.contains("LeftSemi"),
+      s"equality matcher routed through the index:\n$eqPlan")
+    assert(!indexed.routeHits.containsKey("index_semi"))
+    // regex: semi-join present AND counted
+    indexed.rangeQuery("""px{inst=~"a|b"}""", 10 * m, 20 * m, 5 * m)
+    assert(indexed.routeHits.get("index_semi").get() == 1,
+      "regex matcher did not count the index route")
+  }
+
   test("series and label-values APIs route through the index too") {
     val (plain, indexed) = engines
     assert(plain.series("""{job=~"a.*"}""").toSet ==
