@@ -112,6 +112,18 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
     * /metrics exports as `graft_api_gate_free_slots`. */
   def gateFreeSlots: Int = gate.availablePermits()
 
+  /** Per-(handler, status) HTTP request counts and the appended-sample
+    * counter — the reference's promhttp per-handler counters and
+    * `tsdb_head_samples_appended_total` family
+    * (acceptance_test.go:52-82 asserts both on `/metrics`). */
+  private val httpRequests = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), java.util.concurrent.atomic.AtomicLong]()
+  private def countHttp(ex: HttpExchange, code: Int): Unit =
+    httpRequests.computeIfAbsent((ex.getHttpContext.getPath, code),
+      _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
+  private val samplesAppended =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   // ---- plumbing ----------------------------------------------------------
 
   import HttpApi.ApiError
@@ -148,6 +160,7 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
             (422, s"""{"status":"error","errorType":"execution","error":"${esc(String.valueOf(e.getMessage))}"}""")
         }
       val bytes = body.getBytes(UTF_8)
+      countHttp(ex, code)
       setCors(ex)
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(code, bytes.length)
@@ -613,6 +626,9 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
         org.apache.spark.sql.types.StructField("stale",
           org.apache.spark.sql.types.BooleanType, nullable = false))))
     sink(df)
+    // counted only after the sink committed — a failed append must
+    // not inflate the appended-samples family
+    samplesAppended.addAndGet(rows.size.toLong)
     """{"status":"success","data":null}"""
   }
 
@@ -675,12 +691,14 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
       ex.getResponseHeaders.set("Content-Type", "application/json")
       writerOrError match {
         case Left((code, body)) =>
+          countHttp(ex, code)
           val bytes = body.getBytes(UTF_8)
           ex.sendResponseHeaders(code, bytes.length)
           ex.getResponseBody.write(bytes)
           ex.close()
         case Right(write) =>
           try {
+            countHttp(ex, 200)
             ex.sendResponseHeaders(200, 0) // chunked
             write(ex.getResponseBody)
           } catch {
@@ -727,9 +745,35 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
     val sb = new StringBuilder
     def m(name: String, help: String, typ: String, v: Long): Unit = sb
       .append(s"# HELP $name $help\n# TYPE $name $typ\n$name $v\n")
+    // the reference's /metrics carries five families the acceptance
+    // suite asserts (acceptance_test.go:52-82): build info, engine
+    // counters, per-handler HTTP counters, runtime info, and ingest
+    // (samples-appended) counters — mirrored here
+    sb.append("# HELP graft_build_info Build information.\n")
+    sb.append("# TYPE graft_build_info gauge\n")
+    sb.append("graft_build_info{version=\"" + HttpApi.BuildVersion +
+      "\",spark=\"" + spark.version + "\"} 1\n")
+    sb.append("# HELP graft_jvm_info JVM runtime information.\n")
+    sb.append("# TYPE graft_jvm_info gauge\n")
+    sb.append("graft_jvm_info{version=\"" +
+      System.getProperty("java.version") + "\"} 1\n")
     m("graft_api_queries_total",
       "Queries admitted to the evaluation gate.", "counter",
       queriesTotal.get())
+    m("graft_ingest_samples_appended_total",
+      "Samples committed through the write sink.", "counter",
+      samplesAppended.get())
+    if (!httpRequests.isEmpty) {
+      sb.append("# HELP graft_http_requests_total HTTP requests " +
+        "served, by handler context and status code.\n")
+      sb.append("# TYPE graft_http_requests_total counter\n")
+      import scala.jdk.CollectionConverters._
+      httpRequests.asScala.toSeq.sortBy(_._1).foreach {
+        case ((path, code), n) =>
+          sb.append("graft_http_requests_total{handler=\"" + path +
+            "\",code=\"" + code + "\"} " + n.get() + "\n")
+      }
+    }
     m("graft_api_gate_free_slots",
       "Admission-gate slots currently free (of 20).", "gauge",
       gate.availablePermits().toLong)
@@ -766,6 +810,7 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
       val (code, body) =
         try (200, f(ex))
         catch { case e: Exception => (500, String.valueOf(e.getMessage)) }
+      countHttp(ex, code)
       val bytes = body.getBytes(UTF_8)
       ex.getResponseHeaders.set("Content-Type",
         "text/plain; version=0.0.4; charset=utf-8")
@@ -781,18 +826,21 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
     (ex: HttpExchange) => if (!handleOptions(ex)) {
       try {
         val body = f(ex)
+        countHttp(ex, 200)
         ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
         ex.getResponseHeaders.set("Content-Encoding", "snappy")
         ex.sendResponseHeaders(200, body.length)
         ex.getResponseBody.write(body)
       } catch {
         case ApiError(status, _, msg) =>
+          countHttp(ex, status)
           val b = (msg + "\n").getBytes(UTF_8)
           ex.getResponseHeaders.set("Content-Type",
             "text/plain; charset=utf-8")
           ex.sendResponseHeaders(status, b.length)
           ex.getResponseBody.write(b)
         case e: Exception =>
+          countHttp(ex, 500)
           val b = (String.valueOf(e.getMessage) + "\n").getBytes(UTF_8)
           ex.getResponseHeaders.set("Content-Type",
             "text/plain; charset=utf-8")
@@ -1115,6 +1163,11 @@ object HttpApi {
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
   }
+
+  /** Version label for the build-info metric (the reference's
+    * `timbala_build_info`, `cmd/timbala/main.go` via
+    * `version.NewCollector`). */
+  val BuildVersion = "0.1.0"
 
   /** Engine defaults (`cmd/timbala/main.go:218-223`). */
   val MaxConcurrent = 20

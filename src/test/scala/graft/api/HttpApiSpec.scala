@@ -132,6 +132,36 @@ class HttpApiSpec extends SparkTestBase {
     assert(body.contains("graft_engine_reagg_hits_total"))
   }
 
+  test("/metrics carries the five families the reference acceptance " +
+      "suite asserts (acceptance_test.go:52-82)") {
+    // build info ~ timbala_build_info; engine counters ~
+    // prometheus_engine_*; per-handler HTTP counters ~ http_request_*;
+    // runtime info ~ go_info; ingest ~ tsdb_head_samples_appended_total
+    get("/api/v1/query?query=1%2B1&time=120")
+    val before = {
+      val (_, b) = get("/metrics")
+      "graft_ingest_samples_appended_total ([0-9]+)".r
+        .findFirstMatchIn(b).map(_.group(1).toLong).getOrElse(0L)
+    }
+    val (wc, _) = post("/api/v1/write",
+      """{"labels":{"__name__":"mm"},"t":0,"v":1}""" + "\n" +
+        """{"labels":{"__name__":"mm"},"t":60000,"v":2}""")
+    assert(wc == 200)
+    val (code, body) = get("/metrics")
+    assert(code == 200)
+    assert(body.contains("graft_build_info{version=\"0.1.0\""), body)
+    assert(body.contains("graft_jvm_info{version=\""))
+    assert(body.contains("graft_api_queries_total"))
+    // per-handler counters label by context path and status
+    assert("""graft_http_requests_total\{handler="/api/v1/query",code="200"\} [0-9]+""".r
+      .findFirstIn(body).nonEmpty, body)
+    // the two-sample write moved the appended counter by exactly 2
+    val after = "graft_ingest_samples_appended_total ([0-9]+)".r
+      .findFirstMatchIn(body).map(_.group(1).toLong).getOrElse(-1L)
+    assert(after == before + 2,
+      s"appended counter moved $before -> $after, expected +2")
+  }
+
   test("scalar query: 1+1 at t=2m is 2 (acceptance_test.go:84-100)") {
     val (code, body) = get("/api/v1/query?query=1%2B1&time=120")
     assert(code == 200)
