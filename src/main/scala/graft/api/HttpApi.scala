@@ -77,6 +77,7 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
   server.createContext("/write", handler(handleWrite))
   server.createContext("/read", binaryHandler(handleRead))
   server.createContext("/metrics", textHandler(handleMetrics))
+  server.createContext("/debug/pprof/", textHandler(handlePprof))
   server.createContext("/api/v1/rules", handler(handleRules))
   server.createContext("/api/v1/alerts", handler(handleAlerts))
   // catch-all: the reference's router answers OPTIONS on ANY path with
@@ -802,6 +803,39 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
       }
     }
     sb.toString
+  }
+
+  /** Live-profiling surface, the JVM analogue of Go's
+    * `/debug/pprof/` index the reference mounts via net/http/pprof
+    * (acceptance_test.go:32-50 asserts the index answers with
+    * "profiles:"): an index page plus thread-stack and heap-summary
+    * profiles — what an operator actually reaches for on a stuck or
+    * ballooning JVM. */
+  private def handlePprof(ex: HttpExchange): String = {
+    val path = ex.getRequestURI.getPath
+    if (path.endsWith("/threads")) {
+      import scala.jdk.CollectionConverters._
+      Thread.getAllStackTraces.asScala.toSeq
+        .sortBy(_._1.getName)
+        .map { case (t, frames) =>
+          s"${t.getName} (${t.getState})\n" +
+            frames.map(f => s"\tat $f").mkString("\n")
+        }.mkString("\n\n") + "\n"
+    } else if (path.endsWith("/heap")) {
+      val rt = Runtime.getRuntime
+      val mb = java.lang.management.ManagementFactory.getMemoryMXBean
+      val h = mb.getHeapMemoryUsage
+      s"""heap:
+         |used ${h.getUsed} committed ${h.getCommitted} max ${h.getMax}
+         |runtime total ${rt.totalMemory} free ${rt.freeMemory} max ${rt.maxMemory}
+         |""".stripMargin
+    } else {
+      val n = Thread.activeCount()
+      s"""profiles:
+         |$n\tthreads (full stack dump at /debug/pprof/threads)
+         |1\theap (usage summary at /debug/pprof/heap)
+         |""".stripMargin
+    }
   }
 
   private def textHandler(f: HttpExchange => String)

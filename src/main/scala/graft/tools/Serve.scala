@@ -79,9 +79,14 @@ object Serve {
       new PromQLEngine(spark, samples, partialsLadder = ladder(samples))
     val api = mode match {
       // writes append into the served table; the sink swaps in a
-      // fresh-listing engine so queries see them (HttpApi.forTable)
+      // fresh-listing engine so queries see them (HttpApi.forTable).
+      // SPARK_GRAFT_REFRESH_EVERY=k debounces the rollup rewrite to
+      // once per k writes (raw-path fallback meanwhile; SCALE.md §6
+      // "Debounced refresh") — for bursty writers
       case "table" =>
-        HttpApi.forTable(spark, sfDir, port, rollups = rollups)
+        HttpApi.forTable(spark, sfDir, port, rollups = rollups,
+          refreshEveryWrites =
+            sys.env.getOrElse("SPARK_GRAFT_REFRESH_EVERY", "1").toInt)
       // read-only API over a Gorilla/XOR chunk store (ChunkStore
       // layout): decode is lazy + pruned per query
       case "chunks" => new HttpApi(spark,

@@ -162,6 +162,17 @@ class HttpApiSpec extends SparkTestBase {
       s"appended counter moved $before -> $after, expected +2")
   }
 
+  test("/debug/pprof/ answers like the reference's pprof index " +
+      "(acceptance_test.go:32-50); thread and heap profiles serve") {
+    val (c1, b1) = get("/debug/pprof/")
+    assert(c1 == 200 && b1.contains("profiles:"), s"$c1 $b1")
+    val (c2, b2) = get("/debug/pprof/threads")
+    assert(c2 == 200 && b2.contains("(RUNNABLE)"), s"$c2 ${b2.take(200)}")
+    val (c3, b3) = get("/debug/pprof/heap")
+    assert(c3 == 200 && b3.contains("heap:") && b3.contains("used "),
+      s"$c3 $b3")
+  }
+
   test("scalar query: 1+1 at t=2m is 2 (acceptance_test.go:84-100)") {
     val (code, body) = get("/api/v1/query?query=1%2B1&time=120")
     assert(code == 200)
