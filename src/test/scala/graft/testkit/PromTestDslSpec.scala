@@ -2222,6 +2222,92 @@ eval instant at 50m vector(scalar(tk{s="lo"}))
 """)
   }
 
+  test("per-step series churn: lookback membership, set ops, and " +
+      "absent() all re-evaluate at every step (engine.go:767-806)") {
+    // a: samples at 0,5,10m then 30,35m (a 15m hole); b: 10..20m only.
+    // The set-at-once evaluator must reproduce the reference's
+    // per-step membership: a series is present exactly when its
+    // latest sample falls in the CLOSED [t-5m, t] lookback.
+    run("""
+load 5m
+  churn{s="a"} 1 2 3 _ _ _ 7 8
+  churn{s="b"} _ _ 10 20 30
+
+eval instant at 15m churn
+  churn{s="a"} 3
+  churn{s="b"} 20
+
+# a's 10m sample ages out of [15m,20m]; b remains
+eval instant at 20m churn
+  churn{s="b"} 30
+
+# off-grid instant: b's 20m sample still covers 22m
+eval instant at 22m churn
+  churn{s="b"} 30
+
+# both series outside lookback: empty vector
+eval instant at 26m churn
+
+# a returns after its hole, b long gone
+eval instant at 30m churn
+  churn{s="a"} 7
+
+# aggregations track the per-step membership
+eval instant at 15m sum(churn)
+  {} 23
+
+eval instant at 20m sum(churn)
+  {} 30
+
+eval instant at 30m sum(churn)
+  {} 7
+
+eval instant at 15m count(churn)
+  {} 2
+
+eval instant at 30m count(churn)
+  {} 1
+
+# set ops re-evaluate per step: at 15m both sides exist, at 20m the
+# lhs is absent so or falls through to the rhs
+eval instant at 15m churn{s="a"} or churn{s="b"}
+  churn{s="a"} 3
+  churn{s="b"} 20
+
+eval instant at 20m churn{s="a"} or churn{s="b"}
+  churn{s="b"} 30
+
+# unless on(): rhs existence is checked at EACH step
+eval instant at 15m churn{s="b"} unless on() churn{s="a"}
+
+eval instant at 20m churn{s="b"} unless on() churn{s="a"}
+  churn{s="b"} 30
+
+# absent() flips per step with the selection, carrying the
+# selector's equality-matcher labels (functions.go funcAbsent)
+eval instant at 20m absent(churn{s="a"})
+  {s="a"} 1
+
+eval instant at 15m absent(churn{s="a"})
+
+eval instant at 26m absent(churn)
+  {} 1
+
+# per-step extrema and bool comparisons follow membership too
+# (bool comparisons KEEP __name__ in this vintage —
+# shouldDropMetricName lists only arithmetic, engine.go:1460-1467)
+eval instant at 15m max(churn)
+  {} 20
+
+eval instant at 30m max(churn)
+  {} 7
+
+eval instant at 15m churn > bool 15
+  churn{s="a"} 0
+  churn{s="b"} 1
+""")
+  }
+
   test("empty-string matchers select series WITHOUT the label " +
       "(labels.Get of an absent name is \"\", matcher.go:74-88)") {
     run("""
