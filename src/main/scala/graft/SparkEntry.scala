@@ -411,8 +411,8 @@ object SparkEntry {
         ds.head.samples(1).value) == Samples.StaleNaNBits
       val orderOk =
         ds.map(_.labels.map(_.name)).forall(ns => ns == ns.sorted) &&
-          ds.map(_.labels.map(l => s"${l.name} ${l.value}")
-            .mkString("")).sliding(2).forall(w =>
+          ds.map(_.labels.map(l => s"${l.name}\u0000${l.value}")
+            .mkString("\u0001")).sliding(2).forall(w =>
               w.size < 2 || w(0) <= w(1)) &&
           ds.forall(s => s.samples.map(_.timestamp) ==
             s.samples.map(_.timestamp).sorted)
