@@ -231,18 +231,70 @@ object Similarity {
   def lshCosinePairs(emb: DataFrame, threshold: Double, dim: Int = 64,
       nBits: Int = 64, bands: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      seed: Long = 7L): DataFrame = {
+      seed: Long = 7L, targetBucket: Int = 16,
+      maxBucket: Int = 10000): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
-    val r = nBits / bands
-    require(r <= 63, "band depth must fit in a long")
-    val keysU = bandKeysUdfFor(dim, r, bands, seed)
+    require(maxBucket >= 2, "a bucket below 2 vectors can emit no pair")
+    val r0 = nBits / bands
+    require(r0 <= 63, "band depth must fit in a long")
     val p = prepCached(emb, idCol, vecCol)
-    val buckets = p.select(col("id"), posexplode(keysU(col("v"))))
+    // ADAPTIVE DEPTH + count-based skew guard (the d3 design, applied
+    // to the hyperplane family — r6, after a measured failure): at
+    // fixed band depth r the key space is 2^r, so the expected bucket
+    // population N/2^r grows LINEARLY with the corpus and in-bucket
+    // candidates QUADRATICALLY — the 8-bit default that is instant at
+    // 2 k vectors generated a disk-filling ~10^9-pair self-join at
+    // 200 k (SCALE.md §3 scale points). Two layers, both engaging
+    // only when a corpus count says they must, so small-corpus
+    // results stay byte-stable:
+    //  1. DEPTH: past `targetBucket` expected population, deepen to
+    //     r = ⌈log2(N/targetBucket)⌉ and re-derive the band COUNT
+    //     from the hyperplane collision probability at THIS
+    //     threshold (p = 1 − acos(θ)/π, per-band hit rate p^r,
+    //     bands sized for ≥95% pair recall — textbook LSH parameter
+    //     selection), so recall survives the deepening.
+    //  2. SKEW: expected-size math cannot see an anisotropic corpus
+    //     (popular sign-patterns hold far more than N/2^r vectors —
+    //     exactly what re-exploded after layer 1 alone), so a
+    //     count-based pre-filter drops buckets wider than
+    //     `maxBucket` before any id list materializes, d3-style: the
+    //     dropped directions are the uninformative ones, the other
+    //     bands still vote for their pairs, and the surviving groups
+    //     are bounded.
+    val n = p.count()
+    val needR = math.ceil(math.log(math.max(1.0,
+      n.toDouble / targetBucket)) / math.log(2)).toInt
+    val (r, nBands) =
+      if (needR <= r0) (r0, bands)
+      else {
+        val rr = math.min(48, needR)
+        val pHit = 1.0 - math.acos(math.min(1.0, threshold)) / math.Pi
+        val perBand = math.pow(pHit, rr)
+        val b = math.ceil(math.log(0.05) / math.log1p(-perBand)).toLong
+        (rr, math.max(bands, math.min(64L, b)).toInt)
+      }
+    val keysU = bandKeysUdfFor(dim, r, nBands, seed)
+    val buckets0 = p.select(col("id"), posexplode(keysU(col("v"))))
       .select(col("id"), col("pos").as("band"), col("col").as("bkey"))
-    val cand = buckets.as("a").join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("ia"), col("b.id").as("ib"))
+    val pruned =
+      if (n <= maxBucket) buckets0
+      else {
+        val wide = buckets0.groupBy(col("band"), col("bkey"))
+          .agg(count(lit(1)).as("_bn"))
+          .filter(col("_bn") > maxBucket)
+          .select(col("band"), col("bkey"))
+        buckets0.join(broadcast(wide), Seq("band", "bkey"), "left_anti")
+      }
+    // grouped map-side pair expansion (one exchange on (band, bkey))
+    // instead of a bucket self-join — the d3 fusion; group width is
+    // bounded by the skew guard above
+    val cand = pruned
+      .groupBy(col("band"), col("bkey"))
+      .agg(collect_set(col("id")).as("_ids"))
+      .filter(size(col("_ids")) >= 2)
+      .select(explode(col("_ids")).as("ia"), col("_ids"))
+      .select(col("ia"), explode(col("_ids")).as("ib"))
+      .filter(col("ia") < col("ib"))
       .distinct()
     exactRescore(cand, p, threshold)
   }

@@ -1,0 +1,61 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.llm.{Dedup, Similarity}
+
+/** Scale points for the LLM-pipeline SCALE-PATH operators (the ones a
+  * 100 TB corpus would actually run — LSH/SimHash banding and the
+  * bucketed embedding searches, NOT the exact quadratic baselines,
+  * whose regime the dedup-crossover table already bounds). Run on
+  * sf0.1 and the `gen_scale.py` 10×/100× corpora and compare growth
+  * (SCALE.md §2/§3 scale-point paragraphs).
+  *
+  * Usage: runMain graft.tools.LlmScalePoint <dir> [dir2 ...]
+  * Cold run then median of three warm, per op, noop-sink like
+  * ProfileLlm. */
+object LlmScalePoint {
+
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("llm-scale-point")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.codegen.maxFields", 256)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    dirs.foreach(run(spark, _))
+    spark.stop()
+  }
+
+  private def run(spark: SparkSession, dir: String): Unit = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val nDocs = docs.count(); val nVecs = emb.count()
+    println(s"==== corpus $dir  docs $nDocs  vecs $nVecs ====")
+    def med(f: => DataFrame): (Double, Double) = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = once()
+      (cold, Seq.fill(3)(once()).sorted.apply(1))
+    }
+    val ops: Seq[(String, () => DataFrame)] = Seq(
+      ("d3_minhash_lsh", () => Dedup.minhashLshPairs(docs, 3, 0.5)),
+      ("d4_simhash", () => Dedup.simhashPairs(docs)),
+      ("x2_lsh_pairs", () => Similarity.lshCosinePairs(emb, 0.9,
+        dim = 64, nBits = 64, bands = 8)),
+      ("x3_ivf_blocked", () => Similarity.clusterBlockedPairs(emb, 0.9,
+        dim = 64, nprobe = 2)))
+    for ((name, f) <- ops) {
+      val (cold, warm) = med(f())
+      println(f"$name%-16s cold $cold%7.2f s  warm-med $warm%7.2f s")
+    }
+  }
+}

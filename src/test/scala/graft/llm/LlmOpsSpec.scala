@@ -372,6 +372,26 @@ class LlmOpsSpec extends SparkTestBase {
     assert(recall >= 0.99, s"design-point LSH recall $recall (${exact.size} exact)")
   }
 
+  test("lshCosinePairs adaptive depth: a tiny targetBucket forces the " +
+      "deepened bands and recall still holds on planted dups") {
+    // forcing targetBucket=4 on the 200-vector planted corpus puts
+    // the expected 2^8-key bucket population over the cap, so the
+    // guard deepens r and re-derives the band count from the 0.9
+    // threshold's collision probability — the regime a 200k-vector
+    // corpus hits with the DEFAULT cap (where the fixed 8-bit depth
+    // generated a disk-filling quadratic self-join, SCALE.md §3)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planted = Similarity.withPlantedDupes(emb)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.brutePairs(planted, 0.9, dim = 64))
+    val banded = pairs(Similarity.lshCosinePairs(planted, 0.9, dim = 64,
+      nBits = 64, bands = 8, targetBucket = 1, maxBucket = 8))
+    assert(banded.subsetOf(exact))
+    val recall = (exact & banded).size.toDouble / exact.size
+    assert(recall >= 0.95, s"deepened-band recall $recall (${exact.size} exact)")
+  }
+
   test("clusterBlockedPairs: subset of exact, high recall on planted dups") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val planted = Similarity.withPlantedDupes(emb)
