@@ -498,34 +498,141 @@ object Similarity {
     centroids
   }
 
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val x = a(i) - b(i); d += x * x; i += 1 }
+    d
+  }
+
+  /** Past this many centroids, per-vector assignment switches from the
+    * exact linear scan to the two-level coarse scan ([[coarseIndex]]).
+    * `private[llm]` so specs can force the coarse path on a small
+    * corpus. */
+  private[llm] var CoarseScanThreshold = 512
+
+  /** Driver-built two-level index over the centroid TABLE: ≈√k group
+    * means (3 seeded-deterministic Lloyd iterations over the k
+    * centroids — trivial driver compute) plus each group's member
+    * list. Per-vector assignment then ranks √k means and exact-scans
+    * only the nearest groups' members: O(√k·dim) instead of O(k·dim)
+    * per vector, attacking the N·k assignment term SCALE.md §3.2
+    * measured as the IVF/blocked bottleneck at ×100 (the classical
+    * coarse-quantizer shape). Misses need the true nearest centroid
+    * to live in a far-ranked group — rare for the near-dup regime and
+    * bounded by scanning several groups; recall is spec-pinned with
+    * the coarse path forced. */
+  private def coarseIndex(centroids: Array[(Int, Array[Double])])
+      : (Array[Array[Double]], Array[Array[(Int, Array[Double])]]) = {
+    val k = centroids.length
+    val dim = centroids(0)._2.length
+    val g = math.max(2, math.round(math.sqrt(k.toDouble)).toInt)
+    val means = Array.tabulate(g)(i =>
+      centroids((i.toLong * k / g).toInt)._2.clone())
+    val assign = new Array[Int](k)
+    var it = 0
+    while (it < 3) {
+      var ci = 0
+      while (ci < k) {
+        var best = 0; var bestD = Double.MaxValue
+        var gi = 0
+        while (gi < g) {
+          val d = sqDist(means(gi), centroids(ci)._2)
+          if (d < bestD) { bestD = d; best = gi }
+          gi += 1
+        }
+        assign(ci) = best
+        ci += 1
+      }
+      val sums = Array.fill(g)(new Array[Double](dim))
+      val cnts = new Array[Int](g)
+      ci = 0
+      while (ci < k) {
+        val gi = assign(ci); val c = centroids(ci)._2
+        var i = 0
+        while (i < dim) { sums(gi)(i) += c(i); i += 1 }
+        cnts(gi) += 1
+        ci += 1
+      }
+      var gi = 0
+      while (gi < g) {
+        if (cnts(gi) > 0) {
+          var i = 0
+          while (i < dim) { sums(gi)(i) /= cnts(gi); i += 1 }
+          means(gi) = sums(gi)
+        }
+        gi += 1
+      }
+      it += 1
+    }
+    val groups = Array.fill(g)(
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Double])])
+    var ci = 0
+    while (ci < k) { groups(assign(ci)) += centroids(ci); ci += 1 }
+    (means, groups.map(_.toArray))
+  }
+
+  /** The nearest groups' members, enough of them to make the final
+    * take(nprobe) robust (≥ max(32, 8·nprobe) candidates or every
+    * group). */
+  private def coarseCandidates(means: Array[Array[Double]],
+      groups: Array[Array[(Int, Array[Double])]], v: Array[Double],
+      minCand: Int): Array[(Int, Array[Double])] = {
+    val order = means.indices.sortBy(gi => sqDist(means(gi), v))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Double])]
+    var oi = 0
+    while (oi < order.length && out.length < minCand) {
+      out ++= groups(order(oi))
+      oi += 1
+    }
+    out.toArray
+  }
+
   /** ids of the `nprobe` nearest centroids (squared-L2), ascending by
     * distance — shared by [[ivfTopK]] query probing and
-    * [[clusterBlockedPairs]] block assignment. */
+    * [[clusterBlockedPairs]] block assignment. Exact linear scan up to
+    * [[CoarseScanThreshold]] centroids, two-level coarse scan past it. */
   private def probesUdf(centroids: Array[(Int, Array[Double])],
       nprobe: Int): UserDefinedFunction =
-    udf { (v: Array[Double]) =>
-      centroids.map { case (ci, c) =>
-        var d = 0.0
-        var i = 0
-        val n = math.min(c.length, v.length)
-        while (i < n) { val x = c(i) - v(i); d += x * x; i += 1 }
-        (ci, d)
-      }.sortBy(_._2).take(nprobe).map(_._1)
+    if (centroids.length <= CoarseScanThreshold)
+      udf { (v: Array[Double]) =>
+        centroids.map { case (ci, c) => (ci, sqDist(c, v)) }
+          .sortBy(_._2).take(nprobe).map(_._1)
+      }
+    else {
+      val (means, groups) = coarseIndex(centroids)
+      val minCand = math.max(32, 8 * nprobe)
+      udf { (v: Array[Double]) =>
+        coarseCandidates(means, groups, v, minCand)
+          .map { case (ci, c) => (ci, sqDist(c, v)) }
+          .sortBy(_._2).take(nprobe).map(_._1)
+      }
     }
 
   private def nearestCentroidUdf(centroids: Array[(Int, Array[Double])])
       : UserDefinedFunction =
-    udf { (v: Array[Double]) =>
-      var best = -1
-      var bestD = Double.MaxValue
-      centroids.foreach { case (ci, c) =>
-        var d = 0.0
-        var i = 0
-        val n = math.min(c.length, v.length)
-        while (i < n) { val x = c(i) - v(i); d += x * x; i += 1 }
-        if (d < bestD) { bestD = d; best = ci }
+    if (centroids.length <= CoarseScanThreshold)
+      udf { (v: Array[Double]) =>
+        var best = -1
+        var bestD = Double.MaxValue
+        centroids.foreach { case (ci, c) =>
+          val d = sqDist(c, v)
+          if (d < bestD) { bestD = d; best = ci }
+        }
+        best
       }
-      best
+    else {
+      val (means, groups) = coarseIndex(centroids)
+      udf { (v: Array[Double]) =>
+        var best = -1
+        var bestD = Double.MaxValue
+        coarseCandidates(means, groups, v, 32).foreach { case (ci, c) =>
+          val d = sqDist(c, v)
+          if (d < bestD) { bestD = d; best = ci }
+        }
+        best
+      }
     }
 
   /** IVF approximate top-k: corpus vectors are assigned to their nearest

@@ -392,6 +392,40 @@ class LlmOpsSpec extends SparkTestBase {
     assert(recall >= 0.95, s"deepened-band recall $recall (${exact.size} exact)")
   }
 
+  test("coarse centroid scan (forced): blocked pairs and IVF top-k " +
+      "keep recall when assignment goes two-level") {
+    // production corpora cross CoarseScanThreshold centroids and
+    // assignment switches to the sqrt-k coarse index (SCALE.md §3.2's
+    // N·k bottleneck); force it here on the small fixture and pin the
+    // same recall contracts the exact-scan tests assert
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planted = Similarity.withPlantedDupes(emb)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val old = Similarity.CoarseScanThreshold
+    Similarity.CoarseScanThreshold = 4
+    try {
+      val exact = pairs(Similarity.brutePairs(planted, 0.9, dim = 64))
+      val blocked = pairs(Similarity.clusterBlockedPairs(planted, 0.9,
+        dim = 64, numCentroids = 16, nprobe = 2))
+      assert(blocked.subsetOf(exact))
+      val recall = (exact & blocked).size.toDouble / exact.size
+      assert(recall >= 0.95, s"coarse-scan blocked recall $recall")
+      // IVF top-1 on the planted corpus: each original's nearest
+      // neighbor is its planted copy; coarse probing must still find it
+      val q = planted.filter(col("vec_id") < 1000000L).limit(20)
+      val top = Similarity.ivfTopK(q, planted, k = 2, dim = 64,
+        numCentroids = 16, nprobe = 4)
+        .filter(col("neighbor_id") =!= col("qid")).collect()
+        .groupBy(_.getLong(0))
+        .map { case (qid, rows) => qid ->
+          rows.maxBy(_.getDouble(2)).getLong(1) }
+      val hits = top.count { case (qid, nb) => nb == qid + 1000000L }
+      assert(hits >= (top.size * 0.9).toInt,
+        s"coarse IVF found $hits/${top.size} planted copies")
+    } finally Similarity.CoarseScanThreshold = old
+  }
+
   test("clusterBlockedPairs: subset of exact, high recall on planted dups") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val planted = Similarity.withPlantedDupes(emb)
