@@ -2051,6 +2051,14 @@ eval instant at 50m deriv(cst[50m])
 
 eval instant at 50m predict_linear(cst[50m], 3600)
   {} 7
+
+# the AGGREGATION quantile shares quantile.go:161-171's bounds:
+# q<0 -> -Inf, q>1 -> +Inf, never an error
+eval instant at 50m quantile(-0.5, cst)
+  {} -Inf
+
+eval instant at 50m quantile(1.5, cst)
+  {} Inf
 """)
   }
 
