@@ -19,9 +19,13 @@ package graft.promql
   *     refuses cannot silently succeed.
   *
   * Within the accepted subset the semantics coincide: Java's POSIX
-  * `\p{Alpha}`-family is US-ASCII exactly like RE2's `[[:alpha:]]`,
-  * and the `i`/`m`/`s` inline flags agree. (One residual divergence is
-  * documented rather than handled: RE2 matches invalid-UTF8 input
+  * `\p{Alpha}`-family is US-ASCII exactly like RE2's `[[:alpha:]]`;
+  * the `m`/`s` inline flags agree, and `i` is rewritten to `iu`
+  * because RE2 case-folds in Unicode while Java's bare `i` is
+  * ASCII-only. Literal `[` and `&` inside character classes (legal in
+  * RE2, class-opener/intersection in Java) are escaped, and repetition
+  * counts above RE2's 1000 cap are rejected. (One residual divergence
+  * is documented rather than handled: RE2 matches invalid-UTF8 input
   * bytewise, unreachable through this engine's String-typed labels.)
   */
 object Re2 {
@@ -98,6 +102,11 @@ object Re2 {
           out.append((if (neg) PosixNeg else Posix).getOrElse(name,
             err(s"invalid character class range [:$raw:]")))
           i = end + 2
+        } else if (c == '[' || c == '&') {
+          // RE2 treats both as LITERALS inside a class; Java reads an
+          // unescaped '[' as a nested-class opener and '&&' as class
+          // intersection (and `[[]` as an unclosed class) — escape
+          out.append('\\').append(c); i += 1
         } else {
           if (c == ']') inClass = false
           out.append(c); i += 1
@@ -121,18 +130,23 @@ object Re2 {
               "(named groups are (?P<name>…))")
           else {
             // (?flags) / (?flags:…) / (?:…) — flags limited to the
-            // subset whose Java meaning coincides
+            // subset whose Java meaning coincides. RE2's `i` does
+            // Unicode case folding; Java's is ASCII-only unless paired
+            // with UNICODE_CASE, so every `i` is emitted as `iu`
+            // (inside a `-` group that disables both, harmlessly).
             var j = i + 2
+            out.append("(?")
             while (j < p.length && p.charAt(j) != ')' && p.charAt(j) != ':') {
               p.charAt(j) match {
                 case 'U' => err("inline flag U (swap greediness) has " +
                   "no Java equivalent")
-                case 'i' | 'm' | 's' | '-' => ()
+                case 'i' => out.append("iu")
+                case f @ ('m' | 's' | '-') => out.append(f)
                 case f => err(s"invalid or unsupported inline flag '$f'")
               }
               j += 1
             }
-            out.append(c); i += 1
+            i = j // the ')' or ':' is copied by the default case
           }
           afterQuant = false
         case '*' | '+' =>
@@ -152,6 +166,19 @@ object Re2 {
           m match {
             case Some(q) =>
               quantHere()
+              // RE2 caps repetition counts at 1000 (syntax.Parse
+              // `invalid repeat count`); Java compiles any digits
+              val body = q.substring(1, q.length - 1)
+              val parts = body.split(",", -1)
+              def num(s: String): Long = // >4 digits is already >1000
+                if (s.length > 4) 1001L else s.toLong
+              val lo = num(parts(0))
+              val hi =
+                if (parts.length == 1) lo
+                else if (parts(1).isEmpty) lo
+                else num(parts(1))
+              if (lo > 1000 || hi > 1000 || hi < lo)
+                err(s"invalid repeat count: `$q`")
               out.append(q); i += q.length
             case None =>
               out.append("\\{"); i += 1

@@ -13,9 +13,40 @@ class Re2Spec extends AnyFunSuite {
 
   test("shared subset passes through unchanged") {
     for (p <- Seq("a.c+", "(foo|bar)*", "x{2,3}?", "[a-z0-9_]+",
-        "(?i)abc", "(?im:x)", "\\d+\\.\\d*", "^a$", "a|b|c",
+        "\\d+\\.\\d*", "^a$", "a|b|c",
         "[^\\]]", "\\Qa+b\\E", "(?:non)capturing", "\\p{L}+"))
       assert(ok(p) == p, p)
+  }
+
+  test("inline i gains UNICODE_CASE (RE2 case-folds in Unicode)") {
+    assert(ok("(?i)abc") == "(?iu)abc")
+    assert(ok("(?im:x)") == "(?ium:x)")
+    assert(ok("(?s-i)x") == "(?s-iu)x")
+    // (?i)σ must match Σ like RE2; bare Java (?i) would not
+    assert(Re2.compileAnchored("(?i)σ").matcher("Σ").matches())
+  }
+
+  test("literal [ and & inside classes are escaped for Java") {
+    // RE2 reads [a[b] as the class {a,[,b}; unescaped, Java would
+    // open a nested class at the inner '['
+    assert(ok("[a[b]") == "[a\\[b]")
+    assert(Re2.compileAnchored("[a[b]").matcher("[").matches())
+    // [a&&b] in RE2 is the class {a,&,b}; Java intersection = empty
+    assert(ok("[a&&b]") == "[a\\&\\&b]")
+    assert(Re2.compileAnchored("[a&&b]").matcher("&").matches())
+    // the bracket-literal idiom [[] — Java alone throws Unclosed
+    assert(ok("[[]") == "[\\[]")
+    assert(Re2.compileAnchored("[[]").matcher("[").matches())
+    // POSIX-class translation still wins over the escape
+    assert(ok("[[:alpha:][]") == "[\\p{Alpha}\\[]")
+  }
+
+  test("repeat counts above RE2's 1000 cap are rejected") {
+    bad("a{1001}"); bad("a{0,1001}"); bad("a{100000}"); bad("a{2000,}")
+    bad("a{5,2}") // max < min: RE2 rejects, Java rejects too — ours first
+    assert(ok("a{1000}") == "a{1000}")
+    assert(ok("a{0,1000}") == "a{0,1000}")
+    assert(ok("a{1000,}") == "a{1000,}")
   }
 
   test("(?P<name>) becomes Java's (?<name>) and stays matchable") {

@@ -1916,6 +1916,43 @@ eval instant at 50m rx{s=~"(?i)a[AB]"}
 """)
   }
 
+  test("RE2 class literals and Unicode case folding (matcher.go " +
+      "NewMatcher dialect edges)") {
+    run("""
+load 5m
+  rc{s="["} 1+0x10
+  rc{s="&"} 2+0x10
+  rc{s="a"} 3+0x10
+  rc{s="Σ"} 4+0x10
+
+# '[' inside a class is a LITERAL in RE2 (Java alone would open a
+# nested class / throw Unclosed character class on [[])
+eval instant at 50m rc{s=~"[[]"}
+  rc{s="["} 1
+
+eval instant at 50m rc{s=~"[a[b]"}
+  rc{s="["} 1
+  rc{s="a"} 3
+
+# '&&' inside a class is two literal '&'s in RE2, not intersection
+eval instant at 50m rc{s=~"[a&&b]"}
+  rc{s="&"} 2
+  rc{s="a"} 3
+
+# RE2's (?i) case-folds in Unicode: σ matches Σ
+eval instant at 50m rc{s=~"(?i)σ"}
+  rc{s="Σ"} 4
+
+# repetition counts above RE2's 1000 cap are a parse error
+eval_fail instant at 50m rc{s=~"a{1001}"}
+
+eval_fail instant at 50m rc{s=~"a{2,100000}"}
+
+eval instant at 50m rc{s=~"a{1,1000}"}
+  rc{s="a"} 3
+""")
+  }
+
   test("typecheck failures the vintage parser rejects (parse.go " +
       "checkType, offset/range placement)") {
     run("""
