@@ -638,12 +638,13 @@ object SparkEntry {
       val samples = Samples.fromEventsDir(spark, dir)
       val eng = new PromQLEngine(spark, samples,
         seriesIndex = Some(Ingest.seriesIndex(samples)))
-      // a REGEX matcher so the query actually routes through the
-      // index (r6: cheap equality probes stay per-row — the semi-join
-      // only pays where per-row evaluation is expensive); anchored
-      // ^(?:click|view)$ ≡ the oracle's IN ('click','view')
+      // a SELECTIVE regex matcher so the query actually routes
+      // through the index (r6: cheap equality probes stay per-row;
+      // r7: broad regexes decline too — the semi-join only pays when
+      // the matched set is small, ~2% of series here). Anchored
+      // ^(?:1[0-2])$ ≡ the oracle's IN ('10','11','12').
       eng.rangeQuery(
-        """count_over_time(events_value{event_type=~"click|view"}[1d])""",
+        """count_over_time(events_value{user_id=~"1[0-2]"}[1d])""",
         START, END, DAY)
         .select(col("labels")("event_type").as("event_type"),
           col("labels")("user_id").as("user_id"), col("t"), col("v"))
@@ -1246,7 +1247,7 @@ object SparkEntry {
     "s13_series_index" ->
       s"""WITH $STEPS, $S, ${windowSql(DAY)}
          |SELECT event_type, user_id, t, CAST(count(*) AS DOUBLE) AS v
-         |FROM w WHERE event_type IN ('click', 'view')
+         |FROM w WHERE user_id IN ('10', '11', '12')
          |GROUP BY 1, 2, 3""".stripMargin,
     // the partials route is a PLAN change, never a semantics change
     // (p3's window shape on the 12h grid)

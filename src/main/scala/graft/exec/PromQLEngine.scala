@@ -272,10 +272,41 @@ class PromQLEngine(
       m.typ == MatchType.Regex || m.typ == MatchType.NotRegex)
     seriesIndex match {
       case Some(idx) if expensive && df.columns.contains(SIG) =>
-        countRoute("index_semi")
-        df.join(idx.filter(cond).select(col(SIG)), Seq(SIG), "left_semi")
+        // Selectivity gate (r7): the semi-join only pays when the
+        // matched set is SMALL — it then broadcasts and prunes most
+        // of the sample scan. A broad matcher (measured at ¼ of all
+        // series: 2.86 s via index vs 1.20 s raw at ×100, SCALE.md
+        // §6) keeps nearly the whole scan AND adds a join stage, so
+        // past the fraction threshold evaluation stays per-row. The
+        // matched count is one aggregate over the index — the SMALL
+        // table (series, not samples) — memoized per (matchers,
+        // index-state) so repeated dashboard queries pay it once.
+        if (indexMatchedFraction(idx, ms, cond)
+            <= PromQLEngine.indexSemiMaxFraction) {
+          countRoute("index_semi")
+          df.join(idx.filter(cond).select(col(SIG)), Seq(SIG), "left_semi")
+        } else {
+          countRoute("index_semi_declined")
+          df.filter(cond)
+        }
       case _ => df.filter(cond)
     }
+  }
+
+  /** Fraction of index series the full matcher conjunction keeps —
+    * the input of the `index_semi` selectivity gate. One cheap
+    * aggregate over the series index, memoized per (index table
+    * state, matcher list) in a bounded companion cache. */
+  private def indexMatchedFraction(idx: DataFrame,
+      ms: Seq[LabelMatcher], cond: Column): Double = {
+    val cache = PromQLEngine.indexSelectivityCache
+    if (cache.size > 4096) cache.clear() // bound: rare, tiny entries
+    cache.computeIfAbsent(
+      (idx.queryExecution.analyzed.canonicalized, ms), _ => {
+        val r = idx.agg(count(lit(1)), count(when(cond, lit(1)))).head()
+        val total = r.getLong(0)
+        if (total == 0) 0.0 else r.getLong(1).toDouble / total
+      })
   }
 
   /** All samples falling in each step's window `[step-o-w, step-o]`
@@ -562,6 +593,41 @@ class PromQLEngine(
       val perSeries = rows.toDouble / math.max(1L, series) * qspan / span
       val partials = math.min(perSeries, qspan.toDouble / tr.stepMs)
       partials * m > 3.0 * (tr.numSteps + m)
+    }
+
+  /** Cost gate on the fold-rung route for TUMBLING windows (m =
+    * range/step = 1). At m ≥ 2 a rung substitutes the query-time
+    * bucketing stage one-for-one (same downstream fan-out/merge), so
+    * routing never costs more than it saves; at m = 1 the raw path is
+    * a SINGLE-stage fold over narrow sample rows, and reading the
+    * rung's ~dozen partial columns back from parquet plus re-merging
+    * them only pays when buckets actually compress — on a sparse
+    * table (≲1 sample per bucket) the rung has as many rows as the
+    * raw scan and the route is a measured ~2× loss (SCALE.md §6,
+    * a1/p3 at ×100). Estimated samples per (series, bucket) from the
+    * memoized [[tableStats]] under the same uniform-cadence
+    * assumption as [[slidingWins]]; the 3× threshold is hysteresis
+    * toward raw, the simpler single-stage plan — both routes are
+    * exact, so this gate is pure cost, never correctness. */
+  private def foldRungDense(bucketMs: Long): Boolean =
+    tableStats.exists { case (t0, t1, rows, series) =>
+      val span = math.max(1L, t1 - t0)
+      rows.toDouble * bucketMs / (math.max(1L, series) * span) >=
+        PromQLEngine.foldRungMinSamplesPerBucket
+    }
+
+  /** The fold-family routing gate over [[foldRungDense]]: pays at
+    * m ≥ 2 unconditionally, at m = 1 only when the rung compresses.
+    * Declines are counted (`fold_partials_declined:<bucketMs>`) so an
+    * operator can see the router refusing a bound rung — the flip
+    * side of `fold_partials:<bucketMs>`. */
+  private def foldRungPays(rangeMs: Long, stepMs: Long,
+      anchor: Long): Boolean =
+    rangeMs >= 2 * stepMs || bestPartials(stepMs, anchor).forall {
+      case (_, bkt) =>
+        val dense = foldRungDense(bkt)
+        if (!dense) countRoute("fold_partials_declined", bkt)
+        dense
     }
 
   /** Drop this engine's cached series dimension (entry + Spark cache).
@@ -1264,7 +1330,12 @@ class PromQLEngine(
       tr: EvalRange): Option[DataFrame] = {
     val o = selector.offsetMs
     val anchor = tr.startMs - o
-    bestPartials(tr.stepMs, anchor).map { case (tbl, bkt) =>
+    bestPartials(tr.stepMs, anchor)
+      // mirror of the dispatch-level foldRungPays gate (silent: the
+      // dispatch already counted the decline) so a declined tumbling
+      // fold entering via `bucketable` still reads raw, never the rung
+      .filter { case (_, bkt) => w >= 2 * tr.stepMs || foldRungDense(bkt) }
+      .map { case (tbl, bkt) =>
       countRoute("fold_partials", bkt)
       val ms = allMatchers(selector)
       val rows = tbl
@@ -1804,7 +1875,13 @@ class PromQLEngine(
     // ordered sub-partials per window — see materializedRatePartials;
     // materializedInstantPartials additionally requires the table's
     // top-2 columns and falls back to the query-time bucketed path)
-    if ((bucketable || materializable) && bucketFoldFuncs.contains(name))
+    // fold family only: tumbling (m = 1) rung reads must clear the
+    // density gate (see foldRungPays) — rate/irate stay ungated, their
+    // raw path pays per-window pair analysis the rung avoids even on
+    // sparse tables (c2 at ×100: 18.7 s raw vs 9.8 s tiered)
+    def foldMaterializable = materializable && foldRungPays(ms.rangeMs,
+      tr.stepMs, tr.startMs - ms.selector.offsetMs)
+    if (bucketFoldFuncs.contains(name) && (bucketable || foldMaterializable))
       return bucketedFold(ms.selector, ms.rangeMs, tr, name)
     if ((bucketable || materializable) &&
         (name == "rate" || name == "increase" || name == "delta"))
@@ -1967,6 +2044,14 @@ object PromQLEngine {
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
     Option[(Long, Long, Long, Long)]]()
 
+  /** Matched-fraction memo for the `index_semi` selectivity gate,
+    * keyed by (index table state, matcher list) — one Double per
+    * distinct dashboard matcher set per index state, cleared wholesale
+    * past 4096 entries (see `indexMatchedFraction`). */
+  private val indexSelectivityCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Seq[graft.promql.Ast.LabelMatcher]), java.lang.Double]()
+
   private[exec] val SIG = "sig"
   private[exec] val L = "labels"
   private[exec] val T = "t"
@@ -2048,4 +2133,23 @@ object PromQLEngine {
     * tests raise it to Int.MaxValue to force the explode path and
     * assert route equivalence. */
   @volatile private[exec] var slideMinM: Int = 16
+
+  /** Minimum estimated samples per (series, rung-bucket) for a
+    * TUMBLING (m = 1) fold to read a materialized rung instead of
+    * folding raw samples directly (see `foldRungDense`). 3.0 =
+    * meaningful compression with hysteresis toward the single-stage
+    * raw plan; production scrape cadence (15 s samples, 1 h rungs ≈
+    * 240/bucket) clears it by orders of magnitude, the sparse
+    * ~1-sample/series/day fixtures (≈0.4/bucket on daily rungs) fall
+    * back to raw — the measured-faster plan in both regimes. */
+  @volatile private[exec] var foldRungMinSamplesPerBucket: Double = 3.0
+
+  /** Maximum matched-series fraction for a regex matcher to engage
+    * the `index_semi` route (see `applyMatchers`). 0.10 = the
+    * semi-join must prune ≥90% of the scan to pay for its extra
+    * stage; the measured break-even sits well above it (¼ selectivity
+    * was a 2.4× loss at ×100), so the margin is hysteresis toward the
+    * per-row plan. Tests override to force either regime on small
+    * fixtures whose fractions are coarse. */
+  @volatile private[exec] var indexSemiMaxFraction: Double = 0.10
 }

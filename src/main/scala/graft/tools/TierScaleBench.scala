@@ -147,16 +147,22 @@ object TierScaleBench {
     val chunkEng = new PromQLEngine(spark, ChunkStore.read(spark, chunkDir))
     val (_, s11Warm, s11Route) = measure(chunkEng, battery(5))
     println(f"${"s11_chunk_p3"}%-16s ${"-"}%9s $s11Warm%8.2fs  $s11Route")
-    // s13 witness, both matcher classes: EQUALITY stays per-row (the
+    // s13 witness, three matcher classes: EQUALITY stays per-row (the
     // r6 heuristic — map probes are codegen-cheap, the semi-join is
-    // not), REGEX routes through the index (`index_semi` counter)
+    // not); a BROAD regex (2 of 5 event types ≈ 40% of series)
+    // declines the index under the r7 selectivity gate
+    // (`index_semi_declined`); a RARE regex (3 user ids ≈ 0.2-2%)
+    // routes (`index_semi`)
     val s13eq = ("s13_eq_match",
       "count_over_time(events_value{event_type=\"click\"}[1d])",
       START, END, DAY)
-    val s13re = ("s13_regex_match",
+    val s13broad = ("s13_broad_regex",
       "count_over_time(events_value{event_type=~\"click|view\"}[1d])",
       START, END, DAY)
-    for (q <- Seq(s13eq, s13re)) {
+    val s13rare = ("s13_rare_regex",
+      "count_over_time(events_value{user_id=~\"1[0-2]\"}[1d])",
+      START, END, DAY)
+    for (q <- Seq(s13eq, s13broad, s13rare)) {
       val (_, s13Raw, _) = measure(raw, q)
       val (_, s13Tier, s13Route) = measure(tiered, q)
       println(f"${q._1}%-16s $s13Raw%8.2fs $s13Tier%8.2fs  $s13Route")

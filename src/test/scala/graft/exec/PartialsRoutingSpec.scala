@@ -270,6 +270,50 @@ class PartialsRoutingSpec extends SparkTestBase {
       results(routed, q, 30 * m, 105 * m, 15 * m))
   }
 
+  test("tumbling (m = 1) folds read a rung only when it compresses: " +
+      "sparse tables decline to raw, dense ones route") {
+    // sparse: one sample per 25m, so a 5m rung holds ≈0.2
+    // samples/(series, bucket) — the rung has as many rows as the raw
+    // scan and the route would be pure re-merge overhead
+    val sparse = samplesDF(
+      Map("__name__" -> "pm", "s" -> "a") ->
+        (0 to 5).map(i => (i * 25 * m, i.toDouble)),
+      Map("__name__" -> "pm", "s" -> "b") ->
+        (0 to 5).map(i => (i * 25 * m, 2.0 * i)))
+    // rung built EMPTY: a query that reads it returns nothing, one
+    // that declines to raw sees data — route proof beyond counters
+    val emptyRung = Ingest.foldPartials(sparse.filter(lit(false)), 5 * m)
+    val e = new PromQLEngine(spark, sparse,
+      foldPartials = Some((emptyRung, 5 * m)))
+    // m = 1: the density gate declines -> raw path -> rows
+    assert(e.rangeQuery("sum_over_time(pm[5m])", 25 * m, 125 * m, 5 * m)
+      .count() > 0)
+    assert(Option(e.routeHits.get(s"fold_partials_declined:${5 * m}"))
+      .exists(_.get() > 0), "decline was not counted")
+    assert(e.routeHits.get(s"fold_partials:${5 * m}") == null)
+    // m = 2 on the SAME sparse engine: the rung substitutes the
+    // query-time bucketing stage 1:1 -> still routed (empty -> 0 rows)
+    assert(e.rangeQuery("sum_over_time(pm[10m])", 25 * m, 125 * m, 5 * m)
+      .count() == 0)
+    // dense table (30s cadence ≈ 10 samples per 5m bucket), m = 1:
+    // the rung compresses -> routed
+    val emptyDense = Ingest.foldPartials(fixture.filter(lit(false)), 5 * m)
+    val d = new PromQLEngine(spark, fixture,
+      foldPartials = Some((emptyDense, 5 * m)))
+    assert(d.rangeQuery("sum_over_time(pm[5m])", 20 * m, 115 * m, 5 * m)
+      .count() == 0)
+    assert(Option(d.routeHits.get(s"fold_partials:${5 * m}"))
+      .exists(_.get() > 0))
+    assert(d.routeHits.get(s"fold_partials_declined:${5 * m}") == null)
+    // a declined route is bit-equal to the raw engine (pure cost gate)
+    val rawSparse = new PromQLEngine(spark, sparse)
+    val full = new PromQLEngine(spark, sparse,
+      foldPartials = Some((Ingest.foldPartials(sparse, 5 * m), 5 * m)))
+    val q = "count_over_time(pm[5m])"
+    assert(results(rawSparse, q, 25 * m, 125 * m, 5 * m) ==
+      results(full, q, 25 * m, 125 * m, 5 * m))
+  }
+
   test("misaligned grids fall back to the raw path and stay correct") {
     val raw = new PromQLEngine(spark, fixture)
     // 2m buckets do not divide the 5m step — must fall back

@@ -60,8 +60,17 @@ class SeriesIndexSpec extends SparkTestBase {
     assert(indexed.rangeQuery("py", 62 * m, 90 * m, 5 * m).count() == 0)
   }
 
+  /** Run f with the selectivity gate wide open — for tests of the
+    * semi-join MACHINERY itself, where the 4-series fixture's coarse
+    * fractions (¼ steps) would otherwise trip the gate. */
+  private def ungated[A](f: => A): A = {
+    val saved = PromQLEngine.indexSemiMaxFraction
+    PromQLEngine.indexSemiMaxFraction = 1.0
+    try f finally PromQLEngine.indexSemiMaxFraction = saved
+  }
+
   test("the sample scan is restricted by a semi-join; the regex " +
-      "evaluates only on the index side") {
+      "evaluates only on the index side") { ungated {
     val (_, indexed) = engines
     val df = indexed.rangeQuery("""{__name__=~"p.*", job="api"}""",
       10 * m, 20 * m, 5 * m)
@@ -72,21 +81,53 @@ class SeriesIndexSpec extends SparkTestBase {
     val hits = "RLIKE".r.findAllIn(plan).size +
       "rlike".r.findAllIn(plan).size
     assert(hits == 1, s"regex evaluated $hits times in plan:\n$plan")
-  }
+  } }
 
   test("equality-only matchers stay per-row — the semi-join engages " +
       "only for expensive (regex) matchers, observable via index_semi") {
-    val (_, indexed) = engines
-    // equality: no semi-join stage, no index_semi count
-    val eqPlan = indexed.rangeQuery("""px{job="api"}""", 10 * m, 20 * m, 5 * m)
-      .queryExecution.optimizedPlan.toString
-    assert(!eqPlan.contains("LeftSemi"),
-      s"equality matcher routed through the index:\n$eqPlan")
-    assert(!indexed.routeHits.containsKey("index_semi"))
-    // regex: semi-join present AND counted
-    indexed.rangeQuery("""px{inst=~"a|b"}""", 10 * m, 20 * m, 5 * m)
-    assert(indexed.routeHits.get("index_semi").get() == 1,
-      "regex matcher did not count the index route")
+    ungated {
+      val (_, indexed) = engines
+      // equality: no semi-join stage, no index_semi count
+      val eqPlan = indexed.rangeQuery("""px{job="api"}""", 10 * m, 20 * m, 5 * m)
+        .queryExecution.optimizedPlan.toString
+      assert(!eqPlan.contains("LeftSemi"),
+        s"equality matcher routed through the index:\n$eqPlan")
+      assert(!indexed.routeHits.containsKey("index_semi"))
+      // regex: semi-join present AND counted
+      indexed.rangeQuery("""px{inst=~"a|b"}""", 10 * m, 20 * m, 5 * m)
+      assert(indexed.routeHits.get("index_semi").get() == 1,
+        "regex matcher did not count the index route")
+    }
+  }
+
+  test("the selectivity gate: rare regex matchers route through the " +
+      "index, broad ones fall back to per-row (default threshold)") {
+    // 40 series so fractions are fine-grained: job=~"j07" keeps 1/40
+    // (2.5% ≤ 10% → semi-join), job=~"j.*" keeps all (→ per-row)
+    val wide = samplesDF(
+      (0 until 40).map(i =>
+        Map("__name__" -> "pw", "job" -> f"j$i%02d") ->
+          (0 to 20).map(k => (k * 30000L, (i * 100 + k).toDouble))): _*)
+      .withColumn("sig", Samples.sigExpr(col("labels")))
+    val plain = new PromQLEngine(spark, wide)
+    val indexed = new PromQLEngine(spark, wide,
+      seriesIndex = Some(Ingest.seriesIndex(wide)))
+    // rare: routed (plan has the semi-join, counter increments)
+    val rare = indexed.rangeQuery("""pw{job=~"j07"}""", 0, 10 * m, m)
+    assert(rare.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+      "rare matcher did not engage the semi-join")
+    assert(indexed.routeHits.get("index_semi").get() >= 1)
+    // broad: declined (no semi-join stage, decline counted), results
+    // still identical to the plain path — the gate is pure cost
+    val broad = indexed.rangeQuery("""pw{job=~"j.*"}""", 0, 10 * m, m)
+    assert(!broad.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+      "broad matcher engaged the semi-join past the gate")
+    assert(indexed.routeHits.get("index_semi_declined").get() >= 1,
+      "decline was not counted")
+    assert(asSet(broad) ==
+      asSet(plain.rangeQuery("""pw{job=~"j.*"}""", 0, 10 * m, m)))
+    assert(asSet(rare) ==
+      asSet(plain.rangeQuery("""pw{job=~"j07"}""", 0, 10 * m, m)))
   }
 
   test("series and label-values APIs route through the index too") {
