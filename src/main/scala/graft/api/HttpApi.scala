@@ -65,8 +65,23 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
   // layer must be able to hold more in-flight requests than the gate
   // has slots — a fixed pool smaller than MaxConcurrent would cap
   // concurrency below the 20 the engine contract promises, and queued
-  // queries could never saturate the gate
-  private val pool = Executors.newCachedThreadPool()
+  // queries could never saturate the gate. But goroutines are cheap
+  // and platform threads are not: an UNBOUNDED pool under the
+  // never-reject admission model lets a connection flood grow one
+  // pinned thread per queued query without limit. The pool is
+  // therefore BOUNDED well above the gate (PoolThreads = 256 ≫ 20;
+  // excess arrivals queue as tiny runnables, not threads), and the
+  // request-pinning handlers shed load at MaxInflight with a 503 so
+  // threads stay available — /metrics and /debug/pprof are exempt,
+  // observability must survive the very overload it reports.
+  private val pool = {
+    val p = new java.util.concurrent.ThreadPoolExecutor(
+      HttpApi.PoolThreads, HttpApi.PoolThreads, 60L,
+      java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.LinkedBlockingQueue[Runnable]())
+    p.allowCoreThreadTimeOut(true)
+    p
+  }
   server.setExecutor(pool)
   server.createContext("/api/v1/query", handler(handleQuery))
   server.createContext("/api/v1/query_range", handler(handleQueryRange))
@@ -150,8 +165,31 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
       true
     }
 
+  /** Requests currently pinning a pool thread (queued queries
+    * included). Past [[HttpApi.MaxInflight]] the request-pinning
+    * handlers answer 503 immediately — the PoolThreads − MaxInflight
+    * headroom guarantees the 503 path itself always finds a thread,
+    * so a flood can neither exhaust threads nor starve the gate. */
+  private val inflight = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run `f` under the in-flight cap, or answer 503 (the load-shed
+    * path: a few header writes, microseconds per rejected request). */
+  private def shedding(ex: HttpExchange)(f: => Unit): Unit = {
+    if (inflight.incrementAndGet() > HttpApi.MaxInflight) {
+      inflight.decrementAndGet()
+      countHttp(ex, 503)
+      setCors(ex)
+      val b = """{"status":"error","errorType":"unavailable","error":"server overloaded"}"""
+        .getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(503, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    } else try f finally inflight.decrementAndGet()
+  }
+
   private def handler(f: HttpExchange => String): com.sun.net.httpserver.HttpHandler =
-    (ex: HttpExchange) => if (!handleOptions(ex)) {
+    (ex: HttpExchange) => if (!handleOptions(ex)) shedding(ex) {
       val (code, body) =
         try (200, f(ex))
         catch {
@@ -679,7 +717,7 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
     * switch to the swallow-and-close path. */
   private def streamingHandler(prepare: HttpExchange => java.io.OutputStream => Unit)
       : com.sun.net.httpserver.HttpHandler =
-    (ex: HttpExchange) => if (!handleOptions(ex)) {
+    (ex: HttpExchange) => if (!handleOptions(ex)) shedding(ex) {
       val writerOrError =
         try Right(prepare(ex))
         catch {
@@ -857,7 +895,7 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
     * text + status Go's `http.Error` produces (`read.go:48-66`). */
   private def binaryHandler(f: HttpExchange => Array[Byte])
       : com.sun.net.httpserver.HttpHandler =
-    (ex: HttpExchange) => if (!handleOptions(ex)) {
+    (ex: HttpExchange) => if (!handleOptions(ex)) shedding(ex) {
       try {
         val body = f(ex)
         countHttp(ex, 200)
@@ -943,14 +981,24 @@ object HttpApi {
       rules: Option[graft.streaming.RecordingRules.Group] = None,
       rollups: Seq[Long] = Nil,
       indexCompactThreshold: Int = 4 * graft.storage.Ingest.SeriesBuckets,
-      refreshEveryWrites: Int = 1, refreshMaxLagMs: Long = 0L)
+      refreshEveryWrites: Int = 1, refreshMaxLagMs: Long = 0L,
+      chunks: Boolean = false)
       : HttpApi = {
-    import graft.storage.Ingest
+    import graft.storage.{ChunkStore, Ingest}
     // fail at construction, not on the first /write: a rung that does
     // not divide a day would otherwise surface as a 500 to the writer
     rollups.foreach(Ingest.requireDayDivisible)
     require(refreshEveryWrites >= 1, "refreshEveryWrites must be >= 1")
     val indexPath = new org.apache.hadoop.fs.Path(path, "_index").toString
+    // optional Gorilla chunk tier at path/_chunks (r7): each write
+    // batch cuts its own chunks — the per-batch shape of
+    // [[graft.storage.ChunkStore.stream]], with the _tiers_ok marker
+    // playing the role of its replay-safe batch commit (a crash
+    // between the table append and the chunk append leaves the marker
+    // absent, and heal rebuilds the store from the table). Like the
+    // streaming twin, per-batch chunks are short; ChunkStore.compact
+    // behind the write watermark restores full chunks.
+    val chunksPath = new org.apache.hadoop.fs.Path(path, "_chunks").toString
     def rollupPath(b: Long) = Ingest.rollupPath(path, b)
     // tier-freshness marker: the sink DELETES it before the append
     // and re-creates it only after the index upsert + rung refresh
@@ -971,6 +1019,24 @@ object HttpApi {
         // is one pass over the table, paid only after a crash or on
         // first boot over a pre-existing table
         Ingest.appendSeriesIndex(Ingest.readTable(spark, path), indexPath)
+        if (chunks) {
+          // full rebuild: collapse cross-batch duplicate (sig, t) rows
+          // exactly like ChunkStore.compact (the encoder's strictly-
+          // increasing contract; smallest value wins, stale beats
+          // plain at one timestamp), then re-cut the whole store
+          val t = Ingest.readTable(spark, path)
+          val collapsed = t
+            .groupBy(col("sig"), col("t"))
+            .agg(first(col("labels")).as("_l0"),
+              org.apache.spark.sql.functions.min(col("v")).as("v"),
+              org.apache.spark.sql.functions.max(col("stale")).as("stale"))
+            .withColumn("labels",
+              map_from_entries(array_sort(map_entries(col("_l0")))))
+            .select(col("sig"), col("labels"), col("t"), col("v"),
+              col("stale"))
+          ChunkStore.write(collapsed, chunksPath, overwrite = true)
+          spark.catalog.refreshByPath(chunksPath)
+        }
         rollups.foreach { b =>
           Ingest.refreshFoldPartials(spark, path, rollupPath(b), b)
           // the session FileStatusCache may hold the pre-heal listing
@@ -1202,6 +1268,21 @@ object HttpApi {
     * `timbala_build_info`, `cmd/timbala/main.go` via
     * `version.NewCollector`). */
   val BuildVersion = "0.1.0"
+
+  /** HTTP pool bound: request-per-thread up to this many platform
+    * threads (idle ones time out after 60 s). Sized well above the
+    * [[MaxConcurrent]] gate so queued queries can pin threads without
+    * capping admission, yet bounded so a connection flood cannot grow
+    * threads without limit the way the old cached pool could. */
+  val PoolThreads = 256
+
+  /** Load-shed threshold for request-pinning handlers: past this many
+    * in-flight requests new ones get an immediate 503. The
+    * PoolThreads − MaxInflight headroom keeps threads free for the
+    * 503 path itself and for the exempt observability endpoints.
+    * A var so specs can shrink the flood needed to drive the shed
+    * path; production value 224. */
+  @volatile private[graft] var MaxInflight = 224
 
   /** Engine defaults (`cmd/timbala/main.go:218-223`). */
   val MaxConcurrent = 20

@@ -28,6 +28,20 @@ import graft.exec.TopK
   */
 object Similarity {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Observability counters for the adaptive-LSH guards (r6 advice:
+    * recall-affecting drops must be visible, not silent):
+    * `lsh_buckets_dropped` (over-`maxBucket` buckets removed by the
+    * skew guard) and `lsh_band_cap_hits` (the ≥95%-recall band sizing
+    * exceeded the 64-band cap). Process-lifetime, like
+    * [[graft.exec.PromQLEngine.routeHits]]. */
+  val diag = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
+  private def countDiag(k: String, by: Long = 1L): Unit =
+    diag.computeIfAbsent(k,
+      _ => new java.util.concurrent.atomic.AtomicLong).addAndGet(by)
+
   /** Left-to-right dot product of two double arrays — the native
     * [[graft.functions.ArrayDot]] expression (codegen, reads straight
     * from UnsafeArrayData), not `aggregate(zip_with(...))` (interpreted
@@ -232,9 +246,20 @@ object Similarity {
       nBits: Int = 64, bands: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
       seed: Long = 7L, targetBucket: Int = 16,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = -1): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
-    require(maxBucket >= 2, "a bucket below 2 vectors can emit no pair")
+    // maxBucket default (r7): AUTO = 64 × targetBucket (floor 1024).
+    // The r6 fixed 10000 ceiling bounded candidate VOLUME but not
+    // per-task work — a single 10⁴-wide bucket expands to 5×10⁷
+    // pairs inside ONE task, the map-side sort spill behind x2's
+    // 45–74 s ×100 spread (SCALE.md §3.2). At adaptive depth the
+    // EXPECTED width is targetBucket, so 64× over expectation is
+    // already a degenerate hub direction: dropping it loses ~no true
+    // pairs (near-dups also collide in narrower bands, and the drops
+    // are logged/counted now), while capping the worst task's pair
+    // fan-out at ~0.5 M.
+    val maxB = if (maxBucket > 0) maxBucket else math.max(1024, 64 * targetBucket)
+    require(maxB >= 2, "a bucket below 2 vectors can emit no pair")
     val r0 = nBits / bands
     require(r0 <= 63, "band depth must fit in a long")
     val p = prepCached(emb, idCol, vecCol)
@@ -271,19 +296,52 @@ object Similarity {
         val pHit = 1.0 - math.acos(math.min(1.0, threshold)) / math.Pi
         val perBand = math.pow(pHit, rr)
         val b = math.ceil(math.log(0.05) / math.log1p(-perBand)).toLong
+        if (b > 64) {
+          // the ≥95%-recall sizing wanted more bands than the cap
+          // allows (low thresholds at deep r) — recall undershoots by
+          // design here, but never SILENTLY (advice r6)
+          countDiag("lsh_band_cap_hits")
+          log.warn(s"lshCosinePairs: recall sizing wants $b bands at " +
+            s"depth $r for threshold $threshold; capped at 64 — " +
+            "expected pair recall falls below the 95% design point")
+        }
         (rr, math.max(bands, math.min(64L, b)).toInt)
       }
     val keysU = bandKeysUdfFor(dim, r, nBands, seed)
     val buckets0 = p.select(col("id"), posexplode(keysU(col("v"))))
       .select(col("id"), col("pos").as("band"), col("col").as("bkey"))
     val pruned =
-      if (n <= maxBucket) buckets0
+      if (n <= maxB) buckets0
       else {
-        val wide = buckets0.groupBy(col("band"), col("bkey"))
+        // one aggregation pass, COLLECTED: the over-wide bucket list
+        // is tiny (degenerate directions only), so materializing it
+        // on the driver both makes the drop count observable (advice
+        // r6: silent drops read as full recall) and turns the
+        // anti-join build side into a local relation instead of
+        // re-running the aggregation inside the join
+        val wideRows = buckets0.groupBy(col("band"), col("bkey"))
           .agg(count(lit(1)).as("_bn"))
-          .filter(col("_bn") > maxBucket)
+          .filter(col("_bn") > maxB)
           .select(col("band"), col("bkey"))
-        buckets0.join(broadcast(wide), Seq("band", "bkey"), "left_anti")
+          .collect()
+        if (wideRows.nonEmpty) {
+          countDiag("lsh_buckets_dropped", wideRows.length.toLong)
+          log.warn(s"lshCosinePairs: dropping ${wideRows.length} " +
+            s"over-wide buckets (> $maxB of $n vectors) — pairs " +
+            "confined to dropped directions in every band are lost")
+        }
+        if (wideRows.isEmpty) buckets0
+        else {
+          val spark = emb.sparkSession
+          val wide = spark.createDataFrame(
+            java.util.Arrays.asList(wideRows: _*),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("band",
+                org.apache.spark.sql.types.IntegerType),
+              org.apache.spark.sql.types.StructField("bkey",
+                org.apache.spark.sql.types.LongType))))
+          buckets0.join(broadcast(wide), Seq("band", "bkey"), "left_anti")
+        }
       }
     // grouped map-side pair expansion (one exchange on (band, bkey))
     // instead of a bucket self-join — the d3 fusion; group width is

@@ -120,6 +120,43 @@ class AdmissionControlSpec extends SparkTestBase {
     assert(c2 == 200, s"$c2 $b2")
   }
 
+  test("a connection flood sheds load at MaxInflight with 503 while " +
+      "admitted queries complete and /metrics stays observable") {
+    get("/metrics") // force server init before the flood
+    // shrink the shed threshold so a 40-request burst drives it (the
+    // production 224 would need a thousand-connection flood); the
+    // POOL bound itself is structural — a fixed ThreadPoolExecutor
+    // can never grow past PoolThreads, unlike the old cached pool
+    val saved = HttpApi.MaxInflight
+    HttpApi.MaxInflight = 8
+    val pool = Executors.newFixedThreadPool(40)
+    try {
+      val results = (1 to 40).map { _ =>
+        pool.submit[(Int, String)] { () => get(slowQuery) }
+      }
+      // the observability endpoints are EXEMPT from shedding: a
+      // scrape mid-flood must answer (it reports the overload)
+      Thread.sleep(300)
+      val (mc, mb) = get("/metrics")
+      assert(mc == 200 && mb.contains("graft_api_gate_free_slots"),
+        s"metrics unavailable during flood: $mc")
+      val done = results.map(_.get(120, TimeUnit.SECONDS))
+      val ok = done.count(_._1 == 200)
+      val shed = done.filter(_._1 == 503)
+      assert(shed.nonEmpty, s"no request was shed: ${done.map(_._1)}")
+      assert(shed.forall(_._2 ==
+        """{"status":"error","errorType":"unavailable",""" +
+          """"error":"server overloaded"}"""), shed.head._2)
+      // the gate was never starved: every request under the cap ran
+      // to completion
+      assert(ok >= 1 && ok <= 8, s"expected 1..8 successes, got $ok")
+      assert(ok + shed.size == 40)
+    } finally {
+      HttpApi.MaxInflight = saved
+      pool.shutdownNow()
+    }
+  }
+
   test("an unparseable ?timeout= is bad_data with the verbatim " +
       "duration diagnostic (api.go:217-227)") {
     val (code, body) = get(s"$slowQuery&timeout=bogus")

@@ -15,16 +15,33 @@ k^2 as a property of the DATA, not the operators).
   map: norms and in-shard cosines exactly preserved, cross-shard
   cosines decorrelated).
 
-Usage: python3 tools/gen_scale.py [k] [src_dir] [out_dir]
+Usage: python3 tools/gen_scale.py [k] [src_dir] [out_dir] [--dense d]
+
+--dense d scales the SAMPLES-PER-SERIES axis of the events table (the
+production scrape-cadence shape — the reference's test generators emit
+dense per-series cadences): each event is replicated d times at
+distinct timestamps spread over the hour after the original, keeping
+the series count and time range fixed. The base fixture averages ~1
+sample/series/day, far below the fold-rung crossover; a dense corpus
+(e.g. --dense 24 ~= hourly cadence) measures the regime where the
+partials tiers actually pay, calibrating the m=1 density gate.
+documents/embeddings are unaffected by --dense.
 """
 import sys
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-out = sys.argv[3] if len(sys.argv) > 3 else f"/root/repo/tmpdata/sf0.1x{k}"
+argv = list(sys.argv[1:])
+dense = 1
+if "--dense" in argv:
+    i = argv.index("--dense")
+    dense = int(argv[i + 1])
+    del argv[i:i + 2]
+k = int(argv[0]) if len(argv) > 0 else 10
+src = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
+out = argv[2] if len(argv) > 2 else (
+    f"/root/repo/tmpdata/sf0.1x{k}" + (f"d{dense}" if dense > 1 else ""))
 
 import os
 os.makedirs(out, exist_ok=True)
@@ -87,6 +104,24 @@ scaled_ev = pa.table({
 # keep the source column order (the adapter is order-agnostic, but
 # diffs against the base table read cleaner)
 scaled_ev = scaled_ev.select(ev.column_names)
+
+# --dense: replicate every event d times at distinct timestamps within
+# the hour after the original (same series, same 30-day range — only
+# the per-series cadence grows). event_id stays unique per replica.
+if dense > 1:
+    ts = scaled_ev["ts"].to_numpy()  # datetime64
+    eid = scaled_ev["event_id"].to_numpy()
+    step_ms = max(1, 3_600_000 // dense)
+    parts = []
+    for j in range(dense):
+        cols = {"ts": ts + np.timedelta64(j * step_ms, "ms"),
+                "event_id": eid + j * 10_000_000_000}
+        parts.append(pa.table({
+            name: (pa.array(cols[name]).cast(scaled_ev.schema.field(name).type)
+                   if name in cols else scaled_ev[name].combine_chunks())
+            for name in scaled_ev.column_names}))
+    scaled_ev = pa.concat_tables(parts)
+
 pq.write_table(scaled_ev, f"{out}/events.parquet")
 print(f"wrote {out}: {scaled_docs.num_rows} docs, {scaled_emb.num_rows} "
       f"vecs, {scaled_ev.num_rows} events")
