@@ -985,6 +985,7 @@ object HttpApi {
       chunks: Boolean = false)
       : HttpApi = {
     import graft.storage.{ChunkStore, Ingest}
+    import org.apache.spark.sql.functions._
     // fail at construction, not on the first /write: a rung that does
     // not divide a day would otherwise surface as a 500 to the writer
     rollups.foreach(Ingest.requireDayDivisible)

@@ -302,7 +302,7 @@ object Similarity {
           // design here, but never SILENTLY (advice r6)
           countDiag("lsh_band_cap_hits")
           log.warn(s"lshCosinePairs: recall sizing wants $b bands at " +
-            s"depth $r for threshold $threshold; capped at 64 — " +
+            s"depth $rr for threshold $threshold; capped at 64 — " +
             "expected pair recall falls below the 95% design point")
         }
         (rr, math.max(bands, math.min(64L, b)).toInt)
