@@ -973,16 +973,33 @@ object HttpApi {
     *     incrementally refreshed per write for exactly the UTC dates
     *     the batch touched ([[graft.storage.Ingest.refreshFoldPartials]]),
     *     so aligned dashboard queries route to partials immediately
-    *     after the write that fed them.
+    *     after the write that fed them;
+    *   - an optional Gorilla `chunks` tier at `path/_chunks`: each
+    *     write batch cuts its own chunks ([[graft.storage.ChunkStore]],
+    *     the per-batch shape of `ChunkStore.stream` — the reference's
+    *     head cutting chunks live as samples arrive, vendor
+    *     `tsdb/head.go`), the serving engine binds the tier so
+    *     selector scans read per-chunk rows with envelope pruning
+    *     before decode, and date partitions past
+    *     `chunkCompactThreshold` files are re-encoded to full chunks
+    *     in place (`ChunkStore.compact`, the background-compactor
+    *     analogue).
     * The tier dirs are underscore-prefixed, so the table's own file
     * index never picks them up as data. On a pre-existing table the
-    * missing tiers are bootstrapped once at startup. */
+    * missing tiers are bootstrapped once at startup. The `_tiers_ok`
+    * marker records the tier CONFIGURATION it certifies (rollups +
+    * chunks): a server started with a different configuration heals
+    * once at boot instead of trusting tiers another configuration
+    * kept fresh — without this, reopening a chunk-less table with
+    * `chunks = true` would serve a stale store the previous server
+    * never appended to. */
   def forTable(spark: SparkSession, path: String, port: Int = 0,
       rules: Option[graft.streaming.RecordingRules.Group] = None,
       rollups: Seq[Long] = Nil,
       indexCompactThreshold: Int = 4 * graft.storage.Ingest.SeriesBuckets,
       refreshEveryWrites: Int = 1, refreshMaxLagMs: Long = 0L,
-      chunks: Boolean = false)
+      chunks: Boolean = false,
+      chunkCompactThreshold: Int = 4 * graft.storage.Ingest.SeriesBuckets)
       : HttpApi = {
     import graft.storage.{ChunkStore, Ingest}
     import org.apache.spark.sql.functions._
@@ -1011,6 +1028,26 @@ object HttpApi {
     val tableFs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val tiersOk = new org.apache.hadoop.fs.Path(path, "_tiers_ok")
+    // the marker CONTENT pins the tier configuration it certifies: a
+    // marker written by a server with different tiers (e.g. chunks
+    // off) must not be trusted by one with more (its extra tiers were
+    // never kept fresh) — mismatch forces one boot-time heal
+    val tiersConfig =
+      s"rollups=${rollups.sorted.mkString(",")};chunks=$chunks\n"
+    def certifyTiers(): Unit = {
+      tableFs.mkdirs(tiersOk.getParent)
+      val out = tableFs.create(tiersOk, true)
+      out.write(tiersConfig.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
+    def tiersCertified(): Boolean =
+      tableFs.exists(tiersOk) && {
+        val in = tableFs.open(tiersOk)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) == tiersConfig
+        finally in.close()
+      }
     def healTiers(): Unit = {
       if (Ingest.hasParquetData(spark, path)) {
         spark.catalog.refreshByPath(path)
@@ -1048,15 +1085,17 @@ object HttpApi {
         }
         spark.catalog.refreshByPath(indexPath)
       }
-      tableFs.mkdirs(tiersOk.getParent)
-      tableFs.create(tiersOk, true).close()
+      certifyTiers()
     }
-    // bootstrap: heal when the marker is missing (first boot, a crash
-    // mid-write, or a pre-existing table served for the first time)
-    // or when a tier was removed out-of-band
-    if (!tableFs.exists(tiersOk) ||
+    // bootstrap: heal when the marker is missing or certifies a
+    // DIFFERENT tier configuration (first boot, a crash mid-write, a
+    // pre-existing table served for the first time, or a server
+    // restarted with more tiers than the last one kept fresh), or
+    // when a tier was removed out-of-band
+    if (!tiersCertified() ||
         (Ingest.hasParquetData(spark, path) &&
           (!Ingest.hasParquetData(spark, indexPath) ||
+            (chunks && !Ingest.hasParquetData(spark, chunksPath)) ||
             rollups.exists(b => !Ingest.hasParquetData(spark, rollupPath(b))))))
       healTiers()
     def freshEngine(bindRungs: Boolean = true) = {
@@ -1077,8 +1116,17 @@ object HttpApi {
           Some((spark.read.parquet(p).drop("date"), b))
         else None
       }
+      // chunk tier: fresh after every successful write (the sink cuts
+      // the batch's chunks before re-certifying the marker; a failed
+      // or crashed write heals before the next engine swap), so bind
+      // it whenever the store exists — selector scans then serve from
+      // per-chunk rows with envelope pruning before decode
+      val chunkT =
+        if (chunks && Ingest.hasParquetData(spark, chunksPath))
+          Some(ChunkStore.read(spark, chunksPath))
+        else None
       new PromQLEngine(spark, Ingest.readTable(spark, path),
-        partialsLadder = ladder, seriesIndex = idx)
+        partialsLadder = ladder, seriesIndex = idx, chunkTier = chunkT)
     }
     var api: HttpApi = null
     // one writer at a time: the HTTP pool is multi-threaded, and two
@@ -1125,7 +1173,41 @@ object HttpApi {
       val markerWasAbsent = !tableFs.delete(tiersOk, false)
       val needHeal = failedDirty || (markerWasAbsent && pendingDates.isEmpty)
       try {
-        Ingest.append(df, path)
+        if (chunks) {
+          // dedup ONCE, materialize, feed both stores: the chunk
+          // encoder needs exactly dedup's canonical per-(series, t)
+          // output, and re-deriving it would re-run the batch's
+          // dominant shuffle for the second append
+          val canon = Ingest.dedup(df, strict = false).localCheckpoint(true)
+          Ingest.appendCanonical(canon, path)
+          if (!needHeal) {
+            // per-batch chunk cut — the batch shape of
+            // ChunkStore.stream; skipped when a full heal is about to
+            // rebuild the store from the committed table anyway
+            ChunkStore.write(canon, chunksPath)
+            spark.catalog.refreshByPath(chunksPath)
+            // bound chunk fragmentation: an append cannot extend a
+            // sealed blob, so a hot date accumulates short chunks —
+            // past the file-count threshold, re-encode the partition
+            // to full chunks (the reference's background compactor,
+            // tsdb/compact.go). Runs BEFORE the marker is re-created:
+            // a crash mid-overwrite leaves the marker absent and the
+            // next boot heals the store from the table.
+            val chunkRoot = new org.apache.hadoop.fs.Path(chunksPath)
+            if (tableFs.exists(chunkRoot))
+              tableFs.listStatus(chunkRoot)
+                .filter(_.getPath.getName.startsWith("date="))
+                .foreach { d =>
+                  if (tableFs.listStatus(d.getPath).count(
+                      _.getPath.getName.endsWith(".parquet")) >
+                      chunkCompactThreshold) {
+                    ChunkStore.compact(spark, chunksPath,
+                      d.getPath.getName.stripPrefix("date="))
+                    spark.catalog.refreshByPath(chunksPath)
+                  }
+                }
+          }
+        } else Ingest.append(df, path)
         if (needHeal) {
           // full-table index upsert + all-dates rung refresh: covers
           // this batch AND whatever the failed/unknown batch left out

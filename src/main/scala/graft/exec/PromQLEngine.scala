@@ -50,7 +50,21 @@ class PromQLEngine(
     // a sig semi-join — the reference TSDB's inverted-index read path
     // (vendor tsdb/querier.go PostingsForMatchers). Requires a stored
     // sig column on the samples table (see applyMatchers).
-    seriesIndex: Option[DataFrame] = None) {
+    seriesIndex: Option[DataFrame] = None,
+    // Gorilla chunk tier over the SAME samples, already decoded to the
+    // canonical frame (graft.storage.ChunkStore.read): when bound,
+    // every sample-volume selector scan serves from it instead of
+    // `samples` — the reference's block read path (vendor
+    // tsdb/querier.go chunk reads), where the chunk table IS the cold
+    // store. Time bounds prune BEFORE decode via the
+    // ChunkEnvelopePushdown rule (date partitions + min_t/max_t
+    // row-group stats), and per-chunk rows amortize matcher evaluation
+    // by the samples-per-chunk factor. Series-dimension questions
+    // (seriesDim, tableStats, labelValues) stay on `samples`: both
+    // frames hold the same series, and the raw table answers them
+    // without decode. Results are bit-identical either way (asserted
+    // in ForTableTiersSpec) — only scan cost differs.
+    chunkTier: Option[DataFrame] = None) {
 
   import PromQLEngine._
 
@@ -66,6 +80,13 @@ class PromQLEngine(
   if (!spark.experimental.extraOptimizations.contains(graft.plans.IntDivPushdown))
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.plans.IntDivPushdown
+  // chunk-tier envelope pushdown (idempotent): time bounds on decoded
+  // sample timestamps prune chunk rows BEFORE decode (see
+  // graft.plans.ChunkEnvelopePushdown); a no-op on plans without a
+  // chunk_decode Generate
+  if (!spark.experimental.extraOptimizations.contains(graft.plans.ChunkEnvelopePushdown))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.ChunkEnvelopePushdown
 
   /** True when the samples table carries a precomputed `sig` column —
     * the bucketed storage tier ([[graft.storage.Ingest.writeBucketedStore]]
@@ -76,7 +97,16 @@ class PromQLEngine(
     * plans (asserted in PlanShapeSpec). Recomputing the hash here would
     * sever that lineage — Catalyst cannot prove `xxhash64(...)` equal
     * to the stored attribute. */
-  private val storedSig = samples.columns.contains(SIG)
+  /** The frame sample-volume selector scans read: the chunk tier when
+    * bound, the raw samples otherwise. Same canonical schema, same
+    * content; `chunk_tier` route hits count each scan served. */
+  private val scanSamples: DataFrame = chunkTier.getOrElse(samples)
+  private def scanSource: DataFrame = {
+    if (chunkTier.isDefined) countRoute("chunk_tier")
+    scanSamples
+  }
+
+  private val storedSig = scanSamples.columns.contains(SIG)
   private def sigCol: Column =
     if (storedSig) col(SIG) else Samples.sigExpr(col(L))
 
@@ -118,7 +148,7 @@ class PromQLEngine(
     var df = seriesIndex match {
       case Some(idx) if startMs.isEmpty && endMs.isEmpty =>
         idx.filter(allMatchers(vs).map(matcherCond).reduce(_ && _))
-      case _ => applyMatchers(samples, allMatchers(vs))
+      case _ => applyMatchers(scanSource, allMatchers(vs))
     }
     startMs.foreach(s => df = df.filter(col(T) >= s))
     endMs.foreach(e => df = df.filter(col(T) <= e))
@@ -140,7 +170,7 @@ class PromQLEngine(
       case _ => throw new IllegalArgumentException(
         s"expected a vector selector, got: $matchExpr")
     }
-    applyMatchers(samples, allMatchers(vs))
+    applyMatchers(scanSource, allMatchers(vs))
   }
 
   def rawSamples(matchExpr: String, startMs: Option[Long] = None,
@@ -157,7 +187,7 @@ class PromQLEngine(
     * them resurrects ended series for a full lookback window. */
   def rawSamplesWithMarkers(matchExpr: String, startMs: Option[Long] = None,
       endMs: Option[Long] = None): DataFrame = {
-    val hasStale = samples.columns.contains("stale")
+    val hasStale = scanSamples.columns.contains("stale")
     var df = matchedSamples(matchExpr)
     startMs.foreach(s => df = df.filter(col(T) >= s))
     endMs.foreach(e => df = df.filter(col(T) <= e))
@@ -324,10 +354,11 @@ class PromQLEngine(
     // lookback makes the series ABSENT (no fallback to older samples) —
     // see vectorSelect. Markers arrive as an explicit `stale` flag set at
     // ingest because Spark normalizes NaN payload bits inside UnsafeRow.
-    val hasStale = samples.columns.contains("stale")
+    val hasStale = scanSamples.columns.contains("stale")
     val staleCol = if (hasStale) col("stale") else lit(false)
+    val src = scanSource
     val unstale =
-      if (keepStale || !hasStale) samples else samples.filter(!col("stale"))
+      if (keepStale || !hasStale) src else src.filter(!col("stale"))
     val base = applyMatchers(unstale, ms)
       .filter(col(T) >= tr.startMs - o - windowMs && col(T) <= tr.endMs - o)
       .select(sigCol.as(SIG), col(L), col(T).as(ST), col(V),
@@ -410,6 +441,9 @@ class PromQLEngine(
     * index (the postings path) rather than per-sample filters. */
   private[graft] def hasSeriesIndex: Boolean = seriesIndex.isDefined
 
+  /** Spec surface: whether selector scans serve from the chunk tier. */
+  private[graft] def hasChunkTier: Boolean = chunkTier.isDefined
+
   /** The COARSEST bound partials table servable for a grid: bucket
     * divides the step and the (offset-shifted) start sits on a bucket
     * boundary. Coarser buckets hold fewer rows, and every rung is an
@@ -470,10 +504,10 @@ class PromQLEngine(
     val partials0 = materializedSelectPartials(vs, tr).getOrElse {
       // (not bucketedBase: that drops stale rows, instant selection
       // keeps them)
-      val hasStale = samples.columns.contains("stale")
+      val hasStale = scanSamples.columns.contains("stale")
       val staleCol = if (hasStale) col("stale") else lit(false)
       val ms = allMatchers(vs)
-      applyMatchers(samples, ms)
+      applyMatchers(scanSource, ms)
         .filter(col(T) >= tr.startMs - o - lookbackMs &&
           col(T) <= tr.endMs - o)
         .select(sigCol.as(SIG), col(L),
@@ -1300,8 +1334,9 @@ class PromQLEngine(
     val o = selector.offsetMs
     val ms = allMatchers(selector)
     require(ms.nonEmpty, "vector selector must contain at least one label matcher")
-    val hasStale = samples.columns.contains("stale")
-    val unstale = if (hasStale) samples.filter(!col("stale")) else samples
+    val hasStale = scanSamples.columns.contains("stale")
+    val src = scanSource
+    val unstale = if (hasStale) src.filter(!col("stale")) else src
     val anchor = tr.startMs - o // bucket grid aligned to shifted eval times
     applyMatchers(unstale, ms)
       .filter(col(T) >= tr.startMs - o - w && col(T) <= tr.endMs - o)

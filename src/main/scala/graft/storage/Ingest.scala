@@ -113,7 +113,15 @@ object Ingest {
     * query, which profiling showed was the dominant per-row compute
     * of every selector over a sig-less table. */
   def append(batch: DataFrame, path: String, strict: Boolean = false): Unit =
-    dedup(batch, strict) // already carries the stored `sig`
+    appendCanonical(dedup(batch, strict), path)
+
+  /** The write half of [[append]]: input must already be [[dedup]]'s
+    * canonical output (sig, labels, t, v, stale). Split out so a sink
+    * feeding BOTH the raw table and the chunk tier
+    * ([[graft.api.HttpApi.forTable]] with chunks) dedups the batch
+    * once and reuses the materialized result for each append. */
+  def appendCanonical(canon: DataFrame, path: String): Unit =
+    canon // already carries the stored `sig`
       .withColumn("date", utcDate(col("t")))
       // co-locate each series' day into one bucket → bounded file count
       // and mergeable row groups per series

@@ -275,6 +275,160 @@ class ForTableTiersSpec extends SparkTestBase {
     } finally tApi.stop()
   }
 
+  test("forTable(chunks=true): every write cuts its own chunks, the " +
+      "served engine reads from the tier bit-equally to raw, and " +
+      "compaction bounds fragmentation") {
+    val path = Files.createTempDirectory("api-table-chunks").toString
+    val tApi = HttpApi.forTable(spark, path, chunks = true,
+      chunkCompactThreshold = 40)
+    tApi.start()
+    try {
+      def postT(body: String): Int = {
+        val url = new URI(
+          s"http://127.0.0.1:${tApi.boundPort}/api/v1/write").toURL
+        val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes(UTF_8))
+        conn.getResponseCode
+      }
+      def write(lo: Int, hi: Int): Unit = assert(postT((lo to hi).map(i =>
+        s"""{"labels":{"__name__":"ck_m","k":"a"},"t":${i * m},"v":$i}""")
+        .mkString("\n")) == 200)
+      write(0, 120)
+      // the tier exists, the marker certifies it, the engine binds it
+      assert(graft.storage.ChunkStore
+        .readChunks(spark, s"$path/_chunks").count() > 0,
+        "first write cut no chunks")
+      assert(new java.io.File(s"$path/_tiers_ok").exists())
+      val e1 = tApi.servingEngine
+      assert(e1.hasChunkTier, "served engine did not bind the chunk tier")
+      // served results are bit-equal to a raw-path engine...
+      val raw1 = new PromQLEngine(spark, Ingest.readTable(spark, path))
+      val a1 = bits(raw1, "sum_over_time(ck_m[10m])", 0, 120 * m, 5 * m)
+      assert(a1 == bits(e1, "sum_over_time(ck_m[10m])", 0, 120 * m, 5 * m)
+        && a1.nonEmpty, "chunk-served query diverged from raw")
+      assert(e1.routeHits.containsKey("chunk_tier"),
+        "selector scan did not count the chunk_tier route")
+      // ...and they really COME from the tier: the same raw table with
+      // an empty chunk tier bound answers nothing (inverse witness,
+      // the starved-rung pattern above)
+      val starved = new PromQLEngine(spark, Ingest.readTable(spark, path),
+        chunkTier = Some(graft.storage.ChunkStore
+          .read(spark, s"$path/_chunks").filter(lit(false))))
+      assert(starved
+        .rangeQuery("sum_over_time(ck_m[10m])", 0, 120 * m, 5 * m)
+        .count() == 0, "selector scan did not read from the chunk tier")
+
+      // a second write is served WITHOUT a heal: its chunks are cut
+      // per-batch, and the swapped engine covers the new points
+      write(121, 150)
+      val e2 = tApi.servingEngine
+      val raw2 = new PromQLEngine(spark, Ingest.readTable(spark, path))
+      val a2 = bits(raw2, "sum_over_time(ck_m[10m])", 0, 150 * m, 5 * m)
+      assert(a2 == bits(e2, "sum_over_time(ck_m[10m])", 0, 150 * m, 5 * m),
+        "post-append chunk-served query diverged from raw")
+      assert(a2.exists(_._2 > 120 * m),
+        "chunk tier missed the second batch's points")
+
+      // fragmentation stays bounded: many single-day writes, then the
+      // partition's file count must sit under ~threshold + one batch's
+      // fan-out (each write adds <= SeriesBuckets files; compact
+      // rewrites the date in place)
+      for (i <- 0 until 12) write(151 + i * 3, 153 + i * 3)
+      def chunkFiles: Int = {
+        val d = new java.io.File(s"$path/_chunks")
+        d.listFiles().filter(_.getName.startsWith("date="))
+          .flatMap(_.listFiles())
+          .count(_.getName.endsWith(".parquet"))
+      }
+      assert(chunkFiles <= 40 + graft.storage.Ingest.SeriesBuckets,
+        s"chunk partition never compacted: $chunkFiles files")
+      val eN = tApi.servingEngine
+      val rawN = new PromQLEngine(spark, Ingest.readTable(spark, path))
+      val aN = bits(rawN, "sum_over_time(ck_m[10m])", 0, 190 * m, 5 * m)
+      assert(aN == bits(eN, "sum_over_time(ck_m[10m])", 0, 190 * m, 5 * m)
+        && aN.exists(_._2 > 180 * m),
+        "post-compaction chunk-served query diverged from raw")
+    } finally tApi.stop()
+  }
+
+  test("chunk tier crash-heal: a batch that reached the table but " +
+      "never the chunk store is healed by the next write") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("api-table-chunkheal").toString
+    val tApi = HttpApi.forTable(spark, path, chunks = true)
+    tApi.start()
+    try {
+      def postT(body: String): Int = {
+        val url = new URI(
+          s"http://127.0.0.1:${tApi.boundPort}/api/v1/write").toURL
+        val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes(UTF_8))
+        conn.getResponseCode
+      }
+      assert(postT((0 to 60).map(i =>
+        s"""{"labels":{"__name__":"ch","k":"a"},"t":${i * m},"v":$i}""")
+        .mkString("\n")) == 200)
+      // simulate the crash window: marker deleted, a batch appended to
+      // the TABLE only — the chunk store never saw it
+      assert(new java.io.File(s"$path/_tiers_ok").delete())
+      val orphan = (0 to 60).map(i => Ingest.WriteSample(
+        Map("__name__" -> "ch", "k" -> "orphan"), i * m, 3.0 * i))
+      Ingest.append(Ingest.canonicalize(orphan.toDS()), path)
+      spark.catalog.refreshByPath(path)
+      // the next write must heal the WHOLE store (rebuild from table),
+      // not just cut its own chunks
+      assert(postT(
+        s"""{"labels":{"__name__":"ch","k":"b"},"t":0,"v":1}""") == 200)
+      assert(new java.io.File(s"$path/_tiers_ok").exists())
+      val e = tApi.servingEngine
+      assert(e.hasChunkTier)
+      val raw = new PromQLEngine(spark, Ingest.readTable(spark, path))
+      val q = """sum_over_time(ch{k="orphan"}[10m])"""
+      val a = bits(raw, q, 0, 60 * m, 5 * m)
+      assert(a == bits(e, q, 0, 60 * m, 5 * m) && a.nonEmpty,
+        "healed chunk store missed the orphan batch")
+    } finally tApi.stop()
+  }
+
+  test("the _tiers_ok marker certifies a CONFIGURATION: reopening " +
+      "with chunks=true a table last served without chunks heals " +
+      "once at boot") {
+    val path = Files.createTempDirectory("api-table-chunkconf").toString
+    // server 1: no chunk tier configured — its marker certifies only
+    // the index
+    val api1 = HttpApi.forTable(spark, path)
+    api1.start()
+    try {
+      val url = new URI(
+        s"http://127.0.0.1:${api1.boundPort}/api/v1/write").toURL
+      val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.getOutputStream.write((0 to 90).map(i =>
+        s"""{"labels":{"__name__":"cc","k":"a"},"t":${i * m},"v":$i}""")
+        .mkString("\n").getBytes(UTF_8))
+      assert(conn.getResponseCode == 200)
+    } finally api1.stop()
+    assert(new java.io.File(s"$path/_tiers_ok").exists())
+    assert(!new java.io.File(s"$path/_chunks").exists())
+    // server 2: chunks=true — the marker's config string differs, so
+    // boot heals (builds the chunk store from the table) instead of
+    // trusting a tier the previous server never kept
+    val api2 = HttpApi.forTable(spark, path, chunks = true)
+    try {
+      assert(graft.storage.ChunkStore
+        .readChunks(spark, s"$path/_chunks").count() > 0,
+        "config change did not trigger the boot heal")
+      val e = api2.servingEngine
+      assert(e.hasChunkTier)
+      val raw = new PromQLEngine(spark, Ingest.readTable(spark, path))
+      val a = bits(raw, "sum_over_time(cc[10m])", 0, 90 * m, 5 * m)
+      assert(a == bits(e, "sum_over_time(cc[10m])", 0, 90 * m, 5 * m)
+        && a.nonEmpty, "healed chunk tier diverged from raw")
+    } finally api2.stop()
+  }
+
   test("a crash between the table append and the tier refresh heals " +
       "at the next startup (the _tiers_ok marker protocol)") {
     import spark.implicits._
