@@ -840,6 +840,20 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
         sb.append(s"graft_engine_route_total$lbl ${n.get()}\n")
       }
     }
+    // LLM-operator guard counters (r7 advice: a recall-affecting drop
+    // logged on an executor is not operator-visible — this is):
+    // lsh_buckets_dropped, lsh_band_cap_hits from Similarity.diag,
+    // process-lifetime like the JVM gauges above
+    val guards = graft.llm.Similarity.diag
+    if (!guards.isEmpty) {
+      sb.append("# HELP graft_llm_guard_total Adaptive-LSH guard " +
+        "engagements (dropped over-wide buckets, band-cap hits).\n")
+      sb.append("# TYPE graft_llm_guard_total counter\n")
+      import scala.jdk.CollectionConverters._
+      guards.asScala.toSeq.sortBy(_._1).foreach { case (k, n) =>
+        sb.append(s"""graft_llm_guard_total{guard="$k"} ${n.get()}\n""")
+      }
+    }
     sb.toString
   }
 

@@ -325,19 +325,17 @@ class PromQLEngine(
 
   /** Fraction of index series the full matcher conjunction keeps —
     * the input of the `index_semi` selectivity gate. One cheap
-    * aggregate over the series index, memoized per (index table
-    * state, matcher list) in a bounded companion cache. */
+    * aggregate over the series index — NOTE: a Spark ACTION at query
+    * construction time, paid once per novel (index state, matcher
+    * set) and memoized in the bounded LRU companion cache. */
   private def indexMatchedFraction(idx: DataFrame,
-      ms: Seq[LabelMatcher], cond: Column): Double = {
-    val cache = PromQLEngine.indexSelectivityCache
-    if (cache.size > 4096) cache.clear() // bound: rare, tiny entries
-    cache.computeIfAbsent(
+      ms: Seq[LabelMatcher], cond: Column): Double =
+    PromQLEngine.indexSelectivityCache.computeIfAbsent(
       (idx.queryExecution.analyzed.canonicalized, ms), _ => {
         val r = idx.agg(count(lit(1)), count(when(cond, lit(1)))).head()
         val total = r.getLong(0)
         if (total == 0) 0.0 else r.getLong(1).toDouble / total
       })
-  }
 
   /** All samples falling in each step's window `[step-o-w, step-o]`
     * (closed on both ends, matching the vendored engine's `t >= mint`
@@ -2081,11 +2079,22 @@ object PromQLEngine {
 
   /** Matched-fraction memo for the `index_semi` selectivity gate,
     * keyed by (index table state, matcher list) — one Double per
-    * distinct dashboard matcher set per index state, cleared wholesale
-    * past 4096 entries (see `indexMatchedFraction`). */
-  private val indexSelectivityCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      Seq[graft.promql.Ast.LabelMatcher]), java.lang.Double]()
+    * distinct dashboard matcher set per index state. Access-order LRU
+    * bounded at 4096 entries (r7 advice: the former wholesale
+    * `clear()` past the bound was unsynchronized and dropped the hot
+    * half with the cold); the synchronized `computeIfAbsent` also
+    * means concurrent first-queries for one matcher set run the probe
+    * aggregate ONCE — the rest block briefly on the map mutex and
+    * read the entry. */
+  private type SelKey = (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    Seq[graft.promql.Ast.LabelMatcher])
+  private val indexSelectivityCache: java.util.Map[SelKey, java.lang.Double] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[SelKey, java.lang.Double](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[SelKey, java.lang.Double]): Boolean =
+          size() > 4096
+      })
 
   private[exec] val SIG = "sig"
   private[exec] val L = "labels"

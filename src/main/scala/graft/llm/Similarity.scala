@@ -246,9 +246,19 @@ object Similarity {
       nBits: Int = 64, bands: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
       seed: Long = 7L, targetBucket: Int = 16,
-      maxBucket: Int = -1): DataFrame = {
+      maxBucket: Int = 0): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
-    // maxBucket default (r7): AUTO = 64 × targetBucket (floor 1024).
+    // maxBucket: 0 is the explicit AUTO sentinel, positive values set
+    // the cap directly, negatives are rejected (r7 advice: the old
+    // require(maxBucket >= 2) silently became AUTO for them). NOTE for
+    // pre-r7 callers passing maxBucket explicitly: the r6 default was
+    // a fixed 10000 — AUTO (64 × targetBucket, floor 1024) is TIGHTER
+    // at default targetBucket, so buckets in (1024, 10000] that used
+    // to emit pairs are now dropped; recall on hub-heavy corpora can
+    // move, by design (drops are counted + logged).
+    require(maxBucket >= 0,
+      s"maxBucket must be positive, or 0 for AUTO: $maxBucket")
+    // AUTO rationale (r7): 64 × targetBucket (floor 1024).
     // The r6 fixed 10000 ceiling bounded candidate VOLUME but not
     // per-task work — a single 10⁴-wide bucket expands to 5×10⁷
     // pairs inside ONE task, the map-side sort spill behind x2's

@@ -57,5 +57,11 @@ object LlmScalePoint {
       val (cold, warm) = med(f())
       println(f"$name%-16s cold $cold%7.2f s  warm-med $warm%7.2f s")
     }
+    // guard observability (r7): the skew/band-cap engagements for this
+    // corpus — the counters /metrics exports as graft_llm_guard_total
+    import scala.jdk.CollectionConverters._
+    Similarity.diag.asScala.toSeq.sortBy(_._1).foreach { case (k, n) =>
+      println(s"guard $k = ${n.get()}")
+    }
   }
 }

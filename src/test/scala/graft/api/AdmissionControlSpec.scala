@@ -148,8 +148,12 @@ class AdmissionControlSpec extends SparkTestBase {
         """{"status":"error","errorType":"unavailable",""" +
           """"error":"server overloaded"}"""), shed.head._2)
       // the gate was never starved: every request under the cap ran
-      // to completion
-      assert(ok >= 1 && ok <= 8, s"expected 1..8 successes, got $ok")
+      // to completion. No UPPER bound on ok — a straggling connection
+      // dispatched after an early admitted request finishes is
+      // legitimately admitted too (in-flight is a live count, not a
+      // per-burst quota), so asserting ok <= MaxInflight would be a
+      // timing-dependent flake (r7 advice)
+      assert(ok >= 1, s"expected at least one success, got $ok")
       assert(ok + shed.size == 40)
     } finally {
       HttpApi.MaxInflight = saved

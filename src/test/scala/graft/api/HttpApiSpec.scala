@@ -110,6 +110,29 @@ class HttpApiSpec extends SparkTestBase {
     assert(tb.contains("1433337718.555"), tb)
   }
 
+  test("/metrics exports the LLM guard counters after a skewed LSH " +
+      "run (graft_llm_guard_total, r7 verdict ask 5)") {
+    import spark.implicits._
+    // 40 identical vectors: every band key collides, the single bucket
+    // is wider than maxBucket=8, so the skew guard MUST drop it and
+    // count the drop — no flood, no large corpus needed
+    val v = Array.fill(64)(1.0f)
+    val skew = (1L to 40L).map(i => (i, v)).toDF("vec_id", "embedding")
+    val before = Option(graft.llm.Similarity.diag.get("lsh_buckets_dropped"))
+      .map(_.get()).getOrElse(0L)
+    graft.llm.Similarity.lshCosinePairs(skew, 0.9, dim = 64,
+      nBits = 16, bands = 2, targetBucket = 4, maxBucket = 8).count()
+    val after = Option(graft.llm.Similarity.diag.get("lsh_buckets_dropped"))
+      .map(_.get()).getOrElse(0L)
+    assert(after > before, "skew guard did not count its drops")
+    val (code, body) = get("/metrics")
+    assert(code == 200)
+    assert(body.contains("# TYPE graft_llm_guard_total counter"), body)
+    val n = """graft_llm_guard_total\{guard="lsh_buckets_dropped"\} ([0-9]+)""".r
+      .findFirstMatchIn(body).map(_.group(1).toLong)
+    assert(n.exists(_ >= after), s"guard counter missing or stale: $body")
+  }
+
   test("S9 drop-series: match[] validated, then disabled like the reference") {
     // api.go:343-371 — dropSeries checks match[] (400) then
     // panic("disabled") (500 through the Go HTTP stack)

@@ -21,7 +21,8 @@ Usage: python3 tools/gen_scale.py [k] [src_dir] [out_dir] [--dense d]
 production scrape-cadence shape — the reference's test generators emit
 dense per-series cadences): each event is replicated d times at
 distinct timestamps spread over the hour after the original, keeping
-the series count and time range fixed. The base fixture averages ~1
+the series count fixed (the range extends by at most that one hour
+past the nominal end). The base fixture averages ~1
 sample/series/day, far below the fold-rung crossover; a dense corpus
 (e.g. --dense 24 ~= hourly cadence) measures the regime where the
 partials tiers actually pay, calibrating the m=1 density gate.
@@ -112,10 +113,15 @@ if dense > 1:
     ts = scaled_ev["ts"].to_numpy()  # datetime64
     eid = scaled_ev["event_id"].to_numpy()
     step_ms = max(1, 3_600_000 // dense)
+    # replica offset strictly above every SCALED id (next power of 10),
+    # not a fixed constant: at k >= ~102 the shard offsets
+    # (s*100_000_000) would overlap a fixed 1e10 replica stride and
+    # break event_id uniqueness
+    rep_off = 10 ** len(str(int(eid.max())))
     parts = []
     for j in range(dense):
         cols = {"ts": ts + np.timedelta64(j * step_ms, "ms"),
-                "event_id": eid + j * 10_000_000_000}
+                "event_id": eid + j * rep_off}
         parts.append(pa.table({
             name: (pa.array(cols[name]).cast(scaled_ev.schema.field(name).type)
                    if name in cols else scaled_ev[name].combine_chunks())
