@@ -1147,6 +1147,14 @@ object SparkEntry {
     // stratum downsamples while the small ones keep everything
     "t19_source_mix" -> ((spark, dir) =>
       TextOps.sourceMix(docs(spark, dir), 10.0, "lang")),
+    // T20: CCNet-style LM quality scoring — bigram model trained on
+    // the deterministic train hash-split, every doc scored by average
+    // token log-probability (add-one smoothing, <s> context)
+    "t20_lm_score" -> ((spark, dir) => TextOps.lmScore(docs(spark, dir))),
+    // T21: one BPE merge-count iteration (tokenizer training inner
+    // step) — adjacent char pairs weighted by word frequency, top-20
+    "t21_bpe_pairs" -> ((spark, dir) =>
+      TextOps.bpePairCounts(docs(spark, dir), 20)),
     // T12: per-domain URL statistics over planted URLs (the fixture
     // word-soup carries none; planting is SQL-expressible so the
     // oracle rebuilds identical bytes)
@@ -1961,6 +1969,48 @@ object SparkEntry {
         |  CAST(md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 1000000
         |    < r.keep_ppm AS BIGINT) AS keep
         |FROM documents d JOIN r USING (lang)""".stripMargin,
+    // bigram LM with add-one smoothing, trained on the <900‰ hash
+    // split, scoring every doc: P(w|c) = (C(c,w)+1)/(C(c)+V); '<s>'
+    // is the begin-of-doc context, V = distinct train words
+    "t20_lm_score" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |tr AS (SELECT tk FROM tok
+        |  WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < 900),
+        |tb0 AS (SELECT unnest(list_transform(generate_series(1, len(tk)),
+        |    i -> struct_pack(c := CASE WHEN i = 1 THEN '<s>'
+        |                              ELSE tk[i-1] END,
+        |                     w := tk[i]))) AS bg FROM tr),
+        |bc AS (SELECT bg.c AS c, bg.w AS w, COUNT(*) AS n
+        |  FROM tb0 GROUP BY 1, 2),
+        |cc AS (SELECT c, SUM(n) AS nc FROM bc GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT w) AS v
+        |  FROM (SELECT unnest(tk) AS w FROM tr)),
+        |db0 AS (SELECT doc_id,
+        |  unnest(list_transform(generate_series(1, len(tk)),
+        |    i -> struct_pack(c := CASE WHEN i = 1 THEN '<s>'
+        |                              ELSE tk[i-1] END,
+        |                     w := tk[i]))) AS bg FROM tok),
+        |db AS (SELECT doc_id, bg.c AS c, bg.w AS w FROM db0)
+        |SELECT db.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(AVG(ln((COALESCE(bc.n, 0) + 1.0) /
+        |              (COALESCE(cc.nc, 0) + (SELECT v FROM v))))
+        |    AS REAL) AS avg_logp
+        |FROM db LEFT JOIN bc USING (c, w) LEFT JOIN cc USING (c)
+        |GROUP BY 1""".stripMargin,
+    // one BPE merge-count iteration: adjacent char pairs over the
+    // word vocabulary, weighted by word frequency; deterministic
+    // (cnt DESC, pair) tie-break matches the bounded-heap gather
+    "t21_bpe_pairs" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |wc AS (SELECT w, COUNT(*) AS n FROM t GROUP BY 1),
+        |p AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+        |    i -> substr(w, CAST(i AS INT), 2))) AS pair, n
+        |  FROM wc WHERE len(w) >= 2),
+        |pc AS (SELECT pair, SUM(n) AS cnt FROM p GROUP BY 1)
+        |SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM pc
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "t12_domain_stats" ->
       s"""WITH $PLANTED,
          |u AS (SELECT doc_id, unnest(regexp_extract_all(t2,

@@ -533,6 +533,90 @@ object TextOps {
           .cast("binary")).as("chunk_md5"))
   }
 
+  /** CCNet-style n-gram language-model quality scoring: train an
+    * add-one-smoothed BIGRAM model on the corpus's deterministic
+    * `train` hash split ([[hashSplit]]'s < 900‰ convention), then
+    * score EVERY document by its average token log-probability under
+    * that model (low = out-of-distribution text — boilerplate,
+    * gibberish, wrong language; the public CCNet pipeline ranks CC
+    * documents by exactly this signal, with a wiki-trained KenLM in
+    * place of the bigram table).
+    *
+    * Distributed shape, linear end-to-end: training is one explode +
+    * count shuffle keyed on the bigram (the map-side combine does the
+    * heavy lifting — the shuffled volume is the model's DISTINCT
+    * bigram vocabulary, not the token stream); context totals derive
+    * from the bigram table by a second tiny keyed count; scoring
+    * re-explodes the corpus and equi-joins the model on the bigram
+    * key (AQE broadcasts it when small; at 100 TB it is an ordinary
+    * shuffle join keyed on (context, word) — never all-pairs) and
+    * folds per doc. The vocabulary size enters as a broadcast
+    * one-row frame, keeping the whole computation one lazy plan.
+    *
+    * P(w|c) = (C(c,w) + 1) / (C(c) + V) with V = distinct train
+    * words; unseen contexts degrade to 1/V. `<s>` is the
+    * begin-of-document context. Output: (doc_id, n_tokens,
+    * avg_logp float32).
+    */
+  def lmScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol), tokens(col(textCol)).as("_tk"))
+    val train = tok.filter(hashBucket(col(idCol), 1000) < 900)
+    // (context, word) pairs: contexts are the tokens shifted right
+    // with <s> in front — materialized as plain columns BEFORE any
+    // join (lambda-bearing exprs must never reach join keys)
+    def bigrams(df: DataFrame): DataFrame = df
+      .select(col(idCol), col("_tk"),
+        posexplode(col("_tk")).as(Seq("_i", "w")))
+      .withColumn("c",
+        when(col("_i") === 0, lit("<s>"))
+          .otherwise(element_at(col("_tk"), col("_i"))))
+      .select(col(idCol), col("c"), col("w"))
+    val model = bigrams(train)
+      .groupBy(col("c"), col("w")).agg(count(lit(1)).as("n"))
+    val ctx = model.groupBy(col("c")).agg(sum(col("n")).as("nc"))
+    val vocab = train.select(explode(col("_tk")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    bigrams(tok)
+      .join(model, Seq("c", "w"), "left")
+      .join(ctx, Seq("c"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("_lp", log(
+        (coalesce(col("n"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("nc"), lit(0L)) + col("v"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(col("_lp")).cast("float").as("avg_logp"))
+  }
+
+  /** One byte-pair-encoding merge-count iteration — the inner step of
+    * tokenizer training (Sennrich et al.'s BPE: repeatedly merge the
+    * most frequent adjacent symbol pair): count every adjacent
+    * CHARACTER pair weighted by word frequency and return the top-k
+    * candidates. The decisive scale property: pairs are enumerated
+    * over the DISTINCT word vocabulary (output of the word-count
+    * shuffle, ~√corpus), each weighted by its count — never over the
+    * token stream itself — so the expensive substring explosion runs
+    * on vocabulary-sized input. Final gather reuses the bounded-heap
+    * top-k aggregator (O(k·tasks), no global sort); ties break on the
+    * pair string, matching the oracle's ORDER BY cnt DESC, pair. */
+  def bpePairCounts(docs: DataFrame, k: Int,
+      textCol: String = "text"): DataFrame = {
+    val wc = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val pairs = wc
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), col("n"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("_i"))
+      .select(expr("substring(w, _i, 2)").as("pair"), col("n"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+    pairs
+      .agg(graft.exec.TopK.topk(k, desc = true)(col("cnt").cast("double"),
+        col("pair"), lit(0L), col("cnt").cast("double")).as("_w"))
+      .select(explode(col("_w")).as("_e"))
+      .select(col("_e.tie").as("pair"), col("_e.v").cast("long").as("cnt"))
+  }
+
   /** One-pass text-analysis projection over a documents frame. */
   def analyze(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {

@@ -524,6 +524,50 @@ class LlmOpsSpec extends SparkTestBase {
       ca > cb || (ca == cb && ta < tb) })
   }
 
+  test("lmScore matches a hand-rolled add-one bigram model exactly") {
+    val out = TextOps.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getFloat(2))).toMap
+    // independent reference model over the same fixture: train = the
+    // hashSplit 'train' stratum, <s> begin-of-doc context, add-one
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val split = TextOps.hashSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val train = rows.filter(r => split(r._1) == "train")
+    assert(train.nonEmpty) // ~90% of ids land in 'train'
+    def toks(s: String): Seq[String] = s.split(" ", -1).toSeq
+    val bigr = train.toSeq.flatMap { case (_, t) =>
+      val tk = toks(t); ("<s>" +: tk.init).zip(tk) }
+    val bc = bigr.groupBy(identity).map { case (k, v) => k -> v.size }
+    val cc = bigr.groupBy(_._1).map { case (c, v) => c -> v.size }
+    val vocab = train.flatMap(r => toks(r._2)).distinct.length.toDouble
+    for ((id, t) <- rows) {
+      val tk = toks(t)
+      val lps = ("<s>" +: tk.init).zip(tk).map { case (c, w) =>
+        math.log((bc.getOrElse((c, w), 0) + 1.0) /
+          (cc.getOrElse(c, 0) + vocab)) }
+      assert(out(id)._1 == tk.size.toLong, s"doc $id token count")
+      assert(math.abs(out(id)._2 - (lps.sum / lps.size).toFloat) <= 1e-6,
+        s"doc $id avg_logp")
+    }
+    // the exact-dup pair shares one score; every doc is scored
+    assert(out(0L)._2 == out(3L)._2)
+    assert(out.size == rows.length)
+  }
+
+  test("bpePairCounts: frequency-weighted adjacent pairs, tie on pair") {
+    import spark.implicits._
+    val d = Seq((0L, "aba ab"), (1L, "ab cd x")).toDF("doc_id", "text")
+    // words: aba x1 -> ab, ba; ab x2 -> ab x2; cd x1; x (len 1, none)
+    val r = TextOps.bpePairCounts(d, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(r.head == ("ab", 3L))
+    // ba and cd tie at 1; 'ba' < 'cd' wins the k=2 cut
+    assert(r.toSeq == Seq(("ab", 3L), ("ba", 1L)))
+    val all = TextOps.bpePairCounts(d, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(all == Map("ab" -> 3L, "ba" -> 1L, "cd" -> 1L))
+  }
+
   test("repetitionSignals: dup/top n-gram fractions with short-doc edges") {
     import spark.implicits._
     val d = Seq(
