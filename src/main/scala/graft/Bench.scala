@@ -150,6 +150,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // FAIR scheduling, mirroring the serving deployment
+      // (graft.tools.Serve + HttpApi's per-query pools): the serial
+      // per-query medians are unaffected (one job at a time), but the
+      // concurrent qps sections share task slots round-robin across
+      // query threads — each thread below pins its own on-demand pool
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time(f: => Unit): Double = {
@@ -231,6 +237,8 @@ object Bench {
       val done = new java.util.concurrent.atomic.AtomicLong(0)
       val lightThreads = (0 until 8).map { k =>
         new Thread(() => {
+          spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", s"bench-light-$k")
           var i = k
           while (System.nanoTime() < stopAt) {
             val name = lightNames(i % lightNames.length)
@@ -243,8 +251,10 @@ object Bench {
           }
         })
       }
-      val heavyThreads = (0 until heavy).map { _ =>
+      val heavyThreads = (0 until heavy).map { h =>
         new Thread(() => {
+          spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", s"bench-heavy-$h")
           while (System.nanoTime() < stopAt) {
             try SparkEntry.queries("p7_fine_grid")(spark, sfDir).count()
             catch { case _: Throwable => () }

@@ -330,7 +330,20 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
     val worker = new java.util.concurrent.FutureTask[T](() => {
       spark.sparkContext.setJobGroup(group, "api query",
         interruptOnCancel = true)
-      try f finally spark.sparkContext.clearJobGroup()
+      // per-query scheduler pool: inert under the default FIFO mode,
+      // but with spark.scheduler.mode=FAIR on the serving session
+      // (graft.tools.Serve sets it) each admitted query's jobs land
+      // in their own on-demand pool (weight 1, minShare 0), so a
+      // long-running range query shares task slots round-robin with
+      // concurrent dashboard instants instead of monopolizing the
+      // FIFO head — the standard multi-tenant recipe, and the same
+      // fairness the reference gets from goroutine scheduling across
+      // its 20 admitted queries
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", group)
+      try f finally {
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+        spark.sparkContext.clearJobGroup()
+      }
     })
     val t = new Thread(worker, group)
     t.setDaemon(true)

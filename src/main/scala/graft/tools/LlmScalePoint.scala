@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.llm.{Dedup, Similarity}
+import graft.llm.{Dedup, Similarity, TextOps}
 
 /** Scale points for the LLM-pipeline SCALE-PATH operators (the ones a
   * 100 TB corpus would actually run — LSH/SimHash banding and the
@@ -52,7 +52,14 @@ object LlmScalePoint {
       ("x2_lsh_pairs", () => Similarity.lshCosinePairs(emb, 0.9,
         dim = 64, nBits = 64, bands = 8)),
       ("x3_ivf_blocked", () => Similarity.clusterBlockedPairs(emb, 0.9,
-        dim = 64, nprobe = 2)))
+        dim = 64, nprobe = 2)),
+      // r8: the two text ops whose SHUFFLED volume is vocabulary-
+      // bounded (model/pair tables after map-side combine) — wall
+      // growth across 10×/100× corpora should track the linear scan
+      // with no superlinear pair structure; the replicated corpora
+      // hold the vocabulary constant, isolating exactly that term
+      ("t20_lm_score", () => TextOps.lmScore(docs)),
+      ("t21_bpe_pairs", () => TextOps.bpePairCounts(docs, 20)))
     for ((name, f) <- ops) {
       val (cold, warm) = med(f())
       println(f"$name%-16s cold $cold%7.2f s  warm-med $warm%7.2f s")

@@ -44,6 +44,10 @@ object Serve {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // FAIR + the per-query pools HttpApi.gatedBudget assigns: a
+      // heavy range query shares task slots with concurrent instants
+      // instead of monopolizing the FIFO head
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // materialize one parquet rollup per requested bucket size; the
