@@ -574,9 +574,20 @@ object TextOps {
       .select(col(idCol), col("c"), col("w"))
     val model = bigrams(train)
       .groupBy(col("c"), col("w")).agg(count(lit(1)).as("n"))
+    // context totals AND the vocabulary size both derive from the
+    // model table (every train token is the w of exactly one bigram,
+    // so distinct w in the model IS the train vocabulary): all three
+    // model-side consumers sit on one (c, w) exchange, which AQE
+    // reuses — the train corpus is scanned ONCE for training, not
+    // once per derived statistic
     val ctx = model.groupBy(col("c")).agg(sum(col("n")).as("nc"))
-    val vocab = train.select(explode(col("_tk")).as("w"))
-      .agg(countDistinct(col("w")).as("v"))
+    // plan-audited: the ctx branch reuses the model's (c, w) exchange
+    // (ReusedExchange), so training scans the corpus twice (model +
+    // this vocabulary count), scoring once — a deployment scoring
+    // repeatedly against one model should persist the model/ctx/vocab
+    // tables, the normal train-once-score-many split
+    val vocab = model.select(col("w")).distinct()
+      .agg(count(lit(1)).as("v"))
     bigrams(tok)
       .join(model, Seq("c", "w"), "left")
       .join(ctx, Seq("c"), "left")
