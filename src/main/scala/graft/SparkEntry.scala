@@ -1155,6 +1155,19 @@ object SparkEntry {
     // step) — adjacent char pairs weighted by word frequency, top-20
     "t21_bpe_pairs" -> ((spark, dir) =>
       TextOps.bpePairCounts(docs(spark, dir), 20)),
+    // T22: per-doc unigram entropy (lexical-diversity quality signal)
+    // — two hash aggregates, no join
+    "t22_word_entropy" -> ((spark, dir) =>
+      TextOps.wordEntropy(docs(spark, dir))),
+    // T23: windowed co-occurrence + PMI (word2vec/GloVe pre-pass) —
+    // map-only pair generation, bounded-heap top-20, broadcast
+    // enrichment of the winners
+    "t23_cooccurrence" -> ((spark, dir) =>
+      TextOps.cooccurrence(docs(spark, dir), 3, 20)),
+    // X6b: per-label embedding centroids in long form — one hash
+    // aggregate on (label, dim), output-sized shuffle
+    "x6_label_centroids" -> ((spark, dir) =>
+      Similarity.labelCentroids(emb(spark, dir))),
     // T12: per-domain URL statistics over planted URLs (the fixture
     // word-soup carries none; planting is SQL-expressible so the
     // oracle rebuilds identical bytes)
@@ -2011,6 +2024,54 @@ object SparkEntry {
         |pc AS (SELECT pair, SUM(n) AS cnt FROM p GROUP BY 1)
         |SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM pc
         |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    // unigram Shannon entropy per doc via H = log2(N) − (Σ n·log2 n)/N
+    // (sum order collapses under the REAL cast, like t20's avg)
+    "t22_word_entropy" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, w, COUNT(*) AS n FROM t GROUP BY 1, 2),
+        |a AS (SELECT doc_id, SUM(n) AS nt, COUNT(*) AS ty,
+        |      SUM(n * log2(CAST(n AS DOUBLE))) AS s FROM c GROUP BY 1)
+        |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+        |  CAST(ty AS BIGINT) AS n_types,
+        |  CAST(log2(CAST(nt AS DOUBLE)) - s / nt AS REAL) AS entropy_bits
+        |FROM a""".stripMargin,
+    // windowed (≤3 ahead) unordered co-occurrence, top-20 by count
+    // (ties on the pair), PMI from integer counts — the double
+    // arithmetic is order-matched with the Spark expression and the
+    // REAL cast absorbs libm ulp differences
+    "t23_cooccurrence" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |pr0 AS (SELECT unnest(flatten(list_transform(
+        |    generate_series(1, len(tk)),
+        |    i -> list_transform(generate_series(1, 3),
+        |      o -> struct_pack(a := tk[i],
+        |        b := CASE WHEN i + o <= len(tk) THEN tk[i + o] END)))))
+        |    AS pg FROM tok),
+        |pr AS (SELECT least(pg.a, pg.b) AS w1, greatest(pg.a, pg.b) AS w2
+        |  FROM pr0 WHERE pg.b IS NOT NULL),
+        |pc AS (SELECT w1, w2, COUNT(*) AS cnt FROM pr GROUP BY 1, 2),
+        |top AS (SELECT * FROM pc ORDER BY cnt DESC, w1, w2 LIMIT 20),
+        |wc AS (SELECT w, COUNT(*) AS n FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1),
+        |tot AS (SELECT (SELECT SUM(n) FROM wc) AS nt,
+        |               (SELECT SUM(cnt) FROM pc) AS tp)
+        |SELECT t.w1, t.w2, CAST(t.cnt AS BIGINT) AS cnt,
+        |  CAST(ln((CAST(t.cnt AS DOUBLE) * tot.nt * tot.nt) /
+        |          (CAST(tot.tp AS DOUBLE) * u1.n * u2.n)) AS REAL) AS pmi
+        |FROM top t JOIN wc u1 ON t.w1 = u1.w
+        |  JOIN wc u2 ON t.w2 = u2.w, tot""".stripMargin,
+    // per-label element-wise centroid in long form (1-based dim)
+    "x6_label_centroids" ->
+      """WITH e AS (SELECT label,
+        |  unnest(list_transform(generate_series(1, len(embedding)),
+        |    i -> struct_pack(d := i, v := embedding[i]))) AS u
+        |  FROM embeddings)
+        |SELECT label, CAST(u.d AS INT) AS dim,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(AVG(CAST(u.v AS DOUBLE)) AS REAL) AS c
+        |FROM e GROUP BY 1, 2""".stripMargin,
     "t12_domain_stats" ->
       s"""WITH $PLANTED,
          |u AS (SELECT doc_id, unnest(regexp_extract_all(t2,

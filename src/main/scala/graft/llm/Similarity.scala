@@ -135,6 +135,25 @@ object Similarity {
         aggregate(col("_q"), lit(0L), (a, x) => a + x).as("q_sum"))
   }
 
+  /** Per-label element-wise centroid of an embedding column — the
+    * summarization step behind IVF coarse quantizers, SemDeDup cluster
+    * centers, and per-class embedding drift monitors. Emitted in long
+    * form (label, dim, n_vecs, c) rather than as an array column so
+    * the result is a plain scalar frame any engine can sort/compare.
+    *
+    * Shape: posexplode to (label, dim, value) then ONE hash aggregate
+    * keyed on (label, dim) — map-side partial aggregation reduces each
+    * task to labels×dims cells, so the shuffle is output-sized (tiny)
+    * regardless of corpus size. No join, no window; at 100 TB the cost
+    * is the parquet scan. */
+  def labelCentroids(emb: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    emb.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("_p", "_v")))
+      .groupBy(col("label"), (col("_p") + 1).cast("int").as("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        avg(col("_v").cast("double")).cast("float").as("c"))
+
   /** Exact all-pairs with cosine ≥ threshold (embedding near-dup).
     * O(N²/2) — baseline only; the banded variants are the scale path.
     *

@@ -628,6 +628,82 @@ object TextOps {
       .select(col("_e.tie").as("pair"), col("_e.v").cast("long").as("cnt"))
   }
 
+  /** Per-document unigram Shannon entropy (bits) over whitespace
+    * tokens, with token/type counts — the classic lexical-diversity
+    * quality signal (low entropy ⇒ repetitive boilerplate, the same
+    * family of filters CCNet/Gopher apply before LM scoring).
+    *
+    * Entropy is computed from per-doc token counts via the identity
+    * H = log2(N) − (Σ n·log2 n)/N, so the whole operator is two
+    * hash aggregations keyed on the document id — both with map-side
+    * partial aggregation, no join, no window. At 100 TB the first
+    * (doc_id, token) aggregate is the only real shuffle and its
+    * cardinality is bounded by total tokens; the second collapses to
+    * one row per document.
+    */
+  def wordEntropy(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("n"))
+    counts.groupBy(col(idCol))
+      .agg(sum(col("n")).as("_nt"), count(lit(1)).as("n_types"),
+        sum(col("n") * log2(col("n").cast("double"))).as("_s"))
+      .select(col(idCol), col("_nt").cast("long").as("n_tokens"),
+        col("n_types"),
+        (log2(col("_nt").cast("double")) - col("_s") / col("_nt"))
+          .cast("float").as("entropy_bits"))
+  }
+
+  /** Windowed word co-occurrence with PMI — the word2vec/GloVe
+    * pre-pass: every unordered token pair within a forward window of
+    * `window` positions is counted corpus-wide, and the top-`k` pairs
+    * by count (ties on the pair) are scored with pointwise mutual
+    * information ln(P(a,b) / (P(a)·P(b))).
+    *
+    * Pair generation is map-only (token stream × window, no self-join
+    * on position); the count is one hash aggregate whose key space is
+    * bounded by vocabulary², in practice far smaller. The top-k cut is
+    * a TakeOrderedAndProject (per-partition bounded heap + driver
+    * merge, O(k) per task — no global sort), and ONLY the k winners
+    * are joined back to the unigram table for the PMI denominators —
+    * broadcast, so the join is a map-only pass over the vocabulary.
+    */
+  def cooccurrence(docs: DataFrame, window: Int, k: Int,
+      textCol: String = "text"): DataFrame = {
+    require(window >= 1 && k >= 1, s"window=$window k=$k")
+    val tok = docs.select(tokens(col(textCol)).as("_tk"))
+    val pairs = tok
+      .select(col("_tk"), posexplode(col("_tk")).as(Seq("_i", "_a")))
+      .select(col("_tk"), col("_i"), col("_a"),
+        explode(sequence(lit(1), lit(window))).as("_o"))
+      // `get` (0-based, null past the end) rather than element_at:
+      // the window runs off the document tail for the last tokens
+      .withColumn("_b", get(col("_tk"), col("_i") + col("_o")))
+      .filter(col("_b").isNotNull)
+      .select(least(col("_a"), col("_b")).as("w1"),
+        greatest(col("_a"), col("_b")).as("w2"))
+    val pc = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+    val top = pc.orderBy(col("cnt").desc, col("w1"), col("w2")).limit(k)
+    val wc = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val totTokens = wc.agg(sum(col("n")).as("nt"))
+    val totPairs = pc.agg(sum(col("cnt")).as("tp"))
+    // enrich the k winners with their unigram counts: broadcast the
+    // tiny side, stream the vocabulary — two map-only passes
+    val withN1 = wc.select(col("w").as("w1"), col("n").as("_n1"))
+      .join(broadcast(top), Seq("w1"))
+    wc.select(col("w").as("w2"), col("n").as("_n2"))
+      .join(broadcast(withN1), Seq("w2"))
+      .crossJoin(broadcast(totTokens))
+      .crossJoin(broadcast(totPairs))
+      .withColumn("pmi", log(
+        (col("cnt").cast("double") * col("nt") * col("nt")) /
+          (col("tp").cast("double") * col("_n1") * col("_n2")))
+        .cast("float"))
+      .select(col("w1"), col("w2"), col("cnt"), col("pmi"))
+  }
+
   /** One-pass text-analysis projection over a documents frame. */
   def analyze(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {

@@ -568,6 +568,64 @@ class LlmOpsSpec extends SparkTestBase {
     assert(all == Map("ab" -> 3L, "ba" -> 1L, "cd" -> 1L))
   }
 
+  test("wordEntropy: token/type counts and H = log2(N) - (Σ n·log2 n)/N") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "a a a a"),     // 4 tokens, 1 type, H = 0
+      (1L, "a b"),         // 2 tokens, 2 types, H = 1
+      (2L, "the quick the")// 3 tokens, 2 types, H = log2(3) - 2/3
+    ).toDF("doc_id", "text")
+    val r = TextOps.wordEntropy(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getFloat(3)))
+      .toMap
+    assert(r(0L) == (4L, 1L, 0.0f))
+    assert(r(1L) == (2L, 2L, 1.0f))
+    assert(r(2L)._1 == 3L && r(2L)._2 == 2L)
+    val h2 = (math.log(3.0) / math.log(2.0) -
+      2.0 * (math.log(2.0) / math.log(2.0)) / 3.0).toFloat
+    assert(math.abs(r(2L)._3 - h2) <= 1e-6f)
+  }
+
+  test("cooccurrence: windowed unordered pairs, tie-broken top-k, PMI") {
+    import spark.implicits._
+    // tokens [a, b, a, c]: window-2 forward pairs (a,b) (a,a) (a,b)
+    // [from b→a unordered] (b,c) (a,c) → counts ab=2 aa=1 bc=1 ac=1
+    val d = Seq((0L, "a b a c")).toDF("doc_id", "text")
+    val all = TextOps.cooccurrence(d, 2, 10).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(all == Map(("a", "b") -> 2L, ("a", "a") -> 1L,
+      ("b", "c") -> 1L, ("a", "c") -> 1L))
+    // k=2 cut: ab (count 2) first, then the (a,a)<(a,c)<(b,c) tie
+    val top2 = TextOps.cooccurrence(d, 2, 2).collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(top2.toSet == Set(("a", "b"), ("a", "a")))
+    // PMI of (a,b): ln(cnt·N²/(T·n_a·n_b)), N=4 tokens, T=5 pairs,
+    // n_a=2, n_b=1 — matched double arithmetic, compared as float
+    val pmi = TextOps.cooccurrence(d, 2, 10).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getFloat(3)).toMap
+    val exp = math.log((2.0 * 4 * 4) / (5.0 * 2 * 1)).toFloat
+    assert(pmi(("a", "b")) == exp)
+    // window=1 drops the skip-gram pairs
+    val w1 = TextOps.cooccurrence(d, 1, 10).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(w1 == Map(("a", "b") -> 2L, ("a", "c") -> 1L))
+  }
+
+  test("labelCentroids: element-wise per-label means in long form") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 2.0f), 7),
+      (1L, Array(3.0f, 6.0f), 7),
+      (2L, Array(10.0f, 0.0f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.labelCentroids(e).collect()
+      .map(x => (x.getInt(0), x.getInt(1)) -> (x.getLong(2), x.getFloat(3)))
+      .toMap
+    assert(r == Map(
+      (7, 1) -> (2L, 2.0f), (7, 2) -> (2L, 4.0f),
+      (9, 1) -> (1L, 10.0f), (9, 2) -> (1L, 0.0f)))
+  }
+
   test("repetitionSignals: dup/top n-gram fractions with short-doc edges") {
     import spark.implicits._
     val d = Seq(
