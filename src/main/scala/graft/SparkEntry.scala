@@ -1168,6 +1168,10 @@ object SparkEntry {
     // aggregate on (label, dim), output-sized shuffle
     "x6_label_centroids" -> ((spark, dir) =>
       Similarity.labelCentroids(emb(spark, dir))),
+    // T24: per-source unigram KL vs the corpus blend (domain-shift
+    // monitor) — one corpus-volume shuffle, post-aggregate joins
+    "t24_source_kl" -> ((spark, dir) =>
+      TextOps.sourceDivergence(docs(spark, dir))),
     // T12: per-domain URL statistics over planted URLs (the fixture
     // word-soup carries none; planting is SQL-expressible so the
     // oracle rebuilds identical bytes)
@@ -2062,6 +2066,23 @@ object SparkEntry {
         |          (CAST(tot.tp AS DOUBLE) * u1.n * u2.n)) AS REAL) AS pmi
         |FROM top t JOIN wc u1 ON t.w1 = u1.w
         |  JOIN wc u2 ON t.w2 = u2.w, tot""".stripMargin,
+    // per-source unigram KL against the add-one-smoothed corpus
+    // distribution; double arithmetic order-matched with Spark, the
+    // REAL cast absorbs sum-order and libm ulp differences
+    "t24_source_kl" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |sc AS (SELECT source, w, COUNT(*) AS n FROM t GROUP BY 1, 2),
+        |st AS (SELECT source, SUM(n) AS nt FROM sc GROUP BY 1),
+        |gc AS (SELECT w, SUM(n) AS gn FROM sc GROUP BY 1),
+        |gt AS (SELECT SUM(gn) AS gnt, COUNT(*) AS v FROM gc)
+        |SELECT sc.source, CAST(st.nt AS BIGINT) AS n_tokens,
+        |  CAST(SUM((CAST(sc.n AS DOUBLE) / st.nt) *
+        |    ln((CAST(sc.n AS DOUBLE) / st.nt) /
+        |       ((CAST(gc.gn AS DOUBLE) + 1.0) / (gt.gnt + gt.v))))
+        |    AS REAL) AS kl_vs_corpus
+        |FROM sc JOIN st USING (source) JOIN gc USING (w), gt
+        |GROUP BY 1, 2""".stripMargin,
     // per-label element-wise centroid in long form (1-based dim)
     "x6_label_centroids" ->
       """WITH e AS (SELECT label,

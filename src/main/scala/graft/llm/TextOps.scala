@@ -668,6 +668,11 @@ object TextOps {
     * merge, O(k) per task — no global sort), and ONLY the k winners
     * are joined back to the unigram table for the PMI denominators —
     * broadcast, so the join is a map-only pass over the vocabulary.
+    *
+    * Plan-audited: the pair-count and unigram-count exchanges each
+    * appear in two subtrees (top-k + total, enrich + total) and AQE
+    * reuses all of them (3× ReusedExchange in the executed plan), so
+    * the corpus is scanned exactly twice — once per distinct shuffle.
     */
   def cooccurrence(docs: DataFrame, window: Int, k: Int,
       textCol: String = "text"): DataFrame = {
@@ -702,6 +707,41 @@ object TextOps {
           (col("tp").cast("double") * col("_n1") * col("_n2")))
         .cast("float"))
       .select(col("w1"), col("w2"), col("cnt"), col("pmi"))
+  }
+
+  /** Per-stratum KL divergence of the unigram distribution against
+    * the corpus-wide distribution — the domain-shift / source-drift
+    * monitor a mixture pipeline runs before re-weighting (high KL ⇒
+    * the source speaks a different token distribution than the blend
+    * it feeds). The corpus side is add-one smoothed so a stratum-only
+    * token contributes ln(p/ε) rather than ∞.
+    *
+    * The (stratum, token) aggregate is the ONLY shuffle that sees
+    * corpus volume (map-side combined); the corpus totals re-aggregate
+    * that already-reduced table, the per-stratum totals are
+    * stratum-count-sized, and the grand total is a 1-row broadcast.
+    * The token join runs on post-aggregate volumes both sides. AQE
+    * reuses the shared (stratum, token) exchange across its three
+    * consumers — the corpus is scanned once.
+    */
+  def sourceDivergence(docs: DataFrame, strataCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val sc = docs.select(col(strataCol).as("source"),
+        explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
+    val st = sc.groupBy(col("source")).agg(sum(col("n")).as("nt"))
+    val gc = sc.groupBy(col("w")).agg(sum(col("n")).as("gn"))
+    val gt = gc.agg(sum(col("gn")).as("gnt"), count(lit(1)).as("v"))
+    sc.join(st, Seq("source"))
+      .join(gc, Seq("w"))
+      .crossJoin(broadcast(gt))
+      .groupBy(col("source"), col("nt"))
+      .agg(sum((col("n").cast("double") / col("nt")) *
+        log((col("n").cast("double") / col("nt")) /
+          ((col("gn").cast("double") + lit(1.0)) /
+            (col("gnt") + col("v"))))).as("_kl"))
+      .select(col("source"), col("nt").cast("long").as("n_tokens"),
+        col("_kl").cast("float").as("kl_vs_corpus"))
   }
 
   /** One-pass text-analysis projection over a documents frame. */

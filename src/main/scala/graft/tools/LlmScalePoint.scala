@@ -59,7 +59,15 @@ object LlmScalePoint {
       // with no superlinear pair structure; the replicated corpora
       // hold the vocabulary constant, isolating exactly that term
       ("t20_lm_score", () => TextOps.lmScore(docs)),
-      ("t21_bpe_pairs", () => TextOps.bpePairCounts(docs, 20)))
+      ("t21_bpe_pairs", () => TextOps.bpePairCounts(docs, 20)),
+      // r8b: entropy shuffles (doc, token) pairs — corpus-linear but
+      // combine-heavy; co-occurrence shuffles the vocab²-bounded pair
+      // table (held constant by the replicated corpora, like t20/t21);
+      // centroids shuffle labels×dims cells (output-sized, constant)
+      ("t22_word_entropy", () => TextOps.wordEntropy(docs)),
+      ("t23_cooccurrence", () => TextOps.cooccurrence(docs, 3, 20)),
+      ("t24_source_kl", () => TextOps.sourceDivergence(docs)),
+      ("x6_label_centroids", () => Similarity.labelCentroids(emb)))
     for ((name, f) <- ops) {
       val (cold, warm) = med(f())
       println(f"$name%-16s cold $cold%7.2f s  warm-med $warm%7.2f s")

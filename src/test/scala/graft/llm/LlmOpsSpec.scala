@@ -611,6 +611,29 @@ class LlmOpsSpec extends SparkTestBase {
     assert(w1 == Map(("a", "b") -> 2L, ("a", "c") -> 1L))
   }
 
+  test("sourceDivergence: per-source unigram KL vs the smoothed corpus") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "a a b", "s1"),
+      (1L, "c c c", "s2")
+    ).toDF("doc_id", "text", "source")
+    val r = TextOps.sourceDivergence(d).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getFloat(2))).toMap
+    // corpus: a=2 b=1 c=3, total 6, vocab 3 → smoothed q(w)=(gn+1)/9
+    def kl(counts: Map[String, Long]): Float = {
+      val nt = counts.values.sum.toDouble
+      val q = Map("a" -> 3.0, "b" -> 2.0, "c" -> 4.0).map {
+        case (w, gn1) => w -> gn1 / 9.0 }
+      counts.map { case (w, n) =>
+        (n / nt) * math.log((n / nt) / q(w)) }.sum.toFloat
+    }
+    assert(r("s1")._1 == 3L && r("s2")._1 == 3L)
+    assert(math.abs(r("s1")._2 - kl(Map("a" -> 2L, "b" -> 1L))) <= 1e-6f)
+    assert(math.abs(r("s2")._2 - kl(Map("c" -> 3L))) <= 1e-6f)
+    // the single-token source diverges more than the mixed one
+    assert(r("s2")._2 > r("s1")._2)
+  }
+
   test("labelCentroids: element-wise per-label means in long form") {
     import spark.implicits._
     val e = Seq(
