@@ -1172,6 +1172,10 @@ object SparkEntry {
     // monitor) — one corpus-volume shuffle, post-aggregate joins
     "t24_source_kl" -> ((spark, dir) =>
       TextOps.sourceDivergence(docs(spark, dir))),
+    // T25: Zipf rank-frequency slope — distributed rank (sort +
+    // zipWithIndex over the vocabulary), one-row least-squares fold
+    "t25_zipf_slope" -> ((spark, dir) =>
+      TextOps.zipfSlope(docs(spark, dir))),
     // T12: per-domain URL statistics over planted URLs (the fixture
     // word-soup carries none; planting is SQL-expressible so the
     // oracle rebuilds identical bytes)
@@ -2083,6 +2087,24 @@ object SparkEntry {
         |    AS REAL) AS kl_vs_corpus
         |FROM sc JOIN st USING (source) JOIN gc USING (w), gt
         |GROUP BY 1, 2""".stripMargin,
+    // Zipf slope: least-squares ln(freq)-on-ln(rank) over the ranked
+    // vocabulary (ties on the token); slope formula order-matched
+    "t25_zipf_slope" ->
+      """WITH wc AS (SELECT w, COUNT(*) AS n FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1),
+        |r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rk
+        |  FROM wc),
+        |s AS (SELECT COUNT(*) AS m,
+        |  SUM(ln(CAST(rk AS DOUBLE))) AS sx,
+        |  SUM(ln(CAST(n AS DOUBLE))) AS sy,
+        |  SUM(ln(CAST(rk AS DOUBLE)) * ln(CAST(n AS DOUBLE))) AS sxy,
+        |  SUM(ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE))) AS sxx
+        |  FROM r)
+        |SELECT CAST(m AS BIGINT) AS n_terms,
+        |  CAST((m * sxy - sx * sy) / (m * sxx - sx * sx) AS REAL)
+        |    AS zipf_slope
+        |FROM s""".stripMargin,
     // per-label element-wise centroid in long form (1-based dim)
     "x6_label_centroids" ->
       """WITH e AS (SELECT label,

@@ -744,6 +744,38 @@ object TextOps {
         col("_kl").cast("float").as("kl_vs_corpus"))
   }
 
+  /** Zipf (rank-frequency power-law) slope of the corpus vocabulary —
+    * the one-number corpus-health signal (natural text reads ≈ −1;
+    * template/boilerplate floods flatten it, OCR noise steepens the
+    * tail): least-squares slope of ln(freq) on ln(rank), ranks
+    * tie-broken on the token so the fit is deterministic.
+    *
+    * The global rank deliberately avoids a single-partition window:
+    * the word-count table is sorted (range-partitioned exchange) and
+    * ranked with zipWithIndex — two distributed passes over the
+    * VOCABULARY-sized table (post word-count reduce), never the token
+    * stream. The slope folds from the five classic sums in one
+    * aggregate row.
+    */
+  def zipfSlope(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wc = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val ranked = wc.orderBy(col("n").desc, col("w")).select(col("n"))
+      .as[Long].rdd.zipWithIndex
+      .map { case (n, i) => (n, i + 1) }.toDF("n", "rk")
+    ranked.select(log(col("rk").cast("double")).as("x"),
+        log(col("n").cast("double")).as("y"))
+      .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("m").cast("long").as("n_terms"),
+        ((col("m") * col("sxy") - col("sx") * col("sy")) /
+          (col("m") * col("sxx") - col("sx") * col("sx")))
+          .cast("float").as("zipf_slope"))
+  }
+
   /** One-pass text-analysis projection over a documents frame. */
   def analyze(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {

@@ -67,6 +67,7 @@ object LlmScalePoint {
       ("t22_word_entropy", () => TextOps.wordEntropy(docs)),
       ("t23_cooccurrence", () => TextOps.cooccurrence(docs, 3, 20)),
       ("t24_source_kl", () => TextOps.sourceDivergence(docs)),
+      ("t25_zipf_slope", () => TextOps.zipfSlope(docs)),
       ("x6_label_centroids", () => Similarity.labelCentroids(emb)))
     for ((name, f) <- ops) {
       val (cold, warm) = med(f())

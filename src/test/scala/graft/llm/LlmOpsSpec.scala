@@ -634,6 +634,29 @@ class LlmOpsSpec extends SparkTestBase {
     assert(r("s2")._2 > r("s1")._2)
   }
 
+  test("zipfSlope: least-squares ln-ln fit over the tie-broken rank") {
+    import spark.implicits._
+    // counts: a=4, b=2, c=1 → ranks 1,2,3 (no ties); exact Zipf with
+    // slope -1 would be 4,2,4/3 — this fixture is close but not exact
+    val d = Seq((0L, "a a a a b b c")).toDF("doc_id", "text")
+    val r = TextOps.zipfSlope(d).collect().head
+    assert(r.getLong(0) == 3L)
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(4.0, 2.0, 1.0).map(math.log)
+    val m = 3.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val exp = ((m * sxy - sx * sy) / (m * sxx - sx * sx)).toFloat
+    assert(math.abs(r.getFloat(1) - exp) <= 1e-6f)
+    assert(r.getFloat(1) < -1.0f && r.getFloat(1) > -1.5f)
+    // tie-break determinism: equal counts rank by token, so permuting
+    // doc order cannot change the fit
+    val d2 = Seq((0L, "b b a a a a c")).toDF("doc_id", "text")
+    assert(TextOps.zipfSlope(d2).collect().head.getFloat(1) ==
+      r.getFloat(1))
+  }
+
   test("labelCentroids: element-wise per-label means in long form") {
     import spark.implicits._
     val e = Seq(
