@@ -289,4 +289,37 @@ class PlanShapeSpec extends SparkTestBase {
     // one hash aggregate pair over (event_type, day) — no sort-based agg
     assert(!p.contains("SortAggregate"), s"rollup must hash-aggregate:\n$p")
   }
+
+  test("r8b ops keep their designed shapes: no joins in the pure " +
+      "aggregates, bounded top-k + broadcast enrichment in cooccurrence, " +
+      "no window rank in zipf") {
+    // t22/x6: hash aggregates only — a join or sort-agg appearing here
+    // means the two-aggregate / single-aggregate shape regressed
+    for (name <- Seq("t22_word_entropy", "x6_label_centroids")) {
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name must not join:\n${p.take(800)}")
+      assert(!p.contains("SortAggregate"),
+        s"$name must hash-aggregate:\n${p.take(800)}")
+    }
+    // t23: the top-k cut must stay a bounded heap (TakeOrderedAndProject)
+    // and the winner enrichment must broadcast — a SortMergeJoin or a
+    // bare global Sort means the k-row side stopped broadcasting
+    val co = plan("t23_cooccurrence")
+    assert(co.contains("TakeOrderedAndProject"),
+      s"cooccurrence top-k reverted to a global sort:\n${co.take(800)}")
+    assert(!co.contains("SortMergeJoin") && !co.contains("CartesianProduct"),
+      s"cooccurrence enrichment must broadcast:\n${co.take(800)}")
+    assert(count(co, "BroadcastExchange") >= 2,
+      s"expected broadcast enrichment + totals:\n${co.take(800)}")
+    // t24: aggregate-then-join — hash aggs, no cartesian blowup (the
+    // 1-row totals ride a broadcast nested loop, which is fine)
+    val kl = plan("t24_source_kl")
+    assert(kl.contains("HashAggregate") && !kl.contains("CartesianProduct"),
+      s"source-kl shape regressed:\n${kl.take(800)}")
+    // t25: the vocabulary rank is sort+zipWithIndex (a separate RDD
+    // job), NEVER a single-partition window in the slope plan
+    val z = plan("t25_zipf_slope")
+    assert(!z.contains("Window"),
+      s"zipf rank must not plan a window:\n${z.take(800)}")
+  }
 }
