@@ -1176,6 +1176,10 @@ object SparkEntry {
     // zipWithIndex over the vocabulary), one-row least-squares fold
     "t25_zipf_slope" -> ((spark, dir) =>
       TextOps.zipfSlope(docs(spark, dir))),
+    // X8: nearest-centroid assignment — broadcast float32-quantized
+    // centroids, map-only codegen'd cosine scoring, in-aggregate argmax
+    "x8_centroid_assign" -> ((spark, dir) =>
+      Similarity.centroidAssign(emb(spark, dir))),
     // T12: per-domain URL statistics over planted URLs (the fixture
     // word-soup carries none; planting is SQL-expressible so the
     // oracle rebuilds identical bytes)
@@ -2105,6 +2109,39 @@ object SparkEntry {
         |  CAST((m * sxy - sx * sy) / (m * sxx - sx * sx) AS REAL)
         |    AS zipf_slope
         |FROM s""".stripMargin,
+    // nearest-centroid assignment: float32-quantized centroids (both
+    // engines collapse to identical bytes), shared left-fold cosine,
+    // ties to the smaller label — the argmax discretizes identical
+    // doubles, never nearly-equal ones
+    "x8_centroid_assign" ->
+      """WITH e0 AS (SELECT label,
+        |  unnest(list_transform(generate_series(1, len(embedding)),
+        |    i -> struct_pack(d := i, v := embedding[i]))) AS u
+        |  FROM embeddings),
+        |c0 AS (SELECT label, u.d AS dim,
+        |  CAST(AVG(CAST(u.v AS DOUBLE)) AS REAL) AS c
+        |  FROM e0 GROUP BY 1, 2),
+        |cent AS (SELECT label AS clabel,
+        |  list(CAST(c AS DOUBLE) ORDER BY dim) AS cv FROM c0 GROUP BY 1),
+        |cn AS (SELECT clabel, cv, sqrt(list_reduce(list_prepend(0.0,
+        |  list_transform(cv, x -> x * x)), (a, b) -> a + b)) AS cnrm
+        |  FROM cent),
+        |v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |vn AS (SELECT vec_id, label, v,
+        |  sqrt(list_reduce(list_prepend(0.0,
+        |    list_transform(v, x -> x * x)), (a, b) -> a + b)) AS vnrm
+        |  FROM v),
+        |sc AS (SELECT vn.vec_id, vn.label, cn.clabel,
+        |  list_reduce(list_prepend(0.0, list_transform(
+        |    generate_series(1, len(vn.v)), i -> vn.v[i] * cn.cv[i])),
+        |    (x, y) -> x + y) / (vn.vnrm * cn.cnrm) AS cos
+        |  FROM vn, cn),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |  ORDER BY cos DESC, clabel) AS rn FROM sc)
+        |SELECT vec_id, label, clabel AS assigned, CAST(cos AS REAL) AS cos,
+        |  label = clabel AS correct
+        |FROM rk WHERE rn = 1""".stripMargin,
     // per-label element-wise centroid in long form (1-based dim)
     "x6_label_centroids" ->
       """WITH e AS (SELECT label,

@@ -154,6 +154,49 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"),
         avg(col("_v").cast("double")).cast("float").as("c"))
 
+  /** Nearest-centroid assignment — the classify/re-cluster step an
+    * IVF index or a SemDeDup pass runs after [[labelCentroids]]:
+    * every vector scores against each label centroid by cosine and
+    * takes the argmax (ties to the smaller label). Output carries the
+    * true label and a `correct` flag, so the same frame doubles as a
+    * centroid-classifier self-consistency report.
+    *
+    * Determinism across engines: centroid components are QUANTIZED to
+    * float32 before use (an engine recomputing the double means lands
+    * on the same bytes after the float cast — the same reason a
+    * published index ships float32), and every dot/norm is the shared
+    * left-to-right double fold ([[graft.functions.ArrayDot]], codegen;
+    * the SQL oracle mirrors the fold). The argmax then discretizes
+    * identical doubles, never nearly-equal ones.
+    *
+    * Scale shape: the centroid table is labels-sized and BROADCAST;
+    * scoring is a map-only pass over the vectors (k dots per row via
+    * the codegen'd kernel), and the argmax folds in the same hash
+    * aggregate — no shuffle touches corpus volume. */
+  def centroidAssign(emb: DataFrame, labelCol: String = "label",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = labelCentroids(emb, labelCol, vecCol)
+      .groupBy(col("label").as("clabel"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("_dc"))
+      .select(col("clabel"),
+        transform(col("_dc"), x => x.getField("c").cast("double")).as("cv"))
+    val centN = cent.select(col("clabel"), col("cv"),
+      sqrt(graft.functions.ArrayDot(col("cv"), col("cv"))).as("cnrm"))
+    val v = emb.select(col(idCol), col(labelCol).as("label"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_vnrm", sqrt(graft.functions.ArrayDot(col("_v"), col("_v"))))
+    v.crossJoin(broadcast(centN))
+      .withColumn("_cos", graft.functions.ArrayDot(col("_v"), col("cv")) /
+        (col("_vnrm") * col("cnrm")))
+      .groupBy(col(idCol), col("label"))
+      .agg(min(struct((-col("_cos")).as("nc"), col("clabel").as("al"),
+        col("_cos").as("cv0"))).as("_m"))
+      .select(col(idCol), col("label"),
+        col("_m.al").as("assigned"),
+        col("_m.cv0").cast("float").as("cos"),
+        (col("label") === col("_m.al")).as("correct"))
+  }
+
   /** Exact all-pairs with cosine ≥ threshold (embedding near-dup).
     * O(N²/2) — baseline only; the banded variants are the scale path.
     *

@@ -68,7 +68,8 @@ object LlmScalePoint {
       ("t23_cooccurrence", () => TextOps.cooccurrence(docs, 3, 20)),
       ("t24_source_kl", () => TextOps.sourceDivergence(docs)),
       ("t25_zipf_slope", () => TextOps.zipfSlope(docs)),
-      ("x6_label_centroids", () => Similarity.labelCentroids(emb)))
+      ("x6_label_centroids", () => Similarity.labelCentroids(emb)),
+      ("x8_centroid_assign", () => Similarity.centroidAssign(emb)))
     for ((name, f) <- ops) {
       val (cold, warm) = med(f())
       println(f"$name%-16s cold $cold%7.2f s  warm-med $warm%7.2f s")

@@ -672,6 +672,39 @@ class LlmOpsSpec extends SparkTestBase {
       (9, 1) -> (1L, 10.0f), (9, 2) -> (1L, 0.0f)))
   }
 
+  test("centroidAssign: cosine argmax to the quantized label centroid") {
+    import spark.implicits._
+    // two clean clusters on orthogonal axes plus one vector between
+    // them leaning toward label 1's axis
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.9f, 0.1f), 1),
+      (2L, Array(0.0f, 1.0f), 2),
+      (3L, Array(0.1f, 0.9f), 2),
+      (4L, Array(1.0f, 0.2f), 2) // on label 1's axis → misassigned
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.centroidAssign(e).collect()
+      .map(x => x.getLong(0) ->
+        (x.getInt(1), x.getInt(2), x.getBoolean(4))).toMap
+    assert(r(0L) == ((1, 1, true)))
+    assert(r(1L) == ((1, 1, true)))
+    assert(r(2L) == ((2, 2, true)))
+    assert(r(3L) == ((2, 2, true)))
+    assert(r(4L)._2 == 1 && !r(4L)._3)
+    // tie-break: two labels with byte-identical centroids (both mean
+    // to exactly (0.5, 0.5)) tie on every vector — the smaller label
+    // must win deterministically
+    val tied = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.0f, 1.0f), 1),
+      (2L, Array(1.0f, 0.0f), 2),
+      (3L, Array(0.0f, 1.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val t = Similarity.centroidAssign(tied).collect()
+      .map(x => x.getLong(0) -> x.getInt(2)).toMap
+    assert(t.values.toSet == Set(1))
+  }
+
   test("repetitionSignals: dup/top n-gram fractions with short-doc edges") {
     import spark.implicits._
     val d = Seq(
