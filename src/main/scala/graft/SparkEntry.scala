@@ -1180,6 +1180,28 @@ object SparkEntry {
     // centroids, map-only codegen'd cosine scoring, in-aggregate argmax
     "x8_centroid_assign" -> ((spark, dir) =>
       Similarity.centroidAssign(emb(spark, dir))),
+    // C3: composite LLM curation pipeline — entropy/length quality
+    // gate → exact-dedup survivors → deterministic hash split →
+    // per-(lang, split) corpus accounting. The real multi-stage shape:
+    // each stage is one of the audited operators, composed as ONE plan
+    // so Catalyst fuses the filters and reuses the (doc, token) work.
+    "c3_llm_pipeline" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val q = TextOps.wordEntropy(d)
+        .filter(col("n_tokens") >= 20 &&
+          col("entropy_bits") >= lit(4.3f))
+        .select(col("doc_id"), col("n_tokens"))
+      val kept = d.join(q, Seq("doc_id"))
+      val surv = Dedup.exactDedup(kept)
+        .filter(col("doc_id") === col("canonical_id"))
+        .select(col("doc_id"))
+      kept.join(surv, Seq("doc_id"))
+        .join(TextOps.hashSplit(surv).select(col("doc_id"), col("split")),
+          Seq("doc_id"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"))
+    }),
     // T12: per-domain URL statistics over planted URLs (the fixture
     // word-soup carries none; planting is SQL-expressible so the
     // oracle rebuilds identical bytes)
@@ -2142,6 +2164,32 @@ object SparkEntry {
         |SELECT vec_id, label, clabel AS assigned, CAST(cos AS REAL) AS cos,
         |  label = clabel AS correct
         |FROM rk WHERE rn = 1""".stripMargin,
+    // composite pipeline: the t22 entropy gate, d1 dedup, and t5 split
+    // oracle fragments composed end-to-end
+    "c3_llm_pipeline" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, w, COUNT(*) AS n FROM t GROUP BY 1, 2),
+        |a AS (SELECT doc_id, SUM(n) AS nt,
+        |      SUM(n * log2(CAST(n AS DOUBLE))) AS s FROM c GROUP BY 1),
+        |q AS (SELECT doc_id, nt FROM a
+        |  WHERE nt >= 20
+        |    AND CAST(log2(CAST(nt AS DOUBLE)) - s / nt AS REAL) >= 4.3),
+        |kept AS (SELECT d.doc_id, d.lang, d.text, q.nt
+        |  FROM documents d JOIN q USING (doc_id)),
+        |h AS (SELECT doc_id, md5(text) AS ch FROM kept),
+        |g AS (SELECT ch, min(doc_id) AS canon FROM h GROUP BY 1),
+        |surv AS (SELECT h.doc_id FROM h JOIN g USING (ch)
+        |  WHERE h.doc_id = g.canon),
+        |sp AS (SELECT doc_id,
+        |  CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < 900
+        |       THEN 'train'
+        |       WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < 950
+        |       THEN 'val' ELSE 'test' END AS split FROM surv)
+        |SELECT k.lang, sp.split, COUNT(*) AS n_docs,
+        |  CAST(SUM(k.nt) AS BIGINT) AS sum_tokens
+        |FROM kept k JOIN surv USING (doc_id) JOIN sp USING (doc_id)
+        |GROUP BY 1, 2""".stripMargin,
     // per-label element-wise centroid in long form (1-based dim)
     "x6_label_centroids" ->
       """WITH e AS (SELECT label,
