@@ -1180,6 +1180,9 @@ object SparkEntry {
     // centroids, map-only codegen'd cosine scoring, in-aggregate argmax
     "x8_centroid_assign" -> ((spark, dir) =>
       Similarity.centroidAssign(emb(spark, dir))),
+    // T26: language-ID confidence margin — map-only, all-integer
+    "t26_lang_margin" -> ((spark, dir) =>
+      TextOps.langConfidence(docs(spark, dir))),
     // C3: composite LLM curation pipeline — entropy/length quality
     // gate → exact-dedup survivors → deterministic hash split →
     // per-(lang, split) corpus accounting. The real multi-stage shape:
@@ -1869,6 +1872,7 @@ object SparkEntry {
          |  CAST(en_hits / n_tokens AS REAL) AS stopword_ratio
          |FROM b""".stripMargin,
     "t3_langid" -> langidOracle,
+    "t26_lang_margin" -> langMarginOracle,
     "t4_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
@@ -2417,6 +2421,25 @@ object SparkEntry {
        |  $caseExpr AS pred_lang,
        |  ${langs.map(l => s"${l}_hits").mkString(", ")}
        |FROM sc""".stripMargin
+  }
+
+  /** Language-ID confidence margin: langId's prediction plus the top
+    * hit count and top-minus-runner-up margin (all integers, so the
+    * compare carries no float risk at all). */
+  private def langMarginOracle: String = {
+    val (hitCols, caseExpr) = langidFragments
+    val langs = graft.llm.TextOps.StopwordProfiles.map(_._1)
+    val listExpr = langs.map(l => s"${l}_hits").mkString("[", ", ", "]")
+    s"""WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+       |  FROM documents),
+       |sc AS (SELECT doc_id,
+       |  $hitCols
+       |  FROM tk),
+       |m AS (SELECT doc_id, list_sort($listExpr, 'DESC') AS l,
+       |  $caseExpr AS pred_lang FROM sc)
+       |SELECT doc_id, pred_lang, CAST(l[1] AS BIGINT) AS top_hits,
+       |  CAST(l[1] - l[2] AS BIGINT) AS margin
+       |FROM m""".stripMargin
   }
 
   /** Composite quality filter: the t2/t3/t9 signal formulas combined

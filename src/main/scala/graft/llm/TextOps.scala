@@ -86,6 +86,25 @@ object TextOps {
     when(best._2 > 0, best._1).otherwise(lit("und"))
   }
 
+  /** Language-ID confidence: [[langId]]'s prediction plus the top
+    * stopword-hit count and its margin over the runner-up profile —
+    * the signal a routing pipeline uses to send low-margin documents
+    * to a heavier classifier instead of trusting the cheap one.
+    * All-integer outputs (no float compare risk); map-only, zero
+    * shuffle, scan-speed at 100 TB like the rest of the per-row ops. */
+  def langConfidence(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val hitCols = StopwordProfiles.map { case (lang, ws) =>
+      stopwordHits(col(textCol), ws).cast("long").as(s"_h_$lang") }
+    val base = docs.select(
+      (col(idCol) +: langId(col(textCol)).as("pred_lang") +: hitCols): _*)
+    val sorted = sort_array(
+      array(StopwordProfiles.map(p => col(s"_h_${p._1}")): _*), asc = false)
+    base.select(col(idCol), col("pred_lang"),
+      element_at(sorted, 1).as("top_hits"),
+      (element_at(sorted, 1) - element_at(sorted, 2)).as("margin"))
+  }
+
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean
     * token length — the standard cheap heuristics used to filter
     * training corpora. All ratios are exact integer-over-integer

@@ -611,6 +611,23 @@ class LlmOpsSpec extends SparkTestBase {
     assert(w1 == Map(("a", "b") -> 2L, ("a", "c") -> 1L))
   }
 
+  test("langConfidence: prediction, top hits, and runner-up margin") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "the of and xyz"),      // en 3 hits, others 0 → margin 3
+      (1L, "de la que y"),         // es 4, fr 3 (la de que) → margin 1
+      (2L, "xyz qqq www"),         // zero everywhere → und, margin 0
+      (3L, "le la de et the a")    // fr 4, es 2, en 2 → margin 2
+    ).toDF("doc_id", "text")
+    val r = TextOps.langConfidence(d).collect()
+      .map(x => x.getLong(0) ->
+        (x.getString(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(0L) == (("en", 3L, 3L)))
+    assert(r(1L) == (("es", 4L, 1L)))
+    assert(r(2L) == (("und", 0L, 0L)))
+    assert(r(3L) == (("fr", 4L, 2L)))
+  }
+
   test("sourceDivergence: per-source unigram KL vs the smoothed corpus") {
     import spark.implicits._
     val d = Seq(
