@@ -74,12 +74,14 @@ object BenchFormat {
   def line(results: Seq[(String, Double, Double)], coldTotal: Double,
       qps: Double, mixedQps: Double, sfNum: String): String = {
     val short = shortKeys(results.map(_._1))
-    // adaptive precision: centiseconds under 10s, deciseconds above —
+    // adaptive precision: centiseconds under 10s, whole seconds above —
     // the worst-case line width is what the driver's ~2000-char stdout
-    // window bounds, and ≥10s readings don't need the second decimal
+    // window bounds (132 entries at 1-decimal ≥10s widths overran the
+    // 1800 budget), and a ≥10s reading doesn't need sub-second digits
+    // on the stdout line at all: bench_full.json keeps ms precision
     def rq(d: Double) =
       if (d < 9.995) r2(d)
-      else "%.1f".formatLocal(java.util.Locale.ROOT, d)
+      else "%.0f".formatLocal(java.util.Locale.ROOT, d)
     val qs = results.map { case (k, _, w) => "\"" + short(k) + "\":" + rq(w) }
       .mkString("{", ",", "}")
     val total = results.map(_._3).sum
