@@ -951,6 +951,17 @@ object SparkEntry {
       Dedup.dupClusters(docs(spark, dir),
         Dedup.ngramJaccardPairsCached(docs(spark, dir), 3, 0.5)
           .select(col("ia"), col("ib")))),
+    // D13: cluster-size histogram — the dedup-audit report (how many
+    // singletons / pairs / hubs the pair graph produced); one extra
+    // output-sized aggregate over d6's labels
+    "d13_cluster_sizes" -> ((spark, dir) =>
+      Dedup.dupClusters(docs(spark, dir),
+          Dedup.ngramJaccardPairsCached(docs(spark, dir), 3, 0.5)
+            .select(col("ia"), col("ib")))
+        .select(col("cluster_id"), col("cluster_size")).distinct()
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("cluster_size")).as("n_docs"))),
     // D9: end-to-end dedup apply — exact-dup edges ∪ near-dup pairs →
     // connected components → component-min survivor per doc, with
     // exact/near flags. The fixture has no byte-identical docs, so 50
@@ -1735,6 +1746,14 @@ object SparkEntry {
     "d2_ngram_jaccard" -> ngramJaccardOracle,
     "d3_minhash_lsh" -> ngramJaccardOracle, // banded variant must agree
     "d6_dup_clusters" -> dupClustersOracle,
+    // histogram over d6's distinct clusters — integer-only
+    "d13_cluster_sizes" ->
+      s"""WITH d6 AS ($dupClustersOracle)
+         |SELECT cluster_size,
+         |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+         |FROM (SELECT DISTINCT cluster_id, cluster_size FROM d6)
+         |GROUP BY 1""".stripMargin,
     "d9_dedup_apply" ->
       """WITH RECURSIVE
         |aug AS (SELECT doc_id, text FROM documents
