@@ -1194,6 +1194,14 @@ object SparkEntry {
     // T26: language-ID confidence margin — map-only, all-integer
     "t26_lang_margin" -> ((spark, dir) =>
       TextOps.langConfidence(docs(spark, dir))),
+    // T27: labeled-vs-predicted language confusion matrix — the
+    // classifier audit a pipeline publishes before trusting t3's
+    // routing; map-only scoring + one output-sized aggregate
+    "t27_lang_confusion" -> ((spark, dir) =>
+      docs(spark, dir)
+        .select(col("lang"), TextOps.langId(col("text")).as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))),
     // C3: composite LLM curation pipeline — entropy/length quality
     // gate → exact-dedup survivors → deterministic hash split →
     // per-(lang, split) corpus accounting. The real multi-stage shape:
@@ -1892,6 +1900,18 @@ object SparkEntry {
          |FROM b""".stripMargin,
     "t3_langid" -> langidOracle,
     "t26_lang_margin" -> langMarginOracle,
+    // confusion matrix over the shared langid argmax fragments
+    "t27_lang_confusion" -> {
+      val (hitCols, caseExpr) = langidFragments
+      s"""WITH tk AS (SELECT doc_id, lang,
+         |  string_split(lower(text), ' ') AS t FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  $hitCols
+         |  FROM tk),
+         |lid AS (SELECT lang, $caseExpr AS pred_lang FROM sc)
+         |SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM lid GROUP BY 1, 2""".stripMargin
+    },
     "t4_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
