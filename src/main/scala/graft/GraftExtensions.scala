@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{ArrayDot, WordShingles}
+import graft.functions.{ArrayDot, StopwordHits, WordShingles}
 
 /** Library entry point for Spark's extension mechanism: a user adds
   * `spark.sql.extensions=graft.GraftExtensions` (or
@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.IntDivPushdown)
     ext.injectFunction(GraftExtensions.wordShinglesFunction)
     ext.injectFunction(GraftExtensions.arrayDotFunction)
+    ext.injectFunction(GraftExtensions.stopwordHitsFunction)
   }
 }
 
@@ -66,6 +67,33 @@ object GraftExtensions {
       if (args.size != 2)
         throw new IllegalArgumentException("array_dot(a, b) takes 2 arguments")
       ArrayDot(args(0), args(1))
+    }
+  )
+
+  /** `stopword_hits(text, array('the','a',...), array('der',...), ...)`
+    * — the SQL surface of [[StopwordHits]]: per-profile hit counts as
+    * one array<int>, one profile per foldable array<string> argument
+    * (plan-time parameters of the expression, not per-row inputs). */
+  val stopwordHitsFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("stopword_hits"),
+    new ExpressionInfo(classOf[StopwordHits].getName, "stopword_hits"),
+    (args: Seq[Expression]) => {
+      if (args.size < 2)
+        throw new IllegalArgumentException(
+          "stopword_hits(text, profile...) takes a text column plus >=1 profile")
+      val profiles = args.tail.map { e =>
+        if (!e.foldable) throw new IllegalArgumentException(
+          s"stopword_hits: profiles must be array<string> literals, got $e")
+        e.eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            a.toObjectArray(org.apache.spark.sql.types.StringType)
+              .map(_.toString).toSeq
+          case other => throw new IllegalArgumentException(
+            s"stopword_hits: profiles must be array<string> literals, got $other")
+        }
+      }
+      StopwordHits(args.head, profiles)
     }
   )
 }

@@ -1091,8 +1091,10 @@ object SparkEntry {
     }),
     // T3: language-ID by stopword-profile hits, deterministic argmax
     "t3_langid" -> ((spark, dir) => {
-      val hits = TextOps.StopwordProfiles.map { case (lang, ws) =>
-        TextOps.stopwordHits(col("text"), ws).cast("long").as(s"${lang}_hits")
+      // one shared StopwordHits vector instead of 5 per-profile scans
+      val vec = TextOps.stopwordHitsVec(col("text"))
+      val hits = TextOps.StopwordProfiles.zipWithIndex.map { case ((lang, _), i) =>
+        element_at(vec, i + 1).cast("long").as(s"${lang}_hits")
       }
       docs(spark, dir).select(
         Seq(col("doc_id"), TextOps.langId(col("text")).as("pred_lang")) ++

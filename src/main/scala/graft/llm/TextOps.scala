@@ -65,25 +65,33 @@ object TextOps {
     "fr" -> Seq("le", "la", "de", "et", "que", "en", "les", "un"),
     "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我"))
 
-  /** Stopword hits for one language profile. */
-  def stopwordHits(text: Column, words: Seq[String]): Column = {
-    val stops = array(words.map(lit): _*)
-    size(filter(tokens(lower(text)), t => array_contains(stops, t)))
-  }
+  /** All five profiles' stopword hit counts as one `array<int>` in
+    * [[StopwordProfiles]] order — a single codegen'd pass over the text
+    * ([[graft.functions.StopwordHits]]); every langId consumer shares
+    * this one evaluation instead of 5 interpreted lambda filters. */
+  def stopwordHitsVec(text: Column): Column =
+    graft.functions.StopwordHits.hits(text, StopwordProfiles.map(_._2))
+
+  /** Stopword hits for one language profile (same native single-pass
+    * expression, single-profile instance). */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    element_at(graft.functions.StopwordHits.hits(text, Seq(words)), 1)
 
   /** Language-ID: argmax of stopword hits with deterministic lexicographic
-    * tie-break; zero hits everywhere → "und" (undetermined). */
+    * tie-break; zero hits everywhere → "und" (undetermined).
+    *
+    * `array_position` returns the FIRST index of the max, and the
+    * profiles are sorted by language code, so ties resolve to the
+    * lexicographically smallest code — the same contract as the old
+    * strict-`>` fold (and the oracle's CASE chain). array_max /
+    * array_position are codegen'd collection expressions, not lambda
+    * higher-order functions. */
   def langId(text: Column): Column = {
-    // profiles are already sorted by language code, so greatest-first
-    // scan with strict > keeps the lexicographically smallest on ties
-    val scored = StopwordProfiles.map { case (lang, ws) =>
-      (lang, stopwordHits(text, ws))
-    }
-    val best = scored.tail.foldLeft[(Column, Column)]((lit(scored.head._1), scored.head._2)) {
-      case ((bl, bs), (lang, s)) =>
-        (when(s > bs, lit(lang)).otherwise(bl), greatest(bs, s))
-    }
-    when(best._2 > 0, best._1).otherwise(lit("und"))
+    val vec = stopwordHitsVec(text)
+    val langs = array(StopwordProfiles.map(p => lit(p._1)): _*)
+    val mx = array_max(vec)
+    when(mx > 0, element_at(langs, array_position(vec, mx).cast("int")))
+      .otherwise(lit("und"))
   }
 
   /** Language-ID confidence: [[langId]]'s prediction plus the top
@@ -94,13 +102,9 @@ object TextOps {
     * shuffle, scan-speed at 100 TB like the rest of the per-row ops. */
   def langConfidence(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val hitCols = StopwordProfiles.map { case (lang, ws) =>
-      stopwordHits(col(textCol), ws).cast("long").as(s"_h_$lang") }
-    val base = docs.select(
-      (col(idCol) +: langId(col(textCol)).as("pred_lang") +: hitCols): _*)
     val sorted = sort_array(
-      array(StopwordProfiles.map(p => col(s"_h_${p._1}")): _*), asc = false)
-    base.select(col(idCol), col("pred_lang"),
+      stopwordHitsVec(col(textCol)).cast("array<bigint>"), asc = false)
+    docs.select(col(idCol), langId(col(textCol)).as("pred_lang"),
       element_at(sorted, 1).as("top_hits"),
       (element_at(sorted, 1) - element_at(sorted, 2)).as("margin"))
   }

@@ -38,5 +38,16 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(spark.sql(
       "SELECT array_dot(array(1.0d), array(5.0d, 7.0d)) AS d")
       .head.getDouble(0) == 5.0)
+
+    // stopword_hits: per-profile counts, one foldable array per profile
+    val hits = spark.sql(
+      "SELECT stopword_hits('THE of de xyz', array('the', 'of'), " +
+        "array('de', 'la')) AS h").head.getSeq[Int](0)
+    assert(hits == Seq(2, 1))
+    val err2 = intercept[Exception] {
+      // non-foldable profile (uuid() is non-deterministic) rejects
+      spark.sql("SELECT stopword_hits('a b', array(uuid())) AS h").collect()
+    }
+    assert(err2.getMessage.contains("literal"))
   }
 }

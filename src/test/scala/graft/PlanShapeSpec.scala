@@ -322,4 +322,18 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!z.contains("Window"),
       s"zipf rank must not plan a window:\n${z.take(800)}")
   }
+
+  test("langId plans the native stopword_hits expression, no lambda HOF") {
+    // the language-ID battery must stay one codegen'd StopwordHits pass
+    // per row — an interpreted lambda (ArrayFilter/lambdafunction)
+    // reappearing here is the ~10x constant factor VERDICT r8 flagged
+    for (name <- Seq("t27_lang_confusion", "t26_lang_margin", "t3_langid")) {
+      val p = plan(name)
+      assert(p.contains("stopword_hits"),
+        s"$name lost the native StopwordHits expression:\n${p.take(800)}")
+      val low = p.toLowerCase
+      assert(!low.contains("lambdafunction") && !low.contains("arrayfilter"),
+        s"$name re-grew an interpreted lambda HOF:\n${p.take(1200)}")
+    }
+  }
 }

@@ -74,6 +74,35 @@ class LlmOpsSpec extends SparkTestBase {
       .head.isNullAt(0))
   }
 
+  test("StopwordHits expression matches the lambda-filter reference") {
+    val profiles = TextOps.StopwordProfiles.map(_._2)
+    val cases = Seq(
+      "the quick brown fox", "", "THE Of AND", "der die la de",
+      "的 是 xyz", "  the  ", "le la de et que en les un",
+      "word the word the word", "nothing matches here at all",
+      "supercalifragilistic the", "a", "y"
+    )
+    for (s <- cases) {
+      val df = Seq(Tuple1(s)).toDF("text")
+      val got = df.select(graft.functions.StopwordHits.hits($"text", profiles))
+        .head.getSeq[Int](0)
+      // reference: lower -> split -> per-profile membership count
+      val toks = s.toLowerCase.split(" ", -1)
+      val want = profiles.map(ws => toks.count(ws.toSet))
+      assert(got == want, s"text='$s'")
+    }
+    // null text -> null vector (the when(...).otherwise('und') contract
+    // downstream relies on null propagation)
+    val nullDf = Seq(Tuple1(null: String)).toDF("text")
+    assert(nullDf.select(graft.functions.StopwordHits.hits($"text", profiles))
+      .head.isNullAt(0))
+    // a token shared by two profiles ("de" ∈ es and fr) counts in both
+    val shared = Seq(Tuple1("de de")).toDF("text")
+      .select(graft.functions.StopwordHits.hits($"text", profiles))
+      .head.getSeq[Int](0)
+    assert(shared == Seq(0, 0, 2, 2, 0))
+  }
+
   test("substringDupSpans merges overlapping windows into maximal spans") {
     val d = Seq(
       // 1 and 2 share tokens "c d e f g h" (positions 3-8 / 1-6); the
