@@ -117,6 +117,33 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
     new java.util.concurrent.atomic.AtomicLong(0)
   def rollupRefreshCount: Long = rollupRefreshes.get()
 
+  /** Chunk compactions the write path ran / deferred because readers
+    * would not drain (see [[quiesced]]); deferral is safe — the file
+    * count stays over threshold, so the next write retries. */
+  private[api] val chunkCompactions =
+    new java.util.concurrent.atomic.AtomicLong(0)
+  private[api] val chunkCompactionsDeferred =
+    new java.util.concurrent.atomic.AtomicLong(0)
+  def chunkCompactionCounts: (Long, Long) =
+    (chunkCompactions.get(), chunkCompactionsDeferred.get())
+
+  /** Drain-and-hold barrier over the admission gate: acquire every
+    * slot (waiting up to `drainTimeoutMs` for in-flight queries to
+    * finish; arrivals meanwhile queue on the gate as usual, their
+    * `?timeout=` budgets ticking), run `f` with zero readers admitted,
+    * release. The chunk compactor runs under this because dynamic
+    * partition overwrite is not atomic for concurrent readers — an
+    * in-flight query that listed the pre-compaction files would fail
+    * mid-scan with FileNotFoundException (r8 advice); the reference
+    * TSDB blocks block-deletion on its readers the same way
+    * (tsdb/db.go reloadBlocks waits on block pendingReaders). Returns
+    * None (f NOT run) if the gate cannot drain in time. */
+  private[api] def quiesced[A](drainTimeoutMs: Long)(f: => A): Option[A] =
+    if (gate.tryAcquire(HttpApi.MaxConcurrent, drainTimeoutMs,
+        TimeUnit.MILLISECONDS)) {
+      try Some(f) finally gate.release(HttpApi.MaxConcurrent)
+    } else None
+
   /** Deferred-tier flush (wired by [[HttpApi.forTable]] when
     * `refreshEveryWrites > 1`): run any pending rollup refresh NOW,
     * re-certify `_tiers_ok`, and swap in a fully-tiered engine. No-op
@@ -832,6 +859,12 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
     m("graft_engine_reagg_hits_total",
       "Aggregations served by re-aggregating a finer partial.", "counter",
       engine.reaggHits.get())
+    m("graft_chunk_compactions_total",
+      "Chunk-store date partitions compacted by the write path.",
+      "counter", chunkCompactions.get())
+    m("graft_chunk_compactions_deferred_total",
+      "Chunk compactions deferred because readers would not drain.",
+      "counter", chunkCompactionsDeferred.get())
     // which acceleration tier served each range-function evaluation —
     // routing is silent by design (results are bit-identical either
     // way), so this counter is how an operator verifies dashboards
@@ -1204,8 +1237,12 @@ object HttpApi {
           // dedup ONCE, materialize, feed both stores: the chunk
           // encoder needs exactly dedup's canonical per-(series, t)
           // output, and re-deriving it would re-run the batch's
-          // dominant shuffle for the second append
+          // dominant shuffle for the second append. The checkpoint
+          // blocks are freed explicitly once both appends committed
+          // (r8 advice: leaving them to GC accumulates executor
+          // storage across a long-running writer's batches).
           val canon = Ingest.dedup(df, strict = false).localCheckpoint(true)
+          try {
           Ingest.appendCanonical(canon, path)
           if (!needHeal) {
             // per-batch chunk cut — the batch shape of
@@ -1219,7 +1256,11 @@ object HttpApi {
             // to full chunks (the reference's background compactor,
             // tsdb/compact.go). Runs BEFORE the marker is re-created:
             // a crash mid-overwrite leaves the marker absent and the
-            // next boot heals the store from the table.
+            // next boot heals the store from the table. Runs QUIESCED:
+            // the partition overwrite deletes files an in-flight query
+            // may have listed, so drain the admission gate first (r8
+            // advice); if readers won't drain, defer — the file count
+            // stays over threshold and the next write retries.
             val chunkRoot = new org.apache.hadoop.fs.Path(chunksPath)
             if (tableFs.exists(chunkRoot))
               tableFs.listStatus(chunkRoot)
@@ -1228,11 +1269,22 @@ object HttpApi {
                   if (tableFs.listStatus(d.getPath).count(
                       _.getPath.getName.endsWith(".parquet")) >
                       chunkCompactThreshold) {
-                    ChunkStore.compact(spark, chunksPath,
-                      d.getPath.getName.stripPrefix("date="))
-                    spark.catalog.refreshByPath(chunksPath)
+                    api.quiesced(HttpApi.CompactDrainTimeoutMs) {
+                      ChunkStore.compact(spark, chunksPath,
+                        d.getPath.getName.stripPrefix("date="))
+                      spark.catalog.refreshByPath(chunksPath)
+                    } match {
+                      case Some(_) => api.chunkCompactions.incrementAndGet()
+                      case None => api.chunkCompactionsDeferred.incrementAndGet()
+                    }
                   }
                 }
+          }
+          } finally canon.queryExecution.analyzed.foreach {
+            // free the localCheckpoint's blocks now, not at GC time
+            case lr: org.apache.spark.sql.execution.LogicalRDD =>
+              lr.rdd.unpersist(blocking = false)
+            case _ =>
           }
         } else Ingest.append(df, path)
         if (needHeal) {
@@ -1277,8 +1329,12 @@ object HttpApi {
           // tiers are consistent with the committed table again —
           // unless a rung refresh is still deferred, in which case the
           // marker stays absent (a crash now heals at next startup,
-          // exactly as if this write had failed)
-          if (pendingDates.isEmpty) tableFs.create(tiersOk, true).close()
+          // exactly as if this write had failed). certifyTiers, not a
+          // bare create: the marker must carry the tier-config string
+          // or the next boot's tiersCertified() reads an empty marker,
+          // fails the config match, and heals the whole table on EVERY
+          // restart (r8 advice)
+          if (pendingDates.isEmpty) certifyTiers()
         }
         // bound index fragmentation: every batch with novel sigs
         // appends a file, so a long-running writer would accumulate
@@ -1303,7 +1359,7 @@ object HttpApi {
     api.tierFlushHook = () => writeLock.synchronized {
       if (pendingDates.nonEmpty && !failedDirty) {
         refreshRungs(Some(pendingDates.toSeq))
-        tableFs.create(tiersOk, true).close()
+        certifyTiers()
         api.swapEngine(freshEngine()).releaseSeriesDim()
       }
     }
@@ -1399,6 +1455,12 @@ object HttpApi {
   val QueueTimeoutMs: Long = 120000L
   val QueryTimeoutMs: Long = 120000L
   val MaxBodyBytes: Long = 10L * 1024 * 1024 // main.go:44
+
+  /** How long a write waits for in-flight queries to drain before
+    * deferring a chunk compaction (see HttpApi#quiesced). Well under
+    * the query budget, so queries queued behind the barrier keep most
+    * of theirs. */
+  val CompactDrainTimeoutMs: Long = 10000L
 
   private val LabelValuesRe = "^/api/v1/label/([^/]+)/values$".r
   private val LabelNameRe = "^[a-zA-Z_][a-zA-Z0-9_]*$".r

@@ -63,7 +63,18 @@ class PromQLEngine(
     // (seriesDim, tableStats, labelValues) stay on `samples`: both
     // frames hold the same series, and the raw table answers them
     // without decode. Results are bit-identical either way (asserted
-    // in ForTableTiersSpec) — only scan cost differs.
+    // in ForTableTiersSpec) — only scan cost differs. ONE documented
+    // exception: a protocol-violating at-least-once client that
+    // re-sends a CONFLICTING value for an already-written (series, t)
+    // in a LATER batch. In-batch dedup (the reference's
+    // ErrAmendSample policy, storage/Ingest.dedup) cannot see prior
+    // batches, so the raw table keeps both rows, while chunk
+    // compaction / heal collapse them (smallest value wins, stale
+    // beats plain — ChunkStore.compact). The reference rejects such
+    // amends at append time via its head lookup; replicating that
+    // here would cost a per-write history anti-join over the touched
+    // partitions. Clients honoring remote-write's no-amend contract
+    // never diverge.
     chunkTier: Option[DataFrame] = None) {
 
   import PromQLEngine._
@@ -329,13 +340,25 @@ class PromQLEngine(
     * construction time, paid once per novel (index state, matcher
     * set) and memoized in the bounded LRU companion cache. */
   private def indexMatchedFraction(idx: DataFrame,
-      ms: Seq[LabelMatcher], cond: Column): Double =
-    PromQLEngine.indexSelectivityCache.computeIfAbsent(
-      (idx.queryExecution.analyzed.canonicalized, ms), _ => {
-        val r = idx.agg(count(lit(1)), count(when(cond, lit(1)))).head()
-        val total = r.getLong(0)
-        if (total == 0) 0.0 else r.getLong(1).toDouble / total
-      })
+      ms: Seq[LabelMatcher], cond: Column): Double = {
+    // probe OUTSIDE the map mutex: the aggregate is a Spark action
+    // that can take seconds, and computeIfAbsent would hold the single
+    // synchronizedMap lock for its whole duration — one novel matcher
+    // set would block every concurrent query's cache lookup (r8
+    // advice). Rare concurrent first-queries may probe twice; the
+    // probe is deterministic for one index state, so first-put wins
+    // and both callers return the same fraction.
+    val key = (idx.queryExecution.analyzed.canonicalized, ms)
+    val hit = PromQLEngine.indexSelectivityCache.get(key)
+    if (hit != null) hit.doubleValue
+    else {
+      val r = idx.agg(count(lit(1)), count(when(cond, lit(1)))).head()
+      val total = r.getLong(0)
+      val f = if (total == 0) 0.0 else r.getLong(1).toDouble / total
+      val prev = PromQLEngine.indexSelectivityCache.putIfAbsent(key, f)
+      if (prev != null) prev.doubleValue else f
+    }
+  }
 
   /** All samples falling in each step's window `[step-o-w, step-o]`
     * (closed on both ends, matching the vendored engine's `t >= mint`
@@ -2082,10 +2105,9 @@ object PromQLEngine {
     * distinct dashboard matcher set per index state. Access-order LRU
     * bounded at 4096 entries (r7 advice: the former wholesale
     * `clear()` past the bound was unsynchronized and dropped the hot
-    * half with the cold); the synchronized `computeIfAbsent` also
-    * means concurrent first-queries for one matcher set run the probe
-    * aggregate ONCE — the rest block briefly on the map mutex and
-    * read the entry. */
+    * half with the cold). The mutex guards only get/putIfAbsent —
+    * the probe aggregate runs UNLOCKED (see indexMatchedFraction), so
+    * a slow first probe never blocks other queries' lookups. */
   private type SelKey = (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
     Seq[graft.promql.Ast.LabelMatcher])
   private val indexSelectivityCache: java.util.Map[SelKey, java.lang.Double] =

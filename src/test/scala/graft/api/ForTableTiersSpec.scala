@@ -429,6 +429,48 @@ class ForTableTiersSpec extends SparkTestBase {
     } finally api2.stop()
   }
 
+  test("a same-config restart after a successful write trusts the " +
+      "marker: no boot heal (the write path certifies WITH the config " +
+      "string, r8 advice)") {
+    val path = Files.createTempDirectory("api-table-recert").toString
+    val api1 = HttpApi.forTable(spark, path, chunks = true)
+    api1.start()
+    try {
+      val url = new URI(
+        s"http://127.0.0.1:${api1.boundPort}/api/v1/write").toURL
+      val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.getOutputStream.write((0 to 90).map(i =>
+        s"""{"labels":{"__name__":"rc","k":"a"},"t":${i * m},"v":$i}""")
+        .mkString("\n").getBytes(UTF_8))
+      assert(conn.getResponseCode == 200)
+    } finally api1.stop()
+    // the write path must re-create the marker WITH the config string:
+    // an empty marker (the pre-fix bare create) fails certification and
+    // silently turns every restart into a full-table heal
+    val marker = new java.io.File(s"$path/_tiers_ok")
+    val content = new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), UTF_8)
+    assert(content == "rollups=;chunks=true\n",
+      s"marker lost the config string after a write: '$content'")
+    def chunkFiles: Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$path/_chunks"))
+        .map(_.getPath).filter(_.endsWith(".parquet")).toSet
+    }
+    val before = chunkFiles
+    val markerM = marker.lastModified
+    val api2 = HttpApi.forTable(spark, path, chunks = true)
+    try {
+      assert(marker.lastModified == markerM,
+        "same-config boot re-certified the marker (it healed)")
+      assert(chunkFiles == before,
+        "same-config boot rebuilt the chunk store (it healed)")
+      assert(api2.servingEngine.hasChunkTier)
+    } finally api2.stop()
+  }
+
   test("a crash between the table append and the tier refresh heals " +
       "at the next startup (the _tiers_ok marker protocol)") {
     import spark.implicits._

@@ -153,6 +153,20 @@ class HttpApiSpec extends SparkTestBase {
     assert(n.exists(_ >= 1), s"body: $body")
     assert(body.contains("graft_api_gate_free_slots 20"))
     assert(body.contains("graft_engine_reagg_hits_total"))
+    assert(body.contains("graft_chunk_compactions_total"))
+    assert(body.contains("graft_chunk_compactions_deferred_total"))
+  }
+
+  test("quiesced drains the admission gate, runs, restores every slot; " +
+      "an undrainable gate defers (returns None)") {
+    // outer quiesced holds all 20 slots -> the nested barrier cannot
+    // drain within its timeout and must return None (the compactor
+    // treats that as "defer to the next write")
+    val r = api.quiesced(30000L) { api.quiesced(100L) { 1 } }
+    assert(r == Some(None))
+    // every slot restored afterwards — queries admit again
+    val (code, body) = get("/metrics")
+    assert(code == 200 && body.contains("graft_api_gate_free_slots 20"))
   }
 
   test("/metrics carries the five families the reference acceptance " +
