@@ -11,13 +11,29 @@ import graft.llm.{Dedup, Similarity, TextOps}
   * sf0.1 and the `gen_scale.py` 10×/100× corpora and compare growth
   * (SCALE.md §2/§3 scale-point paragraphs).
   *
-  * Usage: runMain graft.tools.LlmScalePoint <dir> [dir2 ...]
+  * Usage: runMain graft.tools.LlmScalePoint [--ops a,b] <dir> [dir2 ...]
   * Cold run then median of three warm, per op, noop-sink like
-  * ProfileLlm. */
+  * ProfileLlm.
+  *
+  * `--ops` (r9, fresh-JVM protocol): restrict to the named ops so a
+  * shell loop can run ONE JVM PER (op, scale) POINT. The r8 ×100 LSH
+  * draws showed why this matters: same-session draws inherit page
+  * cache, JIT state, and shuffle-dir residue from whatever ran before
+  * them — one 194.6 s outlier elevated EVERY row measured after it in
+  * its section, stretching an honest ~linear scale point into a
+  * 42–194.6 s envelope (SCALE.md §3.2). A scale table row is only
+  * comparable when each cell is the median of N fresh-JVM draws. */
 object LlmScalePoint {
 
   def main(args: Array[String]): Unit = {
-    val dirs = if (args.nonEmpty) args.toSeq
+    var argv = args.toSeq
+    val only: Option[Set[String]] =
+      if (argv.size >= 2 && argv.head == "--ops") {
+        val s = argv(1).split(',').map(_.trim).filter(_.nonEmpty).toSet
+        argv = argv.drop(2)
+        Some(s)
+      } else None
+    val dirs = if (argv.nonEmpty) argv
       else Seq("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -28,11 +44,12 @@ object LlmScalePoint {
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    dirs.foreach(run(spark, _))
+    dirs.foreach(run(spark, _, only))
     spark.stop()
   }
 
-  private def run(spark: SparkSession, dir: String): Unit = {
+  private def run(spark: SparkSession, dir: String,
+      only: Option[Set[String]]): Unit = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val nDocs = docs.count(); val nVecs = emb.count()
@@ -70,7 +87,7 @@ object LlmScalePoint {
       ("t25_zipf_slope", () => TextOps.zipfSlope(docs)),
       ("x6_label_centroids", () => Similarity.labelCentroids(emb)),
       ("x8_centroid_assign", () => Similarity.centroidAssign(emb)))
-    for ((name, f) <- ops) {
+    for ((name, f) <- ops if only.forall(_.contains(name))) {
       val (cold, warm) = med(f())
       println(f"$name%-16s cold $cold%7.2f s  warm-med $warm%7.2f s")
     }

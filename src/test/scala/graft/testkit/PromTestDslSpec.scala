@@ -2569,4 +2569,169 @@ eval instant at 50m {__name__=~"p.", s=~"[w-y]"}
   pf{s="x"} 1
 """)
   }
+
+  test("histogram_quantile NaN bucket counts pass the envelope " +
+      "untouched and poison only probed buckets (quantile.go:59-153)") {
+    // ensureMonotonic raises only counts STRICTLY below the running
+    // max — NaN fails both comparisons and survives; bucketQuantile's
+    // sort.Search then probes a NON-monotonic predicate, so which
+    // buckets the binary search touches decides the answer, exactly
+    // like the vintage engine.
+    run("""
+load 5m
+  hnan{le="1"} 0+10x10
+  hnan{le="2"} NaN NaN NaN NaN NaN NaN NaN NaN NaN NaN NaN
+  hnan{le="+Inf"} 0+20x10
+  hnan4{le="1"} 0+1x10
+  hnan4{le="2"} NaN NaN NaN NaN NaN NaN NaN NaN NaN NaN NaN
+  hnan4{le="3"} 0+3x10
+  hnan4{le="+Inf"} 0+4x10
+
+# 3 buckets (100, NaN, Inf:200): every rank probes the NaN middle
+# bucket first (h=1), the predicate is false, and the search lands on
+# len-1 -> second-highest bound, REGARDLESS of q
+eval instant at 50m histogram_quantile(0.5, hnan)
+  {} 2
+
+eval instant at 50m histogram_quantile(0.1, hnan)
+  {} 2
+
+# 4 buckets (10, NaN, 30, Inf:40): rank 20 lands in bucket 2 (count
+# 30) whose interpolation SUBTRACTS the NaN predecessor -> NaN result
+eval instant at 50m histogram_quantile(0.5, hnan4)
+  {} NaN
+
+# NaN q: not <0, not >1, rank = NaN satisfies no bucket ->
+# second-highest bound (the vintage answer, not NaN)
+eval instant at 50m histogram_quantile(0/0, hnan)
+  {} 2
+""")
+  }
+
+  test("histogram_quantile monotonic-envelope interpolation, and the " +
+      "vintage quirk that the +Inf bucket is never raised " +
+      "(quantile.go:143-153 `for i := range buckets[1:]`)") {
+    run("""
+load 5m
+  hv{le="0.5"} 0+5x10
+  hv{le="1"} 0+2x10
+  hv{le="+Inf"} 0+6x10
+  hd{le="1"} 0+10x10
+  hd{le="5"} 0+10x10
+  hd{le="+Inf"} 0+4x10
+
+# envelope: the dip (50, 20, 60) is raised to (50, 50, 60); rank 30
+# falls in the FIRST bucket -> linear from the natural 0 lower bound
+eval instant at 50m histogram_quantile(0.5, hv)
+  {} 0.3
+
+# rank 54 exceeds the raised middle count 50 -> highest bucket ->
+# second-highest upper bound
+eval instant at 50m histogram_quantile(0.9, hv)
+  {} 1
+
+eval instant at 50m histogram_quantile(1, hv)
+  {} 1
+
+# the vendored loop `for i := range buckets[1:]` indexes buckets[i],
+# touching 0..len-2 only: an +Inf count (40) BELOW the inner counts
+# (100) is never raised, rank = q*40 probes the inner bucket and
+# interpolates there — q=1 lands at 0.4, not at an upper bound
+eval instant at 50m histogram_quantile(0.5, hd)
+  {} 0.2
+
+eval instant at 50m histogram_quantile(1, hd)
+  {} 0.4
+""")
+  }
+
+  test("histogram_quantile non-positive lowest bound: no natural-zero " +
+      "interpolation below 0 (quantile.go:94-96)") {
+    run("""
+load 5m
+  hneg{le="-1"} 0+4x10
+  hneg{le="0.5"} 0+7x10
+  hneg{le="+Inf"} 0+10x10
+
+# rank 20 falls in the lowest bucket whose bound is <= 0 -> the bound
+# itself, NOT a 0->-1 interpolation
+eval instant at 50m histogram_quantile(0.2, hneg)
+  {} -1
+
+# rank 50 interpolates -1 .. 0.5 with count 30, rank-in-bucket 10
+eval instant at 50m histogram_quantile(0.5, hneg)
+  {} -0.5
+
+# rank 99 exceeds the second bucket's 70 -> highest bucket ->
+# second-highest bound
+eval instant at 50m histogram_quantile(0.99, hneg)
+  {} 0.5
+""")
+  }
+
+  test("count_values label collision: the value label OVERWRITES an " +
+      "existing label of the same name (engine.go:1269-1282 lb.Set)") {
+    run("""
+load 5m
+  cv{v="a", job="j1"} 0+1x10
+  cv{v="b", job="j1"} 0+1x10
+  cv{v="c", job="j2"} 0+2x10
+
+# series already carry a "v" label; count_values("v", ...) overwrites
+# it with the formatted value, MERGING the two v="a"/v="b" series that
+# collide after the overwrite
+eval instant at 50m count_values("v", cv)
+  {v="10"} 2
+  {v="20"} 1
+
+eval instant at 50m count_values by (job) ("v", cv)
+  {job="j1", v="10"} 2
+  {job="j2", v="20"} 1
+
+# without: the value label is NOT appended to the grouping; the
+# original v is overwritten after the grouping labels are deleted
+eval instant at 50m count_values without (job) ("v", cv)
+  {v="10"} 2
+  {v="20"} 1
+""")
+  }
+
+  test("or/unless with overlapping signatures: full-label-set sigs by " +
+      "default, on()/ignoring() projections (engine.go VectorOr/Unless)") {
+    run("""
+load 5m
+  l{job="x", extra="1"} 0+1x10
+  l{job="y"} 0+2x10
+  r{job="x"} 0+10x10
+  r{job="z"} 0+30x10
+
+# default sig = full label set (metric name excluded): l's extra="1"
+# makes its job="x" sig DIFFERENT from r's, so r{job="x"} survives or
+eval instant at 50m l or r
+  l{job="x", extra="1"} 10
+  l{job="y"} 20
+  r{job="x"} 100
+  r{job="z"} 300
+
+# on (job): sigs collapse to job -> r{job="x"} is now a duplicate of
+# l{job="x"} and drops; r{job="z"} still fills
+eval instant at 50m l or on (job) r
+  l{job="x", extra="1"} 10
+  l{job="y"} 20
+  r{job="z"} 300
+
+# unless on (job): l{job="x"} has a right-side sig match -> removed
+eval instant at 50m l unless on (job) r
+  l{job="y"} 20
+
+# ignoring (extra) reaches the same projection from the other side
+eval instant at 50m l unless ignoring (extra) r
+  l{job="y"} 20
+
+# no projection: sigs differ (extra="1") -> nothing removed
+eval instant at 50m l unless r
+  l{job="x", extra="1"} 10
+  l{job="y"} 20
+""")
+  }
 }
