@@ -307,13 +307,15 @@ class LlmOpsSpec extends SparkTestBase {
       .outputMode("append")
       .start()
     try {
+      // start past t=0: the late filter drops eventTime <= the initial
+      // epoch-0 watermark, which would silently exclude a ts(0) row
       mem.addData(
-        (0L, ts(0), "alpha doc"), (1L, ts(1), "beta doc"),
-        (2L, ts(2), "alpha doc"), // dup of 0, same batch
-        (3L, ts(3), "gamma doc"))
+        (0L, ts(60), "alpha doc"), (1L, ts(61), "beta doc"),
+        (2L, ts(62), "alpha doc"), // dup of 0, same batch
+        (3L, ts(63), "gamma doc"))
       q.processAllAvailable()
       // dup arriving in a LATER batch, still within the watermark horizon
-      mem.addData((4L, ts(4), "beta doc"), (5L, ts(5), "delta doc"))
+      mem.addData((4L, ts(64), "beta doc"), (5L, ts(65), "delta doc"))
       q.processAllAvailable()
       val kept = spark.sql("select doc_id from sded").collect()
         .map(_.getLong(0)).sorted
@@ -323,6 +325,55 @@ class LlmOpsSpec extends SparkTestBase {
       // already seen in the earlier batch
       assert(kept.length == 4 && Seq(1L, 3L, 5L).forall(kept.contains))
       assert(kept.count(Seq(0L, 2L).contains) == 1)
+    } finally q.stop()
+  }
+
+  test("streamingExactDedup state is BOUNDED by the watermark: expired " +
+      "hashes leave the store and re-sent content past the horizon is " +
+      "admitted again (the documented batch-side handoff)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val q = Dedup.streamingExactDedup(
+        mem.toDF().toDF("doc_id", "ets", "text"), "ets", "10 minutes")
+      .writeStream.format("memory").queryName("sded_state")
+      .outputMode("append")
+      .start()
+    def stateRows: Long = q.recentProgress
+      .filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.head.numRowsTotal).lastOption.getOrElse(-1L)
+    try {
+      // epoch 1: three distinct contents near t=60s (NOT epoch 0: the
+      // operator's late filter drops eventTime <= watermark, and the
+      // initial watermark IS epoch 0)
+      mem.addData((0L, ts(60), "w a"), (1L, ts(70), "w b"),
+        (2L, ts(80), "w c"))
+      q.processAllAvailable()
+      assert(stateRows == 3, s"epoch-1 state: $stateRows")
+      // epoch 2, one hour later: the watermark advances to 3600-600s;
+      // epoch-1 hashes (expiry ~600s) become evictable
+      mem.addData((3L, ts(3600), "w d"), (4L, ts(3610), "w e"))
+      q.processAllAvailable()
+      // epoch 3 confirms eviction ran: state must hold ONLY the
+      // unexpired hashes (2 from epoch 2 + the new one), never the 6
+      // distinct contents ever seen — THE boundedness contract that
+      // lets the stream run forever over a firehose
+      mem.addData((5L, ts(3700), "w f"))
+      q.processAllAvailable()
+      assert(stateRows == 3,
+        s"state not bounded by the watermark: $stateRows rows")
+      // re-sending epoch-1 content BEYOND the horizon with a current
+      // timestamp: its hash expired, so it is admitted AGAIN — dedup
+      // only guarantees uniqueness within the lateness window; the
+      // scaladoc hands cross-horizon dups to batch exactDedup
+      mem.addData((6L, ts(3720), "w a"))
+      q.processAllAvailable()
+      val kept = spark.sql("select doc_id, text from sded_state").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(kept.count(_._2 == "w a") == 2,
+        s"expired content not re-admitted: $kept")
+      assert(kept.map(_._1).toSet == Set(0L, 1L, 2L, 3L, 4L, 5L, 6L))
     } finally q.stop()
   }
 
