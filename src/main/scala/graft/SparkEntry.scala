@@ -1168,6 +1168,11 @@ object SparkEntry {
     // step) — adjacent char pairs weighted by word frequency, top-20
     "t21_bpe_pairs" -> ((spark, dir) =>
       TextOps.bpePairCounts(docs(spark, dir), 20)),
+    // T28: iterated BPE merges — 3 rounds of the Sennrich tokenizer-
+    // training loop (vocabulary-sized per round, 1-row driver action
+    // picks each merge)
+    "t28_bpe_merges" -> ((spark, dir) =>
+      TextOps.bpeMerges(docs(spark, dir), 3)),
     // T22: per-doc unigram entropy (lexical-diversity quality signal)
     // — two hash aggregates, no join
     "t22_word_entropy" -> ((spark, dir) =>
@@ -2103,6 +2108,11 @@ object SparkEntry {
         |pc AS (SELECT pair, SUM(n) AS cnt FROM p GROUP BY 1)
         |SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM pc
         |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    // iterated BPE merges: 3 unrolled rounds over the marker-wrapped
+    // symbol encoding (chr(1)/chr(2) wrappers, space-joined); replace's
+    // left-to-right non-overlap IS the leftmost-first merge rule in
+    // both engines, so each round is count -> top-1 -> string replace
+    "t28_bpe_merges" -> bpeMergesOracle(3),
     // unigram Shannon entropy per doc via H = log2(N) − (Σ n·log2 n)/N
     // (sum order collapses under the REAL cast, like t20's avg)
     "t22_word_entropy" ->
@@ -2428,6 +2438,35 @@ object SparkEntry {
       |szc AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
       |SELECT lab.doc_id, lab.cluster_id, szc.cluster_size
       |FROM lab JOIN szc USING (cluster_id)""".stripMargin
+
+  /** Unrolled-rounds oracle for [[graft.llm.TextOps.bpeMerges]]: the
+    * same marker-wrapped encoding (chr(1)⟨sym⟩chr(2), space-joined),
+    * per round a pair count + (cnt DESC, pr) top-1 + plain `replace`
+    * merge — replace's left-to-right non-overlapping scan is BPE's
+    * leftmost-first rule in DuckDB exactly as in Spark. */
+  private def bpeMergesOracle(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),\n"
+    sb ++= "wcw AS (SELECT w, COUNT(*) AS n FROM t WHERE len(w) >= 2 GROUP BY 1),\n"
+    sb ++= "v0 AS (SELECT array_to_string(list_transform(" +
+      "string_split_regex(w, ''), c -> chr(1) || c || chr(2)), ' ') AS s, n FROM wcw)"
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+p$r AS (SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+    i -> sy[i] || ' ' || sy[i + 1])) AS pr, n
+  FROM (SELECT string_split(s, ' ') AS sy, n FROM v${r - 1})),
+m$r AS (SELECT pr, SUM(n) AS cnt FROM p$r GROUP BY 1
+  ORDER BY cnt DESC, pr LIMIT 1),
+v$r AS (SELECT replace(s, (SELECT pr FROM m$r),
+    (SELECT replace(pr, chr(2) || ' ' || chr(1), '') FROM m$r)) AS s, n
+  FROM v${r - 1})"""
+    }
+    sb ++= "\n" + (1 to rounds).map { r =>
+      s"SELECT $r AS merge_round, replace(replace(pr, chr(1), ''), " +
+        s"chr(2), '') AS pair, CAST(cnt AS BIGINT) AS cnt FROM m$r"
+    }.mkString("\nUNION ALL ")
+    sb.toString
+  }
 
   /** Profile-derived SQL fragments for the stopword language-ID argmax
     * (shared by the t3 and t15 oracles): per-language hit columns over a

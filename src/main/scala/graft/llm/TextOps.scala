@@ -651,6 +651,66 @@ object TextOps {
       .select(col("_e.tie").as("pair"), col("_e.v").cast("long").as("cnt"))
   }
 
+  /** Iterated BPE merge training (the Sennrich-2016 tokenizer-training
+    * loop on top of [[bpePairCounts]]'s single step): `rounds` times,
+    * count adjacent SYMBOL pairs over the word vocabulary weighted by
+    * corpus frequency, pick the most frequent pair (count DESC, pair
+    * ASC — fully deterministic), and merge its leftmost-first
+    * non-overlapping occurrences into one symbol. Output: one row per
+    * round, (merge_round, pair, cnt).
+    *
+    * Words live as marker-wrapped symbol strings
+    * `⟨h⟩ ⟨e⟩ ⟨l⟩ ⟨l⟩ ⟨o⟩` (⟨ = \\u0001, ⟩ = \\u0002 — absent from any
+    * text corpus), which makes merge application a plain string
+    * `replace("⟨a⟩ ⟨b⟩" → "⟨ab⟩")`: the markers prevent false matches
+    * inside longer symbols, and replace's left-to-right non-overlap
+    * scan IS BPE's leftmost-first rule (verified identical in Spark
+    * and DuckDB for the `aaaa → (aa)(aa)` run case). No UDF, no
+    * recursion, engine-portable.
+    *
+    * Scale shape: everything after the first `(word, n)` aggregate is
+    * VOCABULARY-sized — the per-round pair count is a hash aggregate
+    * over ~|vocab|·|word| rows, the top-1 is a 1-row driver action,
+    * and the merge is a map-only column rewrite. `rounds` is small by
+    * construction (a tokenizer trains thousands of merges over a
+    * sampled vocabulary, not the corpus), so the driver loop is the
+    * honest shape, exactly like the reference trainers. The lambda in
+    * pair generation evaluates interpreted, which is irrelevant at
+    * vocabulary cardinality. */
+  def bpeMerges(docs: DataFrame, rounds: Int,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (s0, e0) = ("\u0001", "\u0002")
+    var vocab = docs.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(array_join(
+        transform(split(col("w"), ""), c => concat(lit(s0), c, lit(e0))),
+        " ").as("s"), col("n"))
+    val out = Seq.newBuilder[(Int, String, Long)]
+    for (r <- 1 to rounds) {
+      val top = vocab
+        .select(col("n"), split(col("s"), " ").as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(sy) - 1), " +
+            "i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))"))
+          .as("pr"))
+        .groupBy(col("pr")).agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pr"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val pr = top(0).getString(0)
+        out += ((r, pr.replace(s0, "").replace(e0, ""), top(0).getLong(1)))
+        // ⟨a⟩ ⟨b⟩ → ⟨ab⟩: drop the inner end/start marker pair
+        vocab = vocab.withColumn("s",
+          replace(col("s"), lit(pr), lit(pr.replace(e0 + " " + s0, ""))))
+      }
+    }
+    out.result().toDF("merge_round", "pair", "cnt")
+  }
+
   /** Per-document unigram Shannon entropy (bits) over whitespace
     * tokens, with token/type counts — the classic lexical-diversity
     * quality signal (low entropy ⇒ repetitive boilerplate, the same

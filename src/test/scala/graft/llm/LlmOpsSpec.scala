@@ -328,6 +328,23 @@ class LlmOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("bpeMerges: three deterministic rounds on the classic low/lowest " +
+      "corpus (Sennrich fig. 1 shape)") {
+    val d = Seq((0L, "low low lower lowest newest newest"))
+      .toDF("doc_id", "text")
+    // round 1: lo=4 ow=4 we=4 tie -> "l o" (lexicographic); round 2:
+    // (lo,w)=4 (w,e)=4 tie -> "lo w"; round 3: (e,s)=3 (s,t)=3 -> "e s"
+    val r = TextOps.bpeMerges(d, 3).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getLong(2))).sortBy(_._1)
+    assert(r.toSeq == Seq((1, "l o", 4L), (2, "lo w", 4L), (3, "e s", 3L)))
+    // leftmost-first run semantics: merging (a,a) over "aaaa" pairs
+    // positions 1-2 and 3-4, so round 2's winner is (aa,aa)
+    val runs = Seq((0L, "aaaa aaaa")).toDF("doc_id", "text")
+    val rr = TextOps.bpeMerges(runs, 2).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getLong(2))).sortBy(_._1)
+    assert(rr.toSeq == Seq((1, "a a", 6L), (2, "aa aa", 2L)))
+  }
+
   test("streamingExactDedup state is BOUNDED by the watermark: expired " +
       "hashes leave the store and re-sent content past the horizon is " +
       "admitted again (the documented batch-side handoff)") {
