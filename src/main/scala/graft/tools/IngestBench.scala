@@ -16,11 +16,25 @@ import graft.storage.Ingest
   * table dir; batches after the first are warm.
   *
   * Usage: runMain graft.tools.IngestBench [samplesPerBatch] [batches]
+  *                                        [--tiers]
+  *
+  * `--tiers` (r9): measure the PRODUCTION forTable write shape instead
+  * of the bare append — per batch, the exact sink sequence of
+  * `HttpApi.forTable(rollups = hourly+daily, chunks = true)`:
+  * dedup-once → canonical table append → per-batch Gorilla chunk cut →
+  * series-index upsert → touched-dates rollup refresh — into ONE
+  * persistent table whose batches are consecutive time windows, so the
+  * rung rewrite each batch covers everything that date has accumulated
+  * (the honest long-running-server cost, not a fresh-dir ideal).
+  * Prints the per-tier split so the BASELINE.md write-path claim
+  * covers the configuration actually served.
   */
 object IngestBench {
   def main(args: Array[String]): Unit = {
-    val perBatch = args.headOption.map(_.toInt).getOrElse(4_000_000)
-    val batches = args.lift(1).map(_.toInt).getOrElse(4)
+    val tiers = args.contains("--tiers")
+    val argv = args.filterNot(_ == "--tiers")
+    val perBatch = argv.headOption.map(_.toInt).getOrElse(4_000_000)
+    val batches = argv.lift(1).map(_.toInt).getOrElse(4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -34,26 +48,85 @@ object IngestBench {
 
     val nSeries = 10000
     val baseMs = 1704067200000L // 2024-01-01
-    for (b <- 0 until batches) {
+    def batchDf(b: Int) = spark.range(perBatch).select(
+      map(
+        lit("__name__"), lit("bench_metric"),
+        lit("instance"), concat(lit("inst-"), (col("id") % nSeries)),
+        lit("job"), lit("bench"),
+        lit("shard"), (col("id") % 4).cast("string")
+      ).as("labels"),
+      // consecutive time windows per batch (a server's batches never
+      // replay timestamps; replays would be cross-batch amends)
+      (lit(baseMs + b.toLong * (perBatch / nSeries) * 15000L) +
+        (col("id") / nSeries).cast("long") * 15000L).as("t"),
+      (col("id") % 97).cast("double").as("v"),
+      lit(false).as("stale"))
+
+    if (!tiers) {
+      for (b <- 0 until batches) {
+        val path = java.nio.file.Files
+          .createTempDirectory(s"ingest-bench-$b").toString
+        // one batch: perBatch samples across nSeries series, 15s
+        // cadence, built distributed (the generator must not be the
+        // bottleneck)
+        val df = batchDf(0)
+        val t0 = System.nanoTime()
+        Ingest.append(df, path) // dedup + sig + date/bucket layout inside
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"batch $b: $perBatch samples in $sec%.2f s = " +
+          f"${perBatch / sec / 1e6}%.2f M samples/s${if (b == 0) " (cold)" else ""}")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      }
+    } else {
+      import graft.storage.ChunkStore
       val path = java.nio.file.Files
-        .createTempDirectory(s"ingest-bench-$b").toString
-      // one batch: perBatch samples across nSeries series, 15s cadence,
-      // built distributed (the generator must not be the bottleneck)
-      val df = spark.range(perBatch).select(
-        map(
-          lit("__name__"), lit("bench_metric"),
-          lit("instance"), concat(lit("inst-"), (col("id") % nSeries)),
-          lit("job"), lit("bench"),
-          lit("shard"), (col("id") % 4).cast("string")
-        ).as("labels"),
-        (lit(baseMs) + (col("id") / nSeries).cast("long") * 15000L).as("t"),
-        (col("id") % 97).cast("double").as("v"),
-        lit(false).as("stale"))
-      val t0 = System.nanoTime()
-      Ingest.append(df, path) // dedup + sig + date/bucket layout inside
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"batch $b: $perBatch samples in $sec%.2f s = " +
-        f"${perBatch / sec / 1e6}%.2f M samples/s${if (b == 0) " (cold)" else ""}")
+        .createTempDirectory("ingest-bench-tiers").toString
+      val indexPath = new org.apache.hadoop.fs.Path(path, "_index").toString
+      val chunksPath = new org.apache.hadoop.fs.Path(path, "_chunks").toString
+      val rollups = Seq(3600000L, 86400000L) // hourly + daily
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      for (b <- 0 until batches) {
+        val df = batchDf(b)
+        // the forTable sink sequence (api/HttpApi.scala forTable):
+        // dedup once, feed table + chunk store, upsert index, refresh
+        // the touched dates' rungs
+        var canon: org.apache.spark.sql.DataFrame = null
+        val tDedup = timed {
+          canon = Ingest.dedup(df, strict = false).localCheckpoint(true)
+        }
+        try {
+          val tTable = timed { Ingest.appendCanonical(canon, path) }
+          val tChunks = timed {
+            ChunkStore.write(canon, chunksPath)
+            spark.catalog.refreshByPath(chunksPath)
+          }
+          val tIndex = timed {
+            spark.catalog.refreshByPath(indexPath)
+            Ingest.appendSeriesIndex(df, indexPath)
+            spark.catalog.refreshByPath(path)
+          }
+          val dates = Ingest.datesOf(df)
+          val tRungs = timed {
+            rollups.foreach { r =>
+              Ingest.refreshFoldPartials(spark, path,
+                Ingest.rollupPath(path, r), r, Some(dates))
+              spark.catalog.refreshByPath(Ingest.rollupPath(path, r))
+            }
+          }
+          val total = tDedup + tTable + tChunks + tIndex + tRungs
+          println(f"batch $b: $perBatch samples full-tier in $total%.2f s" +
+            f" = ${perBatch / total / 1e6}%.2f M/s  [dedup $tDedup%.2f" +
+            f" table $tTable%.2f chunks $tChunks%.2f index $tIndex%.2f" +
+            f" rungs(${dates.size}%dd) $tRungs%.2f]" +
+            (if (b == 0) " (cold)" else ""))
+        } finally canon.queryExecution.analyzed.foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false)
+          case _ =>
+        }
+      }
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     }
     spark.stop()
