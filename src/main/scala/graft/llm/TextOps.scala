@@ -682,14 +682,20 @@ object TextOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val (s0, e0) = ("\u0001", "\u0002")
-    var vocab = docs.select(explode(tokens(col(textCol))).as("w"))
+    // materialize the vocabulary ONCE: it is the only corpus-volume
+    // pass, and every round's re-count would otherwise re-run the
+    // token explode + aggregate through lineage (3 corpus scans for 3
+    // rounds at 100 TB); the checkpointed artifact is vocabulary-sized
+    val vocab0 = docs.select(explode(tokens(col(textCol))).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .select(array_join(
         transform(split(col("w"), ""), c => concat(lit(s0), c, lit(e0))),
         " ").as("s"), col("n"))
+      .localCheckpoint(true)
+    var vocab = vocab0
     val out = Seq.newBuilder[(Int, String, Long)]
-    for (r <- 1 to rounds) {
+    try for (r <- 1 to rounds) {
       val top = vocab
         .select(col("n"), split(col("s"), " ").as("sy"))
         .filter(size(col("sy")) >= 2)
@@ -707,6 +713,11 @@ object TextOps {
         vocab = vocab.withColumn("s",
           replace(col("s"), lit(pr), lit(pr.replace(e0 + " " + s0, ""))))
       }
+    } finally vocab0.queryExecution.analyzed.foreach {
+      // free the checkpoint blocks once the merges are chosen
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ =>
     }
     out.result().toDF("merge_round", "pair", "cnt")
   }

@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.llm.{Dedup, Similarity, TextOps}
 
@@ -86,7 +87,15 @@ object LlmScalePoint {
       ("t24_source_kl", () => TextOps.sourceDivergence(docs)),
       ("t25_zipf_slope", () => TextOps.zipfSlope(docs)),
       ("x6_label_centroids", () => Similarity.labelCentroids(emb)),
-      ("x8_centroid_assign", () => Similarity.centroidAssign(emb)))
+      ("x8_centroid_assign", () => Similarity.centroidAssign(emb)),
+      // r9: the langId battery as t27's grouping shape — the cost the
+      // native StopwordHits expression cut ~10× (langId cannot be
+      // column-pruned when it is an aggregation key, so this measures
+      // the real per-row scoring, unlike a pruned count)
+      ("t27_lang_confusion", () => docs
+        .select(col("lang"), TextOps.langId(col("text")).as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))))
     for ((name, f) <- ops if only.forall(_.contains(name))) {
       val (cold, warm) = med(f())
       println(f"$name%-16s cold $cold%7.2f s  warm-med $warm%7.2f s")
