@@ -279,8 +279,12 @@ class ForTableTiersSpec extends SparkTestBase {
       "served engine reads from the tier bit-equally to raw, and " +
       "compaction bounds fragmentation") {
     val path = Files.createTempDirectory("api-table-chunks").toString
+    // threshold LOW enough that the single-series writes below really
+    // cross it (each write cuts ~1 chunk file; the old threshold of 40
+    // was never reached by 14 writes, so the compaction branch — and
+    // its bound — passed vacuously, caught by the r9 run-counter)
     val tApi = HttpApi.forTable(spark, path, chunks = true,
-      chunkCompactThreshold = 40)
+      chunkCompactThreshold = 8)
     tApi.start()
     try {
       def postT(body: String): Int = {
@@ -341,8 +345,13 @@ class ForTableTiersSpec extends SparkTestBase {
           .flatMap(_.listFiles())
           .count(_.getName.endsWith(".parquet"))
       }
-      assert(chunkFiles <= 40 + graft.storage.Ingest.SeriesBuckets,
+      assert(chunkFiles <= 8 + graft.storage.Ingest.SeriesBuckets,
         s"chunk partition never compacted: $chunkFiles files")
+      // the compactions went through the reader-drain barrier (r9):
+      // ran, not deferred — no queries were in flight at write time
+      val (ran, deferred) = tApi.chunkCompactionCounts
+      assert(ran > 0, "compaction never counted as run")
+      assert(deferred == 0, s"compaction deferred with an idle gate: $deferred")
       val eN = tApi.servingEngine
       val rawN = new PromQLEngine(spark, Ingest.readTable(spark, path))
       val aN = bits(rawN, "sum_over_time(ck_m[10m])", 0, 190 * m, 5 * m)
