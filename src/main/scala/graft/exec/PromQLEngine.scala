@@ -2026,8 +2026,18 @@ class PromQLEngine(
       case "deriv" => aggPoints(PromUdfs.derivUdf(_))
       case "predict_linear" => aggPoints(p => // anchored at the eval ts
         PromUdfs.predictLinearUdf(p, col(T), lit(consts.head)))
-      case "holt_winters" => aggPoints(p =>
-        PromUdfs.holtWintersUdf(p, lit(consts.head), lit(consts(1))))
+      case "holt_winters" =>
+        // factor bounds error at PLAN time like the reference's
+        // pre-loop evalFloat checks (functions.go:227-232) — the UDF's
+        // own require never fires when the selector matches nothing,
+        // but the vintage errors even on an empty matrix
+        val (sf, tf) = (consts.head, consts(1))
+        if (sf <= 0 || sf >= 1) throw new IllegalArgumentException(
+          s"invalid smoothing factor. Expected: 0 < sf < 1, got: $sf")
+        if (tf <= 0 || tf >= 1) throw new IllegalArgumentException(
+          s"invalid trend factor. Expected: 0 < tf < 1, got: $tf")
+        aggPoints(p =>
+          PromUdfs.holtWintersUdf(p, lit(consts.head), lit(consts(1))))
       case other => throw new IllegalArgumentException(
         s"unhandled range function '$other'")
     }

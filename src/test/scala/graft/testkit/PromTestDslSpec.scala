@@ -2570,6 +2570,42 @@ eval instant at 50m {__name__=~"p.", s=~"[w-y]"}
 """)
   }
 
+  test("holt_winters factor bounds are checked before evaluation " +
+      "(functions.go:227-232), topk/bottomk k truncates like evalInt") {
+    run("""
+load 5m
+  hw{s="a"} 0+10x10
+  hw{s="b"} 0+20x10
+  hw{s="c"} 0+30x10
+
+# the OPEN interval 0 < f < 1: both endpoints fail, for both factors
+eval_fail instant at 50m holt_winters(hw{s="a"}[30m], 0, 0.5)
+eval_fail instant at 50m holt_winters(hw{s="a"}[30m], 1, 0.5)
+eval_fail instant at 50m holt_winters(hw{s="a"}[30m], 0.5, 0)
+eval_fail instant at 50m holt_winters(hw{s="a"}[30m], 0.5, 1)
+
+# and the check runs BEFORE the matrix is consumed: a selector that
+# matches NOTHING still errors (the vintage evalFloat checks precede
+# the output loop)
+eval_fail instant at 50m holt_winters(hw{s="nope"}[30m], 2, 0.5)
+
+# valid factors on the linear series reproduce the level+trend fit
+eval instant at 50m holt_winters(hw{s="a"}[30m], 0.5, 0.5)
+  {s="a"} 100
+
+# k goes through evalInt: int64 truncation toward zero — 2.7 keeps 2,
+# 1.9 keeps 1; an int64-overflowing k errors
+eval instant at 50m topk(2.7, hw)
+  hw{s="c"} 300
+  hw{s="b"} 200
+
+eval instant at 50m bottomk(1.9, hw)
+  hw{s="a"} 100
+
+eval_fail instant at 50m topk(1e20, hw)
+""")
+  }
+
   test("histogram_quantile NaN bucket counts pass the envelope " +
       "untouched and poison only probed buckets (quantile.go:59-153)") {
     // ensureMonotonic raises only counts STRICTLY below the running
