@@ -1275,6 +1275,13 @@ class PromQLEngine(
         if (out.isEmpty) labels - dst else labels + (dst -> out)
       }
     }
+    // DELIBERATE strictness deviation: the vintage outSet
+    // (functions.go:796-820) tracks only MATCHED elements, so a
+    // matched element colliding with an UNMATCHED one silently emits
+    // DUPLICATE label sets (e.g. label_replace(v,"s","r","s","q") when
+    // both {s="q"} and {s="r"} exist) — duplicate vectors then break
+    // every downstream assumption. We reject ALL output collisions;
+    // matched-vs-matched collisions error in both engines.
     assertUniqueOut(reSig(vdf.withColumn(L, replaceUdf(col(L)))),
       "label_replace")
   }

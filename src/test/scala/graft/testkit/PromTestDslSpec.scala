@@ -2570,6 +2570,49 @@ eval instant at 50m {__name__=~"p.", s=~"[w-y]"}
 """)
   }
 
+  test("label_replace/label_join output-collision and name-validation " +
+      "errors (functions.go:779-880)") {
+    run("""
+load 5m
+  cm{s="q1"} 0+1x10
+  cm{s="q2"} 0+2x10
+  cj{x="1", y="2"} 0+3x10
+  cj{x="12"} 0+4x10
+  cd{d="a"} 0+5x10
+  cd{d="b"} 0+6x10
+
+# two MATCHED elements differing only in the overwritten label
+# collapse to one label set -> duplicated-output error in both engines
+eval_fail instant at 50m label_replace(cm, "s", "same", "s", "q.")
+
+# invalid destination label name errors (after the regex check)
+eval_fail instant at 50m label_replace(cm, "0bad", "x", "s", ".*")
+
+# invalid regex errors FIRST
+eval_fail instant at 50m label_replace(cm, "0bad", "x", "s", "(unclosed")
+
+# replacement that keeps elements distinct still works
+eval instant at 50m label_replace(cm, "n", "$1", "s", "q(.)")
+  cm{n="1", s="q1"} 10
+  cm{n="2", s="q2"} 20
+
+# label_join: invalid dst / src names error
+eval_fail instant at 50m label_join(cj, "0bad", "-", "x")
+eval_fail instant at 50m label_join(cj, "d", "-", "0bad")
+
+# collision via deletion: joining one MISSING source gives the empty
+# string, an empty result DELETES dst, and the two elements differed
+# only in d -> both collapse to bare cd -> dup error
+eval_fail instant at 50m label_join(cd, "d", "-", "nosuch")
+
+# with a separator the two cj elements stay distinct ("1-2" vs "12-";
+# the missing y joins as the empty string)
+eval instant at 50m label_join(cj, "d", "-", "x", "y")
+  cj{d="1-2", x="1", y="2"} 30
+  cj{d="12-", x="12"} 40
+""")
+  }
+
   test("holt_winters factor bounds are checked before evaluation " +
       "(functions.go:227-232), topk/bottomk k truncates like evalInt") {
     run("""
