@@ -1173,6 +1173,10 @@ object SparkEntry {
     // picks each merge)
     "t28_bpe_merges" -> ((spark, dir) =>
       TextOps.bpeMerges(docs(spark, dir), 3)),
+    // T29: tokenizer application — the 3 trained merges applied
+    // corpus-wide (vocabulary-sized merge table, broadcast word join)
+    "t29_bpe_encode" -> ((spark, dir) =>
+      TextOps.bpeEncode(docs(spark, dir), 3)),
     // T22: per-doc unigram entropy (lexical-diversity quality signal)
     // — two hash aggregates, no join
     "t22_word_entropy" -> ((spark, dir) =>
@@ -2113,6 +2117,8 @@ object SparkEntry {
     // left-to-right non-overlap IS the leftmost-first merge rule in
     // both engines, so each round is count -> top-1 -> string replace
     "t28_bpe_merges" -> bpeMergesOracle(3),
+    // tokenizer application: per-doc word/char/post-merge token counts
+    "t29_bpe_encode" -> bpeEncodeOracle(3),
     // unigram Shannon entropy per doc via H = log2(N) − (Σ n·log2 n)/N
     // (sum order collapses under the REAL cast, like t20's avg)
     "t22_word_entropy" ->
@@ -2444,9 +2450,9 @@ object SparkEntry {
     * per round a pair count + (cnt DESC, pr) top-1 + plain `replace`
     * merge — replace's left-to-right non-overlapping scan is BPE's
     * leftmost-first rule in DuckDB exactly as in Spark. */
-  private def bpeMergesOracle(rounds: Int): String = {
+  private def bpeOracleRounds(rounds: Int): String = {
     val sb = new StringBuilder
-    sb ++= "WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),\n"
+    sb ++= "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),\n"
     sb ++= "wcw AS (SELECT w, COUNT(*) AS n FROM t WHERE len(w) >= 2 GROUP BY 1),\n"
     sb ++= "v0 AS (SELECT array_to_string(list_transform(" +
       "string_split_regex(w, ''), c -> chr(1) || c || chr(2)), ' ') AS s, n FROM wcw)"
@@ -2461,11 +2467,36 @@ v$r AS (SELECT replace(s, (SELECT pr FROM m$r),
     (SELECT replace(pr, chr(2) || ' ' || chr(1), '') FROM m$r)) AS s, n
   FROM v${r - 1})"""
     }
-    sb ++= "\n" + (1 to rounds).map { r =>
+    sb.toString
+  }
+
+  private def bpeMergesOracle(rounds: Int): String =
+    bpeOracleRounds(rounds) + "\n" + (1 to rounds).map { r =>
       s"SELECT $r AS merge_round, replace(replace(pr, chr(1), ''), " +
         s"chr(2), '') AS pair, CAST(cnt AS BIGINT) AS cnt FROM m$r"
     }.mkString("\nUNION ALL ")
-    sb.toString
+
+  /** Encode oracle: the same trained merges applied to EVERY distinct
+    * non-empty word, then per-document word/char/token accounting via
+    * a join on the word (mirror of TextOps.bpeEncode's broadcast). */
+  private def bpeEncodeOracle(rounds: Int): String = {
+    val applies = (1 to rounds).map { r =>
+      s"""e$r AS (SELECT w, replace(s, (SELECT pr FROM m$r),
+    (SELECT replace(pr, chr(2) || ' ' || chr(1), '') FROM m$r)) AS s
+  FROM e${r - 1})"""
+    }.mkString(",\n")
+    bpeOracleRounds(rounds) + s""",
+e0 AS (SELECT w, array_to_string(list_transform(
+    string_split_regex(w, ''), c -> chr(1) || c || chr(2)), ' ') AS s
+  FROM (SELECT DISTINCT w FROM t WHERE len(w) >= 1)),
+$applies,
+wt AS (SELECT w, len(w) AS wc, len(string_split(s, ' ')) AS wt
+  FROM e$rounds)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+  CAST(SUM(wc) AS BIGINT) AS n_chars,
+  CAST(SUM(wt) AS BIGINT) AS n_tokens
+FROM t JOIN wt USING (w)
+GROUP BY 1"""
   }
 
   /** Profile-derived SQL fragments for the stopword language-ID argmax

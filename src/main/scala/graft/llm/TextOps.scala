@@ -681,7 +681,28 @@ object TextOps {
       textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (s0, e0) = ("\u0001", "\u0002")
+    learnBpeMerges(docs, rounds, textCol).zipWithIndex
+      .map { case ((pr, cnt), i) =>
+        (i + 1, pr.replace(markS, "").replace(markE, ""), cnt) }
+      .toDF("merge_round", "pair", "cnt")
+  }
+
+  private[llm] val markS = "\u0001"
+  private[llm] val markE = "\u0002"
+
+  /** Marker-wrapped symbol encoding of a word column. */
+  private def wrapSyms(w: Column): Column = array_join(
+    transform(split(w, ""), c => concat(lit(markS), c, lit(markE))), " ")
+
+  /** Merging ⟨a⟩ ⟨b⟩ → ⟨ab⟩ drops the inner end/start marker pair. */
+  private def mergedForm(pr: String): String =
+    pr.replace(markE + " " + markS, "")
+
+  /** The training loop shared by [[bpeMerges]] (reports the merges)
+    * and [[bpeEncode]] (applies them): the chosen MARKER-WRAPPED pair
+    * strings in training order, with their counts. */
+  private[llm] def learnBpeMerges(docs: DataFrame, rounds: Int,
+      textCol: String): Seq[(String, Long)] = {
     // materialize the vocabulary ONCE: it is the only corpus-volume
     // pass, and every round's re-count would otherwise re-run the
     // token explode + aggregate through lineage (3 corpus scans for 3
@@ -689,13 +710,11 @@ object TextOps {
     val vocab0 = docs.select(explode(tokens(col(textCol))).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .select(array_join(
-        transform(split(col("w"), ""), c => concat(lit(s0), c, lit(e0))),
-        " ").as("s"), col("n"))
+      .select(wrapSyms(col("w")).as("s"), col("n"))
       .localCheckpoint(true)
     var vocab = vocab0
-    val out = Seq.newBuilder[(Int, String, Long)]
-    try for (r <- 1 to rounds) {
+    val out = Seq.newBuilder[(String, Long)]
+    try for (_ <- 1 to rounds) {
       val top = vocab
         .select(col("n"), split(col("s"), " ").as("sy"))
         .filter(size(col("sy")) >= 2)
@@ -708,10 +727,9 @@ object TextOps {
         .limit(1).collect()
       if (top.nonEmpty) {
         val pr = top(0).getString(0)
-        out += ((r, pr.replace(s0, "").replace(e0, ""), top(0).getLong(1)))
-        // ⟨a⟩ ⟨b⟩ → ⟨ab⟩: drop the inner end/start marker pair
+        out += ((pr, top(0).getLong(1)))
         vocab = vocab.withColumn("s",
-          replace(col("s"), lit(pr), lit(pr.replace(e0 + " " + s0, ""))))
+          replace(col("s"), lit(pr), lit(mergedForm(pr))))
       }
     } finally vocab0.queryExecution.analyzed.foreach {
       // free the checkpoint blocks once the merges are chosen
@@ -719,7 +737,41 @@ object TextOps {
         lr.rdd.unpersist(blocking = false)
       case _ =>
     }
-    out.result().toDF("merge_round", "pair", "cnt")
+    out.result()
+  }
+
+  /** BPE ENCODE: train `rounds` merges ([[learnBpeMerges]]) and apply
+    * them to the whole corpus, reporting per-document word / char /
+    * post-merge token counts — the tokenizer-application step that
+    * turns t28's training into corpus statistics (how much the learned
+    * vocabulary compressed each document).
+    *
+    * Scale shape: the merges are applied on the DISTINCT-WORD table
+    * (vocabulary-sized, where the interpreted char-split lambda is
+    * irrelevant), and the corpus pass is one explode + BROADCAST join
+    * on the word — the per-document aggregate is the only shuffle, so
+    * at 100 TB this costs the same as any token-count pass. Merges
+    * train on ≥2-char words but apply to every non-empty word (a
+    * 1-char word is a single symbol no pair can touch). */
+  def bpeEncode(docs: DataFrame, rounds: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val merges = learnBpeMerges(docs, rounds, textCol)
+    var enc = docs.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 1).distinct()
+      .withColumn("s", wrapSyms(col("w")))
+    merges.foreach { case (pr, _) =>
+      enc = enc.withColumn("s",
+        replace(col("s"), lit(pr), lit(mergedForm(pr))))
+    }
+    val wtok = enc.select(col("w"),
+      length(col("w")).cast("long").as("_wc"),
+      size(split(col("s"), " ")).cast("long").as("_wt"))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .join(broadcast(wtok), Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("_wc")).as("n_chars"),
+        sum(col("_wt")).as("n_tokens"))
   }
 
   /** Per-document unigram Shannon entropy (bits) over whitespace

@@ -323,6 +323,15 @@ class PlanShapeSpec extends SparkTestBase {
       s"zipf rank must not plan a window:\n${z.take(800)}")
   }
 
+  test("t29 bpe-encode joins the corpus to the merged vocabulary by " +
+      "BROADCAST (vocabulary-sized build side, no shuffle join)") {
+    val p = plan("t29_bpe_encode")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab join stopped broadcasting:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"t29 regressed to a shuffle join:\n${p.take(800)}")
+  }
+
   test("langId plans the native stopword_hits expression, no lambda HOF") {
     // the language-ID battery must stay one codegen'd StopwordHits pass
     // per row — an interpreted lambda (ArrayFilter/lambdafunction)

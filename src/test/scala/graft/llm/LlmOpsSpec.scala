@@ -345,6 +345,22 @@ class LlmOpsSpec extends SparkTestBase {
     assert(rr.toSeq == Seq((1, "a a", 6L), (2, "aa aa", 2L)))
   }
 
+  test("bpeEncode: per-doc token counts after the learned merges") {
+    // merges (from the bpeMerges test): l+o, lo+w, e+s
+    // low -> [low]; lower -> [low,e,r]; lowest -> [low,es,t];
+    // newest -> [n,e,w,es,t]; a 1-char word stays one symbol
+    val d = Seq(
+      (0L, "low low lower lowest newest newest"),
+      (1L, "low a")).toDF("doc_id", "text")
+    val r = TextOps.bpeEncode(d, 3).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    // doc 0: words 6, chars 3+3+5+6+6+6=29, tokens 1+1+3+3+5+5=18
+    assert(r(0L) == ((6L, 29L, 18L)))
+    // doc 1: words 2, chars 4, tokens 1+1=2
+    assert(r(1L) == ((2L, 4L, 2L)))
+  }
+
   test("streamingExactDedup state is BOUNDED by the watermark: expired " +
       "hashes leave the store and re-sent content past the horizon is " +
       "admitted again (the documented batch-side handoff)") {
