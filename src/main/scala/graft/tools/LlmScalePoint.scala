@@ -95,7 +95,15 @@ object LlmScalePoint {
       ("t27_lang_confusion", () => docs
         .select(col("lang"), TextOps.langId(col("text")).as("pred_lang"))
         .groupBy(col("lang"), col("pred_lang"))
-        .agg(count(lit(1)).as("n_docs"))))
+        .agg(count(lit(1)).as("n_docs"))),
+      // r9: BPE train (vocabulary-bounded rounds after one corpus
+      // aggregate) and encode (broadcast vocab join + per-doc agg) —
+      // the sharded corpora grow the vocabulary ×k (per-shard token
+      // tags), so both the vocab aggregate and the broadcast side
+      // scale linearly; growth beyond linear would mean a pair
+      // structure leaked into the rounds
+      ("t28_bpe_merges", () => TextOps.bpeMerges(docs, 3)),
+      ("t29_bpe_encode", () => TextOps.bpeEncode(docs, 3)))
     for ((name, f) <- ops if only.forall(_.contains(name))) {
       val (cold, warm) = med(f())
       println(f"$name%-16s cold $cold%7.2f s  warm-med $warm%7.2f s")
