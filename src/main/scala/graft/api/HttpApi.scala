@@ -1289,8 +1289,16 @@ object HttpApi {
         } else Ingest.append(df, path)
         if (needHeal) {
           // full-table index upsert + all-dates rung refresh: covers
-          // this batch AND whatever the failed/unknown batch left out
-          healTiers()
+          // this batch AND whatever the failed/unknown batch left out.
+          // Heal's chunk rebuild OVERWRITES the whole store, so drain
+          // readers first like the compactor — but heal is MANDATORY
+          // (the tiers are wrong until it runs), so if the gate will
+          // not drain, heal anyway: a possible FileNotFoundException
+          // on an in-flight query beats serving stale tiers forever.
+          val drained = api.quiesced(HttpApi.CompactDrainTimeoutMs) {
+            healTiers()
+          }
+          if (drained.isEmpty) healTiers()
           if (rollups.nonEmpty) api.rollupRefreshes.incrementAndGet()
           failedDirty = false
           pendingDates = Set.empty

@@ -32,7 +32,15 @@ import graft.storage.Ingest
 object IngestBench {
   def main(args: Array[String]): Unit = {
     val tiers = args.contains("--tiers")
+    // --refresh-every k: debounce the rung refresh like forTable's
+    // refreshEveryWrites — rungs rewritten once per k batches (touched
+    // dates accumulate), measuring the amortization lever
+    val refreshEvery = args.sliding(2).collectFirst {
+      case Array("--refresh-every", k) => k.toInt }.getOrElse(1)
+    val flagVals = args.sliding(2).collect {
+      case Array("--refresh-every", k) => k }.toSet
     val argv = args.filterNot(_ == "--tiers")
+      .filterNot(_ == "--refresh-every").filterNot(flagVals.contains)
     val perBatch = argv.headOption.map(_.toInt).getOrElse(4_000_000)
     val batches = argv.lift(1).map(_.toInt).getOrElse(4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -87,6 +95,7 @@ object IngestBench {
       def timed(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
+      var pendingDates = Set.empty[String]
       for (b <- 0 until batches) {
         val df = batchDf(b)
         // the forTable sink sequence (api/HttpApi.scala forTable):
@@ -107,19 +116,24 @@ object IngestBench {
             Ingest.appendSeriesIndex(df, indexPath)
             spark.catalog.refreshByPath(path)
           }
-          val dates = Ingest.datesOf(df)
+          pendingDates ++= Ingest.datesOf(df)
+          val due = (b + 1) % refreshEvery == 0 || b == batches - 1
+          val nDates = pendingDates.size
           val tRungs = timed {
-            rollups.foreach { r =>
-              Ingest.refreshFoldPartials(spark, path,
-                Ingest.rollupPath(path, r), r, Some(dates))
-              spark.catalog.refreshByPath(Ingest.rollupPath(path, r))
+            if (due) {
+              rollups.foreach { r =>
+                Ingest.refreshFoldPartials(spark, path,
+                  Ingest.rollupPath(path, r), r, Some(pendingDates.toSeq))
+                spark.catalog.refreshByPath(Ingest.rollupPath(path, r))
+              }
+              pendingDates = Set.empty
             }
           }
           val total = tDedup + tTable + tChunks + tIndex + tRungs
           println(f"batch $b: $perBatch samples full-tier in $total%.2f s" +
             f" = ${perBatch / total / 1e6}%.2f M/s  [dedup $tDedup%.2f" +
             f" table $tTable%.2f chunks $tChunks%.2f index $tIndex%.2f" +
-            f" rungs(${dates.size}%dd) $tRungs%.2f]" +
+            f" rungs($nDates%dd${if (due) "" else " deferred"}) $tRungs%.2f]" +
             (if (b == 0) " (cold)" else ""))
         } finally canon.queryExecution.analyzed.foreach {
           case lr: org.apache.spark.sql.execution.LogicalRDD =>
