@@ -2570,6 +2570,38 @@ eval instant at 50m {__name__=~"p.", s=~"[w-y]"}
 """)
   }
 
+  test("grouping BY __name__ keeps the metric name as a group label; " +
+      "set-op signatures exclude it (engine.go:1051-1063)") {
+    run("""
+load 5m
+  m1{s="a"} 0+10x10
+  m1{s="b"} 0+20x10
+  m2{s="c"} 0+5x10
+  m2{s="a"} 0+7x10
+
+# __name__ is an ordinary grouping label for aggregations: the result
+# metric carries it (and nothing else)
+eval instant at 50m sum by (__name__) ({__name__=~"m."})
+  m1 300
+  m2 120
+
+eval instant at 50m count by (__name__, s) (m1)
+  m1{s="a"} 1
+  m1{s="b"} 1
+
+# set-op signatures are computed WITHOUT the name: m2{s="a"} collides
+# with m1{s="a"} and is dropped by or, even though the metrics differ
+eval instant at 50m m1 or m2
+  m1{s="a"} 100
+  m1{s="b"} 200
+  m2{s="c"} 50
+
+# and unless removes ACROSS names for the same reason
+eval instant at 50m m1 unless m2
+  m1{s="b"} 200
+""")
+  }
+
   test("label_replace/label_join output-collision and name-validation " +
       "errors (functions.go:779-880)") {
     run("""
