@@ -2570,6 +2570,49 @@ eval instant at 50m {__name__=~"p.", s=~"[w-y]"}
 """)
   }
 
+  test("round to_nearest=0 and negative, date-function fractional/" +
+      "negative epoch truncation (functions.go:332-350,902)") {
+    run("""
+load 5m
+  rv 2.5+0x10
+  tsv 86399.9+0x10
+  neg -1.5+0x10
+
+eval instant at 50m round(rv)
+  {} 3
+
+eval instant at 50m round(rv, 0.5)
+  {} 2.5
+
+# toNearest=0: inverse is +Inf, floor(v*Inf+0.5)/Inf = NaN for EVERY v
+eval instant at 50m round(rv, 0)
+  {} NaN
+
+# negative toNearest flips the tie direction: floor(-2.5+0.5)/-1 = 2
+# (round(2.5) is 3 but round(2.5, -1) is 2)
+eval instant at 50m round(rv, -1)
+  {} 2
+
+# date functions convert via int64(v): fractional seconds TRUNCATE
+# toward zero, so 86399.9 is still 1970-01-01 23:59:59
+eval instant at 50m day_of_month(tsv)
+  {} 1
+
+eval instant at 50m hour(tsv)
+  {} 23
+
+eval instant at 50m minute(tsv)
+  {} 59
+
+# negative epochs land in 1969; int64(-1.5) truncates to -1
+eval instant at 50m year(neg)
+  {} 1969
+
+eval instant at 50m day_of_month(neg)
+  {} 31
+""")
+  }
+
   test("grouping BY __name__ keeps the metric name as a group label; " +
       "set-op signatures exclude it (engine.go:1051-1063)") {
     run("""
