@@ -34,13 +34,20 @@ object IngestBench {
     val tiers = args.contains("--tiers")
     // --refresh-every k: debounce the rung refresh like forTable's
     // refreshEveryWrites — rungs rewritten once per k batches (touched
-    // dates accumulate), measuring the amortization lever
-    val refreshEvery = args.sliding(2).collectFirst {
-      case Array("--refresh-every", k) => k.toInt }.getOrElse(1)
-    val flagVals = args.sliding(2).collect {
-      case Array("--refresh-every", k) => k }.toSet
-    val argv = args.filterNot(_ == "--tiers")
-      .filterNot(_ == "--refresh-every").filterNot(flagVals.contains)
+    // dates accumulate), measuring the amortization lever. Positional
+    // parse (a value-equality filter would eat a positional arg that
+    // happens to equal the flag's value).
+    var refreshEvery = 1
+    val argv = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--tiers" =>
+        case "--refresh-every" => refreshEvery = args(i + 1).toInt; i += 1
+        case a => argv += a
+      }
+      i += 1
+    }
     val perBatch = argv.headOption.map(_.toInt).getOrElse(4_000_000)
     val batches = argv.lift(1).map(_.toInt).getOrElse(4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
