@@ -437,6 +437,9 @@ object PromUdfs {
     if (v.isNaN) "NaN"
     else if (v.isPosInfinity) "+Inf"
     else if (v.isNegInfinity) "-Inf"
+    // negative zero keeps its sign in Go ('f' shortest repr) — the
+    // toLong round-trip below would erase it (-0.0 == 0.0 is true)
+    else if (v == 0.0) { if (1.0 / v < 0) "-0" else "0" }
     else if (v == v.toLong.toDouble) v.toLong.toString
     else {
       // shortest repr that round-trips, 'f' (no exponent) format

@@ -2570,6 +2570,34 @@ eval instant at 50m {__name__=~"p.", s=~"[w-y]"}
 """)
   }
 
+  test("count_values formats specials like Go strconv: -0 keeps its " +
+      "sign, infinities, NaN, huge integers never go scientific") {
+    run("""
+# -0 loads as PLAIN literals: the a+bxn expansion computes start+i*inc
+# and IEEE -0.0 + 0.0 is +0.0, which would silently erase the sign
+load 5m
+  sv{i="1"} -0 -0 -0 -0 -0 -0 -0 -0 -0 -0 -0
+  sv{i="2"} 0+0x10
+  sv{i="3"} Inf Inf Inf Inf Inf Inf Inf Inf Inf Inf Inf
+  sv{i="4"} -Inf -Inf -Inf -Inf -Inf -Inf -Inf -Inf -Inf -Inf -Inf
+  sv{i="5"} NaN NaN NaN NaN NaN NaN NaN NaN NaN NaN NaN
+  sv{i="6"} 0.1+0x10
+  sv{i="7"} 100000000000000000000+0x10
+
+# FormatFloat(v, 'f', -1, 64): negative zero is "-0", NOT merged with
+# "0"; Inf spells "+Inf"; 'f' means no scientific notation ever —
+# 1e20 (beyond int64) prints all its digits
+eval instant at 50m count_values("v", sv)
+  {v="-0"} 1
+  {v="0"} 1
+  {v="+Inf"} 1
+  {v="-Inf"} 1
+  {v="NaN"} 1
+  {v="0.1"} 1
+  {v="100000000000000000000"} 1
+""")
+  }
+
   test("round to_nearest=0 and negative, date-function fractional/" +
       "negative epoch truncation (functions.go:332-350,902)") {
     run("""
