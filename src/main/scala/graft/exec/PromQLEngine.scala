@@ -2154,16 +2154,27 @@ object PromQLEngine {
     "quantile_over_time", "rate", "increase", "delta", "irate", "idelta",
     "resets", "changes", "deriv", "predict_linear", "holt_winters")
 
-  /** Go strconv.ParseFloat for `le` values (accepts "+Inf"). */
+  /** Go strconv.ParseFloat for `le` values — the vintage dialect
+    * exactly: `[±]inf`/`[±]infinity` and UNSIGNED `nan`
+    * (case-insensitive) as specials, otherwise plain decimal/
+    * scientific syntax only. NO surrounding whitespace (Java's
+    * parseDouble trims — Go errors, and histogram_quantile SKIPS the
+    * unparseable bucket, quantile.go bucket collection), no hex floats
+    * (`0x1p-2` — Java accepts, pre-1.13 Go rejects), no `d`/`f`
+    * suffixes (Java accepts). An unparseable `le` returns None and
+    * the bucket drops out, like the reference's `continue`. */
+  private val GoFloatRe =
+    """[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?""".r
   private[exec] def goParseFloat(c: Column): Column = {
     val u = udf { s: String =>
       if (s == null) None
-      else s.trim match {
-        case "+Inf" | "Inf" | "inf" => Some(Double.PositiveInfinity)
-        case "-Inf" | "-inf" => Some(Double.NegativeInfinity)
-        case "NaN" => Some(Double.NaN)
-        case other =>
-          try Some(other.toDouble) catch { case _: NumberFormatException => None }
+      else s.toLowerCase match {
+        case "inf" | "+inf" | "infinity" | "+infinity" =>
+          Some(Double.PositiveInfinity)
+        case "-inf" | "-infinity" => Some(Double.NegativeInfinity)
+        case "nan" => Some(Double.NaN)
+        case _ if GoFloatRe.matches(s) => Some(s.toDouble)
+        case _ => None
       }
     }
     u(c)

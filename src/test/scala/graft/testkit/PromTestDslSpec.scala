@@ -2570,6 +2570,32 @@ eval instant at 50m {__name__=~"p.", s=~"[w-y]"}
 """)
   }
 
+  test("histogram_quantile 'le' parsing is the vintage ParseFloat " +
+      "dialect: whitespace/hex skip the bucket, 'infinity' is +Inf") {
+    run("""
+load 5m
+  hs{le="0.5"} 0+5x10
+  hs{le=" 1 "} 0+7x10
+  hs{le="0x1p-1"} 0+6x10
+  hs{le="+Inf"} 0+10x10
+  hi{le="1"} 0+5x10
+  hi{le="iNfInItY"} 0+10x10
+
+# ' 1 ' (Go ParseFloat never trims) and '0x1p-1' (no hex floats in the
+# vintage) fail to parse -> those buckets are SKIPPED (quantile.go
+# bucket collection), leaving (0.5: 50, +Inf: 100); rank 60 exceeds
+# the inner count -> second-highest bound. Java's parseDouble would
+# have accepted both (0x1p-1 = 0.5!) and changed the answer.
+eval instant at 50m histogram_quantile(0.6, hs)
+  {} 0.5
+
+# 'infinity' in any case IS the +Inf bucket (Go special syntax) — the
+# histogram is valid and interpolates; without it -> NaN
+eval instant at 50m histogram_quantile(0.5, hi)
+  {} 1
+""")
+  }
+
   test("count_values formats specials like Go strconv: -0 keeps its " +
       "sign, infinities, NaN, huge integers never go scientific") {
     run("""
