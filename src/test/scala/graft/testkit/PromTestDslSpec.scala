@@ -2570,6 +2570,45 @@ eval instant at 50m {__name__=~"p.", s=~"[w-y]"}
 """)
   }
 
+  test("scalar() multi-element NaN, NaN clamp limits, Inf aggregation " +
+      "algebra (sum/avg/stddev through Go float64 arithmetic)") {
+    run("""
+load 5m
+  mm{s="a"} 0+10x10
+  mm{s="b"} 0+20x10
+  iv{s="p"} Inf Inf Inf Inf Inf Inf Inf Inf Inf Inf Inf
+  iv{s="n"} -Inf -Inf -Inf -Inf -Inf -Inf -Inf -Inf -Inf -Inf -Inf
+  iv{s="r"} 1+0x10
+
+# scalar() is NaN for anything but exactly one element
+eval instant at 50m scalar(mm)
+  {} NaN
+
+eval instant at 50m scalar(mm{s="zzz"})
+  {} NaN
+
+# a NaN clamp LIMIT NaNs every value (Go math.Min/Max propagate NaN
+# from either side — the limit side included)
+eval instant at 50m clamp_max(mm, 0/0)
+  {s="a"} NaN
+  {s="b"} NaN
+
+# Inf algebra through the plain float64 sums the vintage aggregators
+# keep: Inf + -Inf = NaN; Inf/2 = Inf; E[x²]−E[x]² with an Inf = NaN
+eval instant at 50m sum(iv)
+  {} NaN
+
+eval instant at 50m avg(iv{s=~"p|n"})
+  {} NaN
+
+eval instant at 50m avg(iv{s=~"p|r"})
+  {} Inf
+
+eval instant at 50m stddev(iv{s=~"p|r"})
+  {} NaN
+""")
+  }
+
   test("histogram_quantile 'le' parsing is the vintage ParseFloat " +
       "dialect: whitespace/hex skip the bucket, 'infinity' is +Inf") {
     run("""
