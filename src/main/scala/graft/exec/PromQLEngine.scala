@@ -885,7 +885,9 @@ class PromQLEngine(
         if (q.isNaN) grouped(lit(Double.NaN))
         else if (q < 0) grouped(lit(Double.NegativeInfinity))
         else if (q > 1) grouped(lit(Double.PositiveInfinity))
-        else grouped(percentile(col(V), lit(q)))
+        // NOT builtin percentile: its sort puts NaN last where the
+        // vintage heap puts NaN FIRST (see PromQuantile)
+        else grouped(PromQuantile.quantile(q)(col(V)))
       case "topk" | "bottomk" =>
         val kd = constParam(agg.param, agg.op)
         // evalInt (engine.go:637-643): NaN or beyond int64 is an error,

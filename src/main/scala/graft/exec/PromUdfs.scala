@@ -283,12 +283,18 @@ object PromUdfs {
     Some(s1)
   }
 
-  /** Exact interpolated quantile (`promql/quantile.go:161-183`). */
+  /** Exact interpolated quantile (`promql/quantile.go:161-183`).
+    * NaN values sort FIRST (`vectorByValueHeap.Less`,
+    * functions.go:1257-1262: `IsNaN(s[i]) -> true`), so a NaN in the
+    * group occupies the LOW ranks — a low-φ quantile lands on it and
+    * returns NaN, a high-φ quantile skips past it. Scala's default
+    * double sort puts NaN last, which would silently flip that. */
   def quantile(q: Double, values: Array[Double]): Double = {
     if (values.isEmpty) return Double.NaN
     if (q < 0) return Double.NegativeInfinity
     if (q > 1) return Double.PositiveInfinity
-    val sorted = values.sorted
+    val (nans, reals) = values.partition(_.isNaN)
+    val sorted = Array.concat(nans, reals.sorted)
     val n = sorted.length.toDouble
     val rank = q * (n - 1)
     val lowerIndex = math.max(0, math.floor(rank))

@@ -2570,6 +2570,36 @@ eval instant at 50m {__name__=~"p.", s=~"[w-y]"}
 """)
   }
 
+  test("quantile ranks NaN values FIRST like the vintage value heap " +
+      "(functions.go:1257-1262): low phi lands on NaN, high phi skips it") {
+    run("""
+load 5m
+  qn{s="a"} NaN NaN NaN NaN NaN NaN NaN NaN NaN NaN NaN
+  qn{s="b"} 1+0x10
+  qn{s="c"} 3+0x10
+  qt 1 NaN 3 _ _ _ _ _ _ _ _
+
+# sorted group is [NaN, 1, 3]: rank(0.5) = index 1 -> 1 (NOT 3, which
+# a NaN-last sort would give); rank(0.9) interpolates 1..3; rank(0.1)
+# falls on the NaN slot
+eval instant at 50m quantile(0.5, qn)
+  {} 1
+
+eval instant at 50m quantile(0.9, qn)
+  {} 2.6
+
+eval instant at 50m quantile(0.1, qn)
+  {} NaN
+
+# same heap order inside quantile_over_time windows
+eval instant at 15m quantile_over_time(0.5, qt[15m])
+  {} 1
+
+eval instant at 15m quantile_over_time(0.1, qt[15m])
+  {} NaN
+""")
+  }
+
   test("scalar() multi-element NaN, NaN clamp limits, Inf aggregation " +
       "algebra (sum/avg/stddev through Go float64 arithmetic)") {
     run("""
