@@ -287,12 +287,27 @@ private final class Parser(toks: Vector[Lexer.Token], input: String = "") {
     Call(fn, args.toSeq)
   }
 
+  /** A label-name token: the vintage validates the token TEXT, not
+    * its type — `labels()` accepts any token whose value passes
+    * isLabel (parse.go:686-690) and `lexInsideBraces` never
+    * keywordizes (lex.go:558-572), so keywords AND the special
+    * numbers `inf`/`nan` (which our lexer emits as NUMBER) are
+    * ordinary label names in matchers and grouping lists. */
+  private def expectLabelName(): String = {
+    val t = cur
+    val ok = t.typ == IDENT || (t.typ == NUMBER &&
+      t.text.matches("[a-zA-Z_][a-zA-Z0-9_]*"))
+    if (!ok) fail(s"expected label name, got '${t.text}'")
+    next()
+    t.text
+  }
+
   private def parseLabelList(): Seq[String] = {
     expect(LPAREN, "'('")
     val lbls = scala.collection.mutable.ArrayBuffer[String]()
     if (cur.typ != RPAREN) {
-      lbls += expect(IDENT, "label name").text
-      while (cur.typ == COMMA) { next(); lbls += expect(IDENT, "label name").text }
+      lbls += expectLabelName()
+      while (cur.typ == COMMA) { next(); lbls += expectLabelName() }
     }
     expect(RPAREN, "')'")
     lbls.toSeq
@@ -302,7 +317,7 @@ private final class Parser(toks: Vector[Lexer.Token], input: String = "") {
     expect(LBRACE, "'{'")
     val ms = scala.collection.mutable.ArrayBuffer[LabelMatcher]()
     while (cur.typ != RBRACE) {
-      val name = expect(IDENT, "label name").text
+      val name = expectLabelName()
       val op = expect(OP, "match operator").text
       val typ = op match {
         case "=" => MatchType.Eq

@@ -2570,6 +2570,29 @@ eval instant at 50m {__name__=~"p.", s=~"[w-y]"}
 """)
   }
 
+  test("keywords are ordinary label names in matchers and grouping " +
+      "lists (lexInsideBraces ignores keywords; labels() checks isLabel)") {
+    run("""
+load 5m
+  kw{and="x", or="y", group_left="g", inf="i", nan="n"} 1+0x10
+  kw{and="z", or="y", group_left="g", inf="i", nan="n"} 2+0x10
+
+eval instant at 50m kw{and="x"}
+  kw{and="x", or="y", group_left="g", inf="i", nan="n"} 1
+
+eval instant at 50m kw{and=~"x|z", nan="n"}
+  kw{and="x", or="y", group_left="g", inf="i", nan="n"} 1
+  kw{and="z", or="y", group_left="g", inf="i", nan="n"} 2
+
+eval instant at 50m sum by (and) (kw)
+  {and="x"} 1
+  {and="z"} 2
+
+eval instant at 50m sum without (and, or, inf, nan) (kw)
+  {group_left="g"} 3
+""")
+  }
+
   test("quantile ranks NaN values FIRST like the vintage value heap " +
       "(functions.go:1257-1262): low phi lands on NaN, high phi skips it") {
     run("""
