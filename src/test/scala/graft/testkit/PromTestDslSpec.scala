@@ -2593,6 +2593,22 @@ eval instant at 50m sum without (and, or, inf, nan) (kw)
 """)
   }
 
+  test("a metric literally NAMED a keyword needs the __name__ form: " +
+      "the bare selector is a keyword token at expression position") {
+    run("""
+load 5m
+  and{x="y"} 1+0x10
+
+eval_fail instant at 50m and{x="y"}
+
+eval instant at 50m {__name__="and"}
+  and{x="y"} 1
+
+eval instant at 50m sum({__name__="and"})
+  {} 1
+""")
+  }
+
   test("quantile ranks NaN values FIRST like the vintage value heap " +
       "(functions.go:1257-1262): low phi lands on NaN, high phi skips it") {
     run("""
