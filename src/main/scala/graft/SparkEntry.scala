@@ -83,6 +83,11 @@ object SparkEntry {
       s"emb:${sessionKey(spark)}:$dir",
       _ => spark.read.parquet(s"$dir/embeddings.parquet"))
 
+  /** t30's fixed retrieval query: mixed document frequencies from the
+    * synthetic vocabulary (one rare term, three common) so the idf
+    * spread is exercised. */
+  val Bm25Terms: Seq[String] = Seq("dup", "spark", "scan", "window")
+
   /** Exact top-k baseline the ANN witnesses (x2/x3/x5) compare
     * against, computed ONCE per (session, dir): the baseline is the
     * verification ORACLE, not part of the approximate operator under
@@ -932,6 +937,18 @@ object SparkEntry {
     "d2_ngram_jaccard" -> ((spark, dir) =>
       Dedup.ngramJaccardPairs(docs(spark, dir), 3, 0.5)
         .withColumn("jaccard", col("jaccard").cast("float"))),
+    // D14: max-containment near-dup pairs — the asymmetric measure
+    // that catches a short document embedded verbatim in a long one
+    // (same inverted-index shape as d2, reusing its shingle sets)
+    "d14_containment" -> ((spark, dir) =>
+      Dedup.containmentPairs(docs(spark, dir), 3, 0.6)
+        .withColumn("containment", col("containment").cast("float"))),
+    // D15: the containment SCALE path — PPJoin prefix filter (exact:
+    // rarest-shingle prefix candidates + set-intersect verify), must
+    // agree with d14 bit-for-bit
+    "d15_containment_prefix" -> ((spark, dir) =>
+      Dedup.containmentPrefixPairs(docs(spark, dir), 3, 0.6)
+        .withColumn("containment", col("containment").cast("float"))),
     // D3: MinHash-LSH banded near-dup, exact-verified (scale path;
     // output equals D2 up to banding miss prob ~2e-4 at s=0.5, r=3/b=64)
     "d3_minhash_lsh" -> ((spark, dir) =>
@@ -1177,6 +1194,11 @@ object SparkEntry {
     // corpus-wide (vocabulary-sized merge table, broadcast word join)
     "t29_bpe_encode" -> ((spark, dir) =>
       TextOps.bpeEncode(docs(spark, dir), 3)),
+    // T30: BM25 scoring of the corpus against a fixed query-term set
+    // (retrieval-grade decontamination audit) — filtered explode, one
+    // doc-keyed aggregate, broadcast df/N sides
+    "t30_bm25" -> ((spark, dir) =>
+      TextOps.bm25(docs(spark, dir), SparkEntry.Bm25Terms)),
     // T22: per-doc unigram entropy (lexical-diversity quality signal)
     // — two hash aggregates, no join
     "t22_word_entropy" -> ((spark, dir) =>
@@ -1764,6 +1786,10 @@ object SparkEntry {
         |FROM h JOIN g USING (content_hash)""".stripMargin,
     "d2_ngram_jaccard" -> ngramJaccardOracle,
     "d3_minhash_lsh" -> ngramJaccardOracle, // banded variant must agree
+    // max-containment near-dup: |A∩B|/min-side, asymmetric complement
+    // of Jaccard (catches verbatim-embedded short docs)
+    "d14_containment" -> containmentOracle,
+    "d15_containment_prefix" -> containmentOracle, // prefix filter is exact
     "d6_dup_clusters" -> dupClustersOracle,
     // histogram over d6's distinct clusters — integer-only
     "d13_cluster_sizes" ->
@@ -2119,6 +2145,26 @@ object SparkEntry {
     "t28_bpe_merges" -> bpeMergesOracle(3),
     // tokenizer application: per-doc word/char/post-merge token counts
     "t29_bpe_encode" -> bpeEncodeOracle(3),
+    // BM25 with the Lucene +1 idf; the ≤4-term per-doc sum collapses
+    // under the REAL cast like t20's avg
+    "t30_bm25" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |s AS (SELECT COUNT(*) AS n,
+        |  AVG(CAST(len(tk) AS DOUBLE)) AS avgdl FROM tok),
+        |t AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS token FROM tok),
+        |tf AS (SELECT doc_id, dl, token, COUNT(*) AS tf FROM t
+        |  WHERE token IN (${Bm25Terms.map("'" + _ + "'").mkString(", ")})
+        |  GROUP BY 1, 2, 3),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id, CAST(tf.dl AS BIGINT) AS dl,
+        |  CAST(COUNT(*) AS BIGINT) AS matched_terms,
+        |  CAST(SUM(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |    tf.tf * (1.2 + 1.0) /
+        |    (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)))
+        |    AS REAL) AS bm25
+        |FROM tf JOIN df USING (token) CROSS JOIN s
+        |GROUP BY 1, 2""".stripMargin,
     // unigram Shannon entropy per doc via H = log2(N) − (Σ n·log2 n)/N
     // (sum order collapses under the REAL cast, like t20's avg)
     "t22_word_entropy" ->
@@ -2402,6 +2448,25 @@ object SparkEntry {
   /** Word-trigram Jaccard pairs ≥ 0.5 — shared by d2 (exact join) and
     * d3 (MinHash-LSH banded + exact verify; the banded plan must
     * reproduce the exact result). */
+  /** Shared by d14 (inverted-index baseline) and d15 (PPJoin prefix
+    * filter) — the prefix filter is exact, so both must match this. */
+  private def containmentOracle: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |  generate_series(1, greatest(len(tk) - 2, 0)),
+      |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s FROM tok),
+      |sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+      |pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+      |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2)
+      |SELECT ia, ib,
+      |  CAST(greatest(CAST(inter AS DOUBLE) / sa.nsh,
+      |                CAST(inter AS DOUBLE) / sb.nsh) AS REAL)
+      |    AS containment
+      |FROM pr JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+      |WHERE greatest(CAST(inter AS DOUBLE) / sa.nsh,
+      |               CAST(inter AS DOUBLE) / sb.nsh) >= 0.6""".stripMargin
+
   private def ngramJaccardOracle: String =
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(

@@ -170,6 +170,94 @@ object Dedup {
       .select(col("ia"), col("ib"), col("jaccard"))
   }
 
+  /** All pairs with word-`n`-gram MAX-CONTAINMENT ≥ `threshold`:
+    * containment(a in b) = |A∩B| / |A|, and the pair scores
+    * max(|A∩B|/|A|, |A∩B|/|B|) — the asymmetric near-dup measure that
+    * catches a document embedded verbatim inside a longer one, which
+    * symmetric Jaccard dilutes below any usable threshold (|A∩B|/|A∪B|
+    * → |A|/|B| for a small quote of a big page). The standard
+    * complement to Jaccard in corpus dedup (Broder's resemblance vs
+    * containment). Same distributed shape as [[ngramJaccardPairs]]:
+    * one inverted-index self-join on 64-bit shingle hashes reusing the
+    * memoized [[shingleSetsCached]] aggregation, intersection counts
+    * map-side combined, then two output-sized size joins — never an
+    * all-pairs product, and at scale the same banding/LSH path (d3)
+    * prefilters candidates since containment ≥ threshold implies
+    * Jaccard ≥ threshold/(2−threshold) bounds the candidate set. */
+  def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sets = shingleSetsCached(docs, n, idCol, textCol)
+    val sh = sets.select(col("id"), explode(col("hs")).as("s"))
+    val sizes = sets.select(col("id"), col("nsh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("ia"), col("b.id").as("ib"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("ia"), col("nsh").as("na")), Seq("ia"))
+      .join(sizes.select(col("id").as("ib"), col("nsh").as("nb")), Seq("ib"))
+      .withColumn("containment",
+        greatest(col("inter").cast("double") / col("na").cast("double"),
+          col("inter").cast("double") / col("nb").cast("double")))
+      .filter(col("containment") >= threshold)
+      .select(col("ia"), col("ib"), col("containment"))
+  }
+
+  /** [[containmentPairs]]'s 100 TB path: the PPJoin PREFIX FILTER
+    * (Xiao et al., WWW 2008) — EXACT, not approximate. Any pair with
+    * max-containment ≥ t intersects in > (1−t)·|min-side| shingles, so
+    * under any global total order the min-side's first
+    * ⌊(1−t)·|A|⌋+1 shingles must contain one shared with B. Order by
+    * ascending global document frequency (rarest first) and the
+    * candidate join runs over the RARE-shingle sub-index:
+    * Σ_s df_prefix(s)·df(s) instead of d2's Σ_s df(s)² — boilerplate
+    * shingles (the df² blowup at web scale) never enter the prefix.
+    * Stages: postings + vocabulary df aggregate → per-doc
+    * (df, hash)-ranked prefix (a per-doc window, volume = postings) →
+    * prefix×full candidate join (a.prefix hits ANY side of the pair
+    * whose size is smaller, so both orientations emit) → exact verify
+    * by intersecting the two cached shingle-hash sets map-side. Output
+    * equals [[containmentPairs]] bit-for-bit. */
+  def containmentPrefixPairs(docs: DataFrame, n: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = shingleSetsCached(docs, n, idCol, textCol)
+    val sh = sets.select(col("id"), col("nsh"), explode(col("hs")).as("s"))
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // rarest-first canonical order: (df, s) — the hash tiebreak makes
+    // the order total, so the filter's correctness argument holds
+    val prefix = sh.join(dfreq, "s")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
+      .where(col("rk") <=
+        floor((lit(1.0) - threshold) * col("nsh")).cast("int") + 1)
+      .select(col("id"), col("nsh"), col("s"))
+    // candidates: a prefix posting meets a FULL posting; the pair is
+    // admitted when the prefix side is the (tie: lower-id) smaller
+    // side, so each qualifying pair is generated at least once and
+    // the distinct() bound is the candidate set, not d2's full join
+    val cand = prefix.as("p").join(sh.as("f"),
+        col("p.s") === col("f.s") && col("p.id") =!= col("f.id") &&
+          (col("p.nsh") < col("f.nsh") ||
+            (col("p.nsh") === col("f.nsh") && col("p.id") < col("f.id"))))
+      .select(least(col("p.id"), col("f.id")).as("ia"),
+        greatest(col("p.id"), col("f.id")).as("ib"))
+      .distinct()
+    // exact verify: intersect the two cached hash sets map-side
+    val withSets = cand
+      .join(sets.select(col("id").as("ia"), col("hs").as("ha"),
+        col("nsh").as("na")), Seq("ia"))
+      .join(sets.select(col("id").as("ib"), col("hs").as("hb"),
+        col("nsh").as("nb")), Seq("ib"))
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+    withSets
+      .withColumn("containment",
+        greatest(col("inter").cast("double") / col("na").cast("double"),
+          col("inter").cast("double") / col("nb").cast("double")))
+      .filter(col("containment") >= threshold)
+      .select(col("ia"), col("ib"), col("containment"))
+  }
+
   /** [[ngramJaccardPairs]] memoized + Spark-cached per (canonicalized
     * docs plan, n, threshold): the near-dup pair table is computed once
     * and reused — duplicate CLUSTERING consumes exactly the pair set the

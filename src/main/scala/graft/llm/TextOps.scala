@@ -278,6 +278,52 @@ object TextOps {
           .cast("float").as("tfidf"))
   }
 
+  /** BM25 relevance of every document against a fixed query-term set
+    * (Robertson–Spärck Jones, the Lucene `+1` idf variant that keeps
+    * scores positive when df > N/2):
+    * score = Σ_t ln((N − df + 0.5)/(df + 0.5) + 1) ·
+    *         tf(k1+1) / (tf + k1(1 − b + b·dl/avgdl)).
+    * The pipeline use is decontamination-adjacent retrieval: score the
+    * corpus against an eval-set query and audit (or drop) the head.
+    * Distributed shape: doc length rides the SAME tokenize pass as the
+    * term filter (no per-doc length join back to the corpus), the
+    * explode is filtered to the query terms BEFORE the per-doc
+    * aggregate so the shuffle carries only matching tokens, df
+    * re-aggregates the already-reduced tf table (≤ |terms| rows) and
+    * broadcasts, and N/avgdl is one scalar aggregate broadcast by the
+    * cross join. Output is one row per matching document — never a
+    * corpus × vocabulary product. The per-doc term sum collapses under
+    * the REAL cast like t20's avg (≤ |terms| addends). */
+  def bm25(docs: DataFrame, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val terms = queryTerms.distinct
+    val tok = docs.select(col(idCol),
+      tokens(col(textCol)).as("_tk"))
+    val stats = tok.agg(count(lit(1)).as("_n"),
+      avg(size(col("_tk")).cast("double")).as("_avgdl"))
+    val tf = tok
+      .select(col(idCol), size(col("_tk")).cast("long").as("dl"),
+        explode(col("_tk")).as("token"))
+      .where(col("token").isin(terms: _*))
+      .groupBy(col(idCol), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val idf = log((col("_n").cast("double") - col("df") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val norm = col("tf").cast("double") * (lit(k1) + 1.0) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") /
+          col("_avgdl")))
+    tf.join(broadcast(df_), "token")
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol), col("dl"))
+      .agg(count(lit(1)).cast("long").as("matched_terms"),
+        sum(idf * norm).cast("float").as("bm25"))
+      .select(col(idCol), col("dl"), col("matched_terms"), col("bm25"))
+  }
+
   /** Global top-k term frequencies (vocabulary head). Token explode →
     * hash-aggregated counts (map-side combine) → the bounded-heap
     * top-k aggregator ([[graft.exec.TopK]]) as a partial+merge global

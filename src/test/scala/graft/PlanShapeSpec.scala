@@ -150,6 +150,22 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), "tf must be a hash aggregate")
   }
 
+  test("t30_bm25 filters tokens BEFORE the per-doc aggregate and " +
+      "broadcasts df and N") {
+    val p = plan("t30_bm25")
+    // the term filter must sit under the aggregate so the shuffle
+    // carries only query-term tokens, never the whole token stream
+    val filterIdx = p.indexOf("Filter")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(filterIdx >= 0 && aggIdx >= 0, s"missing operators:\n${p.take(600)}")
+    assert(p.contains("token") && p.linesIterator.exists(l =>
+      l.contains("Filter") || l.contains("PushedFilters")),
+      "token IN (...) filter missing")
+    assert(count(p, "BroadcastExchange") >= 2,
+      "df table and the N/avgdl scalar must both broadcast")
+    assert(!p.contains("SortAggregate"), "bm25 aggregates must be hash-based")
+  }
+
   test("sample-volume aggregations are hash-based, not sort-based") {
     // a1_sum is the canonical (sig, step) aggregation; a map-typed key
     // would force SortAggregate (no UnsafeRow support for maps)

@@ -37,6 +37,67 @@ class LlmOpsSpec extends SparkTestBase {
     assert(banded.toSeq == exact.toSeq)
   }
 
+  test("containmentPairs: embedded short doc scores 1.0 where Jaccard dilutes") {
+    val d = Seq(
+      (0L, "x1 x2 x3 x4"),                               // 2 trigrams
+      (1L, "x1 x2 x3 x4 y1 y2 y3 y4 y5 y6"),             // superset: 8 trigrams
+      (2L, "z1 z2 z3 z4")                                 // unrelated
+    ).toDF("doc_id", "text")
+    // Jaccard(0,1) = 2/8 = 0.25 — below d2's 0.5 bar — but containment
+    // max(2/2, 2/8) = 1.0: exactly the embedded-quote case
+    val j = Dedup.ngramJaccardPairs(d, 3, 0.5).collect()
+    assert(j.isEmpty)
+    val c = Dedup.containmentPairs(d, 3, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(c.toSeq == Seq((0L, 1L, 1.0)))
+    // symmetric near-dups still pass: containment >= Jaccard always
+    val c2 = Dedup.containmentPairs(docs, 3, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(c2 == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+  }
+
+  test("containmentPrefixPairs (PPJoin prefix filter) equals the " +
+      "inverted-index baseline bit-for-bit") {
+    val mixed = Seq(
+      (0L, "x1 x2 x3 x4"),
+      (1L, "x1 x2 x3 x4 y1 y2 y3 y4 y5 y6"), // superset of 0
+      (2L, "z1 z2 z3 z4"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "the quick brown fox jumps over the lazy cat"), // near-dup of 3
+      (5L, "the quick brown fox jumps over the lazy dog"), // exact dup of 3
+      (6L, "q1"), (7L, "")                                  // no shingles
+    ).toDF("doc_id", "text")
+    for (t <- Seq(0.6, 0.9)) {
+      val base = Dedup.containmentPairs(mixed, 3, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(p => (p._1, p._2)).toSeq
+      val pref = Dedup.containmentPrefixPairs(mixed, 3, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(p => (p._1, p._2)).toSeq
+      assert(pref == base, s"threshold $t: prefix filter diverged")
+      assert(base.nonEmpty, s"threshold $t: fixture must exercise pairs")
+    }
+  }
+
+  test("bm25: Lucene +1 idf and length normalization, hand-checked") {
+    val d = Seq(
+      (0L, "spark spark join"),
+      (1L, "join scan"),
+      (2L, "other words here")
+    ).toDF("doc_id", "text")
+    val r = TextOps.bm25(d, Seq("spark", "scan")).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getFloat(3)))
+      .toMap
+    val n = 3.0; val avgdl = 8.0 / 3.0
+    def score(tf: Double, df: Double, dl: Double): Float =
+      (math.log((n - df + 0.5) / (df + 0.5) + 1.0) *
+        tf * (1.2 + 1.0) /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))).toFloat
+    assert(r(0L) == ((3L, 1L, score(2, 1, 3))))
+    assert(r(1L) == ((2L, 1L, score(1, 1, 2))))
+    assert(!r.contains(2L)) // no query term: no row, never a 0-score flood
+  }
+
   test("incrementalExactDedup flags new docs against history, exactly") {
     val history = Seq((1L, "alpha doc"), (2L, "beta doc")).toDF("doc_id", "text")
     val fresh = Seq((10L, "alpha doc"), (11L, "gamma doc"), (12L, "beta doc"))

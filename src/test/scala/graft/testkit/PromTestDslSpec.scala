@@ -3050,4 +3050,135 @@ eval instant at 50m l unless r
   l{job="y"} 20
 """)
   }
+
+  test("per-operand offsets: each binop side evaluates at its own " +
+      "shifted time (week-over-week pattern)") {
+    run("""
+load 5m
+  m{job="a"} 0+10x10
+  m{job="b"} 100-5x10
+  cnt{job="a"} 0+60x10
+
+# the un-offset side reads t=50m (100/75), the offset side t=40m (80/60):
+# signatures match on the full label set, values subtract across time
+eval instant at 50m m - m offset 10m
+  {job="a"} 20
+  {job="b"} -10
+
+# offset on the LEFT operand works the same way
+eval instant at 50m m offset 10m - m
+  {job="a"} -20
+  {job="b"} 10
+
+# both sides offset by different amounts
+eval instant at 50m m offset 5m - m offset 10m
+  {job="a"} 10
+  {job="b"} -5
+
+# rate self-comparison across offset windows: the counter is perfectly
+# linear, so the two windows agree and the ratio is exactly 1
+eval instant at 50m rate(cnt[10m]) / rate(cnt[10m] offset 10m)
+  {job="a"} 1
+
+# comparison filtering across offsets: m grew for job=a, shrank for b
+eval instant at 50m m > m offset 10m
+  m{job="a"} 100
+
+# vintage bool keeps the name on vector-vector comparisons (see the
+# vector_matching divergence group above)
+eval instant at 50m m > bool m offset 10m
+  m{job="a"} 1
+  m{job="b"} 0
+
+# aggregation of an offset operand composes with an un-offset one
+eval instant at 50m sum(m) - sum(m offset 10m)
+  {} 10
+""")
+  }
+
+  test("aggregations over an EMPTY vector return empty, not zero " +
+      "(engine.go:1253-1331 iterates matched series only)") {
+    run("""
+load 5m
+  m{job="a"} 0+10x10
+
+eval instant at 50m sum(nonexistent)
+
+eval instant at 50m count(nonexistent)
+
+eval instant at 50m avg(nonexistent)
+
+eval instant at 50m min(nonexistent)
+
+eval instant at 50m stddev(nonexistent)
+
+eval instant at 50m topk(3, nonexistent)
+
+eval instant at 50m quantile(0.5, nonexistent)
+
+eval instant at 50m count_values("v", nonexistent)
+
+eval instant at 50m sum by (job) (m{job="nope"})
+
+# the standard default idiom: or vector(0) fills the empty aggregate
+eval instant at 50m sum(nonexistent) or vector(0)
+  {} 0
+
+# but a NON-empty aggregate wins the or
+eval instant at 50m sum(m) or vector(0)
+  {} 100
+
+# functions over empty vectors are empty too (not errors)
+eval instant at 50m abs(nonexistent)
+
+eval instant at 50m sort(nonexistent)
+
+eval instant at 50m histogram_quantile(0.5, nonexistent)
+
+# ... and empty range selections likewise
+eval instant at 50m rate(nonexistent[10m])
+
+eval instant at 50m count_over_time(nonexistent[10m])
+""")
+  }
+
+  test("metric-name keep/drop matrix: sort keeps, value-mapping " +
+      "functions drop (functions.go dropMetricName call sites)") {
+    run("""
+load 5m
+  m{job="a"} 0+10x10
+
+# sort/sort_desc return samples untouched: name KEPT (functions.go:288-304)
+eval instant at 50m sort(m)
+  m{job="a"} 100
+
+eval instant at 50m sort_desc(m)
+  m{job="a"} 100
+
+# value-mapping functions drop it
+eval instant at 50m ceil(m)
+  {job="a"} 100
+
+eval instant at 50m clamp_max(m, 50)
+  {job="a"} 50
+
+eval instant at 50m round(m)
+  {job="a"} 100
+
+eval instant at 50m timestamp(m)
+  {job="a"} 3000
+
+# over-time folds drop it (aggrOverTime, functions.go:377)
+eval instant at 50m count_over_time(m[10m])
+  {job="a"} 3
+
+# date functions applied to a vector drop it
+eval instant at 50m hour(m * 0)
+  {job="a"} 0
+
+# vector() emits the bare empty label set
+eval instant at 50m vector(7)
+  {} 7
+""")
+  }
 }
