@@ -103,7 +103,18 @@ object LlmScalePoint {
       // scale linearly; growth beyond linear would mean a pair
       // structure leaked into the rounds
       ("t28_bpe_merges", () => TextOps.bpeMerges(docs, 3)),
-      ("t29_bpe_encode", () => TextOps.bpeEncode(docs, 3)))
+      ("t29_bpe_encode", () => TextOps.bpeEncode(docs, 3)),
+      // r10: containment prefix filter — per-shard pair structure is
+      // held constant by the sharded corpora, so candidates and
+      // output grow ×k while the df aggregate/window grow with
+      // postings volume: wall should track the linear terms. BM25's
+      // base query terms match only shard 0 of the scaled corpora
+      // (tokens are shard-tagged), so its output stays CONSTANT and
+      // the measurement isolates the corpus-linear tokenize scan —
+      // the dominant 100 TB term.
+      ("d15_containment_prefix",
+        () => Dedup.containmentPrefixPairs(docs, 3, 0.6)),
+      ("t30_bm25", () => TextOps.bm25(docs, graft.SparkEntry.Bm25Terms)))
     for ((name, f) <- ops if only.forall(_.contains(name))) {
       val (cold, warm) = med(f())
       println(f"$name%-16s cold $cold%7.2f s  warm-med $warm%7.2f s")
