@@ -1008,6 +1008,19 @@ object SparkEntry {
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       Dedup.incrementalExactDedup(fresh, history)
     }),
+    // D16: incremental NEAR-dup — the fresh batch's fuzzy matches in
+    // the history corpus (batch shingle set broadcast-prunes history
+    // postings; history-history pairs never form)
+    "d16_incremental_neardup" -> ((spark, dir) => {
+      val base = docs(spark, dir)
+      val history = base.filter(col("doc_id") < 250)
+      val fresh = base.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("text"))
+        .unionByName(base.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.incrementalNearDup(fresh, history, 3, 0.5)
+        .withColumn("jaccard", col("jaccard").cast("float"))
+    }),
     // D7: banded-LSH embedding near-dup pairs — the 100 TB replacement
     // for D5's O(N²) scan, demonstrated at its DESIGN operating point
     // (cos ≥ 0.9, r=8/b=8: recall ≈ 1−1e-4 per planted pair, random
@@ -1844,6 +1857,30 @@ object SparkEntry {
         |SELECT n.doc_id, md5(n.text) AS content_hash,
         |  (md5(n.text) IN (SELECT ch FROM hist)) AS is_dup
         |FROM newd n""".stripMargin,
+    // cross-corpus near-dup: same shingle algebra as d2 but fresh ×
+    // history only (the d12 split construction guarantees exact-copy
+    // hits at jaccard 1.0 plus whatever natural near-dups cross it)
+    "d16_incremental_neardup" ->
+      """WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        |newd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |         UNION ALL
+        |         SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+        |ftok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM newd),
+        |htok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM hist),
+        |fsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  generate_series(1, greatest(len(tk) - 2, 0)),
+        |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s FROM ftok),
+        |hsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  generate_series(1, greatest(len(tk) - 2, 0)),
+        |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s FROM htok),
+        |fsz AS (SELECT doc_id, count(*) AS nf FROM fsh GROUP BY 1),
+        |hsz AS (SELECT doc_id, count(*) AS nh FROM hsh GROUP BY 1),
+        |pr AS (SELECT f.doc_id AS fid, h.doc_id AS hid, count(*) AS inter
+        |       FROM fsh f JOIN hsh h ON f.s = h.s GROUP BY 1, 2)
+        |SELECT fid, hid,
+        |  CAST(CAST(inter AS DOUBLE) / (nf + nh - inter) AS REAL) AS jaccard
+        |FROM pr JOIN fsz ON fsz.doc_id = fid JOIN hsz ON hsz.doc_id = hid
+        |WHERE CAST(inter AS DOUBLE) / (nf + nh - inter) >= 0.5""".stripMargin,
     "d4_simhash" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |bits AS (SELECT doc_id, list_transform(generate_series(0, 63), b ->

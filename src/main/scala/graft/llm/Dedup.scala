@@ -132,6 +132,42 @@ object Dedup {
       else false
   }
 
+  /** Incremental NEAR-dup: every fresh doc's near-duplicates in the
+    * history corpus (word-n-gram Jaccard ≥ threshold) — the "dedup
+    * this crawl against the existing corpus" step for fuzzy matches,
+    * the near-dup twin of [[incrementalExactDedup]].
+    *
+    * The asymmetry IS the scale plan: a daily batch is tiny next to a
+    * 100 TB history, so the batch's distinct shingle-hash set
+    * broadcasts and PRUNES the history's postings with a map-side
+    * semi-join BEFORE anything shuffles — history text whose shingles
+    * never appear in the batch (virtually all of it) is scanned but
+    * never moves. The surviving posting volume is batch-bounded
+    * (Σ over batch shingles of history-df), the intersection counts
+    * are map-side combined, and output is one row per qualifying
+    * (fresh, history) pair. History-history pairs are never formed —
+    * cost is batch×history postings overlap, not history².
+    *
+    * Output: (fid, hid, jaccard). */
+  def incrementalNearDup(fresh: DataFrame, history: DataFrame, n: Int,
+      threshold: Double, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val fs = shingleSetsCached(fresh, n, idCol, textCol)
+    val hs = shingleSetsCached(history, n, idCol, textCol)
+    val fpost = fs.select(col("id").as("fid"), col("nsh").as("nf"),
+      explode(col("hs")).as("s"))
+    val hpost = hs.select(col("id").as("hid"), col("nsh").as("nh"),
+      explode(col("hs")).as("s"))
+    val pruned = hpost.join(
+      broadcast(fpost.select(col("s")).distinct()), Seq("s"), "left_semi")
+    pruned.join(fpost, Seq("s"))
+      .groupBy(col("fid"), col("hid"), col("nf"), col("nh"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", jaccard(col("inter"), col("nf"), col("nh")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("fid"), col("hid"), col("jaccard"))
+  }
+
   // ---- shared shingle machinery -----------------------------------------
 
   /** (id, shingle) posting list: one row per distinct word n-gram per

@@ -166,6 +166,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("SortAggregate"), "bm25 aggregates must be hash-based")
   }
 
+  test("d16 incremental near-dup broadcast-prunes history postings " +
+      "with the batch's shingle set") {
+    val p = plan("d16_incremental_neardup")
+    // the fresh batch's distinct shingle set must broadcast into a
+    // semi-join so history postings never shuffle unpruned
+    assert(p.contains("BroadcastExchange"),
+      s"batch shingle set must broadcast:\n${p.take(800)}")
+    assert(p.contains("LeftSemi"), "history pruning must be a semi-join")
+  }
+
   test("sample-volume aggregations are hash-based, not sort-based") {
     // a1_sum is the canonical (sig, step) aggregation; a map-typed key
     // would force SortAggregate (no UnsafeRow support for maps)

@@ -98,6 +98,29 @@ class LlmOpsSpec extends SparkTestBase {
     assert(!r.contains(2L)) // no query term: no row, never a 0-score flood
   }
 
+  test("incrementalNearDup: fresh-vs-history pairs only, never " +
+      "history-history") {
+    val history = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+      (2L, "completely different content about spark engines")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // exact copy of 0
+      (11L, "totally novel text with no overlap at all here"),
+      (12L, "the quick brown fox jumps over the lazy cow")  // near-dup of 0/1
+    ).toDF("doc_id", "text")
+    val r = Dedup.incrementalNearDup(fresh, history, 3, 0.5).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+      .sortBy(p => (p._1, p._2))
+    // 10 matches 0 exactly (J=1) and 1 at 6/8; 12 matches 0 and 1 at 6/8;
+    // the 0-1 history pair must NOT appear, nor any fresh-fresh pair
+    assert(r.map(p => (p._1, p._2)).toSeq ==
+      Seq((10L, 0L), (10L, 1L), (12L, 0L), (12L, 1L)))
+    assert(r.head._3 == 1.0)
+    assert(r.forall(p => p._1 >= 10L && p._2 < 10L))
+  }
+
   test("incrementalExactDedup flags new docs against history, exactly") {
     val history = Seq((1L, "alpha doc"), (2L, "beta doc")).toDF("doc_id", "text")
     val fresh = Seq((10L, "alpha doc"), (11L, "gamma doc"), (12L, "beta doc"))

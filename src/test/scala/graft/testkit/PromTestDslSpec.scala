@@ -3181,4 +3181,80 @@ eval instant at 50m vector(7)
   {} 7
 """)
   }
+
+  test("set-op precedence and associativity: or binds loosest, " +
+      "and/unless left-associate (parse.go operator precedence)") {
+    run("""
+load 5m
+  a{x="1"} 0+10x10
+  a{x="2"} 0+10x10
+  b{x="1"} 0+20x10
+  c{x="2"} 0+30x10
+  c{x="3"} 0+30x10
+
+# (a and b) or c — NOT a and (b or c)
+eval instant at 50m a and b or c
+  a{x="1"} 100
+  c{x="2"} 300
+  c{x="3"} 300
+
+# a or (b and c): and binds tighter; b/c share no sig so the right arm
+# is empty and the or passes a through
+eval instant at 50m a or b and c
+  a{x="1"} 100
+  a{x="2"} 100
+
+# (a unless c) or b: unless at and-precedence, then the or's left arm
+# already holds sig x=1 so b is deduped away
+eval instant at 50m a unless c or b
+  a{x="1"} 100
+
+# left association: (a unless b) unless c = {x=2} unless c = empty
+eval instant at 50m a unless b unless c
+
+# parens flip it: a unless (b unless c) = a unless b{x=1} = {x=2}
+eval instant at 50m a unless (b unless c)
+  a{x="2"} 100
+
+# comparisons bind tighter than set ops: (a == bool 100) or c; the
+# bool result keeps the vintage name, sigs x=1/x=2 dedup c{x="2"}
+eval instant at 50m a == bool 100 or c
+  a{x="1"} 1
+  a{x="2"} 1
+  c{x="3"} 300
+""")
+  }
+
+  test("grouping by a MISSING label: absent groups carry no label, " +
+      "without a missing label is a no-op on the rest") {
+    run("""
+load 5m
+  m{job="a", l="x"} 0+10x10
+  m{job="b"} 0+20x10
+
+# series without l group under the bare label set
+eval instant at 50m sum by (l) (m)
+  {l="x"} 100
+  {} 200
+
+# grouping by an entirely absent label folds everything into one group
+eval instant at 50m sum by (nope) (m)
+  {} 300
+
+# without(missing) keeps the full label set (minus __name__)
+eval instant at 50m sum without (nope) (m)
+  {job="a", l="x"} 100
+  {job="b"} 200
+
+# mixed existing+missing grouping labels: only present ones survive
+eval instant at 50m count by (job, nope) (m)
+  {job="a"} 1
+  {job="b"} 1
+
+# on(missing) vector matching: both sides collapse to the empty sig —
+# one-to-one matches iff each side has exactly one series
+eval instant at 50m sum(m{job="a"}) + on(nope) sum(m{job="b"})
+  {} 300
+""")
+  }
 }
