@@ -1225,6 +1225,11 @@ object SparkEntry {
     // aggregate on (label, dim), output-sized shuffle
     "x6_label_centroids" -> ((spark, dir) =>
       Similarity.labelCentroids(emb(spark, dir))),
+    // X9: iterated Lloyd k-means (3 rounds), label-seeded — per-round
+    // checkpointed k×dim centroid table broadcast into map-only
+    // scoring; the x-side twin of t28's iterated-BPE loop
+    "x9_kmeans_rounds" -> ((spark, dir) =>
+      Similarity.kmeansRounds(emb(spark, dir), 3)),
     // T24: per-source unigram KL vs the corpus blend (domain-shift
     // monitor) — one corpus-volume shuffle, post-aggregate joins
     "t24_source_kl" -> ((spark, dir) =>
@@ -2279,6 +2284,7 @@ object SparkEntry {
     // engines collapse to identical bytes), shared left-fold cosine,
     // ties to the smaller label — the argmax discretizes identical
     // doubles, never nearly-equal ones
+    "x9_kmeans_rounds" -> kmeansOracle(3),
     "x8_centroid_assign" ->
       """WITH e0 AS (SELECT label,
         |  unnest(list_transform(generate_series(1, len(embedding)),
@@ -2569,6 +2575,57 @@ v$r AS (SELECT replace(s, (SELECT pr FROM m$r),
     (SELECT replace(pr, chr(2) || ' ' || chr(1), '') FROM m$r)) AS s, n
   FROM v${r - 1})"""
     }
+    sb.toString
+  }
+
+  /** Unrolled-rounds oracle for [[graft.llm.Similarity.kmeansRounds]]:
+    * per round, cosine argmax (ties to smaller label) against the
+    * previous round's centroids, then per-cluster per-dim means
+    * REAL-quantized — mirroring the engine's float32 centroid
+    * quantization and left-to-right double dot fold. */
+  private def kmeansOracle(rounds: Int): String = {
+    val dot = (a: String, b: String) =>
+      s"list_reduce(list_prepend(0.0, list_transform(" +
+        s"generate_series(1, len($a)), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+    val nrm = (a: String) =>
+      s"sqrt(list_reduce(list_prepend(0.0, list_transform($a, x -> x * x)), " +
+        "(x, y) -> x + y))"
+    val sb = new StringBuilder
+    sb ++= "WITH vn AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,\n"
+    sb ++= s"  ${nrm("embedding::DOUBLE[]")} AS vnrm FROM embeddings),\n"
+    // c0: per-label means (the seed), REAL-quantized then DOUBLE'd
+    sb ++= "c0 AS (SELECT clabel, list(c ORDER BY dim) AS cv FROM (\n"
+    sb ++= "  SELECT label AS clabel, u.d AS dim,\n"
+    sb ++= "    CAST(CAST(AVG(u.v) AS REAL) AS DOUBLE) AS c FROM (\n"
+    sb ++= "    SELECT label, unnest(list_transform(\n"
+    sb ++= "      generate_series(1, len(v)),\n"
+    sb ++= "      i -> struct_pack(d := i, v := v[i]))) AS u\n"
+    sb ++= "    FROM vn) GROUP BY 1, 2) GROUP BY 1),\n"
+    sb ++= s"n0 AS (SELECT clabel, cv, ${nrm("cv")} AS cnrm FROM c0),\n"
+    for (r <- 1 to rounds) {
+      val prev = s"n${r - 1}"
+      sb ++= s"a$r AS (SELECT vec_id, label, clabel AS assigned, cos FROM (\n"
+      sb ++= s"  SELECT vn.vec_id, vn.label, $prev.clabel,\n"
+      sb ++= s"    ${dot("vn.v", s"$prev.cv")} / (vn.vnrm * $prev.cnrm) AS cos,\n"
+      sb ++= s"    row_number() OVER (PARTITION BY vn.vec_id ORDER BY\n"
+      sb ++= s"      ${dot("vn.v", s"$prev.cv")} / (vn.vnrm * $prev.cnrm) DESC,\n"
+      sb ++= s"      $prev.clabel) AS rn\n"
+      sb ++= s"  FROM vn, $prev) WHERE rn = 1),\n"
+      if (r < rounds) {
+        sb ++= s"c$r AS (SELECT clabel, list(c ORDER BY dim) AS cv FROM (\n"
+        sb ++= s"  SELECT a$r.assigned AS clabel, u.d AS dim,\n"
+        sb ++= s"    CAST(CAST(AVG(u.v) AS REAL) AS DOUBLE) AS c FROM a$r\n"
+        sb ++= s"  JOIN (SELECT vec_id, unnest(list_transform(\n"
+        sb ++= s"      generate_series(1, len(v)),\n"
+        sb ++= s"      i -> struct_pack(d := i, v := v[i]))) AS u FROM vn) uv\n"
+        sb ++= s"    ON uv.vec_id = a$r.vec_id\n"
+        sb ++= s"  GROUP BY 1, 2) GROUP BY 1),\n"
+        sb ++= s"n$r AS (SELECT clabel, cv, ${nrm("cv")} AS cnrm FROM c$r),\n"
+      }
+    }
+    sb ++= s"fin AS (SELECT * FROM a$rounds)\n"
+    sb ++= "SELECT vec_id, label, assigned, CAST(cos AS REAL) AS cos,\n"
+    sb ++= "  label = assigned AS stable FROM fin"
     sb.toString
   }
 

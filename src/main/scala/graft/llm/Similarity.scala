@@ -197,6 +197,70 @@ object Similarity {
         (col("label") === col("_m.al")).as("correct"))
   }
 
+  /** Iterated Lloyd k-means over the embedding corpus — `rounds` ×
+    * (nearest-centroid assign → per-cluster mean recompute), seeded
+    * from the per-label means ([[labelCentroids]]), i.e. the
+    * embedding-side twin of t28's iterated BPE loop: a production
+    * re-clustering pass an IVF index or SemDeDup runs to tighten its
+    * coarse quantizer.
+    *
+    * Determinism across engines, per round: centroid components
+    * QUANTIZE to float32 after every mean recompute (byte-stable under
+    * an engine recomputing the double mean), cosines use the shared
+    * left-to-right double fold ([[graft.functions.ArrayDot]]), argmax
+    * ties go to the smaller cluster label. A cluster that loses all
+    * members simply drops out of later rounds (both engines derive the
+    * live set from the assignments).
+    *
+    * Scale shape — the MLlib discipline: the centroid table is
+    * k×dim (kilobytes), so each round LOCAL-CHECKPOINTS it (a driver
+    * action on an output-sized table, the t28 pattern) and broadcasts
+    * it into a map-only scoring pass; the only corpus-volume shuffles
+    * are the per-round (cluster, dim) mean aggregates with map-side
+    * combine. Rounds are data-independent plans, so the lineage stays
+    * flat — no exponential plan growth across iterations. */
+  def kmeansRounds(emb: DataFrame, rounds: Int,
+      labelCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(rounds >= 1, "kmeansRounds needs at least one round")
+    val v = emb.select(col(idCol).as("_id"), col(labelCol).as("_lbl"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_vnrm",
+        sqrt(graft.functions.ArrayDot(col("_v"), col("_v"))))
+      .localCheckpoint(true)
+    // (clabel, cv, cnrm) from per-group float32-quantized means
+    def centroids(grouped: DataFrame, grp: Column): DataFrame =
+      grouped.select(grp.as("clabel"), posexplode(col("_v")).as(Seq("_p", "_x")))
+        .groupBy(col("clabel"), col("_p"))
+        .agg(avg(col("_x")).cast("float").cast("double").as("_c"))
+        .groupBy(col("clabel"))
+        .agg(array_sort(collect_list(struct(col("_p"), col("_c")))).as("_pc"))
+        .select(col("clabel"),
+          transform(col("_pc"), x => x.getField("_c")).as("cv"))
+        .withColumn("cnrm",
+          sqrt(graft.functions.ArrayDot(col("cv"), col("cv"))))
+        .localCheckpoint(true)
+    def assign(cent: DataFrame): DataFrame =
+      v.crossJoin(broadcast(cent))
+        .withColumn("_cos", graft.functions.ArrayDot(col("_v"), col("cv")) /
+          (col("_vnrm") * col("cnrm")))
+        .groupBy(col("_id"), col("_lbl"))
+        .agg(min(struct((-col("_cos")).as("nc"), col("clabel").as("al"),
+          col("_cos").as("cv0"))).as("_m"))
+        .select(col("_id"), col("_lbl"), col("_m.al").as("assigned"),
+          col("_m.cv0").as("_cos"))
+    var cent = centroids(v, col("_lbl"))
+    var a: DataFrame = null
+    for (r <- 1 to rounds) {
+      a = assign(cent)
+      if (r < rounds)
+        cent = centroids(a.join(v, Seq("_id", "_lbl")), col("assigned"))
+    }
+    a.select(col("_id").as(idCol), col("_lbl").as(labelCol),
+      col("assigned"), col("_cos").cast("float").as("cos"),
+      (col("_lbl") === col("assigned")).as("stable"))
+  }
+
   /** Exact all-pairs with cosine ≥ threshold (embedding near-dup).
     * O(N²/2) — baseline only; the banded variants are the scale path.
     *

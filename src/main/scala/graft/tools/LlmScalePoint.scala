@@ -114,7 +114,11 @@ object LlmScalePoint {
       // the dominant 100 TB term.
       ("d15_containment_prefix",
         () => Dedup.containmentPrefixPairs(docs, 3, 0.6)),
-      ("t30_bm25", () => TextOps.bm25(docs, graft.SparkEntry.Bm25Terms)))
+      ("t30_bm25", () => TextOps.bm25(docs, graft.SparkEntry.Bm25Terms)),
+      // r10: iterated k-means — per-round work is one broadcast
+      // map-only scoring pass + one (cluster, dim) mean aggregate;
+      // the k×dim checkpoint is a constant driver action per round
+      ("x9_kmeans_rounds", () => Similarity.kmeansRounds(emb, 3)))
     for ((name, f) <- ops if only.forall(_.contains(name))) {
       val (cold, warm) = med(f())
       println(f"$name%-16s cold $cold%7.2f s  warm-med $warm%7.2f s")

@@ -871,6 +871,30 @@ class LlmOpsSpec extends SparkTestBase {
       r.getFloat(1))
   }
 
+  test("kmeansRounds: a mislabeled vector is reclaimed by its true " +
+      "cluster and the assignment is stable across extra rounds") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.05f), 0),
+      (2L, Seq(0.9f, 0.1f, 0.0f), 0),
+      (3L, Seq(0.95f, 0.05f, 0.0f), 1), // mislabeled: lives in cluster 0
+      (4L, Seq(0.0f, 1.0f, 0.05f), 1),
+      (5L, Seq(0.1f, 0.9f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    def asgn(rounds: Int) =
+      Similarity.kmeansRounds(emb, rounds).collect()
+        .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val r1 = asgn(1)
+    assert(r1 == Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1),
+      s"round 1 should already reclaim vec 3: $r1")
+    // fixed point: more rounds do not move anything
+    assert(asgn(3) == r1)
+    // the stable flag reports label-vs-assignment agreement
+    val st = Similarity.kmeansRounds(emb, 3).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(st == Map(1L -> true, 2L -> true, 3L -> false,
+      4L -> true, 5L -> true))
+  }
+
   test("labelCentroids: element-wise per-label means in long form") {
     import spark.implicits._
     val e = Seq(
