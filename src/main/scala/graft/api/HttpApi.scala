@@ -307,7 +307,7 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
         case _: Exception => None
       }
     asFloat.getOrElse(
-      try graft.promql.Lexer.parseDuration(s).toDouble / 1000
+      try graft.promql.Lexer.modelDuration(s).toDouble / 1000
       catch {
         case _: Exception => throw ApiError(400, "bad_data",
           s"cannot parse \"$s\" to a valid duration")

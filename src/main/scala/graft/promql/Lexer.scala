@@ -5,7 +5,8 @@ package graft.promql
   * Token set mirrors the reference lexer
   * (`vendor/github.com/prometheus/prometheus/promql/lex.go`): identifiers
   * (metric names may contain `:`), numbers (decimal, hex, `Inf`, `NaN`),
-  * durations (`5m`, `1h30m`), strings (single/double quoted with Go escape
+  * durations (`5m`; compound forms lex as one token and fail in
+  * parseDuration like the vintage), strings (single/double quoted with Go escape
   * sequences, backtick raw), operators and delimiters.
   */
 object Lexer {
@@ -33,14 +34,27 @@ object Lexer {
     "ms" -> 1L, "s" -> 1000L, "m" -> 60000L, "h" -> 3600000L,
     "d" -> 86400000L, "w" -> 604800000L, "y" -> 31536000000L)
 
-  /** Parse a duration literal to milliseconds. Single-unit form is the
-    * reference's grammar; compound (`1h30m`) accepted as an extension. */
+  /** Parse a duration literal to milliseconds — the vintage grammar
+    * EXACTLY (common/model/time.go:180-213 `^([0-9]+)(y|w|d|h|m|s|ms)$`
+    * + parse.go:1131-1140's zero rejection): ONE integer, ONE unit.
+    * Compound forms (`1h30m`) are rejected like the reference rejects
+    * them — the API duration params ride through here too, so the
+    * error surface matches api.go's. */
   def parseDuration(s: String): Long = {
-    val re = "([0-9]+)(ms|s|m|h|d|w|y)".r
-    val parts = re.findAllMatchIn(s).toList
-    if (parts.isEmpty || parts.map(_.matched).mkString != s)
-      throw LexException(s"invalid duration: $s")
-    parts.map(m => m.group(1).toLong * durationUnits(m.group(2))).sum
+    val ms = modelDuration(s)
+    if (ms == 0) throw LexException("duration must be greater than 0")
+    ms
+  }
+
+  /** model.ParseDuration itself: zero is VALID here (the test harness
+    * and API layers accept `0s`; only the PromQL parser's wrapper
+    * above rejects it, mirroring the reference's split). */
+  def modelDuration(s: String): Long = {
+    val re = "^([0-9]+)(y|w|d|h|m|s|ms)$".r
+    s match {
+      case re(n, u) => n.toLong * durationUnits(u)
+      case _ => throw LexException(s"""not a valid duration string: "$s"""")
+    }
   }
 
   def isDuration(s: String): Boolean =

@@ -81,20 +81,18 @@ object Printer {
   private def offset(ms: Long): String =
     if (ms == 0) "" else s" offset ${duration(ms)}"
 
-  /** Compact multi-unit duration (common/model Duration.String shape):
-    * largest-to-smallest of w d h m s ms, zero units skipped. */
+  /** The vintage Duration.String (common/model/time.go:215-249): ONE
+    * unit — the largest of y w d h m s that divides exactly, else ms.
+    * (90 minutes prints "90m", not "1h30m" — the reference's own
+    * printed form re-parses under its single-unit grammar.) */
   def duration(ms: Long): String = {
     require(ms > 0, s"duration must be positive, got $ms")
     val units = Seq(
-      "w" -> 7L * 24 * 3600 * 1000, "d" -> 24L * 3600 * 1000,
-      "h" -> 3600000L, "m" -> 60000L, "s" -> 1000L, "ms" -> 1L)
-    var rest = ms
-    val sb = new StringBuilder
-    for ((u, w) <- units if rest >= w) {
-      sb.append(rest / w).append(u)
-      rest %= w
-    }
-    sb.toString
+      "y" -> 365L * 24 * 3600 * 1000, "w" -> 7L * 24 * 3600 * 1000,
+      "d" -> 24L * 3600 * 1000, "h" -> 3600000L, "m" -> 60000L,
+      "s" -> 1000L)
+    units.collectFirst { case (u, w) if ms % w == 0 => s"${ms / w}$u" }
+      .getOrElse(s"${ms}ms")
   }
 
   private def quote(s: String): String =

@@ -58,7 +58,7 @@ object PromTestDsl {
       if (t.isEmpty) i += 1
       else if (t == "clear") { samples = Vector.empty; engine = None; i += 1 }
       else if (t.startsWith("load ")) {
-        val stepMs = Lexer.parseDuration(t.stripPrefix("load ").trim)
+        val stepMs = Lexer.modelDuration(t.stripPrefix("load ").trim)
         i += 1
         while (i < lines.length && lines(i)._1.startsWith(" ") &&
           lines(i)._1.trim.nonEmpty) {
@@ -73,7 +73,7 @@ object PromTestDsl {
           else ("eval", t.stripPrefix("eval "))
         val m = """^instant\s+at\s+(\S+)\s+(.*)$""".r.findFirstMatchIn(rest.trim)
           .getOrElse(throw DslError(lineNo, s"cannot parse eval clause: $t"))
-        val ts = Lexer.parseDuration(m.group(1))
+        val ts = Lexer.modelDuration(m.group(1))
         val query = m.group(2)
         i += 1
         val expected = Vector.newBuilder[(Map[String, String], Double)]

@@ -59,9 +59,13 @@ class ParserSpec extends AnyFunSuite {
     assert(range == 300000L)
   }
 
-  test("compound duration") {
+  test("compound and zero durations are rejected like the vintage " +
+      "(model/time.go:180-213, parse.go:1131-1140)") {
+    intercept[Exception](parse("rate(foo[1h30m])"))
+    intercept[Exception](parse("rate(foo[0s])"))
+    intercept[Exception](parse("foo offset 2h30m"))
     val Call(_, Seq(MatrixSelector(_, range))) =
-      (parse("rate(foo[1h30m])"): @unchecked)
+      (parse("rate(foo[90m])"): @unchecked)
     assert(range == 5400000L)
   }
 

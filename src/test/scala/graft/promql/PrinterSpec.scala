@@ -19,7 +19,7 @@ class PrinterSpec extends AnyFunSuite {
     """m{s=~"a|b", q!~"x.*"}""",
     "m offset 5m",
     "m[5m]",
-    "m[1h30m]",
+    "m[90m]",
     "m[2d] offset 1d",
     "sum(m)",
     "sum by (job) (m)",
@@ -63,7 +63,11 @@ class PrinterSpec extends AnyFunSuite {
     assert(p("""m{b="2", a="1"}""") == """m{a="1",b="2"}""")
     assert(p("a / on(job) group_left b") == "a / on(job) group_left() b")
     assert(p("topk(3, m)") == "topk(3, m)")
-    assert(p("m[90s]") == "m[1m30s]")
+    // vintage Duration.String is single-unit: the largest unit that
+    // divides exactly (90s is not a whole number of minutes)
+    assert(p("m[90s]") == "m[90s]")
+    assert(p("m[120s]") == "m[2m]")
+    assert(p("m[604800s]") == "m[1w]")
     assert(p("a > bool 5") == "a > bool 5")
   }
 

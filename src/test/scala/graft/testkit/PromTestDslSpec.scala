@@ -3179,6 +3179,22 @@ eval instant at 50m hour(m * 0)
 # vector() emits the bare empty label set
 eval instant at 50m vector(7)
   {} 7
+
+# VINTAGE quirk: shouldDropMetricName (engine.go:1460-1467) lists only
+# + - * / % — POW keeps the metric name on vector operands
+eval instant at 50m m ^ 1
+  m{job="a"} 100
+
+# vector ^ vector: the lhs metric (name included) survives
+eval instant at 50m m ^ (m * 0 + 2)
+  m{job="a"} 10000
+
+# ...while the listed arithmetic ops drop it
+eval instant at 50m m * 1
+  {job="a"} 100
+
+eval instant at 50m m % 1000
+  {job="a"} 100
 """)
   }
 
@@ -3255,6 +3271,35 @@ eval instant at 50m count by (job, nope) (m)
 # one-to-one matches iff each side has exactly one series
 eval instant at 50m sum(m{job="a"}) + on(nope) sum(m{job="b"})
   {} 300
+""")
+  }
+
+  test("duration grammar is the vintage single-unit form: compound " +
+      "and zero durations fail at parse time (model/time.go:180-213)") {
+    run("""
+load 5m
+  m{job="a"} 0+10x20
+
+# single-unit forms across every unit parse and select
+eval instant at 90m count_over_time(m[90m])
+  {job="a"} 19
+
+eval instant at 90m count_over_time(m[1h])
+  {job="a"} 13
+
+# 5400s = 90m: seconds form reaches the same window
+eval instant at 90m count_over_time(m[5400s])
+  {job="a"} 19
+
+# compound durations are NOT a valid duration string in this vintage
+eval_fail instant at 50m count_over_time(m[1h30m])
+
+eval_fail instant at 50m m offset 1h30m
+
+# zero durations are rejected (parse.go:1131-1140)
+eval_fail instant at 50m count_over_time(m[0s])
+
+eval_fail instant at 50m m offset 0m
 """)
   }
 }
