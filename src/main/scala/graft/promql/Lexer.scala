@@ -142,13 +142,33 @@ object Lexer {
   private def isHex(c: Char): Boolean =
     c.isDigit || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
 
-  /** Go-style quoted string with escapes (`strconv.Unquote` subset). */
+  /** Quoted-string body with the Go escape set the vintage accepts
+    * (lex.go:649-699 lexEscape / strutil.Unquote, both deferring to
+    * go/scanner semantics): `\\a \\b \\f \\n \\r \\t \\v` and quotes, octal
+    * `\\123` (3 digits, <= 255), `\\x..` (2 hex), `\\u....` (4 hex),
+    * `\\U........` (8 hex, any rune below MaxRune, surrogates
+    * rejected). A LITERAL newline inside a quoted string is a syntax
+    * error like strutil.Unquote's contains-newline check (raw
+    * backtick strings keep accepting them). */
   private def lexString(input: String, start: Int, quote: Char): (String, Int) = {
     val sb = new StringBuilder
     var i = start + 1
     val n = input.length
+    def radixEscape(digits: Int, radix: Int, max: Int, skip: Int): Unit = {
+      if (i + skip + digits > n) throw LexException("escape sequence not terminated")
+      val body = input.substring(i + skip, i + skip + digits)
+      val v =
+        try Integer.parseInt(body, radix)
+        catch { case _: NumberFormatException =>
+          throw LexException(s"illegal character in escape sequence: $body") }
+      if (v > max || (v >= 0xD800 && v <= 0xDFFF))
+        throw LexException("escape sequence is invalid Unicode code point")
+      sb.appendAll(Character.toChars(v)); i += skip + digits
+    }
     while (i < n && input.charAt(i) != quote) {
       val c = input.charAt(i)
+      if (c == '\n')
+        throw LexException("unterminated string (literal newline)")
       if (c == '\\') {
         if (i + 1 >= n) throw LexException("unterminated string escape")
         input.charAt(i + 1) match {
@@ -162,12 +182,10 @@ object Lexer {
           case 'b' => sb += '\b'; i += 2
           case 'f' => sb += '\f'; i += 2
           case 'v' => sb += '\u000B'; i += 2
-          case 'x' =>
-            val hex = input.substring(i + 2, math.min(i + 4, n))
-            sb += Integer.parseInt(hex, 16).toChar; i += 4
-          case 'u' =>
-            val hex = input.substring(i + 2, math.min(i + 6, n))
-            sb += Integer.parseInt(hex, 16).toChar; i += 6
+          case d if d >= '0' && d <= '7' => radixEscape(3, 8, 255, 1)
+          case 'x' => radixEscape(2, 16, 255, 2)
+          case 'u' => radixEscape(4, 16, Character.MAX_CODE_POINT, 2)
+          case 'U' => radixEscape(8, 16, Character.MAX_CODE_POINT, 2)
           case other => throw LexException(s"unknown escape \\$other")
         }
       } else { sb += c; i += 1 }

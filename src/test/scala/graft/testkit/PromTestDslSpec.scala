@@ -3302,4 +3302,40 @@ eval_fail instant at 50m count_over_time(m[0s])
 eval_fail instant at 50m m offset 0m
 """)
   }
+
+  test("string escapes: the Go set incl. octal and \\U; bad escapes " +
+      "fail at parse time (lex.go:649-699, strutil.Unquote)") {
+    // NB: \u sequences are masked (Scala pre-processes \uXXXX even in
+    // triple-quoted source), so the DSL text receives them verbatim
+    val bsu = "\\u"
+    run(s"""
+load 5m
+  m{x="A"} 0+10x10
+  n{u="é"} 0+20x10
+
+# \\101 = octal 65 = 'A'; \\x41 and A reach the same label value
+eval instant at 50m m{x="\\101"}
+  m{x="A"} 100
+
+eval instant at 50m m{x="\\x41"}
+  m{x="A"} 100
+
+eval instant at 50m m{x="A"}
+  m{x="A"} 100
+
+# 4-digit and 8-digit unicode escapes; é = U+00E9
+eval instant at 50m n{u="${bsu}00e9"}
+  n{u="é"} 200
+
+eval instant at 50m n{u="\\U000000e9"}
+  n{u="é"} 200
+
+# unknown escape, truncated escape, and surrogate code points all fail
+eval_fail instant at 50m m{x="\\q"}
+
+eval_fail instant at 50m m{x="${bsu}00"}
+
+eval_fail instant at 50m m{x="${bsu}d800"}
+""")
+  }
 }
