@@ -57,9 +57,6 @@ object Lexer {
     }
   }
 
-  def isDuration(s: String): Boolean =
-    try { parseDuration(s); true } catch { case _: LexException => false }
-
   def lex(input: String): Vector[Token] = {
     val toks = Vector.newBuilder[Token]
     var i = 0
