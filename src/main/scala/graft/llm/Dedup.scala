@@ -306,9 +306,9 @@ object Dedup {
         .queryExecution.analyzed.canonicalized, n, threshold),
       _ => ngramJaccardPairs(docs, n, threshold, idCol, textCol).cache())
 
-  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
+  private val pairsCache: java.util.Map[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Double),
-    DataFrame]()
+    DataFrame] = PlanCache.bounded(16)
 
   /** The (id, sorted distinct shingle-hash set, count) aggregation that
     * [[minhashLshPairs]] builds its signatures AND its exact-verify
@@ -330,8 +330,9 @@ object Dedup {
           count(lit(1)).as("nsh"))
         .cache())
 
-  private val shingleSetsCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), DataFrame]()
+  private val shingleSetsCache: java.util.Map[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), DataFrame] =
+    PlanCache.bounded(16)
 
   // ---- MinHash + LSH (the scale path) -----------------------------------
 

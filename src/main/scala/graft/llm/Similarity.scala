@@ -73,8 +73,9 @@ object Similarity {
       emb.select(col(idCol), col(vecCol)).queryExecution.analyzed.canonicalized,
       _ => prep(emb, idCol, vecCol).cache())
 
-  private val prepCache = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]()
+  private val prepCache: java.util.Map[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame] =
+    PlanCache.bounded(16)
 
   /** Benchmark corpus with PLANTED near-duplicates: the fixture
     * embeddings carry no true near-dups (max pair cosine ≈ 0.6, i.e. the

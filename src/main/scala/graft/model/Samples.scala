@@ -189,13 +189,12 @@ object Samples {
     * plans) that cannot be matched to a session id — cleared wholesale
     * when any session's context ends. */
   private val planCaches = new java.util.concurrent.CopyOnWriteArrayList[
-    java.util.concurrent.ConcurrentHashMap[_, _]]()
+    java.util.Map[_, _]]()
 
   def registerSessionKeyedCache(
       m: java.util.concurrent.ConcurrentHashMap[String, _]): Unit =
     keyedCaches.add(m)
-  def registerSessionBoundCache(
-      m: java.util.concurrent.ConcurrentHashMap[_, _]): Unit =
+  def registerSessionBoundCache(m: java.util.Map[_, _]): Unit =
     planCaches.add(m)
 
   private def evictSession(id: String): Unit = {

@@ -98,6 +98,24 @@ class LlmOpsSpec extends SparkTestBase {
     assert(!r.contains(2L)) // no query term: no row, never a 0-score flood
   }
 
+  test("plan-keyed memo caches are LRU-bounded and eviction unpersists " +
+      "(a per-batch op sees a NEW plan key every batch)") {
+    // 20 distinct corpus plans > the 16-entry bound; the earliest
+    // frames must be evicted AND released from executor storage
+    val frames = (0 until 20).map { k =>
+      val d = Seq((k.toLong, s"alpha beta gamma delta epsilon $k"))
+        .toDF("doc_id", "text")
+      val f = Dedup.shingleSetsCached(d, 3)
+      f.count() // materialize the cache entry
+      f
+    }
+    val levels = frames.map(_.storageLevel.useMemory)
+    assert(levels.takeRight(16).forall(identity),
+      "recently used entries must stay cached")
+    assert(levels.take(4).forall(l => !l),
+      s"evicted entries must be unpersisted, got $levels")
+  }
+
   test("incrementalNearDup: fresh-vs-history pairs only, never " +
       "history-history") {
     val history = Seq(
