@@ -1980,6 +1980,20 @@ eval_fail instant at 50m rate(foo[5m:1m])
 eval_fail instant at 50m foo @ 1500
 
 eval_fail instant at 50m foo offset -5m
+
+# modifier misuse (parse.go:466-469, 1060-1079): bool off comparisons,
+# grouping on set operators, vector matching against a scalar
+eval_fail instant at 50m foo and bool foo
+
+eval_fail instant at 50m foo + bool foo
+
+eval_fail instant at 50m foo and on(job) group_left foo
+
+eval_fail instant at 50m foo unless group_right(job) foo
+
+eval_fail instant at 50m foo + on(job) 1
+
+eval_fail instant at 50m 1 == bool on(job) foo
 """)
   }
 
