@@ -176,6 +176,22 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("LeftSemi"), "history pruning must be a semi-join")
   }
 
+  test("d15 prefix filter and x9 kmeans plans: no cartesian products; " +
+      "the kmeans centroid table broadcasts") {
+    val d15 = plan("d15_containment_prefix")
+    assert(!d15.contains("CartesianProduct") &&
+      !d15.contains("BroadcastNestedLoopJoin"),
+      "prefix-filter candidates must come from the equi-join on the " +
+        s"shingle hash:\n${d15.take(600)}")
+    assert(d15.contains("Window"), "per-doc df ranking window expected")
+    val x9 = plan("x9_kmeans_rounds")
+    assert(x9.contains("BroadcastExchange") ||
+      x9.contains("BroadcastNestedLoopJoin"),
+      "the k x dim centroid table must broadcast into the scoring pass")
+    assert(!x9.contains("SortMergeJoin"),
+      s"no corpus-volume join may appear in the scoring pass:\n${x9.take(600)}")
+  }
+
   test("sample-volume aggregations are hash-based, not sort-based") {
     // a1_sum is the canonical (sig, step) aggregation; a map-typed key
     // would force SortAggregate (no UnsafeRow support for maps)
