@@ -303,12 +303,22 @@ object TextOps {
       tokens(col(textCol)).as("_tk"))
     val stats = tok.agg(count(lit(1)).as("_n"),
       avg(size(col("_tk")).cast("double")).as("_avgdl"))
+    // MATERIALIZE the tf table once (localCheckpoint): it feeds both
+    // the df aggregate and the final score join, and without the
+    // boundary Catalyst re-plans the subtree per consumer — the
+    // executed plan re-scanned the corpus FOUR times (column pruning
+    // makes the duplicated exchanges unequal, so AQE reuse never
+    // fires). tf is output-sized (≤ |matching docs| × |terms| rows),
+    // so the checkpoint is trivially small at any corpus scale, and
+    // the operator drops to TWO corpus scans: this one and the
+    // N/avgdl stats aggregate (which must see non-matching docs).
     val tf = tok
       .select(col(idCol), size(col("_tk")).cast("long").as("dl"),
         explode(col("_tk")).as("token"))
       .where(col("token").isin(terms: _*))
       .groupBy(col(idCol), col("dl"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val idf = log((col("_n").cast("double") - col("df") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5)) + lit(1.0))

@@ -150,20 +150,38 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), "tf must be a hash aggregate")
   }
 
-  test("t30_bm25 filters tokens BEFORE the per-doc aggregate and " +
-      "broadcasts df and N") {
+  test("t30_bm25: tf materialized once (two corpus scans total), df " +
+      "and N broadcast, token filter under the checkpointed aggregate") {
+    // the tf table is localCheckpoint'd so the final plan reads it as
+    // an existing RDD (without the boundary, Catalyst re-planned the
+    // subtree per consumer: FOUR corpus scans in the executed plan)
     val p = plan("t30_bm25")
-    // the term filter must sit under the aggregate so the shuffle
-    // carries only query-term tokens, never the whole token stream
-    val filterIdx = p.indexOf("Filter")
-    val aggIdx = p.indexOf("HashAggregate")
-    assert(filterIdx >= 0 && aggIdx >= 0, s"missing operators:\n${p.take(600)}")
-    assert(p.contains("token") && p.linesIterator.exists(l =>
-      l.contains("Filter") || l.contains("PushedFilters")),
-      "token IN (...) filter missing")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"tf checkpoint boundary missing:\n${p.take(600)}")
+    // one scan node = two "Scan parquet" strings in formatted output
+    // (tree line + numbered detail section)
+    assert(count(p, "Scan parquet") <= 2,
+      "only the N/avgdl stats aggregate may rescan the corpus")
     assert(count(p, "BroadcastExchange") >= 2,
       "df table and the N/avgdl scalar must both broadcast")
     assert(!p.contains("SortAggregate"), "bm25 aggregates must be hash-based")
+    // the term filter sits under the CHECKPOINTED aggregate: assert on
+    // the tf subtree's own plan, where the shuffle must carry only
+    // query-term tokens
+    import org.apache.spark.sql.functions.{col, explode, size, count => cnt, lit}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val tfPlan = formatted(docs
+      .select(col("doc_id"), size(graft.llm.TextOps.tokens(col("text")))
+        .cast("long").as("dl"),
+        explode(graft.llm.TextOps.tokens(col("text"))).as("token"))
+      .where(col("token").isin(SparkEntry.Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(cnt(lit(1)).as("tf")))
+    val filterIdx = tfPlan.indexOf("Filter")
+    val exchangeIdx = tfPlan.indexOf("Exchange")
+    assert(filterIdx >= 0 && exchangeIdx >= 0 &&
+      tfPlan.contains("HashAggregate"),
+      s"missing operators in tf subtree:\n${tfPlan.take(600)}")
   }
 
   test("d16 incremental near-dup broadcast-prunes history postings " +
