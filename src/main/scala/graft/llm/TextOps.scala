@@ -265,9 +265,17 @@ object TextOps {
     * both sides are post-aggregation volumes, never raw token streams. */
   def tfidf(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // materialize tf once (r10, the bm25 lesson): it feeds the df
+    // aggregate AND the weight join, and without the boundary Catalyst
+    // re-plans the explode subtree per consumer — the executed plan
+    // held multiple full corpus scans with no exchange reuse (pruning
+    // makes the duplicated exchanges unequal). tf is the operator's
+    // own output volume, so one MEMORY_AND_DISK copy is the floor cost
+    // of emitting the result at all.
     val tf = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
     val n = docs.agg(count(lit(1)).as("_n"))
     tf.join(broadcast(df_), "token")
