@@ -1177,6 +1177,15 @@ object SparkEntry {
     "m4_embed_batch" -> ((spark, dir) =>
       Multimodal.embedStub(spark,
         Multimodal.mediaTable(docs(spark, dir)), 64).toDF()),
+    // M5: perceptual hashes (aHash/dHash) per image — exact-integer
+    // 64-cell downsamples as native codegen expressions, map-only
+    "m5_image_phash" -> ((spark, dir) =>
+      Multimodal.imagePHash(Multimodal.mediaTable(docs(spark, dir)))),
+    // M6: image near-dup pairs — aHash through the d4 4×16-bit banded
+    // Hamming join (exact ≤3), on the planted-duplicate media corpus
+    "m6_image_neardup" -> ((spark, dir) =>
+      Multimodal.imageNearDupPairs(
+        Multimodal.mediaTableWithDupes(docs(spark, dir)))),
     // T11: stratified sampling — per-language keep rates over the
     // deterministic hash bucket (map-only, id-stable across reruns)
     "t11_stratified_sample" -> ((spark, dir) =>
@@ -2115,6 +2124,80 @@ object SparkEntry {
         |  CAST(sum(c * c) AS BIGINT) AS l2num,
         |  CAST(sum(c) AS BIGINT) AS n_bytes
         |FROM bc GROUP BY 1""".stripMargin,
+    // m5/m6: the perceptual-hash contract — cell c of a k-cell
+    // downsample covers bytes [⌊c·n/k⌋, ⌊(c+1)·n/k⌋); aHash bit c ⇔
+    // cellSum·n > total·cellWidth (64 cells), dHash bit c ⇔
+    // s_c·w_{c+1} > s_{c+1}·w_c (65 cells) — all exact integers, so
+    // DuckDB replays the identical 64 bits from the text bytes (the
+    // fixture payload IS the UTF-8 text; ASCII-only, so ord = byte)
+    "m5_image_phash" ->
+      """WITH b AS (SELECT doc_id, len(text) AS n,
+        |    list_transform(generate_series(1, len(text)),
+        |      i -> ord(substr(text, i, 1))) AS by
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |tot AS (SELECT doc_id, n, by, coalesce(list_sum(by), 0) AS total
+        |  FROM b),
+        |cells AS (SELECT doc_id, n, total,
+        |  list_transform(generate_series(0, 63), c -> struct_pack(
+        |    s := coalesce(list_sum(list_slice(by, (c*n)//64 + 1,
+        |                                      ((c+1)*n)//64)), 0),
+        |    w := ((c+1)*n)//64 - (c*n)//64)) AS cs,
+        |  list_transform(generate_series(0, 64), c -> struct_pack(
+        |    s := coalesce(list_sum(list_slice(by, (c*n)//65 + 1,
+        |                                      ((c+1)*n)//65)), 0),
+        |    w := ((c+1)*n)//65 - (c*n)//65)) AS ds
+        |  FROM tot),
+        |bits AS (SELECT doc_id,
+        |  list_transform(generate_series(1, 64), i ->
+        |    CASE WHEN cs[i].s * n > total * cs[i].w THEN 1 ELSE 0 END)
+        |    AS abits,
+        |  list_transform(generate_series(1, 64), i ->
+        |    CASE WHEN ds[i].s * ds[i+1].w > ds[i+1].s * ds[i].w
+        |         THEN 1 ELSE 0 END) AS dbits
+        |  FROM cells)
+        |SELECT doc_id,
+        |  printf('%04x%04x%04x%04x',
+        |    CAST(list_sum(list_transform(generate_series(0, 15), j -> abits[49+j] * (1<<j))) AS INT),
+        |    CAST(list_sum(list_transform(generate_series(0, 15), j -> abits[33+j] * (1<<j))) AS INT),
+        |    CAST(list_sum(list_transform(generate_series(0, 15), j -> abits[17+j] * (1<<j))) AS INT),
+        |    CAST(list_sum(list_transform(generate_series(0, 15), j -> abits[1+j] * (1<<j))) AS INT))
+        |    AS ahash_hex,
+        |  printf('%04x%04x%04x%04x',
+        |    CAST(list_sum(list_transform(generate_series(0, 15), j -> dbits[49+j] * (1<<j))) AS INT),
+        |    CAST(list_sum(list_transform(generate_series(0, 15), j -> dbits[33+j] * (1<<j))) AS INT),
+        |    CAST(list_sum(list_transform(generate_series(0, 15), j -> dbits[17+j] * (1<<j))) AS INT),
+        |    CAST(list_sum(list_transform(generate_series(0, 15), j -> dbits[1+j] * (1<<j))) AS INT))
+        |    AS dhash_hex
+        |FROM bits""".stripMargin,
+    // planted near-dup corpus: original images ∪ one same-length
+    // perturbed copy each (id + 1e6, last byte → '~'); pairs via
+    // all-pairs aHash-bit comparison (the oracle may be quadratic —
+    // the Spark side is the banded join)
+    "m6_image_neardup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substr(text, 1, len(text) - 1) || '~'
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |b AS (SELECT doc_id, len(text) AS n,
+        |    list_transform(generate_series(1, len(text)),
+        |      i -> ord(substr(text, i, 1))) AS by
+        |  FROM corpus),
+        |tot AS (SELECT doc_id, n, by, coalesce(list_sum(by), 0) AS total
+        |  FROM b),
+        |bits AS (SELECT doc_id,
+        |  list_transform(generate_series(0, 63), c ->
+        |    CASE WHEN coalesce(list_sum(list_slice(by, (c*n)//64 + 1,
+        |                                           ((c+1)*n)//64)), 0) * n
+        |              > total * (((c+1)*n)//64 - (c*n)//64)
+        |         THEN 1 ELSE 0 END) AS abits
+        |  FROM tot),
+        |pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |  list_sum(list_transform(generate_series(1, 64), i ->
+        |    CASE WHEN a.abits[i] <> b.abits[i] THEN 1 ELSE 0 END)) AS hamming
+        |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
+        |SELECT ia, ib, CAST(hamming AS BIGINT) AS hamming
+        |FROM pr WHERE hamming <= 3""".stripMargin,
     "m2_frame_sample" ->
       """WITH f AS (SELECT doc_id, text, len(text) // 32 AS nf FROM documents),
         |ix AS (SELECT doc_id, text,

@@ -672,9 +672,18 @@ object Dedup {
     * join is EXACTLY the all-pairs result — no recall loss, and shuffle
     * is 4 small rows per doc instead of N². */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    bandedHamming64Pairs(simhashes(docs, idCol, textCol), maxHamming)
+
+  /** The banded Hamming join itself, shared by text SimHash (d4) and
+    * image perceptual-hash near-dup (m6): input is any (id, sh) frame
+    * of 64-bit fingerprints; output is every (ia, ib, hamming) pair
+    * with hamming ≤ `maxHamming`. 4×16-bit bands: any pair with ≤ 3
+    * differing bits must agree on ≥ 1 band (pigeonhole), so the banded
+    * join is EXACTLY the all-pairs result — no recall loss, and shuffle
+    * is 4 small rows per doc instead of N². */
+  def bandedHamming64Pairs(hs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4x16-bit banding is exact only up to distance 3")
-    val hs = simhashes(docs, idCol, textCol)
     val bandArr = array((0 until 4).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("sh"), 16 * b).bitwiseAND(lit(0xffffL)).as("bkey"))

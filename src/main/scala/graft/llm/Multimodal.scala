@@ -124,6 +124,52 @@ object Multimodal {
       lower(hex(resize(col("media"), lit(every)))).as("resized_hex"))
   }
 
+  /** Media table with PLANTED near-duplicate images — the
+    * [[Similarity.withPlantedDupes]] precedent applied to payloads:
+    * the fixture texts carry no byte-level perceptual near-dups (the
+    * closest aHash pair sits at Hamming 9), so the sub-quadratic image
+    * near-dup path is demonstrated on the union of the media table
+    * with one perturbed copy per item (id + 10⁶, last payload byte
+    * replaced) — a same-length, few-cell perturbation, the
+    * re-encoded/one-pixel-edit regime real image dedup targets.
+    * Deterministic and SQL-reproducible, so the oracle re-derives the
+    * exact same corpus. Metadata (kind, dims) rides along from the
+    * original, as a re-encode preserves it. */
+  def mediaTableWithDupes(docs: DataFrame): DataFrame = {
+    val base = mediaTable(docs)
+    val planted = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      col("kind"), col("width"), col("height"),
+      concat(expr("substring(media, 1, length(media) - 1)"),
+        lit("~".getBytes("UTF-8"))).as("media"))
+    base.unionByName(planted)
+  }
+
+  /** Per-image perceptual hashes ([[graft.functions.ImageAHash]] /
+    * [[graft.functions.ImageDHash]] — exact-integer 64-cell
+    * downsamples, codegen'd). Emitted as 16-hex-digit strings so the
+    * witness dodges cross-engine 64-bit signedness. Map-only: at
+    * 100 TB the cost is the pruned (doc_id, kind, media) scan. */
+  def imagePHash(media: DataFrame): DataFrame =
+    media.filter(col("kind") === "image")
+      .select(col("doc_id"),
+        format_string("%016x", graft.functions.ImageAHash(col("media")))
+          .as("ahash_hex"),
+        format_string("%016x", graft.functions.ImageDHash(col("media")))
+          .as("dhash_hex"))
+
+  /** Image near-duplicate pairs: aHash fingerprints through the SAME
+    * 4×16-bit banded Hamming join as text SimHash
+    * ([[Dedup.bandedHamming64Pairs]]) — exact to distance ≤ 3, shuffle
+    * is 4 small (band, key) rows per image, NEVER all-pairs. This is
+    * to the image corpus what d1–d16 are to text: the d4 blocking
+    * machinery applied to a perceptual (not token) fingerprint. */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.bandedHamming64Pairs(
+      media.filter(col("kind") === "image")
+        .select(col("doc_id").as("id"),
+          graft.functions.ImageAHash(col("media")).as("sh")),
+      maxHamming)
+
   /** Frame sampling: slice the payload into fixed-size frames and keep
     * every `every`-th full frame. Row count multiplies by frames/every;
     * byte volume DROPS by the sampling factor — at scale this runs as a

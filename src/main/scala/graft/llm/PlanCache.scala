@@ -17,7 +17,7 @@ import org.apache.spark.sql.DataFrame
   * action (ANN centroid/PQ codebook builds) stay on ConcurrentHashMap
   * with per-bin locking and small driver-side values instead.
   */
-private[llm] object PlanCache {
+private[graft] object PlanCache {
   def bounded[K](max: Int): java.util.Map[K, DataFrame] =
     java.util.Collections.synchronizedMap(
       new java.util.LinkedHashMap[K, DataFrame](16, 0.75f, true) {
@@ -26,4 +26,16 @@ private[llm] object PlanCache {
           if (size() > max) { e.getValue.unpersist(false); true }
           else false
       })
+
+  /** Session-teardown eviction: `Map.clear()` bypasses
+    * `removeEldestEntry`, so entries dropped that way would keep their
+    * executor storage until GC — unpersist every value FIRST (r10
+    * advice). Synchronizes on the map (the `synchronizedMap` contract
+    * for iteration), which is safe because unpersist(false) is
+    * non-blocking and never runs a job. */
+  def clearAndUnpersist(m: java.util.Map[_, DataFrame]): Unit =
+    m.synchronized {
+      m.values.forEach(_.unpersist(false))
+      m.clear()
+    }
 }

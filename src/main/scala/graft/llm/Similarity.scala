@@ -243,8 +243,15 @@ object Similarity {
         .localCheckpoint(true)
     def assign(cent: DataFrame): DataFrame =
       v.crossJoin(broadcast(cent))
-        .withColumn("_cos", graft.functions.ArrayDot(col("_v"), col("cv")) /
-          (col("_vnrm") * col("cnrm")))
+        // nanvl → −1: a zero-norm vector or all-zero centroid yields
+        // 0/0 = NaN, which Spark's min(struct) orders LARGEST while
+        // DuckDB's ORDER BY cos DESC sorts it last — pinning NaN to −1
+        // (worse than any real cosine) keeps the tie-break contract
+        // identical across engines for degenerate embeddings (r10
+        // advice)
+        .withColumn("_cos",
+          nanvl(graft.functions.ArrayDot(col("_v"), col("cv")) /
+            (col("_vnrm") * col("cnrm")), lit(-1.0)))
         .groupBy(col("_id"), col("_lbl"))
         .agg(min(struct((-col("_cos")).as("nc"), col("clabel").as("al"),
           col("_cos").as("cv0"))).as("_m"))
@@ -1042,7 +1049,7 @@ object Similarity {
   // plan; cleared wholesale when any session's context ends
   // (graft.model.Samples.registerSessionBoundCache)
   graft.model.Samples.registerSessionBoundCache(prepCache)
-  graft.model.Samples.registerSessionBoundCache(centroidCache)
-  graft.model.Samples.registerSessionBoundCache(pqCache)
+  graft.model.Samples.registerSessionBoundValueCache(centroidCache)
+  graft.model.Samples.registerSessionBoundValueCache(pqCache)
 
 }

@@ -271,11 +271,19 @@ object TextOps {
     // held multiple full corpus scans with no exchange reuse (pruning
     // makes the duplicated exchanges unequal). tf is the operator's
     // own output volume, so one MEMORY_AND_DISK copy is the floor cost
-    // of emitting the result at all.
-    val tf = docs
-      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
-      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    // of emitting the result at all. The boundary is a LAZY cache()
+    // through the bounded LRU (r11, replacing an eager
+    // localCheckpoint): lineage survives, so an executor loss
+    // RECOMPUTES the lost blocks instead of failing the query, no job
+    // runs at plan-construction time, and eviction unpersists — the
+    // long-running-server lifecycle the checkpoint blocks lacked.
+    val tf = tfCache.computeIfAbsent(
+      (docs.select(col(idCol), col(textCol))
+        .queryExecution.analyzed.canonicalized, Nil),
+      _ => docs
+        .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+        .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+        .cache())
     val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
     val n = docs.agg(count(lit(1)).as("_n"))
     tf.join(broadcast(df_), "token")
@@ -311,22 +319,28 @@ object TextOps {
       tokens(col(textCol)).as("_tk"))
     val stats = tok.agg(count(lit(1)).as("_n"),
       avg(size(col("_tk")).cast("double")).as("_avgdl"))
-    // MATERIALIZE the tf table once (localCheckpoint): it feeds both
-    // the df aggregate and the final score join, and without the
-    // boundary Catalyst re-plans the subtree per consumer — the
-    // executed plan re-scanned the corpus FOUR times (column pruning
-    // makes the duplicated exchanges unequal, so AQE reuse never
-    // fires). tf is output-sized (≤ |matching docs| × |terms| rows),
-    // so the checkpoint is trivially small at any corpus scale, and
-    // the operator drops to TWO corpus scans: this one and the
-    // N/avgdl stats aggregate (which must see non-matching docs).
-    val tf = tok
-      .select(col(idCol), size(col("_tk")).cast("long").as("dl"),
-        explode(col("_tk")).as("token"))
-      .where(col("token").isin(terms: _*))
-      .groupBy(col(idCol), col("dl"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    // MATERIALIZE the tf table once: it feeds both the df aggregate
+    // and the final score join, and without the boundary Catalyst
+    // re-plans the subtree per consumer — the executed plan re-scanned
+    // the corpus FOUR times (column pruning makes the duplicated
+    // exchanges unequal, so AQE reuse never fires). tf is output-sized
+    // (≤ |matching docs| × |terms| rows), so the materialized copy is
+    // trivially small at any corpus scale, and the operator drops to
+    // TWO corpus scans: this one and the N/avgdl stats aggregate
+    // (which must see non-matching docs). Lazy cache() via the bounded
+    // LRU, not localCheckpoint (r11): lineage-preserving (executor
+    // loss recomputes), no plan-construction-time job, eviction
+    // unpersists.
+    val tf = tfCache.computeIfAbsent(
+      (docs.select(col(idCol), col(textCol))
+        .queryExecution.analyzed.canonicalized, terms.sorted),
+      _ => tok
+        .select(col(idCol), size(col("_tk")).cast("long").as("dl"),
+          explode(col("_tk")).as("token"))
+        .where(col("token").isin(terms: _*))
+        .groupBy(col(idCol), col("dl"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+        .cache())
     val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val idf = log((col("_n").cast("double") - col("df") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5)) + lit(1.0))
@@ -985,6 +999,15 @@ object TextOps {
           (col("m") * col("sxx") - col("sx") * col("sx")))
           .cast("float").as("zipf_slope"))
   }
+
+  /** Memoized + Spark-cached tf tables for [[tfidf]] / [[bm25]], keyed
+    * by (canonicalized docs plan, query-term set) — `Nil` is the tfidf
+    * (whole-vocabulary) key. Same lifecycle as Dedup's pair/shingle
+    * caches: bounded LRU, unpersist-on-evict, lazily built values. */
+  private val tfCache: java.util.Map[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Seq[String]),
+    DataFrame] = PlanCache.bounded(16)
+  graft.model.Samples.registerSessionBoundCache(tfCache)
 
   /** One-pass text-analysis projection over a documents frame. */
   def analyze(docs: DataFrame, idCol: String = "doc_id",

@@ -189,17 +189,27 @@ object Samples {
     * plans) that cannot be matched to a session id — cleared wholesale
     * when any session's context ends. */
   private val planCaches = new java.util.concurrent.CopyOnWriteArrayList[
+    java.util.Map[_, DataFrame]]()
+  private val planValueCaches = new java.util.concurrent.CopyOnWriteArrayList[
     java.util.Map[_, _]]()
 
   def registerSessionKeyedCache(
       m: java.util.concurrent.ConcurrentHashMap[String, _]): Unit =
     keyedCaches.add(m)
-  def registerSessionBoundCache(m: java.util.Map[_, _]): Unit =
+  def registerSessionBoundCache(m: java.util.Map[_, DataFrame]): Unit =
     planCaches.add(m)
+  /** For plan-keyed caches holding DRIVER-side values (no Spark
+    * storage to release) — centroid tables, PQ codebooks. */
+  def registerSessionBoundValueCache(m: java.util.Map[_, _]): Unit =
+    planValueCaches.add(m)
 
   private def evictSession(id: String): Unit = {
     keyedCaches.forEach(m => m.keySet.removeIf(_.contains(id)))
-    planCaches.forEach(_.clear())
+    // unpersist-then-clear: a bare clear() bypasses the LRU's
+    // removeEldestEntry hook and would orphan the Spark-cached frames
+    // for any surviving session (r10 advice)
+    planCaches.forEach(graft.llm.PlanCache.clearAndUnpersist)
+    planValueCaches.forEach(_.clear())
   }
 
   registerSessionKeyedCache(eventsCache)

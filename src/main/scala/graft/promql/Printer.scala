@@ -86,7 +86,12 @@ object Printer {
     * (90 minutes prints "90m", not "1h30m" — the reference's own
     * printed form re-parses under its single-unit grammar.) */
   def duration(ms: Long): String = {
-    require(ms > 0, s"duration must be positive, got $ms")
+    require(ms >= 0, s"duration must be non-negative, got $ms")
+    // the reference Duration.String returns "0s" for the zero duration
+    // (common/model/time.go:215-218); parseDuration rejects zero on
+    // input, but printer paths (e.g. a defaulted subquery step) may
+    // legally hold it
+    if (ms == 0) return "0s"
     val units = Seq(
       "y" -> 365L * 24 * 3600 * 1000, "w" -> 7L * 24 * 3600 * 1000,
       "d" -> 24L * 3600 * 1000, "h" -> 3600000L, "m" -> 60000L,

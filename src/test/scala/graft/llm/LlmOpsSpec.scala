@@ -1189,4 +1189,75 @@ class LlmOpsSpec extends SparkTestBase {
     assert(e0.c_max == hist.values.max)
     assert(e0.l2num == hist.values.map(c => c * c).sum)
   }
+
+  // ---- perceptual image hashes (m5/m6) -----------------------------------
+
+  test("ImageHashes: analytic edge cases — empty, constant, ramps") {
+    import graft.functions.ImageHashes
+    assert(ImageHashes.ahash(Array.empty[Byte]) == 0L)
+    assert(ImageHashes.dhash(Array.empty[Byte]) == 0L)
+    // constant payload: no cell strictly above the mean, no gradient
+    val const = Array.fill[Byte](130)(42)
+    assert(ImageHashes.ahash(const) == 0L)
+    assert(ImageHashes.dhash(const) == 0L)
+    // strictly increasing ramp: dhash compares mean(c) > mean(c+1) —
+    // never true — and ahash sets exactly the upper-half cells
+    val ramp = Array.tabulate[Byte](200)(i => i.toByte)
+    assert(ImageHashes.dhash(ramp) == 0L)
+    assert(java.lang.Long.bitCount(ImageHashes.ahash(ramp)) == 32)
+    assert((ImageHashes.ahash(ramp) & 1L) == 0L) // lowest cell below mean
+    // strictly decreasing ramp: every adjacent gradient is downhill
+    val down = ramp.reverse
+    assert(ImageHashes.dhash(down) == -1L) // all 64 bits set
+  }
+
+  test("ImageHashes: a one-byte same-length edit moves few aHash bits") {
+    import graft.functions.ImageHashes
+    val base = "the quick brown fox jumps over the lazy dog and then naps"
+      .getBytes("UTF-8")
+    val edited = base.clone(); edited(base.length - 1) = '~'.toByte
+    val d = java.lang.Long.bitCount(
+      ImageHashes.ahash(base) ^ ImageHashes.ahash(edited))
+    assert(d <= 3, s"one-byte edit moved $d aHash bits")
+  }
+
+  test("imageNearDupPairs: banded join equals brute force on the planted " +
+      "sf0.001 media corpus, and every planted image pair within 3 is found") {
+    import graft.functions.ImageHashes
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.mediaTableWithDupes(d)
+    val got = Multimodal.imageNearDupPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // driver-side brute force over the same corpus
+    val hs = media.filter(col("kind") === "image")
+      .select(col("doc_id"), col("media")).collect()
+      .map(r => r.getLong(0) -> ImageHashes.ahash(r.getAs[Array[Byte]](1)))
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+      h = java.lang.Long.bitCount(ha ^ hb).toLong if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(got == brute, "banded join must be EXACT at distance <= 3")
+    assert(brute.nonEmpty, "planted corpus must contain near-dup image pairs")
+    assert(brute.exists { case (ia, ib, _) => ib == ia + 1000000L },
+      "planted copies must be among the pairs")
+    // only image-kind rows participate (kind rides from the original,
+    // so planted ids reduce to an image-kind original mod the offset)
+    assert(hs.map(_._1 % 1000000L % 3).forall(_ == 0))
+  }
+
+  test("imagePHash emits %016x hex of the native expression hashes") {
+    import graft.functions.ImageHashes
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    val got = Multimodal.imagePHash(Multimodal.mediaTable(d)).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val texts = d.collect().map(r => r.getLong(0) -> r.getAs[String]("text")).toMap
+    got.foreach { case (id, (a, dh)) =>
+      assert(id % 3 == 0, "pHash applies to image-kind rows only")
+      val bs = texts(id).getBytes("UTF-8")
+      assert(a == f"${ImageHashes.ahash(bs)}%016x")
+      assert(dh == f"${ImageHashes.dhash(bs)}%016x")
+    }
+    assert(got.nonEmpty)
+  }
 }
