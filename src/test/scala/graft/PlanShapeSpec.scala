@@ -143,25 +143,42 @@ class PlanShapeSpec extends SparkTestBase {
       "the wide-bucket list must broadcast into the anti-join")
   }
 
-  test("t10_tfidf broadcasts df and N; tf aggregate is hash-based") {
+  /** Distinct parquet-scan OPERATORS in a formatted plan (the numbered
+    * detail section lists each operator once, even when the tree
+    * renders a reused node twice). The r10→r11 scan-count pin: t10/t30
+    * claim "N corpus scans → 2", and this is the assertion that keeps
+    * Catalyst re-planning from silently re-growing it. */
+  private def distinctParquetScans(p: String): Int =
+    "\\(\\d+\\) Scan parquet".r.findAllIn(p).toSet.size
+
+  test("t10_tfidf broadcasts df and N; tf aggregate is hash-based; " +
+      "exactly TWO distinct corpus scans (tf cache build + N aggregate)") {
     val p = plan("t10_tfidf")
     assert(count(p, "BroadcastExchange") >= 2,
       "df table and corpus-size N must both broadcast")
     assert(p.contains("HashAggregate"), "tf must be a hash aggregate")
+    // r11 pin (VERDICT r10 watch item 1): the tf materialization holds
+    // the plan at two distinct corpus scan operators — one inside the
+    // tf cache build, one for the N aggregate; both tf consumers read
+    // the cached relation
+    assert(distinctParquetScans(p) == 2,
+      s"tfidf corpus scan count regressed:\n${p.take(900)}")
+    assert(count(p, "InMemoryTableScan") >= 2,
+      s"both tf consumers must read the tf cache:\n${p.take(900)}")
   }
 
   test("t30_bm25: tf materialized once (two corpus scans total), df " +
-      "and N broadcast, token filter under the checkpointed aggregate") {
-    // the tf table is localCheckpoint'd so the final plan reads it as
-    // an existing RDD (without the boundary, Catalyst re-planned the
-    // subtree per consumer: FOUR corpus scans in the executed plan)
+      "and N broadcast, token filter under the cached aggregate") {
+    // the tf table is cached (lazy, through the bounded PlanCache LRU)
+    // so the final plan reads it as an InMemoryRelation (without the
+    // boundary, Catalyst re-planned the subtree per consumer: FOUR
+    // corpus scans in the executed plan)
     val p = plan("t30_bm25")
-    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
-      s"tf checkpoint boundary missing:\n${p.take(600)}")
-    // one scan node = two "Scan parquet" strings in formatted output
-    // (tree line + numbered detail section)
-    assert(count(p, "Scan parquet") <= 2,
-      "only the N/avgdl stats aggregate may rescan the corpus")
+    assert(count(p, "InMemoryTableScan") >= 2,
+      s"tf cache boundary missing:\n${p.take(600)}")
+    assert(distinctParquetScans(p) == 2,
+      s"only the tf cache build and the N/avgdl stats aggregate may " +
+        s"scan the corpus:\n${p.take(900)}")
     assert(count(p, "BroadcastExchange") >= 2,
       "df table and the N/avgdl scalar must both broadcast")
     assert(!p.contains("SortAggregate"), "bm25 aggregates must be hash-based")
@@ -390,6 +407,15 @@ class PlanShapeSpec extends SparkTestBase {
       s"vocab join stopped broadcasting:\n${p.take(800)}")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"t29 regressed to a shuffle join:\n${p.take(800)}")
+  }
+
+  test("m6 image near-dup: native perceptual hash, banded equi-join, " +
+      "never a cartesian") {
+    val p = plan("m6_image_neardup")
+    assert(p.contains("image_ahash"),
+      s"native ImageAHash expression missing:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"image near-dup must stay a banded equi-join:\n${p.take(1200)}")
   }
 
   test("langId plans the native stopword_hits expression, no lambda HOF") {
