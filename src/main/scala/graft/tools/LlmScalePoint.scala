@@ -118,7 +118,28 @@ object LlmScalePoint {
       // r10: iterated k-means — per-round work is one broadcast
       // map-only scoring pass + one (cluster, dim) mean aggregate;
       // the k×dim checkpoint is a constant driver action per round
-      ("x9_kmeans_rounds", () => Similarity.kmeansRounds(emb, 3)))
+      ("x9_kmeans_rounds", () => Similarity.kmeansRounds(emb, 3)),
+      // r11: PQ top-k — CONSTANT 10-query probe side (shard 0 ids),
+      // so growth isolates the corpus-side terms: the sampled codebook
+      // build (driver k-means, amortized across warm draws via
+      // pqCache) and the ADC byte-code scan (corpus-linear); the
+      // rescored shortlist stays queries-bounded
+      ("x5_sim_pq", () => Similarity.pqTopK(
+        emb.filter(col("vec_id") < 10), emb, 5, dim = 64)),
+      // r11: incremental near-dup vs history — history = lower half of
+      // each shard, fresh = upper half + exact copies of the lowest
+      // 10% (the planted overlap, constant per shard). The broadcast
+      // shingle prune keeps cost at batch×overlap per shard — growth
+      // beyond linear would mean the history² structure leaked back
+      ("d16_incremental_neardup", () => {
+        val m = col("doc_id") % 1000000L
+        val history = docs.filter(m < 2500)
+        val fresh = docs.filter(m >= 2500)
+          .select(col("doc_id"), col("text"))
+          .unionByName(docs.filter(m < 500)
+            .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
+        Dedup.incrementalNearDup(fresh, history, 3, 0.5)
+      }))
     for ((name, f) <- ops if only.forall(_.contains(name))) {
       val (cold, warm) = med(f())
       println(f"$name%-16s cold $cold%7.2f s  warm-med $warm%7.2f s")

@@ -3352,4 +3352,186 @@ eval_fail instant at 50m m{x="${bsu}00"}
 eval_fail instant at 50m m{x="${bsu}d800"}
 """)
   }
+
+  test("vector quantile out-of-range phi: q<0 -> -Inf, q>1 -> +Inf, " +
+      "per group, and quantile_over_time agrees (quantile.go:161-170)") {
+    run("""
+load 5m
+  q{s="a", job="x"} 0+10x10
+  q{s="b", job="x"} 0+20x10
+  q{s="c", job="y"} 0+30x10
+
+# the quantile() helper short-circuits BEFORE ranking: any non-empty
+# group answers -Inf / +Inf regardless of its values
+eval instant at 50m quantile(-1, q)
+  {} -Inf
+
+eval instant at 50m quantile(1.5, q)
+  {} Inf
+
+eval instant at 50m quantile by (job) (-0.5, q)
+  {job="x"} -Inf
+  {job="y"} -Inf
+
+# quantile_over_time goes through the SAME helper, per series
+eval instant at 50m quantile_over_time(-1, q{s="a"}[30m])
+  {s="a", job="x"} -Inf
+
+eval instant at 50m quantile_over_time(2, q{s="a"}[30m])
+  {s="a", job="x"} Inf
+
+# windows are CLOSED [t-W, t]: [5m] at 50m holds (45m, 90) and
+# (50m, 100) -> rank 0.73 interpolates between them
+eval instant at 50m quantile_over_time(0.73, q{s="a"}[5m])
+  {s="a", job="x"} 97.3
+
+# a [1m] window holds the 50m sample alone: any in-range phi answers it
+eval instant at 50m quantile_over_time(0.73, q{s="a"}[1m])
+  {s="a", job="x"} 100
+""")
+  }
+
+  test("NaN asymmetry: aggregation min/max SKIP NaN (engine.go " +
+      "itemMin/itemMax replace a NaN group value), but *_over_time " +
+      "folds use math.Min/Max which POISON (functions.go)") {
+    run("""
+load 5m
+  nm{s="real"} 5+0x10
+  nm{s="nan"} NaN NaN NaN NaN NaN NaN NaN NaN NaN NaN NaN
+  mx{s="m"} 1 2 NaN 4 5 6 7 8 9 10 11
+
+# a NaN group value is replaced by any real sample (either arrival
+# order): min/max see through NaN series
+eval instant at 50m min(nm)
+  {} 5
+
+eval instant at 50m max(nm)
+  {} 5
+
+# ...unless the whole group is NaN
+eval instant at 50m min(nm{s="nan"})
+  {} NaN
+
+eval instant at 50m max(nm{s="nan"})
+  {} NaN
+
+# the over_time folds have NO such branch: one NaN in the window
+# poisons math.Min/math.Max
+eval instant at 50m min_over_time(mx[50m])
+  {s="m"} NaN
+
+eval instant at 50m max_over_time(mx[50m])
+  {s="m"} NaN
+
+# a window PAST the NaN sample (closed [20m, 50m] starts at the
+# fifth sample) is clean again
+eval instant at 50m min_over_time(mx[30m])
+  {s="m"} 5
+
+# sum/avg never had the branch anywhere: NaN poisons both tiers
+eval instant at 50m sum(nm)
+  {} NaN
+
+eval instant at 50m sum_over_time(mx[50m])
+  {s="m"} NaN
+""")
+  }
+
+  test("deriv/predict_linear DROP series with fewer than two points " +
+      "(functions.go funcDeriv: len < 2 -> continue), not a NaN row") {
+    run("""
+load 10m
+  dv{s="one"} _ _ _ _ _ 5
+  dv{s="two"} 0 1 2 3 4 5
+
+# window [15m] at 50m: s="one" holds a single point -> dropped;
+# s="two" holds (40m, 4), (50m, 5) -> slope 1/600 per second
+eval instant at 50m deriv(dv[15m])
+  {s="two"} 0.0016666666666666668
+
+eval instant at 50m predict_linear(dv[15m], 600)
+  {s="two"} 6
+
+# both series survive once the window holds two points for each
+eval instant at 50m count(deriv(dv[60m]))
+  {} 1
+
+eval instant at 50m count(deriv(dv[2h]))
+  {} 1
+""")
+  }
+
+  test("Go math.Mod edges: x % 0 is NaN, Inf % y is NaN, finite x % " +
+      "Inf is x (sign of the dividend, IEEE fmod)") {
+    run("""
+load 5m
+  g{job="a"} 0+10x10
+
+eval instant at 50m 5 % 0
+  {} NaN
+
+eval instant at 50m (1/0) % 3
+  {} NaN
+
+eval instant at 50m (0-1/0) % 3
+  {} NaN
+
+eval instant at 50m 5 % (1/0)
+  {} 5
+
+eval instant at 50m (0 - 5) % (1/0)
+  {} -5
+
+eval instant at 50m 0 % 7
+  {} 0
+
+eval instant at 50m g % 0
+  {job="a"} NaN
+
+eval instant at 50m g % (1/0)
+  {job="a"} 100
+""")
+  }
+
+  test("topk/bottomk by(): k past the group size returns whole groups; " +
+      "comparisons against a NaN scalar filter everything (bool: != 1)") {
+    run("""
+load 5m
+  g{job="a", i="1"} 0+10x10
+  g{job="a", i="2"} 0+20x10
+  g{job="b", i="1"} 0+30x10
+
+# k exceeds every group: the full input comes back, per group,
+# original labels intact
+eval instant at 50m topk by (job) (5, g)
+  g{job="a", i="1"} 100
+  g{job="a", i="2"} 200
+  g{job="b", i="1"} 300
+
+eval instant at 50m bottomk by (job) (5, g)
+  g{job="a", i="1"} 100
+  g{job="a", i="2"} 200
+  g{job="b", i="1"} 300
+
+# NaN never compares: filtering comparisons drop every row...
+eval instant at 50m g == (0/0)
+
+eval instant at 50m g < (0/0)
+
+eval instant at 50m g >= (0/0)
+
+# ...and bool-mode != answers 1 everywhere (NaN != x is true). This
+# vintage KEEPS the metric name on comparisons, bool included
+# (shouldDropMetricName lists only + - / * %)
+eval instant at 50m g != bool (0/0)
+  g{job="a", i="1"} 1
+  g{job="a", i="2"} 1
+  g{job="b", i="1"} 1
+
+eval instant at 50m g == bool (0/0)
+  g{job="a", i="1"} 0
+  g{job="a", i="2"} 0
+  g{job="b", i="1"} 0
+""")
+  }
 }
