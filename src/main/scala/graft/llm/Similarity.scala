@@ -77,6 +77,13 @@ object Similarity {
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame] =
     PlanCache.bounded(16)
 
+  /** [[kmeansRounds]]' normalized (id, label, v, nrm) corpus view,
+    * memoized + Spark-cached per canonicalized (id, label, vec)
+    * projection — the labeled twin of [[prepCache]]. */
+  private val kmeansCorpusCache: java.util.Map[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame] =
+    PlanCache.bounded(16)
+
   /** Benchmark corpus with PLANTED near-duplicates: the fixture
     * embeddings carry no true near-dups (max pair cosine ≈ 0.6, i.e. the
     * tail of a random-vector distribution), so the sub-quadratic
@@ -224,11 +231,24 @@ object Similarity {
       labelCol: String = "label", idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(rounds >= 1, "kmeansRounds needs at least one round")
-    val v = emb.select(col(idCol).as("_id"), col(labelCol).as("_lbl"),
-        col(vecCol).cast("array<double>").as("_v"))
-      .withColumn("_vnrm",
-        sqrt(graft.functions.ArrayDot(col("_v"), col("_v"))))
-      .localCheckpoint(true)
+    // the corpus-volume view is a LAZY cache through the bounded LRU
+    // (r11, was an eager localCheckpoint — r10 verdict watch item 2):
+    // MLlib's discipline for iterative reuse. cache() degrades to
+    // disk/recompute instead of pinning executor storage for the whole
+    // loop, keeps lineage (an executor loss recomputes the lost
+    // blocks), repeated calls over the same corpus (bench warm draws,
+    // a served clustering endpoint) reuse one copy, and eviction
+    // unpersists. The k×dim centroid table below stays an EAGER
+    // localCheckpoint — that one is output-sized (kilobytes) and its
+    // point is cutting the per-round lineage, not storage
+    val v = kmeansCorpusCache.computeIfAbsent(
+      emb.select(col(idCol), col(labelCol), col(vecCol))
+        .queryExecution.analyzed.canonicalized,
+      _ => emb.select(col(idCol).as("_id"), col(labelCol).as("_lbl"),
+          col(vecCol).cast("array<double>").as("_v"))
+        .withColumn("_vnrm",
+          sqrt(graft.functions.ArrayDot(col("_v"), col("_v"))))
+        .cache())
     // (clabel, cv, cnrm) from per-group float32-quantized means
     def centroids(grouped: DataFrame, grp: Column): DataFrame =
       grouped.select(grp.as("clabel"), posexplode(col("_v")).as(Seq("_p", "_x")))
@@ -1051,5 +1071,6 @@ object Similarity {
   graft.model.Samples.registerSessionBoundCache(prepCache)
   graft.model.Samples.registerSessionBoundValueCache(centroidCache)
   graft.model.Samples.registerSessionBoundValueCache(pqCache)
+  graft.model.Samples.registerSessionBoundCache(kmeansCorpusCache)
 
 }
