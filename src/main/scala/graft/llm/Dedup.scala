@@ -114,6 +114,130 @@ object Dedup {
         coalesce(col("is_dup"), lit(false)).as("is_dup"))
   }
 
+  /** Streaming-state record of [[streamingNearDup]]: one recently-seen
+    * doc in one LSH band bucket — id, event-time millis, shingle count,
+    * the sorted distinct shingle-hash set (exact verify), and the full
+    * MinHash signature (first-shared-band dedup). */
+  case class BucketDoc(id: Long, etsMs: Long, nsh: Int,
+      hs: Array[Long], sig: Array[Long])
+  // private[llm], not private: the codegen'd deserializer needs
+  // bytecode-level access to the constructor
+  private[llm] case class BucketIn(band: Int, bkey: Long, id: Long,
+      ets: java.sql.Timestamp, nsh: Int, hs: Array[Long], sig: Array[Long])
+  case class NearDupHit(fid: Long, hid: Long, jaccard: Double)
+
+  /** Streaming near-dup at the ingest edge — the streaming twin of
+    * [[incrementalNearDup]]: every arriving doc is paired against the
+    * docs seen within the watermark horizon whose word-n-gram Jaccard
+    * meets the threshold. The d3 LSH shape carried into a stateful
+    * stream:
+    *
+    *  - per doc (map-only, no shuffle): distinct shingle hashes →
+    *    MinHash signature → `bands` band-bucket keys;
+    *  - state: per (band, bucket) key, the [[BucketDoc]]s within the
+    *    watermark — `flatMapGroupsWithState` with event-time timeout,
+    *    entries older than the watermark pruned on every invocation
+    *    and on timeout, so state is BOUNDED by horizon × bucket width
+    *    (the streamingExactDedup contract, applied to shingle state);
+    *  - candidates verified with the EXACT shingle-set Jaccard, so a
+    *    bucket collision never emits a false pair;
+    *  - a qualifying pair is emitted by its FIRST shared band only
+    *    (signature slices compared directly), so multi-band collisions
+    *    need no downstream stateful dedup — the op stays a single
+    *    stateful stage in append mode.
+    *
+    * Pairs orient (fid = later arrival, hid = earlier); recall follows
+    * the batch banding miss probability (1−s^r)^b. Docs beyond the
+    * horizon are the batch layer's job ([[incrementalNearDup]] against
+    * the compacted history), mirroring streamingExactDedup's
+    * cross-horizon handoff.
+    *
+    * 100 TB/day shape: state per bucket is a handful of docs (bucket
+    * keys are 64-bit; the horizon bounds residency), the per-doc work
+    * is signature-local, and nothing ever joins the history inside the
+    * stream. */
+  def streamingNearDup(docs: DataFrame, eventTimeCol: String,
+      lateness: String, n: Int = 3, threshold: Double = 0.5,
+      numHashes: Int = 64, bands: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val hsCol = sort_array(transform(
+      TextOps.wordShingles(col(textCol), n), s => xxhash64(s)))
+    val sigs = docs
+      .select(col(idCol).as("id"), col(eventTimeCol).as("ets"),
+        hsCol.as("hs"))
+      .withColumn("nsh", size(col("hs")))
+      .filter(col("nsh") > 0)
+      .withColumn("sig", minhashSignature(numHashes)(col("hs")))
+    val bandArr = array((0 until bands).map { b =>
+      val slice = (0 until r).map(j => element_at(col("sig"), b * r + j + 1))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: slice: _*).as("bkey"))
+    }: _*)
+    val buckets = sigs
+      .select(explode(bandArr).as("bb"), col("id"), col("ets"),
+        col("nsh"), col("hs"), col("sig"))
+      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
+        col("id"), col("ets"), col("nsh"), col("hs"), col("sig"))
+      .withWatermark("ets", lateness)
+      .as(E.product[BucketIn])
+
+    def inter(a: Array[Long], b: Array[Long]): Int = {
+      var i = 0; var j = 0; var c = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1 else j += 1
+      }
+      c
+    }
+    // min band whose r-slice matches in both signatures — the ONE band
+    // allowed to emit the pair (exactly-once without a downstream dedup)
+    def firstSharedBand(sa: Array[Long], sb: Array[Long]): Int = {
+      var b = 0
+      while (b < bands) {
+        var j = 0; var same = true
+        while (same && j < r) { same = sa(b * r + j) == sb(b * r + j); j += 1 }
+        if (same) return b
+        b += 1
+      }
+      -1
+    }
+
+    val hits = buckets
+      .groupByKey(x => (x.band, x.bkey))(
+        E.tuple(E.scalaInt, E.scalaLong))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (key: (Int, Long), rows: Iterator[BucketIn],
+            state: GroupState[Seq[BucketDoc]]) => {
+          val wm = state.getCurrentWatermarkMs()
+          var stored = state.getOption.getOrElse(Seq.empty)
+            .filter(_.etsMs >= wm)
+          val out = Seq.newBuilder[NearDupHit]
+          rows.toSeq.sortBy(x => (x.ets.getTime, x.id)).foreach { d =>
+            val nd = BucketDoc(d.id, d.ets.getTime, d.nsh, d.hs, d.sig)
+            stored.foreach { h =>
+              if (h.id != nd.id && firstSharedBand(nd.sig, h.sig) == key._1) {
+                val c = inter(nd.hs, h.hs)
+                val j = c.toDouble / (nd.nsh + h.nsh - c)
+                if (j >= threshold) out += NearDupHit(nd.id, h.id, j)
+              }
+            }
+            stored :+= nd
+          }
+          if (stored.isEmpty) state.remove()
+          else {
+            state.update(stored)
+            // keep the group alive until its newest entry can expire
+            state.setTimeoutTimestamp(stored.map(_.etsMs).max, lateness)
+          }
+          out.result().iterator
+        })(E.kryo[Seq[BucketDoc]], E.product[NearDupHit])
+    hits.toDF()
+  }
+
   private val bloomCacheMax = 4
   private val bloomCache = new java.util.LinkedHashMap[
       (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Double),

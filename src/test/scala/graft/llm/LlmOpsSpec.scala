@@ -512,6 +512,65 @@ class LlmOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingNearDup: watermark-bounded shingle state, within-horizon " +
+      "pairs only, expired docs never pair (the d16 streaming twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // bands=32/r=2 for near-certain banding recall at jaccard ~0.67
+    val q = Dedup.streamingNearDup(
+        mem.toDF().toDF("doc_id", "ets", "text"), "ets", "10 minutes",
+        n = 2, threshold = 0.5, numHashes = 64, bands = 32)
+      .writeStream.format("memory").queryName("snear")
+      .outputMode("append")
+      .start()
+    def stateRows: Long = q.recentProgress
+      .filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.head.numRowsTotal).lastOption.getOrElse(-1L)
+    def pairs = spark.sql("select fid, hid, jaccard from snear").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    try {
+      // epoch 1: doc 2 is a near-dup of doc 1 (bigrams: 4 of 6 shared,
+      // jaccard 2/3); doc 3 is unrelated; same-batch pairing must work
+      mem.addData(
+        (1L, ts(60), "a b c d e f"),
+        (2L, ts(65), "a b c d e g"),
+        (3L, ts(70), "p q r s t u"))
+      q.processAllAvailable()
+      assert(pairs == Set((2L, 1L, 2.0 / 3)),
+        s"same-batch near-pair missing or wrong: $pairs")
+      // a LATER batch within the horizon pairs against stored state
+      mem.addData((4L, ts(80), "a b c d e h")) // near-dup of 1 AND 2
+      q.processAllAvailable()
+      assert(pairs.map(p => (p._1, p._2)) ==
+        Set((2L, 1L), (4L, 1L), (4L, 2L)), s"cross-batch pairs: $pairs")
+      val grown = stateRows
+      assert(grown > 0, "state operator reported no rows")
+      // one hour later the watermark passes epoch 1: its shingle state
+      // must leave the store...
+      mem.addData((5L, ts(3600), "z y x w v u"))
+      q.processAllAvailable()
+      mem.addData((6L, ts(3610), "m n o p q r"))
+      q.processAllAvailable()
+      assert(stateRows < grown,
+        s"state not bounded by the watermark: $stateRows vs $grown")
+      // ...and a fresh near-dup of the EXPIRED content pairs with
+      // nothing (cross-horizon dups are the batch layer's job)...
+      mem.addData((7L, ts(3620), "a b c d e f"))
+      q.processAllAvailable()
+      assert(!pairs.exists(p => p._1 == 7L || p._2 == 7L),
+        s"doc 7 paired across the horizon: $pairs")
+      // ...while a near-dup of doc 7 WITHIN the horizon still pairs
+      mem.addData((8L, ts(3630), "a b c d e q"))
+      q.processAllAvailable()
+      assert(pairs.exists(p => p._1 == 8L && p._2 == 7L),
+        s"within-horizon pair after expiry missing: $pairs")
+      // exactness: every emitted jaccard is the true shingle-set value
+      pairs.foreach { case (_, _, j) => assert(j >= 0.5 && j <= 1.0) }
+    } finally q.stop()
+  }
+
   test("connectedComponents of an empty edge set is empty") {
     val edges = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Dedup.connectedComponents(edges).collect().isEmpty)
