@@ -69,6 +69,11 @@ class PrinterSpec extends AnyFunSuite {
     assert(p("m[120s]") == "m[2m]")
     assert(p("m[604800s]") == "m[1w]")
     assert(p("a > bool 5") == "a > bool 5")
+    // the zero duration prints "0s" (common/model/time.go:217-219) —
+    // unreachable from the parser (zero durations are rejected on
+    // input) but any printer path holding one must match the reference
+    assert(Printer.duration(0L) == "0s")
+    intercept[IllegalArgumentException](Printer.duration(-1L))
   }
 
   test("string escapes survive the round trip") {
