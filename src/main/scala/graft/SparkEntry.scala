@@ -1186,6 +1186,16 @@ object SparkEntry {
     "m6_image_neardup" -> ((spark, dir) =>
       Multimodal.imageNearDupPairs(
         Multimodal.mediaTableWithDupes(docs(spark, dir)))),
+    // M7: image dedup clusters — the pHash pipeline end-to-end: m6's
+    // banded pairs → alternating-star connected components → per-image
+    // cluster label + size (survivor = the component-min id), the d6
+    // audit applied to the image corpus
+    "m7_image_dedup" -> ((spark, dir) => {
+      val media = Multimodal.mediaTableWithDupes(docs(spark, dir))
+      Dedup.dupClusters(
+        media.filter(col("kind") === "image").select(col("doc_id")),
+        Multimodal.imageNearDupPairs(media).select(col("ia"), col("ib")))
+    }),
     // T11: stratified sampling — per-language keep rates over the
     // deterministic hash bucket (map-only, id-stable across reruns)
     "t11_stratified_sample" -> ((spark, dir) =>
@@ -2169,6 +2179,41 @@ object SparkEntry {
         |    CAST(list_sum(list_transform(generate_series(0, 15), j -> dbits[1+j] * (1<<j))) AS INT))
         |    AS dhash_hex
         |FROM bits""".stripMargin,
+    // m6's pairs closed transitively (WITH RECURSIVE walk, the d6
+    // pattern): per-image component-min cluster id + cluster size
+    "m7_image_dedup" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substr(text, 1, len(text) - 1) || '~'
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |b AS (SELECT doc_id, len(text) AS n,
+        |    list_transform(generate_series(1, len(text)),
+        |      i -> ord(substr(text, i, 1))) AS by
+        |  FROM corpus),
+        |tot AS (SELECT doc_id, n, by, coalesce(list_sum(by), 0) AS total
+        |  FROM b),
+        |bits AS (SELECT doc_id,
+        |  list_transform(generate_series(0, 63), c ->
+        |    CASE WHEN coalesce(list_sum(list_slice(by, (c*n)//64 + 1,
+        |                                           ((c+1)*n)//64)), 0) * n
+        |              > total * (((c+1)*n)//64 - (c*n)//64)
+        |         THEN 1 ELSE 0 END) AS abits
+        |  FROM tot),
+        |pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        |  WHERE list_sum(list_transform(generate_series(1, 64), i ->
+        |    CASE WHEN a.abits[i] <> b.abits[i] THEN 1 ELSE 0 END)) <= 3),
+        |e AS (SELECT ia AS u, ib AS v FROM pr
+        |      UNION ALL SELECT ib, ia FROM pr),
+        |walk(u, r) AS (
+        |  SELECT doc_id, doc_id FROM corpus
+        |  UNION
+        |  SELECT w.u, e.v FROM walk w JOIN e ON w.r = e.u),
+        |lab AS (SELECT u AS doc_id, min(r) AS cluster_id FROM walk GROUP BY 1),
+        |szc AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+        |SELECT lab.doc_id, lab.cluster_id, szc.cluster_size
+        |FROM lab JOIN szc USING (cluster_id)""".stripMargin,
     // planted near-dup corpus: original images ∪ one same-length
     // perturbed copy each (id + 1e6, last byte → '~'); pairs via
     // all-pairs aHash-bit comparison (the oracle may be quadratic —
