@@ -44,7 +44,11 @@ object TopK {
       if (appended.lengthCompare(2 * k) >= 0) trim(appended) else appended
     }
     override def merge(a: Seq[Entry], b: Seq[Entry]): Seq[Entry] = trim(a ++ b)
-    override def finish(r: Seq[Entry]): Seq[Entry] = trim(r)
+    // ALWAYS sorted, not just when trimming: the reference emits each
+    // group's winners in order (engine.go:1388-1407 sorts the reversed
+    // heap before appending) — topk descending, bottomk ascending, NaN
+    // last in both (the key pre-maps NaN to the losing infinity)
+    override def finish(r: Seq[Entry]): Seq[Entry] = r.sortWith(better).take(k)
     override def bufferEncoder: Encoder[Seq[Entry]] = ExpressionEncoder()
     override def outputEncoder: Encoder[Seq[Entry]] = ExpressionEncoder()
   }

@@ -3353,6 +3353,53 @@ eval_fail instant at 50m m{x="${bsu}d800"}
 """)
   }
 
+  test("count_values without(): the value label joins the RESULT labels " +
+      "(set after the del, before the grouping hash — engine.go), and " +
+      "without(v) cannot shed a value label named v; topk emits in " +
+      "descending value order (sort.Reverse of the heap)") {
+    run("""
+load 5m
+  cv{job="a", i="1"} 0+10x10
+  cv{job="a", i="2"} 0+10x10
+  cv{job="a", i="3"} 0+20x10
+  cv{job="b", i="1"} 0+10x10
+  tk{i="1"} 0+10x10
+  tk{i="2"} 0+30x10
+  tk{i="3"} 0+20x10
+
+# without(i): result labels = remaining labels + the value label,
+# which participates in the grouping key via the result-metric hash
+eval instant at 50m count_values without (i) ("v", cv)
+  {job="a", v="100"} 2
+  {job="a", v="200"} 1
+  {job="b", v="100"} 1
+
+# without(v) deletes v BEFORE the value label is set, so the value
+# label always survives — without() cannot shed it
+eval instant at 50m count_values without (v, i) ("v", cv)
+  {job="a", v="100"} 2
+  {job="a", v="200"} 1
+  {job="b", v="100"} 1
+
+# without everything: only the value label remains
+eval instant at 50m count_values without (job, i) ("v", cv)
+  {v="100"} 3
+  {v="200"} 1
+
+# topk/bottomk emit sorted by value (desc/asc) — the heap is reversed
+# before append, a contract eval_ordered can see (ties carry no order
+# contract, so the probe values are distinct)
+eval_ordered instant at 50m topk(3, tk)
+  tk{i="2"} 300
+  tk{i="3"} 200
+  tk{i="1"} 100
+
+eval_ordered instant at 50m bottomk(2, tk)
+  tk{i="1"} 100
+  tk{i="3"} 200
+""")
+  }
+
   test("vector quantile out-of-range phi: q<0 -> -Inf, q>1 -> +Inf, " +
       "per group, and quantile_over_time agrees (quantile.go:161-170)") {
     run("""
