@@ -1186,6 +1186,16 @@ object SparkEntry {
     "m6_image_neardup" -> ((spark, dir) =>
       Multimodal.imageNearDupPairs(
         Multimodal.mediaTableWithDupes(docs(spark, dir)))),
+    // M8: incremental image near-dup — the planted copies as "today's
+    // crawl" against the original media table as history: batch band
+    // rows broadcast, history scanned but never shuffled (the d16
+    // asymmetry in the Hamming family)
+    "m8_image_incremental" -> ((spark, dir) => {
+      val history = Multimodal.mediaTable(docs(spark, dir))
+      val fresh = Multimodal.mediaTableWithDupes(docs(spark, dir))
+        .filter(col("doc_id") >= 1000000L)
+      Multimodal.incrementalImageNearDup(fresh, history)
+    }),
     // M7: image dedup clusters — the pHash pipeline end-to-end: m6's
     // banded pairs → alternating-star connected components → per-image
     // cluster label + size (survivor = the component-min id), the d6
@@ -2179,6 +2189,40 @@ object SparkEntry {
         |    CAST(list_sum(list_transform(generate_series(0, 15), j -> dbits[1+j] * (1<<j))) AS INT))
         |    AS dhash_hex
         |FROM bits""".stripMargin,
+    // fresh (planted copies) × history (originals) aHash pairs — the
+    // oracle is the quadratic cross join; the Spark side broadcasts
+    // the batch band rows
+    "m8_image_incremental" ->
+      """WITH fr AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         substr(text, 1, len(text) - 1) || '~' AS text
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |hi AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |fb AS (SELECT doc_id, len(text) AS n,
+        |    list_transform(generate_series(1, len(text)),
+        |      i -> ord(substr(text, i, 1))) AS by FROM fr),
+        |hb AS (SELECT doc_id, len(text) AS n,
+        |    list_transform(generate_series(1, len(text)),
+        |      i -> ord(substr(text, i, 1))) AS by FROM hi),
+        |fbits AS (SELECT doc_id, list_transform(generate_series(0, 63), c ->
+        |    CASE WHEN coalesce(list_sum(list_slice(by, (c*n)//64 + 1,
+        |                                           ((c+1)*n)//64)), 0) * n
+        |              > coalesce(list_sum(by), 0) *
+        |                (((c+1)*n)//64 - (c*n)//64)
+        |         THEN 1 ELSE 0 END) AS abits FROM fb),
+        |hbits AS (SELECT doc_id, list_transform(generate_series(0, 63), c ->
+        |    CASE WHEN coalesce(list_sum(list_slice(by, (c*n)//64 + 1,
+        |                                           ((c+1)*n)//64)), 0) * n
+        |              > coalesce(list_sum(by), 0) *
+        |                (((c+1)*n)//64 - (c*n)//64)
+        |         THEN 1 ELSE 0 END) AS abits FROM hb)
+        |SELECT f.doc_id AS fid, h.doc_id AS hid,
+        |  CAST(list_sum(list_transform(generate_series(1, 64), i ->
+        |    CASE WHEN f.abits[i] <> h.abits[i] THEN 1 ELSE 0 END))
+        |    AS BIGINT) AS hamming
+        |FROM fbits f JOIN hbits h ON true
+        |WHERE list_sum(list_transform(generate_series(1, 64), i ->
+        |  CASE WHEN f.abits[i] <> h.abits[i] THEN 1 ELSE 0 END)) <= 3""".stripMargin,
     // m6's pairs closed transitively (WITH RECURSIVE walk, the d6
     // pattern): per-image component-min cluster id + cluster size
     "m7_image_dedup" ->

@@ -114,6 +114,36 @@ object Dedup {
         coalesce(col("is_dup"), lit(false)).as("is_dup"))
   }
 
+  /** Incremental banded-Hamming pairs: every (fresh, history) pair of
+    * 64-bit fingerprints within `maxHamming` (≤ 3, exact by the 4-band
+    * pigeonhole) — the [[incrementalNearDup]] asymmetry applied to the
+    * Hamming family: the daily batch is tiny next to the accumulated
+    * corpus, so the batch's band rows BROADCAST and the history side is
+    * scanned but never shuffled (a hash join against the broadcast —
+    * history×history pairs never form, cost is history-scan +
+    * batch×collisions). Inputs are (id, sh) frames; output
+    * (fid, hid, hamming). */
+  def incrementalHamming64Pairs(fresh: DataFrame, history: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit banding is exact only up to distance 3")
+    def buckets(hs: DataFrame, idOut: String, shOut: String): DataFrame = {
+      val bandArr = array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sh"), 16 * b).bitwiseAND(lit(0xffffL)).as("bkey"))
+      }: _*)
+      hs.select(col("id").as(idOut), col("sh").as(shOut),
+          explode(bandArr).as("bb"))
+        .select(col(idOut), col(shOut), col("bb.band").as("band"),
+          col("bb.bkey").as("bkey"))
+    }
+    buckets(history, "hid", "hsh")
+      .join(broadcast(buckets(fresh, "fid", "fsh")), Seq("band", "bkey"))
+      .select(col("fid"), col("hid"),
+        bit_count(col("fsh").bitwiseXOR(col("hsh"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Streaming-state record of [[streamingNearDup]]: one recently-seen
     * doc in one LSH band bucket — id, event-time millis, shingle count,
     * the sorted distinct shingle-hash set (exact verify), and the full

@@ -170,6 +170,20 @@ object Multimodal {
           graft.functions.ImageAHash(col("media")).as("sh")),
       maxHamming)
 
+  /** Incremental image near-dup: today's image batch against the
+    * accumulated image corpus — [[Dedup.incrementalHamming64Pairs]]
+    * over the aHash fingerprints (batch band rows broadcast, history
+    * scanned but never shuffled, history×history pairs never formed).
+    * The image twin of the text pipeline's d16. */
+  def incrementalImageNearDup(freshMedia: DataFrame, historyMedia: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    def hs(m: DataFrame) = m.filter(col("kind") === "image")
+      .select(col("doc_id").as("id"),
+        graft.functions.ImageAHash(col("media")).as("sh"))
+    Dedup.incrementalHamming64Pairs(hs(freshMedia), hs(historyMedia),
+      maxHamming)
+  }
+
   /** Frame sampling: slice the payload into fixed-size frames and keep
     * every `every`-th full frame. Row count multiplies by frames/every;
     * byte volume DROPS by the sampling factor — at scale this runs as a

@@ -418,6 +418,15 @@ class PlanShapeSpec extends SparkTestBase {
       s"image near-dup must stay a banded equi-join:\n${p.take(1200)}")
   }
 
+  test("m8 incremental image near-dup: the batch side BROADCASTS, " +
+      "history is never shuffled, no cartesian") {
+    val p = plan("m8_image_incremental")
+    assert(p.contains("BroadcastHashJoin"),
+      s"batch band rows must broadcast:\n${p.take(900)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"history side regressed to a shuffle/cartesian:\n${p.take(1200)}")
+  }
+
   test("langId plans the native stopword_hits expression, no lambda HOF") {
     // the language-ID battery must stay one codegen'd StopwordHits pass
     // per row — an interpreted lambda (ArrayFilter/lambdafunction)
