@@ -278,6 +278,9 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
     try {
       if (s.exists(c => c == 'T' || c == 'Z' || c == '+')
         && !s.forall(c => c.isDigit || c == '.' || c == '-' || c == '+' || c == 'e' || c == 'E'))
+        // JDK 12+ Instant.parse accepts numeric zone offsets
+        // ("2015-06-03T14:21:58.555+01:00", api_test.go:544-546) —
+        // ApiConformanceSpec pins both the Z and the offset form
         java.time.Instant.parse(s).toEpochMilli
       else (s.toDouble * 1000).round
     } catch {

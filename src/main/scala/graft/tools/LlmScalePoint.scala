@@ -126,6 +126,11 @@ object LlmScalePoint {
       // rescored shortlist stays queries-bounded
       ("x5_sim_pq", () => Similarity.pqTopK(
         emb.filter(col("vec_id") < 10), emb, 5, dim = 64)),
+      // r11: image near-dup — perceptual hashes are a map-only codegen
+      // pass; the 4×16-bit banded Hamming join ships 4 small rows per
+      // image, so growth should track the payload scan
+      ("m6_image_neardup", () => graft.llm.Multimodal.imageNearDupPairs(
+        graft.llm.Multimodal.mediaTableWithDupes(docs))),
       // r11: incremental near-dup vs history — history = lower half of
       // each shard, fresh = upper half + exact copies of the lowest
       // 10% (the planted overlap, constant per shard). The broadcast

@@ -203,4 +203,48 @@ class ApiConformanceSpec extends SparkTestBase {
   test("missing match[] is the verbatim bad_data row (api_test.go:357-365)") {
     badData("/api/v1/series", "no match[] parameter provided")
   }
+
+  test("TestParseTime matrix case-for-case (api_test.go:516-565)") {
+    // fail rows: empty, junk, and a DURATION where a time belongs
+    for (bad <- Seq("", "abc", "30s"))
+      badData(s"/api/v1/query?query=2&time=${enc(bad)}",
+        s"cannot parse \"$bad\" to a valid timestamp")
+    // success rows: unix seconds, fractional seconds, RFC3339 Z and
+    // numeric offset (the latter two are the same instant)
+    def evalAt(t: String): String =
+      get(s"/api/v1/query?query=2&time=${enc(t)}")._2
+    assert(evalAt("123").contains("[123,"))
+    assert(evalAt("123.123").contains("[123.123,"))
+    val z = evalAt("2015-06-03T13:21:58.555Z")
+    val off = evalAt("2015-06-03T14:21:58.555+01:00")
+    assert(z.contains(""""status":"success""""), z)
+    assert(z == off, s"Z and +01:00 forms must agree:\n$z\n$off")
+  }
+
+  test("TestParseDuration matrix case-for-case (api_test.go:567-620)") {
+    // fail rows: empty, junk, an RFC3339 TIME where a duration
+    // belongs, and the two int64-nanosecond overflow floats
+    for (bad <- Seq("", "abc", "2015-06-03T13:21:58.555Z"))
+      badData("/api/v1/query_range?query=time%28%29&start=0&end=2" +
+        s"&step=${enc(bad)}",
+        s"cannot parse \"$bad\" to a valid duration")
+    for (bad <- Seq("-148966367200.372", "148966367200.372")) {
+      val (code, body) = get(
+        s"/api/v1/query_range?query=time%28%29&start=0&end=2&step=${enc(bad)}")
+      assert(code == 400 && body.contains("bad_data"), s"$bad: $body")
+    }
+    // success rows: bare/fractional seconds and model-duration forms
+    def stepOk(s: String, lastT: String): Unit = {
+      val (code, body) = get(
+        s"/api/v1/query_range?query=time%28%29&start=0&end=250&step=${enc(s)}")
+      assert(code == 200 && body.contains(s"[$lastT,"), s"step=$s: $body")
+    }
+    stepOk("123", "246")
+    stepOk("123.333", "246.666")
+    stepOk("15s", "240")
+    stepOk("5m", "0") // one 5m step past 250s: only t=0 lands
+  }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, UTF_8)
 }

@@ -114,6 +114,17 @@ class LlmOpsSpec extends SparkTestBase {
       "recently used entries must stay cached")
     assert(levels.take(4).forall(l => !l),
       s"evicted entries must be unpersisted, got $levels")
+    // session-teardown path (r10 advice): clearAndUnpersist must
+    // release EVERY surviving entry, not just LRU-evicted ones
+    val m = PlanCache.bounded[Int](4)
+    val kept = Seq(0L -> "alpha beta", 1L -> "gamma delta").map { case (i, t) =>
+      val f = Dedup.exactDedup(Seq((i, t)).toDF("doc_id", "text")).cache()
+      f.count(); m.put(i.toInt, f); f
+    }
+    assert(kept.forall(_.storageLevel.useMemory))
+    PlanCache.clearAndUnpersist(m)
+    assert(m.isEmpty && kept.forall(!_.storageLevel.useMemory),
+      "clearAndUnpersist must empty the map and release Spark storage")
   }
 
   test("incrementalNearDup: fresh-vs-history pairs only, never " +
