@@ -1184,7 +1184,7 @@ object SparkEntry {
     // M6: image near-dup pairs — aHash through the d4 4×16-bit banded
     // Hamming join (exact ≤3), on the planted-duplicate media corpus
     "m6_image_neardup" -> ((spark, dir) =>
-      Multimodal.imageNearDupPairs(
+      Multimodal.imageNearDupPairsCached(
         Multimodal.mediaTableWithDupes(docs(spark, dir)))),
     // M8: incremental image near-dup — the planted copies as "today's
     // crawl" against the original media table as history: batch band
@@ -1204,7 +1204,8 @@ object SparkEntry {
       val media = Multimodal.mediaTableWithDupes(docs(spark, dir))
       Dedup.dupClusters(
         media.filter(col("kind") === "image").select(col("doc_id")),
-        Multimodal.imageNearDupPairs(media).select(col("ia"), col("ib")))
+        Multimodal.imageNearDupPairsCached(media)
+          .select(col("ia"), col("ib")))
     }),
     // T11: stratified sampling — per-language keep rates over the
     // deterministic hash bucket (map-only, id-stable across reruns)

@@ -170,6 +170,22 @@ object Multimodal {
           graft.functions.ImageAHash(col("media")).as("sh")),
       maxHamming)
 
+  /** [[imageNearDupPairs]] memoized + Spark-cached per canonicalized
+    * media plan — the [[Dedup.ngramJaccardPairsCached]] precedent:
+    * image dedup CLUSTERING (m7) consumes exactly the pair set the
+    * pair query (m6) itself produces, so one hash+band pass serves
+    * both. Bounded LRU, unpersist-on-evict, lazily built. */
+  def imageNearDupPairsCached(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    pairsCache.computeIfAbsent(
+      (media.select(col("doc_id"), col("kind"), col("media"))
+        .queryExecution.analyzed.canonicalized, maxHamming),
+      _ => imageNearDupPairs(media, maxHamming).cache())
+
+  private val pairsCache: java.util.Map[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+    DataFrame] = PlanCache.bounded(8)
+  graft.model.Samples.registerSessionBoundCache(pairsCache)
+
   /** Incremental image near-dup: today's image batch against the
     * accumulated image corpus — [[Dedup.incrementalHamming64Pairs]]
     * over the aHash fingerprints (batch band rows broadcast, history
