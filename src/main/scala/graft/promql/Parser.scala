@@ -210,6 +210,13 @@ private final class Parser(toks: Vector[Lexer.Token], input: String = "") {
     * implicit selection of every series via e.g. `{x=~".*"}`. */
   private def checkedSelector(name: Option[String],
       matchers: Seq[LabelMatcher]): VectorSelector = {
+    // the metric name must not be set in the name position AND as a
+    // __name__ matcher at once (parse.go:946-951)
+    name.foreach { n =>
+      matchers.find(_.name == "__name__").foreach { m =>
+        fail(s"""metric name must not be set twice: "$n" or "${m.value}"""")
+      }
+    }
     val all = name
       .map(n => LabelMatcher(MatchType.Eq, "__name__", n)).toSeq ++ matchers
     if (all.isEmpty)

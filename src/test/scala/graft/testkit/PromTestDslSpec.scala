@@ -3353,6 +3353,46 @@ eval_fail instant at 50m m{x="${bsu}d800"}
 """)
   }
 
+  test("vintage parse-error grammar: range/offset placement, double " +
+      "grouping, double metric name, missing comma (parse.go:574-949)") {
+    run("""
+load 5m
+  m{a="1"} 0+10x10
+
+# range specification must follow a vector selector — not another
+# range, not a function result, not a paren expression
+eval_fail instant at 50m m[5m][5m]
+
+eval_fail instant at 50m rate(m[5m])[5m]
+
+eval_fail instant at 50m (m)[5m]
+
+# offset must follow an instant or range selector
+eval_fail instant at 50m (1 + 2) offset 5m
+
+eval_fail instant at 50m sum(m) offset 5m
+
+# only one grouping clause per aggregation
+eval_fail instant at 50m sum by (a) without (a) (m)
+
+# metric name set twice (name position + __name__ matcher)
+eval_fail instant at 50m m{__name__="other"}
+
+# missing comma between matchers
+eval_fail instant at 50m m{a="1" b="2"}
+
+# control: the well-formed variants all evaluate
+eval instant at 50m sum by (a) (m)
+  {a="1"} 100
+
+eval instant at 50m count_over_time(m[5m] offset 5m)
+  {a="1"} 2
+
+eval instant at 50m {__name__="m"}
+  m{a="1"} 100
+""")
+  }
+
   test("count_values without(): the value label joins the RESULT labels " +
       "(set after the del, before the grouping hash — engine.go), and " +
       "without(v) cannot shed a value label named v; topk emits in " +
