@@ -3390,6 +3390,19 @@ eval instant at 50m count_over_time(m[5m] offset 5m)
 
 eval instant at 50m {__name__="m"}
   m{a="1"} 100
+
+# a trailing comma is legal inside matcher braces (the multi-line
+# listing allowance, parse.go:873-876) and empty braces after a name
+# are just the name...
+eval instant at 50m m{a="1",}
+  m{a="1"} 100
+
+eval instant at 50m m{}
+  m{a="1"} 100
+
+# ...but grouping lists take no trailing comma (labels() expects a
+# label after every comma)
+eval_fail instant at 50m sum by (a,) (m)
 """)
   }
 
