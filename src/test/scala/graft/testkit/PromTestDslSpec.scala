@@ -3403,6 +3403,19 @@ eval instant at 50m m{}
 # ...but grouping lists take no trailing comma (labels() expects a
 # label after every comma)
 eval_fail instant at 50m sum by (a,) (m)
+
+# aggregation parameter TYPE errors are parse-time (checkType):
+# count_values wants a string, topk/quantile want a scalar
+eval_fail instant at 50m count_values(1, m)
+
+eval_fail instant at 50m count_values(m, m)
+
+eval_fail instant at 50m quantile("0.5", m)
+
+eval_fail instant at 50m topk("2", m)
+
+# a plain aggregation takes NO parameter
+eval_fail instant at 50m sum(0.5, m)
 """)
   }
 
