@@ -579,6 +579,13 @@ class LlmOpsSpec extends SparkTestBase {
         s"within-horizon pair after expiry missing: $pairs")
       // exactness: every emitted jaccard is the true shingle-set value
       pairs.foreach { case (_, _, j) => assert(j >= 0.5 && j <= 1.0) }
+      // exactly-once: near-identical docs share MANY bands, but the
+      // first-shared-band rule lets only one bucket emit each pair —
+      // count raw rows (the Set above would mask duplicates)
+      val raw = spark.sql("select fid, hid from snear").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(raw.length == raw.toSet.size,
+        s"multi-band duplicate emissions: ${raw.toSeq.sorted}")
     } finally q.stop()
   }
 
