@@ -726,7 +726,7 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
       require(node != null && node.isObject, "line is not a JSON object")
       val labelsNode = node.get("labels")
       require(labelsNode != null && labelsNode.isObject, "missing labels object")
-      val labels = labelsNode.fields().asScala.map { e =>
+      val labels = labelsNode.properties().asScala.map { e =>
         require(e.getValue.isTextual, s"label ${e.getKey} is not a string")
         e.getKey -> e.getValue.asText()
       }.toMap

@@ -987,7 +987,7 @@ object TextOps {
     val wc = docs.select(explode(tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
     val ranked = wc.orderBy(col("n").desc, col("w")).select(col("n"))
-      .as[Long].rdd.zipWithIndex
+      .as[Long].rdd.zipWithIndex()
       .map { case (n, i) => (n, i + 1) }.toDF("n", "rk")
     ranked.select(log(col("rk").cast("double")).as("x"),
         log(col("n").cast("double")).as("y"))

@@ -428,7 +428,7 @@ object Ingest {
       }
     withDynamicPartitionOverwrite(spark) {
       // insertInto matches columns by POSITION: project in table order
-      part.select(cols.map(col): _*)
+      part.select(cols.toIndexedSeq.map(col): _*)
         .write.mode("overwrite").insertInto(table)
     }
   }
