@@ -1186,6 +1186,12 @@ object SparkEntry {
     "m6_image_neardup" -> ((spark, dir) =>
       Multimodal.imageNearDupPairsCached(
         Multimodal.mediaTableWithDupes(docs(spark, dir)))),
+    // M9: windowed audio energy + silence flags — the map-only
+    // segmentation pass before transcription (per-doc threshold, no
+    // corpus aggregate)
+    "m9_audio_energy" -> ((spark, dir) =>
+      Multimodal.audioEnergy(spark,
+        Multimodal.mediaTable(docs(spark, dir))).toDF()),
     // M8: incremental image near-dup — the planted copies as "today's
     // crawl" against the original media table as history: batch band
     // rows broadcast, history scanned but never shuffled (the d16
@@ -2190,6 +2196,23 @@ object SparkEntry {
         |    CAST(list_sum(list_transform(generate_series(0, 15), j -> dbits[1+j] * (1<<j))) AS INT))
         |    AS dhash_hex
         |FROM bits""".stripMargin,
+    // audio kind = doc_id % 3 = 1; window w covers bytes
+    // [w*32+1, w*32+32]; energy = Σ(ord−128)²; quiet vs the doc max
+    "m9_audio_energy" ->
+      """WITH a AS (SELECT doc_id, text, len(text) // 32 AS nw
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |w AS (SELECT doc_id, unnest(generate_series(0, nw - 1)) AS wi,
+        |      text FROM a WHERE nw >= 1),
+        |e AS (SELECT doc_id, wi,
+        |  coalesce(list_sum(list_transform(generate_series(1, 32),
+        |    i -> (ord(substr(text, wi*32 + i, 1)) - 128) *
+        |         (ord(substr(text, wi*32 + i, 1)) - 128))), 0) AS energy
+        |  FROM w),
+        |mx AS (SELECT doc_id, max(energy) AS mxe FROM e GROUP BY 1)
+        |SELECT e.doc_id, CAST(wi AS BIGINT) AS window_idx,
+        |  CAST(energy AS BIGINT) AS energy,
+        |  energy * 2 < mxe AS quiet
+        |FROM e JOIN mx USING (doc_id)""".stripMargin,
     // fresh (planted copies) × history (originals) aHash pairs — the
     // oracle is the quadratic cross join; the Spark side broadcasts
     // the batch band rows

@@ -200,6 +200,48 @@ object Multimodal {
       maxHamming)
   }
 
+  case class AudioWindow(doc_id: Long, window_idx: Long, energy: Long,
+      quiet: Boolean)
+
+  /** Windowed audio energy + silence flags — the segmentation step an
+    * audio pipeline runs before transcription (trim/skip quiet spans):
+    * the payload is cut into [[FrameSize]]-byte windows, each window's
+    * energy is the exact integer Σ(byte−128)² (a real pipeline squares
+    * PCM amplitudes; the byte stream stands in for samples), and a
+    * window is flagged quiet iff energy·2 < the DOC's max window
+    * energy — a per-row threshold, so the whole operator stays
+    * map-only (no corpus aggregate, no shuffle; scan-speed at 100 TB).
+    * Batch-wise over partitions like [[decodeStub]], reusing the
+    * window buffer per batch. Trailing partial windows are dropped
+    * (the [[frameSample]] convention). */
+  def audioEnergy(spark: SparkSession, media: DataFrame): Dataset[AudioWindow] = {
+    val ds = media.filter(col("kind") === "audio").as(Encoders.product[MediaRec])
+    ds.mapPartitions { it =>
+      it.flatMap { rec =>
+        val b = rec.media
+        val n = b.length / FrameSize
+        val energies = new Array[Long](n)
+        var w = 0
+        var mx = 0L
+        while (w < n) {
+          var e = 0L
+          var i = w * FrameSize
+          val end = i + FrameSize
+          while (i < end) {
+            val d = (b(i) & 0xff) - 128
+            e += d.toLong * d
+            i += 1
+          }
+          energies(w) = e
+          if (e > mx) mx = e
+          w += 1
+        }
+        (0 until n).map(w => AudioWindow(rec.doc_id, w.toLong, energies(w),
+          energies(w) * 2 < mx))
+      }
+    }(Encoders.product[AudioWindow])
+  }
+
   /** Frame sampling: slice the payload into fixed-size frames and keep
     * every `every`-th full frame. Row count multiplies by frames/every;
     * byte volume DROPS by the sampling factor — at scale this runs as a
