@@ -1186,6 +1186,13 @@ object SparkEntry {
     "m6_image_neardup" -> ((spark, dir) =>
       Multimodal.imageNearDupPairsCached(
         Multimodal.mediaTableWithDupes(docs(spark, dir)))),
+    // M10: video frame-level exact dedup over the planted corpus —
+    // shot/segment dedup by frame fingerprint (one hash shuffle keyed
+    // by frame content; planted copies share every frame except the
+    // perturbed last one)
+    "m10_frame_dedup" -> ((spark, dir) =>
+      Multimodal.frameDedup(
+        Multimodal.mediaTableWithDupes(docs(spark, dir)))),
     // M9: windowed audio energy + silence flags — the map-only
     // segmentation pass before transcription (per-doc threshold, no
     // corpus aggregate)
@@ -2196,6 +2203,31 @@ object SparkEntry {
         |    CAST(list_sum(list_transform(generate_series(0, 15), j -> dbits[1+j] * (1<<j))) AS INT))
         |    AS dhash_hex
         |FROM bits""".stripMargin,
+    // video kind = doc_id % 3 = 2 (planted ids reduce mod 1e6);
+    // canonical = lexicographic min (doc, frame) per frame content
+    "m10_frame_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substr(text, 1, len(text) - 1) || '~'
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |v AS (SELECT doc_id, text, len(text) // 32 AS nf FROM corpus),
+        |f AS (SELECT doc_id,
+        |      CAST(unnest(generate_series(0, nf - 1)) AS INT) AS frame_idx,
+        |      text FROM v WHERE nf >= 1),
+        |fx AS (SELECT doc_id, frame_idx,
+        |      lower(hex(encode(substr(text, frame_idx * 32 + 1, 32))))
+        |        AS frame_hex FROM f),
+        |g AS (SELECT frame_hex, min(doc_id) AS canon_doc,
+        |      count(*) AS group_size FROM fx GROUP BY 1),
+        |g2 AS (SELECT fx.frame_hex, g.canon_doc,
+        |      CAST(min(fx.frame_idx) AS INT) AS canon_frame, g.group_size
+        |      FROM fx JOIN g ON fx.frame_hex = g.frame_hex
+        |                    AND fx.doc_id = g.canon_doc
+        |      GROUP BY 1, 2, 4)
+        |SELECT fx.doc_id, fx.frame_idx, g2.canon_doc, g2.canon_frame,
+        |  CAST(g2.group_size AS BIGINT) AS group_size
+        |FROM fx JOIN g2 USING (frame_hex)""".stripMargin,
     // audio kind = doc_id % 3 = 1; window w covers bytes
     // [w*32+1, w*32+32]; energy = Σ(ord−128)²; quiet vs the doc max
     "m9_audio_energy" ->

@@ -242,6 +242,29 @@ object Multimodal {
     }(Encoders.product[AudioWindow])
   }
 
+  /** Video frame-level exact dedup — shot/segment dedup via frame
+    * fingerprints: every [[FrameSize]]-byte frame of every video keyed
+    * by content, each frame annotated with its group's canonical
+    * (minimum (doc, frame)) occurrence and group size. Survivors are
+    * the canonical frames; a training pipeline drops or downweights
+    * the rest. The [[graft.llm.Dedup.exactDedup]] shape applied one
+    * level below the document: one hash shuffle keyed by frame
+    * content, volume = one row per frame regardless of payload size —
+    * at 100 TB of video the shuffle is the frame COUNT, not the bytes
+    * (frames travel as hex of the 32-byte slice; a real pipeline ships
+    * a pHash or md5 per decoded frame, same shape). */
+  def frameDedup(media: DataFrame): DataFrame = {
+    val frames = frameSample(media.filter(col("kind") === "video"), 1)
+    val groups = frames.groupBy(col("frame_hex"))
+      .agg(min(struct(col("doc_id"), col("frame_idx"))).as("_c"),
+        count(lit(1)).as("group_size"))
+      .select(col("frame_hex"), col("_c.doc_id").as("canon_doc"),
+        col("_c.frame_idx").as("canon_frame"), col("group_size"))
+    frames.join(groups, Seq("frame_hex"))
+      .select(col("doc_id"), col("frame_idx"), col("canon_doc"),
+        col("canon_frame"), col("group_size"))
+  }
+
   /** Frame sampling: slice the payload into fixed-size frames and keep
     * every `every`-th full frame. Row count multiplies by frames/every;
     * byte volume DROPS by the sampling factor — at scale this runs as a
