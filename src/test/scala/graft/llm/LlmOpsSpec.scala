@@ -1322,6 +1322,50 @@ class LlmOpsSpec extends SparkTestBase {
     assert(hs.map(_._1 % 1000000L % 3).forall(_ == 0))
   }
 
+  test("audioEnergy: hand-checked window energies, per-doc quiet flags, " +
+      "partial trailing windows dropped") {
+    // doc 4 is audio-kind (4 % 3 == 1). Build a payload with one loud
+    // 32-byte window ('~' = 126, d = -2... use '!' = 33, d = -95) and
+    // one near-silent window ('}' = 125, d = -3), plus a 10-byte tail
+    // that must NOT produce a window
+    val text = "!" * 32 + "}" * 32 + "x" * 10
+    val media = Multimodal.mediaTable(Seq((4L, text)).toDF("doc_id", "text"))
+    val rows = Multimodal.audioEnergy(spark, media).collect()
+      .map(w => w.window_idx -> (w.energy, w.quiet)).toMap
+    assert(rows.size == 2, s"trailing partial window leaked: $rows")
+    assert(rows(0L) == ((32L * 95 * 95, false)))
+    assert(rows(1L) == ((32L * 3 * 3, true))) // 288*2 < 288800
+    // non-audio kinds are excluded entirely
+    val img = Multimodal.mediaTable(Seq((3L, text)).toDF("doc_id", "text"))
+    assert(Multimodal.audioEnergy(spark, img).isEmpty)
+  }
+
+  test("frameDedup: planted video copies share every full frame except " +
+      "any containing the perturbed last byte; canonical is the min pair") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(60)
+    val out = Multimodal.frameDedup(Multimodal.mediaTableWithDupes(d))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getInt(3), r.getLong(4))).toMap
+    assert(out.nonEmpty)
+    val origs = out.keys.map(_._1).filter(_ < 1000000L).toSeq.distinct
+    assert(origs.nonEmpty && origs.forall(_ % 3 == 2), "video kind only")
+    origs.foreach { id =>
+      val nFrames = out.keys.count(_._1 == id)
+      // every ORIGINAL frame except possibly the last is mirrored by
+      // the planted copy, so its group has >= 2 members with the
+      // original as canonical
+      (0 until nFrames - 1).foreach { f =>
+        val (cd, cf, gs) = out((id, f))
+        assert(gs >= 2 && cd <= id,
+          s"frame ($id,$f) not deduped against its copy: $gs")
+        // the copy points at the SAME canonical occurrence
+        assert(out((id + 1000000L, f)) == ((cd, cf, gs)))
+      }
+    }
+  }
+
   test("imagePHash emits %016x hex of the native expression hashes") {
     import graft.functions.ImageHashes
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
