@@ -255,12 +255,21 @@ object Multimodal {
     * a pHash or md5 per decoded frame, same shape). */
   def frameDedup(media: DataFrame): DataFrame = {
     val frames = frameSample(media.filter(col("kind") === "video"), 1)
-    val groups = frames.groupBy(col("frame_hex"))
-      .agg(min(struct(col("doc_id"), col("frame_idx"))).as("_c"),
-        count(lit(1)).as("group_size"))
-      .select(col("frame_hex"), col("_c.doc_id").as("canon_doc"),
-        col("_c.frame_idx").as("canon_frame"), col("group_size"))
-    frames.join(groups, Seq("frame_hex"))
+    // two long-keyed HASH aggregates, not one min(struct): a
+    // struct-typed min buffer is immutable, which silently demotes the
+    // sample-volume aggregate to SortAggregate (the repo's plan rule:
+    // volume aggregations stay hash-based). Both passes are map-side
+    // combined; the per-(frame, doc) table is distinct-pair-sized.
+    val perDoc = frames.groupBy(col("frame_hex"), col("doc_id"))
+      .agg(min(col("frame_idx")).as("_mf"), count(lit(1)).as("_n"))
+    val groups = perDoc.groupBy(col("frame_hex"))
+      .agg(min(col("doc_id")).as("canon_doc"), sum(col("_n")).as("group_size"))
+    val canon = perDoc
+      .join(groups, Seq("frame_hex"))
+      .where(col("doc_id") === col("canon_doc"))
+      .select(col("frame_hex"), col("canon_doc"), col("_mf").as("canon_frame"),
+        col("group_size"))
+    frames.join(canon, Seq("frame_hex"))
       .select(col("doc_id"), col("frame_idx"), col("canon_doc"),
         col("canon_frame"), col("group_size"))
   }

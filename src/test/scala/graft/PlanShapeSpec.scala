@@ -427,6 +427,18 @@ class PlanShapeSpec extends SparkTestBase {
       s"history side regressed to a shuffle/cartesian:\n${p.take(1200)}")
   }
 
+  test("m9 audio energy is map-only; m10 frame dedup is hash-aggregated " +
+      "with no cartesian (frame keys shuffle, never payloads)") {
+    val p9 = plan("m9_audio_energy")
+    assert(!p9.contains("Exchange"),
+      s"m9 must stay a map-only pass:\n${p9.take(800)}")
+    val p10 = plan("m10_frame_dedup")
+    assert(p10.contains("HashAggregate") && !p10.contains("SortAggregate"),
+      s"m10 group pass must be hash-based:\n${p10.take(800)}")
+    assert(!p10.contains("CartesianProduct"),
+      s"m10 must join on the frame key:\n${p10.take(800)}")
+  }
+
   test("langId plans the native stopword_hits expression, no lambda HOF") {
     // the language-ID battery must stay one codegen'd StopwordHits pass
     // per row — an interpreted lambda (ArrayFilter/lambdafunction)
