@@ -183,6 +183,7 @@ object Similarity {
     * aggregate — no shuffle touches corpus volume. */
   def centroidAssign(emb: DataFrame, labelCol: String = "label",
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val labelType = emb.schema(labelCol).dataType
     val cent = labelCentroids(emb, labelCol, vecCol)
       .groupBy(col("label").as("clabel"))
       .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("_dc"))
@@ -197,12 +198,16 @@ object Similarity {
       .withColumn("_cos", graft.functions.ArrayDot(col("_v"), col("cv")) /
         (col("_vnrm") * col("cnrm")))
       .groupBy(col(idCol), col("label"))
-      .agg(min(struct((-col("_cos")).as("nc"), col("clabel").as("al"),
-        col("_cos").as("cv0"))).as("_m"))
+      // hash-aggregable argmin (graft.exec.ArgMin), not min(struct):
+      // the struct buffer demoted this corpus-volume aggregate to
+      // SortAggregate (r11) — ordering contract identical (numeric
+      // labels; the winner casts back to the label's own type)
+      .agg(graft.exec.ArgMin.argmin(-col("_cos"),
+        col("clabel").cast("double"), col("_cos")).as("_m"))
       .select(col(idCol), col("label"),
-        col("_m.al").as("assigned"),
+        col("_m.al").cast(labelType).as("assigned"),
         col("_m.cv0").cast("float").as("cos"),
-        (col("label") === col("_m.al")).as("correct"))
+        (col("label") === col("_m.al").cast(labelType)).as("correct"))
   }
 
   /** Iterated Lloyd k-means over the embedding corpus — `rounds` ×
@@ -261,6 +266,7 @@ object Similarity {
         .withColumn("cnrm",
           sqrt(graft.functions.ArrayDot(col("cv"), col("cv"))))
         .localCheckpoint(true)
+    val labelType = emb.schema(labelCol).dataType
     def assign(cent: DataFrame): DataFrame =
       v.crossJoin(broadcast(cent))
         // nanvl → −1: a zero-norm vector or all-zero centroid yields
@@ -273,9 +279,13 @@ object Similarity {
           nanvl(graft.functions.ArrayDot(col("_v"), col("cv")) /
             (col("_vnrm") * col("cnrm")), lit(-1.0)))
         .groupBy(col("_id"), col("_lbl"))
-        .agg(min(struct((-col("_cos")).as("nc"), col("clabel").as("al"),
-          col("_cos").as("cv0"))).as("_m"))
-        .select(col("_id"), col("_lbl"), col("_m.al").as("assigned"),
+        // hash-aggregable argmin — same contract as the struct min
+        // (smaller -cos wins, ties to the smaller numeric label,
+        // winner cast back to the label's own type)
+        .agg(graft.exec.ArgMin.argmin(-col("_cos"),
+          col("clabel").cast("double"), col("_cos")).as("_m"))
+        .select(col("_id"), col("_lbl"),
+          col("_m.al").cast(labelType).as("assigned"),
           col("_m.cv0").as("_cos"))
     var cent = centroids(v, col("_lbl"))
     var a: DataFrame = null
