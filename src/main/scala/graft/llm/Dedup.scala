@@ -917,12 +917,19 @@ object Dedup {
           .select(col("wh"))
         win.join(dup, Seq("wh")).select(col("id"), col("p"))
       } else {
+        // global-first tracking via the hash-aggregable ArgMin (r11):
+        // min(struct(id, p))'s immutable buffer demoted this
+        // window-volume aggregate to SortAggregate. (id, p) fit doubles
+        // exactly (< 2^53), so the lexicographic min is (key=id, tie=p)
         val agg = win.groupBy(col("wh"))
-          .agg(min(struct(col("id"), col("p"))).as("first"),
+          .agg(graft.exec.ArgMin.argmin(col("id").cast("double"),
+            col("p").cast("double"), col("id").cast("double")).as("_f"),
             count(lit(1)).as("cnt"))
           .filter(col("cnt") >= 2)
+          .select(col("wh"), col("_f.cv0").cast("long").as("_fid"),
+            col("_f.al").cast("long").as("_fp"))
         win.join(agg, Seq("wh"))
-          .filter(!(col("id") === col("first.id") && col("p") === col("first.p")))
+          .filter(!(col("id") === col("_fid") && col("p") === col("_fp")))
           .select(col("id"), col("p"))
       }
     // consecutive duplicated windows overlap or touch when the start
@@ -962,17 +969,30 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       crossDocOnly: Boolean = true): DataFrame = {
     val win = windowPostings(docs, k, idCol, textCol)
-    val agg = win.groupBy(col("wh"))
-      .agg(min(col("id")).as("lo"), max(col("id")).as("hi"),
-        min(struct(col("id"), col("p"))).as("first"),
-        count(lit(1)).as("cnt"))
-    val cutW = win.join(agg, Seq("wh"))
+    // the global-first (id, p) rides the aggregate ONLY in the
+    // within-doc mode, and as the hash-aggregable ArgMin, not
+    // min(struct) — the struct buffer demoted the window-volume
+    // aggregate to SortAggregate even on the cross-doc path that
+    // never read it (r11)
+    val aggBase = win.groupBy(col("wh"))
     val toCut =
-      if (crossDocOnly)
-        cutW.filter(col("lo") =!= col("hi") && col("id") =!= col("lo"))
-      else
-        cutW.filter(col("cnt") >= 2 &&
-          !(col("id") === col("first.id") && col("p") === col("first.p")))
+      if (crossDocOnly) {
+        val agg = aggBase.agg(min(col("id")).as("lo"),
+          max(col("id")).as("hi"))
+        win.join(agg, Seq("wh"))
+          .filter(col("lo") =!= col("hi") && col("id") =!= col("lo"))
+      } else {
+        val agg = aggBase.agg(
+          graft.exec.ArgMin.argmin(col("id").cast("double"),
+            col("p").cast("double"), col("id").cast("double")).as("_f"),
+          count(lit(1)).as("cnt"))
+          .select(col("wh"), col("cnt"),
+            col("_f.cv0").cast("long").as("_fid"),
+            col("_f.al").cast("long").as("_fp"))
+        win.join(agg, Seq("wh"))
+          .filter(col("cnt") >= 2 &&
+            !(col("id") === col("_fid") && col("p") === col("_fp")))
+      }
     val cutStarts = toCut
       .groupBy(col("id")).agg(collect_list(col("p")).as("starts"))
     val cutUdf = udf { (text: String, starts: Seq[Long]) =>
