@@ -73,6 +73,8 @@ object Ingest {
     * `graft.tools.IngestBench`). */
   def dedup(batch: DataFrame, strict: Boolean): DataFrame = {
     // Label resolution is PROVABLY deterministic: first() picks an
+    // (r11: graft.exec.FirstLabels — the builtin first over a map
+    // buffer demoted these sample-volume aggregates to SortAggregate)
     // arbitrary map among the group's rows, but equal sig means equal
     // canonical string (sig is its hash) means equal map CONTENT —
     // only the entry order can differ — and the post-aggregation
@@ -87,7 +89,7 @@ object Ingest {
     val resolved = keyed
       .groupBy(col("_sig"), col("t"))
       .agg(
-        first(col("labels")).as("_l0"),
+        graft.exec.FirstLabels.first(col("labels")).as("_l0"),
         min(col("v")).as("v"),
         // stale marker wins over a plain value at the same timestamp
         max(col("stale")).as("stale"),
@@ -450,7 +452,7 @@ object Ingest {
       else Samples.sigExpr(col("labels"))
     samples
       .groupBy(sigC.as("sig"))
-      .agg(first(col("labels")).as("labels"))
+      .agg(graft.exec.FirstLabels.first(col("labels")).as("labels"))
   }
 
   /** Incrementally maintain a parquet series index at `path`: append
@@ -612,7 +614,7 @@ object Ingest {
     val sel = base
       .groupBy(col("_psig").as("sig"), col("bucket_start"))
       .agg(
-        first(col("labels")).as("_l0"),
+        graft.exec.FirstLabels.first(col("labels")).as("_l0"),
         max(col("t")).as("lta"), max_by(col("v"), col("t")).as("lva"),
         max_by(col("_stale"), col("t")).as("lsa"),
         max(when(col("_s0"), col("v"))).as("v0a"),
@@ -767,7 +769,7 @@ object Ingest {
       .withWatermark("ets", lateness)
       .groupBy(Samples.sigExpr(col("labels")).as("sig"),
         window(col("ets"), s"$bucketMs milliseconds").as("w"))
-      .agg(first(col("labels")).as("_l0"),
+      .agg(graft.exec.FirstLabels.first(col("labels")).as("_l0"),
         count(lit(1)).as("cnt"), sum(col("v")).as("sum"),
         min(col("v")).as("mn"), max(col("v")).as("mx"))
       // entry-sort AFTER the aggregation: equal sig ⇒ equal map
