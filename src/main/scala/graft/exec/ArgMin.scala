@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions.udaf
 object ArgMin {
   case class In(key: Double, tie: Double, payload: Double)
   case class Buf(key: Double, tie: Double, payload: Double, set: Boolean)
-  case class Out(al: Double, cv0: Double)
+  case class Out(tie: Double, payload: Double)
 
   private class ArgMinAgg extends Aggregator[In, Buf, Out] {
     private def better(k: Double, t: Double, b: Buf): Boolean = {
@@ -52,8 +52,8 @@ object ArgMin {
     override def outputEncoder: Encoder[Out] = Encoders.product[Out]
   }
 
-  /** `argmin(key, tie, payload)` → struct(al = winning tie,
-    * cv0 = winning payload). */
+  /** `argmin(key, tie, payload)` → struct(tie = winning tie,
+    * payload = winning payload). */
   def argmin(key: Column, tie: Column, payload: Column): Column =
     udaf(new ArgMinAgg, Encoders.product[In]).apply(key, tie, payload)
 }

@@ -156,7 +156,7 @@ class PromQLEngine(
     // unbounded series(): a pure series-dimension question — answer
     // from the postings index alone, no sample scan (the reference's
     // index-only path, tsdb/querier.go)
-    var df = seriesIndex match {
+    var df = idxCached match {
       case Some(idx) if startMs.isEmpty && endMs.isEmpty =>
         idx.filter(allMatchers(vs).map(matcherCond).reduce(_ && _))
       case _ => applyMatchers(scanSource, allMatchers(vs))
@@ -229,7 +229,7 @@ class PromQLEngine(
       // a pure series-dimension question: with a postings index the
       // answer never touches the sample volume (the reference reads
       // it from the index too, tsdb/index.go LabelValues)
-      seriesIndex.getOrElse(samples)
+      idxCached.getOrElse(samples)
         .select(col(L).getItem(n).as("v"))
         .filter(col("v").isNotNull).distinct()
         .collect().map(_.getString(0)).toSeq)
@@ -311,7 +311,7 @@ class PromQLEngine(
     // scan directly.
     val expensive = ms.exists(m =>
       m.typ == MatchType.Regex || m.typ == MatchType.NotRegex)
-    seriesIndex match {
+    idxCached match {
       case Some(idx) if expensive && df.columns.contains(SIG) =>
         // Selectivity gate (r7): the semi-join only pays when the
         // matched set is SMALL — it then broadcasts and prunes most
@@ -614,6 +614,21 @@ class PromQLEngine(
   private def joinLabels(aggd: DataFrame): DataFrame =
     aggd.join(seriesDim, SIG)
 
+  /** The bound series index, Spark-cached once per index STATE (plan
+    * identity, like [[seriesDim]]). The index is series-cardinality —
+    * broadcastable, a normal cache working set even at 40 M active
+    * series — but an INLINE index (built from samples, as callers
+    * without a persisted postings table bind it) re-runs a
+    * sample-volume first(labels) aggregate on every semi-join build
+    * and selectivity probe if used raw; that recompute was most of
+    * the r11 s13 serving cost (SCALE.md "FirstLabels settle", r12).
+    * A deployment binding a parquet-backed index
+    * ([[graft.storage.Ingest.appendSeriesIndex]]) caches just the
+    * scan. Released with [[releaseSeriesDim]] on engine swap. */
+  private lazy val idxCached: Option[DataFrame] =
+    seriesIndex.map(idx => seriesIndexCache.computeIfAbsent(
+      idx.queryExecution.analyzed.canonicalized, _ => idx.cache()))
+
   /** Memoized (minT, maxT, rows, series) of the bound table — the
     * inputs of the density cost model that picks between the sliding
     * and explode fold routes. Keyed by the CANONICALIZED plan and
@@ -696,6 +711,10 @@ class PromQLEngine(
     val key = samples.queryExecution.analyzed.canonicalized
     Option(seriesDimCache.remove(key)).foreach(_.unpersist(false))
     tableStatsCache.remove(key) // tiny, but same lifecycle
+    seriesIndex.foreach { idx =>
+      val k = idx.queryExecution.analyzed.canonicalized
+      Option(seriesIndexCache.remove(k)).foreach(_.unpersist(false))
+    }
   }
 
   /** groupBy that carries a labels map as part of the GROUPING KEY
@@ -2112,6 +2131,10 @@ object PromQLEngine {
     * synthetic tables) reuse one dimension instead of leaking a cached
     * copy per DataFrame object. */
   private val seriesDimCache = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]()
+
+  /** One materialized series index per index STATE (see `idxCached`). */
+  private val seriesIndexCache = new java.util.concurrent.ConcurrentHashMap[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]()
 
   /** One density-stats probe per table state (see `tableStats`). */

@@ -926,8 +926,8 @@ object Dedup {
             col("p").cast("double"), col("id").cast("double")).as("_f"),
             count(lit(1)).as("cnt"))
           .filter(col("cnt") >= 2)
-          .select(col("wh"), col("_f.cv0").cast("long").as("_fid"),
-            col("_f.al").cast("long").as("_fp"))
+          .select(col("wh"), col("_f.payload").cast("long").as("_fid"),
+            col("_f.tie").cast("long").as("_fp"))
         win.join(agg, Seq("wh"))
           .filter(!(col("id") === col("_fid") && col("p") === col("_fp")))
           .select(col("id"), col("p"))
@@ -987,8 +987,8 @@ object Dedup {
             col("p").cast("double"), col("id").cast("double")).as("_f"),
           count(lit(1)).as("cnt"))
           .select(col("wh"), col("cnt"),
-            col("_f.cv0").cast("long").as("_fid"),
-            col("_f.al").cast("long").as("_fp"))
+            col("_f.payload").cast("long").as("_fid"),
+            col("_f.tie").cast("long").as("_fp"))
         win.join(agg, Seq("wh"))
           .filter(col("cnt") >= 2 &&
             !(col("id") === col("_fid") && col("p") === col("_fp")))

@@ -205,9 +205,9 @@ object Similarity {
       .agg(graft.exec.ArgMin.argmin(-col("_cos"),
         col("clabel").cast("double"), col("_cos")).as("_m"))
       .select(col(idCol), col("label"),
-        col("_m.al").cast(labelType).as("assigned"),
-        col("_m.cv0").cast("float").as("cos"),
-        (col("label") === col("_m.al").cast(labelType)).as("correct"))
+        col("_m.tie").cast(labelType).as("assigned"),
+        col("_m.payload").cast("float").as("cos"),
+        (col("label") === col("_m.tie").cast(labelType)).as("correct"))
   }
 
   /** Iterated Lloyd k-means over the embedding corpus — `rounds` ×
@@ -285,8 +285,8 @@ object Similarity {
         .agg(graft.exec.ArgMin.argmin(-col("_cos"),
           col("clabel").cast("double"), col("_cos")).as("_m"))
         .select(col("_id"), col("_lbl"),
-          col("_m.al").cast(labelType).as("assigned"),
-          col("_m.cv0").as("_cos"))
+          col("_m.tie").cast(labelType).as("assigned"),
+          col("_m.payload").as("_cos"))
     var cent = centroids(v, col("_lbl"))
     var a: DataFrame = null
     for (r <- 1 to rounds) {
