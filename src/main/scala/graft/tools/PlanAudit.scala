@@ -14,6 +14,11 @@ import org.apache.spark.sql.execution.ExplainMode
   * only if it lost its broadcast) — the tool surfaces them for
   * adjudication, it does not assert.
   *
+  * Since r12 the INVARIANT is gated in `sbt test` by
+  * `graft.PlanAuditSpec` (zero SortAggregate / zero CartesianProduct,
+  * BNLJ allowlisted per entry); this tool remains for interactive
+  * debugging at other scale factors.
+  *
   * Usage: runMain graft.tools.PlanAudit [sfDir]
   */
 object PlanAudit {
