@@ -409,9 +409,22 @@ object Dedup {
     * by intersecting the two cached shingle-hash sets map-side. Output
     * equals [[containmentPairs]] bit-for-bit. */
   def containmentPrefixPairs(docs: DataFrame, n: Int, threshold: Double,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    containmentPrefixPairsFromSets(
+      shingleSetsCached(docs, n, idCol, textCol), threshold)
+
+  /** [[containmentPrefixPairs]] over a PRECOMPUTED `(id, hs, nsh)` set
+    * table — the element-agnostic core of the prefix-filtered
+    * containment join. The set elements are whatever 64-bit
+    * fingerprints the caller keys identity on: word-shingle hashes for
+    * documents (d15), per-frame fingerprint hashes for videos (m11,
+    * [[graft.llm.Multimodal.videoNearDupPairs]]). Same
+    * exactness/complexity argument as the text form (prefix filter is
+    * lossless under the rarest-first total order; candidate volume is
+    * Σ_s df_prefix(s)·df(s), never all-pairs). */
+  def containmentPrefixPairsFromSets(sets: DataFrame,
+      threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sets = shingleSetsCached(docs, n, idCol, textCol)
     val sh = sets.select(col("id"), col("nsh"), explode(col("hs")).as("s"))
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // rarest-first canonical order: (df, s) — the hash tiebreak makes

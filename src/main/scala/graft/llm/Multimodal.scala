@@ -274,6 +274,33 @@ object Multimodal {
         col("canon_frame"), col("group_size"))
   }
 
+  /** Per-video distinct-frame fingerprint sets — the `(id, hs, nsh)`
+    * shape [[graft.llm.Dedup.containmentPrefixPairsFromSets]] consumes:
+    * every video keyed by the sorted set of its frames' 64-bit content
+    * hashes. One hash aggregate over frame rows (volume = frame COUNT,
+    * never payload bytes — the m10 scale argument); the 2^-64
+    * hash-collision trade is the same one d2/d15 document for word
+    * shingles. Videos shorter than one frame vanish (no identity to
+    * compare), mirroring docs with < n tokens in the text family. */
+  def videoFrameSets(media: DataFrame): DataFrame =
+    frameSample(media.filter(col("kind") === "video"), 1)
+      .select(col("doc_id").as("id"), xxhash64(col("frame_hex")).as("h"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_set(col("h"))).as("hs"))
+      .withColumn("nsh", size(col("hs")).cast("long"))
+
+  /** Video NEAR-dup (m11): pairs of videos sharing ≥ `threshold` of
+    * the smaller side's distinct frames — Broder max-containment over
+    * frame-fingerprint sets, the curation op m10's exact frame dedup
+    * builds toward ("same video re-encoded with an extra intro/outro
+    * or trailing perturbation" shares nearly all frames; symmetric
+    * Jaccard dilutes when one side is much longer). Runs the d15
+    * PPJoin prefix filter verbatim over [[videoFrameSets]]: exact,
+    * rarest-frame prefix candidates + set-intersect verify, never an
+    * all-pairs product (plan-asserted in LlmPlanSpec). */
+  def videoNearDupPairs(media: DataFrame, threshold: Double): DataFrame =
+    Dedup.containmentPrefixPairsFromSets(videoFrameSets(media), threshold)
+
   /** Frame sampling: slice the payload into fixed-size frames and keep
     * every `every`-th full frame. Row count multiplies by frames/every;
     * byte volume DROPS by the sampling factor — at scale this runs as a

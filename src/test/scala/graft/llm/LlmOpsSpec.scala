@@ -589,6 +589,63 @@ class LlmOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingNearDup ≡ batch near-dup on a within-horizon corpus: " +
+      "cross-batch pairs equal incrementalNearDup, in-batch pairs equal " +
+      "ngramJaccardPairs, jaccards bit-identical") {
+    // The cross-check that pins the streaming op's semantics to the
+    // oracle-checked batch ops (r11 verdict ask 7). Contract mapping:
+    // within the watermark horizon, streamingNearDup emits each
+    // unordered near pair once, oriented (fid = later (ets, id),
+    // hid = earlier); with r = 1 banding (bands = numHashes) a pair
+    // misses only if NO minhash coordinate agrees — P ≈ (1−j)^64,
+    // ~1e-20 at j ≥ 0.5, and the fixture is deterministic so the
+    // equality is stable. Exact-verify means the emitted jaccard is
+    // the true shingle-set value, so it must equal the batch ops'
+    // doubles BIT for bit (same xxhash64 sets, same c/(na+nb−c)).
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(30).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // batch B = perturbed copies of A (last word dropped): bigram sets
+    // nearly identical => jaccard well above 0.5
+    val aRows = base.map { case (id, t) => (id, ts(100 + id), t) }
+    val bRows = base.map { case (id, t) =>
+      (id + 1000000L, ts(200 + id),
+        t.split(" ").dropRight(1).mkString(" ")) }
+    val q = Dedup.streamingNearDup(
+        mem.toDF().toDF("doc_id", "ets", "text"), "ets", "2 hours",
+        n = 2, threshold = 0.5, numHashes = 64, bands = 64)
+      .writeStream.format("memory").queryName("snear_eq")
+      .outputMode("append")
+      .start()
+    try {
+      mem.addData(aRows.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(bRows.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("select fid, hid, jaccard from snear_eq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val aDf = aRows.toSeq.map(x => (x._1, x._3)).toDF("doc_id", "text")
+    val bDf = bRows.toSeq.map(x => (x._1, x._3)).toDF("doc_id", "text")
+    // in-batch truth: ngramJaccardPairs emits ia < ib; ets increases
+    // with id inside each batch, so streaming orients fid = ib
+    def inBatch(df: org.apache.spark.sql.DataFrame) =
+      Dedup.ngramJaccardPairs(df, 2, 0.5).collect()
+        .map(r => (r.getLong(1), r.getLong(0), r.getDouble(2)))
+    // cross-batch truth: B is "today's crawl", A the history
+    val cross = Dedup.incrementalNearDup(bDf, aDf, 2, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = (inBatch(aDf) ++ inBatch(bDf) ++ cross).toSet
+    assert(want.nonEmpty, "fixture produced no near pairs — not a test")
+    assert(got == want,
+      s"streaming != batch:\n missing=${want -- got}\n extra=${got -- want}")
+  }
+
   test("connectedComponents of an empty edge set is empty") {
     val edges = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Dedup.connectedComponents(edges).collect().isEmpty)
@@ -1363,6 +1420,35 @@ class LlmOpsSpec extends SparkTestBase {
         // the copy points at the SAME canonical occurrence
         assert(out((id + 1000000L, f)) == ((cd, cf, gs)))
       }
+    }
+  }
+
+  test("videoNearDupPairs: frame-set containment finds planted copies " +
+      "and equals the brute-force frame-set answer") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(90)
+    val media = Multimodal.mediaTableWithDupes(d)
+    val got = Multimodal.videoNearDupPairs(media, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute-force truth over the same distinct-frame sets
+    val sets = Multimodal.videoFrameSets(media).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val truth = (for {
+      (ia, sa) <- sets.toSeq; (ib, sb) <- sets.toSeq if ia < ib
+      inter = (sa & sb).size.toDouble
+      c = math.max(inter / sa.size, inter / sb.size) if c >= 0.9
+    } yield (ia, ib) -> c).toMap
+    assert(got == truth, s"prefix-filtered != brute: " +
+      s"missing=${truth.keySet -- got.keySet} extra=${got.keySet -- truth.keySet}")
+    // every planted copy whose perturbed byte falls OUTSIDE the full
+    // frames (len % 32 != 0) shares ALL frames => containment 1.0
+    val texts = d.collect().map(r =>
+      r.getLong(0) -> r.getAs[String]("text")).toMap
+    texts.foreach { case (id, t) =>
+      val n = t.getBytes("UTF-8").length
+      if (id % 3 == 2 && n >= 32 && n % 32 != 0)
+        assert(got.get((id, id + 1000000L)).contains(1.0),
+          s"planted copy of $id (len $n) not found at containment 1.0")
     }
   }
 
