@@ -144,7 +144,27 @@ object LlmScalePoint {
           .unionByName(docs.filter(m < 500)
             .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
         Dedup.incrementalNearDup(fresh, history, 3, 0.5)
-      }))
+      }),
+      // r12: image dedup clusters — m6's banded pairs + alternating-
+      // star CC; the planted corpus keeps components tiny (pairs), so
+      // growth isolates the CC iteration floor over a ×k pair table
+      ("m7_image_dedup", () => {
+        val media = graft.llm.Multimodal.mediaTableWithDupes(docs)
+        Dedup.dupClusters(
+          media.filter(col("kind") === "image").select(col("doc_id")),
+          graft.llm.Multimodal.imageNearDupPairsCached(media)
+            .select(col("ia"), col("ib")))
+      }),
+      // r12: video frame dedup — shuffle volume = frame COUNT (two
+      // long-keyed hash aggregates), never payload bytes; growth
+      // should track the frame-slicing scan
+      ("m10_frame_dedup", () => graft.llm.Multimodal.frameDedup(
+        graft.llm.Multimodal.mediaTableWithDupes(docs))),
+      // r12: video near-dup — d15's prefix filter over per-video
+      // frame-fingerprint sets; per-shard pair structure constant, so
+      // candidates/output grow ×k over the frame-set aggregate
+      ("m11_video_neardup", () => graft.llm.Multimodal.videoNearDupPairs(
+        graft.llm.Multimodal.mediaTableWithDupes(docs), 0.9)))
     for ((name, f) <- ops if only.forall(_.contains(name))) {
       val (cold, warm) = med(f())
       println(f"$name%-16s cold $cold%7.2f s  warm-med $warm%7.2f s")

@@ -3647,4 +3647,236 @@ eval instant at 50m g == bool (0/0)
   g{job="b", i="1"} 0
 """)
   }
+
+  test("staleness markers inside a range window: every *_over_time fold, " +
+      "changes/resets/deriv, idelta/irate see only REAL points; offset " +
+      "and lookback interact with markers at the shifted time") {
+    // Range selections drop markers (value.go IsStaleNaN filtering in
+    // the matrix path), so the fold family must behave as if the
+    // marker samples never existed — while INSTANT selection semantics
+    // (marker newest in lookback hides the series) apply at the
+    // OFFSET-shifted evaluation time.
+    run("""
+load 5m
+  m 0 1 stale 3 stale stale 6
+
+# real points in [0, 30m]: (0m,0) (5m,1) (15m,3) (30m,6)
+eval instant at 30m count_over_time(m[30m])
+  {} 4
+
+eval instant at 30m sum_over_time(m[30m])
+  {} 10
+
+eval instant at 30m avg_over_time(m[30m])
+  {} 2.5
+
+eval instant at 30m min_over_time(m[30m])
+  {} 0
+
+eval instant at 30m max_over_time(m[30m])
+  {} 6
+
+# mean 2.5, var (6.25+2.25+0.25+12.25)/4 = 5.25
+eval instant at 30m stddev_over_time(m[30m])
+  {} 2.2912878474779195
+
+eval instant at 30m stdvar_over_time(m[30m])
+  {} 5.25
+
+# sorted reals [0,1,3,6], phi=0.5: rank 1.5 -> 1 + 0.5*(3-1)
+eval instant at 30m quantile_over_time(0.5, m[30m])
+  {} 2
+
+# transitions among the REAL points 0->1->3->6: three changes, no
+# resets (the dropped markers create no phantom transition)
+eval instant at 30m changes(m[30m])
+  {} 3
+
+eval instant at 30m resets(m[30m])
+  {} 0
+
+# last two REAL points (15m,3) (30m,6)
+eval instant at 30m idelta(m[30m])
+  {} 3
+
+eval instant at 30m irate(m[30m])
+  {} 0.0033333333333333335
+
+# least-squares over the four real points = 1/300 per second
+eval instant at 30m deriv(m[30m])
+  {} 0.0033333333333333335
+
+# a window holding ONE real point (reals in [10m, 25m]: only (15m,3)):
+# count works, the two-point family returns empty
+eval instant at 25m count_over_time(m[15m])
+  {} 1
+
+eval instant at 25m idelta(m[15m])
+
+eval instant at 25m deriv(m[15m])
+
+# offset x staleness: at 40m, `offset 15m` evaluates at 25m whose
+# lookback [20m, 25m] ends on a marker -> hidden
+eval instant at 40m m offset 15m
+
+# at 45m the shifted time is 30m: marker at 25m, real 6 at 30m ->
+# newest is real, series visible
+eval instant at 45m m offset 15m
+  m 6
+""")
+  }
+
+  test("absent() label synthesis: ONLY = matchers of a direct selector " +
+      "argument (functions.go:511-531) — regex/negative matchers and " +
+      "non-selector expressions synthesize nothing") {
+    run("""
+load 5m
+  present{job="api", instance="0"} 0+10x10
+
+eval instant at 50m absent(present)
+
+eval instant at 50m absent(nonexistent)
+  {} 1
+
+# =~ contributes no labels even though it names a value
+eval instant at 50m absent(nonexistent{job=~"api"})
+  {} 1
+
+# mixed matchers: the = pair synthesizes, != and =~ do not
+eval instant at 50m absent(nonexistent{job="api", instance!="0", env=~"prod"})
+  {job="api"} 1
+
+eval instant at 50m absent(nonexistent{job="api", env="dev"})
+  {job="api", env="dev"} 1
+
+# a parenthesized selector still synthesizes (it is the same selector)
+eval instant at 50m absent((nonexistent{job="wrap"}))
+  {job="wrap"} 1
+
+# non-selector arguments: no matchers to mine — bare {} 1
+eval instant at 50m absent(sum(nonexistent))
+  {} 1
+
+eval instant at 50m absent(nonexistent{job="a"} + nonexistent{job="b"})
+  {} 1
+
+# a PRESENT metric filtered to empty by matchers: the = matchers
+# synthesize (absent answers "what would have to exist")
+eval instant at 50m absent(present{job="nosuch"})
+  {job="nosuch"} 1
+
+# ...filtered to empty by a comparison: not a selector arg -> {} 1
+eval instant at 50m absent(present > 1e6)
+  {} 1
+""")
+  }
+
+  test("or-chain label-set dedup: left operands win per signature, each " +
+      "later operand contributes only NOVEL label sets") {
+    run("""
+load 5m
+  a{g="x"} 1+1x10
+  b{g="x"} 100+100x10
+  b{g="y"} 200+200x10
+  c{g="z"} 7 7 7 7 7 7 7 7 7 7 7
+  c{g="x"} 9 9 9 9 9 9 9 9 9 9 9
+
+# *1 drops the metric name, so {g="x"} collides across operands:
+# a's value survives, b adds {g="y"}, c adds only {g="z"}
+eval instant at 50m a*1 or b*1 or c*1
+  {g="x"} 11
+  {g="y"} 2200
+  {g="z"} 7
+
+# explicit right grouping: (b or c) first keeps b's {g="x"}, then the
+# outer or still prefers a's — same result, pinning associativity
+# cannot change which side wins
+eval instant at 50m a*1 or (b*1 or c*1)
+  {g="x"} 11
+  {g="y"} 2200
+  {g="z"} 7
+
+# reversed chain: now c's {g="x"} wins and a contributes nothing
+eval instant at 50m c*1 or b*1 or a*1
+  {g="x"} 9
+  {g="y"} 2200
+  {g="z"} 7
+
+# vector() appends the EMPTY label set if novel
+eval instant at 50m c*1 or vector(0)
+  {g="z"} 7
+  {g="x"} 9
+  {} 0
+""")
+  }
+
+  test("histogram_quantile with DUPLICATE le bounds after ParseFloat " +
+      "('1' and '1.0' are distinct series, equal bounds): the envelope " +
+      "and zero-width interpolation stay deterministic") {
+    run("""
+load 5m
+  dup{le="1"} 0+5x10
+  dup{le="1.0"} 0+5x10
+  dup{le="2"} 0+10x10
+  dup{le="+Inf"} 0+10x10
+
+# buckets at 50m: two at bound 1.0 with EQUAL counts 50, then 100, 100.
+# phi=0.5: rank 50 lands on the FIRST le=1.0 bucket -> interpolates
+# [0,1] fully: 0 + 1*(50/50)
+eval instant at 50m histogram_quantile(0.5, dup)
+  {} 1
+
+eval instant at 50m histogram_quantile(0.25, dup)
+  {} 0.5
+
+# phi=0.9: rank 90 lands in the le=2 bucket; bucketStart is the
+# SECOND le=1.0 bucket's bound, count 100-50, rank 90-50
+eval instant at 50m histogram_quantile(0.9, dup)
+  {} 1.8
+
+load 5m
+  uneq{le="1"} 0+5x10
+  uneq{le="1.0"} 0+8x10
+  uneq{le="2"} 0+10x10
+  uneq{le="+Inf"} 0+10x10
+
+# UNEQUAL counts at the duplicate bound (50 vs 80, either order after
+# the non-stable sort): rank 90 > both, so the envelope makes the
+# le=2 interpolation identical either way: start 1, count 100-80=20,
+# rank 90-80=10 -> 1 + 1*(10/20)
+eval instant at 50m histogram_quantile(0.9, uneq)
+  {} 1.5
+""")
+  }
+
+  test("changes/resets across NaN points: NaN->NaN is not a change, " +
+      "NaN->real and real->NaN are; NaN never counts as a reset " +
+      "(functions.go:723-776)") {
+    run("""
+load 5m
+  n 1 NaN NaN 1 2 NaN 0
+
+# transitions: 1->NaN (change) NaN->NaN (not) NaN->1 (change)
+# 1->2 (change) 2->NaN (change) NaN->0 (change) = 5
+eval instant at 30m changes(n[30m])
+  {} 5
+
+# resets need v[i] < v[i-1]: every comparison against NaN is false,
+# so only 2->...->0 could reset — but the NaN sits between, and
+# NaN<2 / 0<NaN are both false = 0 resets
+eval instant at 30m resets(n[30m])
+  {} 0
+
+load 5m
+  r 5 4 NaN 3 6 2 2
+
+# real resets: 5->4, (4->NaN->3 hidden by NaN), 6->2
+eval instant at 30m resets(r[30m])
+  {} 2
+
+# 5->4, 4->NaN, NaN->3, 3->6, 6->2 (2->2 is not a change)
+eval instant at 30m changes(r[30m])
+  {} 5
+""")
+  }
 }
