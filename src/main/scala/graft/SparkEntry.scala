@@ -1368,7 +1368,13 @@ object SparkEntry {
       TextOps.qualityFilter(docs(spark, dir))),
     // X4: embedding L2-normalize + int8 quantization (scalar witnesses)
     "x4_embed_quant" -> ((spark, dir) =>
-      Similarity.normQuantize(emb(spark, dir)))
+      Similarity.normQuantize(emb(spark, dir))),
+    // X24: embedding gramian — the one distributed pass behind
+    // PCA/whitening (eigendecomposition of the 64×64 result is
+    // driver-side): a single-group ObjectHashAggregate whose buffer is
+    // the upper triangle, shuffle = one buffer per task
+    "x10_embed_gramian" -> ((spark, dir) =>
+      Similarity.embeddingGramian(emb(spark, dir), 64))
   )
 
   /** Documents with deterministically PLANTED URLs / e-mails / phone
@@ -2707,6 +2713,16 @@ object SparkEntry {
          |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), qv),
          |    (a, b) -> a + b) AS BIGINT) AS q_sum
          |FROM q""".stripMargin,
+    // upper-triangular gramian: double products of the float32 inputs,
+    // final sum cast to float32 (order-of-addition noise << REAL ULP)
+    "x10_embed_gramian" ->
+      """WITH x AS (SELECT vec_id,
+        |  CAST(unnest(generate_series(1, len(embedding))) AS INT) AS i,
+        |  embedding FROM embeddings),
+        |p AS (SELECT vec_id, i, embedding[i]::DOUBLE AS v FROM x)
+        |SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS REAL) AS s
+        |FROM p a JOIN p b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY 1, 2""".stripMargin,
     // ---- ANN witness oracles -------------------------------------------
     // The approximate entries emit one row of verdict scalars computed
     // in Spark against their exact baselines (AnnWitness); the oracle

@@ -143,6 +143,90 @@ object Similarity {
         aggregate(col("_q"), lit(0L), (a, x) => a + x).as("q_sum"))
   }
 
+  /** Upper-triangular corpus GRAMIAN Σᵥ vᵢ·vⱼ of an embedding column —
+    * the one distributed pass behind PCA / whitening / covariance
+    * drift monitors (RowMatrix.computeGramianMatrix's shape): the
+    * eigendecomposition that follows runs driver-side on the dim×dim
+    * result, so the cluster's whole job is this aggregate.
+    *
+    * Shape: a typed Aggregator whose buffer is the dim(dim+1)/2
+    * upper-triangular sum array — ObjectHashAggregate with ONE group,
+    * so each task reduces its rows map-side into a single 2080-double
+    * buffer (dim 64) and the shuffle is one buffer per task regardless
+    * of corpus size; per row the update is the dim²/2 fused
+    * multiply-adds that ARE the gramian math. No explode, no join, no
+    * per-element lambda (a transform-based pair expansion evaluates
+    * interpreted per element — the SCALE.md §3 ArrayDot lesson).
+    *
+    * Determinism across engines: products accumulate in double from
+    * float32 inputs and the emitted cell casts to float32 — order-of-
+    * addition noise (~1e-15 relative) vanishes below float32's 1.2e-7
+    * ULP, the same argument as [[labelCentroids]]'s mean.
+    *
+    * Output: (i, j, s) long-form upper triangle, 1-based dims. */
+  def embeddingGramian(emb: DataFrame, dim: Int,
+      vecCol: String = "embedding"): DataFrame = {
+    val g = emb.select(col(vecCol).cast("array<float>").as("v"))
+      .agg(GramianAgg.agg(dim)(col("v")).as("g"))
+    g.select(explode(col("g")).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"),
+        col("e.s").cast("float").as("s"))
+  }
+
+  private object GramianAgg {
+    import org.apache.spark.sql.expressions.Aggregator
+    import org.apache.spark.sql.{Encoder, Encoders}
+    case class Cell(i: Int, j: Int, s: Double)
+    private class Agg(dim: Int)
+        extends Aggregator[Seq[Float], Array[Double], Seq[Cell]] {
+      private val n = dim * (dim + 1) / 2
+      override def zero: Array[Double] = new Array[Double](n)
+      override def reduce(b: Array[Double], v: Seq[Float]): Array[Double] = {
+        // defensive: ignore wrong-length vectors rather than corrupt
+        // the triangle (the corpus contract is fixed-dim)
+        if (v.length != dim) return b
+        val a = new Array[Double](dim)
+        var i = 0
+        while (i < dim) { a(i) = v(i).toDouble; i += 1 }
+        var k = 0
+        i = 0
+        while (i < dim) {
+          val vi = a(i)
+          var j = i
+          while (j < dim) { b(k) += vi * a(j); j += 1; k += 1 }
+          i += 1
+        }
+        b
+      }
+      override def merge(x: Array[Double], y: Array[Double]): Array[Double] = {
+        var k = 0
+        while (k < n) { x(k) += y(k); k += 1 }
+        x
+      }
+      override def finish(b: Array[Double]): Seq[Cell] = {
+        val out = Vector.newBuilder[Cell]
+        var k = 0
+        var i = 0
+        while (i < dim) {
+          var j = i
+          while (j < dim) { out += Cell(i + 1, j + 1, b(k)); j += 1; k += 1 }
+          i += 1
+        }
+        out.result()
+      }
+      // kryo: the buffer crosses the wire once per task (partial →
+      // final), so buffer codec cost is per-task, not per-row
+      override def bufferEncoder: Encoder[Array[Double]] =
+        Encoders.kryo[Array[Double]]
+      override def outputEncoder: Encoder[Seq[Cell]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    }
+    def agg(dim: Int): org.apache.spark.sql.expressions
+        .UserDefinedFunction =
+      org.apache.spark.sql.functions.udaf(new Agg(dim),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+  }
+
   /** Per-label element-wise centroid of an embedding column — the
     * summarization step behind IVF coarse quantizers, SemDeDup cluster
     * centers, and per-class embedding drift monitors. Emitted in long

@@ -1047,6 +1047,34 @@ class LlmOpsSpec extends SparkTestBase {
       4L -> true, 5L -> true))
   }
 
+  test("embeddingGramian: upper-triangular sums match the brute force, " +
+      "survive partitioning, ignore wrong-dim rows") {
+    import spark.implicits._
+    val vecs = (0 until 50).map { k =>
+      (k.toLong, Array.tabulate(4)(d => ((k * 7 + d * 3) % 11 - 5).toFloat))
+    }
+    val e = vecs.toDF("vec_id", "embedding").repartition(8)
+    val got = Similarity.embeddingGramian(e, 4).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getFloat(2)).toMap
+    assert(got.size == 10) // 4*5/2 upper-triangular cells
+    for (i <- 0 until 4; j <- i until 4) {
+      val want = vecs.map { case (_, v) =>
+        v(i).toDouble * v(j).toDouble }.sum.toFloat
+      assert(got((i + 1, j + 1)) == want, s"cell ($i,$j)")
+    }
+    // a wrong-dim row contributes nothing rather than corrupting cells
+    val mixed = (vecs :+ (99L, Array(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val got2 = Similarity.embeddingGramian(mixed, 4).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getFloat(2)).toMap
+    assert(got2 == got)
+    // plan: hash-based, single aggregate, no explode/join
+    val p = Similarity.embeddingGramian(e, 4)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("SortAggregate") && !p.contains("Join"), p)
+  }
+
   test("labelCentroids: element-wise per-label means in long form") {
     import spark.implicits._
     val e = Seq(
