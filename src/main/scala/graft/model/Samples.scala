@@ -40,12 +40,12 @@ object Samples {
     * could legally appear inside a label value). Decoding is unambiguous:
     * each segment is `len(key):key=len(value):value` joined by `;`. */
   def sigStr(labels: Column): Column =
-    array_join(
-      transform(array_sort(map_entries(labels)),
-        e => concat(
-          length(e.getField("key")), lit(":"), e.getField("key"), lit("="),
-          length(e.getField("value")), lit(":"), e.getField("value"))),
-      ";")
+    // r12: native codegen expression — the former
+    // array_join(transform(array_sort(map_entries(...)))) pipeline
+    // evaluated its lambdas INTERPRETED per entry, and this string is
+    // built per ROW in the ingest dedup, binop signature, and topk tie
+    // paths; output is bit-identical (property-pinned in PropertySpec)
+    graft.functions.CanonicalLabels(labels)
 
   /** Prometheus label-name validity (`model.LabelNameRE`). */
   private val LabelNameRe = "^[a-zA-Z_][a-zA-Z0-9_]*$".r
