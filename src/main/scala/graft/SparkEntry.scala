@@ -1209,6 +1209,13 @@ object SparkEntry {
       Multimodal.videoNearDupPairs(
         Multimodal.mediaTableWithDupes(docs(spark, dir)), 0.9)
         .withColumn("containment", col("containment").cast("float"))),
+    // M12: audio near-dup — energy-envelope trigram shingles (exact
+    // integers from m9's window pass) through the same d15 prefix
+    // filter; shuffle = window count, never payload bytes
+    "m12_audio_neardup" -> ((spark, dir) =>
+      Multimodal.audioNearDupPairs(spark,
+        Multimodal.mediaTableWithDupes(docs(spark, dir)), 0.9)
+        .withColumn("containment", col("containment").cast("float"))),
     // M9: windowed audio energy + silence flags — the map-only
     // segmentation pass before transcription (per-doc threshold, no
     // corpus aggregate)
@@ -2271,6 +2278,41 @@ object SparkEntry {
         |i AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
         |      FROM fx a JOIN fx b ON a.frame_hex = b.frame_hex
         |                         AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT ia, ib,
+        |  CAST(greatest(inter::DOUBLE / sa.nsh, inter::DOUBLE / sb.nsh)
+        |    AS REAL) AS containment
+        |FROM i JOIN sz sa ON i.ia = sa.doc_id
+        |       JOIN sz sb ON i.ib = sb.doc_id
+        |WHERE greatest(inter::DOUBLE / sa.nsh, inter::DOUBLE / sb.nsh)
+        |      >= 0.9""".stripMargin,
+    // audio near-dup: m9's exact-integer window energies → oldest-first
+    // comma-joined trigrams → distinct per doc → containment (the
+    // oracle joins on the trigram STRING; Spark on its 64-bit hash)
+    "m12_audio_neardup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substr(text, 1, len(text) - 1) || '~'
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |a AS (SELECT doc_id, text, len(text) // 32 AS nw FROM corpus),
+        |w AS (SELECT doc_id, unnest(generate_series(0, nw - 1)) AS wi,
+        |      text FROM a WHERE nw >= 1),
+        |e AS (SELECT doc_id, wi,
+        |  CAST(coalesce(list_sum(list_transform(generate_series(1, 32),
+        |    i -> (ord(substr(text, wi*32 + i, 1)) - 128) *
+        |         (ord(substr(text, wi*32 + i, 1)) - 128))), 0) AS BIGINT)
+        |    AS energy
+        |  FROM w),
+        |g AS (SELECT e0.doc_id,
+        |      e2.energy || ',' || e1.energy || ',' || e0.energy AS tg
+        |      FROM e e0
+        |      JOIN e e1 ON e1.doc_id = e0.doc_id AND e1.wi = e0.wi - 1
+        |      JOIN e e2 ON e2.doc_id = e0.doc_id AND e2.wi = e0.wi - 2),
+        |gs AS (SELECT DISTINCT doc_id, tg FROM g),
+        |sz AS (SELECT doc_id, count(*) AS nsh FROM gs GROUP BY 1),
+        |i AS (SELECT x.doc_id AS ia, y.doc_id AS ib, count(*) AS inter
+        |      FROM gs x JOIN gs y ON x.tg = y.tg AND x.doc_id < y.doc_id
         |      GROUP BY 1, 2)
         |SELECT ia, ib,
         |  CAST(greatest(inter::DOUBLE / sa.nsh, inter::DOUBLE / sb.nsh)

@@ -242,6 +242,38 @@ object Multimodal {
     }(Encoders.product[AudioWindow])
   }
 
+  /** Audio NEAR-dup (m12): pairs of audio docs sharing ≥ `threshold`
+    * of the smaller side's energy-envelope shingles — the cheap
+    * fingerprint a curation pass runs before any model: consecutive
+    * window-energy triples ([[audioEnergy]]'s exact integers) are the
+    * audio analogue of word shingles, so a re-encode that preserves
+    * the envelope (or a copy with a perturbed tail) shares nearly all
+    * of them. Trigram formation is a per-doc lag window over
+    * (doc, window_idx) — codegen'd, shuffle = window COUNT, never
+    * payload bytes — and the pair join is the d15 PPJoin prefix
+    * filter over the shingle sets (exact, never all-pairs). The
+    * 2^-64 fingerprint-collision trade is d2/m11's. */
+  def audioNearDupPairs(spark: SparkSession, media: DataFrame,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = audioEnergy(spark, media).toDF()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("window_idx"))
+    val tri = e
+      .withColumn("_e1", lag(col("energy"), 1).over(w))
+      .withColumn("_e2", lag(col("energy"), 2).over(w))
+      .filter(col("_e2").isNotNull)
+      .select(col("doc_id").as("id"),
+        // oldest-first triple, comma-joined — the exact string the
+        // oracle re-derives before hashing drops out (it joins on the
+        // string; we join on its 64-bit hash)
+        xxhash64(concat_ws(",", col("_e2"), col("_e1"), col("energy")))
+          .as("h"))
+    val sets = tri.groupBy(col("id"))
+      .agg(sort_array(collect_set(col("h"))).as("hs"))
+      .withColumn("nsh", size(col("hs")).cast("long"))
+    Dedup.containmentPrefixPairsFromSets(sets, threshold)
+  }
+
   /** Video frame-level exact dedup — shot/segment dedup via frame
     * fingerprints: every [[FrameSize]]-byte frame of every video keyed
     * by content, each frame annotated with its group's canonical

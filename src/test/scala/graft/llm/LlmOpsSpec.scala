@@ -1480,6 +1480,32 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("audioNearDupPairs: energy-trigram containment equals the " +
+      "brute-force set answer; planted tail-perturbed copies found") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(90)
+    val media = Multimodal.mediaTableWithDupes(d)
+    val got = Multimodal.audioNearDupPairs(spark, media, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute-force truth: per-doc distinct energy trigrams
+    val wins = Multimodal.audioEnergy(spark, media).collect()
+      .groupBy(_.doc_id)
+      .view.mapValues(_.sortBy(_.window_idx).map(_.energy).toSeq).toMap
+    val sets = wins.collect { case (id, es) if es.length >= 3 =>
+      id -> es.sliding(3).map(_.mkString(",")).toSet }
+    val truth = (for {
+      (ia, sa) <- sets.toSeq; (ib, sb) <- sets.toSeq if ia < ib
+      inter = (sa & sb).size.toDouble
+      c = math.max(inter / sa.size, inter / sb.size) if c >= 0.9
+    } yield (ia, ib) -> c).toMap
+    assert(truth.nonEmpty, "fixture produced no audio near pairs")
+    assert(got == truth, s"prefix-filtered != brute: " +
+      s"missing=${truth.keySet -- got.keySet} extra=${got.keySet -- truth.keySet}")
+    // audio-kind docs only participate
+    assert(got.keys.flatMap(p => Seq(p._1, p._2))
+      .forall(id => id % 1000000L % 3 == 1))
+  }
+
   test("imagePHash emits %016x hex of the native expression hashes") {
     import graft.functions.ImageHashes
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
