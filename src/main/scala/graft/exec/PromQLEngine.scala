@@ -945,8 +945,8 @@ class PromQLEngine(
             "count_values requires a string literal label name")
         }
         val outLabels = map_concat(
-          map_filter(col("_gl"), (k, _) => k =!= lbl),
-          map(lit(lbl), PromUdfs.formatFloatUdf(col(V))))
+          graft.functions.FilterLabels.drop(col("_gl"), Seq(lbl)),
+          map(lit(lbl), graft.functions.GoFormatFloatExpr(col(V))))
         groupByWithLabels(
           withGl
             .withColumn("_ol", outLabels)
@@ -1137,13 +1137,12 @@ class PromQLEngine(
     outLabels = card match {
       case Cardinality.OneToOne =>
         if (m.on) Samples.labelsOn(outLabels, m.matchingLabels)
-        else map_filter(outLabels, (k, _) =>
-          !k.isInCollection(m.matchingLabels.toSet))
+        else graft.functions.FilterLabels.drop(outLabels, m.matchingLabels)
       case _ =>
         if (m.include.isEmpty) outLabels
         else map_concat(
-          map_filter(outLabels, (k, _) => !k.isInCollection(m.include.toSet)),
-          map_filter(oneLabels, (k, _) => k.isInCollection(m.include.toSet)))
+          graft.functions.FilterLabels.drop(outLabels, m.include),
+          graft.functions.FilterLabels.keep(oneLabels, m.include))
     }
 
     def guarded(value: Column): Column =

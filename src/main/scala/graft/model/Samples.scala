@@ -94,23 +94,27 @@ object Samples {
   /** Signature restricted TO the given label names (PromQL `on(...)` /
     * `by(...)`). */
   def sigOn(labels: Column, names: Seq[String]): Column =
-    sigExpr(map_filter(labels, (k, _) => k.isInCollection(names.toSet)))
+    sigExpr(graft.functions.FilterLabels.keep(labels, names))
 
   /** Signature over all labels EXCEPT the given names and `__name__`
     * (PromQL `ignoring(...)` / `without(...)`). */
   def sigWithout(labels: Column, names: Seq[String]): Column =
     sigExpr(labelsWithout(labels, names))
 
+  // r12: the map_filter lambda forms evaluated INTERPRETED per entry,
+  // one per sample row in binop matching — now native projections
+  // (graft.functions.FilterLabels), entry order preserved like
+  // map_filter's
   def labelsOn(labels: Column, names: Seq[String]): Column =
     if (names.isEmpty) map()
-    else map_filter(labels, (k, _) => k.isInCollection(names.toSet))
+    else graft.functions.FilterLabels.keep(labels, names)
 
   def labelsWithout(labels: Column, names: Seq[String]): Column =
-    map_filter(labels, (k, _) =>
-      !k.isInCollection(names.toSet + MetricNameLabel))
+    graft.functions.FilterLabels.drop(labels,
+      (names.toSet + MetricNameLabel).toSeq.sorted)
 
   def dropMetricName(labels: Column): Column =
-    map_filter(labels, (k, _) => k =!= MetricNameLabel)
+    graft.functions.FilterLabels.drop(labels, Seq(MetricNameLabel))
 
   /** Prometheus staleness marker: a specific signalling-NaN bit pattern
     * (reference `pkg/value/value.go:20-34`). `isnan` is NOT sufficient —

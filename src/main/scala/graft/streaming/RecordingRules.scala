@@ -112,7 +112,7 @@ object RecordingRules {
     val overlay = map(fixed.flatMap {
       case (k, v) => Seq(lit(k), lit(v)) }: _*)
     out.withColumn("labels", map_concat(
-      map_filter(col("labels"), (k, _) => !k.isInCollection(dropKeys)),
+      graft.functions.FilterLabels.drop(col("labels"), dropKeys),
       overlay))
   }
 
@@ -253,15 +253,15 @@ object RecordingRules {
       val base = new PromQLEngine(spark, evalFrame)
         .rangeQuery(a.expr, lo, hi, step)
         .withColumn("labels", map_concat(
-          map_filter(col("labels"), (k, _) => !k.isInCollection(dropKeys)),
+          graft.functions.FilterLabels.drop(col("labels"), dropKeys),
           overlay))
         .select(col("labels"), col("t"),
           lit(null).cast("double").as("_seedAt"))
       val seed = recent
         .filter(nameIs(ForState) && col("labels")("alertname") === a.alert &&
           col("t") === lo - step && !col("stale"))
-        .select(map_filter(col("labels"),
-            (k, _) => k =!= "__name__").as("labels"),
+        .select(graft.functions.FilterLabels.drop(col("labels"),
+            Seq("__name__")).as("labels"),
           col("t"), col("v").as("_seedAt"))
       // gaps-and-islands: consecutive active steps share
       // step-index − row-number; activeAt = run minimum (a seed row

@@ -3879,4 +3879,48 @@ eval instant at 30m changes(r[30m])
   {} 5
 """)
   }
+
+  test("degenerate aggregation params: topk/bottomk k=0 and negative k " +
+      "return empty; single-sample quantile/stddev/stdvar; vector() " +
+      "arithmetic matches on the empty label set") {
+    run("""
+load 5m
+  one{j="a"} 0+10x10
+  one{j="b"} 0+20x10
+  solo 7 7 7 7 7 7 7 7 7 7 7
+
+# the bounded heap never admits anything at k <= 0 (engine.go push
+# guard len(heap) < k)
+eval instant at 50m topk(0, one)
+
+eval instant at 50m bottomk(0, one)
+
+eval instant at 50m topk(0 - 1, one)
+
+# a one-element group: rank phi*(n-1) = 0 for every phi -> the value
+eval instant at 50m quantile(0.01, solo)
+  {} 7
+
+eval instant at 50m quantile(0.99, solo)
+  {} 7
+
+eval instant at 50m stddev(solo)
+  {} 0
+
+eval instant at 50m stdvar(solo)
+  {} 0
+
+# vector() emits the EMPTY label set: two of them match one-to-one
+eval instant at 50m vector(1) + vector(2)
+  {} 3
+
+eval instant at 50m vector(1) == bool vector(1)
+  {} 1
+
+# absent with an explicit __name__ matcher in brace form: the
+# __name__ = matcher is SKIPPED in synthesis like the bare-name form
+eval instant at 50m absent({__name__="nonexistent", j="x"})
+  {j="x"} 1
+""")
+  }
 }
