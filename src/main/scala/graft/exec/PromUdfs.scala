@@ -436,9 +436,9 @@ object PromUdfs {
   }
 
   /** Go `strconv.FormatFloat(v, 'f', -1, 64)` for count_values label
-    * values (`promql/engine.go:1269-1274`). */
-  val formatFloatUdf: UserDefinedFunction = udf((v: Double) => goFormatFloat(v))
-
+    * values (`promql/engine.go:1269-1274`); the plan-side form is the
+    * codegen [[graft.functions.GoFormatFloatExpr]] (r12 — the UDF
+    * here was its per-row-encoder predecessor). */
   def goFormatFloat(v: Double): String = {
     if (v.isNaN) "NaN"
     else if (v.isPosInfinity) "+Inf"

@@ -253,26 +253,61 @@ object Multimodal {
     * payload bytes — and the pair join is the d15 PPJoin prefix
     * filter over the shingle sets (exact, never all-pairs). The
     * 2^-64 fingerprint-collision trade is d2/m11's. */
-  def audioNearDupPairs(spark: SparkSession, media: DataFrame,
-      threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = audioEnergy(spark, media).toDF()
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("window_idx"))
-    val tri = e
-      .withColumn("_e1", lag(col("energy"), 1).over(w))
-      .withColumn("_e2", lag(col("energy"), 2).over(w))
-      .filter(col("_e2").isNotNull)
-      .select(col("doc_id").as("id"),
-        // oldest-first triple, comma-joined — the exact string the
-        // oracle re-derives before hashing drops out (it joins on the
-        // string; we join on its 64-bit hash)
-        xxhash64(concat_ws(",", col("_e2"), col("_e1"), col("energy")))
-          .as("h"))
-    val sets = tri.groupBy(col("id"))
-      .agg(sort_array(collect_set(col("h"))).as("hs"))
-      .withColumn("nsh", size(col("hs")).cast("long"))
-    Dedup.containmentPrefixPairsFromSets(sets, threshold)
+  case class EnvSet(id: Long, hs: Seq[Long], nsh: Long)
+
+  /** Per-audio distinct energy-trigram fingerprint sets, MAP-ONLY: a
+    * doc's windows are computed together in the partition pass (the
+    * [[audioEnergy]] loop), so the consecutive-triple shingles fall
+    * out of the same array with no lag-window shuffle at all — the
+    * r12 first cut shuffled every window row by doc_id just to see
+    * its two predecessors, and that shuffle was the whole ×100 cost
+    * (12.8 s → see SCALE.md m12 row). Hashes are Spark's own XXH64
+    * (seed 42) over the UTF-8 comma-joined oldest-first triple — the
+    * same bytes `xxhash64(concat_ws(",", …))` would hash, so the
+    * documented string↔hash oracle trade is unchanged. */
+  def audioEnvelopeSets(media: DataFrame): DataFrame = {
+    val ds = media.filter(col("kind") === "audio")
+      .as(Encoders.product[MediaRec])
+    ds.mapPartitions { it =>
+      it.flatMap { rec =>
+        val b = rec.media
+        val n = b.length / FrameSize
+        if (n < 3) Iterator.empty
+        else {
+          val e = new Array[Long](n)
+          var w = 0
+          while (w < n) {
+            var s = 0L
+            var i = w * FrameSize
+            val end = i + FrameSize
+            while (i < end) {
+              val d = (b(i) & 0xff) - 128
+              s += d.toLong * d
+              i += 1
+            }
+            e(w) = s
+            w += 1
+          }
+          val set = scala.collection.mutable.SortedSet.empty[Long]
+          w = 2
+          while (w < n) {
+            val bytes = s"${e(w - 2)},${e(w - 1)},${e(w)}"
+              .getBytes("UTF-8")
+            set += org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUnsafeBytes(bytes,
+                org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+                bytes.length, 42L)
+            w += 1
+          }
+          Iterator.single(EnvSet(rec.doc_id, set.toSeq, set.size.toLong))
+        }
+      }
+    }(Encoders.product[EnvSet]).toDF()
   }
+
+  def audioNearDupPairs(spark: SparkSession, media: DataFrame,
+      threshold: Double): DataFrame =
+    Dedup.containmentPrefixPairsFromSets(audioEnvelopeSets(media), threshold)
 
   /** Video frame-level exact dedup — shot/segment dedup via frame
     * fingerprints: every [[FrameSize]]-byte frame of every video keyed

@@ -164,7 +164,14 @@ object LlmScalePoint {
       // frame-fingerprint sets; per-shard pair structure constant, so
       // candidates/output grow ×k over the frame-set aggregate
       ("m11_video_neardup", () => graft.llm.Multimodal.videoNearDupPairs(
-        graft.llm.Multimodal.mediaTableWithDupes(docs), 0.9)))
+        graft.llm.Multimodal.mediaTableWithDupes(docs), 0.9)),
+      // r12: audio near-dup — energy trigrams via a per-doc lag window
+      // (shuffle = window count), d15 prefix filter over the sets
+      ("m12_audio_neardup", () => {
+        val spark = docs.sparkSession
+        graft.llm.Multimodal.audioNearDupPairs(spark,
+          graft.llm.Multimodal.mediaTableWithDupes(docs), 0.9)
+      }))
     for ((name, f) <- ops if only.forall(_.contains(name))) {
       val (cold, warm) = med(f())
       println(f"$name%-16s cold $cold%7.2f s  warm-med $warm%7.2f s")
