@@ -1381,7 +1381,14 @@ object SparkEntry {
     // driver-side): a single-group ObjectHashAggregate whose buffer is
     // the upper triangle, shuffle = one buffer per task
     "x10_embed_gramian" -> ((spark, dir) =>
-      Similarity.embeddingGramian(emb(spark, dir), 64))
+      Similarity.embeddingGramian(emb(spark, dir), 64)),
+    // X26: PCA projection — one moments pass (gramian+sums+count in a
+    // single buffer), driver-side 64×64 Jacobi eigen, map-only
+    // projection; witness verdicts per the x2/x5 pattern (residuals,
+    // orthonormality, descending λ, trace bound, and var(projᵢ)=λᵢ
+    // tying the distributed projection to the driver eigenbasis)
+    "x11_pca_project" -> ((spark, dir) =>
+      Similarity.pcaProject(emb(spark, dir), 64, 8))
   )
 
   /** Documents with deterministically PLANTED URLs / e-mails / phone
@@ -2765,6 +2772,16 @@ object SparkEntry {
         |SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS REAL) AS s
         |FROM p a JOIN p b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY 1, 2""".stripMargin,
+    // witness verdicts (eigenvectors are not SQL-re-derivable): the
+    // oracle states the invariants literally, x2/x5 pattern; n_vecs
+    // is the corpus count
+    "x11_pca_project" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(8 AS BIGINT) AS k,
+        |  CAST(1 AS BIGINT) AS resid_ok, CAST(1 AS BIGINT) AS orth_ok,
+        |  CAST(1 AS BIGINT) AS desc_ok, CAST(1 AS BIGINT) AS trace_ok,
+        |  CAST(1 AS BIGINT) AS var_ok
+        |FROM embeddings""".stripMargin,
     // ---- ANN witness oracles -------------------------------------------
     // The approximate entries emit one row of verdict scalars computed
     // in Spark against their exact baselines (AnnWitness); the oracle

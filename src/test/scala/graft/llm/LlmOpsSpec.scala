@@ -1075,6 +1075,35 @@ class LlmOpsSpec extends SparkTestBase {
     assert(!p.contains("SortAggregate") && !p.contains("Join"), p)
   }
 
+  test("pcaProject: verdicts all pass on a rank-2 synthetic corpus, and " +
+      "the Jacobi eigensolver recovers the planted spectrum") {
+    import spark.implicits._
+    // rank-2 data in 4 dims: v = a*d1 + b*d2, var(a)=25, var(b)=1
+    val rnd = new scala.util.Random(3)
+    val d1 = Array(0.5f, 0.5f, 0.5f, 0.5f)
+    val d2 = Array(0.5f, -0.5f, 0.5f, -0.5f)
+    val vecs = (0 until 400).map { i =>
+      val a = (rnd.nextGaussian() * 5).toFloat
+      val b = rnd.nextGaussian().toFloat
+      (i.toLong, Array.tabulate(4)(j => a * d1(j) + b * d2(j)))
+    }
+    val e = vecs.toDF("vec_id", "embedding").repartition(8)
+    val out = Similarity.pcaProject(e, 4, 2).collect().head
+    assert(out.getLong(0) == 400 && out.getLong(1) == 2)
+    (2 to 6).foreach(i => assert(out.getLong(i) == 1L,
+      s"verdict ${out.schema(i).name} failed"))
+    // the driver eigensolver itself: planted diagonal spectrum
+    val m = Array(
+      Array(3.0, 0.0, 0.0), Array(0.0, 1.0, 0.0), Array(0.0, 0.0, 2.0))
+    val (ev, evec) = Similarity.PcaMath.jacobiEigen(m)
+    assert(ev.sorted.sameElements(Array(1.0, 2.0, 3.0)))
+    // eigenvectors are axis-aligned (up to sign)
+    ev.zip(evec).foreach { case (l, v) =>
+      val axis = m.indices.find(i => m(i)(i) == l).get
+      assert(math.abs(math.abs(v(axis)) - 1.0) < 1e-12)
+    }
+  }
+
   test("labelCentroids: element-wise per-label means in long form") {
     import spark.implicits._
     val e = Seq(
