@@ -165,13 +165,19 @@ object LlmScalePoint {
       // candidates/output grow ×k over the frame-set aggregate
       ("m11_video_neardup", () => graft.llm.Multimodal.videoNearDupPairs(
         graft.llm.Multimodal.mediaTableWithDupes(docs), 0.9)),
-      // r12: audio near-dup — energy trigrams via a per-doc lag window
-      // (shuffle = window count), d15 prefix filter over the sets
+      // r12: audio near-dup — energy trigrams formed map-only inside
+      // the partition pass, d15 prefix filter over the sets
       ("m12_audio_neardup", () => {
         val spark = docs.sparkSession
         graft.llm.Multimodal.audioNearDupPairs(spark,
           graft.llm.Multimodal.mediaTableWithDupes(docs), 0.9)
-      }))
+      }),
+      // r12: the distributed-PCA pair — the gramian is one
+      // ObjectHashAggregate buffer per task (dim²/2 FMAs per row, so
+      // wall should track the scan), and pcaProject adds the map-only
+      // projection + output-sized moment aggregate on top
+      ("x10_embed_gramian", () => Similarity.embeddingGramian(emb, 64)),
+      ("x11_pca_project", () => Similarity.pcaProject(emb, 64, 8)))
     for ((name, f) <- ops if only.forall(_.contains(name))) {
       val (cold, warm) = med(f())
       println(f"$name%-16s cold $cold%7.2f s  warm-med $warm%7.2f s")
