@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -37,6 +37,65 @@ case class ArrayDot(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): ArrayDot = copy(left = newLeft, right = newRight)
+}
+
+/** Native centered k-component projection: `out_i = (v − μ)·basisᵢ`
+  * over a raw `array<double>` column — the PCA apply step
+  * ([[graft.llm.Similarity.pcaProject]]'s pass 2). The μ/basis
+  * constants ride as codegen reference objects, so the per-row cost is
+  * the k×dim FMAs straight off the UnsafeArrayData, where the UDF
+  * predecessor decoded a Seq[Float] per row (the x11 ×100 term,
+  * SCALE.md r12 points). A wrong-length vector projects to zeros
+  * (mirroring the UDF's guard). */
+case class ArrayProject(child: Expression, mu: Array[Double],
+    basis: Array[Array[Double]]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "array_project"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"array_project expects array<double>, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayProject.project(v.asInstanceOf[ArrayData], mu, basis)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val muRef = ctx.addReferenceObj("mu", mu, "double[]")
+    val bRef = ctx.addReferenceObj("basis", basis, "double[][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.ArrayProject.project($v, $muRef, $bRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayProject =
+    copy(child = newChild)
+}
+
+object ArrayProject {
+  def apply(v: Column, mu: Array[Double],
+      basis: Array[Array[Double]]): Column =
+    GraftColumnBridge.column(ArrayProject(
+      GraftColumnBridge.expression(v), mu, basis))
+
+  /** Shared by interpreted eval and generated code. */
+  def project(v: ArrayData, mu: Array[Double],
+      basis: Array[Array[Double]]): ArrayData = {
+    val k = basis.length
+    val out = new Array[Double](k)
+    if (v.numElements() == mu.length) {
+      var i = 0
+      while (i < k) {
+        val w = basis(i)
+        var s = 0.0
+        var j = 0
+        while (j < mu.length) { s += (v.getDouble(j) - mu(j)) * w(j); j += 1 }
+        out(i) = s
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 object ArrayDot {

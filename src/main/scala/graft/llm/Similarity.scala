@@ -290,24 +290,11 @@ object Similarity {
     val topk = evals.take(k)
     val traceOk = topk.sum <= trace * (1 + 1e-12) + 1e-9
     // pass 2: map-only projection, output-sized moment aggregate
-    val muB = mu
-    val vB = evecs.take(k)
-    val projUdf = udf((v: Seq[Float]) => {
-      val a = new Array[Double](k)
-      if (v != null && v.length == dim) {
-        var i = 0
-        while (i < k) {
-          val w = vB(i)
-          var s = 0.0
-          var j = 0
-          while (j < dim) { s += (v(j) - muB(j)) * w(j); j += 1 }
-          a(i) = s
-          i += 1
-        }
-      }
-      a.toSeq
-    })
-    val pm = emb.select(posexplode(projUdf(col(vecCol).cast("array<float>")))
+    // native projection (graft.functions.ArrayProject): k×dim FMAs
+    // straight off the array data — the udf predecessor's per-row
+    // Seq[Float] decode was the ×100 term (SCALE.md r12 points)
+    val pm = emb.select(posexplode(graft.functions.ArrayProject(
+        col(vecCol).cast("array<double>"), mu, evecs.take(k)))
         .as(Seq("comp", "p")))
       .groupBy(col("comp"))
       .agg(count(lit(1)).as("cnt"), sum(col("p")).as("s1"),
