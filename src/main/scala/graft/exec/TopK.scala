@@ -1,9 +1,12 @@
 package graft.exec
 
-import org.apache.spark.sql.{Column, Encoder, Encoders}
-import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Bounded-heap top-k/bottom-k aggregation for PromQL `topk`/`bottomk`.
   *
@@ -25,38 +28,17 @@ import org.apache.spark.sql.functions.udaf
   * canonical label string so results are deterministic.
   */
 object TopK {
-  case class Entry(key: Double, tie: String, st: Long, v: Double)
-
-  class TopKAgg(k: Int, desc: Boolean)
-      extends Aggregator[Entry, Seq[Entry], Seq[Entry]] {
-    // "better" ordering: winners first
-    private def better(a: Entry, b: Entry): Boolean =
-      if (a.key != b.key) { if (desc) a.key > b.key else a.key < b.key }
-      else a.tie < b.tie
-
-    private def trim(b: Seq[Entry]): Seq[Entry] =
-      if (b.lengthCompare(k) <= 0) b else b.sortWith(better).take(k)
-
-    override def zero: Seq[Entry] = Vector.empty
-    override def reduce(b: Seq[Entry], a: Entry): Seq[Entry] = {
-      val appended = b :+ a
-      // trim lazily at 2k to amortize the sort
-      if (appended.lengthCompare(2 * k) >= 0) trim(appended) else appended
-    }
-    override def merge(a: Seq[Entry], b: Seq[Entry]): Seq[Entry] = trim(a ++ b)
-    // ALWAYS sorted, not just when trimming: the reference emits each
-    // group's winners in order (engine.go:1388-1407 sorts the reversed
-    // heap before appending) — topk descending, bottomk ascending, NaN
-    // last in both (the key pre-maps NaN to the losing infinity)
-    override def finish(r: Seq[Entry]): Seq[Entry] = r.sortWith(better).take(k)
-    override def bufferEncoder: Encoder[Seq[Entry]] = ExpressionEncoder()
-    override def outputEncoder: Encoder[Seq[Entry]] = ExpressionEncoder()
-  }
-
   def topk(k: Int, desc: Boolean)(key: Column, tie: Column, st: Column,
       v: Column): Column =
-    udaf(new TopKAgg(k, desc), Encoders.product[Entry])
-      .apply(key, tie, st, v)
+    GraftColumnBridge.column(TopKExpr(k, desc,
+      GraftColumnBridge.expression(key), GraftColumnBridge.expression(tie),
+      GraftColumnBridge.expression(st), GraftColumnBridge.expression(v))
+      .toAggregateExpression())
+
+  /** Buffer entry of the native aggregate: the tie travels as a
+    * DEFENSIVELY-COPIED UTF8String (the input row's memory is reused
+    * across rows). */
+  final case class Ent(key: Double, tie: UTF8String, st: Long, v: Double)
 
   /** Decode the length-prefixed canonical label string back to a map
     * (inverse of [[graft.model.Samples.sigStr]]). */
@@ -81,4 +63,111 @@ object TopK {
 
   val decodeLabelsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udf((s: String) => decodeLabels(s))
+}
+
+/** Native bounded-heap aggregate (r12): the r11 typed-`Aggregator`
+  * form paid a per-INPUT-ROW encoder decode of the 4-field
+  * (double, string, long, double) entry — the FirstLabels lesson
+  * applied to the topk path (a6 read 2× the identical-selector a1).
+  * As a [[TypedImperativeAggregate]] the update reads the child
+  * expressions straight off the input row; only the appended entry
+  * allocates (one UTF8String clone). Semantics identical to the udaf:
+  * map-side trim at 2k, merge-trim to k, finish sorted winners-first
+  * (topk descending, bottomk ascending; exact-value ties break on the
+  * canonical label string in BINARY order — DuckDB's default string
+  * collation, which is what the oracles compare with; the reference
+  * itself leaves equal-value order heap-nondeterministic,
+  * engine.go:1388-1407). */
+case class TopKExpr(k: Int, desc: Boolean, key: Expression,
+    tie: Expression, st: Expression, v: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[
+      scala.collection.mutable.ArrayBuffer[TopK.Ent]] {
+
+  override def prettyName: String = if (desc) "topk_heap" else "bottomk_heap"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("key", DoubleType, nullable = false),
+    StructField("tie", StringType, nullable = false),
+    StructField("st", LongType, nullable = false),
+    StructField("v", DoubleType, nullable = false))), containsNull = false)
+
+  override def children: Seq[Expression] = Seq(key, tie, st, v)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKExpr =
+    copy(key = newChildren(0), tie = newChildren(1), st = newChildren(2),
+      v = newChildren(3))
+
+  private type Buf = scala.collection.mutable.ArrayBuffer[TopK.Ent]
+
+  // "better" ordering: winners first
+  private def better(a: TopK.Ent, b: TopK.Ent): Boolean =
+    if (a.key != b.key) { if (desc) a.key > b.key else a.key < b.key }
+    else a.tie.compareTo(b.tie) < 0
+
+  private def trim(b: Buf): Buf =
+    if (b.length > k) b.sortWith(better).take(k) else b
+
+  override def createAggregationBuffer(): Buf = new Buf(k)
+
+  override def update(b: Buf, input: InternalRow): Buf = {
+    val kd = key.eval(input)
+    val td = tie.eval(input)
+    if (kd == null || td == null) return b
+    b += TopK.Ent(kd.asInstanceOf[Double],
+      td.asInstanceOf[UTF8String].clone(),
+      st.eval(input).asInstanceOf[Long], v.eval(input).asInstanceOf[Double])
+    // trim lazily at 2k to amortize the sort
+    if (b.length >= 2 * k) trim(b) else b
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = trim(a ++= b)
+
+  // ALWAYS sorted, not just when trimming: the reference emits each
+  // group's winners in order — topk descending, bottomk ascending,
+  // NaN last in both (the key pre-maps NaN to the losing infinity)
+  override def eval(b: Buf): Any = {
+    val winners = b.sortWith(better).take(k)
+    new GenericArrayData(winners.map(e =>
+      InternalRow(e.key, e.tie, e.st, e.v)).toArray[Any])
+  }
+
+  override def serialize(b: Buf): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(b.length)
+    b.foreach { e =>
+      out.writeDouble(e.key)
+      val tb = e.tie.getBytes
+      out.writeInt(tb.length)
+      out.write(tb)
+      out.writeLong(e.st)
+      out.writeDouble(e.v)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val b = new Buf(n)
+    var i = 0
+    while (i < n) {
+      val kd = in.readDouble()
+      val tl = in.readInt()
+      val tb = new Array[Byte](tl)
+      in.readFully(tb)
+      b += TopK.Ent(kd, UTF8String.fromBytes(tb), in.readLong(),
+        in.readDouble())
+      i += 1
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKExpr =
+    copy(inputAggBufferOffset = newOffset)
 }
