@@ -364,7 +364,8 @@ object Multimodal {
     * Jaccard dilutes when one side is much longer). Runs the d15
     * PPJoin prefix filter verbatim over [[videoFrameSets]]: exact,
     * rarest-frame prefix candidates + set-intersect verify, never an
-    * all-pairs product (plan-asserted in LlmPlanSpec). */
+    * all-pairs product (plan-asserted in PlanShapeSpec; the
+    * PlanAuditSpec gate covers the whole surface). */
   def videoNearDupPairs(media: DataFrame, threshold: Double): DataFrame =
     Dedup.containmentPrefixPairsFromSets(videoFrameSets(media), threshold)
 

@@ -16,7 +16,7 @@ import org.apache.spark.sql.execution.ExplainMode
   * The allowlist entries are all deliberate `crossJoin(broadcast(...))`
   * of a SCALAR or k-row side — a broadcast cross join IS the planned
   * shape there, and dedicated plan guards elsewhere pin the broadcast
-  * (PlanShapeSpec, LlmPlanSpec). An entry leaving the list (op
+  * (PlanShapeSpec). An entry leaving the list (op
   * rewritten without the cross join) just passes; an entry ENTERING
   * BNLJ without adjudication fails here.
   */

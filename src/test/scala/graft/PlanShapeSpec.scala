@@ -227,6 +227,28 @@ class PlanShapeSpec extends SparkTestBase {
       s"no corpus-volume join may appear in the scoring pass:\n${x9.take(600)}")
   }
 
+  test("m11/m12 near-dup plans ride the d15 prefix-filter shape: " +
+      "equi-join candidates, never a product; m12's set extraction " +
+      "is map-only (no pre-join shuffle of window rows)") {
+    Seq("m11_video_neardup", "m12_audio_neardup").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$name candidates must come from the fingerprint equi-join:\n" +
+          p.take(600))
+      assert(p.contains("Window"),
+        s"$name: per-doc df-ranking window of the prefix filter expected")
+    }
+    // m12's trigram sets are born in the partition pass: the ONLY
+    // exchanges allowed are the prefix filter's own (df aggregate,
+    // ranking window, candidate join) — none keyed by doc over raw
+    // window rows upstream of SerializeFromObject (the mapPartitions
+    // output boundary)
+    val m12 = plan("m12_audio_neardup")
+    assert(m12.contains("MapPartitions") || m12.contains("SerializeFromObject"),
+      s"m12 set extraction must be the partition-pass path:\n${m12.take(600)}")
+  }
+
   test("sample-volume aggregations are hash-based, not sort-based") {
     // a1_sum is the canonical (sig, step) aggregation; a map-typed key
     // would force SortAggregate (no UnsafeRow support for maps)
