@@ -1210,8 +1210,9 @@ object SparkEntry {
         Multimodal.mediaTableWithDupes(docs(spark, dir)), 0.9)
         .withColumn("containment", col("containment").cast("float"))),
     // M12: audio near-dup — energy-envelope trigram shingles (exact
-    // integers from m9's window pass) through the same d15 prefix
-    // filter; shuffle = window count, never payload bytes
+    // integers from m9's window pass, formed MAP-ONLY in one
+    // partition pass — zero pre-join shuffle) through the same d15
+    // prefix filter; never payload bytes
     "m12_audio_neardup" -> ((spark, dir) =>
       Multimodal.audioNearDupPairs(spark,
         Multimodal.mediaTableWithDupes(docs(spark, dir)), 0.9)

@@ -113,10 +113,14 @@ case class TopKExpr(k: Int, desc: Boolean, key: Expression,
   override def update(b: Buf, input: InternalRow): Buf = {
     val kd = key.eval(input)
     val td = tie.eval(input)
-    if (kd == null || td == null) return b
+    val sd = st.eval(input)
+    val vd = v.eval(input)
+    // skip the row if ANY child is null — a null st/v would otherwise
+    // silently unbox to 0, fabricating a timestamp/value
+    if (kd == null || td == null || sd == null || vd == null) return b
     b += TopK.Ent(kd.asInstanceOf[Double],
       td.asInstanceOf[UTF8String].clone(),
-      st.eval(input).asInstanceOf[Long], v.eval(input).asInstanceOf[Double])
+      sd.asInstanceOf[Long], vd.asInstanceOf[Double])
     // trim lazily at 2k to amortize the sort
     if (b.length >= 2 * k) trim(b) else b
   }

@@ -92,7 +92,7 @@ object FilterLabels {
   }
 }
 
-/** Native Go `strconv.FormatFloat(v, 'g', -1, 64)` formatting — the
+/** Native Go `strconv.FormatFloat(v, 'f', -1, 64)` formatting — the
   * `count_values` label value and every API-visible float string.
   * Replaces the Scala UDF (per-row encoder round-trip) with a static
   * call inside whole-stage codegen. */

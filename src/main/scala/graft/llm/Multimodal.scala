@@ -248,9 +248,10 @@ object Multimodal {
     * window-energy triples ([[audioEnergy]]'s exact integers) are the
     * audio analogue of word shingles, so a re-encode that preserves
     * the envelope (or a copy with a perturbed tail) shares nearly all
-    * of them. Trigram formation is a per-doc lag window over
-    * (doc, window_idx) — codegen'd, shuffle = window COUNT, never
-    * payload bytes — and the pair join is the d15 PPJoin prefix
+    * of them. Trigram formation is MAP-ONLY ([[audioEnvelopeSets]]:
+    * the envelope and its consecutive-triple shingles fall out of one
+    * partition pass, zero pre-join shuffle — asserted by
+    * PlanShapeSpec) and the pair join is the d15 PPJoin prefix
     * filter over the shingle sets (exact, never all-pairs). The
     * 2^-64 fingerprint-collision trade is d2/m11's. */
   case class EnvSet(id: Long, hs: Seq[Long], nsh: Long)

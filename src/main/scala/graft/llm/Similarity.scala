@@ -293,7 +293,11 @@ object Similarity {
     // native projection (graft.functions.ArrayProject): k×dim FMAs
     // straight off the array data — the udf predecessor's per-row
     // Seq[Float] decode was the ×100 term (SCALE.md r12 points)
-    val pm = emb.select(posexplode(graft.functions.ArrayProject(
+    // filter wrong-dim vectors BEFORE projecting — the moments pass
+    // drops them (n excludes them), so pass 2 must too, or one
+    // malformed row flips var_ok with no diagnostic
+    val pm = emb.filter(size(col(vecCol)) === dim)
+      .select(posexplode(graft.functions.ArrayProject(
         col(vecCol).cast("array<double>"), mu, evecs.take(k)))
         .as(Seq("comp", "p")))
       .groupBy(col("comp"))
@@ -308,7 +312,11 @@ object Similarity {
       val cnt = r.getLong(1)
       val mean = r.getDouble(2) / cnt
       val vvar = r.getDouble(3) / cnt - mean * mean
-      cnt == n && math.abs(mean) <= 1e-6 &&
+      // mean tolerance scales with the component's spread (√λᵢ) so
+      // large-magnitude embeddings don't false-fail the ~0 check
+      cnt == n &&
+        math.abs(mean) <= 1e-6 * math.max(1.0,
+          math.sqrt(math.max(0.0, evals(i)))) &&
         math.abs(vvar - evals(i)) <= 1e-6 * math.max(1.0, math.abs(evals(i)))
     } && pm.length == k
     Seq((n, k.toLong, if (residOk) 1L else 0L, if (orthOk) 1L else 0L,

@@ -198,7 +198,7 @@ object ChunkStore {
     val day = decoded(readChunks(spark, path)
       .filter(col("date") === date))
       .groupBy(col("sig"), col("t"))
-      .agg(first(col("labels")).as("_l0"),
+      .agg(graft.exec.FirstLabels.first(col("labels")).as("_l0"),
         min(col("v")).as("v"), max(col("stale")).as("stale"))
       .withColumn("labels",
         map_from_entries(array_sort(map_entries(col("_l0")))))
