@@ -1389,7 +1389,37 @@ object SparkEntry {
     // orthonormality, descending λ, trace bound, and var(projᵢ)=λᵢ
     // tying the distributed projection to the driver eigenbasis)
     "x11_pca_project" -> ((spark, dir) =>
-      Similarity.pcaProject(emb(spark, dir), 64, 8))
+      Similarity.pcaProject(emb(spark, dir), 64, 8)),
+    // C4: SemDeDup composed end-to-end — whiten (x11's eigenbasis,
+    // scale folded into the projection) → k-means cluster in whitened
+    // space → in-block near-dup (d8's probed-block kernel), witnessed
+    // against the exact all-pairs baseline ON THE SAME WHITENED frame.
+    // k=32 whitened components: measured planted-pair whitened cosine
+    // ≥ 0.97 vs background max ≤ 0.84 at both SFs, so threshold 0.9
+    // separates with margin and exact_pairs = one per base vector
+    // (which the oracle recomputes as COUNT(*) of embeddings)
+    "c4_semdedup" -> ((spark, dir) =>
+      Similarity.semDeDup(Similarity.withPlantedDupes(emb(spark, dir)),
+        64, 32, 0.9)),
+    // D17: incremental containment near-dup — d16's batch-vs-history
+    // asymmetry (batch element set broadcasts, history postings
+    // semi-join-pruned before any shuffle, history×history never
+    // forms) re-keyed to the d15 containment measure; fresh batch =
+    // the genuinely-new docs plus half-length truncations of history
+    // docs (the embedded-quote case containment exists to catch:
+    // Jaccard of a half-doc vs its source is ~0.5, containment ~1)
+    "d17_incremental_containment" -> ((spark, dir) => {
+      val base = docs(spark, dir)
+      val history = base.filter(col("doc_id") < 250)
+      val fresh = base.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("text"))
+        .unionByName(base.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            col("text").substr(lit(1),
+              floor(length(col("text")) / lit(2)).cast("int")).as("text")))
+      Dedup.incrementalContainment(fresh, history, 3, 0.8)
+        .withColumn("containment", col("containment").cast("float"))
+    })
   )
 
   /** Documents with deterministically PLANTED URLs / e-mails / phone
@@ -2812,7 +2842,41 @@ object SparkEntry {
     "d8_embed_blocked" ->
       """SELECT CAST(count(*) AS BIGINT) AS exact_pairs,
         |  CAST(0 AS BIGINT) AS false_pos, CAST(1 AS BIGINT) AS recall_ok
-        |FROM embeddings""".stripMargin
+        |FROM embeddings""".stripMargin,
+    // c4: the whitened-space exact baseline keeps the planted-corpus
+    // invariant (measured: planted whitened cosine >= 0.97, background
+    // max <= 0.84 at k=32), so exact_pairs is again one per base
+    // vector — COUNT(*) of the table — and the witness booleans are
+    // the contract
+    "c4_semdedup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS exact_pairs,
+        |  CAST(0 AS BIGINT) AS false_pos, CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings""".stripMargin,
+    "d17_incremental_containment" ->
+      """WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        |newd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |         UNION ALL
+        |         SELECT doc_id + 1000000,
+        |           substr(text, 1, CAST(floor(length(text)/2) AS INT))
+        |         FROM documents WHERE doc_id < 50),
+        |ftok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM newd),
+        |htok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM hist),
+        |fsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  generate_series(1, greatest(len(tk) - 2, 0)),
+        |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s FROM ftok),
+        |hsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  generate_series(1, greatest(len(tk) - 2, 0)),
+        |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s FROM htok),
+        |fsz AS (SELECT doc_id, count(*) AS nf FROM fsh GROUP BY 1),
+        |hsz AS (SELECT doc_id, count(*) AS nh FROM hsh GROUP BY 1),
+        |pr AS (SELECT f.doc_id AS fid, h.doc_id AS hid, count(*) AS inter
+        |       FROM fsh f JOIN hsh h ON f.s = h.s GROUP BY 1, 2)
+        |SELECT fid, hid,
+        |  CAST(greatest(CAST(inter AS DOUBLE) / nf,
+        |                CAST(inter AS DOUBLE) / nh) AS REAL) AS containment
+        |FROM pr JOIN fsz ON fsz.doc_id = fid JOIN hsz ON hsz.doc_id = hid
+        |WHERE greatest(CAST(inter AS DOUBLE) / nf,
+        |               CAST(inter AS DOUBLE) / nh) >= 0.8""".stripMargin
   )
 
   /** Planted-PII documents CTE — the SQL mirror of [[plantedDocs]]. */

@@ -322,6 +322,55 @@ object Dedup {
       .select(col("fid"), col("hid"), col("jaccard"))
   }
 
+  /** Incremental CONTAINMENT near-dup (d17): every fresh doc's
+    * max-containment ≥ `threshold` partners in the history corpus —
+    * [[incrementalNearDup]]'s batch-vs-history asymmetry re-keyed to
+    * the [[containmentPrefixPairsFromSets]] family's measure, so the
+    * d15/m11/m12 operators get a daily-batch form that does NOT re-run
+    * the full pairs job (the r12 verdict gap: a daily video/audio
+    * batch re-ran history×history).
+    *
+    * Set-table form: inputs are precomputed `(id, hs, nsh)` fingerprint
+    * sets — word-shingle hashes for documents (d15), frame hashes for
+    * videos (m11), energy-trigram hashes for audio (m12) — so one
+    * operator serves all three. The scale shape is d16's: the batch's
+    * distinct element set BROADCASTS and prunes history postings with
+    * a map-side semi-join BEFORE anything shuffles; history elements
+    * absent from the batch (virtually all of a 100 TB corpus) are
+    * scanned but never move, surviving posting volume is
+    * batch-bounded (Σ over batch elements of history-df), intersection
+    * counts are map-side combined, and history×history pairs are
+    * never formed. Exact — equals the quadratic fresh×history
+    * cross-join at the same threshold.
+    *
+    * Output: (fid, hid, containment = max(|F∩H|/|F|, |F∩H|/|H|)). */
+  def incrementalContainmentFromSets(freshSets: DataFrame,
+      historySets: DataFrame, threshold: Double): DataFrame = {
+    val fpost = freshSets.select(col("id").as("fid"), col("nsh").as("nf"),
+      explode(col("hs")).as("s"))
+    val hpost = historySets.select(col("id").as("hid"), col("nsh").as("nh"),
+      explode(col("hs")).as("s"))
+    val pruned = hpost.join(
+      broadcast(fpost.select(col("s")).distinct()), Seq("s"), "left_semi")
+    pruned.join(fpost, Seq("s"))
+      .groupBy(col("fid"), col("hid"), col("nf"), col("nh"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment",
+        greatest(col("inter").cast("double") / col("nf").cast("double"),
+          col("inter").cast("double") / col("nh").cast("double")))
+      .filter(col("containment") >= threshold)
+      .select(col("fid"), col("hid"), col("containment"))
+  }
+
+  /** [[incrementalContainmentFromSets]] over raw document text (word
+    * n-gram shingle sets via the shared memoized aggregation). */
+  def incrementalContainment(fresh: DataFrame, history: DataFrame, n: Int,
+      threshold: Double, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    incrementalContainmentFromSets(
+      shingleSetsCached(fresh, n, idCol, textCol),
+      shingleSetsCached(history, n, idCol, textCol), threshold)
+
   // ---- shared shingle machinery -----------------------------------------
 
   /** (id, shingle) posting list: one row per distinct word n-gram per

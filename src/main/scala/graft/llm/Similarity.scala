@@ -149,12 +149,16 @@ object Similarity {
     * eigendecomposition that follows runs driver-side on the dim×dim
     * result, so the cluster's whole job is this aggregate.
     *
-    * Shape: a typed Aggregator whose buffer is the dim(dim+1)/2
-    * upper-triangular sum array — ObjectHashAggregate with ONE group,
-    * so each task reduces its rows map-side into a single 2080-double
-    * buffer (dim 64) and the shuffle is one buffer per task regardless
-    * of corpus size; per row the update is the dim²/2 fused
-    * multiply-adds that ARE the gramian math. No explode, no join, no
+    * Shape: [[graft.exec.VecMoments]] — a native
+    * TypedImperativeAggregate whose buffer is the flat
+    * `[tri | sums | n]` double array, ObjectHashAggregate with ONE
+    * group, so each task reduces its rows map-side into a single
+    * buffer (dim 64 → 2145 doubles) and the shuffle is one buffer per
+    * task regardless of corpus size; per row the update is the dim²/2
+    * fused multiply-adds that ARE the gramian math, read straight off
+    * the UnsafeArrayData (r13: the typed-Aggregator predecessor
+    * decoded a boxed `Seq[Float]` per row and Kryo-coded the buffer —
+    * the FirstLabels per-row-decode class). No explode, no join, no
     * per-element lambda (a transform-based pair expansion evaluates
     * interpreted per element — the SCALE.md §3 ArrayDot lesson).
     *
@@ -163,68 +167,24 @@ object Similarity {
     * addition noise (~1e-15 relative) vanishes below float32's 1.2e-7
     * ULP, the same argument as [[labelCentroids]]'s mean.
     *
-    * Output: (i, j, s) long-form upper triangle, 1-based dims. */
+    * Output: (i, j, s) long-form upper triangle, 1-based dims — the
+    * (i, j) of each flat triangle slot come from two tiny literal
+    * lookup arrays, so the explode stays in-plan (nothing collected). */
   def embeddingGramian(emb: DataFrame, dim: Int,
       vecCol: String = "embedding"): DataFrame = {
-    val g = emb.select(col(vecCol).cast("array<float>").as("v"))
-      .agg(GramianAgg.agg(dim)(col("v")).as("g"))
-    g.select(explode(col("g")).as("e"))
-      .select(col("e.i").as("i"), col("e.j").as("j"),
-        col("e.s").cast("float").as("s"))
-  }
-
-  private object GramianAgg {
-    import org.apache.spark.sql.expressions.Aggregator
-    import org.apache.spark.sql.{Encoder, Encoders}
-    case class Cell(i: Int, j: Int, s: Double)
-    private class Agg(dim: Int)
-        extends Aggregator[Seq[Float], Array[Double], Seq[Cell]] {
-      private val n = dim * (dim + 1) / 2
-      override def zero: Array[Double] = new Array[Double](n)
-      override def reduce(b: Array[Double], v: Seq[Float]): Array[Double] = {
-        // defensive: ignore wrong-length vectors rather than corrupt
-        // the triangle (the corpus contract is fixed-dim)
-        if (v.length != dim) return b
-        val a = new Array[Double](dim)
-        var i = 0
-        while (i < dim) { a(i) = v(i).toDouble; i += 1 }
-        var k = 0
-        i = 0
-        while (i < dim) {
-          val vi = a(i)
-          var j = i
-          while (j < dim) { b(k) += vi * a(j); j += 1; k += 1 }
-          i += 1
-        }
-        b
-      }
-      override def merge(x: Array[Double], y: Array[Double]): Array[Double] = {
-        var k = 0
-        while (k < n) { x(k) += y(k); k += 1 }
-        x
-      }
-      override def finish(b: Array[Double]): Seq[Cell] = {
-        val out = Vector.newBuilder[Cell]
-        var k = 0
-        var i = 0
-        while (i < dim) {
-          var j = i
-          while (j < dim) { out += Cell(i + 1, j + 1, b(k)); j += 1; k += 1 }
-          i += 1
-        }
-        out.result()
-      }
-      // kryo: the buffer crosses the wire once per task (partial →
-      // final), so buffer codec cost is per-task, not per-row
-      override def bufferEncoder: Encoder[Array[Double]] =
-        Encoders.kryo[Array[Double]]
-      override def outputEncoder: Encoder[Seq[Cell]] =
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    val t = dim * (dim + 1) / 2
+    val iArr = new Array[Int](t)
+    val jArr = new Array[Int](t)
+    var k = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      iArr(k) = i + 1; jArr(k) = j + 1; k += 1
     }
-    def agg(dim: Int): org.apache.spark.sql.expressions
-        .UserDefinedFunction =
-      org.apache.spark.sql.functions.udaf(new Agg(dim),
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    emb.select(col(vecCol).cast("array<float>").as("v"))
+      .agg(graft.exec.VecMoments.moments(dim, col("v")).as("m"))
+      .select(posexplode(slice(col("m"), 1, t)).as(Seq("k", "s")))
+      .select(element_at(typedLit(iArr.toSeq), col("k") + 1).as("i"),
+        element_at(typedLit(jArr.toSeq), col("k") + 1).as("j"),
+        col("s").cast("float").as("s"))
   }
 
   /** PCA projection with self-verifying witnesses (x11): the complete
@@ -245,33 +205,53 @@ object Similarity {
     * projected component's variance equals its eigenvalue (the
     * round-trip that ties the cluster-side projection back to the
     * driver-side eigenbasis). */
+  /** Corpus eigenstructure, memoized per (canonicalized vec-projection
+    * plan, dim): ONE distributed moments pass ([[graft.exec
+    * .VecMoments]]) → population covariance C = G/n − μμᵀ → driver
+    * cyclic-Jacobi eigen, sorted descending. Memoization makes
+    * repeated calls (bench warm draws, [[pcaProject]] + [[
+    * whitenProject]] over one corpus) reuse the SAME μ/λ/V array
+    * instances, so downstream `ArrayProject` expressions canonicalize
+    * equal and the prep/centroid plan caches hit. Entry cost is
+    * dim² doubles — bounded by corpus count in practice. */
+  private val eigenCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+    (Long, Array[Double], Array[Array[Double]], Array[Double],
+      Array[Array[Double]])]()
+
+  /** (n, μ, C, λ desc, eigenvectors (row i ↔ λᵢ)). */
+  private[llm] def corpusEigen(emb: DataFrame, dim: Int, vecCol: String)
+      : (Long, Array[Double], Array[Array[Double]], Array[Double],
+        Array[Array[Double]]) =
+    eigenCache.computeIfAbsent(
+      (emb.select(col(vecCol)).queryExecution.analyzed.canonicalized, dim),
+      _ => {
+        val m = emb.select(col(vecCol).cast("array<float>").as("v"))
+          .agg(graft.exec.VecMoments.moments(dim, col("v")).as("m"))
+          .head().getSeq[Double](0).toArray
+        val (n, sums, tri) = graft.exec.VecMoments.split(dim, m)
+        require(n >= 2, s"PCA needs at least two vectors, got $n")
+        // covariance C = G/n − μμᵀ (population)
+        val mu = sums.map(_ / n)
+        val c = Array.ofDim[Double](dim, dim)
+        var idx = 0
+        for (i <- 0 until dim; j <- i until dim) {
+          val v = tri(idx) / n - mu(i) * mu(j)
+          c(i)(j) = v; c(j)(i) = v
+          idx += 1
+        }
+        val (eval0, evec0) = PcaMath.jacobiEigen(c)
+        // sort descending by eigenvalue
+        val order = eval0.indices.sortBy(i => -eval0(i))
+        (n, mu, c, order.map(eval0).toArray, order.map(evec0).toArray)
+      })
+
   def pcaProject(emb: DataFrame, dim: Int, k: Int,
       vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     require(k >= 1 && k <= dim)
-    // pass 1: moments
-    val mrow = emb.select(col(vecCol).cast("array<float>").as("v"))
-      .agg(MomentsAgg.agg(dim)(col("v")).as("m"))
-      .select(col("m.tri"), col("m.sums"), col("m.n")).head()
-    val tri = mrow.getSeq[Double](0).toArray
-    val sums = mrow.getSeq[Double](1).toArray
-    val n = mrow.getLong(2)
-    require(n >= 2, s"PCA needs at least two vectors, got $n")
-    // covariance C = G/n − μμᵀ (population)
-    val mu = sums.map(_ / n)
-    val c = Array.ofDim[Double](dim, dim)
-    var idx = 0
-    for (i <- 0 until dim; j <- i until dim) {
-      val v = tri(idx) / n - mu(i) * mu(j)
-      c(i)(j) = v; c(j)(i) = v
-      idx += 1
-    }
-    val (eval0, evec0) = PcaMath.jacobiEigen(c)
-    // sort descending by eigenvalue
-    val order = eval0.indices.sortBy(i => -eval0(i))
-    val evals = order.map(eval0).toArray
-    val evecs = order.map(evec0).toArray // evecs(i) = i-th eigenvector
+    val (n, mu, c, evals, evecs) = corpusEigen(emb, dim, vecCol)
     // driver-side verdicts
     val tol = 1e-9 * math.max(1.0, evals.map(math.abs).max)
     val residOk = (0 until dim).forall { i =>
@@ -326,48 +306,80 @@ object Similarity {
         "var_ok")
   }
 
-  private object MomentsAgg {
-    import org.apache.spark.sql.expressions.Aggregator
-    import org.apache.spark.sql.{Encoder, Encoders}
-    case class Out(tri: Seq[Double], sums: Seq[Double], n: Long)
-    // buffer layout: [tri(0..t-1) | sums(0..dim-1) | count]
-    private class Agg(dim: Int)
-        extends Aggregator[Seq[Float], Array[Double], Out] {
-      private val t = dim * (dim + 1) / 2
-      override def zero: Array[Double] = new Array[Double](t + dim + 1)
-      override def reduce(b: Array[Double], v: Seq[Float]): Array[Double] = {
-        if (v == null || v.length != dim) return b
-        val a = new Array[Double](dim)
-        var i = 0
-        while (i < dim) { a(i) = v(i).toDouble; i += 1 }
-        var kk = 0
-        i = 0
-        while (i < dim) {
-          val vi = a(i)
-          var j = i
-          while (j < dim) { b(kk) += vi * a(j); j += 1; kk += 1 }
-          b(t + i) += vi
-          i += 1
+  /** Memoized whitening basis per (corpus plan, dim, k): the top-k
+    * eigenvectors of [[corpusEigen]], each scaled by 1/√λᵢ — so the
+    * projection is directly the WHITENED coordinates (unit variance
+    * per component). One cache entry per corpus keeps the μ/basis
+    * array INSTANCES stable across calls, which keeps the
+    * `ArrayProject` plans canonically equal (case-class equality on
+    * Array fields is reference equality) and the downstream
+    * prep/centroid caches hitting. Near-zero eigenvalues floor at
+    * `eps` — a degenerate direction whitens to ~0 instead of blowing
+    * up. */
+  private val whitenCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int),
+    (Array[Double], Array[Array[Double]])]()
+
+  private def whitenBasis(emb: DataFrame, dim: Int, k: Int,
+      vecCol: String, eps: Double = 1e-12)
+      : (Array[Double], Array[Array[Double]]) =
+    whitenCache.computeIfAbsent(
+      (emb.select(col(vecCol)).queryExecution.analyzed.canonicalized, dim, k),
+      _ => {
+        val (_, mu, _, evals, evecs) = corpusEigen(emb, dim, vecCol)
+        val w = Array.tabulate(k) { i =>
+          val s = 1.0 / math.sqrt(math.max(evals(i), eps))
+          evecs(i).map(_ * s)
         }
-        b(t + dim) += 1.0
-        b
-      }
-      override def merge(x: Array[Double], y: Array[Double]): Array[Double] = {
-        var i = 0
-        while (i < x.length) { x(i) += y(i); i += 1 }
-        x
-      }
-      override def finish(b: Array[Double]): Out =
-        Out(b.take(t).toSeq, b.slice(t, t + dim).toSeq,
-          b(t + dim).toLong)
-      override def bufferEncoder: Encoder[Array[Double]] =
-        Encoders.kryo[Array[Double]]
-      override def outputEncoder: Encoder[Out] = Encoders.product[Out]
-    }
-    def agg(dim: Int): org.apache.spark.sql.expressions
-        .UserDefinedFunction =
-      org.apache.spark.sql.functions.udaf(new Agg(dim),
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+        (mu, w)
+      })
+
+  /** PCA-WHITENED projection of the embedding column: (id, wvec) with
+    * wvec = Λ^(−1/2)·Vᵀ·(v − μ) over the top-`k` eigenpairs — the
+    * map-only front half of SemDeDup. The whitening scale is FOLDED
+    * INTO the projection basis, so the per-row cost is exactly
+    * [[pcaProject]]'s k×dim native-`ArrayProject` FMAs; wrong-dim
+    * vectors are filtered out (matching the moments pass that shaped
+    * μ/λ/V). Driver round-trip: only the dim×dim eigen step
+    * ([[corpusEigen]], memoized). */
+  def whitenProject(emb: DataFrame, dim: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= dim)
+    val (mu, w) = whitenBasis(emb, dim, k, vecCol)
+    emb.filter(size(col(vecCol)) === dim)
+      .select(col(idCol), graft.functions.ArrayProject(
+        col(vecCol).cast("array<double>"), mu, w).as("wvec"))
+  }
+
+  /** SemDeDup end-to-end (c4, Abbas et al. 2023 §3 shape): project the
+    * corpus into PCA-WHITENED space, k-means cluster THERE, and find
+    * near-duplicate pairs only within probed clusters — whitening
+    * first is the published pipeline's point (raw cosine over-weights
+    * the high-variance directions every document shares; whitened
+    * cosine is the semantic-duplicate measure the clustering blocks
+    * on).
+    *
+    * Composition, every stage pre-existing machinery:
+    * [[whitenProject]] (map-only native projection) feeds
+    * [[clusterBlockedPairs]] (d8's probed-block kernel) — the pairs
+    * job is ONE Catalyst plan from parquet scan to pair rows; driver
+    * round-trips are only the two documented INDEX builds (the
+    * dim×dim eigen step and the k-means centroid loop, both memoized
+    * per corpus).
+    *
+    * Emitted as the d7/d8 WITNESS row against the exact all-pairs
+    * baseline [[brutePairs]] computed on the SAME whitened frame:
+    * (exact_pairs, false_pos = 0 since candidates are exact-rescored,
+    * recall_ok). */
+  def semDeDup(emb: DataFrame, dim: Int, kComps: Int, threshold: Double,
+      minRecall: Double = 0.95, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val w = whitenProject(emb, dim, kComps, idCol, vecCol)
+    AnnWitness.pairsWitness(
+      clusterBlockedPairs(w, threshold, dim = kComps,
+        idCol = idCol, vecCol = "wvec"),
+      brutePairs(w, threshold, dim = kComps, idCol = idCol, vecCol = "wvec"),
+      minRecall)
   }
 
   private[llm] object PcaMath {
@@ -999,23 +1011,47 @@ object Similarity {
       .map(_.getSeq[Double](0).toArray).zipWithIndex.map(_.swap)
     var it = 0
     while (it < iters) {
-      val assignU = nearestCentroidUdf(centroids)
-      val updated = p.withColumn("_c", assignU(col("v")))
-        .select(col("_c") +:
-          (0 until dim).map(i => element_at(col("v"), i + 1).as(s"d$i")): _*)
-        .groupBy(col("_c"))
-        .agg(avg(col("d0")).as("m0"),
-          (1 until dim).map(i => avg(col(s"d$i")).as(s"m$i")): _*)
+      // ONE Lloyd iteration as x9's shape (r13, closing the r12
+      // verdict's two-Lloyds watch item): assignment is the native
+      // codegen argmin ([[nearestCentroidCol]] — the boxed per-row
+      // UDF decode is gone), update is a single map-side-combined
+      // (cluster, dim) aggregate instead of 64 separate avg columns.
+      // The collect is k×dim tiny rows — the centroid table itself.
+      val assignC = nearestCentroidCol(centroids)
+      val updated = p
+        .select(assignC(col("v")).as("_c"),
+          posexplode(col("v")).as(Seq("_p", "_x")))
+        .groupBy(col("_c"), col("_p"))
+        .agg(avg(col("_x")).as("_m"))
         .collect()
-        .map(r => r.getInt(0) -> (0 until dim).map(i =>
-          r.getDouble(i + 1)).toArray)
+      val byId = updated.groupBy(_.getInt(0)).map { case (ci, rows) =>
+        val c = new Array[Double](dim)
+        rows.foreach(r => c(r.getInt(1)) = r.getDouble(2))
+        ci -> c
+      }
       // keep unchanged centroids for clusters that emptied out
-      val byId = updated.toMap
       centroids = centroids.map { case (i, c) => i -> byId.getOrElse(i, c) }
       it += 1
     }
     centroids
   }
+
+  /** Native assignment column: the codegen [[graft.functions
+    * .NearestCentroid]] argmin up to [[CoarseScanThreshold]] centroids
+    * (bit-identical loop to the UDF it replaces), the two-level
+    * coarse-scan UDF past it (the coarse path's group walk doesn't
+    * codegen; it only engages at centroid counts where the O(√k·dim)
+    * scan dominates the per-row decode anyway). */
+  private def nearestCentroidCol(centroids: Array[(Int, Array[Double])])
+      : Column => Column =
+    if (centroids.length <= CoarseScanThreshold) {
+      val ids = centroids.map(_._1)
+      val cents = centroids.map(_._2)
+      v => graft.functions.NearestCentroid(v, ids, cents)
+    } else {
+      val u = nearestCentroidUdf(centroids)
+      v => u(v)
+    }
 
   private def sqDist(a: Array[Double], b: Array[Double]): Double = {
     var d = 0.0
@@ -1165,8 +1201,8 @@ object Similarity {
     val centroids = kmeansCentroids(corpus, numCentroids, dim,
       idCol = idCol, vecCol = vecCol)
     val probesU = probesUdf(centroids, nprobe)
-    val assignU = nearestCentroidUdf(centroids)
-    val c = prepCached(corpus, idCol, vecCol).withColumn("_c", assignU(col("v")))
+    val assignC = nearestCentroidCol(centroids)
+    val c = prepCached(corpus, idCol, vecCol).withColumn("_c", assignC(col("v")))
     val q = prepCached(queries, idCol, vecCol)
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
         explode(probesU(col("v"))).as("_c"))

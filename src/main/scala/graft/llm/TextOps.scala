@@ -48,11 +48,13 @@ object TextOps {
   /** Rolling polynomial fingerprint: fold(acc*31 + code) mod P over the
     * character stream — a Rabin-Karp-style content fingerprint. P < 1e15
     * keeps acc*31+c within signed-64 range, so the fold is exact integer
-    * arithmetic reproducible in any engine. */
+    * arithmetic reproducible in any engine. Native single-pass
+    * expression ([[graft.functions.StringPolyHash]], r13): the HOF
+    * predecessor evaluated an interpreted lambda per character AND
+    * each `substring(text, i, 1)` seek was O(i) — O(n²) per doc. */
   val FingerprintMod = 999999999999989L
   def fingerprint(text: Column): Column =
-    aggregate(charCodes(text).cast("array<bigint>"), lit(0L),
-      (acc, c) => (acc * 31 + c) % FingerprintMod)
+    graft.functions.StringPolyHash(text, FingerprintMod)
 
   /** Tiny per-language stopword profiles for the n-gram/stopword
     * language-ID heuristic. Deliberately small: the operator's job is

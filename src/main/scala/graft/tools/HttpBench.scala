@@ -1,0 +1,142 @@
+package graft.tools
+
+import java.net.{HttpURLConnection, URI, URLEncoder}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.api.HttpApi
+import graft.exec.PromQLEngine
+import graft.model.Samples
+
+/** HTTP-layer throughput bench (r13): the engine-level `instant_qps`
+  * figure (graft.Bench) deliberately excludes the serving stack — this
+  * tool measures the SAME light/mixed query mix through the full HTTP
+  * path (`/api/v1/query` + `/query_range`: admission gate, PromQL
+  * parse, engine, `collectRows`, JSON render, socket) against an
+  * in-process [[HttpApi]], so the reference's ≥5 q/s envelope (an
+  * HTTP-serving number, `docs/assumptions.md:48`) gets a like-for-like
+  * reading.
+  *
+  * Protocol mirrors Bench's qps section: 8 light client threads for
+  * ~5 s windows, light-only and mixed (heavy `/query_range` clients
+  * saturating alongside), three interleaved draws each, best-of
+  * reported. A final render probe times ONE heavy `/query_range`
+  * response end-to-end vs the same query collected engine-side — the
+  * difference is the serialization + JSON cost `HttpApi.collectRows`
+  * adds on a range-shaped payload.
+  *
+  * Usage: runMain graft.tools.HttpBench [sfDir] [windowSec]
+  */
+object HttpBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val windowSec = if (args.length > 1) args(1).toLong else 5L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.scheduler.mode", "FAIR")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val engine = new PromQLEngine(spark, Samples.fromEventsDir(spark, sfDir))
+    val api = new HttpApi(spark, engine, None, 0)
+    val port = api.start()
+    val base = s"http://127.0.0.1:$port"
+
+    /** GET, draining the body; returns (status, bytes read). */
+    def get(path: String): (Int, Int) = {
+      val conn = new URI(base + path).toURL.openConnection()
+        .asInstanceOf[HttpURLConnection]
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(600000)
+      try {
+        val code = conn.getResponseCode
+        val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        var total = 0
+        if (in != null) {
+          val buf = new Array[Byte](64 * 1024)
+          var n = in.read(buf)
+          while (n >= 0) { total += n; n = in.read(buf) }
+          in.close()
+        }
+        (code, total)
+      } finally conn.disconnect()
+    }
+
+    def enc(s: String): String = URLEncoder.encode(s, "UTF-8")
+    // the Bench lightNames mix, expressed as API calls (p2's selector,
+    // a label-values scan, a series scan, a constant-time expression)
+    val instantQ = enc("""events_value{event_type=~"click|view"}""")
+    val light = Seq(
+      s"/api/v1/query?query=$instantQ&time=1704153600",
+      "/api/v1/label/event_type/values",
+      s"/api/v1/query?query=$instantQ&time=1704240000",
+      s"/api/v1/query?query=${enc("time()")}&time=1704153600")
+    val heavyPath = s"/api/v1/query_range?query=${enc(
+      "sum by (event_type) (count_over_time(events_value[6h]))")}" +
+      "&start=1704844800&end=1704931200&step=300"
+
+    // warmup: every light URL + one heavy range (plan/codegen caches)
+    light.foreach(get)
+    get(heavyPath)
+
+    def runQps(heavy: Int): Double = {
+      val stopAt = System.nanoTime() + windowSec * 1000L * 1000L * 1000L
+      val done = new java.util.concurrent.atomic.AtomicLong(0)
+      val lightThreads = (0 until 8).map { k =>
+        new Thread(() => {
+          var i = k
+          while (System.nanoTime() < stopAt) {
+            // only a 200 counts as a completion
+            try if (get(light(i % light.length))._1 == 200)
+              done.incrementAndGet()
+            catch { case _: Throwable => () }
+            i += 1
+          }
+        })
+      }
+      val heavyThreads = (0 until heavy).map { _ =>
+        new Thread(() => {
+          while (System.nanoTime() < stopAt) {
+            try get(heavyPath) catch { case _: Throwable => () }
+          }
+        })
+      }
+      val t0 = System.nanoTime()
+      (lightThreads ++ heavyThreads).foreach(_.start())
+      (lightThreads ++ heavyThreads).foreach(_.join())
+      done.get().toDouble / ((System.nanoTime() - t0) / 1e9)
+    }
+
+    // interleaved draws (the Bench discipline): light, mixed, ×3
+    val windows = (0 until 3).map(_ => (runQps(0), runQps(2)))
+    val lightQps = windows.map(_._1).max
+    val mixedQps = windows.map(_._2).max
+
+    // render probe: the full heavy range via HTTP vs engine-side
+    // collect of the same frame (3 draws each, min — uncontended cost)
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val httpRange = Seq.fill(3)(time {
+      val (c, n) = get(heavyPath)
+      require(c == 200 && n > 0, s"heavy range failed: $c")
+    }).min
+    val rangeDf = engine.rangeQuery(
+      "sum by (event_type) (count_over_time(events_value[6h]))",
+      1704844800000L, 1704931200000L, 300000L)
+    val engRange = Seq.fill(3)(time { rangeDf.collect() }).min
+    val rows = rangeDf.count()
+
+    def r2(x: Double): Double = math.rint(x * 100) / 100
+    println(s"""{"http_light_qps":${r2(lightQps)},"http_mixed_qps":${r2(
+      mixedQps)},"range_http_sec":${r2(httpRange)},"range_engine_sec":${r2(
+      engRange)},"range_rows":$rows,"windows":${windows.map { case (l, m) =>
+      s"[${r2(l)},${r2(m)}]" }.mkString("[", ",", "]")},"sf":"${sfDir
+      .split('/').last}"}""")
+    spark.stop()
+    sys.exit(0)
+  }
+}

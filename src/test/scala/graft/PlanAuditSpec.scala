@@ -39,10 +39,41 @@ class PlanAuditSpec extends SparkTestBase {
     "x3_sim_ivf" -> "query vector crossed onto centroid table (k rows) then probed cells",
     "x5_sim_pq" -> "query + per-subspace codebooks (k rows) broadcast-crossed",
     "x8_centroid_assign" -> "k-row centroid table broadcast-crossed onto the corpus",
-    "x9_kmeans_rounds" -> "k-row centroid table broadcast-crossed per Lloyd round")
+    "x9_kmeans_rounds" -> "k-row centroid table broadcast-crossed per Lloyd round",
+    "c4_semdedup" -> "recall witness: same scalar-truth broadcast cross as d7/d8")
+
+  /** Adjudicated lambda-HOF plan-line patterns. Lambda HOFs
+    * (`transform`/`aggregate`/`filter`/...) evaluate INTERPRETED per
+    * element — twice a corpus-volume lambda pipeline was found by hand
+    * in a hot path (StopwordHits r9, CanonicalLabels r12; t4's
+    * per-character rolling hash fell to this very sweep in r13) — so
+    * the class is gated: a plan line carrying `lambdafunction` must
+    * match one of these SITE patterns, each adjudicated as a small
+    * bounded-array site (the ≤~100-element regime where interpretation
+    * overhead is noise against the scan, and a native expression would
+    * buy nothing measurable). A new lambda site fails until either
+    * made native (graft.functions) or adjudicated here. */
+  private val hofPatterns: Seq[(scala.util.matching.Regex, String)] = Seq(
+    "array_sort\\(map_entries\\(".r ->
+      "label-map entry sort: <= label-count (~8) elements per row",
+    "transform\\(CASE WHEN \\(greatest\\(".r ->
+      "partials aligned-bucket index expansion: per-row array bounded by buckets-per-window",
+    "array_sort\\(collect_list\\(".r ->
+      "per-group sort of a collected fold/centroid list: post-aggregation, group-sized",
+    "array_sort\\(\\[\\]".r ->
+      "constant-folded empty-array sort (scalar-aggregation branch)",
+    "aggregate\\(cast\\(embedding".r ->
+      "x4 normQuantize: norm fold over the fixed 64-dim vector",
+    "transform\\(_v#".r ->
+      "x4 normQuantize: quantization map over the fixed 64-dim vector",
+    "aggregate\\(_q#".r ->
+      "x4 normQuantize: q_sum fold over the fixed 64-dim vector",
+    "transform\\(split\\(w#".r ->
+      "t29 BPE: per-word char markup, word-length bounded")
 
   test("no driver entry plans SortAggregate, CartesianProduct, " +
-      "or an unadjudicated BroadcastNestedLoopJoin") {
+      "an unadjudicated BroadcastNestedLoopJoin, or an unadjudicated " +
+      "interpreted-lambda higher-order function") {
     val violations = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution
@@ -57,11 +88,22 @@ class PlanAuditSpec extends SparkTestBase {
       if (cart > 0) violations += s"$name: CartesianProduct=$cart"
       if (bnlj > 0 && !bnljAllowlist.contains(name))
         violations += s"$name: BroadcastNestedLoopJoin=$bnlj (not allowlisted)"
+      // every lambda-bearing HOF prints a lambdafunction(...) argument;
+      // each such plan line must match an adjudicated site pattern
+      p.split("\n").filter(_.contains("lambdafunction")).foreach { line =>
+        if (!hofPatterns.exists(_._1.findFirstIn(line).isDefined))
+          violations +=
+            s"$name: unadjudicated lambda-HOF site: ${line.trim.take(160)}"
+      }
     }
     assert(violations.isEmpty,
       s"plan-smell gate:\n${violations.mkString("\n")}\n" +
         "(a SortAggregate here means an aggregation buffer went " +
         "immutable — min(struct)/first(map)/min(string) class; use the " +
-        "typed aggregates in graft.exec or restructure the keys)")
+        "typed aggregates in graft.exec or restructure the keys. A " +
+        "lambda-HOF means an interpreted per-element pipeline entered " +
+        "the plan — use a native expression from graft.functions, or " +
+        "adjudicate the site in hofAllowlist if it is a small " +
+        "fixed-size-array site)")
   }
 }

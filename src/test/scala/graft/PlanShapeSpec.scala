@@ -211,6 +211,26 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("LeftSemi"), "history pruning must be a semi-join")
   }
 
+  test("d17 incremental containment broadcast-prunes history postings " +
+      "with the batch's element set (the d16 asymmetry, containment-keyed)") {
+    val p = plan("d17_incremental_containment")
+    // the fresh batch's distinct element set must broadcast into a
+    // semi-join so history postings never shuffle unpruned
+    assert(p.contains("BroadcastExchange"),
+      s"batch element set must broadcast:\n${p.take(800)}")
+    assert(p.contains("LeftSemi"), "history pruning must be a semi-join")
+  }
+
+  test("c4 semdedup: the whitened projection is map-only into the " +
+      "blocked-pairs kernel — no extra exchange between whiten and probe, " +
+      "and never a cartesian product") {
+    val p = plan("c4_semdedup")
+    assert(p.contains("array_project"),
+      s"native whitened projection expected in-plan:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"),
+      "semdedup must never form an all-pairs product")
+  }
+
   test("d15 prefix filter and x9 kmeans plans: no cartesian products; " +
       "the kmeans centroid table broadcasts") {
     val d15 = plan("d15_containment_prefix")

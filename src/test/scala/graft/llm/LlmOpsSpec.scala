@@ -1535,6 +1535,143 @@ class LlmOpsSpec extends SparkTestBase {
       .forall(id => id % 1000000L % 3 == 1))
   }
 
+  test("whitenProject: whitened components have mean ~0 and variance ~1, " +
+      "and wrong-dim vectors are dropped from projection as from moments") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(6)(j =>
+        (rnd.nextGaussian() * (j + 1)).toFloat))
+    } :+ (999L, Array(1.0f, 2.0f)) // wrong dim: must vanish
+    val e = vecs.toDF("vec_id", "embedding").repartition(4)
+    val w = Similarity.whitenProject(e, 6, 4)
+    val rows = w.collect()
+    assert(rows.length == 300 && rows.forall(_.getLong(0) != 999L))
+    val comps = rows.map(_.getSeq[Double](1).toArray)
+    assert(comps.forall(_.length == 4))
+    (0 until 4).foreach { c =>
+      val xs = comps.map(_(c))
+      val mean = xs.sum / xs.length
+      val v = xs.map(x => (x - mean) * (x - mean)).sum / xs.length
+      assert(math.abs(mean) < 1e-9, s"comp $c mean $mean")
+      assert(math.abs(v - 1.0) < 1e-6, s"comp $c variance $v")
+    }
+  }
+
+  test("semDeDup: whiten -> cluster -> in-block near-dup recovers every " +
+      "planted pair with zero false positives (the c4 witness invariant)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val base = (0 until 150).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding").repartition(4)
+    val planted = Similarity.withPlantedDupes(base, rel = 0.03)
+    // kComps 16 (full whiten): at 8 comps the random-direction cosine
+    // tail over ~45k pairs crosses 0.9 and background pairs enter the
+    // exact baseline — the same dimensionality argument that sizes the
+    // c4 entry at 32 comps
+    val out = Similarity.semDeDup(planted, 16, 16, 0.9).collect().head
+    assert(out.getLong(0) == 150L, s"exact_pairs=${out.getLong(0)}")
+    assert(out.getLong(1) == 0L, "false_pos must be 0 (exact rescoring)")
+    assert(out.getLong(2) == 1L, "recall_ok must hold")
+  }
+
+  test("incrementalContainment: fresh-vs-history only, catches the " +
+      "embedded-quote case Jaccard dilutes, equals the quadratic baseline") {
+    val history = Seq(
+      (0L, "a b c d e f g h i j k l m n o p"),
+      (1L, "completely different history content here and more of it"),
+      (2L, "x y z w v u t s r q")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "a b c d e f g h"), // half of doc 0: containment 1.0
+      (11L, "totally novel text with no overlap at all whatsoever today")
+    ).toDF("doc_id", "text")
+    val r = Dedup.incrementalContainment(fresh, history, 3, 0.8).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(r.toSeq == Seq((10L, 0L, 1.0)),
+      s"expected only the half-doc pair, got ${r.toSeq}")
+    // cross-check against the quadratic fresh x history baseline at a
+    // looser threshold (catches pruning errors, not just the easy hit)
+    val fs = Dedup.shingleSetsCached(fresh, 3)
+    val hs = Dedup.shingleSetsCached(history, 3)
+    val got = Dedup.incrementalContainmentFromSets(fs, hs, 0.1).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    val brute = fs.collect().flatMap { f =>
+      hs.collect().flatMap { h =>
+        val fa = f.getSeq[Long](1).toSet
+        val ha = h.getSeq[Long](1).toSet
+        val inter = (fa & ha).size
+        val c = math.max(inter.toDouble / fa.size, inter.toDouble / ha.size)
+        if (c >= 0.1) Some((f.getLong(0), h.getLong(0), c)) else None
+      }
+    }.toSet
+    assert(got == brute, s"got $got vs brute $brute")
+  }
+
+  test("NearestCentroid native expression matches the sqDist argmin " +
+      "contract (first centroid wins ties, common-prefix fold)") {
+    import spark.implicits._
+    val cents = Array(
+      0 -> Array(0.0, 0.0), 1 -> Array(1.0, 1.0), 2 -> Array(0.0, 0.0))
+    val ids = cents.map(_._1)
+    val cvs = cents.map(_._2)
+    val vs = Seq(
+      (0L, Array(0.1, -0.1)),  // nearest 0 (2 ties at same dist -> first)
+      (1L, Array(0.9, 1.2)),   // nearest 1
+      (2L, Array(0.5, 0.5))    // exactly between -> centroid 0 (first)
+    ).toDF("id", "v")
+    val got = vs.select(col("id"),
+        graft.functions.NearestCentroid(col("v"), ids, cvs).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 0))
+  }
+
+  test("VecMoments: native buffer equals the reference fold; wrong-dim " +
+      "and null-element rows are skipped") {
+    import spark.implicits._
+    val data: Seq[(Long, Array[Float])] = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)),
+      (1L, Array(-1.0f, 0.5f, 2.0f)),
+      (2L, Array(1.0f, 2.0f)), // wrong dim: skipped
+      (3L, Array(0.0f, 1.0f, -1.0f)))
+    val df = data.toDF("id", "v").repartition(3)
+    val m = df.select(graft.exec.VecMoments.moments(3,
+        col("v").cast("array<float>")).as("m"))
+      .head().getSeq[Double](0).toArray
+    val (n, sums, tri) = graft.exec.VecMoments.split(3, m)
+    val good = data.filter(_._2.length == 3).map(_._2.map(_.toDouble))
+    assert(n == 3)
+    (0 until 3).foreach(i =>
+      assert(sums(i) == good.map(_(i)).sum, s"sum $i"))
+    var k = 0
+    for (i <- 0 until 3; j <- i until 3) {
+      assert(tri(k) == good.map(v => v(i) * v(j)).sum, s"tri($i,$j)")
+      k += 1
+    }
+  }
+
+  test("StringPolyHash equals the HOF fold it replaced, on ascii and " +
+      "multi-byte text") {
+    import spark.implicits._
+    val texts = Seq("", "a", "hello world", "ASCII with 0123456789",
+      "schöne Grüße", "中文字符串测试", "mixed 中文 and ascii ü")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val legacy = df.select(col("id"),
+      aggregate(
+        expr("transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))")
+          .cast("array<bigint>"),
+        lit(0L),
+        (acc, c) => (acc * 31 + c) % TextOps.FingerprintMod).as("fp"))
+    val native = df.select(col("id"),
+      graft.functions.StringPolyHash(col("text"), TextOps.FingerprintMod)
+        .as("fp"))
+    val l = legacy.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = native.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l == n, s"legacy $l vs native $n")
+  }
+
   test("imagePHash emits %016x hex of the native expression hashes") {
     import graft.functions.ImageHashes
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
