@@ -434,17 +434,17 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
       val expr = parseOr400(query)
       expr.typ match {
         case Ast.ValueType.Scalar =>
-          val rows = collectRows(engine.instant(query, ts))
+          val rows = collectRows(engine.instantCached(query, ts))
           envelope("scalar", rows.headOption
             .map { case (_, t, v) => pointJson(t, v) }.getOrElse("null"))
         case Ast.ValueType.Vector =>
-          val rows = collectRows(engine.instant(query, ts))
+          val rows = collectRows(engine.instantCached(query, ts))
             .sortBy { case (l, _, _) => l }(Samples.labelsOrdering)
           envelope("vector", rows.map { case (l, t, v) =>
             s"""{"metric":${metricJson(l)},"value":${pointJson(t, v)}}"""
           }.mkString("[", ",", "]"))
         case Ast.ValueType.Matrix => // raw range selector at an instant
-          val rows = collectRows(engine.instant(query, ts))
+          val rows = collectRows(engine.instantCached(query, ts))
           val series = rows.groupBy(_._1).toSeq
             .sortBy { case (l, _) => l }(Samples.labelsOrdering)
           envelope("matrix", series.map { case (l, pts) =>
@@ -494,7 +494,7 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
           s"""invalid expression type "$t" for range query, """ +
             "must be Scalar or instant Vector")
       }
-      val rows = collectRows(engine.rangeQuery(query, start, end, stepMs))
+      val rows = collectRows(engine.rangeQueryCached(query, start, end, stepMs))
       // stitch per-series, final sort by canonical labels
       // (promql/engine.go:444-458,484-486)
       val series = rows.groupBy(_._1).toSeq

@@ -120,20 +120,44 @@ object HttpBench {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // cold = never-seen (query, window) key — pays parse + plan + eval
+    // + render; warm = exact repeat — the serving plan cache (r13)
+    // skips planning, so warm ≈ eval + render
+    def heavyAt(startSec: Long): String =
+      s"/api/v1/query_range?query=${enc(
+        "sum by (event_type) (count_over_time(events_value[6h]))")}" +
+        s"&start=$startSec&end=${startSec + 86400}&step=300"
+    val httpRangeCold = Seq(1704153600L, 1704240000L, 1704326400L)
+      .map(s0 => time {
+        val (c, n) = get(heavyAt(s0))
+        require(c == 200 && n > 0, s"heavy range failed: $c")
+      }).min
     val httpRange = Seq.fill(3)(time {
       val (c, n) = get(heavyPath)
       require(c == 200 && n > 0, s"heavy range failed: $c")
     }).min
-    val rangeDf = engine.rangeQuery(
-      "sum by (event_type) (count_over_time(events_value[6h]))",
-      1704844800000L, 1704931200000L, 300000L)
-    val engRange = Seq.fill(3)(time { rangeDf.collect() }).min
+    val rq = "sum by (event_type) (count_over_time(events_value[6h]))"
+    // fresh-plan: what each HTTP request actually pays (parse + plan +
+    // eval + collect); reused-plan: eval + collect only — the spread
+    // between the three figures decomposes the serving cost into
+    // per-request planning vs JSON render/socket
+    val engFresh = Seq.fill(3)(time {
+      engine.rangeQuery(rq, 1704844800000L, 1704931200000L, 300000L)
+        .collect()
+    }).min
+    val rangeDf = engine.rangeQuery(rq, 1704844800000L, 1704931200000L,
+      300000L)
+    rangeDf.collect()
+    val engReused = Seq.fill(3)(time { rangeDf.collect() }).min
     val rows = rangeDf.count()
 
     def r2(x: Double): Double = math.rint(x * 100) / 100
     println(s"""{"http_light_qps":${r2(lightQps)},"http_mixed_qps":${r2(
-      mixedQps)},"range_http_sec":${r2(httpRange)},"range_engine_sec":${r2(
-      engRange)},"range_rows":$rows,"windows":${windows.map { case (l, m) =>
+      mixedQps)},"range_http_cold_sec":${r2(
+      httpRangeCold)},"range_http_warm_sec":${r2(
+      httpRange)},"range_engine_fresh_sec":${r2(
+      engFresh)},"range_engine_reused_sec":${r2(
+      engReused)},"range_rows":$rows,"windows":${windows.map { case (l, m) =>
       s"[${r2(l)},${r2(m)}]" }.mkString("[", ",", "]")},"sf":"${sfDir
       .split('/').last}"}""")
     spark.stop()

@@ -88,17 +88,24 @@ class AdmissionControlSpec extends SparkTestBase {
     val pool = Executors.newFixedThreadPool(20)
     try {
       val started = new CountDownLatch(20)
+      // time=70: a (query, time) key NO prior test evaluated — the r13
+      // serving plan cache re-serves an exact-repeat key without
+      // re-running its shuffle stages (by design: immutable data per
+      // engine), so saturating the gate needs a fresh evaluation. All
+      // 20 share the fresh key: they hold 20 slots while the shared
+      // sleeping stage runs
       val wave = (1 to 20).map { _ =>
         pool.submit[(Int, String)] { () =>
           started.countDown()
-          get(slowQuery)
+          get("/api/v1/query?query=slow_metric&time=70")
         }
       }
       started.await(10, TimeUnit.SECONDS)
       awaitSaturated()
       // ?timeout=1 shrinks THIS request's budget to 1s — it expires
       // before any of the ~3s evaluations frees a slot
-      val (code, body) = get(s"$slowQuery&timeout=1")
+      val (code, body) = get(
+        "/api/v1/query?query=slow_metric&time=70&timeout=1")
       assert(code == 503, s"$code $body")
       assert(body == """{"status":"error","errorType":"timeout",""" +
         """"error":"query timed out in query queue"}""", body)
@@ -110,8 +117,10 @@ class AdmissionControlSpec extends SparkTestBase {
       "the query-execution environment (engine.go:336)") {
     // a free gate admits immediately; the 1s budget then expires
     // mid-sleep, the job group is cancelled, and the vintage error
-    // shape comes back
-    val (code, body) = get(s"$slowQuery&timeout=1")
+    // shape comes back. time=80: a never-cached key (see above) so the
+    // evaluation genuinely runs
+    val (code, body) = get(
+      "/api/v1/query?query=slow_metric&time=80&timeout=1")
     assert(code == 503, s"$code $body")
     assert(body == """{"status":"error","errorType":"timeout",""" +
       """"error":"query timed out in query execution"}""", body)

@@ -394,6 +394,22 @@ class HttpApiSpec extends SparkTestBase {
     } finally tApi.stop()
   }
 
+  test("serving plan cache: an exact-repeat (query, time) key returns " +
+      "byte-identical bodies, and a different time is a fresh evaluation") {
+    // the r13 serving cache memoizes the BOUND PLAN per exact key
+    // (HttpBench measured per-request Catalyst planning as the serving
+    // cost, 0.65s vs 0.03s evaluation at sf0.1); repeats must be
+    // bit-stable and near-keys must not collide. Invalidation on write
+    // is witnessed by the engine-swap test above (same key queried
+    // before and after a write serves the fresh data).
+    val q = "/api/v1/query?query=sum(test_metric1)&time=120"
+    val (c1, b1) = get(q)
+    val (c2, b2) = get(q)
+    assert(c1 == 200 && c2 == 200 && b1 == b2, s"$b1 vs $b2")
+    val (c3, b3) = get("/api/v1/query?query=sum(test_metric1)&time=121")
+    assert(c3 == 200 && b3.contains(""""value":[121,"""), b3)
+  }
+
   test("rules and alerts endpoints expose the configured group and " +
       "the active alerts at the newest evaluation") {
     import graft.streaming.RecordingRules
