@@ -126,8 +126,11 @@ class PromQLEngine(
     require(stepMs > 0, "zero or negative query resolution step")
     require(endMs >= startMs, "end timestamp must not be before start time")
     val numSteps: Long = (endMs - startMs) / stepMs + 1
-    // API guard, reference internal/api/v1/api.go:211-216
-    require(numSteps <= maxPointsPerSeries,
+    // API guard, reference internal/api/v1/api.go:211-216 — the
+    // reference's check is `(end-start)/step > 11000` (strict), which
+    // ADMITS a range of exactly 11,000 steps = 11,001 evaluation
+    // points; the r13 boundary golden pins this off-by-one
+    require(numSteps - 1 <= maxPointsPerSeries,
       "exceeded maximum resolution of 11,000 points per timeseries")
     lazy val stepsDF: DataFrame = spark.range(numSteps)
       .select((lit(startMs) + col("id") * stepMs).as("t"))
@@ -1188,12 +1191,21 @@ class PromQLEngine(
       .withColumn(SIG, Samples.sigExpr(col(L)))
       .select(col(SIG), col(L), col(T), col("_lst").as(ST), col(V))
     // duplicate OUTPUT series (same result labels at same t) are an error
-    // in the reference (engine.go:1023-1039)
+    // in the reference. For many-to-one/one-to-many this is the
+    // insertSig collision path — two "many"-side rows whose result
+    // metrics coincide after label copying (engine.go:1023-1039,
+    // errorf "grouping labels must ensure unique matches"); for
+    // one-to-one it can only arise past the side-uniqueness guards and
+    // surfaces as the generic duplicate-labelset error
+    val dupOutMsg =
+      if (card == Cardinality.OneToOne)
+        "vector cannot contain metrics with the same labelset"
+      else
+        "multiple matches for labels: grouping labels must ensure unique matches"
     val ow = Window.partitionBy(col(SIG), col(T))
     out.withColumn("_oc", count(lit(1)).over(ow))
       .withColumn(V, when(col("_oc") > 1,
-        raise_error(lit("vector cannot contain metrics with the same labelset"))
-          .cast("double")).otherwise(col(V)))
+        raise_error(lit(dupOutMsg)).cast("double")).otherwise(col(V)))
       .drop("_oc")
   }
 

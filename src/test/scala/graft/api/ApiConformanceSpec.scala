@@ -145,6 +145,19 @@ class ApiConformanceSpec extends SparkTestBase {
         "Try decreasing the query resolution (?step=XX)")
   }
 
+  test("resolution cap boundary is EXACT: 11,000 points pass, 11,001 " +
+      "fail (api.go:211-216 uses a strict >)") {
+    // (end-start)/step == 11000 -> admitted (the reference allows
+    // exactly 11k); one more step -> the verbatim cap error
+    val (ok, _) = get(
+      "/api/v1/query_range?query=time%28%29&start=0&end=11000&step=1")
+    assert(ok == 200, "exactly 11,000 points must be admitted")
+    badData(
+      "/api/v1/query_range?query=time%28%29&start=0&end=11001&step=1",
+      "exceeded maximum resolution of 11,000 points per timeseries. " +
+        "Try decreasing the query resolution (?step=XX)")
+  }
+
   // ---- label values (api_test.go:223-250) --------------------------------
 
   test("label values for __name__ and foo (api_test.go:223-241)") {

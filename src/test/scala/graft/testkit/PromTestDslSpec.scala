@@ -3923,4 +3923,133 @@ eval instant at 50m absent({__name__="nonexistent", j="x"})
   {j="x"} 1
 """)
   }
+
+  test("staleness marker on exactly ONE binop side: the hidden series " +
+      "drops from one-to-one matching, set ops see only live sides " +
+      "(r13 golden group)") {
+    // At 10m: l{a}'s newest in-lookback sample is a marker (hidden),
+    // r{b}'s likewise — each signature is live on exactly one side.
+    run("""
+load 5m
+  l{job="a"} 1 2 stale
+  l{job="b"} 5 5 5
+  r{job="a"} 10 20 30
+  r{job="b"} 2 2 stale
+
+# both sides live at 5m: normal one-to-one arithmetic
+eval instant at 5m l + r
+  {job="a"} 22
+  {job="b"} 7
+
+# at 10m no signature is live on BOTH sides -> empty
+eval instant at 10m l + r
+
+# or: left operands that are live, plus right signatures absent from
+# the live left — r{a} keeps its own metric identity
+eval instant at 10m l or r
+  l{job="b"} 5
+  r{job="a"} 30
+
+# unless: live left minus signatures live on the right
+eval instant at 10m l unless r
+  l{job="b"} 5
+
+eval instant at 10m l and r
+
+# comparison filtering never resurrects a hidden side either
+eval instant at 10m l > 0
+  l{job="b"} 5
+""")
+  }
+
+  test("group_left result-metric collision: two many-side series whose " +
+      "copied labels coincide after __name__ drop is the " +
+      "grouping-labels error; distinct extra labels pass (r13 golden)") {
+    run("""
+load 5m
+  ma{job="x"} 1 1 1
+  mb{job="x"} 2 2 2
+  madist{job="x", i="1"} 1 1 1
+  mbdist{job="x", i="2"} 2 2 2
+  one{job="x"} 10 10 10
+
+# arithmetic drops __name__, so both many-side rows become {job="x"}
+# -> engine.go:1023-1039 insertSig duplicate -> error
+eval_fail instant at 5m {__name__=~"ma|mb"} * on(job) group_left one
+
+# an extra label on the many side keeps result metrics unique
+eval instant at 5m {__name__=~"madist|mbdist"} * on(job) group_left one
+  {job="x", i="1"} 10
+  {job="x", i="2"} 20
+""")
+  }
+
+  test("absent() interacts with offset at the SHIFTED evaluation time, " +
+      "markers included (r13 golden group)") {
+    run("""
+load 5m
+  m{job="a"} 1 1 1
+  mk{job="b"} 1 stale
+
+# m's newest point is 10m; at 20m the 5m lookback is empty -> absent
+eval instant at 20m absent(m{job="a"})
+  {job="a"} 1
+
+# offset 15m shifts evaluation to 5m where m is live -> empty
+eval instant at 20m absent(m{job="a"} offset 15m)
+
+# offset reaching BEFORE the data -> absent fires, labels synthesized
+eval instant at 30m absent(m{job="a"} offset 1h)
+  {job="a"} 1
+
+# at the shifted time the marker is mk's newest sample: the series is
+# hidden, so absent sees nothing and fires
+eval instant at 35m absent(mk{job="b"} offset 30m)
+  {job="b"} 1
+
+# one step earlier the shifted time lands on the live point
+eval instant at 30m absent(mk{job="b"} offset 30m)
+""")
+  }
+
+  test("aggregations over +/-Inf mixes: sum/avg keep IEEE semantics " +
+      "(Inf+Inf=Inf, Inf-Inf=NaN), stddev of infinities is NaN, " +
+      "min/max pick the infinities (r13 golden group)") {
+    run("""
+load 5m
+  im{s="p1", g="same"} Inf
+  im{s="p2", g="same"} Inf
+  im{s="p3", g="mix"} Inf
+  im{s="n1", g="mix"} -Inf
+
+eval instant at 0m sum by (g) (im)
+  {g="same"} Inf
+  {g="mix"} NaN
+
+eval instant at 0m avg by (g) (im)
+  {g="same"} Inf
+  {g="mix"} NaN
+
+# E[x^2] - mean^2 = Inf - Inf = NaN in both groups
+eval instant at 0m stddev by (g) (im)
+  {g="same"} NaN
+  {g="mix"} NaN
+
+eval instant at 0m stdvar by (g) (im)
+  {g="same"} NaN
+  {g="mix"} NaN
+
+eval instant at 0m max by (g) (im)
+  {g="same"} Inf
+  {g="mix"} Inf
+
+eval instant at 0m min by (g) (im)
+  {g="same"} Inf
+  {g="mix"} -Inf
+
+eval instant at 0m count by (g) (im)
+  {g="same"} 2
+  {g="mix"} 2
+""")
+  }
 }
