@@ -371,13 +371,23 @@ object Similarity {
     * baseline [[brutePairs]] computed on the SAME whitened frame:
     * (exact_pairs, false_pos = 0 since candidates are exact-rescored,
     * recall_ok). */
+  /** The PRODUCTION SemDeDup pairs job: whiten → cluster → in-block
+    * near-dup, no baseline — what a curation run executes at scale
+    * (the witness wrapper below exists for the oracle only, since its
+    * exact baseline is O(N²) by definition). */
+  def semDeDupPairs(emb: DataFrame, dim: Int, kComps: Int,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    clusterBlockedPairs(
+      whitenProject(emb, dim, kComps, idCol, vecCol), threshold,
+      dim = kComps, idCol = idCol, vecCol = "wvec")
+
   def semDeDup(emb: DataFrame, dim: Int, kComps: Int, threshold: Double,
       minRecall: Double = 0.95, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val w = whitenProject(emb, dim, kComps, idCol, vecCol)
     AnnWitness.pairsWitness(
-      clusterBlockedPairs(w, threshold, dim = kComps,
-        idCol = idCol, vecCol = "wvec"),
+      semDeDupPairs(emb, dim, kComps, threshold, idCol, vecCol),
       brutePairs(w, threshold, dim = kComps, idCol = idCol, vecCol = "wvec"),
       minRecall)
   }
@@ -1018,9 +1028,14 @@ object Similarity {
       // (cluster, dim) aggregate instead of 64 separate avg columns.
       // The collect is k×dim tiny rows — the centroid table itself.
       val assignC = nearestCentroidCol(centroids)
+      // assignment MUST materialize in its own projection BELOW the
+      // explode: an expression sharing a select with a generator lands
+      // in the Project ABOVE the Generate and evaluates once per
+      // EXPLODED row — 64× the assignment work (this exact collapse
+      // took the ×100 x3 build from ~8 s to 736 s before the split)
       val updated = p
-        .select(assignC(col("v")).as("_c"),
-          posexplode(col("v")).as(Seq("_p", "_x")))
+        .select(assignC(col("v")).as("_c"), col("v"))
+        .select(col("_c"), posexplode(col("v")).as(Seq("_p", "_x")))
         .groupBy(col("_c"), col("_p"))
         .agg(avg(col("_x")).as("_m"))
         .collect()

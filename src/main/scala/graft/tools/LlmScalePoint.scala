@@ -177,7 +177,24 @@ object LlmScalePoint {
       // wall should track the scan), and pcaProject adds the map-only
       // projection + output-sized moment aggregate on top
       ("x10_embed_gramian", () => Similarity.embeddingGramian(emb, 64)),
-      ("x11_pca_project", () => Similarity.pcaProject(emb, 64, 8)))
+      ("x11_pca_project", () => Similarity.pcaProject(emb, 64, 8)),
+      // r13: SemDeDup PRODUCTION pairs job — whiten (memoized eigen) →
+      // cluster → in-block pairs, WITHOUT the oracle witness (whose
+      // exact baseline is the O(N²) all-pairs scan, excluded like every
+      // other quadratic baseline here); cold includes the eigen +
+      // centroid index builds, warm shows the served cost
+      ("c4_semdedup", () => Similarity.semDeDupPairs(
+        Similarity.withPlantedDupes(emb), 64, 32, 0.9)),
+      // r13: incremental containment — history = docs, fresh = 10% new
+      // + truncated copies; batch set broadcast-prunes history postings
+      ("d17_incr_containment", () => {
+        val history = docs.select(col("doc_id"), col("text"))
+        val fresh = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            col("text").substr(lit(1),
+              floor(length(col("text")) / lit(2)).cast("int")).as("text"))
+        Dedup.incrementalContainment(fresh, history, 3, 0.8)
+      }))
     for ((name, f) <- ops if only.forall(_.contains(name))) {
       val (cold, warm) = med(f())
       println(f"$name%-16s cold $cold%7.2f s  warm-med $warm%7.2f s")
