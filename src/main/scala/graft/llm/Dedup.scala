@@ -477,12 +477,22 @@ object Dedup {
     val sh = sets.select(col("id"), col("nsh"), explode(col("hs")).as("s"))
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // rarest-first canonical order: (df, s) — the hash tiebreak makes
-    // the order total, so the filter's correctness argument holds
+    // the order total, so the filter's correctness argument holds.
+    // Prefix length: a qualifying pair has inter >= ceil(t·|A|) shared
+    // elements, so at most |A| − ceil(t·|A|) of A's elements are
+    // missing from B and a prefix one longer than that must hit a
+    // shared one. Computed as |A| − ceil(t·|A| − 1e-9) + 1: the naive
+    // floor((1−t)·|A|)+1 form loses exactness to floating point at
+    // EXACT-boundary pairs ((1−0.9)·30 evaluates to 2.999…96 → floor 2
+    // → a 3-element prefix where pigeonhole needs 4; found by the r13
+    // video-incremental equivalence spec, which planted a pair at
+    // containment exactly 0.9). The ε guard only ever LENGTHENS the
+    // prefix, and only at FP-ambiguous boundaries.
     val prefix = sh.join(dfreq, "s")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
-      .where(col("rk") <=
-        floor((lit(1.0) - threshold) * col("nsh")).cast("int") + 1)
+      .where(col("rk") <= (col("nsh") -
+        ceil(lit(threshold) * col("nsh") - lit(1e-9)) + 1).cast("int"))
       .select(col("id"), col("nsh"), col("s"))
     // candidates: a prefix posting meets a FULL posting; the pair is
     // admitted when the prefix side is the (tie: lower-id) smaller

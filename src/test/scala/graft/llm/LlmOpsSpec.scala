@@ -1609,6 +1609,48 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got == brute, s"got $got vs brute $brute")
   }
 
+  test("incremental containment serves the VIDEO family unchanged: " +
+      "batch-vs-history frame-set pairs equal the full m11 pairs job " +
+      "restricted to cross pairs (the d17 core is element-agnostic)") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val history = Multimodal.mediaTable(d)
+    val all = Multimodal.mediaTableWithDupes(d)
+    val fresh = all.filter(col("doc_id") >= 1000000L)
+    val got = Dedup.incrementalContainmentFromSets(
+        Multimodal.videoFrameSets(fresh),
+        Multimodal.videoFrameSets(history), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // the full pairs job on the union, restricted to (fresh, history)
+    // pairs and re-oriented fresh-first
+    val full = Multimodal.videoNearDupPairs(all, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (ia, ib, _) => (ia >= 1000000L) != (ib >= 1000000L) }
+      .map { case (ia, ib, c) =>
+        if (ia >= 1000000L) (ia, ib, c) else (ib, ia, c) }
+      .toSet
+    assert(got.nonEmpty, "planted video copies must pair with history")
+    assert(got == full, s"incremental ${got.size} vs full-cross ${full.size}")
+  }
+
+  test("prefix filter exactness at the THRESHOLD boundary: a pair at " +
+      "containment exactly t with (1-t)*|A| integral is found (r13 FP " +
+      "regression — floor((1-t)*|A|)+1 computed a one-short prefix)") {
+    import spark.implicits._
+    // |A| = |B| = 30, sharing exactly 27 -> containment 27/30 = 0.9.
+    // A's three df=1 elements (28,29,30 — its misses) sort FIRST in
+    // the rarest-first prefix order, so the old 3-element prefix was
+    // exactly the missing set and the candidate never formed; the
+    // exact 4-element prefix must include a shared element.
+    val sets = Seq(
+      (1L, (1L to 27L) ++ Seq(28L, 29L, 30L), 30L),
+      (2L, (1L to 27L) ++ Seq(101L, 102L, 103L), 30L)
+    ).toDF("id", "hs", "nsh")
+    val got = Dedup.containmentPrefixPairsFromSets(sets, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 0.9)), s"got ${got.toSeq}")
+  }
+
   test("NearestCentroid native expression matches the sqDist argmin " +
       "contract (first centroid wins ties, common-prefix fold)") {
     import spark.implicits._
