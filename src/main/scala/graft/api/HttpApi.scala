@@ -1125,16 +1125,8 @@ object HttpApi {
           // exactly like ChunkStore.compact (the encoder's strictly-
           // increasing contract; smallest value wins, stale beats
           // plain at one timestamp), then re-cut the whole store
-          val t = Ingest.readTable(spark, path)
-          val collapsed = t
-            .groupBy(col("sig"), col("t"))
-            .agg(first(col("labels")).as("_l0"),
-              org.apache.spark.sql.functions.min(col("v")).as("v"),
-              org.apache.spark.sql.functions.max(col("stale")).as("stale"))
-            .withColumn("labels",
-              map_from_entries(array_sort(map_entries(col("_l0")))))
-            .select(col("sig"), col("labels"), col("t"), col("v"),
-              col("stale"))
+          val collapsed = ChunkStore.collapseDupSamples(
+            Ingest.readTable(spark, path))
           ChunkStore.write(collapsed, chunksPath, overwrite = true)
           spark.catalog.refreshByPath(chunksPath)
         }

@@ -183,6 +183,24 @@ object ChunkStore {
     * in via dynamic partition overwrite. The decoded rows are
     * materialized first so the job never reads files it is deleting —
     * the same single-writer contract as [[Ingest.compact]]. */
+  /** Collapse cross-batch duplicate (sig, t) rows to the encoder's
+    * strictly-increasing contract: smallest value wins, a stale marker
+    * beats a plain value at one timestamp (the [[Ingest.dedup]]
+    * non-strict resolution). Shared by [[compact]] and the crash-
+    * rebuild path in `HttpApi.forTable` — a sample-volume aggregate,
+    * so it MUST stay a hash aggregate: `graft.exec.FirstLabels.first`
+    * keeps the map-typed label column out of the aggregation buffer
+    * (builtin `first(map)` demotes the whole thing to SortAggregate —
+    * the r11/r12 lesson, plan-pinned by `ChunkStoreSpec`). */
+  private[graft] def collapseDupSamples(decodedFrame: DataFrame): DataFrame =
+    decodedFrame
+      .groupBy(col("sig"), col("t"))
+      .agg(graft.exec.FirstLabels.first(col("labels")).as("_l0"),
+        min(col("v")).as("v"), max(col("stale")).as("stale"))
+      .withColumn("labels",
+        map_from_entries(array_sort(map_entries(col("_l0")))))
+      .select(col("sig"), col("labels"), col("t"), col("v"), col("stale"))
+
   def compact(spark: SparkSession, path: String, date: String,
       maxPerChunk: Int = DefaultMaxPerChunk,
       buckets: Int = Ingest.SeriesBuckets): Unit = {
@@ -195,14 +213,8 @@ object ChunkStore {
     // compaction would fail forever. Resolution mirrors
     // [[Ingest.dedup]] non-strict: smallest value wins, a stale marker
     // wins over a plain value at the same timestamp.
-    val day = decoded(readChunks(spark, path)
-      .filter(col("date") === date))
-      .groupBy(col("sig"), col("t"))
-      .agg(graft.exec.FirstLabels.first(col("labels")).as("_l0"),
-        min(col("v")).as("v"), max(col("stale")).as("stale"))
-      .withColumn("labels",
-        map_from_entries(array_sort(map_entries(col("_l0")))))
-      .select(col("sig"), col("labels"), col("t"), col("v"), col("stale"))
+    val day = collapseDupSamples(decoded(readChunks(spark, path)
+      .filter(col("date") === date)))
       .localCheckpoint(true)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

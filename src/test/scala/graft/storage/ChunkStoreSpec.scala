@@ -232,4 +232,19 @@ class ChunkStoreSpec extends SparkTestBase {
       .select(col("v")).collect().map(_.getDouble(0)).toSeq
     assert(vAt == Seq(2.0))
   }
+
+  test("collapseDupSamples (the compact/rebuild dedup) stays a HASH " +
+      "aggregate — the maintenance-path extension of the PlanAuditSpec " +
+      "gate (builtin first(map) would demote it to SortAggregate over " +
+      "the full day's sample volume)") {
+    val withSig = fixture.withColumn("sig",
+      graft.model.Samples.sigExpr(col("labels")))
+    val p = ChunkStore.collapseDupSamples(withSig).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert(!p.contains("SortAggregate"),
+      s"maintenance dedup demoted to SortAggregate:\n${p.take(800)}")
+    assert(p.contains("ObjectHashAggregate") || p.contains("HashAggregate"),
+      s"expected a hash aggregate:\n${p.take(800)}")
+  }
 }
