@@ -258,14 +258,28 @@ class PromQLEngine(
   private val servingPlanCache: java.util.Map[(String, Long, Long, Long),
     DataFrame] = graft.llm.PlanCache.bounded(64)
 
+  /** Get-else-compute with the plan build OUTSIDE the map lock: a
+    * 0.65 s Catalyst analysis inside `computeIfAbsent` would serialize
+    * every concurrent cache HIT behind it (the synchronizedMap holds
+    * one lock for the access-order LRU update too). A racing pair may
+    * both plan; the first-cached plan wins so shuffle-stage reuse
+    * concentrates on one DataFrame. */
+  private def cachedPlan(key: (String, Long, Long, Long))
+      (build: => DataFrame): DataFrame = {
+    val hit = servingPlanCache.get(key)
+    if (hit != null) return hit
+    val df = build
+    val prev = servingPlanCache.putIfAbsent(key, df)
+    if (prev != null) prev else df
+  }
+
   def instantCached(query: String, tsMs: Long): DataFrame =
-    servingPlanCache.computeIfAbsent((query, tsMs, tsMs, -1L),
-      _ => instant(query, tsMs))
+    cachedPlan((query, tsMs, tsMs, -1L))(instant(query, tsMs))
 
   def rangeQueryCached(query: String, startMs: Long, endMs: Long,
       stepMs: Long): DataFrame =
-    servingPlanCache.computeIfAbsent((query, startMs, endMs, stepMs),
-      _ => rangeQuery(query, startMs, endMs, stepMs))
+    cachedPlan((query, startMs, endMs, stepMs))(
+      rangeQuery(query, startMs, endMs, stepMs))
 
   def rangeQuery(query: String, startMs: Long, endMs: Long, stepMs: Long): DataFrame = {
     val expr = Parser.parse(query)
