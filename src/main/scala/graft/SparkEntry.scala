@@ -1401,6 +1401,42 @@ object SparkEntry {
     "c4_semdedup" -> ((spark, dir) =>
       Similarity.semDeDup(Similarity.withPlantedDupes(emb(spark, dir)),
         64, 32, 0.9)),
+    // C5: SemDeDup through the APPLY step — the c4 pairs job feeds the
+    // d6/d13 cluster machinery and the survivor rule (component-min
+    // keeps). Verdicts are RECALL-ROBUST booleans (blocked pairs
+    // guarantee >= 0.95 recall, not 100%, so pair-dependent COUNTS
+    // would be brittle): no cluster exceeds the planted pair size (the
+    // 0.9 threshold excludes background chains, same margin argument
+    // as c4's exact_pairs), every pair-cluster keeps exactly its
+    // min-id member, every survivor is a base vector, and recall
+    // clears the witness floor
+    "c5_semdedup_apply" -> ((spark, dir) => {
+      val planted = Similarity.withPlantedDupes(emb(spark, dir))
+      val pairs = Similarity.semDeDupPairs(planted, 64, 32, 0.9)
+        .select(col("ia"), col("ib"))
+      val clusters = Dedup.dupClusters(
+        planted.select(col("vec_id")), pairs, idCol = "vec_id")
+      clusters.agg(
+        count(lit(1)).as("n_vecs"),
+        max(col("cluster_size")).as("_maxc"),
+        sum(when(col("cluster_size") === 2, 1L).otherwise(0L)).as("_inp"),
+        countDistinct(when(col("cluster_size") === 2, col("cluster_id")))
+          .as("_ncl"),
+        sum(when(col("cluster_size") === 2 &&
+            col("vec_id") === col("cluster_id"), 1L).otherwise(0L))
+          .as("_nsurv"),
+        sum(when(col("cluster_size") === 2 &&
+            col("vec_id") === col("cluster_id") &&
+            col("vec_id") >= 1000000L, 1L).otherwise(0L))
+          .as("_nonbase"))
+        .select(col("n_vecs"),
+          (col("_maxc") <= 2).cast("long").as("no_chains_ok"),
+          (col("_ncl") === col("_nsurv")).cast("long")
+            .as("one_survivor_per_pair_ok"),
+          (col("_nonbase") === 0).cast("long").as("survivors_are_base_ok"),
+          (col("_inp").cast("double") / col("n_vecs") >= 0.95)
+            .cast("long").as("recall_ok"))
+    }),
     // D17: incremental containment near-dup — d16's batch-vs-history
     // asymmetry (batch element set broadcasts, history postings
     // semi-join-pruned before any shuffle, history×history never
@@ -2851,6 +2887,13 @@ object SparkEntry {
     "c4_semdedup" ->
       """SELECT CAST(count(*) AS BIGINT) AS exact_pairs,
         |  CAST(0 AS BIGINT) AS false_pos, CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings""".stripMargin,
+    "c5_semdedup_apply" ->
+      """SELECT CAST(count(*) * 2 AS BIGINT) AS n_vecs,
+        |  CAST(1 AS BIGINT) AS no_chains_ok,
+        |  CAST(1 AS BIGINT) AS one_survivor_per_pair_ok,
+        |  CAST(1 AS BIGINT) AS survivors_are_base_ok,
+        |  CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings""".stripMargin,
     "d17_incremental_containment" ->
       """WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
