@@ -40,11 +40,6 @@ object TextOps {
   def wordShingles(text: Column, n: Int): Column =
     graft.functions.WordShingles.shingles(text, n)
 
-  /** Per-character ASCII codes (the fixture corpus is ASCII; ord/ascii
-    * agree across engines only on single-byte chars). */
-  def charCodes(text: Column): Column =
-    expr("transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))")
-
   /** Rolling polynomial fingerprint: fold(acc*31 + code) mod P over the
     * character stream — a Rabin-Karp-style content fingerprint. P < 1e15
     * keeps acc*31+c within signed-64 range, so the fold is exact integer
