@@ -428,23 +428,29 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
     // missing query = empty query, rejected by the parser as "no
     // expression found in input" (Go FormValue semantics)
     val query = one(p, "query").getOrElse("")
-    val ts = one(p, "time").map(parseTime(_, "time"))
-      .getOrElse(System.currentTimeMillis())
+    val pinned = one(p, "time").map(parseTime(_, "time"))
+    val ts = pinned.getOrElse(System.currentTimeMillis())
+    // cache only EXPLICITLY-pinned times: a now()-defaulted request has
+    // a unique key every call and would churn useful dashboard entries
+    // out of the 64-slot serving LRU
+    def evalInstant(q: String): org.apache.spark.sql.DataFrame =
+      if (pinned.isDefined) engine.instantCached(q, ts)
+      else engine.instant(q, ts)
     gatedBudget(requestBudgetMs(p)) {
       val expr = parseOr400(query)
       expr.typ match {
         case Ast.ValueType.Scalar =>
-          val rows = collectRows(engine.instantCached(query, ts))
+          val rows = collectRows(evalInstant(query))
           envelope("scalar", rows.headOption
             .map { case (_, t, v) => pointJson(t, v) }.getOrElse("null"))
         case Ast.ValueType.Vector =>
-          val rows = collectRows(engine.instantCached(query, ts))
+          val rows = collectRows(evalInstant(query))
             .sortBy { case (l, _, _) => l }(Samples.labelsOrdering)
           envelope("vector", rows.map { case (l, t, v) =>
             s"""{"metric":${metricJson(l)},"value":${pointJson(t, v)}}"""
           }.mkString("[", ",", "]"))
         case Ast.ValueType.Matrix => // raw range selector at an instant
-          val rows = collectRows(engine.instantCached(query, ts))
+          val rows = collectRows(evalInstant(query))
           val series = rows.groupBy(_._1).toSeq
             .sortBy { case (l, _) => l }(Samples.labelsOrdering)
           envelope("matrix", series.map { case (l, pts) =>
