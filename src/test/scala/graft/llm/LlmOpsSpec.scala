@@ -1693,6 +1693,44 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("StringPolyHash property: equals the HOF fold on 60 seeded " +
+      "random unicode strings spanning 1/2/3/4-byte sequences") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    // code-point pools per UTF-8 width, astral plane included
+    val pools = Seq(
+      (0x20 to 0x7e),                   // 1-byte
+      (0xa1 to 0x2ff),                  // 2-byte
+      Seq(0x4e00, 0x4e8c, 0x2603, 0x20ac, 0xfb01), // 3-byte
+      Seq(0x1f600, 0x1d11e, 0x10348))   // 4-byte (surrogate pairs)
+    def randString(): String = {
+      val sb = new StringBuilder
+      (0 until rnd.nextInt(40)).foreach { _ =>
+        val pool = pools(rnd.nextInt(pools.length))
+        sb.appendAll(Character.toChars(
+          pool.iterator.drop(rnd.nextInt(pool.size)).next()))
+      }
+      sb.toString
+    }
+    val texts = (0 until 60).map(i => (i.toLong, randString()))
+    val df = texts.toDF("id", "text")
+    val legacy = df.select(col("id"),
+      aggregate(
+        expr("transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))")
+          .cast("array<bigint>"),
+        lit(0L),
+        (acc, c) => (acc * 31 + c) % TextOps.FingerprintMod).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = df.select(col("id"),
+      graft.functions.StringPolyHash(col("text"), TextOps.FingerprintMod)
+        .as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.foreach { case (i, t) =>
+      assert(legacy(i) == native(i), s"mismatch on ${t.codePoints()
+        .toArray.toSeq.map(c => f"U+$c%04X")}")
+    }
+  }
+
   test("StringPolyHash equals the HOF fold it replaced, on ascii and " +
       "multi-byte text") {
     import spark.implicits._
