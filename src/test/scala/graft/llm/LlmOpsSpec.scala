@@ -1633,6 +1633,28 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got == full, s"incremental ${got.size} vs full-cross ${full.size}")
   }
 
+  test("incremental containment serves the AUDIO family unchanged: " +
+      "batch-vs-history energy-trigram pairs equal the full m12 pairs " +
+      "job restricted to cross pairs") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val history = Multimodal.mediaTable(d)
+    val all = Multimodal.mediaTableWithDupes(d)
+    val fresh = all.filter(col("doc_id") >= 1000000L)
+    val got = Dedup.incrementalContainmentFromSets(
+        Multimodal.audioEnvelopeSets(fresh),
+        Multimodal.audioEnvelopeSets(history), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val full = Multimodal.audioNearDupPairs(spark, all, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (ia, ib, _) => (ia >= 1000000L) != (ib >= 1000000L) }
+      .map { case (ia, ib, c) =>
+        if (ia >= 1000000L) (ia, ib, c) else (ib, ia, c) }
+      .toSet
+    assert(got.nonEmpty, "planted audio copies must pair with history")
+    assert(got == full, s"incremental ${got.size} vs full-cross ${full.size}")
+  }
+
   test("prefix filter exactness at the THRESHOLD boundary: a pair at " +
       "containment exactly t with (1-t)*|A| integral is found (r13 FP " +
       "regression — floor((1-t)*|A|)+1 computed a one-short prefix)") {
