@@ -171,3 +171,119 @@ object NearestCentroid {
     best
   }
 }
+
+/** Native hyperplane-signature band keys over a raw `array<double>`
+  * column: one r-bit key per band (bit j of band b = sign of
+  * ⟨plane_{b·r+j}, v⟩), bit-identical to the boxed-UDF predecessor's
+  * loop including the common-prefix bound. The plane matrix rides as a
+  * codegen reference object — per-row cost is the bands·r·dim FMAs
+  * straight off the UnsafeArrayData (the banding pass is a
+  * corpus-volume map, the last r13 site of the per-row
+  * `Array[Double]` decode class). */
+case class HyperplaneBandKeys(child: Expression,
+    planes: Array[Array[Double]], r: Int, bands: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_band_keys"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_band_keys expects array<double>, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    HyperplaneBandKeys.keys(v.asInstanceOf[ArrayData], planes, r, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.HyperplaneBandKeys.keys($v, $pRef, $r, $bands)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBandKeys =
+    copy(child = newChild)
+}
+
+object HyperplaneBandKeys {
+  def apply(v: Column, planes: Array[Array[Double]], r: Int,
+      bands: Int): Column =
+    GraftColumnBridge.column(HyperplaneBandKeys(
+      GraftColumnBridge.expression(v), planes, r, bands))
+
+  /** Shared by interpreted eval and generated code. */
+  def keys(v: ArrayData, planes: Array[Array[Double]], r: Int,
+      bands: Int): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var j = 0
+      while (j < r) {
+        val p = planes(b * r + j)
+        val m = math.min(p.length, n)
+        var s = 0.0
+        var i = 0
+        while (i < m) { s += p(i) * v.getDouble(i); i += 1 }
+        if (s > 0) key |= 1L << j
+        j += 1
+      }
+      out(b) = key
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Single packed signature (bit j = sign of ⟨plane_j, v⟩) — the
+    * one-band 64-bit special case [[graft.llm.Similarity.annTopK]]
+    * slices into 4-bit bands column-side. */
+  def sig(v: ArrayData, planes: Array[Array[Double]]): Long = {
+    val n = v.numElements()
+    var sigv = 0L
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      val m = math.min(p.length, n)
+      var s = 0.0
+      var i = 0
+      while (i < m) { s += p(i) * v.getDouble(i); i += 1 }
+      if (s > 0) sigv |= 1L << j
+      j += 1
+    }
+    sigv
+  }
+}
+
+/** Native packed hyperplane signature (64-bit) — see
+  * [[HyperplaneBandKeys.sig]]. */
+case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "hyperplane_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_sig expects array<double>, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    HyperplaneBandKeys.sig(v.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.HyperplaneBandKeys.sig($v, $pRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
+object HyperplaneSig {
+  def apply(v: Column, planes: Array[Array[Double]]): Column =
+    GraftColumnBridge.column(HyperplaneSig(
+      GraftColumnBridge.expression(v), planes))
+}

@@ -790,8 +790,8 @@ object Similarity {
         }
         (rr, math.max(bands, math.min(64L, b)).toInt)
       }
-    val keysU = bandKeysUdfFor(dim, r, nBands, seed)
-    val buckets0 = p.select(col("id"), posexplode(keysU(col("v"))))
+    val keysC = bandKeysCol(dim, r, nBands, seed)
+    val buckets0 = p.select(col("id"), posexplode(keysC(col("v"))))
       .select(col("id"), col("pos").as("band"), col("col").as("bkey"))
     val pruned =
       if (n <= maxB) buckets0
@@ -840,38 +840,25 @@ object Similarity {
     exactRescore(cand, p, threshold)
   }
 
-  /** Memoized per (dim, r, bands, seed): the banded signature as one
-    * r-bit key PER BAND (array of longs) — no 64-bit packing limit, and
-    * a single UDF instance per plane family so plans canonicalize
-    * equal. */
-  private val bandKeysCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, Int, Int, Long), UserDefinedFunction]()
+  /** Memoized plane matrices per (dim, nBits, seed): STABLE Array
+    * instances so the native signature expressions (case classes over
+    * Array fields — reference equality) canonicalize equal across
+    * calls and the downstream plan caches hit. r13: the banding /
+    * signature map passes moved from boxed per-row UDFs (one
+    * `Array[Double]` decode per corpus row) to the codegen
+    * [[graft.functions.HyperplaneBandKeys]] / [[graft.functions
+    * .HyperplaneSig]] expressions — bit-identical loops. */
+  private val planesCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, Long), Array[Array[Double]]]()
 
-  private def bandKeysUdfFor(dim: Int, r: Int, bands: Int,
-      seed: Long): UserDefinedFunction =
-    bandKeysCache.computeIfAbsent((dim, r, bands, seed), {
-      case (dim, r, bands, seed) =>
-        val ps = planes(dim, r * bands, seed)
-        udf { (v: Array[Double]) =>
-          val out = new Array[Long](bands)
-          var b = 0
-          while (b < bands) {
-            var key = 0L
-            var j = 0
-            while (j < r) {
-              var s = 0.0
-              var i = 0
-              val p = ps(b * r + j)
-              while (i < dim && i < v.length) { s += p(i) * v(i); i += 1 }
-              if (s > 0) key |= 1L << j
-              j += 1
-            }
-            out(b) = key
-            b += 1
-          }
-          out
-        }
-    })
+  private def planesFor(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] =
+    planesCache.computeIfAbsent((dim, nBits, seed),
+      { case (d, n, s) => planes(d, n, s) })
+
+  private def bandKeysCol(dim: Int, r: Int, bands: Int,
+      seed: Long): Column => Column =
+    v => graft.functions.HyperplaneBandKeys(
+      v, planesFor(dim, r * bands, seed), r, bands)
 
   /** Exact cosine rescoring of candidate (ia, ib) pairs against the
     * prepped corpus — false positives die here, so a banded/blocked
@@ -959,31 +946,6 @@ object Similarity {
     val rnd = new java.util.Random(seed)
     Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
-
-  /** Memoized per (dim, nBits, seed): one UDF INSTANCE per plane family,
-    * so repeated calls build canonically-equal plans (ScalaUDF
-    * canonicalization compares function identity) and the planes are
-    * generated once per JVM. */
-  private val sigUdfCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, Int, Long), UserDefinedFunction]()
-
-  private[graft] def sigUdfFor(dim: Int, nBits: Int, seed: Long): UserDefinedFunction =
-    sigUdfCache.computeIfAbsent((dim, nBits, seed), { case (dim, nBits, seed) =>
-      val ps = planes(dim, nBits, seed)
-      udf { (v: Array[Double]) =>
-        var sig = 0L
-        var j = 0
-        while (j < nBits) {
-          var s = 0.0
-          var i = 0
-          val p = ps(j)
-          while (i < dim && i < v.length) { s += p(i) * v(i); i += 1 }
-          if (s > 0) sig |= 1L << j
-          j += 1
-        }
-        sig
-      }
-    })
 
   // ---- IVF (inverted-file) ANN -------------------------------------------
 
@@ -1379,11 +1341,12 @@ object Similarity {
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       seed: Long = 7L): DataFrame = {
-    val sigU = sigUdfFor(dim, 64, seed)
+    val sigC = (v: Column) =>
+      graft.functions.HyperplaneSig(v, planesFor(dim, 64, seed))
     def withBuckets(df: DataFrame): DataFrame = {
       // project the signature ONCE; referencing the UDF inside each of
       // the 16 band structs would recompute it per band
-      val sigged = df.select(col("id"), sigU(col("v")).as("sig"))
+      val sigged = df.select(col("id"), sigC(col("v")).as("sig"))
       val bandArr = array((0 until 16).map { b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sig"), 4 * b).bitwiseAND(lit(0xfL)).as("bkey"))
