@@ -287,3 +287,80 @@ object HyperplaneSig {
     GraftColumnBridge.column(HyperplaneSig(
       GraftColumnBridge.expression(v), planes))
 }
+
+/** Native `nprobe`-nearest-centroids assignment over a raw
+  * `array<double>` column: the ids of the nprobe smallest squared-L2
+  * centroids, ascending by distance with STABLE ties (equal distances
+  * keep centroid-array order) — bit-identical to the boxed-UDF
+  * predecessor's `sortBy(_._2).take(nprobe)`. The probing pass is the
+  * corpus-volume map in cluster-blocked near-dup (x3/d8/c4); the
+  * UDF decoded an `Array[Double]` and allocated k boxed tuples per
+  * row. */
+case class NearestCentroidProbes(child: Expression, ids: Array[Int],
+    cents: Array[Array[Double]], nprobe: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroid_probes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid_probes expects array<double>, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    NearestCentroidProbes.probes(v.asInstanceOf[ArrayData], ids, cents,
+      nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("ids", ids, "int[]")
+    val cRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.NearestCentroidProbes.probes($v, $idsRef, $cRef, $nprobe)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidProbes =
+    copy(child = newChild)
+}
+
+object NearestCentroidProbes {
+  def apply(v: Column, ids: Array[Int], cents: Array[Array[Double]],
+      nprobe: Int): Column =
+    GraftColumnBridge.column(NearestCentroidProbes(
+      GraftColumnBridge.expression(v), ids, cents, nprobe))
+
+  /** Shared by interpreted eval and generated code: bounded stable
+    * insertion — equal distances keep centroid order, like the stable
+    * sort it replaces. */
+  def probes(v: ArrayData, ids: Array[Int], cents: Array[Array[Double]],
+      nprobe: Int): ArrayData = {
+    val k = cents.length
+    val np = math.min(nprobe, k)
+    val bd = new Array[Double](np)
+    val bi = new Array[Int](np)
+    var filled = 0
+    val n = v.numElements()
+    var ci = 0
+    while (ci < k) {
+      val c = cents(ci)
+      val m = math.min(c.length, n)
+      var d = 0.0
+      var i = 0
+      while (i < m) { val x = c(i) - v.getDouble(i); d += x * x; i += 1 }
+      if (filled < np || d < bd(filled - 1)) {
+        // insert AFTER all entries with distance <= d (stable ties)
+        var pos = if (filled < np) filled else np - 1
+        while (pos > 0 && bd(pos - 1) > d) {
+          if (pos < np) { bd(pos) = bd(pos - 1); bi(pos) = bi(pos - 1) }
+          pos -= 1
+        }
+        bd(pos) = d
+        bi(pos) = ids(ci)
+        if (filled < np) filled += 1
+      }
+      ci += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(bi, filled))
+  }
+}

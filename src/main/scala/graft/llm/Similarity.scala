@@ -907,7 +907,7 @@ object Similarity {
       else math.max(16, (p.count() * nprobe / targetBlock).toInt)
     val centroids = kmeansCentroids(emb, k, dim,
       idCol = idCol, vecCol = vecCol, seed = seed)
-    val blocked = p.select(explode(probesUdf(centroids, nprobe)(col("v"))).as("_c"),
+    val blocked = p.select(explode(probesCol(centroids, nprobe)(col("v"))).as("_c"),
         col("id"), col("v"), col("nrm"))
       .as[(Int, Long, Array[Double], Double)]
     val th = threshold
@@ -1123,23 +1123,29 @@ object Similarity {
 
   /** ids of the `nprobe` nearest centroids (squared-L2), ascending by
     * distance — shared by [[ivfTopK]] query probing and
-    * [[clusterBlockedPairs]] block assignment. Exact linear scan up to
-    * [[CoarseScanThreshold]] centroids, two-level coarse scan past it. */
-  private def probesUdf(centroids: Array[(Int, Array[Double])],
-      nprobe: Int): UserDefinedFunction =
-    if (centroids.length <= CoarseScanThreshold)
-      udf { (v: Array[Double]) =>
-        centroids.map { case (ci, c) => (ci, sqDist(c, v)) }
-          .sortBy(_._2).take(nprobe).map(_._1)
-      }
-    else {
+    * [[clusterBlockedPairs]] block assignment. Up to
+    * [[CoarseScanThreshold]] centroids the native codegen
+    * [[graft.functions.NearestCentroidProbes]] expression does the
+    * exact scan (r13: the probing pass is the corpus-volume map in the
+    * blocked family — the UDF form decoded a boxed `Array[Double]`
+    * and allocated k tuples per row; the expression's bounded stable
+    * insertion is bit-identical to `sortBy.take`); past it the
+    * two-level coarse-scan UDF. */
+  private def probesCol(centroids: Array[(Int, Array[Double])],
+      nprobe: Int): Column => Column =
+    if (centroids.length <= CoarseScanThreshold) {
+      val ids = centroids.map(_._1)
+      val cents = centroids.map(_._2)
+      v => graft.functions.NearestCentroidProbes(v, ids, cents, nprobe)
+    } else {
       val (means, groups) = coarseIndex(centroids)
       val minCand = math.max(32, 8 * nprobe)
-      udf { (v: Array[Double]) =>
+      val u = udf { (v: Array[Double]) =>
         coarseCandidates(means, groups, v, minCand)
           .map { case (ci, c) => (ci, sqDist(c, v)) }
           .sortBy(_._2).take(nprobe).map(_._1)
       }
+      v => u(v)
     }
 
   private def nearestCentroidUdf(centroids: Array[(Int, Array[Double])])
@@ -1177,7 +1183,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val centroids = kmeansCentroids(corpus, numCentroids, dim,
       idCol = idCol, vecCol = vecCol)
-    val probesU = probesUdf(centroids, nprobe)
+    val probesU = probesCol(centroids, nprobe)
     val assignC = nearestCentroidCol(centroids)
     val c = prepCached(corpus, idCol, vecCol).withColumn("_c", assignC(col("v")))
     val q = prepCached(queries, idCol, vecCol)
