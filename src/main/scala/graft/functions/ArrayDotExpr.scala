@@ -364,3 +364,66 @@ object NearestCentroidProbes {
       java.util.Arrays.copyOf(bi, filled))
   }
 }
+
+/** Native per-doc MinHash signature over a raw `array<bigint>` shingle
+  * hash set: out(i) = min over the set of (aᵢ·pmod(x, P) + bᵢ) mod P —
+  * bit-identical to the boxed-UDF predecessor (same Long wrap
+  * semantics, same pmod). The signature pass is d3's corpus-volume
+  * map; the UDF decoded an `Array[Long]` per doc. Coefficient arrays
+  * ride as codegen reference objects (memoize them per family so
+  * plans canonicalize equal — case-class Array fields compare by
+  * reference). */
+case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long],
+    p: Long) extends UnaryExpression {
+  require(as.length == bs.length && as.nonEmpty, "coefficient arrays")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects array<bigint>, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    MinHashSig.sig(v.asInstanceOf[ArrayData], as, bs, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("as", as, "long[]")
+    val bRef = ctx.addReferenceObj("bs", bs, "long[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.MinHashSig.sig($v, $aRef, $bRef, ${p}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  def apply(v: Column, as: Array[Long], bs: Array[Long], p: Long): Column =
+    GraftColumnBridge.column(MinHashSig(
+      GraftColumnBridge.expression(v), as, bs, p))
+
+  /** Shared by interpreted eval and generated code. */
+  def sig(v: ArrayData, as: Array[Long], bs: Array[Long], p: Long): ArrayData = {
+    val k = as.length
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = v.numElements()
+    var j = 0
+    while (j < n) {
+      val h0 = v.getLong(j)
+      val h = ((h0 % p) + p) % p
+      var i = 0
+      while (i < k) {
+        val x = (as(i) * h + bs(i)) % p
+        if (x < out(i)) out(i) = x
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

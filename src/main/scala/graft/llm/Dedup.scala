@@ -584,23 +584,22 @@ object Dedup {
     * costs a second full aggregation of the postings and measured 5×
     * slower end-to-end; the hash-set shuffle is already on the plan's
     * critical path for verification). */
-  def minhashSignature(numHashes: Int): UserDefinedFunction = {
-    val coeffs = hashCoeffs(numHashes)
-    udf { (hs: Array[Long]) =>
-      val out = Array.fill(numHashes)(Long.MaxValue)
-      hs.foreach { h0 =>
-        // pmod(xxhash64, P), matching Spark's pmod on negative longs
-        val h = ((h0 % MinhashP) + MinhashP) % MinhashP
-        var i = 0
-        while (i < numHashes) {
-          val v = (coeffs(i)._1 * h + coeffs(i)._2) % MinhashP
-          if (v < out(i)) out(i) = v
-          i += 1
-        }
-      }
-      out
-    }
+  def minhashSignature(numHashes: Int): Column => Column = {
+    // memoized coefficient arrays: stable instances keep the native
+    // expression (Array fields — reference equality) canonically equal
+    // across calls, so repeated plans hit the caches (r13: the
+    // signature pass moved from a boxed per-row UDF to the codegen
+    // graft.functions.MinHashSig — bit-identical Long-wrap loop,
+    // pmod(xxhash64, P) matching Spark's pmod on negative longs)
+    val (as, bs) = minhashCoeffCache.computeIfAbsent(numHashes, { n =>
+      val c = hashCoeffs(n)
+      (c.map(_._1), c.map(_._2))
+    })
+    v => graft.functions.MinHashSig(v, as, bs, MinhashP)
   }
+
+  private val minhashCoeffCache = new java.util.concurrent.ConcurrentHashMap[
+    Int, (Array[Long], Array[Long])]()
 
   /** Near-duplicate pairs via banded MinHash-LSH, verified exactly.
     *
