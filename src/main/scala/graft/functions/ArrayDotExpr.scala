@@ -427,3 +427,124 @@ object MinHashSig {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
+
+/** Native PQ encoder over a raw `array<double>` vector + its norm:
+  * per subspace, the nearest codeword index of the NORMALIZED
+  * subvector (squared L2, strict `<` keeps the first on ties) — one
+  * byte per subspace, bit-identical to the boxed-UDF predecessor. The
+  * encode is the corpus-volume map that builds the 100 TB PQ index;
+  * the codebook tensor rides as a codegen reference object. */
+case class PqEncode(vec: Expression, nrm: Expression,
+    books: Array[Array[Array[Double]]], dsub: Int)
+    extends BinaryExpression {
+  override def left: Expression = vec
+  override def right: Expression = nrm
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, nrm.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_encode expects (array<double>, double), got $other")
+    }
+
+  override def nullSafeEval(v: Any, n: Any): Any =
+    PqEncode.encode(v.asInstanceOf[ArrayData], n.asInstanceOf[Double],
+      books, dsub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("books", books, "double[][][]")
+    defineCodeGen(ctx, ev, (v, n) =>
+      s"graft.functions.PqEncode.encode($v, $n, $bRef, $dsub)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqEncode =
+    copy(vec = newLeft, nrm = newRight)
+}
+
+object PqEncode {
+  def apply(v: Column, nrm: Column, books: Array[Array[Array[Double]]],
+      dsub: Int): Column =
+    GraftColumnBridge.column(PqEncode(GraftColumnBridge.expression(v),
+      GraftColumnBridge.expression(nrm), books, dsub))
+
+  /** Shared by interpreted eval and generated code. */
+  def encode(v: ArrayData, nrm: Double, books: Array[Array[Array[Double]]],
+      dsub: Int): Array[Byte] = {
+    val m = books.length
+    val codes = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      val book = books(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < book.length) {
+        val c = book(j)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val x = v.getDouble(s * dsub + i) / nrm - c(i)
+          d += x * x
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      codes(s) = best.toByte
+      s += 1
+    }
+    codes
+  }
+}
+
+/** Native PQ asymmetric-distance accumulation: Σ over subspaces of the
+  * query's precomputed inner-product table entry at the corpus row's
+  * code — the per-(query, vector) hot loop of the ADC scan, byte
+  * lookups only, never the float vectors. */
+case class PqAdc(codes: Expression, tbl: Expression, ksub: Int)
+    extends BinaryExpression {
+  override def left: Expression = codes
+  override def right: Expression = tbl
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (codes.dataType, tbl.dataType) match {
+      case (org.apache.spark.sql.types.BinaryType, ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc expects (binary, array<double>), got $other")
+    }
+
+  override def nullSafeEval(c: Any, t: Any): Any =
+    PqAdc.adc(c.asInstanceOf[Array[Byte]], t.asInstanceOf[ArrayData], ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, t) =>
+      s"graft.functions.PqAdc.adc($c, $t, $ksub)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdc =
+    copy(codes = newLeft, tbl = newRight)
+}
+
+object PqAdc {
+  def apply(codes: Column, tbl: Column, ksub: Int): Column =
+    GraftColumnBridge.column(PqAdc(GraftColumnBridge.expression(codes),
+      GraftColumnBridge.expression(tbl), ksub))
+
+  /** Shared by interpreted eval and generated code. */
+  def adc(codes: Array[Byte], tbl: ArrayData, ksub: Int): Double = {
+    var acc = 0.0
+    var s = 0
+    while (s < codes.length) {
+      acc += tbl.getDouble(s * ksub + (codes(s) & 0xff))
+      s += 1
+    }
+    acc
+  }
+}

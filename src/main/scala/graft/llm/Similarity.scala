@@ -1243,33 +1243,13 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val m = books.length
     val dsub = dim / m
-    val enc = udf { (v: Array[Double], nrm: Double) =>
-      val codes = new Array[Byte](m)
-      var s = 0
-      while (s < m) {
-        val book = books(s)
-        var best = 0
-        var bestD = Double.MaxValue
-        var j = 0
-        while (j < book.length) {
-          val c = book(j)
-          var d = 0.0
-          var i = 0
-          while (i < dsub) {
-            val x = v(s * dsub + i) / nrm - c(i)
-            d += x * x
-            i += 1
-          }
-          if (d < bestD) { bestD = d; best = j }
-          j += 1
-        }
-        codes(s) = best.toByte
-        s += 1
-      }
-      codes
-    }
+    // native codegen encoder (r13): the encode is THE corpus-volume
+    // map of the PQ index build; the UDF form decoded a boxed
+    // Array[Double] per row. Codebooks are memoized per corpus plan
+    // (pqCache), so the expression instances canonicalize equal
     prepCached(corpus, idCol, vecCol)
-      .select(col("id"), enc(col("v"), col("nrm")).as("codes"))
+      .select(col("id"), graft.functions.PqEncode(
+        col("v"), col("nrm"), books, dsub).as("codes"))
   }
 
   /** PQ approximate top-k with exact re-ranking (the FAISS ADC shape).
@@ -1310,21 +1290,16 @@ object Similarity {
       }
       tbl
     }
-    val adcU = udf { (codes: Array[Byte], tbl: Array[Double]) =>
-      var acc = 0.0
-      var s = 0
-      while (s < codes.length) {
-        acc += tbl(s * ksub + (codes(s) & 0xff))
-        s += 1
-      }
-      acc
-    }
+    // native ADC accumulation (r13): the per-(query, vector) hot loop
+    // of the shortlist scan — byte lookups in whole-stage codegen
+    val adcC = (codes: Column, tbl: Column) =>
+      graft.functions.PqAdc(codes, tbl, ksub)
     val q = prepCached(queries, idCol, vecCol)
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
         tableU(col("v"), col("nrm")).as("tbl"))
     val short = codes.join(broadcast(q.select(col("qid"), col("tbl"))),
         col("qid") =!= col("id"))
-      .select(col("qid"), col("id"), adcU(col("codes"), col("tbl")).as("adc"))
+      .select(col("qid"), col("id"), adcC(col("codes"), col("tbl")).as("adc"))
       .groupBy(col("qid"))
       .agg(TopK.topk(shortlist, desc = true)(col("adc"),
         lpad(col("id").cast("string"), 12, "0"), col("id"), col("adc")).as("_w"))
