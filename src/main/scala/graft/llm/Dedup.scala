@@ -687,23 +687,13 @@ object Dedup {
     candidates
       .join(sets.select(col("id").as("ia"), col("hs").as("ha"), col("nsh").as("na")), Seq("ia"))
       .join(sets.select(col("id").as("ib"), col("hs").as("hb"), col("nsh").as("nb")), Seq("ib"))
-      .withColumn("inter", sortedIntersectUdf(col("ha"), col("hb")))
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount(col("ha"), col("hb")))
       .withColumn("jaccard", jaccard(col("inter"), col("na"), col("nb")))
       .filter(col("jaccard") >= threshold)
       .select(col("ia"), col("ib"), col("jaccard"))
   }
 
-  private[llm] val sortedIntersectUdf: UserDefinedFunction =
-    udf { (a: Array[Long], b: Array[Long]) =>
-      var i = 0; var j = 0; var c = 0L
-      while (i < a.length && j < b.length) {
-        val x = a(i); val y = b(j)
-        if (x == y) { c += 1; i += 1; j += 1 }
-        else if (x < y) i += 1
-        else j += 1
-      }
-      c
-    }
 
   // ---- duplicate clustering (connected components) -----------------------
 
