@@ -1691,6 +1691,98 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got == Map(0L -> 0, 1L -> 1, 2L -> 0))
   }
 
+  test("NearestCentroidProbes: ascending by distance with STABLE ties " +
+      "(the sortBy.take contract), bounded by centroid count") {
+    import spark.implicits._
+    // c0 and c2 are identical: ties must keep centroid-array order
+    val cents = Array(Array(0.0, 0.0), Array(1.0, 1.0), Array(0.0, 0.0),
+      Array(2.0, 2.0))
+    val ids = Array(0, 1, 2, 3)
+    val vs = Seq((0L, Array(0.1, 0.0)), (1L, Array(1.9, 2.0)))
+      .toDF("id", "v")
+    def probesOf(nprobe: Int): Map[Long, Seq[Int]] =
+      vs.select(col("id"), graft.functions.NearestCentroidProbes(
+          col("v"), ids, cents, nprobe).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // reference: stable sort by squared distance
+    def ref(v: Array[Double], nprobe: Int): Seq[Int] =
+      ids.map { i =>
+        val c = cents(i)
+        (i, c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.sortBy(_._2).take(nprobe).map(_._1).toSeq
+    for (np <- Seq(1, 2, 3, 4, 9)) {
+      val got = probesOf(np)
+      assert(got(0L) == ref(Array(0.1, 0.0), np), s"np=$np id=0 ${got(0L)}")
+      assert(got(1L) == ref(Array(1.9, 2.0), np), s"np=$np id=1 ${got(1L)}")
+    }
+  }
+
+  test("MinHashSig native expression equals the reference fold on " +
+      "seeded random hash sets (negative hashes included)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val p = 2147483647L
+    val as = Array(3L, 7L, 1234567L, 99991L)
+    val bs = Array(11L, 0L, 424242L, 5L)
+    val sets = (0 until 40).map { i =>
+      (i.toLong, Array.fill(1 + rnd.nextInt(30))(rnd.nextLong()))
+    }
+    val got = sets.toDF("id", "hs").select(col("id"),
+        graft.functions.MinHashSig(col("hs"), as, bs, p).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    sets.foreach { case (i, hs) =>
+      val ref = Array.fill(4)(Long.MaxValue)
+      hs.foreach { h0 =>
+        val h = ((h0 % p) + p) % p
+        (0 until 4).foreach { k =>
+          val v = (as(k) * h + bs(k)) % p
+          if (v < ref(k)) ref(k) = v
+        }
+      }
+      assert(got(i) == ref.toSeq, s"set $i")
+    }
+  }
+
+  test("PqEncode: nearest codeword per subspace with first-wins ties; " +
+      "PqAdc sums the byte-indexed table entries") {
+    import spark.implicits._
+    // 2 subspaces of 2 dims; book 0 has duplicate codewords (tie)
+    val books = Array(
+      Array(Array(0.0, 0.0), Array(0.0, 0.0), Array(1.0, 1.0)),
+      Array(Array(0.5, 0.5), Array(-0.5, -0.5)))
+    val df = Seq((0L, Array(0.1, -0.1, -0.4, -0.6), 1.0)).toDF("id", "v", "n")
+    val codes = df.select(graft.functions.PqEncode(
+        col("v"), col("n"), books, 2).as("c"))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(codes.toSeq == Seq(0.toByte, 1.toByte),
+      s"tie must keep the FIRST codeword: ${codes.toSeq}")
+    val tbl = (0 until 2 * 3).map(_.toDouble).toArray // ksub = 3
+    val adc = Seq((codes, tbl)).toDF("c", "t")
+      .select(graft.functions.PqAdc(col("c"), col("t"), 3).as("a"))
+      .collect().head.getDouble(0)
+    // code(0)=0 -> tbl(0*3+0)=0; code(1)=1 -> tbl(1*3+1)=4
+    assert(adc == 4.0, s"adc=$adc")
+  }
+
+  test("SortedIntersectCount equals the set-intersection size on sorted " +
+      "random long arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 30).map { i =>
+      val a = Array.fill(rnd.nextInt(40))(rnd.nextInt(50).toLong)
+        .distinct.sorted
+      val b = Array.fill(rnd.nextInt(40))(rnd.nextInt(50).toLong)
+        .distinct.sorted
+      (i.toLong, a, b)
+    }
+    val got = rows.toDF("id", "a", "b").select(col("id"),
+        graft.functions.SortedIntersectCount(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (i, a, b) =>
+      assert(got(i) == (a.toSet & b.toSet).size.toLong, s"row $i")
+    }
+  }
+
   test("VecMoments: native buffer equals the reference fold; wrong-dim " +
       "and null-element rows are skipped") {
     import spark.implicits._
