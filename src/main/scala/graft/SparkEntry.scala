@@ -1437,6 +1437,21 @@ object SparkEntry {
           (col("_inp").cast("double") / col("n_vecs") >= 0.95)
             .cast("long").as("recall_ok"))
     }),
+    // M13: the d17 incremental-containment core on VIDEO frame sets —
+    // today's crawl (the planted re-encodes) against the original
+    // media table as history; history frames are semi-join-pruned by
+    // the batch's frame-fingerprint set before any shuffle, the m8/d16
+    // asymmetry applied to the m11 fingerprints (hash↔hex-string
+    // oracle trade as in m11)
+    "m13_video_incremental" -> ((spark, dir) => {
+      val history = Multimodal.mediaTable(docs(spark, dir))
+      val fresh = Multimodal.mediaTableWithDupes(docs(spark, dir))
+        .filter(col("doc_id") >= 1000000L)
+      Dedup.incrementalContainmentFromSets(
+          Multimodal.videoFrameSets(fresh),
+          Multimodal.videoFrameSets(history), 0.9)
+        .withColumn("containment", col("containment").cast("float"))
+    }),
     // D17: incremental containment near-dup — d16's batch-vs-history
     // asymmetry (batch element set broadcasts, history postings
     // semi-join-pruned before any shuffle, history×history never
@@ -2895,6 +2910,39 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS survivors_are_base_ok,
         |  CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings""".stripMargin,
+    "m13_video_incremental" ->
+      """WITH hist AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+        |newd AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         substr(text, 1, len(text) - 1) || '~' AS text
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |hv AS (SELECT doc_id, text, len(text) // 32 AS nf FROM hist),
+        |fv AS (SELECT doc_id, text, len(text) // 32 AS nf FROM newd),
+        |hf AS (SELECT doc_id,
+        |      CAST(unnest(generate_series(0, nf - 1)) AS INT) AS frame_idx,
+        |      text FROM hv WHERE nf >= 1),
+        |ff AS (SELECT doc_id,
+        |      CAST(unnest(generate_series(0, nf - 1)) AS INT) AS frame_idx,
+        |      text FROM fv WHERE nf >= 1),
+        |hfx AS (SELECT DISTINCT doc_id,
+        |      lower(hex(encode(substr(text, frame_idx * 32 + 1, 32))))
+        |        AS frame_hex FROM hf),
+        |ffx AS (SELECT DISTINCT doc_id,
+        |      lower(hex(encode(substr(text, frame_idx * 32 + 1, 32))))
+        |        AS frame_hex FROM ff),
+        |hsz AS (SELECT doc_id, count(*) AS nh FROM hfx GROUP BY 1),
+        |fsz AS (SELECT doc_id, count(*) AS nfr FROM ffx GROUP BY 1),
+        |i AS (SELECT f.doc_id AS fid, h.doc_id AS hid, count(*) AS inter
+        |      FROM ffx f JOIN hfx h ON f.frame_hex = h.frame_hex
+        |      GROUP BY 1, 2)
+        |SELECT fid, hid,
+        |  CAST(greatest(inter::DOUBLE / fsz.nfr, inter::DOUBLE / hsz.nh)
+        |    AS REAL) AS containment
+        |FROM i JOIN fsz ON i.fid = fsz.doc_id
+        |       JOIN hsz ON i.hid = hsz.doc_id
+        |WHERE greatest(inter::DOUBLE / fsz.nfr, inter::DOUBLE / hsz.nh)
+        |      >= 0.9""".stripMargin,
     "d17_incremental_containment" ->
       """WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
         |newd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250
