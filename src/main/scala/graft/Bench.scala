@@ -46,6 +46,14 @@ object BenchFormat {
       draws: Seq[Double], probeRatio: Double, retries: Int,
       memoized: Boolean = false)
 
+  /** One interleaved throughput window: the light-only and mixed
+    * figures plus, for EACH half, the max bracketing-probe ratio that
+    * accepted it and how many contended halves were discarded first —
+    * the storm evidence the serial section has carried since r5. */
+  final case class QpsWindow(light: Double, mixed: Double,
+      lightRatio: Double, mixedRatio: Double,
+      lightRetries: Int = 0, mixedRetries: Int = 0)
+
   /** Shortest-unique underscore-token prefix per query name:
     * `a1_sum` → `a1`, but `f1_rate`/`f1_delta` keep their second token
     * because `f1` alone would collide. Deterministic given the name
@@ -99,7 +107,7 @@ object BenchFormat {
   def fullJson(recs: Seq[Rec], coldTotal: Double, qps: Double,
       mixedQps: Double, sfNum: String, probeBaseline: Double,
       prepSec: Double = 0.0,
-      qpsWindows: Seq[(Double, Double)] = Nil): String = {
+      qpsWindows: Seq[QpsWindow] = Nil): String = {
     val qs = recs.map { r =>
       val draws = r.draws.map(r3).mkString("[", ",", "]")
       "\"" + r.name + "\":{\"warm\":" + r3(r.warm) +
@@ -110,11 +118,17 @@ object BenchFormat {
     }.mkString("{", ",", "}")
     val total = recs.map(_.warm).sum
     // every interleaved (light, mixed) throughput window, in run
-    // order: the reported figures are best-of — the windows say
-    // whether "best" summarizes a stable session or cherry-picks one
-    // good patch out of a noisy one
+    // order, WITH the max bracketing-probe ratio that accepted each
+    // half and its retry count (r14: the r13 driver run's qps windows
+    // decayed 12.2 -> 2.4 -> 2.1 q/s and the artifact could not
+    // adjudicate storm vs regression — now each window carries the
+    // same contention evidence the serial batches have had since r5):
+    // [light, mixed, light_ratio, mixed_ratio, light_retries,
+    //  mixed_retries]
     val wins = qpsWindows
-      .map { case (l, x) => "[" + r2(l) + "," + r2(x) + "]" }
+      .map { w => "[" + r2(w.light) + "," + r2(w.mixed) + "," +
+        r2(w.lightRatio) + "," + r2(w.mixedRatio) + "," +
+        w.lightRetries + "," + w.mixedRetries + "]" }
       .mkString("[", ",", "]")
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_sec":${r3(coldTotal)},"instant_qps":${r3(qps)},"mixed_qps":${r3(mixedQps)},"qps_windows":$wins,"probe_baseline_ms":${r3(probeBaseline * 1000)},"fixture_prep_sec":${r3(prepSec)},"sf":$sfNum}"""
   }
@@ -285,9 +299,40 @@ object Bench {
     // (observed: a mixed best-of-three reading 3.4 q/s between two
     // runs reading 48 and 65 with identical binaries); alternating
     // means a patch must span the whole sequence to poison either max
-    val windows = Seq.fill(3)((runQps(0), runQps(2)))
-    val qps = windows.map(_._1).max
-    val mixedQps = windows.map(_._2).max
+    // …and (r14) BRACKET each half with the calibration probe, like
+    // the serial batches: a half whose pre/post probe ratio exceeds
+    // 1.5× baseline ran on a (possibly) contended host, so it is
+    // discarded and redrawn after a GC + settle pause (up to 2
+    // retries), and the accepted ratio + retry count land in
+    // bench_full.json per window — the r13 driver run's monotonically
+    // decaying windows (12.2 → 2.4 → 2.1 q/s against same-day clean
+    // draws of 61–64) could not be adjudicated storm-vs-regression
+    // from the artifact; now they can (two clean HEAD re-runs showed
+    // no decay: stable 55–64 q/s windows, see SCALE.md r14).
+    def qpsHalf(heavy: Int): (Double, Double, Int) = {
+      var pre = probeOnce() / probeBaseline
+      var q = runQps(heavy)
+      var post = probeOnce() / probeBaseline
+      var ratio = math.max(pre, post)
+      var retries = 0
+      while (ratio > 1.5 && retries < 2) {
+        System.gc()
+        Thread.sleep(250)
+        retries += 1
+        pre = probeOnce() / probeBaseline
+        q = runQps(heavy)
+        post = probeOnce() / probeBaseline
+        ratio = math.max(pre, post)
+      }
+      (q, ratio, retries)
+    }
+    val windows = Seq.fill(3) {
+      val (l, lr, lt) = qpsHalf(0)
+      val (x, xr, xt) = qpsHalf(2)
+      BenchFormat.QpsWindow(l, x, lr, xr, lt, xt)
+    }
+    val qps = windows.map(_.light).max
+    val mixedQps = windows.map(_.mixed).max
     val coldTotal = results.map(_._2).sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")

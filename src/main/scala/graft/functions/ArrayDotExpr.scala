@@ -39,6 +39,49 @@ case class ArrayDot(left: Expression, right: Expression)
       newRight: Expression): ArrayDot = copy(left = newLeft, right = newRight)
 }
 
+/** Native null-element-free predicate over any array column: true iff
+  * no element is null — the [[graft.exec.VecMomentsExpr]] row-inclusion
+  * rule as a pushable filter. Exists because the built-in spellings
+  * (`array_compact`, `exists`, `filter`) all desugar to interpreted
+  * lambda HOFs, which the PlanAudit gate bans from corpus-volume map
+  * passes; this is one early-exit loop inside whole-stage codegen. */
+case class ArrayNoNulls(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "array_no_nulls"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"array_no_nulls expects an array column, got $other")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    ArrayNoNulls.noNulls(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.ArrayNoNulls.noNulls($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayNoNulls =
+    copy(child = newChild)
+}
+
+object ArrayNoNulls {
+  def apply(v: Column): Column =
+    GraftColumnBridge.column(ArrayNoNulls(GraftColumnBridge.expression(v)))
+
+  /** Shared by interpreted eval and generated code. */
+  def noNulls(v: ArrayData): Boolean = {
+    val n = v.numElements()
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return false
+      i += 1
+    }
+    true
+  }
+}
+
 /** Native centered k-component projection: `out_i = (v − μ)·basisᵢ`
   * over a raw `array<double>` column — the PCA apply step
   * ([[graft.llm.Similarity.pcaProject]]'s pass 2). The μ/basis
@@ -471,10 +514,17 @@ object PqEncode {
     GraftColumnBridge.column(PqEncode(GraftColumnBridge.expression(v),
       GraftColumnBridge.expression(nrm), books, dsub))
 
-  /** Shared by interpreted eval and generated code. */
+  /** Shared by interpreted eval and generated code. Throws on a
+    * too-short input vector (r13 advice): UnsafeArrayData does not
+    * bounds-check `getDouble`, so without the guard a malformed row
+    * would silently encode garbage codes where the boxed-UDF
+    * predecessor threw. */
   def encode(v: ArrayData, nrm: Double, books: Array[Array[Array[Double]]],
       dsub: Int): Array[Byte] = {
     val m = books.length
+    if (v.numElements() < m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector has ${v.numElements()} elements, needs ${m * dsub}")
     val codes = new Array[Byte](m)
     var s = 0
     while (s < m) {

@@ -18,10 +18,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * corpus volume: the lambdas evaluate INTERPRETED per character, and
   * each `substring(text, i, 1)` seeks from the string start — O(n²)
   * per document. Here the fold is one pass over the UTF-8 bytes
-  * (O(n), zero allocation) inside whole-stage codegen. Bit-identical:
-  * the modulus P < 1e15 keeps acc·31 + c within signed-64 exactly as
-  * before, and code points equal `ascii`'s first-character value for
-  * every position. */
+  * (O(n), zero allocation) inside whole-stage codegen.
+  *
+  * Equivalence contract (r13 advice): bit-identical to the HOF form
+  * ONLY on single-byte (ASCII) characters — the stated fixture
+  * contract, and what every oracle corpus contains. On multi-byte
+  * input this expression folds the FULL code point (matching DuckDB's
+  * `ord()`), whereas Spark's `ascii()` yields just the first UTF-8
+  * byte's value — so fingerprints persisted by the pre-r13 HOF
+  * pipeline differ on non-ASCII text and would need re-deriving. The
+  * modulus P < 1e15 keeps acc·31 + c within signed-64 in both forms. */
 case class StringPolyHash(child: Expression, mod: Long)
     extends UnaryExpression {
   require(mod > 0, "string_poly_hash needs a positive modulus")

@@ -296,30 +296,62 @@ object Dedup {
     * broadcasts and PRUNES the history's postings with a map-side
     * semi-join BEFORE anything shuffles — history text whose shingles
     * never appear in the batch (virtually all of it) is scanned but
-    * never moves. The surviving posting volume is batch-bounded
-    * (Σ over batch shingles of history-df), the intersection counts
-    * are map-side combined, and output is one row per qualifying
-    * (fresh, history) pair. History-history pairs are never formed —
-    * cost is batch×history postings overlap, not history².
+    * never moves — and (r14) only the batch docs' rarest-PREFIX
+    * shingles generate candidates, so the surviving volume is
+    * Σ df_prefix(s)·df_hist(s), immune to boilerplate skew (see
+    * [[incrementalJaccardFromSets]]). History-history pairs are never
+    * formed — cost is batch-prefix×history postings overlap, not
+    * history².
     *
     * Output: (fid, hid, jaccard). */
   def incrementalNearDup(fresh: DataFrame, history: DataFrame, n: Int,
       threshold: Double, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val fs = shingleSetsCached(fresh, n, idCol, textCol)
-    val hs = shingleSetsCached(history, n, idCol, textCol)
-    val fpost = fs.select(col("id").as("fid"), col("nsh").as("nf"),
+      textCol: String = "text"): DataFrame =
+    incrementalJaccardFromSets(
+      shingleSetsCached(fresh, n, idCol, textCol),
+      shingleSetsCached(history, n, idCol, textCol), threshold)
+
+  /** [[incrementalNearDup]]'s element-agnostic, PREFIX-BOUNDED core
+    * (r14, the r13 verdict's posting-skew item): the broadcast
+    * semi-join prune alone leaves the candidate join carrying
+    * Σ_s df_batch(s)·df_hist(s) rows — approaching batch×history when
+    * one boilerplate element ("all rights reserved" shingles, intro
+    * frames) is shared by one batch doc and most of history. The
+    * batch family's rarest-first prefix filter
+    * ([[containmentPrefixPairsFromSets]]) applies directly: Jaccard
+    * ≥ t implies inter ≥ t·|F∪H| ≥ t·|F| whichever side is smaller,
+    * so under any global total order the FRESH doc's first
+    * |F| − ceil(t·|F| − ε) + 1 rarest elements must contain a shared
+    * one — only those generate candidates, bounding the join at
+    * Σ_s df_prefix(s)·df_hist(s) (a boilerplate element has high df,
+    * so it never enters a prefix of a doc with ⌈(1−t)·|F|⌉ rarer
+    * ones). The df ORDER is the history corpus's element frequency
+    * ([[setDfCached]] — a batch-independent, ingest-side artifact;
+    * batch-only elements rank df = 0, i.e. rarest), sliced to the
+    * batch vocabulary by a broadcast semi-join before it touches the
+    * batch postings. Candidates are then EXACT-verified by
+    * intersecting the two cached hash sets (history sets semi-join
+    * pruned to candidate ids first), so output equals the unpruned
+    * form bit-for-bit. History×history never forms. */
+  def incrementalJaccardFromSets(freshSets: DataFrame,
+      historySets: DataFrame, threshold: Double): DataFrame = {
+    val fpost = freshSets.select(col("id").as("fid"), col("nsh").as("nf"),
       explode(col("hs")).as("s"))
-    val hpost = hs.select(col("id").as("hid"), col("nsh").as("nh"),
+    val hpost = historySets.select(col("id").as("hid"), col("nsh").as("nh"),
       explode(col("hs")).as("s"))
-    val pruned = hpost.join(
+    val dfSlice = setDfCached(historySets).join(
       broadcast(fpost.select(col("s")).distinct()), Seq("s"), "left_semi")
-    pruned.join(fpost, Seq("s"))
-      .groupBy(col("fid"), col("hid"), col("nf"), col("nh"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard", jaccard(col("inter"), col("nf"), col("nh")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("fid"), col("hid"), col("jaccard"))
+    val fpref = prefixPostings(freshSets, dfSlice, threshold,
+        broadcastDf = true)
+      .select(col("id").as("fid"), col("s"))
+    val cand = hpost.select(col("hid"), col("s"))
+      .join(broadcast(fpref.select(col("s")).distinct()), Seq("s"),
+        "left_semi")
+      .join(fpref, Seq("s"))
+      .select(col("fid"), col("hid"))
+      .distinct()
+    verifyPairsExact(cand, freshSets, historySets,
+      jaccard(col("inter"), col("nf"), col("nh")), "jaccard", threshold)
   }
 
   /** Incremental CONTAINMENT near-dup (d17): every fresh doc's
@@ -333,15 +365,19 @@ object Dedup {
     * Set-table form: inputs are precomputed `(id, hs, nsh)` fingerprint
     * sets — word-shingle hashes for documents (d15), frame hashes for
     * videos (m11), energy-trigram hashes for audio (m12) — so one
-    * operator serves all three. The scale shape is d16's: the batch's
-    * distinct element set BROADCASTS and prunes history postings with
-    * a map-side semi-join BEFORE anything shuffles; history elements
-    * absent from the batch (virtually all of a 100 TB corpus) are
-    * scanned but never move, surviving posting volume is
-    * batch-bounded (Σ over batch elements of history-df), intersection
-    * counts are map-side combined, and history×history pairs are
-    * never formed. Exact — equals the quadratic fresh×history
-    * cross-join at the same threshold.
+    * operator serves all three. The scale shape is d16's broadcast
+    * semi-join prune PLUS the PPJoin rarest-first prefix bound (r14):
+    * history elements absent from the batch (virtually all of a
+    * 100 TB corpus) are scanned but never move, and within the
+    * overlap only PREFIX elements generate candidates — so one
+    * boilerplate element shared by a batch doc and most of history
+    * no longer drags Σ df_batch(s)·df_hist(s) rows through the join
+    * (the r13 verdict's skew item). Max-containment needs BOTH
+    * orientations (see the inline notes: a fresh-only prefix is
+    * inexact when the history doc is the smaller side); the
+    * history-side prefix is a memoized batch-independent index.
+    * Candidates exact-verify against the cached hash sets, so output
+    * still equals the quadratic fresh×history cross-join bit-for-bit.
     *
     * Output: (fid, hid, containment = max(|F∩H|/|F|, |F∩H|/|H|)). */
   def incrementalContainmentFromSets(freshSets: DataFrame,
@@ -350,16 +386,131 @@ object Dedup {
       explode(col("hs")).as("s"))
     val hpost = historySets.select(col("id").as("hid"), col("nsh").as("nh"),
       explode(col("hs")).as("s"))
-    val pruned = hpost.join(
+    val dfSlice = setDfCached(historySets).join(
       broadcast(fpost.select(col("s")).distinct()), Seq("s"), "left_semi")
-    pruned.join(fpost, Seq("s"))
-      .groupBy(col("fid"), col("hid"), col("nf"), col("nh"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("containment",
-        greatest(col("inter").cast("double") / col("nf").cast("double"),
-          col("inter").cast("double") / col("nh").cast("double")))
-      .filter(col("containment") >= threshold)
-      .select(col("fid"), col("hid"), col("containment"))
+    // Orientation 1 — fresh is the min side (nf <= nh): the fresh
+    // doc's rarest-prefix must hit a shared element (inter >=
+    // ceil(t·nf) when containment is achieved on the fresh side).
+    // Prefix elements are a SUBSET of the batch vocabulary, so the
+    // history prune broadcast shrinks too.
+    val fpref = prefixPostings(freshSets, dfSlice, threshold,
+        broadcastDf = true)
+      .select(col("id").as("fid"), col("nsh").as("nf"), col("s"))
+    val cand1 = hpost
+      .join(broadcast(fpref.select(col("s")).distinct()), Seq("s"),
+        "left_semi")
+      .join(fpref, Seq("s"))
+      .where(col("nf") <= col("nh"))
+      .select(col("fid"), col("hid"))
+    // Orientation 2 — history is the min side (nh < nf): here a
+    // fresh-only prefix is NOT exact (|F|=100, |H|=10, inter=9 is
+    // containment 0.9 via |F∩H|/|H|, yet F's 11-element rarest prefix
+    // can miss all 9 shared elements), so the HISTORY doc's prefix
+    // generates the candidate instead. That prefix table is
+    // batch-independent — memoized per (history plan, threshold) like
+    // the df table, an ingest-side index built once per compaction —
+    // and is semi-join pruned to the batch vocabulary before joining
+    // the batch postings: volume Σ_s df_histprefix(s)·df_fresh(s).
+    val hpref = historyPrefixCached(historySets, threshold)
+      .select(col("id").as("hid"), col("nsh").as("nh"), col("s"))
+    val cand2 = hpref
+      .join(broadcast(fpost.select(col("s")).distinct()), Seq("s"),
+        "left_semi")
+      .join(fpost, Seq("s"))
+      .where(col("nh") < col("nf"))
+      .select(col("fid"), col("hid"))
+    val cand = cand1.union(cand2).distinct()
+    verifyPairsExact(cand, freshSets, historySets,
+      greatest(col("inter").cast("double") / col("nf").cast("double"),
+        col("inter").cast("double") / col("nh").cast("double")),
+      "containment", threshold)
+  }
+
+  // ---- incremental prefix machinery (r14) --------------------------------
+
+  /** Global element document-frequency `(s, df)` of a set table,
+    * memoized + Spark-cached per canonicalized plan — the
+    * rarest-first ORDER both incremental prefix filters rank by.
+    * Batch-independent: it depends only on the history corpus, so a
+    * serving deployment builds it once per history compaction, never
+    * per batch; the per-batch cost is one broadcast semi-join slice
+    * of it. Map-side combined, so the shuffle is vocabulary-sized
+    * (distinct elements), never postings-sized. */
+  private[llm] def setDfCached(sets: DataFrame): DataFrame =
+    setDfCache.computeIfAbsent(
+      sets.select(col("id"), col("hs"))
+        .queryExecution.analyzed.canonicalized,
+      _ => sets.select(explode(col("hs")).as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("df")).cache())
+
+  private val setDfCache: java.util.Map[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame] =
+    PlanCache.bounded(16)
+
+  /** Rarest-first prefix postings `(id, nsh, s)` of a HISTORY set
+    * table under its own df order — the orientation-2 index of
+    * [[incrementalContainmentFromSets]], memoized + Spark-cached per
+    * (plan, threshold). Built once per history table (one
+    * postings-volume window shuffle, the same cost class as the
+    * posting index itself), reused by every subsequent batch. */
+  private[llm] def historyPrefixCached(sets: DataFrame,
+      threshold: Double): DataFrame =
+    histPrefixCache.computeIfAbsent(
+      (sets.select(col("id"), col("hs"))
+        .queryExecution.analyzed.canonicalized, threshold),
+      _ => prefixPostings(sets, setDfCached(sets), threshold).cache())
+
+  private val histPrefixCache: java.util.Map[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Double),
+    DataFrame] = PlanCache.bounded(16)
+
+  /** Each doc's first `|A| − ceil(t·|A| − 1e-9) + 1` elements under
+    * the global rarest-first total order `(df, s)` — df values from
+    * `dfreq` (elements absent there rank df = 0, i.e. rarest-of-all;
+    * any CONSISTENT total order preserves the pigeonhole argument,
+    * df-ascending is the one that keeps boilerplate out of every
+    * prefix). The ε guard matches [[containmentPrefixPairsFromSets]]
+    * — it only ever lengthens a prefix, and only at FP-ambiguous
+    * boundaries. `broadcastDf = true` for the per-batch path, where
+    * dfreq has been pre-sliced to the batch vocabulary. */
+  private def prefixPostings(sets: DataFrame, dfreq: DataFrame,
+      threshold: Double, broadcastDf: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = sets.select(col("id"), col("nsh"), explode(col("hs")).as("s"))
+    val dfr = if (broadcastDf) broadcast(dfreq) else dfreq
+    sh.join(dfr, Seq("s"), "left")
+      .withColumn("dfo", coalesce(col("df"), lit(0L)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("dfo"), col("s"))))
+      .where(col("rk") <= (col("nsh") -
+        ceil(lit(threshold) * col("nsh") - lit(1e-9)) + 1).cast("int"))
+      .select(col("id"), col("nsh"), col("s"))
+  }
+
+  /** Exact verification of candidate (fid, hid) pairs by intersecting
+    * the two cached hash sets map-side: history sets are semi-join
+    * PRUNED to the candidate ids first (candidates are batch-bounded,
+    * so the prune broadcast is too — the history set table is scanned
+    * but never shuffled), fresh sets join batch-vs-batch. `score` is
+    * the measure expression over (inter, nf, nh); rows below
+    * `threshold` drop. Output equals the unpruned counting form
+    * bit-for-bit — same inter (distinct-element sets), same sizes. */
+  private def verifyPairsExact(cand: DataFrame, freshSets: DataFrame,
+      historySets: DataFrame, score: Column, scoreName: String,
+      threshold: Double): DataFrame = {
+    val prunedHist = historySets.join(
+      broadcast(cand.select(col("hid")).distinct()),
+      historySets("id") === col("hid"), "left_semi")
+    cand
+      .join(freshSets.select(col("id").as("fid"), col("hs").as("fh"),
+        col("nsh").as("nf")), Seq("fid"))
+      .join(prunedHist.select(col("id").as("hid"), col("hs").as("hh"),
+        col("nsh").as("nh")), Seq("hid"))
+      .withColumn("inter",
+        size(array_intersect(col("fh"), col("hh"))).cast("long"))
+      .withColumn("sc", score)
+      .filter(col("sc") >= threshold)
+      .select(col("fid"), col("hid"), col("sc").as(scoreName))
   }
 
   /** [[incrementalContainmentFromSets]] over raw document text (word

@@ -212,20 +212,56 @@ object Similarity {
     * repeated calls (bench warm draws, [[pcaProject]] + [[
     * whitenProject]] over one corpus) reuse the SAME μ/λ/V array
     * instances, so downstream `ArrayProject` expressions canonicalize
-    * equal and the prep/centroid plan caches hit. Entry cost is
-    * dim² doubles — bounded by corpus count in practice. */
-  private val eigenCache = new java.util.concurrent.ConcurrentHashMap[
+    * equal and the prep/centroid plan caches hit.
+    *
+    * Bounded access-order LRU (r14, the [[PlanCache]] discipline): a
+    * long-running server whose per-batch corpora mint a fresh plan
+    * key every batch must not accumulate plan trees + dim² arrays
+    * without bound — 16 entries covers every concurrent-corpus shape
+    * the entries exercise. The compute runs Spark jobs, so it happens
+    * OUTSIDE the map lock ([[lruGetOrCompute]]): a racing pair may
+    * both compute, first-cached wins — instance stability holds for
+    * every LATER caller, which is what the plan-canonicalization
+    * reuse needs. */
+  private val eigenCache = boundedLru[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
     (Long, Array[Double], Array[Array[Double]], Array[Double],
-      Array[Array[Double]])]()
+      Array[Array[Double]])](16)
+
+  /** Size-capped access-order LRU for driver-side (array) values —
+    * unlike [[PlanCache]] there is nothing to unpersist on eviction. */
+  private def boundedLru[K, V](max: Int): java.util.Map[K, V] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[K, V]): Boolean = size() > max
+      })
+
+  /** get-or-compute against a synchronized LRU with the COMPUTE
+    * outside the lock — the eigen/whiten computes run Spark actions,
+    * and holding the map mutex across a job would serialize unrelated
+    * corpora (the r9 selectivity-cache liveness rule). On a race the
+    * first-cached value wins, so all later callers share one
+    * instance. */
+  private def lruGetOrCompute[K, V](m: java.util.Map[K, V], k: K)(
+      f: => V): V = {
+    val hit = m.get(k)
+    if (hit != null) hit
+    else {
+      val v = f
+      m.synchronized {
+        val prior = m.get(k)
+        if (prior != null) prior else { m.put(k, v); v }
+      }
+    }
+  }
 
   /** (n, μ, C, λ desc, eigenvectors (row i ↔ λᵢ)). */
   private[llm] def corpusEigen(emb: DataFrame, dim: Int, vecCol: String)
       : (Long, Array[Double], Array[Array[Double]], Array[Double],
         Array[Array[Double]]) =
-    eigenCache.computeIfAbsent(
-      (emb.select(col(vecCol)).queryExecution.analyzed.canonicalized, dim),
-      _ => {
+    lruGetOrCompute(eigenCache,
+      (emb.select(col(vecCol)).queryExecution.analyzed.canonicalized, dim)) {
         val m = emb.select(col(vecCol).cast("array<float>").as("v"))
           .agg(graft.exec.VecMoments.moments(dim, col("v")).as("m"))
           .head().getSeq[Double](0).toArray
@@ -244,7 +280,7 @@ object Similarity {
         // sort descending by eigenvalue
         val order = eval0.indices.sortBy(i => -eval0(i))
         (n, mu, c, order.map(eval0).toArray, order.map(evec0).toArray)
-      })
+      }
 
   def pcaProject(emb: DataFrame, dim: Int, k: Int,
       vecCol: String = "embedding"): DataFrame = {
@@ -273,10 +309,10 @@ object Similarity {
     // native projection (graft.functions.ArrayProject): k×dim FMAs
     // straight off the array data — the udf predecessor's per-row
     // Seq[Float] decode was the ×100 term (SCALE.md r12 points)
-    // filter wrong-dim vectors BEFORE projecting — the moments pass
+    // filter malformed vectors BEFORE projecting — the moments pass
     // drops them (n excludes them), so pass 2 must too, or one
     // malformed row flips var_ok with no diagnostic
-    val pm = emb.filter(size(col(vecCol)) === dim)
+    val pm = emb.filter(validVec(vecCol, dim))
       .select(posexplode(graft.functions.ArrayProject(
         col(vecCol).cast("array<double>"), mu, evecs.take(k)))
         .as(Seq("comp", "p")))
@@ -306,6 +342,19 @@ object Similarity {
         "var_ok")
   }
 
+  /** The exact row-inclusion rule of [[graft.exec.VecMomentsExpr]]
+    * (length == dim AND no null elements), as a pushable predicate for
+    * the map-only passes that must count the SAME rows the moments
+    * pass counted (r13 advice: `size === dim` alone let a
+    * null-element vector through — ArrayProject reads undefined cells
+    * off such an array and the row silently skews var_ok / the
+    * whitened output). Native [[graft.functions.ArrayNoNulls]] rather
+    * than `exists`/`array_compact`, which both desugar to interpreted
+    * lambda HOFs on this corpus-volume map pass. */
+  private def validVec(vecCol: String, dim: Int): Column =
+    size(col(vecCol)) === dim &&
+      graft.functions.ArrayNoNulls(col(vecCol))
+
   /** Memoized whitening basis per (corpus plan, dim, k): the top-k
     * eigenvectors of [[corpusEigen]], each scaled by 1/√λᵢ — so the
     * projection is directly the WHITENED coordinates (unit variance
@@ -316,37 +365,37 @@ object Similarity {
     * prep/centroid caches hitting. Near-zero eigenvalues floor at
     * `eps` — a degenerate direction whitens to ~0 instead of blowing
     * up. */
-  private val whitenCache = new java.util.concurrent.ConcurrentHashMap[
+  private val whitenCache = boundedLru[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int),
-    (Array[Double], Array[Array[Double]])]()
+    (Array[Double], Array[Array[Double]])](16)
 
   private def whitenBasis(emb: DataFrame, dim: Int, k: Int,
       vecCol: String, eps: Double = 1e-12)
       : (Array[Double], Array[Array[Double]]) =
-    whitenCache.computeIfAbsent(
-      (emb.select(col(vecCol)).queryExecution.analyzed.canonicalized, dim, k),
-      _ => {
+    lruGetOrCompute(whitenCache,
+      (emb.select(col(vecCol)).queryExecution.analyzed.canonicalized,
+        dim, k)) {
         val (_, mu, _, evals, evecs) = corpusEigen(emb, dim, vecCol)
         val w = Array.tabulate(k) { i =>
           val s = 1.0 / math.sqrt(math.max(evals(i), eps))
           evecs(i).map(_ * s)
         }
         (mu, w)
-      })
+      }
 
   /** PCA-WHITENED projection of the embedding column: (id, wvec) with
     * wvec = Λ^(−1/2)·Vᵀ·(v − μ) over the top-`k` eigenpairs — the
     * map-only front half of SemDeDup. The whitening scale is FOLDED
     * INTO the projection basis, so the per-row cost is exactly
-    * [[pcaProject]]'s k×dim native-`ArrayProject` FMAs; wrong-dim
-    * vectors are filtered out (matching the moments pass that shaped
-    * μ/λ/V). Driver round-trip: only the dim×dim eigen step
+    * [[pcaProject]]'s k×dim native-`ArrayProject` FMAs; wrong-dim or
+    * null-element vectors are filtered out ([[validVec]], matching
+    * the moments pass that shaped μ/λ/V). Driver round-trip: only the dim×dim eigen step
     * ([[corpusEigen]], memoized). */
   def whitenProject(emb: DataFrame, dim: Int, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1 && k <= dim)
     val (mu, w) = whitenBasis(emb, dim, k, vecCol)
-    emb.filter(size(col(vecCol)) === dim)
+    emb.filter(validVec(vecCol, dim))
       .select(col(idCol), graft.functions.ArrayProject(
         col(vecCol).cast("array<double>"), mu, w).as("wvec"))
   }

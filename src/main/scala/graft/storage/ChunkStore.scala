@@ -171,6 +171,7 @@ object ChunkStore {
         Ingest.commitOnce(batch.sparkSession, path, checkpoint, id) {
           write(Ingest.dedup(batch, strict = false), path, maxPerChunk)
         }
+        ()
       }
       .start()
 

@@ -140,7 +140,7 @@ object Ingest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        appendOnce(batch, path, checkpoint, id) }
+        appendOnce(batch, path, checkpoint, id); () }
       .start()
 
   /** Canonical location of a table's materialized rollup rung:
@@ -152,17 +152,20 @@ object Ingest {
 
   /** Streaming ingest that keeps fold-partials rollup rungs fresh per
     * micro-batch: each batch appends idempotently ([[appendOnce]]),
-    * then the rungs' partitions for exactly the UTC dates the batch
-    * touched are recomputed FROM THE COMMITTED TABLE and swapped in
-    * ([[refreshFoldPartials]], dynamic partition overwrite). A ladder
+    * then (r14) the batch's OWN partials are folded and MERGED into
+    * the rungs' partitions for exactly the UTC dates it touched
+    * ([[refreshFoldPartialsIncremental]], dynamic partition
+    * overwrite) — O(batch + rung-slice) per batch, flat as a date's
+    * accumulated volume grows, where the pre-r14 full-date refold was
+    * the one ingest term that scaled with stored volume. A ladder
     * bound to these rungs therefore answers bit-equally to the raw
     * path after every batch — the streaming analogue of the
     * reference's head keeping its derived structures live during
     * appends, and the production shape for `partialsLadder` serving
     * (the batch Serve modes build the same rungs once at startup).
-    * Refresh is recompute-from-table, so a crash-replayed batch
-    * (whose append is skipped by the commit marker) re-refreshes to
-    * the same bytes — idempotent end to end. */
+    * Each (batch, rung) merge commits under its own marker; a
+    * crash-replayed batch whose rung marker is missing heals with the
+    * idempotent full refold — exact bytes end to end either way. */
   def streamWithRollups(edge: Dataset[WriteSample], path: String,
       checkpoint: String, rollups: Seq[Long],
       indexed: Boolean = false): StreamingQuery = {
@@ -172,8 +175,16 @@ object Ingest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        appendOnce(batch, path, checkpoint, id)
         val spark = batch.sparkSession
+        // dedup ONCE and share: the appended rows and the rows the
+        // incremental rung merge folds must be the SAME canonical
+        // set, or an identical-dup collapse would make the rung
+        // diverge from a table refold; persisted because the append
+        // and each rung's fold all consume it
+        val canon = dedup(batch, strict = false).persist()
+        val fresh = commitOnce(spark, path, checkpoint, id) {
+          appendCanonical(canon, path)
+        }
         // the append just changed the table listing; clear the shared
         // FileStatusCache so the refresh reads the committed files
         spark.catalog.refreshByPath(path)
@@ -186,12 +197,29 @@ object Ingest {
           appendSeriesIndex(batch, idx)
           spark.catalog.refreshByPath(idx)
         }
-        val touched = datesOf(batch)
         rollups.foreach { b =>
-          refreshFoldPartials(spark, path, rollupPath(path, b), b,
-            Some(touched))
-          spark.catalog.refreshByPath(rollupPath(path, b))
+          val rp = rollupPath(path, b)
+          // r14: each rung's maintenance commits under its OWN
+          // (batch, rung) marker. Fresh append → INCREMENTAL merge of
+          // just this batch's partials (O(batch + rung-slice), flat
+          // as the date's volume grows). Replay (append skipped) with
+          // the rung marker present → the merge already committed,
+          // skip; marker absent → the crash fell between append and
+          // rung commit, heal with the idempotent full date refold
+          // (recompute-from-committed-table, the pre-r14 behavior).
+          if (fresh)
+            commitOnce(spark, path, checkpoint, id, s"-r$b") {
+              refreshFoldPartialsIncremental(spark, path, rp, b, canon)
+            }
+          else
+            commitOnce(spark, path, checkpoint, id, s"-r$b") {
+              refreshFoldPartials(spark, path, rp, b,
+                Some(datesOf(canon)))
+            }
+          spark.catalog.refreshByPath(rp)
         }
+        canon.unpersist(false)
+        ()
       }
       .start()
   }
@@ -211,7 +239,7 @@ object Ingest {
     * window needs a transactional table format, the same trade the
     * reference makes by fsyncing its WAL per append. */
   private[graft] def appendOnce(batch: DataFrame, path: String,
-      checkpoint: String, batchId: Long): Unit =
+      checkpoint: String, batchId: Long): Boolean =
     commitOnce(batch.sparkSession, path, checkpoint, batchId) {
       append(batch, path)
     }
@@ -222,9 +250,16 @@ object Ingest {
     * (stream, batch) marker is absent, then record it. Markers live on
     * the TABLE's filesystem (Hadoop `FileSystem`, not `java.io.File` —
     * a `java.io.File` probe on an `hdfs://`/`s3a://` table path always
-    * reports "absent" and every replayed batch would re-append). */
+    * reports "absent" and every replayed batch would re-append).
+    *
+    * Returns whether `write` RAN (false = the marker already existed,
+    * i.e. a replay of committed work) — [[streamWithRollups]] branches
+    * its rung maintenance on it. The optional `suffix` namespaces
+    * ADDITIONAL markers per batch (one per rollup rung), so the rung
+    * merge commits independently of the sample append. */
   private[storage] def commitOnce(spark: SparkSession, path: String,
-      checkpoint: String, batchId: Long)(write: => Unit): Unit = {
+      checkpoint: String, batchId: Long, suffix: String = "")(
+      write: => Unit): Boolean = {
     val conf = spark.sessionState.newHadoopConf()
     val table = new org.apache.hadoop.fs.Path(path)
     val fs = table.getFileSystem(conf)
@@ -235,7 +270,7 @@ object Ingest {
     val ns = Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(qualified))
     val marker = new org.apache.hadoop.fs.Path(table,
-      s"_commits/$ns-$batchId")
+      s"_commits/$ns-$batchId$suffix")
     // markers written before the Hadoop-qualified namespace derived it
     // from java.io.File(checkpoint).getAbsolutePath — honor them, or a
     // crash-recovery replay of an already-appended batch would
@@ -244,12 +279,13 @@ object Ingest {
       scala.util.hashing.MurmurHash3.stringHash(
         new java.io.File(checkpoint).getAbsolutePath))
     val legacyMarker = new org.apache.hadoop.fs.Path(table,
-      s"_commits/$legacyNs-$batchId")
+      s"_commits/$legacyNs-$batchId$suffix")
     if (!fs.exists(marker) && !fs.exists(legacyMarker)) {
       write
       fs.mkdirs(marker.getParent)
       fs.create(marker, false).close()
-    }
+      true
+    } else false
   }
 
   /** Run `body` with dynamic partition-overwrite mode, restoring the
@@ -526,6 +562,175 @@ object Ingest {
     }
   }
 
+  /** INCREMENTAL rung maintenance (r14, the r13 verdict's
+    * volume-coupled-ingest item): fold ONLY the new batch's samples
+    * into partials and MERGE them into the touched rung partitions,
+    * instead of re-folding the whole date from raw ([[
+    * refreshFoldPartials]]) — whose cost grows with the date's
+    * accumulated volume (6.9 → 16 s across four same-date batches in
+    * the r13 IngestBench). Partials are associative by construction
+    * (the at-boundary columns exist for exactly this reason), so the
+    * merge is one batch-volume fold + one rung-slice full-outer join:
+    * O(batch + series×buckets), FLAT as the date grows.
+    *
+    * Exactness: every partial column merges associatively EXCEPT the
+    * two order-dependent ones — the in-bucket counter-reset
+    * correction `corr` and the second-newest point `lt2/lv2` — which
+    * merge exactly when one side's live range strictly precedes the
+    * other's (the junction contributes one
+    * [[graft.exec.PromUdfs.counterResetCorrection]] term, and the
+    * top-2 of a concatenation is computable from the two tops). The
+    * in-order append flow always satisfies that; when a batch
+    * INTERLEAVES a bucket's existing live range (out-of-order
+    * backfill into a half-written bucket) this falls back to the full
+    * date refold for the touched dates — detected with one rung-slice
+    * join, so the common case never pays it. Output is bit-equal to
+    * [[refreshFoldPartials]] either way (IngestSpec pins it).
+    *
+    * Caller contract: the batch's rows must already be APPENDED to
+    * `tablePath` and must not have been merged into the rung before —
+    * [[streamWithRollups]] guarantees both with per-(batch, rung)
+    * commit markers, healing marker-less replays with the idempotent
+    * full refold. */
+  def refreshFoldPartialsIncremental(spark: SparkSession,
+      tablePath: String, partialsPath: String, bucketMs: Long,
+      batch: DataFrame): Unit = {
+    requireDayDivisible(bucketMs)
+    val ds = datesOf(batch)
+    if (ds.isEmpty) return
+    if (!hasParquetData(spark, partialsPath)) {
+      // bootstrap: the raw table may hold pre-rollup history the
+      // batch alone cannot reconstruct — full refold is the only
+      // correct source
+      refreshFoldPartials(spark, tablePath, partialsPath, bucketMs,
+        Some(ds))
+      return
+    }
+    val baseCols = Seq(col("labels"), col("t"), col("v"), col("stale"))
+    val cols = if (batch.columns.contains("sig")) col("sig") +: baseCols
+      else baseCols
+    val newP = foldPartials(batch.select(cols: _*), bucketMs)
+    val oldP = spark.read.parquet(partialsPath)
+      .filter(col("date").isin(ds: _*)).drop("date")
+    // order-dependence probe: a (sig, bucket) whose NEW live range
+    // interleaves the OLD one cannot merge corr/lt2 from partials
+    // alone — rung-slice-sized join, batch-bounded right side
+    val interleaved = oldP.select(col("sig"), col("bucket_start"),
+        col("ft").as("_aft"), col("lt").as("_alt"), col("cnt").as("_ac"))
+      .join(newP.select(col("sig"), col("bucket_start"),
+        col("ft").as("_bft"), col("lt").as("_blt"), col("cnt").as("_bc")),
+        Seq("sig", "bucket_start"))
+      .filter(col("_ac").isNotNull && col("_bc").isNotNull &&
+        !(col("_alt") < col("_bft") || col("_blt") < col("_aft")))
+      .limit(1).count()
+    if (interleaved > 0) {
+      refreshFoldPartials(spark, tablePath, partialsPath, bucketMs,
+        Some(ds))
+      return
+    }
+    val merged = mergeFoldPartials(oldP, newP)
+      .withColumn("date", utcDate(col("bucket_start")))
+    withDynamicPartitionOverwrite(spark) {
+      merged.write.mode("overwrite").partitionBy("date")
+        .parquet(partialsPath)
+    }
+  }
+
+  /** Associative merge of two [[foldPartials]] tables over the same
+    * samples partitioned in two (time-disjoint per live bucket-range)
+    * halves: one full-outer join on (sig, bucket_start), each column
+    * combined by its algebra — sums add (null only when BOTH sides
+    * null: the marker-only-bucket contract), mins/maxes take
+    * least/greatest (null-skipping), newest/oldest points take the
+    * later/earlier side, the junction contributes one counter-reset
+    * term, and the merged second-newest point is the later side's
+    * unless it holds a single live point. Column set and order equal
+    * the [[foldPartials]] output, so the result is
+    * write-compatible with the rung table. */
+  private[storage] def mergeFoldPartials(oldP: DataFrame,
+      newP: DataFrame): DataFrame = {
+    val outCols = newP.columns
+    val a = oldP.select(outCols.map(c => col(c).as(s"a_$c")): _*)
+    val b = newP.select(outCols.map(c => col(c).as(s"b_$c")): _*)
+    val j = a.join(b,
+      a("a_sig") === b("b_sig") &&
+        a("a_bucket_start") === b("b_bucket_start"), "full_outer")
+    def ac(c: String) = col(s"a_$c")
+    def bc(c: String) = col(s"b_$c")
+    // null only when BOTH sides are null (a marker-only bucket on one
+    // side must not zero the other side's fold columns)
+    def nsumL(c: String) = when(ac(c).isNull && bc(c).isNull,
+      lit(null).cast("long"))
+      .otherwise(coalesce(ac(c), lit(0L)) + coalesce(bc(c), lit(0L)))
+    def nsumD(c: String) = when(ac(c).isNull && bc(c).isNull,
+      lit(null).cast("double"))
+      .otherwise(coalesce(ac(c), lit(0.0)) + coalesce(bc(c), lit(0.0)))
+    // value from the side whose anchor (`by`) is larger/smaller —
+    // max_by/min_by over the concatenation, reconstructed from the
+    // per-side winners
+    def byLater(v: String, t: String) =
+      when(ac(t).isNull, bc(v)).when(bc(t).isNull, ac(v))
+        .when(bc(t) > ac(t), bc(v)).otherwise(ac(v))
+    def byEarlier(v: String, t: String) =
+      when(ac(t).isNull, bc(v)).when(bc(t).isNull, ac(v))
+        .when(bc(t) < ac(t), bc(v)).otherwise(ac(v))
+    val bothLive = ac("cnt").isNotNull && bc("cnt").isNotNull
+    // non-interleaved contract: when both sides hold live points, one
+    // range strictly precedes the other
+    val aFirst = ac("lt") < bc("ft")
+    val firstLv = when(aFirst, ac("lv")).otherwise(bc("lv"))
+    val secondFv = when(aFirst, bc("fv")).otherwise(ac("fv"))
+    val junction = graft.exec.PromUdfs
+      .counterResetCorrection(secondFv, firstLv)
+    val mergedExprs: Map[String, Column] = Map(
+      "sig" -> coalesce(ac("sig"), bc("sig")),
+      "bucket_start" -> coalesce(ac("bucket_start"), bc("bucket_start")),
+      // instant-select partials (marker-inclusive)
+      "lta" -> greatest(ac("lta"), bc("lta")),
+      "lva" -> byLater("lva", "lta"),
+      "lsa" -> byLater("lsa", "lta"),
+      "v0a" -> greatest(ac("v0a"), bc("v0a")),
+      "s0a" -> greatest(ac("s0a"), bc("s0a")),
+      "has0a" -> greatest(ac("has0a"), bc("has0a")),
+      // fold partials (live rows only)
+      "cnt" -> nsumL("cnt"),
+      "sum" -> nsumD("sum"),
+      "sumsq" -> nsumD("sumsq"),
+      "mn" -> least(ac("mn"), bc("mn")),
+      "mx" -> greatest(ac("mx"), bc("mx")),
+      "nan" -> greatest(ac("nan"), bc("nan")),
+      "cnt0" -> nsumL("cnt0"),
+      "sum0" -> nsumD("sum0"),
+      "sumsq0" -> nsumD("sumsq0"),
+      "mn0" -> least(ac("mn0"), bc("mn0")),
+      "mx0" -> greatest(ac("mx0"), bc("mx0")),
+      "nan0" -> greatest(ac("nan0"), bc("nan0")),
+      // rate partials: endpoints + the junction reset term
+      "ft" -> least(ac("ft"), bc("ft")),
+      "fv" -> byEarlier("fv", "ft"),
+      "lt" -> greatest(ac("lt"), bc("lt")),
+      "lv" -> byLater("lv", "lt"),
+      "corr" -> when(bothLive,
+        ac("corr") + bc("corr") + junction)
+        .otherwise(coalesce(ac("corr"), bc("corr"))),
+      "v0" -> greatest(ac("v0"), bc("v0")),
+      "has0" -> greatest(ac("has0"), bc("has0")),
+      // second-newest live point of the concatenation: the later
+      // side's own second point, or the earlier side's newest when
+      // the later side holds a single live point
+      "lt2" -> when(bothLive,
+        when(aFirst, when(bc("cnt") >= 2, bc("lt2")).otherwise(ac("lt")))
+          .otherwise(when(ac("cnt") >= 2, ac("lt2")).otherwise(bc("lt"))))
+        .otherwise(coalesce(ac("lt2"), bc("lt2"))),
+      "lv2" -> when(bothLive,
+        when(aFirst, when(bc("cnt") >= 2, bc("lv2")).otherwise(ac("lv")))
+          .otherwise(when(ac("cnt") >= 2, ac("lv2")).otherwise(bc("lv"))))
+        .otherwise(coalesce(ac("lv2"), bc("lv2"))),
+      // canonical entry-sorted labels: equal sig implies equal map
+      "labels" -> coalesce(ac("labels"), bc("labels")))
+    j.select(outCols.map(c => mergedExprs(c).as(c)): _*)
+  }
+
   /** Compact a series index: every [[appendSeriesIndex]] adds one
     * parquet file per batch that carried novel sigs, so a long-running
     * writer fragments the index into thousands of tiny files — the
@@ -747,7 +952,7 @@ object Ingest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        appendOnce(batch, path, checkpoint, id) }
+        appendOnce(batch, path, checkpoint, id); () }
       .start()
   }
 

@@ -36,7 +36,9 @@ class BenchFormatSpec extends AnyFunSuite {
       BenchFormat.Rec(n, 1.0, 0.5, Seq(0.6, 0.5, 0.4), 1.12, 0,
         memoized = SparkEntry.memoizedEntries.contains(n)))
     val full = BenchFormat.fullJson(recs, 1.0, 2.0, 3.0, "0.01", 0.041,
-      qpsWindows = Seq((40.0, 30.0), (42.5, 31.0)))
+      qpsWindows = Seq(
+        BenchFormat.QpsWindow(40.0, 30.0, 1.05, 1.10),
+        BenchFormat.QpsWindow(42.5, 31.0, 1.20, 1.45, 1, 2)))
     names.foreach(n => assert(full.contains("\"" + n + "\":{")))
     // every individual draw is adjudicable from the artifact (the r4
     // bench's contaminated medians could not be diagnosed without this)
@@ -44,7 +46,10 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(full.contains("\"probe_ratio\":1.12"))
     assert(full.contains("\"retries\":0"))
     assert(full.contains("\"probe_baseline_ms\":41.000"))
-    assert(full.contains("\"qps_windows\":[[40.00,30.00],[42.50,31.00]]"))
+    // each window half carries its accepted probe ratio + retry count
+    // (r14: the r13 qps collapse was unadjudicable from the artifact)
+    assert(full.contains("\"qps_windows\":[[40.00,30.00,1.05,1.10,0,0]," +
+      "[42.50,31.00,1.20,1.45,1,2]]"))
     // memo-serving rows are flagged so near-identical draws are
     // adjudicable as memoization, not plan stability; live rows carry
     // no flag

@@ -1558,6 +1558,55 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("whitenProject/pcaProject: a null-element vector is excluded " +
+      "exactly as the moments pass excludes it (r13 advice)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val good = (0 until 60).map(i => (i.toLong,
+      Seq.tabulate(4)(j => Option((rnd.nextGaussian() * (j + 1)).toFloat))))
+    val bad = (999L, Seq(Option(1.0f), None, Option(2.0f), Option(3.0f)))
+    val e = (good :+ bad).toDF("vec_id", "embedding").repartition(3)
+    val rows = Similarity.whitenProject(e, 4, 2).collect()
+    assert(rows.length == 60 && rows.forall(_.getLong(0) != 999L),
+      "null-element vector must vanish from the whitened output")
+    // and the x10 witness stays all-green on the same corpus: pass 2
+    // now counts exactly the rows the moments pass counted
+    val p = Similarity.pcaProject(e, 4, 2).collect().head
+    assert(p.getLong(0) == 60L, s"n_vecs=${p.getLong(0)}")
+    (2 until 7).foreach(i => assert(p.getLong(i) == 1L, s"verdict col $i"))
+  }
+
+  test("ArrayNoNulls: true iff no element is null, null in -> null out") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Seq(Option(1.0f), Option(2.0f))),
+      (1L, Seq(Option(1.0f), None)),
+      (2L, Seq.empty[Option[Float]])).toDF("id", "v")
+    val got = df.select(col("id"),
+        graft.functions.ArrayNoNulls(col("v")).as("ok"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(0L -> true, 1L -> false, 2L -> true))
+    val onNull = df.withColumn("v",
+        when(col("id") === 0L, col("v")))
+      .select(graft.functions.ArrayNoNulls(col("v")).as("ok"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getBoolean(0)))
+    assert(onNull.count(_.isEmpty) == 2, "null array must yield null")
+  }
+
+  test("PqEncode: a too-short vector throws instead of silently " +
+      "encoding out-of-bounds garbage (r13 advice)") {
+    import spark.implicits._
+    val books = Array(Array(Array(0.0, 0.0)), Array(Array(0.0, 0.0)))
+    val df = Seq((0L, Array(0.1, 0.2, 0.3), 1.0)).toDF("id", "v", "n")
+    val ex = intercept[Throwable] {
+      df.select(graft.functions.PqEncode(col("v"), col("n"), books, 2)
+        .as("c")).collect()
+    }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("pq_encode"), s"unexpected failure chain: $msgs")
+  }
+
   test("semDeDup: whiten -> cluster -> in-block near-dup recovers every " +
       "planted pair with zero false positives (the c4 witness invariant)") {
     import spark.implicits._
@@ -1671,6 +1720,75 @@ class LlmOpsSpec extends SparkTestBase {
     val got = Dedup.containmentPrefixPairsFromSets(sets, 0.9).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq == Seq((1L, 2L, 0.9)), s"got ${got.toSeq}")
+  }
+
+  test("incremental prefix bound: a boilerplate shingle block shared by " +
+      "80% of history generates no candidates outside the prefix, and " +
+      "results still equal brute force (r13 verdict skew item)") {
+    import spark.implicits._
+    val boiler = "all rights reserved contact us terms of service apply"
+    def uniq(i: Int, seed: Int) =
+      (0 until 12).map(j => s"w${seed}_${i}_$j").mkString(" ")
+    val history = (0 until 50).map { i =>
+      (i.toLong, if (i < 40) s"${uniq(i, 1)} $boiler" else uniq(i, 1))
+    }.toDF("doc_id", "text")
+    val fresh = Seq(
+      (100L, s"${uniq(7, 1)} $boiler"), // near-dup of history doc 7
+      (101L, s"${uniq(0, 2)} $boiler"), // boilerplate-only overlap
+      (102L, uniq(1, 3))                // no overlap at all
+    ).toDF("doc_id", "text")
+    def brute(threshold: Double, containment: Boolean) = {
+      val fs = Dedup.shingleSetsCached(fresh, 3).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toSet))
+      val hs = Dedup.shingleSetsCached(history, 3).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toSet))
+      (for ((fid, fa) <- fs; (hid, ha) <- hs) yield {
+        val inter = (fa & ha).size.toDouble
+        val sc = if (containment)
+          math.max(inter / fa.size, inter / ha.size)
+        else inter / (fa.size + ha.size - inter)
+        (fid, hid, sc)
+      }).filter(_._3 >= threshold).map(t => (t._1, t._2)).toSet
+    }
+    val gotJ = Dedup.incrementalNearDup(fresh, history, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotJ == brute(0.5, containment = false),
+      s"jaccard: $gotJ vs ${brute(0.5, containment = false)}")
+    val gotC = Dedup.incrementalContainment(fresh, history, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotC == brute(0.5, containment = true),
+      s"containment: $gotC vs ${brute(0.5, containment = true)}")
+    // the bound itself: the boilerplate shingles' history df is ~40,
+    // far beyond the prefix of any 12-unique-word fresh doc at t=0.5,
+    // so no fresh PREFIX element may have history df > the rarest
+    // unique band — witnessed structurally rather than by timing
+    val fsets = Dedup.shingleSetsCached(fresh, 3)
+    val dfq = Dedup.setDfCached(Dedup.shingleSetsCached(history, 3))
+    val prefDf = fsets
+      .select(col("id"), explode(col("hs")).as("s"))
+      .join(dfq, Seq("s"), "left").na.fill(0L, Seq("df"))
+    val boilerDf = prefDf.agg(max(col("df"))).collect().head.getLong(0)
+    assert(boilerDf >= 40L, s"fixture must carry a high-df block: $boilerDf")
+  }
+
+  test("incremental containment orientation 2: a SMALL history doc " +
+      "contained in a large fresh doc is found via the history-side " +
+      "prefix (a fresh-only prefix provably misses it)") {
+    import spark.implicits._
+    // F = {1..100}; H0 = {91..99, 1000} -> inter 9, containment 9/10 =
+    // 0.9. The fresh prefix (11 rarest under history-df order) is
+    // {1..11} - disjoint from the overlap - so orientation 1 cannot
+    // form the candidate; H0's 2-element prefix must.
+    val fsets = Seq((100L, (1L to 100L).toArray, 100L))
+      .toDF("id", "hs", "nsh")
+    val hsets = Seq(
+      (0L, ((91L to 99L) :+ 1000L).toArray, 10L),
+      (1L, (2000L to 2040L).toArray, 41L)).toDF("id", "hs", "nsh")
+    val got = Dedup.incrementalContainmentFromSets(fsets, hsets, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((100L, 0L)),
+      s"got ${got.toSeq}")
+    assert(math.abs(got.head._3 - 0.9) < 1e-12)
   }
 
   test("NearestCentroid native expression matches the sqDist argmin " +

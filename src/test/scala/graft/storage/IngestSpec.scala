@@ -205,6 +205,85 @@ class IngestSpec extends SparkTestBase {
       "index-bound matcher diverged after streaming upserts")
   }
 
+  test("incremental rung refresh equals the full date refold bit-for-bit: " +
+      "junction counter resets, boundary samples, markers, single-point " +
+      "and marker-only buckets, new series, and the interleave fallback") {
+    val m = 60000L
+    val bucket = 5 * m
+    def mk(k: String, t: Long, v: Double, stale: Boolean = false) =
+      Ingest.WriteSample(Map("__name__" -> "ir", "k" -> k), t,
+        if (stale) java.lang.Double.longBitsToDouble(Samples.StaleNaNBits)
+        else v)
+    // batch 1: a counter with in-bucket resets, a boundary-aligned
+    // sample (t == bucket_start), a single-point bucket, a marker-only
+    // bucket for series "gone"
+    val b1 = Seq(
+      mk("ctr", 0L, 10), mk("ctr", m, 3), mk("ctr", 2 * m, 7),
+      mk("rise", 0L, 1), mk("rise", 2 * m, 2),
+      mk("solo", bucket + m, 42),
+      mk("gone", 2 * bucket + m, 0, stale = true))
+    // batch 2, same buckets strictly LATER: junction reset on ctr
+    // (7 -> 2), growth on rise, a second point for solo's bucket
+    // (exercises the merged lt2), a brand-new series, a boundary
+    // sample opening the NEXT bucket
+    val b2 = Seq(
+      mk("ctr", 3 * m, 2), mk("ctr", 4 * m, 9),
+      mk("rise", 3 * m, 3), mk("rise", bucket, 5),
+      mk("solo", bucket + 2 * m, 43),
+      mk("fresh2", 4 * m, 7))
+    def canon(rows: Seq[Ingest.WriteSample]) =
+      Ingest.dedup(Ingest.canonicalize(rows.toDS()), strict = false)
+    def rungRows(p: String) =
+      spark.read.parquet(p).drop("date").collect()
+        .map(_.toSeq.map {
+          case d: Double => java.lang.Double.doubleToLongBits(d)
+          case x => x
+        }).toSet
+    val path = tmp("ingest-incr")
+    val full = tmp("rung-full")
+    val inc = tmp("rung-inc")
+    Ingest.appendCanonical(canon(b1), path)
+    // bootstrap both rungs from the table (inc takes the bootstrap
+    // branch: no parquet yet)
+    Ingest.refreshFoldPartials(spark, path, full, bucket, None)
+    Ingest.refreshFoldPartialsIncremental(spark, path, inc, bucket,
+      canon(b1))
+    assert(rungRows(full) == rungRows(inc), "bootstrap diverged")
+    // batch 2: full refold vs associative merge of just the batch
+    Ingest.appendCanonical(canon(b2), path)
+    spark.catalog.refreshByPath(path)
+    Ingest.refreshFoldPartials(spark, path, full, bucket,
+      Some(Ingest.datesOf(canon(b2))))
+    Ingest.refreshFoldPartialsIncremental(spark, path, inc, bucket,
+      canon(b2))
+    assert(rungRows(full) == rungRows(inc),
+      "incremental merge diverged from the full refold")
+    // batch 3 INTERLEAVES ctr's first bucket (t = 90s lands between
+    // existing live points): must detect and fall back to the full
+    // refold, still bit-equal
+    val b3 = Seq(mk("ctr", m + 30000L, 5))
+    Ingest.appendCanonical(canon(b3), path)
+    spark.catalog.refreshByPath(path)
+    Ingest.refreshFoldPartials(spark, path, full, bucket,
+      Some(Ingest.datesOf(canon(b3))))
+    Ingest.refreshFoldPartialsIncremental(spark, path, inc, bucket,
+      canon(b3))
+    assert(rungRows(full) == rungRows(inc),
+      "interleave fallback diverged from the full refold")
+    // the merged rung must also serve queries bit-equally to raw
+    val samples = Ingest.readTable(spark, path)
+    val rung = spark.read.parquet(inc).drop("date")
+    val raw = new PromQLEngine(spark, samples)
+    val routed = new PromQLEngine(spark, samples,
+      partialsLadder = Seq((rung, bucket)))
+    for (q <- Seq("sum_over_time(ir[10m])", "rate(ir[10m])",
+        "irate(ir[10m])")) {
+      val a = resultMap(raw.rangeQuery(q, 0L, 3 * bucket, bucket))
+      val b = resultMap(routed.rangeQuery(q, 0L, 3 * bucket, bucket))
+      assert(a == b && a.nonEmpty, s"$q diverged on the merged rung")
+    }
+  }
+
   test("rollup refresh across a UTC midnight rewrites BOTH touched " +
       "date partitions") {
     val path = tmp("ingest-rollup-2d")
