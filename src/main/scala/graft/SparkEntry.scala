@@ -125,7 +125,10 @@ object SparkEntry {
     "d6_dup_clusters", "d9_dedup_apply", // ngramJaccardPairsCached pairs
     "d7_embed_lsh", "d8_embed_blocked", // prepCached banded index builds
     "x2_sim_ann", "x3_sim_ivf", "x5_sim_pq", // materialized exact baseline
-    "r1_recording_rule", "r2_alert_rule") // rule output recorded at prep
+    "r1_recording_rule", "r2_alert_rule", // rule output recorded at prep
+    // r14: candCached pair tables (plus the df/history-prefix indexes)
+    "d16_incremental_neardup", "d17_incremental_containment",
+    "m13_video_incremental")
 
   /** Histogram-bucket boundaries for g13 (events values span 0.01..490). */
   private val Les = Seq(10, 25, 50, 100)

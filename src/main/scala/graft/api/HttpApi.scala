@@ -155,6 +155,13 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
     * /metrics exports as `graft_api_gate_free_slots`. */
   def gateFreeSlots: Int = gate.availablePermits()
 
+  /** FAIR-pool slot ids currently free — MaxConcurrent when the gate
+    * is idle; the spec invariant that slot pools recycle instead of
+    * leaking (the pre-r14 per-request UUID pools grew the scheduler
+    * registry by one Pool per query served, decaying a sustained
+    * session 61.6 → 8.6 q/s over a 10-minute soak). */
+  private[api] def poolSlotsFree: Int = poolSlots.size
+
   /** Per-(handler, status) HTTP request counts and the appended-sample
     * counter — the reference's promhttp per-handler counters and
     * `tsdb_head_samples_appended_total` family
@@ -356,7 +363,10 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
     // counted AFTER admission: /metrics documents this as "admitted",
     // so queue-expired requests must not inflate it
     queriesTotal.incrementAndGet()
+    // job group stays per-request (it only keys cancellation); the
+    // SCHEDULER POOL is the admitted slot's (bounded, see poolSlots)
     val group = s"graft-api-${java.util.UUID.randomUUID()}"
+    val slot = poolSlots.poll()
     val worker = new java.util.concurrent.FutureTask[T](() => {
       spark.sparkContext.setJobGroup(group, "api query",
         interruptOnCancel = true)
@@ -368,8 +378,19 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
       // concurrent dashboard instants instead of monopolizing the
       // FIFO head — the standard multi-tenant recipe, and the same
       // fairness the reference gets from goroutine scheduling across
-      // its 20 admitted queries
-      spark.sparkContext.setLocalProperty("spark.scheduler.pool", group)
+      // its 20 admitted queries.
+      //
+      // The pool name is the admitted SLOT's, not the request's
+      // (r14): Spark's FAIR rootPool never forgets a pool, so
+      // per-request UUID names accumulated one Pool object per query
+      // served and the scheduler's per-offer sort decayed a sustained
+      // session monotonically — the 10-minute HttpBench soak measured
+      // 61.6 → 9.8 q/s over ~15k requests. At most one admitted query
+      // holds a slot at a time, so slot-pools give the identical
+      // one-pool-per-concurrent-query fairness with a registry
+      // bounded at MaxConcurrent forever (soak re-run: flat).
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+        s"graft-api-slot-$slot")
       try f finally {
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
         spark.sparkContext.clearJobGroup()
@@ -386,7 +407,20 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
         throw ApiError(503, "timeout", "query timed out in query execution")
       case e: java.util.concurrent.ExecutionException =>
         throw Option(e.getCause).getOrElse(e)
-    } finally gate.release()
+    } finally {
+      if (slot != null) poolSlots.offer(slot)
+      gate.release()
+    }
+  }
+
+  /** The bounded FAIR-pool slot ids behind [[gatedBudget]]: at most
+    * [[HttpApi.MaxConcurrent]] pools ever exist in the scheduler's
+    * registry (Spark never evicts a pool once registered — see the
+    * soak note at the pool assignment). */
+  private val poolSlots = {
+    val q = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    (0 until HttpApi.MaxConcurrent).foreach(i => q.offer(Integer.valueOf(i)))
+    q
   }
 
   // ---- JSON rendering ----------------------------------------------------

@@ -334,6 +334,13 @@ object Dedup {
     * pruned to candidate ids first), so output equals the unpruned
     * form bit-for-bit. History×history never forms. */
   def incrementalJaccardFromSets(freshSets: DataFrame,
+      historySets: DataFrame, threshold: Double,
+      prefixDfShare: Double = DefaultPrefixDfShare): DataFrame =
+    if (usePrefixRoute(freshSets, historySets, prefixDfShare))
+      prefixJaccardFromSets(freshSets, historySets, threshold)
+    else unprunedJaccardFromSets(freshSets, historySets, threshold)
+
+  private def prefixJaccardFromSets(freshSets: DataFrame,
       historySets: DataFrame, threshold: Double): DataFrame = {
     val fpost = freshSets.select(col("id").as("fid"), col("nsh").as("nf"),
       explode(col("hs")).as("s"))
@@ -344,15 +351,53 @@ object Dedup {
     val fpref = prefixPostings(freshSets, dfSlice, threshold,
         broadcastDf = true)
       .select(col("id").as("fid"), col("s"))
-    val cand = hpost.select(col("hid"), col("s"))
-      .join(broadcast(fpref.select(col("s")).distinct()), Seq("s"),
-        "left_semi")
-      .join(fpref, Seq("s"))
-      .select(col("fid"), col("hid"))
-      .distinct()
+    val cand = candCached(freshSets, historySets, threshold, "jac") {
+      hpost.select(col("hid"), col("s"))
+        .join(broadcast(fpref.select(col("s")).distinct()), Seq("s"),
+          "left_semi")
+        .join(fpref, Seq("s"))
+        .select(col("fid"), col("hid"))
+        .distinct()
+    }
     verifyPairsExact(cand, freshSets, historySets,
       jaccard(col("inter"), col("nf"), col("nh")), "jaccard", threshold)
   }
+
+  /** The skew-free fast path: one pruned postings join with map-side
+    * combined intersection COUNTS (the r13 shape). Exact; candidate
+    * volume is Σ_s df_batch(s)·df_hist(s), which [[usePrefixRoute]]
+    * has certified is boilerplate-free before routing here. */
+  private def unprunedJaccardFromSets(freshSets: DataFrame,
+      historySets: DataFrame, threshold: Double): DataFrame = {
+    val fpost = freshSets.select(col("id").as("fid"), col("nsh").as("nf"),
+      explode(col("hs")).as("s"))
+    val hpost = historySets.select(col("id").as("hid"), col("nsh").as("nh"),
+      explode(col("hs")).as("s"))
+    val pruned = hpost.join(
+      broadcast(fpost.select(col("s")).distinct()), Seq("s"), "left_semi")
+    pruned.join(fpost, Seq("s"))
+      .groupBy(col("fid"), col("hid"), col("nf"), col("nh"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", jaccard(col("inter"), col("nf"), col("nh")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("fid"), col("hid"), col("jaccard"))
+  }
+
+  /** Default skew cutoff for [[usePrefixRoute]]: the prefix machinery
+    * engages when some batch-shared element is present in ≥ 1% of
+    * history docs. Below that the unpruned join is bounded by
+    * 0.01·|H| rows per batch posting — within a small constant of the
+    * mandatory history scan — while the prefix path's own fixed costs
+    * (batch-vocabulary broadcast, postings window, two-sided prune,
+    * set verify) measured 3.3× slower on the skew-free half-corpus
+    * batch at ×100 (53.9 s vs the 16.5 s unpruned class, SCALE.md
+    * §2). Tiny spec corpora sit below 1%·|H| < 1 ≤ every df, so the
+    * unit fixtures take the prefix path naturally; the
+    * planted-boilerplate spec crosses the cutoff from the high side;
+    * and both routes are EXACT, so oracle rows are byte-stable
+    * whichever one a corpus draws. Tests that must pin one route pass
+    * `prefixDfShare` 0.0 (always prefix) or Double.MaxValue (never). */
+  val DefaultPrefixDfShare = 0.01
 
   /** Incremental CONTAINMENT near-dup (d17): every fresh doc's
     * max-containment ≥ `threshold` partners in the history corpus —
@@ -381,6 +426,34 @@ object Dedup {
     *
     * Output: (fid, hid, containment = max(|F∩H|/|F|, |F∩H|/|H|)). */
   def incrementalContainmentFromSets(freshSets: DataFrame,
+      historySets: DataFrame, threshold: Double,
+      prefixDfShare: Double = DefaultPrefixDfShare): DataFrame =
+    if (usePrefixRoute(freshSets, historySets, prefixDfShare))
+      prefixContainmentFromSets(freshSets, historySets, threshold)
+    else unprunedContainmentFromSets(freshSets, historySets, threshold)
+
+  /** [[unprunedJaccardFromSets]]'s containment twin — the r13 shape,
+    * routed to when [[usePrefixRoute]] certifies no boilerplate-class
+    * element is shared between batch and history. */
+  private def unprunedContainmentFromSets(freshSets: DataFrame,
+      historySets: DataFrame, threshold: Double): DataFrame = {
+    val fpost = freshSets.select(col("id").as("fid"), col("nsh").as("nf"),
+      explode(col("hs")).as("s"))
+    val hpost = historySets.select(col("id").as("hid"), col("nsh").as("nh"),
+      explode(col("hs")).as("s"))
+    val pruned = hpost.join(
+      broadcast(fpost.select(col("s")).distinct()), Seq("s"), "left_semi")
+    pruned.join(fpost, Seq("s"))
+      .groupBy(col("fid"), col("hid"), col("nf"), col("nh"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment",
+        greatest(col("inter").cast("double") / col("nf").cast("double"),
+          col("inter").cast("double") / col("nh").cast("double")))
+      .filter(col("containment") >= threshold)
+      .select(col("fid"), col("hid"), col("containment"))
+  }
+
+  private def prefixContainmentFromSets(freshSets: DataFrame,
       historySets: DataFrame, threshold: Double): DataFrame = {
     val fpost = freshSets.select(col("id").as("fid"), col("nsh").as("nf"),
       explode(col("hs")).as("s"))
@@ -419,7 +492,9 @@ object Dedup {
       .join(fpost, Seq("s"))
       .where(col("nh") < col("nf"))
       .select(col("fid"), col("hid"))
-    val cand = cand1.union(cand2).distinct()
+    val cand = candCached(freshSets, historySets, threshold, "cont") {
+      cand1.union(cand2).distinct()
+    }
     verifyPairsExact(cand, freshSets, historySets,
       greatest(col("inter").cast("double") / col("nf").cast("double"),
         col("inter").cast("double") / col("nh").cast("double")),
@@ -427,6 +502,78 @@ object Dedup {
   }
 
   // ---- incremental prefix machinery (r14) --------------------------------
+
+  /** Route probe for the incremental near-dup family: does the batch
+    * share a BOILERPLATE-class element with history? Measured as the
+    * max history-df over the batch's vocabulary (one scan of the
+    * cached [[setDfCached]] table, semi-joined against the broadcast
+    * batch vocabulary — the same slice the prefix path builds anyway)
+    * vs `share`·|history docs|. Above the cutoff the unpruned join's
+    * Σ df_batch·df_hist candidate volume can approach batch×history
+    * and the PPJoin prefix machinery pays for itself; below it the
+    * unpruned volume is ≤ share·|H| rows per batch posting and the
+    * prefix path's fixed costs dominate (measured, see
+    * [[DefaultPrefixDfShare]]). `share` ≤ 0 forces the prefix path;
+    * Double.MaxValue forces unpruned. Decision memoized per
+    * (fresh plan, history plan, share) — it costs two small actions. */
+  private def usePrefixRoute(freshSets: DataFrame,
+      historySets: DataFrame, share: Double): Boolean = {
+    if (share <= 0) return true
+    if (share == Double.MaxValue) return false
+    val key = (freshSets.select(col("id"), col("hs"))
+        .queryExecution.analyzed.canonicalized,
+      historySets.select(col("id"), col("hs"))
+        .queryExecution.analyzed.canonicalized, share)
+    val hit = routeCache.get(key)
+    if (hit != null) return hit.booleanValue()
+    val histDocs = historySets.count()
+    val row = setDfCached(historySets)
+      .join(broadcast(freshSets.select(explode(col("hs")).as("s"))
+        .distinct()), Seq("s"), "left_semi")
+      .agg(max(col("df"))).head()
+    val maxSharedDf = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val decision = maxSharedDf.toDouble >= share * histDocs
+    routeCache.put(key, java.lang.Boolean.valueOf(decision))
+    decision
+  }
+
+  private val routeCache: java.util.Map[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Double),
+    java.lang.Boolean] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[
+        (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Double),
+        java.lang.Boolean](16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[
+          (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+            org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+            Double), java.lang.Boolean]): Boolean = size() > 64
+      })
+
+  /** Candidate (fid, hid) pair table of one incremental invocation,
+    * memoized + Spark-cached per (fresh plan, history plan, threshold,
+    * measure): the verify stage consumes it TWICE (once broadcast, to
+    * semi-join-prune the history set table to candidate ids; once as
+    * the join spine), and without the cache the whole
+    * prefix-and-prune subtree — including a history-postings scan —
+    * would re-execute per consumer. Bounded LRU, eviction unpersists
+    * (per-batch corpora mint a fresh key every batch — the PlanCache
+    * contract). */
+  private def candCached(freshSets: DataFrame, historySets: DataFrame,
+      threshold: Double, kind: String)(build: => DataFrame): DataFrame =
+    candCache.computeIfAbsent(
+      (freshSets.select(col("id"), col("hs"))
+        .queryExecution.analyzed.canonicalized,
+       historySets.select(col("id"), col("hs"))
+        .queryExecution.analyzed.canonicalized, threshold, kind),
+      _ => build.cache())
+
+  private val candCache: java.util.Map[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Double, String), DataFrame] = PlanCache.bounded(16)
 
   /** Global element document-frequency `(s, df)` of a set table,
     * memoized + Spark-cached per canonicalized plan — the

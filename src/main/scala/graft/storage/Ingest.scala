@@ -609,31 +609,37 @@ object Ingest {
     val baseCols = Seq(col("labels"), col("t"), col("v"), col("stale"))
     val cols = if (batch.columns.contains("sig")) col("sig") +: baseCols
       else baseCols
-    val newP = foldPartials(batch.select(cols: _*), bucketMs)
-    val oldP = spark.read.parquet(partialsPath)
-      .filter(col("date").isin(ds: _*)).drop("date")
-    // order-dependence probe: a (sig, bucket) whose NEW live range
-    // interleaves the OLD one cannot merge corr/lt2 from partials
-    // alone — rung-slice-sized join, batch-bounded right side
-    val interleaved = oldP.select(col("sig"), col("bucket_start"),
-        col("ft").as("_aft"), col("lt").as("_alt"), col("cnt").as("_ac"))
-      .join(newP.select(col("sig"), col("bucket_start"),
-        col("ft").as("_bft"), col("lt").as("_blt"), col("cnt").as("_bc")),
-        Seq("sig", "bucket_start"))
-      .filter(col("_ac").isNotNull && col("_bc").isNotNull &&
-        !(col("_alt") < col("_bft") || col("_blt") < col("_aft")))
-      .limit(1).count()
-    if (interleaved > 0) {
-      refreshFoldPartials(spark, tablePath, partialsPath, bucketMs,
-        Some(ds))
-      return
-    }
-    val merged = mergeFoldPartials(oldP, newP)
-      .withColumn("date", utcDate(col("bucket_start")))
-    withDynamicPartitionOverwrite(spark) {
-      merged.write.mode("overwrite").partitionBy("date")
-        .parquet(partialsPath)
-    }
+    // persist the batch fold: BOTH consumers below (the interleave
+    // probe, then the merge) would otherwise re-run the batch-volume
+    // window+aggregate — and the frame itself is only rung-slice
+    // sized (series × touched buckets)
+    val newP = foldPartials(batch.select(cols: _*), bucketMs).persist()
+    try {
+      val oldP = spark.read.parquet(partialsPath)
+        .filter(col("date").isin(ds: _*)).drop("date")
+      // order-dependence probe: a (sig, bucket) whose NEW live range
+      // interleaves the OLD one cannot merge corr/lt2 from partials
+      // alone — rung-slice-sized join, batch-bounded right side
+      val interleaved = oldP.select(col("sig"), col("bucket_start"),
+          col("ft").as("_aft"), col("lt").as("_alt"), col("cnt").as("_ac"))
+        .join(newP.select(col("sig"), col("bucket_start"),
+          col("ft").as("_bft"), col("lt").as("_blt"), col("cnt").as("_bc")),
+          Seq("sig", "bucket_start"))
+        .filter(col("_ac").isNotNull && col("_bc").isNotNull &&
+          !(col("_alt") < col("_bft") || col("_blt") < col("_aft")))
+        .limit(1).count()
+      if (interleaved > 0) {
+        refreshFoldPartials(spark, tablePath, partialsPath, bucketMs,
+          Some(ds))
+        return
+      }
+      val merged = mergeFoldPartials(oldP, newP)
+        .withColumn("date", utcDate(col("bucket_start")))
+      withDynamicPartitionOverwrite(spark) {
+        merged.write.mode("overwrite").partitionBy("date")
+          .parquet(partialsPath)
+      }
+    } finally newP.unpersist(false)
   }
 
   /** Associative merge of two [[foldPartials]] tables over the same

@@ -38,11 +38,17 @@ object IngestBench {
     // parse (a value-equality filter would eat a positional arg that
     // happens to equal the flag's value).
     var refreshEvery = 1
+    // --incremental (r14): maintain the rungs with the associative
+    // batch merge (refreshFoldPartialsIncremental) instead of the
+    // full-date refold -- the A/B that shows the one volume-coupled
+    // ingest term going flat as a date accumulates batches
+    var incremental = false
     val argv = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--tiers" =>
+        case "--incremental" => incremental = true
         case "--refresh-every" => refreshEvery = args(i + 1).toInt; i += 1
         case a => argv += a
       }
@@ -127,7 +133,14 @@ object IngestBench {
           val due = (b + 1) % refreshEvery == 0 || b == batches - 1
           val nDates = pendingDates.size
           val tRungs = timed {
-            if (due) {
+            if (incremental) {
+              rollups.foreach { r =>
+                Ingest.refreshFoldPartialsIncremental(spark, path,
+                  Ingest.rollupPath(path, r), r, canon)
+                spark.catalog.refreshByPath(Ingest.rollupPath(path, r))
+              }
+              pendingDates = Set.empty
+            } else if (due) {
               rollups.foreach { r =>
                 Ingest.refreshFoldPartials(spark, path,
                   Ingest.rollupPath(path, r), r, Some(pendingDates.toSeq))

@@ -64,6 +64,42 @@ object LlmScalePoint {
       val cold = once()
       (cold, Seq.fill(3)(once()).sorted.apply(1))
     }
+    def boilerCorpus(d: DataFrame): (DataFrame, DataFrame) = {
+      val boiler = lit(
+        " all rights reserved contact us terms of service apply today")
+      val m = col("doc_id") % 1000000L
+      val history = d.select(col("doc_id"),
+        when(m % 5 < 4, concat(col("text"), boiler))
+          .otherwise(col("text")).as("text"))
+      val fresh = d.filter(m % 10 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(col("text").substr(lit(1),
+            floor(length(col("text")) / lit(2)).cast("int")), boiler)
+            .as("text"))
+      (fresh, history)
+    }
+    // the r13-vintage incremental containment: broadcast semi-join
+    // prune only, NO prefix bound — kept here (and only here) so the
+    // boilerplate A/B measures exactly what the bound buys
+    def unprunedIncrementalContainment(fresh: DataFrame,
+        history: DataFrame, n: Int, threshold: Double): DataFrame = {
+      val fs = Dedup.shingleSetsCached(fresh, n, "doc_id", "text")
+      val hs = Dedup.shingleSetsCached(history, n, "doc_id", "text")
+      val fpost = fs.select(col("id").as("fid"), col("nsh").as("nf"),
+        explode(col("hs")).as("s"))
+      val hpost = hs.select(col("id").as("hid"), col("nsh").as("nh"),
+        explode(col("hs")).as("s"))
+      val pruned = hpost.join(
+        broadcast(fpost.select(col("s")).distinct()), Seq("s"), "left_semi")
+      pruned.join(fpost, Seq("s"))
+        .groupBy(col("fid"), col("hid"), col("nf"), col("nh"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("containment",
+          greatest(col("inter").cast("double") / col("nf").cast("double"),
+            col("inter").cast("double") / col("nh").cast("double")))
+        .filter(col("containment") >= threshold)
+        .select(col("fid"), col("hid"), col("containment"))
+    }
     val ops: Seq[(String, () => DataFrame)] = Seq(
       ("d3_minhash_lsh", () => Dedup.minhashLshPairs(docs, 3, 0.5)),
       ("d4_simhash", () => Dedup.simhashPairs(docs)),
@@ -194,6 +230,47 @@ object LlmScalePoint {
             col("text").substr(lit(1),
               floor(length(col("text")) / lit(2)).cast("int")).as("text"))
         Dedup.incrementalContainment(fresh, history, 3, 0.8)
+      }),
+      // r14: SemDeDup through the APPLY step — c4's production pairs
+      // job + alternating-star CC + the survivor rule; growth beyond
+      // c4's own isolates the CC floor over a ×k pair table (m7's
+      // argument, on the embedding family)
+      ("c5_semdedup_apply", () => {
+        val planted = Similarity.withPlantedDupes(emb)
+        val pairs = Similarity.semDeDupPairs(planted, 64, 32, 0.9)
+          .select(col("ia"), col("ib"))
+        Dedup.dupClusters(planted.select(col("vec_id")), pairs,
+          idCol = "vec_id")
+      }),
+      // r14: the d17 incremental core on VIDEO frame sets — fresh =
+      // the planted re-encodes, history = the original media table;
+      // frame-set build + prefix-bounded candidate join, so growth
+      // should track the frame-slicing scan like m10/m11
+      ("m13_video_incr", () => {
+        val history = graft.llm.Multimodal.mediaTable(docs)
+        val fresh = graft.llm.Multimodal.mediaTableWithDupes(docs)
+          .filter(col("doc_id") >= 1000000L)
+        Dedup.incrementalContainmentFromSets(
+          graft.llm.Multimodal.videoFrameSets(fresh),
+          graft.llm.Multimodal.videoFrameSets(history), 0.9)
+      }),
+      // r14: BOILERPLATE-skewed incremental containment — one 9-word
+      // sentence shared by 80% of history AND every fresh doc (the
+      // web-scale worst case the r13 verdict flagged). The prefix
+      // bound keeps candidates at batch×source-overlap; growth should
+      // track d17's own
+      ("d17_boiler_prefix", () => {
+        val (fresh, history) = boilerCorpus(docs)
+        Dedup.incrementalContainment(fresh, history, 3, 0.8)
+      }),
+      // the PRE-r14 unpruned shape on the same corpus, for the
+      // base-scale A/B ONLY: its candidate join carries
+      // Σ_s df_batch(s)·df_hist(s) ≈ (0.1·0.8)·N² posting pairs
+      // through the shuffle — the blowup the prefix bound removes
+      // (never run this at ×100; that is the point)
+      ("d17_boiler_unpruned", () => {
+        val (fresh, history) = boilerCorpus(docs)
+        unprunedIncrementalContainment(fresh, history, 3, 0.8)
       }))
     for ((name, f) <- ops if only.forall(_.contains(name))) {
       val (cold, warm) = med(f())

@@ -83,6 +83,20 @@ class AdmissionControlSpec extends SparkTestBase {
     } finally pool.shutdownNow()
   }
 
+  test("FAIR-pool slots recycle: after any load, every slot id is back " +
+      "in the free queue — bounded scheduler-pool registry forever " +
+      "(the r14 soak-decay fix)") {
+    // sequential requests: each must take and RETURN a slot
+    (1 to 5).foreach { _ => get("/api/v1/query?query=slow_metric&time=60") }
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (api.poolSlotsFree < HttpApi.MaxConcurrent &&
+        System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(api.poolSlotsFree == HttpApi.MaxConcurrent,
+      s"leaked pool slots: ${api.poolSlotsFree} free of " +
+        s"${HttpApi.MaxConcurrent}")
+  }
+
   test("a query whose budget expires while QUEUED times out with the " +
       "query-queue environment (engine.go:1490, contextDone)") {
     val pool = Executors.newFixedThreadPool(20)

@@ -1769,6 +1769,22 @@ class LlmOpsSpec extends SparkTestBase {
       .join(dfq, Seq("s"), "left").na.fill(0L, Seq("df"))
     val boilerDf = prefDf.agg(max(col("df"))).collect().head.getLong(0)
     assert(boilerDf >= 40L, s"fixture must carry a high-df block: $boilerDf")
+    // the adaptive route (r14): BOTH the forced-prefix and the
+    // forced-unpruned paths answer identically on this corpus — the
+    // route is a cost decision, never a semantic one
+    val hs2 = Dedup.shingleSetsCached(history, 3)
+    val fs2 = Dedup.shingleSetsCached(fresh, 3)
+    def pairsAt(share: Double) =
+      Dedup.incrementalContainmentFromSets(fs2, hs2, 0.5, share)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e12))).toSet
+    assert(pairsAt(0.0) == pairsAt(Double.MaxValue),
+      "prefix and unpruned routes must answer identically")
+    val gotJ2 = Dedup.incrementalJaccardFromSets(fs2, hs2, 0.5,
+        Double.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotJ2 == brute(0.5, containment = false),
+      "unpruned jaccard route diverged from brute force")
   }
 
   test("incremental containment orientation 2: a SMALL history doc " +

@@ -4052,4 +4052,150 @@ eval instant at 0m count by (g) (im)
   {g="mix"} 2
 """)
   }
+
+  test("NaN-valued VECTOR pairs under comparison binops: filter mode " +
+      "passes the LHS sample through only on !=, bool answers 0/1, " +
+      "names kept either way (r14 golden group)") {
+    run("""
+load 5m
+  na{pair="p"} NaN NaN NaN NaN NaN NaN NaN NaN NaN NaN NaN
+  nb{pair="p"} NaN NaN NaN NaN NaN NaN NaN NaN NaN NaN NaN
+  real{pair="p"} 5+0x10
+
+# every ordered comparison against NaN is false -> empty
+eval instant at 50m na == nb
+eval instant at 50m na < nb
+eval instant at 50m na >= nb
+eval instant at 50m na > real
+eval instant at 50m real <= na
+
+# != is the one true comparison (IEEE NaN != anything): the LHS
+# sample survives VERBATIM — NaN value, metric name kept (comparison
+# ops are not in shouldDropMetricName, engine.go:1460-1467)
+eval instant at 50m na != nb
+  na{pair="p"} NaN
+
+eval instant at 50m na != real
+  na{pair="p"} NaN
+
+eval instant at 50m real != na
+  real{pair="p"} 5
+
+# bool mode: 0/1 verdicts, and this vintage KEEPS the name on
+# vector-vector bool comparisons too
+eval instant at 50m na == bool nb
+  na{pair="p"} 0
+
+eval instant at 50m na != bool nb
+  na{pair="p"} 1
+
+eval instant at 50m na <= bool nb
+  na{pair="p"} 0
+""")
+  }
+
+  test("NaN values and set-op membership / arithmetic: existence is " +
+      "label-based, values never consulted; NaN arithmetic emits NaN " +
+      "rows rather than dropping them (r14 golden group)") {
+    run("""
+load 5m
+  na{pair="p"} NaN NaN NaN NaN NaN NaN NaN NaN NaN NaN NaN
+  nb{pair="p"} NaN NaN NaN NaN NaN NaN NaN NaN NaN NaN NaN
+  real{pair="p"} 5+0x10
+
+# arithmetic between two NaN vectors: the row EXISTS with value NaN
+# (contrast with the comparison filters above), name dropped by +
+eval instant at 50m na + nb
+  {pair="p"} NaN
+
+# set ops consult only signatures: a NaN LHS sample is kept verbatim
+eval instant at 50m na and real
+  na{pair="p"} NaN
+
+# ...and a NaN RHS still suppresses/admits by existence alone
+eval instant at 50m real unless na
+
+eval instant at 50m real or na
+  real{pair="p"} 5
+
+eval instant at 50m na or nothing
+  na{pair="p"} NaN
+""")
+  }
+
+  test("label_replace on an ABSENT source label: the empty string is " +
+      "the source value, so empty-matching regexes fire and " +
+      "non-empty-matching ones leave the metric untouched (r14 golden)") {
+    run("""
+load 5m
+  lra{s="a"} 0+10x10
+
+# (.*) matches "" -> dst gets the literal prefix + empty $1
+eval instant at 50m label_replace(lra, "dst", "pre-$1", "missing", "(.*)")
+  lra{s="a", dst="pre-"} 100
+
+# expansion "" on a successful match REMOVES/omits the dst label
+eval instant at 50m label_replace(lra, "dst", "$1", "missing", "(.*)")
+  lra{s="a"} 100
+
+# the empty regex anchors to ^$ — it MATCHES the absent label
+eval instant at 50m label_replace(lra, "dst", "x", "missing", "")
+  lra{s="a", dst="x"} 100
+
+# a regex that cannot match "" leaves the sample unchanged
+eval instant at 50m label_replace(lra, "dst", "x", "missing", "a")
+  lra{s="a"} 100
+""")
+  }
+
+  test("repeated matchers on ONE label are conjunctive: every matcher " +
+      "must hold, including the absent-as-empty semantics per matcher " +
+      "(r14 golden group)") {
+    run("""
+load 5m
+  rm{s="a"} 0+10x10
+  rm{s="b"} 0+20x10
+  rm 0+30x10
+
+eval instant at 50m rm{s=~"a|b", s!="b"}
+  rm{s="a"} 100
+
+# s!="" excludes the bare series, s!="a" then excludes a
+eval instant at 50m rm{s!="", s!="a"}
+  rm{s="b"} 200
+
+# .* admits the absent label, !~".+" then keeps ONLY the absent one
+eval instant at 50m rm{s=~".*", s!~".+"}
+  rm 300
+
+# conflicting equalities can match nothing
+eval instant at 50m rm{s="a", s="b"}
+""")
+  }
+
+  test("scalar() of an empty vector is NaN and flows through " +
+      "arithmetic and vector() like any NaN scalar (r14 golden group)") {
+    run("""
+load 5m
+  one{s="a"} 3+0x10
+
+eval instant at 50m scalar(nonexistent)
+  {} NaN
+
+eval instant at 50m scalar(nonexistent) + 1
+  {} NaN
+
+# vector() of that NaN produces a PRESENT empty-labelled sample
+eval instant at 50m vector(scalar(nonexistent))
+  {} NaN
+
+# ...which, being present, wins the or against a real fallback of the
+# same (empty) signature — left operands win per signature
+eval instant at 50m vector(scalar(nonexistent)) or vector(1)
+  {} NaN
+
+eval instant at 50m scalar(one) * 2
+  {} 6
+""")
+  }
 }
