@@ -940,9 +940,14 @@ class PromQLEngine(
       case "stddev" => grouped(stddev_pop(col(V)))
       case "stdvar" => grouped(var_pop(col(V)))
       case "quantile" =>
-        // out-of-range φ yields ∓Inf, NaN yields NaN (promql/quantile.go)
+        // out-of-range φ yields ∓Inf (promql/quantile.go:161-170); a
+        // NaN φ passes BOTH range checks there, floats a NaN rank into
+        // values[int(NaN)] and PANICS — the evaluator's recover turns
+        // that into the "unexpected error" response (engine.go:599-614,
+        // quantile.go:171-183), so NaN φ is an ERROR, not a NaN result
         val q = constParam(agg.param, "quantile")
-        if (q.isNaN) grouped(lit(Double.NaN))
+        if (q.isNaN) throw new IllegalArgumentException(
+          "unexpected error (NaN quantile rank, quantile.go:176-182)")
         else if (q < 0) grouped(lit(Double.NegativeInfinity))
         else if (q > 1) grouped(lit(Double.PositiveInfinity))
         // NOT builtin percentile: its sort puts NaN last where the
@@ -2068,6 +2073,10 @@ class PromQLEngine(
       case "stddev_over_time" => aggSimple(stddev_pop(col(V)))
       case "stdvar_over_time" => aggSimple(var_pop(col(V)))
       case "quantile_over_time" =>
+        // NaN φ errors exactly like the vector quantile (same
+        // quantile() helper panics on the NaN rank, engine recover)
+        if (consts.head.isNaN) throw new IllegalArgumentException(
+          "unexpected error (NaN quantile rank, quantile.go:176-182)")
         aggPoints(p => PromUdfs.quantileOverTimeUdf(lit(consts.head), p))
       case "rate" => aggPoints(p =>
         PromUdfs.rateUdf(p, col(T), lit(o), lit(r), lit(true), lit(true)))
@@ -2108,11 +2117,16 @@ class PromQLEngine(
         // pre-loop evalFloat checks (functions.go:227-232) — the UDF's
         // own require never fires when the selector matches nothing,
         // but the vintage errors even on an empty matrix
+        // message VERBATIM incl. the vintage's two quirks: the "goT"
+        // typo and the trend error printing the SMOOTHING factor's
+        // value (functions.go:227-232 formats sf in both branches)
         val (sf, tf) = (consts.head, consts(1))
         if (sf <= 0 || sf >= 1) throw new IllegalArgumentException(
-          s"invalid smoothing factor. Expected: 0 < sf < 1, got: $sf")
+          "invalid smoothing factor. Expected: 0 < sf < 1 goT: " +
+            "%f".formatLocal(java.util.Locale.ROOT, sf))
         if (tf <= 0 || tf >= 1) throw new IllegalArgumentException(
-          s"invalid trend factor. Expected: 0 < tf < 1, got: $tf")
+          "invalid trend factor. Expected: 0 < tf < 1 goT: " +
+            "%f".formatLocal(java.util.Locale.ROOT, sf))
         aggPoints(p =>
           PromUdfs.holtWintersUdf(p, lit(consts.head), lit(consts(1))))
       case other => throw new IllegalArgumentException(

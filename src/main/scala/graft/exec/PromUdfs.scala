@@ -260,10 +260,14 @@ object PromUdfs {
   /** `holt_winters` — double exponential smoothing, ordered fold
     * (`promql/functions.go:198-285`). */
   def holtWinters(points: Seq[Row], sf: Double, tf: Double): Option[Double] = {
+    // vintage-verbatim messages incl. the "goT" typo and the trend
+    // branch formatting sf (functions.go:227-232)
     require(sf > 0 && sf < 1,
-      s"invalid smoothing factor. Expected: 0 < sf < 1, got: $sf")
+      "invalid smoothing factor. Expected: 0 < sf < 1 goT: " +
+        "%f".formatLocal(java.util.Locale.ROOT, sf))
     require(tf > 0 && tf < 1,
-      s"invalid trend factor. Expected: 0 < tf < 1, got: $tf")
+      "invalid trend factor. Expected: 0 < tf < 1 goT: " +
+        "%f".formatLocal(java.util.Locale.ROOT, sf))
     val p = pts(points)
     if (p.length < 2) return None
     def calcTrendValue(i: Int, s0: Double, s1: Double, b: Double): Double =

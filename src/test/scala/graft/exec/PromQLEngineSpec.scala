@@ -262,6 +262,21 @@ class PromQLEngineSpec extends SparkTestBase {
     // i=2: x=0.5*4=2, b=0.5*(2-1)+0.5*1=1, y=0.5*(2+1)=1.5, s1=3.5
     val r = resultMap(e.instant("holt_winters(x[5m], 0.5, 0.5)", 2 * m))
     assertApprox(r, Map(("", 2 * m) -> 3.5))
+    // factor-bound messages VERBATIM, incl. the vintage's "goT" typo
+    // and the trend branch formatting the SMOOTHING factor's value
+    // (functions.go:227-232 passes sf to both Errorf calls)
+    val exSf = intercept[IllegalArgumentException] {
+      e.instant("holt_winters(x[5m], 2, 0.5)", 2 * m)
+    }
+    assert(exSf.getMessage.endsWith(
+      "invalid smoothing factor. Expected: 0 < sf < 1 goT: 2.000000"),
+      exSf.getMessage)
+    val exTf = intercept[IllegalArgumentException] {
+      e.instant("holt_winters(x[5m], 0.25, 1.5)", 2 * m)
+    }
+    assert(exTf.getMessage.endsWith(
+      "invalid trend factor. Expected: 0 < tf < 1 goT: 0.250000"),
+      exTf.getMessage)
   }
 
   test("absent") {

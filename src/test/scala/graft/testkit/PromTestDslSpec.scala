@@ -759,9 +759,13 @@ eval instant at 2m stddev(single)
 eval instant at 50m scalar(vector(5))
   {} 5
 
-# NaN quantile parameter propagates NaN per group
-eval instant at 50m quantile(0/0, m)
-  {} NaN
+# NaN quantile parameter ERRORS (r14 correction of an earlier wrong
+# pin): the NaN rank reaches values[int(NaN)] — on the reference's
+# amd64 builds int(NaN) is the most-negative int64, the index panics,
+# and recover() surfaces "unexpected error" (quantile.go:176-182,
+# engine.go:599-614; arm64 would convert NaN to 0 instead — we pin
+# the amd64 reference binary's behavior)
+eval_fail instant at 50m quantile(0/0, m)
 
 # label_join treats missing source labels as empty strings
 eval instant at 50m label_join(m{s="a"}, "dst", "-", "s", "nosuch")
@@ -4170,6 +4174,50 @@ eval instant at 50m rm{s=~".*", s!~".+"}
 
 # conflicting equalities can match nothing
 eval instant at 50m rm{s="a", s="b"}
+""")
+  }
+
+  test("NaN quantile phi: quantile/quantile_over_time ERROR (the NaN " +
+      "rank panics into the evaluator's recover, quantile.go:176-182 + " +
+      "engine.go:599-614) while histogram_quantile lands on the " +
+      "second-highest bound (sort.Search finds nothing) (r14 golden)") {
+    run("""
+load 5m
+  qv{s="a"} 0+10x10
+  qv{s="b"} 0+20x10
+  hq{le="1"} 0+10x10
+  hq{le="2"} 0+20x10
+  hq{le="+Inf"} 0+30x10
+
+# vector quantile and the over_time form both go through quantile():
+# phi = NaN passes both range checks, the NaN rank indexes out of
+# bounds, and the recover() surfaces an error — NOT a NaN sample
+eval_fail instant at 50m quantile(0/0, qv)
+eval_fail instant at 50m quantile by (s) (0/0, qv)
+eval_fail instant at 50m quantile_over_time(0/0, qv{s="a"}[30m])
+
+# bucketQuantile has NO such panic: rank = NaN satisfies no
+# sort.Search probe, the search returns len-1, and the answer is the
+# SECOND-HIGHEST bucket bound regardless of the counts
+eval instant at 50m histogram_quantile(0/0, hq)
+  {} 2
+""")
+  }
+
+  test("count_values formats extremes in Go 'f' style — full digits " +
+      "for 1e21, plain decimals for 1e-7, never an exponent " +
+      "(strconv.FormatFloat(v, 'f', -1, 64), engine.go:1284) (r14 golden)") {
+    run("""
+load 5m
+  cm 0+10x10
+
+# 100 * 1e19 = 1e21: 'f' never switches to scientific notation
+eval instant at 50m count_values("v", cm * 1e19)
+  {v="1000000000000000000000"} 1
+
+# 100 / 1e9 = 1e-7: plain decimal, shortest round-trip
+eval instant at 50m count_values("v", cm / 1e9)
+  {v="0.0000001"} 1
 """)
   }
 
