@@ -1259,6 +1259,29 @@ object HttpApi {
       writesSinceRefresh = 0
       lastRefreshNs = System.nanoTime()
     }
+    // r14: the non-debounced common path merges just THIS write's
+    // partials into the touched rungs (associative, O(batch +
+    // rung-slice)) instead of refolding each touched date's
+    // accumulated volume. Valid only when the pending set is exactly
+    // this batch (the incremental contract: appended, never merged);
+    // the debounced flush and every heal keep the idempotent full
+    // refold. Crash safety is unchanged — the tiersOk marker is
+    // already deleted, so a crash mid-merge heals fully at boot.
+    // The extra dedup pass re-derives the appended canonical rows;
+    // batch-bounded, and far below the refold it replaces once a date
+    // has accumulated a few batches (SCALE.md §6 r14 A/B).
+    def refreshRungsIncremental(batchRaw: DataFrame): Unit = {
+      val canon = Ingest.dedup(batchRaw, strict = false)
+      rollups.foreach { b =>
+        Ingest.refreshFoldPartialsIncremental(spark, path,
+          rollupPath(b), b, canon)
+        spark.catalog.refreshByPath(rollupPath(b))
+      }
+      api.rollupRefreshes.incrementAndGet()
+      pendingDates = Set.empty
+      writesSinceRefresh = 0
+      lastRefreshNs = System.nanoTime()
+    }
     val sink = (df: DataFrame) => writeLock.synchronized {
       // dirty until the tiers catch up with this batch (see healTiers).
       // delete() returning false means the marker was ALREADY absent:
@@ -1361,12 +1384,15 @@ object HttpApi {
             // amortizing the ~per-write rewrite cost across a burst;
             // until then the marker stays deleted and the swapped
             // engine skips the stale rungs (raw-path correctness)
+            val onlyThisBatch = pendingDates.isEmpty
             pendingDates ++= Ingest.datesOf(df)
             writesSinceRefresh += 1
             val lagged = refreshMaxLagMs > 0 &&
               (System.nanoTime() - lastRefreshNs) / 1000000L >= refreshMaxLagMs
-            if (writesSinceRefresh >= refreshEveryWrites || lagged)
-              refreshRungs(Some(pendingDates.toSeq))
+            if (writesSinceRefresh >= refreshEveryWrites || lagged) {
+              if (onlyThisBatch) refreshRungsIncremental(df)
+              else refreshRungs(Some(pendingDates.toSeq))
+            }
           }
           spark.catalog.refreshByPath(indexPath)
           // tiers are consistent with the committed table again —

@@ -38,17 +38,19 @@ object IngestBench {
     // parse (a value-equality filter would eat a positional arg that
     // happens to equal the flag's value).
     var refreshEvery = 1
-    // --incremental (r14): maintain the rungs with the associative
-    // batch merge (refreshFoldPartialsIncremental) instead of the
-    // full-date refold -- the A/B that shows the one volume-coupled
-    // ingest term going flat as a date accumulates batches
-    var incremental = false
+    // r14: the DEFAULT rung maintenance is the associative batch
+    // merge (refreshFoldPartialsIncremental) -- what forTable's
+    // non-debounced write path now runs; --full-refold restores the
+    // pre-r14 full-date refold for the A/B that shows the
+    // volume-coupled term growing as a date accumulates batches
+    var incremental = true
     val argv = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--tiers" =>
         case "--incremental" => incremental = true
+        case "--full-refold" => incremental = false
         case "--refresh-every" => refreshEvery = args(i + 1).toInt; i += 1
         case a => argv += a
       }
