@@ -30,6 +30,19 @@ import graft.model.Samples
 object HttpBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // WRITE soak (r14): `runMain graft.tools.HttpBench _ _ writesoak
+    // [minutes]` — the table-backed production write loop under
+    // sustained churn: one writer posting a fresh batch every ~2 s
+    // (dedup → append → chunk cut → index upsert → INCREMENTAL rung
+    // merge → engine swap) while 4 light query clients run against
+    // whatever engine is current. Prints writes + query qps per
+    // minute; a decaying series here would be an engine-swap-path
+    // leak (cached frames/pools surviving swapped-out engines) — the
+    // class of bug the read soak caught in the FAIR pool registry.
+    if (args.length > 2 && args(2) == "writesoak") {
+      writeSoak(if (args.length > 3) args(3).toInt else 5)
+      return
+    }
     val windowSec = if (args.length > 1) args(1).toLong else 5L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -243,6 +256,104 @@ object HttpBench {
         s"[${r2(l)},${r2(m)},${r2(lr)},${r2(mr)}]"
     }.mkString("[", ",", "]")},"sf":"${sfDir
       .split('/').last}"}""")
+    spark.stop()
+    sys.exit(0)
+  }
+
+  private def writeSoak(minutes: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.scheduler.mode", "FAIR")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val path = java.nio.file.Files
+      .createTempDirectory("write-soak-table").toString
+    val api = HttpApi.forTable(spark, path,
+      rollups = Seq(3600000L), chunks = true)
+    val port = api.start()
+    val base = s"http://127.0.0.1:$port"
+    def post(p: String, body: String): Int = {
+      val conn = new URI(base + p).toURL.openConnection()
+        .asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.setConnectTimeout(10000); conn.setReadTimeout(600000)
+      try {
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        val c = conn.getResponseCode
+        val in = if (c >= 400) conn.getErrorStream else conn.getInputStream
+        if (in != null) { in.readAllBytes(); in.close() }
+        c
+      } finally conn.disconnect()
+    }
+    def get(p: String): Int = {
+      val conn = new URI(base + p).toURL.openConnection()
+        .asInstanceOf[HttpURLConnection]
+      conn.setConnectTimeout(10000); conn.setReadTimeout(600000)
+      try {
+        val c = conn.getResponseCode
+        val in = if (c >= 400) conn.getErrorStream else conn.getInputStream
+        if (in != null) { in.readAllBytes(); in.close() }
+        c
+      } finally conn.disconnect()
+    }
+    // one batch = 50 series × 4 fresh 15s-cadence points, all inside
+    // one UTC date — the dashboard-agent write shape; timestamps
+    // advance so every batch extends the same rung partitions
+    val t0Ms = 1704067200000L
+    def batch(n: Int): String =
+      (0 until 50).flatMap { s =>
+        (0 until 4).map { i =>
+          val t = t0Ms + (n.toLong * 4 + i) * 15000L
+          s"""{"labels":{"__name__":"ws_m","s":"s$s"},"t":$t,"v":${(n * 4 + i) % 97}}"""
+        }
+      }.mkString("\n")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writes = new java.util.concurrent.atomic.AtomicLong(0)
+    val reads = new java.util.concurrent.atomic.AtomicLong(0)
+    val writeErr = new java.util.concurrent.atomic.AtomicLong(0)
+    val writer = new Thread(() => {
+      var n = 0
+      while (!stop.get()) {
+        if (post("/api/v1/write", batch(n)) == 200) writes.incrementAndGet()
+        else writeErr.incrementAndGet()
+        n += 1
+        Thread.sleep(2000)
+      }
+    })
+    val qp = java.net.URLEncoder.encode("""ws_m{s=~"s1|s2|s3"}""", "UTF-8")
+    val readers = (0 until 4).map { k =>
+      new Thread(() => {
+        var i = k
+        while (!stop.get()) {
+          // query AT the advancing write head so the lookback window
+          // always holds fresh samples (exercises the swapped engine)
+          val t = (t0Ms + writes.get() * 4 * 15000L) / 1000
+          if (get(s"/api/v1/query?query=$qp&time=$t") == 200)
+            reads.incrementAndGet()
+          i += 1
+        }
+      })
+    }
+    post("/api/v1/write", batch(1000000)) // prime tiers before timing
+    (writer +: readers).foreach { t => t.setDaemon(true); t.start() }
+    val perMin = (0 until minutes).map { m =>
+      val w0 = writes.get(); val r0 = reads.get()
+      Thread.sleep(60000)
+      val w = writes.get() - w0; val r = (reads.get() - r0) / 60.0
+      println(s"writesoak minute ${m + 1}: $w writes, " +
+        s"${math.rint(r * 100) / 100} query q/s, errors ${writeErr.get()}")
+      (w, math.rint(r * 100) / 100)
+    }
+    stop.set(true)
+    println(s"""{"writesoak_minutes":$minutes,"writes_per_min":${perMin
+      .map(_._1).mkString("[", ",", "]")},"query_qps_per_min":${perMin
+      .map(_._2).mkString("[", ",", "]")},"write_errors":${writeErr
+      .get()}}""")
+    api.stop()
     spark.stop()
     sys.exit(0)
   }
