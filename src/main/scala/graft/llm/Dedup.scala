@@ -526,16 +526,68 @@ object Dedup {
         .queryExecution.analyzed.canonicalized, share)
     val hit = routeCache.get(key)
     if (hit != null) return hit.booleanValue()
-    val histDocs = historySets.count()
-    val row = setDfCached(historySets)
+    // per-BATCH cost is one broadcast of the batch vocabulary against
+    // the tiny cached high-df slice — never a scan of the full
+    // (vocabulary-sized) df table per batch; that scan happens once
+    // per (history, share) when the slice is built
+    val decision = highDfCached(historySets, share)
       .join(broadcast(freshSets.select(explode(col("hs")).as("s"))
         .distinct()), Seq("s"), "left_semi")
-      .agg(max(col("df"))).head()
-    val maxSharedDf = if (row.isNullAt(0)) 0L else row.getLong(0)
-    val decision = maxSharedDf.toDouble >= share * histDocs
+      .limit(1).count() > 0
     routeCache.put(key, java.lang.Boolean.valueOf(decision))
     decision
   }
+
+  /** The BOILERPLATE-candidate slice of a history's df table: elements
+    * present in ≥ `share`·|history docs| documents — for any web-scale
+    * corpus a tiny set (the df distribution's extreme tail), memoized
+    * + Spark-cached per (history plan, share) like the df table
+    * itself. The route probe intersects each batch's vocabulary with
+    * THIS instead of scanning the full df table per batch. */
+  private def highDfCached(historySets: DataFrame,
+      share: Double): DataFrame = {
+    val planKey = historySets.select(col("id"), col("hs"))
+      .queryExecution.analyzed.canonicalized
+    val key = (planKey, share)
+    val hit = highDfCache.get(key)
+    if (hit != null) return hit
+    // the count is an ACTION — run it outside both map locks (the
+    // PlanCache liveness rule); a racing pair may both count, the
+    // first-cached slice wins below
+    val histDocs = {
+      val c = histCountCache.get(planKey)
+      if (c != null) c.longValue()
+      else {
+        val n = historySets.count()
+        histCountCache.put(planKey, java.lang.Long.valueOf(n))
+        n
+      }
+    }
+    val frame = setDfCached(historySets)
+      .filter(col("df") >= math.max(1.0, share * histDocs))
+      .select(col("s")).cache() // lazy mark, no job
+    highDfCache.synchronized {
+      val prior = highDfCache.get(key)
+      if (prior != null) { frame.unpersist(false); prior }
+      else { highDfCache.put(key, frame); frame }
+    }
+  }
+
+  private val highDfCache: java.util.Map[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Double),
+    DataFrame] = PlanCache.bounded(16)
+
+  // |history docs| per history plan — one count per history TABLE,
+  // not per batch (bounded; values are single longs)
+  private val histCountCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        java.lang.Long](16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+          java.lang.Long]): Boolean = size() > 64
+      })
 
   private val routeCache: java.util.Map[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
