@@ -284,6 +284,43 @@ class IngestSpec extends SparkTestBase {
     }
   }
 
+  test("mergeFoldPartials property: for seeded random corpora split at " +
+      "a time cut, merge(fold(A), fold(B)) equals fold(A ∪ B) " +
+      "bit-for-bit (resets, markers, boundary rows, empty sides)") {
+    val bucket = 60000L
+    def df(rows: Seq[(Map[String, String], Long, Double, Boolean)]) =
+      rows.toDF("labels", "t", "v", "stale")
+    def rowsOf(p: org.apache.spark.sql.DataFrame) =
+      p.collect().map(_.toSeq.map {
+        case d: Double => java.lang.Double.doubleToLongBits(d)
+        case x => x
+      }).toSet
+    for (trial <- 0 until 4) {
+      val rnd = new scala.util.Random(100 + trial)
+      // 5 series × 40 points at 10s cadence: integer values (so FP
+      // addition order cannot differ), counter-ish with resets,
+      // occasional stale markers, every 6th point exactly on a bucket
+      // boundary; one series present only in the LATE half
+      val all = for {
+        s <- 0 until 5
+        i <- 0 until 40
+        if !(s == 4 && i < 25)
+      } yield (Map("__name__" -> "pm", "k" -> s.toString),
+        i * 10000L,
+        ((i * (s + 3)) % 47).toDouble,
+        rnd.nextInt(15) == 0)
+      val cut = (rnd.nextInt(38) + 1) * 10000L
+      val a = all.filter(_._2 < cut)
+      val b = all.filter(_._2 >= cut)
+      val full = Ingest.foldPartials(df(all), bucket)
+      val merged = Ingest.mergeFoldPartials(
+        Ingest.foldPartials(df(a), bucket),
+        Ingest.foldPartials(df(b), bucket))
+      assert(rowsOf(merged) == rowsOf(full),
+        s"trial $trial (cut at ${cut / 1000}s) diverged")
+    }
+  }
+
   test("rollup refresh across a UTC midnight rewrites BOTH touched " +
       "date partitions") {
     val path = tmp("ingest-rollup-2d")
