@@ -117,6 +117,16 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
     new java.util.concurrent.atomic.AtomicLong(0)
   def rollupRefreshCount: Long = rollupRefreshes.get()
 
+  /** Of those refreshes, how many ran as the ASSOCIATIVE batch merge
+    * (`Ingest.refreshFoldPartialsIncremental` over the pending
+    * batches' union) rather than the volume-coupled full date refold —
+    * the r15 witness that the debounced flush, not just the per-write
+    * path, stays O(pending) as a date accumulates
+    * (`ForTableTiersSpec`). */
+  private[api] val rollupIncrementalMerges =
+    new java.util.concurrent.atomic.AtomicLong(0)
+  def rollupIncrementalMergeCount: Long = rollupIncrementalMerges.get()
+
   /** Chunk compactions the write path ran / deferred because readers
     * would not drain (see [[quiesced]]); deferral is safe — the file
     * count stays over threshold, so the next write retries. */
@@ -408,6 +418,13 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
       case e: java.util.concurrent.ExecutionException =>
         throw Option(e.getCause).getOrElse(e)
     } finally {
+      // On the TIMEOUT path the cancelled worker's Spark jobs may still
+      // be winding down in this slot's pool when the next admitted
+      // query reuses it — a transient sharing window, the same
+      // semantics the gate.release below has always had (the slot/gate
+      // pair is freed when the CLIENT's budget expires, not when the
+      // abandoned jobs finish dying). Fairness degrades to 2 queries
+      // in one pool for the cancellation window; it never leaks pools.
       if (slot != null) poolSlots.offer(slot)
       gate.release()
     }
@@ -1246,6 +1263,14 @@ object HttpApi {
     //    re-creates would certify tiers that permanently hide the
     //    failed batch's series from every matcher
     var pendingDates = Set.empty[String]
+    // the raw frames of the deferred writes, in arrival order — the
+    // debounced flush folds the union of their PER-BATCH canonical
+    // rows (exactly what was appended; cross-batch dups stay separate
+    // rows in the table, so a union-level dedup would diverge from a
+    // refold) and merges it associatively. Holding the frames pins
+    // their driver-side source rows for ≤ refreshEveryWrites batches —
+    // bounded by the debounce window, freed at every flush/heal.
+    var pendingBatches = Vector.empty[DataFrame]
     var writesSinceRefresh = 0
     var lastRefreshNs = System.nanoTime()
     var failedDirty = false
@@ -1256,29 +1281,42 @@ object HttpApi {
       }
       api.rollupRefreshes.incrementAndGet()
       pendingDates = Set.empty
+      pendingBatches = Vector.empty
       writesSinceRefresh = 0
       lastRefreshNs = System.nanoTime()
     }
     // r14: the non-debounced common path merges just THIS write's
     // partials into the touched rungs (associative, O(batch +
     // rung-slice)) instead of refolding each touched date's
-    // accumulated volume. Valid only when the pending set is exactly
-    // this batch (the incremental contract: appended, never merged);
-    // the debounced flush and every heal keep the idempotent full
-    // refold. Crash safety is unchanged — the tiersOk marker is
-    // already deleted, so a crash mid-merge heals fully at boot.
-    // The extra dedup pass re-derives the appended canonical rows;
-    // batch-bounded, and far below the refold it replaces once a date
-    // has accumulated a few batches (SCALE.md §6 r14 A/B).
-    def refreshRungsIncremental(batchRaw: DataFrame): Unit = {
-      val canon = Ingest.dedup(batchRaw, strict = false)
-      rollups.foreach { b =>
-        Ingest.refreshFoldPartialsIncremental(spark, path,
-          rollupPath(b), b, canon)
-        spark.catalog.refreshByPath(rollupPath(b))
-      }
+    // accumulated volume. r15: the DEBOUNCED flush takes the same
+    // path — the pending batches' per-batch canonical rows union into
+    // ONE "new" side (foldPartials over the union is order-free, so
+    // batches that interleave EACH OTHER are exact; the rung-vs-union
+    // interleave probe inside refreshFoldPartialsIncremental guards
+    // the old-side junction and falls back to the full refold), so
+    // `refreshEveryWrites > 1` — the recommended bursty config — no
+    // longer pays the accumulated-date refold. Valid whenever the
+    // pending set is exactly the buffered batches (the incremental
+    // contract: all appended, none merged); every heal keeps the
+    // idempotent full refold. Crash safety is unchanged — the tiersOk
+    // marker is already deleted, so a crash mid-merge heals fully at
+    // boot. The dedup pass re-derives the appended canonical rows;
+    // pending-bounded, and far below the refold it replaces once a
+    // date has accumulated a few batches (SCALE.md §6 r14/r15 A/B).
+    def refreshRungsIncremental(batchesRaw: Seq[DataFrame]): Unit = {
+      val canon = batchesRaw.map(Ingest.dedup(_, strict = false))
+        .reduce(_.unionByName(_)).persist()
+      try {
+        rollups.foreach { b =>
+          Ingest.refreshFoldPartialsIncremental(spark, path,
+            rollupPath(b), b, canon)
+          spark.catalog.refreshByPath(rollupPath(b))
+        }
+      } finally canon.unpersist(false)
       api.rollupRefreshes.incrementAndGet()
+      api.rollupIncrementalMerges.incrementAndGet()
       pendingDates = Set.empty
+      pendingBatches = Vector.empty
       writesSinceRefresh = 0
       lastRefreshNs = System.nanoTime()
     }
@@ -1360,6 +1398,7 @@ object HttpApi {
           if (rollups.nonEmpty) api.rollupRefreshes.incrementAndGet()
           failedDirty = false
           pendingDates = Set.empty
+          pendingBatches = Vector.empty
           writesSinceRefresh = 0
           lastRefreshNs = System.nanoTime()
         } else {
@@ -1384,13 +1423,19 @@ object HttpApi {
             // amortizing the ~per-write rewrite cost across a burst;
             // until then the marker stays deleted and the swapped
             // engine skips the stale rungs (raw-path correctness)
-            val onlyThisBatch = pendingDates.isEmpty
             pendingDates ++= Ingest.datesOf(df)
+            pendingBatches :+= df
             writesSinceRefresh += 1
             val lagged = refreshMaxLagMs > 0 &&
               (System.nanoTime() - lastRefreshNs) / 1000000L >= refreshMaxLagMs
             if (writesSinceRefresh >= refreshEveryWrites || lagged) {
-              if (onlyThisBatch) refreshRungsIncremental(df)
+              // r15: the flush is the associative pending-union merge
+              // whenever the buffer provably covers every deferred
+              // write (they are maintained together under writeLock —
+              // the guard is belt-and-braces; full refold otherwise)
+              if (pendingBatches.nonEmpty &&
+                  pendingBatches.size == writesSinceRefresh)
+                refreshRungsIncremental(pendingBatches)
               else refreshRungs(Some(pendingDates.toSeq))
             }
           }
@@ -1427,7 +1472,10 @@ object HttpApi {
     api = new HttpApi(spark, freshEngine(), Some(sink), port, rules)
     api.tierFlushHook = () => writeLock.synchronized {
       if (pendingDates.nonEmpty && !failedDirty) {
-        refreshRungs(Some(pendingDates.toSeq))
+        if (pendingBatches.nonEmpty &&
+            pendingBatches.size == writesSinceRefresh)
+          refreshRungsIncremental(pendingBatches)
+        else refreshRungs(Some(pendingDates.toSeq))
         certifyTiers()
         api.swapEngine(freshEngine()).releaseSeriesDim()
       }

@@ -686,6 +686,171 @@ object Dedup {
       .select(col("id"), col("nsh"), col("s"))
   }
 
+  // ---- persisted incremental-dedup index tier (r15) ----------------------
+
+  /** Canonical location of a corpus's persisted incremental-dedup
+    * index: underscore-prefixed beside the data (the
+    * `_index`/`_rollup_<ms>` convention, [[graft.storage.Ingest]]), so
+    * the corpus's own file index never lists it as documents. */
+  def incrementalIndexPath(corpusDir: String): String =
+    new org.apache.hadoop.fs.Path(corpusDir, "_dedup_index").toString
+
+  /** PERSIST the incremental near-dup family's history-side artifacts
+    * as a storage tier (r15, the r14 verdict's cold-start item): the
+    * element document-frequency table ([[setDfCached]]), the
+    * orientation-2 rarest-first prefix postings per threshold
+    * ([[historyPrefixCached]]), and the boilerplate high-df slice
+    * ([[highDfCached]]) are batch-INDEPENDENT — they depend only on
+    * the history corpus — yet before r15 they lived only in the
+    * session memo, so every fresh session re-paid a postings-volume
+    * window shuffle inline before its first daily batch (a multi-hour
+    * surprise at 100 TB inside an operator documented as O(batch)).
+    * This is the same tier treatment the series index got in r5: the
+    * reference persists exactly this class of structure per block at
+    * compaction (`vendor/github.com/prometheus/tsdb/index/index.go:101`,
+    * written by `tsdb/compact.go:484`) and mmaps it at open instead of
+    * rebuilding from the chunks.
+    *
+    * Layout under `dir` (all parquet):
+    *   `dfreq`        — (s, df)
+    *   `prefix_t<T>`  — (id, nsh, s), one dir per threshold
+    *   `highdf_s<S>`  — (s), the ≥ share·|docs| slice
+    *   `_ok`          — marker, written LAST, carrying the config +
+    *                    |docs| count; a crash mid-write leaves it
+    *                    absent and the next build rewrites
+    *
+    * Refresh cadence: once per history COMPACTION (the corpus itself
+    * changed), never per batch — [[bindIncrementalIndex]] loads it in
+    * O(listing) and the per-batch cost stays the broadcast semi-join
+    * slice. Build cost equals what the first batch of a session paid
+    * inline pre-r15 (one df aggregation + one postings window per
+    * threshold), now paid once at ingest-side compaction instead. */
+  def writeIncrementalIndex(historySets: DataFrame, dir: String,
+      thresholds: Seq[Double],
+      share: Double = DefaultPrefixDfShare): Unit = {
+    val spark = historySets.sparkSession
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_ok"), false)
+    // build THROUGH the session memo: a server that just served a
+    // batch reuses the cached frames; a cold builder computes them once
+    val dfreq = setDfCached(historySets)
+    dfreq.write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(root, "dfreq").toString)
+    thresholds.foreach { t =>
+      historyPrefixCached(historySets, t).write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(root,
+          s"prefix_t${java.lang.Double.toString(t)}").toString)
+    }
+    val nDocs = historySets.count()
+    dfreq.filter(col("df") >= math.max(1.0, share * nDocs)).select(col("s"))
+      .write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(root,
+        s"highdf_s${java.lang.Double.toString(share)}").toString)
+    val meta = s"docs=$nDocs\nshare=${java.lang.Double.toString(share)}\n" +
+      s"thresholds=${thresholds.map(java.lang.Double.toString).mkString(",")}\n"
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "_ok"), true)
+    try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load a [[writeIncrementalIndex]] tier into the session memo for
+    * `historySets` — after this, every incremental near-dup batch over
+    * the same history plan serves its df order, orientation-2 prefix,
+    * route slice, and |docs| count from the PERSISTED artifacts (the
+    * memo getters hit the seeded entries), so a fresh session's first
+    * batch runs at the documented O(batch) cost instead of re-running
+    * the postings-volume index builds inline. Returns false (and seeds
+    * nothing) when the marker is absent — a crashed or never-run
+    * build; both routes are exact, so the caller just falls back to
+    * the inline build. The memo stays a read-through cache: an LRU
+    * eviction or session teardown only costs a re-read of parquet. */
+  def bindIncrementalIndex(historySets: DataFrame, dir: String): Boolean = {
+    val spark = historySets.sparkSession
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val okPath = new org.apache.hadoop.fs.Path(root, "_ok")
+    if (!fs.exists(okPath)) return false
+    val meta = {
+      val in = fs.open(okPath)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val kv = meta.linesIterator.filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); (k, v) }.toMap
+    val nDocs = kv.get("docs").map(_.toLong).getOrElse(return false)
+    val share = kv.get("share").map(_.toDouble).getOrElse(return false)
+    val thresholds = kv.get("thresholds").toSeq
+      .flatMap(_.split(",").filter(_.nonEmpty).map(_.toDouble))
+    val planKey = historySets.select(col("id"), col("hs"))
+      .queryExecution.analyzed.canonicalized
+    // seed = put-with-unpersist-of-prior: an inline-built entry may
+    // already hold the key (bind after a served batch), and a bare put
+    // would orphan its Spark-cached frame until GC
+    def seed[K](m: java.util.Map[K, DataFrame], k: K, v: DataFrame): Unit = {
+      val prior = m.put(k, v)
+      if (prior != null) prior.unpersist(false)
+    }
+    seed(setDfCache, planKey, spark.read
+      .parquet(new org.apache.hadoop.fs.Path(root, "dfreq").toString)
+      .cache())
+    thresholds.foreach { t =>
+      seed(histPrefixCache, (planKey, t), spark.read
+        .parquet(new org.apache.hadoop.fs.Path(root,
+          s"prefix_t${java.lang.Double.toString(t)}").toString)
+        .cache())
+    }
+    seed(highDfCache, (planKey, share), spark.read
+      .parquet(new org.apache.hadoop.fs.Path(root,
+        s"highdf_s${java.lang.Double.toString(share)}").toString)
+      .select(col("s")).cache())
+    histCountCache.put(planKey, java.lang.Long.valueOf(nDocs))
+    true
+  }
+
+  /** Bind-or-build: the serving entry point for a corpus with a
+    * persisted index dir. Binds when the tier certifies coverage of
+    * the requested thresholds + share; (re)builds and binds otherwise
+    * — so the first server over a freshly compacted corpus pays the
+    * build once and every later session opens it in O(listing). */
+  def ensureIncrementalIndex(historySets: DataFrame, dir: String,
+      thresholds: Seq[Double],
+      share: Double = DefaultPrefixDfShare): Unit = {
+    val spark = historySets.sparkSession
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val okPath = new org.apache.hadoop.fs.Path(root, "_ok")
+    val covered = fs.exists(okPath) && {
+      val in = fs.open(okPath)
+      val meta = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val kv = meta.linesIterator.filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); (k, v) }.toMap
+      kv.get("share").contains(java.lang.Double.toString(share)) &&
+        kv.get("thresholds").exists { ts =>
+          val have = ts.split(",").filter(_.nonEmpty)
+            .map(_.toDouble).toSet
+          thresholds.forall(have.contains)
+        }
+    }
+    if (!covered) writeIncrementalIndex(historySets, dir, thresholds, share)
+    require(bindIncrementalIndex(historySets, dir),
+      s"incremental-dedup index at $dir failed to bind after build")
+  }
+
+  /** Test hook: drop every session-memo entry of the incremental
+    * family (frames unpersisted), simulating a FRESH session's cold
+    * start without tearing down the SparkContext. */
+  private[graft] def clearIncrementalCaches(): Unit = {
+    PlanCache.clearAndUnpersist(setDfCache)
+    PlanCache.clearAndUnpersist(candCache)
+    PlanCache.clearAndUnpersist(histPrefixCache)
+    PlanCache.clearAndUnpersist(highDfCache)
+    routeCache.clear()
+    histCountCache.clear()
+  }
+
   /** Exact verification of candidate (fid, hid) pairs by intersecting
     * the two cached hash sets map-side: history sets are semi-join
     * PRUNED to the candidate ids first (candidates are batch-bounded,
@@ -1445,5 +1610,15 @@ object Dedup {
   // (graft.model.Samples.registerSessionBoundCache)
   graft.model.Samples.registerSessionBoundCache(pairsCache)
   graft.model.Samples.registerSessionBoundCache(shingleSetsCache)
+  // the r14 incremental prefix machinery's frames and driver-side
+  // route decisions are plan-keyed too — without registration a
+  // torn-down session's frames would linger in executor storage
+  // until LRU churn evicts them (r14 advice)
+  graft.model.Samples.registerSessionBoundCache(setDfCache)
+  graft.model.Samples.registerSessionBoundCache(candCache)
+  graft.model.Samples.registerSessionBoundCache(histPrefixCache)
+  graft.model.Samples.registerSessionBoundCache(highDfCache)
+  graft.model.Samples.registerSessionBoundValueCache(routeCache)
+  graft.model.Samples.registerSessionBoundValueCache(histCountCache)
 
 }

@@ -182,6 +182,7 @@ object Ingest {
         // diverge from a table refold; persisted because the append
         // and each rung's fold all consume it
         val canon = dedup(batch, strict = false).persist()
+        try {
         val fresh = commitOnce(spark, path, checkpoint, id) {
           appendCanonical(canon, path)
         }
@@ -218,7 +219,10 @@ object Ingest {
             }
           spark.catalog.refreshByPath(rp)
         }
-        canon.unpersist(false)
+        // in a finally: a throwing rung refresh fails the stream, and
+        // restart-driven replays would otherwise leak one cached frame
+        // per failed attempt until GC (r14 advice)
+        } finally canon.unpersist(false)
         ()
       }
       .start()
@@ -591,7 +595,17 @@ object Ingest {
     * `tablePath` and must not have been merged into the rung before —
     * [[streamWithRollups]] guarantees both with per-(batch, rung)
     * commit markers, healing marker-less replays with the idempotent
-    * full refold. */
+    * full refold.
+    *
+    * Multi-batch (r15, the debounced flush): `batch` may be the UNION
+    * of several appended-but-unmerged batches' canonical rows — the
+    * per-batch [[dedup]] outputs unioned WITHOUT a cross-batch dedup
+    * (cross-batch duplicate (sig, t) rows are separate rows in the
+    * table, so collapsing them here would diverge from the refold
+    * this must stay bit-equal to). [[foldPartials]] over the union is
+    * order-free, so batches that interleave EACH OTHER are exact; the
+    * probe below guards only the union-vs-rung junction, exactly as
+    * for a single batch. */
   def refreshFoldPartialsIncremental(spark: SparkSession,
       tablePath: String, partialsPath: String, bucketMs: Long,
       batch: DataFrame): Unit = {

@@ -110,7 +110,19 @@ object IngestBench {
       def timed(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
+      def freeCheckpoint(c: org.apache.spark.sql.DataFrame): Unit =
+        c.queryExecution.analyzed.foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false)
+          case _ =>
+        }
       var pendingDates = Set.empty[String]
+      // r15: the debounced INCREMENTAL flush buffers the deferred
+      // batches' canonical frames (checkpointed, so buffering holds
+      // blocks, not lineage) and merges their UNION at the due batch —
+      // the forTable debounced-flush shape; pre-r15 --refresh-every
+      // was silently ignored with --incremental (r14 advice)
+      var pendingCanon = Vector.empty[org.apache.spark.sql.DataFrame]
       for (b <- 0 until batches) {
         val df = batchDf(b)
         // the forTable sink sequence (api/HttpApi.scala forTable):
@@ -132,21 +144,28 @@ object IngestBench {
             spark.catalog.refreshByPath(path)
           }
           pendingDates ++= Ingest.datesOf(df)
+          // the union flush only exists on the incremental path; the
+          // full-refold A/B arm recomputes from the table, so holding
+          // checkpoint blocks there would just skew its memory profile
+          if (incremental) pendingCanon :+= canon
           val due = (b + 1) % refreshEvery == 0 || b == batches - 1
           val nDates = pendingDates.size
+          val nBatches = pendingCanon.size
           val tRungs = timed {
-            if (incremental) {
-              rollups.foreach { r =>
-                Ingest.refreshFoldPartialsIncremental(spark, path,
-                  Ingest.rollupPath(path, r), r, canon)
-                spark.catalog.refreshByPath(Ingest.rollupPath(path, r))
-              }
-              pendingDates = Set.empty
-            } else if (due) {
-              rollups.foreach { r =>
-                Ingest.refreshFoldPartials(spark, path,
-                  Ingest.rollupPath(path, r), r, Some(pendingDates.toSeq))
-                spark.catalog.refreshByPath(Ingest.rollupPath(path, r))
+            if (due) {
+              if (incremental) {
+                val union = pendingCanon.reduce(_.unionByName(_))
+                rollups.foreach { r =>
+                  Ingest.refreshFoldPartialsIncremental(spark, path,
+                    Ingest.rollupPath(path, r), r, union)
+                  spark.catalog.refreshByPath(Ingest.rollupPath(path, r))
+                }
+              } else {
+                rollups.foreach { r =>
+                  Ingest.refreshFoldPartials(spark, path,
+                    Ingest.rollupPath(path, r), r, Some(pendingDates.toSeq))
+                  spark.catalog.refreshByPath(Ingest.rollupPath(path, r))
+                }
               }
               pendingDates = Set.empty
             }
@@ -155,14 +174,19 @@ object IngestBench {
           println(f"batch $b: $perBatch samples full-tier in $total%.2f s" +
             f" = ${perBatch / total / 1e6}%.2f M/s  [dedup $tDedup%.2f" +
             f" table $tTable%.2f chunks $tChunks%.2f index $tIndex%.2f" +
-            f" rungs($nDates%dd${if (due) "" else " deferred"}) $tRungs%.2f]" +
-            (if (b == 0) " (cold)" else ""))
-        } finally canon.queryExecution.analyzed.foreach {
-          case lr: org.apache.spark.sql.execution.LogicalRDD =>
-            lr.rdd.unpersist(blocking = false)
-          case _ =>
+            f" rungs($nDates%dd/$nBatches%db${if (due) "" else " deferred"})" +
+            f" $tRungs%.2f]" + (if (b == 0) " (cold)" else ""))
+        } finally {
+          if (!incremental) freeCheckpoint(canon)
+          else if (pendingDates.isEmpty) {
+            // flushed (or never deferred): the buffered checkpoints'
+            // blocks are no longer needed
+            pendingCanon.foreach(freeCheckpoint)
+            pendingCanon = Vector.empty
+          }
         }
       }
+      pendingCanon.foreach(freeCheckpoint)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     }
     spark.stop()

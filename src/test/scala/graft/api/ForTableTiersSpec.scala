@@ -200,6 +200,11 @@ class ForTableTiersSpec extends SparkTestBase {
       write(21, 30) // third write: refresh fires
       assert(tApi.rollupRefreshCount == 1,
         s"expected 1 refresh after 3 writes, got ${tApi.rollupRefreshCount}")
+      // r15 witness: the debounced flush ran as the ASSOCIATIVE merge
+      // of the 3 pending batches' union, not the accumulated-date
+      // refold (the bit-equality asserts below prove it exact)
+      assert(tApi.rollupIncrementalMergeCount == 1,
+        "debounced flush took the volume-coupled full refold")
       assert(new java.io.File(s"$path/_tiers_ok").exists())
       assert(tApi.servingEngine.allPartials.map(_._2) == Seq(5 * m),
         "post-refresh engine did not rebind the rungs")
@@ -225,6 +230,10 @@ class ForTableTiersSpec extends SparkTestBase {
       // flush with nothing pending is a no-op
       tApi.flushTiers()
       assert(tApi.rollupRefreshCount == 3)
+      // every refresh this test drove — two debounce-triggered, one
+      // quiesce flush — was the pending-union associative merge
+      assert(tApi.rollupIncrementalMergeCount == 3,
+        "a debounced refresh fell back to the full refold")
     } finally tApi.stop()
   }
 

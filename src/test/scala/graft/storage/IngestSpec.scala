@@ -284,6 +284,81 @@ class IngestSpec extends SparkTestBase {
     }
   }
 
+  test("debounced multi-batch pending set (r15): folding the UNION of " +
+      "several appended batches' canonical rows merges bit-equal to the " +
+      "full refold — in-order, cross-batch duplicate rows, batches that " +
+      "interleave EACH OTHER, and rung-interleave fallback") {
+    val m = 60000L
+    val bucket = 5 * m
+    def mk(k: String, t: Long, v: Double) =
+      Ingest.WriteSample(Map("__name__" -> "du", "k" -> k), t, v)
+    def canon(rows: Seq[Ingest.WriteSample]) =
+      Ingest.dedup(Ingest.canonicalize(rows.toDS()), strict = false)
+    def rungRows(p: String) =
+      spark.read.parquet(p).drop("date").collect()
+        .map(_.toSeq.map {
+          case d: Double => java.lang.Double.doubleToLongBits(d)
+          case x => x
+        }).toSet
+    val path = tmp("ingest-deb")
+    val full = tmp("rung-deb-full")
+    val inc = tmp("rung-deb-inc")
+    // committed history: one bucket of a counter + bootstrap
+    val b0 = Seq(mk("ctr", 0L, 10), mk("ctr", m, 3), mk("rise", 0L, 1))
+    Ingest.appendCanonical(canon(b0), path)
+    Ingest.refreshFoldPartials(spark, path, full, bucket, None)
+    Ingest.refreshFoldPartialsIncremental(spark, path, inc, bucket,
+      canon(b0))
+    assert(rungRows(full) == rungRows(inc), "bootstrap diverged")
+    // three DEFERRED writes. b1/b2 carry a cross-batch duplicate
+    // (ctr @ 3m = 7 in both): each per-batch dedup keeps it, so the
+    // table holds TWO rows — the union must too, or cnt diverges from
+    // the refold. b2 and b3 INTERLEAVE each other inside rise's second
+    // bucket (order-free union fold must absorb that without the
+    // fallback); all three stay strictly LATER than the rung's
+    // committed live ranges, so the rung-junction merge applies.
+    val b1 = Seq(mk("ctr", 3 * m, 7), mk("rise", bucket + m, 4))
+    val b2 = Seq(mk("ctr", 3 * m, 7), mk("ctr", 4 * m, 2),
+      mk("rise", bucket + 3 * m, 6))
+    val b3 = Seq(mk("rise", bucket + 2 * m, 5))
+    Seq(b1, b2, b3).foreach { b =>
+      Ingest.appendCanonical(canon(b), path)
+      spark.catalog.refreshByPath(path)
+    }
+    val union = Seq(b1, b2, b3).map(canon).reduce(_.unionByName(_))
+    Ingest.refreshFoldPartials(spark, path, full, bucket,
+      Some(Ingest.datesOf(union)))
+    Ingest.refreshFoldPartialsIncremental(spark, path, inc, bucket, union)
+    assert(rungRows(full) == rungRows(inc),
+      "multi-batch union merge diverged from the full refold")
+    // a later pending set whose union interleaves the RUNG's committed
+    // range (ctr @ 3.5m lands between committed 3m and 4m) must detect
+    // and fall back — still bit-equal
+    val b4 = Seq(mk("ctr", 3 * m + 30000L, 4))
+    val b5 = Seq(mk("rise", 2 * bucket, 9))
+    Seq(b4, b5).foreach { b =>
+      Ingest.appendCanonical(canon(b), path)
+      spark.catalog.refreshByPath(path)
+    }
+    val union2 = Seq(b4, b5).map(canon).reduce(_.unionByName(_))
+    Ingest.refreshFoldPartials(spark, path, full, bucket,
+      Some(Ingest.datesOf(union2)))
+    Ingest.refreshFoldPartialsIncremental(spark, path, inc, bucket, union2)
+    assert(rungRows(full) == rungRows(inc),
+      "rung-interleave fallback diverged on a multi-batch union")
+    // the merged rung serves queries bit-equally to raw
+    val samples = Ingest.readTable(spark, path)
+    val rung = spark.read.parquet(inc).drop("date")
+    val raw = new PromQLEngine(spark, samples)
+    val routed = new PromQLEngine(spark, samples,
+      partialsLadder = Seq((rung, bucket)))
+    for (q <- Seq("sum_over_time(du[10m])", "increase(du[10m])")) {
+      val a = resultMap(raw.rangeQuery(q, 0L, 3 * bucket, bucket))
+      val b = resultMap(routed.rangeQuery(q, 0L, 3 * bucket, bucket))
+      assert(a == b && a.nonEmpty, s"$q diverged on the merged rung")
+    }
+  }
+
   test("mergeFoldPartials property: for seeded random corpora split at " +
       "a time cut, merge(fold(A), fold(B)) equals fold(A ∪ B) " +
       "bit-for-bit (resets, markers, boundary rows, empty sides)") {
