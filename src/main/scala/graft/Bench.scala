@@ -44,7 +44,7 @@ object BenchFormat {
     */
   final case class Rec(name: String, cold: Double, warm: Double,
       draws: Seq[Double], probeRatio: Double, retries: Int,
-      memoized: Boolean = false)
+      memoized: Boolean = false, stormed: Boolean = false)
 
   /** One interleaved throughput window: the light-only and mixed
     * figures plus, for EACH half, the max bracketing-probe ratio that
@@ -52,7 +52,8 @@ object BenchFormat {
     * the storm evidence the serial section has carried since r5. */
   final case class QpsWindow(light: Double, mixed: Double,
       lightRatio: Double, mixedRatio: Double,
-      lightRetries: Int = 0, mixedRetries: Int = 0)
+      lightRetries: Int = 0, mixedRetries: Int = 0,
+      lightStormed: Boolean = false, mixedStormed: Boolean = false)
 
   /** Shortest-unique underscore-token prefix per query name:
     * `a1_sum` → `a1`, but `f1_rate`/`f1_delta` keep their second token
@@ -114,7 +115,12 @@ object BenchFormat {
         ",\"cold\":" + r3(r.cold) + ",\"draws\":" + draws +
         ",\"probe_ratio\":" + r2(r.probeRatio) +
         ",\"retries\":" + r.retries +
-        (if (r.memoized) ",\"memoized\":true" else "") + "}"
+        (if (r.memoized) ",\"memoized\":true" else "") +
+        // r15: a row whose 2 redraws were exhausted with the probe
+        // still >1.5× baseline shipped a STORMED median — flagged so
+        // cross-round driver-line comparisons can filter mechanically
+        // instead of digging through draw arrays (the r14 m8/m9 rows)
+        (if (r.stormed) ",\"stormed\":true" else "") + "}"
     }.mkString("{", ",", "}")
     val total = recs.map(_.warm).sum
     // every interleaved (light, mixed) throughput window, in run
@@ -124,11 +130,15 @@ object BenchFormat {
     // adjudicate storm vs regression — now each window carries the
     // same contention evidence the serial batches have had since r5):
     // [light, mixed, light_ratio, mixed_ratio, light_retries,
-    //  mixed_retries]
+    //  mixed_retries, light_stormed, mixed_stormed] — the last two
+    // are 0/1 (r15): 1 marks a half whose redraws were exhausted with
+    // the probe still >1.5×, i.e. the figure shipped stormed
     val wins = qpsWindows
       .map { w => "[" + r2(w.light) + "," + r2(w.mixed) + "," +
         r2(w.lightRatio) + "," + r2(w.mixedRatio) + "," +
-        w.lightRetries + "," + w.mixedRetries + "]" }
+        w.lightRetries + "," + w.mixedRetries + "," +
+        (if (w.lightStormed) 1 else 0) + "," +
+        (if (w.mixedStormed) 1 else 0) + "]" }
       .mkString("[", ",", "]")
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_sec":${r3(coldTotal)},"instant_qps":${r3(qps)},"mixed_qps":${r3(mixedQps)},"qps_windows":$wins,"probe_baseline_ms":${r3(probeBaseline * 1000)},"fixture_prep_sec":${r3(prepSec)},"sf":$sfNum}"""
   }
@@ -228,7 +238,10 @@ object Bench {
       }
       val warm = batch.sorted.apply(batch.size / 2)
       BenchFormat.Rec(name, cold, warm, allDraws, ratio, retries,
-        memoized = SparkEntry.memoizedEntries.contains(name))
+        memoized = SparkEntry.memoizedEntries.contains(name),
+        // redraws exhausted with the probe still hot: the reported
+        // median is storm-contaminated — stamp it machine-readably
+        stormed = ratio > 1.5)
     }
     val results = recs.map(r => (r.name, r.cold, r.warm))
     // settle before the throughput section: the serial section leaves
@@ -309,7 +322,7 @@ object Bench {
     // draws of 61–64) could not be adjudicated storm-vs-regression
     // from the artifact; now they can (two clean HEAD re-runs showed
     // no decay: stable 55–64 q/s windows, see SCALE.md r14).
-    def qpsHalf(heavy: Int): (Double, Double, Int) = {
+    def qpsHalf(heavy: Int): (Double, Double, Int, Boolean) = {
       var pre = probeOnce() / probeBaseline
       var q = runQps(heavy)
       var post = probeOnce() / probeBaseline
@@ -324,12 +337,12 @@ object Bench {
         post = probeOnce() / probeBaseline
         ratio = math.max(pre, post)
       }
-      (q, ratio, retries)
+      (q, ratio, retries, ratio > 1.5)
     }
     val windows = Seq.fill(3) {
-      val (l, lr, lt) = qpsHalf(0)
-      val (x, xr, xt) = qpsHalf(2)
-      BenchFormat.QpsWindow(l, x, lr, xr, lt, xt)
+      val (l, lr, lt, ls) = qpsHalf(0)
+      val (x, xr, xt, xs) = qpsHalf(2)
+      BenchFormat.QpsWindow(l, x, lr, xr, lt, xt, ls, xs)
     }
     val qps = windows.map(_.light).max
     val mixedQps = windows.map(_.mixed).max

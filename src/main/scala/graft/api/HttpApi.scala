@@ -165,6 +165,21 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
     * /metrics exports as `graft_api_gate_free_slots`. */
   def gateFreeSlots: Int = gate.availablePermits()
 
+  /** Drive the write sink with an already-built edge frame
+    * (labels, t, v, stale) — the bulk-ingest entry for cluster-sized
+    * batches that the 10 MiB HTTP body guard exists to keep OFF the
+    * public endpoint. Runs the identical sink sequence `/write` runs
+    * (dedup → append → tier maintenance → engine swap, under the same
+    * per-table write lock), so a soak driving it measures the real
+    * write path at real batch sizes (`graft.tools.HttpBench`
+    * rungsoak). Throws like `/write` when no sink is configured. */
+  def writeDirect(df: DataFrame): Unit = {
+    val sink = writeSink.getOrElse(
+      throw HttpApi.ApiError(405, "bad_data", "write sink not configured"))
+    sink(df)
+    samplesAppended.addAndGet(df.count())
+  }
+
   /** FAIR-pool slot ids currently free — MaxConcurrent when the gate
     * is idle; the spec invariant that slot pools recycle instead of
     * leaking (the pre-r14 per-request UUID pools grew the scheduler

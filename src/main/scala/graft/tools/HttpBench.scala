@@ -43,6 +43,21 @@ object HttpBench {
       writeSoak(if (args.length > 3) args(3).toInt else 5)
       return
     }
+    // SERVING-DAY rung soak (r15): `runMain graft.tools.HttpBench _ _
+    // rungsoak [batches] [samplesPerBatch]` — the r14 writesoak's 200-
+    // sample batches measured scheduling floors, not the merge; this
+    // drives forTable's sink at REAL batch sizes (default 96 × 2 M
+    // samples, all into ONE UTC date — a serving day at a batch per
+    // 15 min) through HttpApi.writeDirect while 4 query clients run.
+    // Per-batch write seconds + query qps per batch window; a GROWING
+    // write series would mean a volume-coupled term survived the
+    // incremental merge.
+    if (args.length > 2 && args(2) == "rungsoak") {
+      rungSoak(
+        if (args.length > 3) args(3).toInt else 96,
+        if (args.length > 4) args(4).toInt else 2000000)
+      return
+    }
     val windowSec = if (args.length > 1) args(1).toLong else 5L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -256,6 +271,100 @@ object HttpBench {
         s"[${r2(l)},${r2(m)},${r2(lr)},${r2(mr)}]"
     }.mkString("[", ",", "]")},"sf":"${sfDir
       .split('/').last}"}""")
+    spark.stop()
+    sys.exit(0)
+  }
+
+  /** Ask #5 (r15): a full serving day of REAL-sized batches through
+    * the production write path — `HttpApi.writeDirect` runs the exact
+    * forTable sink (dedup → append → chunk cut → index upsert →
+    * incremental rung merge → engine swap) per batch, with 4 HTTP
+    * query clients live against whatever engine is current. All
+    * batches land in ONE UTC date so the rung partitions being merged
+    * into keep GROWING — the shape that exposed the pre-r14 refold's
+    * volume coupling (IngestBench A/B), now witnessed end-to-end. */
+  private def rungSoak(batches: Int, perBatch: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.scheduler.mode", "FAIR")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("rung-soak-table").toString
+    val api = HttpApi.forTable(spark, path,
+      rollups = Seq(3600000L, 86400000L), chunks = true)
+    val port = api.start()
+    val base = s"http://127.0.0.1:$port"
+    def get(p: String): Int = {
+      val conn = new URI(base + p).toURL.openConnection()
+        .asInstanceOf[HttpURLConnection]
+      conn.setConnectTimeout(10000); conn.setReadTimeout(600000)
+      try {
+        val c = conn.getResponseCode
+        val in = if (c >= 400) conn.getErrorStream else conn.getInputStream
+        if (in != null) { in.readAllBytes(); in.close() }
+        c
+      } finally conn.disconnect()
+    }
+    // IngestBench's generator shape (10k series, consecutive windows)
+    // at 1 s cadence so a 96 × 2 M day fits one UTC date: each batch
+    // covers perBatch/nSeries seconds
+    val nSeries = 10000
+    val baseMs = 1704067200000L // 2024-01-01, midnight UTC
+    val winMs = (perBatch / nSeries) * 1000L
+    require(batches.toLong * winMs < 86400000L,
+      "soak must stay inside one UTC date — lower batches or perBatch")
+    def batchDf(b: Int) = spark.range(perBatch).select(
+      map(
+        lit("__name__"), lit("rs_m"),
+        lit("instance"), concat(lit("inst-"), (col("id") % nSeries)),
+        lit("job"), lit("rungsoak"),
+        lit("shard"), (col("id") % 4).cast("string")
+      ).as("labels"),
+      (lit(baseMs + b.toLong * winMs) +
+        (col("id") / nSeries).cast("long") * 1000L).as("t"),
+      (col("id") % 97).cast("double").as("v"),
+      lit(false).as("stale"))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reads = new java.util.concurrent.atomic.AtomicLong(0)
+    val head = new java.util.concurrent.atomic.AtomicLong(baseMs)
+    val qp = java.net.URLEncoder.encode(
+      """rs_m{instance=~"inst-1|inst-2|inst-3"}""", "UTF-8")
+    val readers = (0 until 4).map { k =>
+      new Thread(() => {
+        while (!stop.get()) {
+          val t = head.get() / 1000
+          // connection teardown races api.stop() at exit — benign
+          try {
+            if (get(s"/api/v1/query?query=$qp&time=$t") == 200)
+              reads.incrementAndGet()
+          } catch { case _: java.io.IOException => () }
+        }
+      })
+    }
+    readers.foreach { t => t.setDaemon(true); t.start() }
+    val rows = (0 until batches).map { b =>
+      val r0 = reads.get()
+      val t0 = System.nanoTime()
+      api.writeDirect(batchDf(b))
+      val sec = (System.nanoTime() - t0) / 1e9
+      head.set(baseMs + (b + 1).toLong * winMs)
+      val qps = (reads.get() - r0) / sec
+      println(f"rungsoak batch $b: $perBatch samples in $sec%.2f s " +
+        f"(${perBatch / sec / 1e6}%.2f M/s), queries $qps%.1f q/s" +
+        (if (b == 0) " (cold)" else ""))
+      (math.rint(sec * 100) / 100, math.rint(qps * 10) / 10)
+    }
+    stop.set(true)
+    println(s"""{"rungsoak_batches":$batches,"samples_per_batch":$perBatch,"write_sec":${rows
+      .map(_._1).mkString("[", ",", "]")},"query_qps":${rows
+      .map(_._2).mkString("[", ",", "]")}}""")
+    api.stop()
     spark.stop()
     sys.exit(0)
   }

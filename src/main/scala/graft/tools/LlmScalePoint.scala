@@ -64,6 +64,9 @@ object LlmScalePoint {
       val cold = once()
       (cold, Seq.fill(3)(once()).sorted.apply(1))
     }
+    // draw counter for the d17_batch_* ops: each draw's fresh side is
+    // id-shifted so its PLAN is new (per-batch costs run per draw)
+    var batchDraw = 0L
     def boilerCorpus(d: DataFrame): (DataFrame, DataFrame) = {
       val boiler = lit(
         " all rights reserved contact us terms of service apply today")
@@ -271,6 +274,38 @@ object LlmScalePoint {
       ("d17_boiler_unpruned", () => {
         val (fresh, history) = boilerCorpus(docs)
         unprunedIncrementalContainment(fresh, history, 3, 0.8)
+      }),
+      // r15 (the r14 verdict's ask #7): the adaptive route's PER-BATCH
+      // fixed cost as a fraction of batch cost at scale. Every draw
+      // shifts the fresh ids, minting a NEW batch plan — so the route
+      // probe, batch shingle aggregation, vocabulary broadcast, and
+      // prefix slice run PER DRAW (a serving day's every batch is a
+      // new plan), while the history-side artifacts (df table, prefix
+      // postings, high-df slice) stay memoized across draws exactly as
+      // they persist across batches in production. The _forced twin
+      // (share = 0) skips the probe; (adaptive − forced)/adaptive is
+      // the probe's fraction, and either warm median over the
+      // d17_boiler_prefix row (same plan EVERY draw, everything
+      // memoized) bounds the whole fixed machinery.
+      ("d17_batch_adaptive", () => {
+        val (fresh0, history) = boilerCorpus(docs)
+        batchDraw += 1
+        val fresh = fresh0.select(
+          (col("doc_id") + lit(batchDraw * 1000000000L)).as("doc_id"),
+          col("text"))
+        Dedup.incrementalContainmentFromSets(
+          Dedup.shingleSetsCached(fresh, 3),
+          Dedup.shingleSetsCached(history, 3), 0.8)
+      }),
+      ("d17_batch_forced", () => {
+        val (fresh0, history) = boilerCorpus(docs)
+        batchDraw += 1
+        val fresh = fresh0.select(
+          (col("doc_id") + lit(batchDraw * 1000000000L)).as("doc_id"),
+          col("text"))
+        Dedup.incrementalContainmentFromSets(
+          Dedup.shingleSetsCached(fresh, 3),
+          Dedup.shingleSetsCached(history, 3), 0.8, prefixDfShare = 0.0)
       }))
     for ((name, f) <- ops if only.forall(_.contains(name))) {
       val (cold, warm) = med(f())

@@ -38,7 +38,8 @@ class BenchFormatSpec extends AnyFunSuite {
     val full = BenchFormat.fullJson(recs, 1.0, 2.0, 3.0, "0.01", 0.041,
       qpsWindows = Seq(
         BenchFormat.QpsWindow(40.0, 30.0, 1.05, 1.10),
-        BenchFormat.QpsWindow(42.5, 31.0, 1.20, 1.45, 1, 2)))
+        BenchFormat.QpsWindow(42.5, 31.0, 1.20, 2.45, 1, 2,
+          lightStormed = false, mixedStormed = true)))
     names.foreach(n => assert(full.contains("\"" + n + "\":{")))
     // every individual draw is adjudicable from the artifact (the r4
     // bench's contaminated medians could not be diagnosed without this)
@@ -48,8 +49,9 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(full.contains("\"probe_baseline_ms\":41.000"))
     // each window half carries its accepted probe ratio + retry count
     // (r14: the r13 qps collapse was unadjudicable from the artifact)
-    assert(full.contains("\"qps_windows\":[[40.00,30.00,1.05,1.10,0,0]," +
-      "[42.50,31.00,1.20,1.45,1,2]]"))
+    // and a 0/1 stormed flag (r15: redraws exhausted while still hot)
+    assert(full.contains("\"qps_windows\":[[40.00,30.00,1.05,1.10,0,0,0,0]," +
+      "[42.50,31.00,1.20,2.45,1,2,0,1]]"))
     // memo-serving rows are flagged so near-identical draws are
     // adjudicable as memoization, not plan stability; live rows carry
     // no flag
@@ -63,6 +65,26 @@ class BenchFormatSpec extends AnyFunSuite {
       "\"f1_rate\":{\"warm\":0.500,\"cold\":1.000," +
         "\"draws\":[0.600,0.500,0.400],\"probe_ratio\":1.12," +
         "\"retries\":0}"))
+  }
+
+  test("a serial row that exhausted its redraws still hot carries " +
+      "stormed:true; clean rows carry no flag (r15)") {
+    val recs = Seq(
+      BenchFormat.Rec("m8_image_incremental", 0.2, 1.11,
+        Seq(1.2, 1.11, 1.0, 1.3, 1.11, 1.05, 1.2, 1.11, 1.0),
+        probeRatio = 2.73, retries = 2, stormed = true),
+      BenchFormat.Rec("c5_semdedup_apply", 1.2, 1.22, Seq(1.3, 1.22, 1.2),
+        probeRatio = 1.07, retries = 0))
+    val full = BenchFormat.fullJson(recs, 1.4, 2.0, 3.0, "0.1", 0.041)
+    assert(full.contains(
+      "\"m8_image_incremental\":{\"warm\":1.110,\"cold\":0.200," +
+        "\"draws\":[1.200,1.110,1.000,1.300,1.110,1.050,1.200,1.110," +
+        "1.000],\"probe_ratio\":2.73,\"retries\":2,\"stormed\":true}"))
+    assert(!full.contains("\"c5_semdedup_apply\":{\"warm\":1.220," +
+      "\"cold\":1.200,\"draws\":[1.300,1.220,1.200],\"probe_ratio\":" +
+      "1.07,\"retries\":0,\"stormed\""),
+      "clean row must not carry the stormed flag")
+    assert(full.contains("\"c5_semdedup_apply\":{\"warm\":1.220"))
   }
 
   test("calibration probe does fixed work in bounded time") {

@@ -19,6 +19,21 @@ import org.apache.spark.sql.execution.ExplainMode
   * (PlanShapeSpec). An entry leaving the list (op
   * rewritten without the cross join) just passes; an entry ENTERING
   * BNLJ without adjudication fails here.
+  *
+  * Per-row SCALA-UDF sweep (r15 refresh; the HOF gate below covers
+  * lambda expressions, this note covers `functions.udf` sites, which
+  * plans show as opaque and the gate cannot pattern-match): the full
+  * `grep udf src/main` inventory is unchanged since the r13
+  * adjudication — PromUdfs' per-(series, window) fold/rate/quantile
+  * mergers (one call per OUTPUT row, never per sample; the partials
+  * route keeps their inputs rung-sliced), TopK's per-RESULT-row label
+  * decode, Dedup's broadcast-Bloom probe (per batch row, O(batch)) and
+  * per-doc simhash, Similarity's per-QUERY PQ table build + coarse-scan
+  * branch + recall-witness jitter, TextOps' per-doc string rewriters
+  * (t13/t17-class, output-bounded), and Multimodal's documented resize
+  * stub. None sits on a corpus-volume inner loop; the r15 additions
+  * (dedup index tier, debounced union merge, bench storm flag)
+  * introduced zero new udf sites.
   */
 class PlanAuditSpec extends SparkTestBase {
 

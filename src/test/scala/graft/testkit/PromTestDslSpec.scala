@@ -4246,4 +4246,228 @@ eval instant at 50m scalar(one) * 2
   {} 6
 """)
   }
+
+  test("unary minus folds into NUMBER LITERALS before ^ binds " +
+      "(parse.go:544-556 unaryExpr simplification): -2^2 is 4 in this " +
+      "vintage, not the modern -(2^2); vector unary keeps __name__ " +
+      "(r15 golden group)") {
+    run("""
+load 5m
+  foo{job="a"} 1+1x10
+
+# the sign is folded into the literal BEFORE the binary loop sees ^,
+# so the base is (-2) — modern PromQL would parse -(2^2) = -4
+eval instant at 50m -2^2
+  {} 4
+
+eval instant at 50m -2^-3
+  {} -0.125
+
+# ^ stays right-associative around the folded base: (-2)^(3^2)
+eval instant at 50m -2^3^2
+  {} -512
+
+eval instant at 50m 2^-1^2
+  {} 2
+
+# inside a lower-precedence chain the folded literal still binds the
+# exponent first: 1 - ((-2)^2)
+eval instant at 50m 1 - -2^2
+  {} -3
+
+# a unary over a VECTOR is a UnaryExpr (no folding), evaluated before
+# any binop — and it does NOT drop the metric name (engine.go:745-758
+# only negates values); ^ is not in shouldDropMetricName either
+eval instant at 50m -foo^2
+  foo{job="a"} 121
+
+eval instant at 50m - -foo
+  foo{job="a"} 11
+
+eval instant at 50m +foo
+  foo{job="a"} 11
+
+# * DOES drop the name (engine.go:1460) even when the vector side
+# arrived through a unary
+eval instant at 50m -foo * 2
+  {job="a"} -22
+""")
+  }
+
+  test("group_right include labels come from the ONE side: they " +
+      "OVERWRITE the many side's own value and are DELETED when the " +
+      "one side lacks them (engine.go:972-974 swap + resultMetric " +
+      "Include loop, r15 golden group)") {
+    run("""
+load 5m
+  one{job="api", xtra="from_one"} 10+0x10
+  one{job="app"} 20+0x10
+  many{job="api", inst="0", xtra="m0"} 1+0x10
+  many{job="api", inst="1"} 2+0x10
+  many{job="app", inst="0", xtra="m2"} 3+0x10
+
+# result labels = MANY side (post-swap lhs), name dropped by +;
+# xtra is copied from the ONE side — overwriting m0, adding to inst=1,
+# and DELETING m2 (the app one-side row has no xtra)
+eval instant at 50m one + on(job) group_right(xtra) many
+  {job="api", inst="0", xtra="from_one"} 11
+  {job="api", inst="1", xtra="from_one"} 12
+  {job="app", inst="0"} 23
+
+# group_left mirror with the operand order swapped: identical rows
+eval instant at 50m many + on(job) group_left(xtra) one
+  {job="api", inst="0", xtra="from_one"} 11
+  {job="api", inst="1", xtra="from_one"} 12
+  {job="app", inst="0"} 23
+
+# a non-commutative op pins WHICH side is the value's left operand:
+# group_right makes the one side the left value (one / many) — and
+# with an EMPTY include list the many side keeps ALL its own labels,
+# xtra included (resultMetric only touches Include-listed names)
+eval instant at 50m one / on(job) group_right() many
+  {job="api", inst="0", xtra="m0"} 10
+  {job="api", inst="1"} 5
+  {job="app", inst="0", xtra="m2"} 6.6666666667
+
+# the copied label may itself be a MATCHING label under ignoring():
+# here ignoring(inst, xtra) matches on job alone and copies xtra in
+eval instant at 50m one + ignoring(inst, xtra) group_right(xtra) many
+  {job="api", inst="0", xtra="from_one"} 11
+  {job="api", inst="1", xtra="from_one"} 12
+  {job="app", inst="0"} 23
+""")
+  }
+
+  test("changes/resets at the CLOSED window edge: a reset whose earlier " +
+      "point sits exactly at t-W is counted, one step later it is not " +
+      "(r15 golden group)") {
+    run("""
+load 1m
+  ctr 0 1 2 0 3 4 0 5
+
+# window [2m, 6m]: points 2 0 3 4 0 — both resets in range
+eval instant at 6m resets(ctr[4m])
+  {} 2
+
+# window [3m, 6m]: points 0 3 4 0 — the 2->0 reset's EARLIER point
+# (t=2m) fell off the closed edge; only 4->0 remains
+eval instant at 6m resets(ctr[3m])
+  {} 1
+
+# window [4m, 7m]: points 3 4 0 5 — one reset
+eval instant at 7m resets(ctr[3m])
+  {} 1
+
+eval instant at 6m changes(ctr[4m])
+  {} 4
+
+eval instant at 6m changes(ctr[3m])
+  {} 3
+
+# a window ending BETWEEN samples still anchors [t-W, t] on the raw
+# timestamps inside it: [150s, 390s] holds 0 3 4 0
+eval instant at 390s resets(ctr[4m])
+  {} 1
+
+# single-point window: no pair to compare
+eval instant at 4m resets(ctr[1s])
+  {} 0
+
+eval instant at 4m changes(ctr[1s])
+  {} 0
+""")
+  }
+
+  test("histogram_quantile le FORMATTING: scientific notation parses to " +
+      "the same bound, 'Inf' spells +Inf, malformed le buckets are " +
+      "SKIPPED not errors (functions.go:698-705, r15 golden group)") {
+    run("""
+load 5m
+  sci{le="5e-1"} 0+5x10
+  sci{le="1"} 0+10x10
+  sci{le="+Inf"} 0+10x10
+
+# 5e-1 parses to 0.5: rank 50 at phi=0.5 fills the first bucket
+eval instant at 50m histogram_quantile(0.5, sci)
+  {} 0.5
+
+eval instant at 50m histogram_quantile(0.75, sci)
+  {} 0.75
+
+load 5m
+  nfs{le="2"} 0+10x10
+  nfs{le="Inf"} 0+10x10
+
+# ParseFloat accepts the sign-less "Inf" spelling as +Inf, so this IS
+# a well-formed histogram (le=2 count 100, +Inf 100)
+eval instant at 50m histogram_quantile(0.5, nfs)
+  {} 1
+
+load 5m
+  mal{le="abc"} 0+100x10
+  mal{le="1"} 0+10x10
+  mal{le="+Inf"} 0+10x10
+
+# the malformed bucket is silently skipped (continue), leaving a
+# 2-bucket histogram — its huge count never distorts the quantile
+eval instant at 50m histogram_quantile(0.5, mal)
+  {} 0.5
+
+load 5m
+  lone{le="+Inf"} 0+10x10
+
+# fewer than 2 parseable buckets -> NaN
+eval instant at 50m histogram_quantile(0.5, lone)
+  {} NaN
+
+load 5m
+  noinf{le="1"} 0+5x10
+  noinf{le="1e2"} 0+10x10
+
+# 1e2 parses to 100 but is finite: highest bound not +Inf -> NaN
+eval instant at 50m histogram_quantile(0.5, noinf)
+  {} NaN
+""")
+  }
+
+  test("set operations with on() EMPTY matching lists collapse every " +
+      "signature to one bucket; bool on a set op and on/group label " +
+      "collisions are PARSE errors (r15 golden group)") {
+    run("""
+load 5m
+  foo{job="a"} 1+1x10
+  foo{job="b"} 2+2x10
+  bar{other="x"} 5+0x10
+
+# on() hashes the EMPTY label set: everything matches everything, so
+# `and` keeps all of foo whenever bar is nonempty...
+eval instant at 50m foo and on() bar
+  foo{job="a"} 11
+  foo{job="b"} 22
+
+# ...and `unless` erases it
+eval instant at 50m foo unless on() bar
+
+eval instant at 50m foo unless on() nonexistent
+  foo{job="a"} 11
+  foo{job="b"} 22
+
+# or with on() still unions by the COLLAPSED signature: both sides
+# share the one empty-set bucket, so the whole left side wins and bar
+# is shadowed
+eval instant at 50m foo or on() bar
+  foo{job="a"} 11
+  foo{job="b"} 22
+
+# ignoring() with ALL labels listed is the same collapse
+eval instant at 50m foo unless ignoring(job, other) bar
+
+# bool is only a comparison modifier (parse.go:601-613)
+eval_fail instant at 50m foo and bool bar
+
+# a label in both on() and group_left() is rejected at parse time
+# (parse.go:495-503)
+eval_fail instant at 50m foo / on(job) group_left(job) bar
+""")
+  }
 }
