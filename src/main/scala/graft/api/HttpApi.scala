@@ -1277,6 +1277,17 @@ object HttpApi {
     //    everything, not just its own batch, or the marker it
     //    re-creates would certify tiers that permanently hide the
     //    failed batch's series from every matcher
+    // per-date partition bytes at the LAST chunk compaction (r15): the
+    // rungsoak at real batch sizes caught the file-count-only trigger
+    // firing every ~threshold/fan-out batches, each re-encoding the
+    // date's WHOLE accumulated volume — an O(day²) inline term. The
+    // geometric gate below (compact only once the partition has
+    // DOUBLED since the last compaction) bounds a day's total
+    // re-encode work at ~2× its final volume (the LSM size-tiered
+    // argument) at the price of letting the file count grow within
+    // each doubling interval. In-memory is safe: a restart just pays
+    // one early compaction, then the doubling cadence resumes.
+    var lastChunkCompactBytes = Map.empty[String, Long]
     var pendingDates = Set.empty[String]
     // the raw frames of the deferred writes, in arrival order — the
     // debounced flush folds the union of their PER-BATCH canonical
@@ -1318,16 +1329,25 @@ object HttpApi {
     // boot. The dedup pass re-derives the appended canonical rows;
     // pending-bounded, and far below the refold it replaces once a
     // date has accumulated a few batches (SCALE.md §6 r14/r15 A/B).
-    def refreshRungsIncremental(batchesRaw: Seq[DataFrame]): Unit = {
-      val canon = batchesRaw.map(Ingest.dedup(_, strict = false))
-        .reduce(_.unionByName(_)).persist()
+    def refreshRungsIncremental(batchesRaw: Seq[DataFrame],
+        canonSingle: Option[DataFrame] = None): Unit = {
+      // r15: the non-debounced chunks path already HOLDS this batch's
+      // canonical rows checkpointed (the sink computes them for the
+      // table + chunk appends) — reuse them instead of re-running the
+      // batch's dominant dedup shuffle a second time; the union path
+      // (and the chunk-less config) derives as before
+      val (canon, derived) = canonSingle match {
+        case Some(c) if batchesRaw.size == 1 => (c, false)
+        case _ => (batchesRaw.map(Ingest.dedup(_, strict = false))
+          .reduce(_.unionByName(_)).persist(), true)
+      }
       try {
         rollups.foreach { b =>
           Ingest.refreshFoldPartialsIncremental(spark, path,
             rollupPath(b), b, canon)
           spark.catalog.refreshByPath(rollupPath(b))
         }
-      } finally canon.unpersist(false)
+      } finally if (derived) canon.unpersist(false)
       api.rollupRefreshes.incrementAndGet()
       api.rollupIncrementalMerges.incrementAndGet()
       pendingDates = Set.empty
@@ -1343,6 +1363,16 @@ object HttpApi {
       // not the tiers, so take the full-heal path below
       val markerWasAbsent = !tableFs.delete(tiersOk, false)
       val needHeal = failedDirty || (markerWasAbsent && pendingDates.isEmpty)
+      // the chunks path's checkpointed canonical frame, kept alive for
+      // the WHOLE sink call so the rung refresh can reuse it (r15);
+      // freed in the outermost finally on every path
+      var sharedCanon: Option[DataFrame] = None
+      def freeCheckpoint(c: DataFrame): Unit =
+        c.queryExecution.analyzed.foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false)
+          case _ =>
+        }
       try {
         if (chunks) {
           // dedup ONCE, materialize, feed both stores: the chunk
@@ -1353,7 +1383,7 @@ object HttpApi {
           // (r8 advice: leaving them to GC accumulates executor
           // storage across a long-running writer's batches).
           val canon = Ingest.dedup(df, strict = false).localCheckpoint(true)
-          try {
+          sharedCanon = Some(canon)
           Ingest.appendCanonical(canon, path)
           if (!needHeal) {
             // per-batch chunk cut — the batch shape of
@@ -1377,25 +1407,28 @@ object HttpApi {
               tableFs.listStatus(chunkRoot)
                 .filter(_.getPath.getName.startsWith("date="))
                 .foreach { d =>
-                  if (tableFs.listStatus(d.getPath).count(
-                      _.getPath.getName.endsWith(".parquet")) >
-                      chunkCompactThreshold) {
+                  val parts = tableFs.listStatus(d.getPath)
+                    .filter(_.getPath.getName.endsWith(".parquet"))
+                  val date = d.getPath.getName.stripPrefix("date=")
+                  // geometric gate (r15): fragmentation alone is not
+                  // worth an O(date) re-encode — require the partition
+                  // to have doubled since the last compaction too, so
+                  // a day's total compaction work stays ~2× its volume
+                  // instead of quadratic (see lastChunkCompactBytes)
+                  val bytes = parts.map(_.getLen).sum
+                  if (parts.length > chunkCompactThreshold &&
+                      bytes >= 2 * lastChunkCompactBytes.getOrElse(date, 0L)) {
                     api.quiesced(HttpApi.CompactDrainTimeoutMs) {
-                      ChunkStore.compact(spark, chunksPath,
-                        d.getPath.getName.stripPrefix("date="))
+                      ChunkStore.compact(spark, chunksPath, date)
                       spark.catalog.refreshByPath(chunksPath)
                     } match {
-                      case Some(_) => api.chunkCompactions.incrementAndGet()
+                      case Some(_) =>
+                        api.chunkCompactions.incrementAndGet()
+                        lastChunkCompactBytes += date -> bytes
                       case None => api.chunkCompactionsDeferred.incrementAndGet()
                     }
                   }
                 }
-          }
-          } finally canon.queryExecution.analyzed.foreach {
-            // free the localCheckpoint's blocks now, not at GC time
-            case lr: org.apache.spark.sql.execution.LogicalRDD =>
-              lr.rdd.unpersist(blocking = false)
-            case _ =>
           }
         } else Ingest.append(df, path)
         if (needHeal) {
@@ -1450,7 +1483,7 @@ object HttpApi {
               // the guard is belt-and-braces; full refold otherwise)
               if (pendingBatches.nonEmpty &&
                   pendingBatches.size == writesSinceRefresh)
-                refreshRungsIncremental(pendingBatches)
+                refreshRungsIncremental(pendingBatches, sharedCanon)
               else refreshRungs(Some(pendingDates.toSeq))
             }
           }
@@ -1480,6 +1513,10 @@ object HttpApi {
         }
       } catch {
         case e: Throwable => failedDirty = true; throw e
+      } finally sharedCanon.foreach { c =>
+        // free the localCheckpoint's blocks now, not at GC time (r8
+        // advice) — after the rung refresh that reuses them (r15)
+        freeCheckpoint(c)
       }
       api.swapEngine(freshEngine(bindRungs = pendingDates.isEmpty))
         .releaseSeriesDim()

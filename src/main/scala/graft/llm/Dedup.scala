@@ -347,7 +347,7 @@ object Dedup {
     val hpost = historySets.select(col("id").as("hid"), col("nsh").as("nh"),
       explode(col("hs")).as("s"))
     val dfSlice = setDfCached(historySets).join(
-      broadcast(fpost.select(col("s")).distinct()), Seq("s"), "left_semi")
+      broadcast(freshVocabCached(freshSets)), Seq("s"), "left_semi")
     val fpref = prefixPostings(freshSets, dfSlice, threshold,
         broadcastDf = true)
       .select(col("id").as("fid"), col("s"))
@@ -374,7 +374,7 @@ object Dedup {
     val hpost = historySets.select(col("id").as("hid"), col("nsh").as("nh"),
       explode(col("hs")).as("s"))
     val pruned = hpost.join(
-      broadcast(fpost.select(col("s")).distinct()), Seq("s"), "left_semi")
+      broadcast(freshVocabCached(freshSets)), Seq("s"), "left_semi")
     pruned.join(fpost, Seq("s"))
       .groupBy(col("fid"), col("hid"), col("nf"), col("nh"))
       .agg(count(lit(1)).as("inter"))
@@ -442,7 +442,7 @@ object Dedup {
     val hpost = historySets.select(col("id").as("hid"), col("nsh").as("nh"),
       explode(col("hs")).as("s"))
     val pruned = hpost.join(
-      broadcast(fpost.select(col("s")).distinct()), Seq("s"), "left_semi")
+      broadcast(freshVocabCached(freshSets)), Seq("s"), "left_semi")
     pruned.join(fpost, Seq("s"))
       .groupBy(col("fid"), col("hid"), col("nf"), col("nh"))
       .agg(count(lit(1)).as("inter"))
@@ -460,7 +460,7 @@ object Dedup {
     val hpost = historySets.select(col("id").as("hid"), col("nsh").as("nh"),
       explode(col("hs")).as("s"))
     val dfSlice = setDfCached(historySets).join(
-      broadcast(fpost.select(col("s")).distinct()), Seq("s"), "left_semi")
+      broadcast(freshVocabCached(freshSets)), Seq("s"), "left_semi")
     // Orientation 1 — fresh is the min side (nf <= nh): the fresh
     // doc's rarest-prefix must hit a shared element (inter >=
     // ceil(t·nf) when containment is achieved on the fresh side).
@@ -487,7 +487,7 @@ object Dedup {
     val hpref = historyPrefixCached(historySets, threshold)
       .select(col("id").as("hid"), col("nsh").as("nh"), col("s"))
     val cand2 = hpref
-      .join(broadcast(fpost.select(col("s")).distinct()), Seq("s"),
+      .join(broadcast(freshVocabCached(freshSets)), Seq("s"),
         "left_semi")
       .join(fpost, Seq("s"))
       .where(col("nh") < col("nf"))
@@ -529,14 +529,33 @@ object Dedup {
     // per-BATCH cost is one broadcast of the batch vocabulary against
     // the tiny cached high-df slice — never a scan of the full
     // (vocabulary-sized) df table per batch; that scan happens once
-    // per (history, share) when the slice is built
+    // per (history, share) when the slice is built. The vocabulary
+    // frame is the SHARED memo (r15): this probe action materializes
+    // it, and the routed query's dfSlice/prune broadcasts reuse the
+    // cached rows instead of re-exploding the batch postings (the
+    // ×100 A/B read the duplicate pass at ~17% of batch cost).
     val decision = highDfCached(historySets, share)
-      .join(broadcast(freshSets.select(explode(col("hs")).as("s"))
-        .distinct()), Seq("s"), "left_semi")
+      .join(broadcast(freshVocabCached(freshSets)), Seq("s"), "left_semi")
       .limit(1).count() > 0
     routeCache.put(key, java.lang.Boolean.valueOf(decision))
     decision
   }
+
+  /** The batch's distinct-element vocabulary `(s)`, memoized +
+    * Spark-cached per fresh plan: consumed by the route probe (its own
+    * action), the df-slice semi-join, and the history-prune broadcasts
+    * — without the memo each consumer re-runs the batch postings
+    * explode+distinct (separate actions cannot share an exchange).
+    * Batch-bounded rows; per-batch keys churn through the LRU. */
+  private def freshVocabCached(freshSets: DataFrame): DataFrame =
+    vocabCache.computeIfAbsent(
+      freshSets.select(col("id"), col("hs"))
+        .queryExecution.analyzed.canonicalized,
+      _ => freshSets.select(explode(col("hs")).as("s")).distinct().cache())
+
+  private val vocabCache: java.util.Map[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame] =
+    PlanCache.bounded(16)
 
   /** The BOILERPLATE-candidate slice of a history's df table: elements
     * present in ≥ `share`·|history docs| documents — for any web-scale
@@ -724,7 +743,15 @@ object Dedup {
     * O(listing) and the per-batch cost stays the broadcast semi-join
     * slice. Build cost equals what the first batch of a session paid
     * inline pre-r15 (one df aggregation + one postings window per
-    * threshold), now paid once at ingest-side compaction instead. */
+    * threshold), now paid once at ingest-side compaction instead.
+    *
+    * Plan-key contract: bind matches by `historySets`' CANONICALIZED
+    * plan, so build the index from the exact frame later sessions will
+    * pass — for the production shape, persist the fingerprint (set)
+    * table first and build from its RE-READ (`spark.read.parquet`)
+    * frame (`graft.tools.DedupIndexBench` build mode); a
+    * computed-from-text frame also works when every session derives it
+    * from the same corpus path with the same shingle parameters. */
   def writeIncrementalIndex(historySets: DataFrame, dir: String,
       thresholds: Seq[Double],
       share: Double = DefaultPrefixDfShare): Unit = {
@@ -847,6 +874,7 @@ object Dedup {
     PlanCache.clearAndUnpersist(candCache)
     PlanCache.clearAndUnpersist(histPrefixCache)
     PlanCache.clearAndUnpersist(highDfCache)
+    PlanCache.clearAndUnpersist(vocabCache)
     routeCache.clear()
     histCountCache.clear()
   }
@@ -1618,6 +1646,7 @@ object Dedup {
   graft.model.Samples.registerSessionBoundCache(candCache)
   graft.model.Samples.registerSessionBoundCache(histPrefixCache)
   graft.model.Samples.registerSessionBoundCache(highDfCache)
+  graft.model.Samples.registerSessionBoundCache(vocabCache)
   graft.model.Samples.registerSessionBoundValueCache(routeCache)
   graft.model.Samples.registerSessionBoundValueCache(histCountCache)
 

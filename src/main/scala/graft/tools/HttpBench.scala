@@ -55,7 +55,8 @@ object HttpBench {
     if (args.length > 2 && args(2) == "rungsoak") {
       rungSoak(
         if (args.length > 3) args(3).toInt else 96,
-        if (args.length > 4) args(4).toInt else 2000000)
+        if (args.length > 4) args(4).toInt else 2000000,
+        chunks = !(args.length > 5 && args(5) == "nochunks"))
       return
     }
     val windowSec = if (args.length > 1) args(1).toLong else 5L
@@ -283,7 +284,8 @@ object HttpBench {
     * batches land in ONE UTC date so the rung partitions being merged
     * into keep GROWING — the shape that exposed the pre-r14 refold's
     * volume coupling (IngestBench A/B), now witnessed end-to-end. */
-  private def rungSoak(batches: Int, perBatch: Int): Unit = {
+  private def rungSoak(batches: Int, perBatch: Int,
+      chunks: Boolean): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -297,7 +299,7 @@ object HttpBench {
     val path = java.nio.file.Files
       .createTempDirectory("rung-soak-table").toString
     val api = HttpApi.forTable(spark, path,
-      rollups = Seq(3600000L, 86400000L), chunks = true)
+      rollups = Seq(3600000L, 86400000L), chunks = chunks)
     val port = api.start()
     val base = s"http://127.0.0.1:$port"
     def get(p: String): Int = {
@@ -344,6 +346,12 @@ object HttpBench {
             if (get(s"/api/v1/query?query=$qp&time=$t") == 200)
               reads.incrementAndGet()
           } catch { case _: java.io.IOException => () }
+          // dashboard cadence, NOT a tight loop: unthrottled clients
+          // under FAIR scheduling starve a 2 M-row write into minutes
+          // (measured: batch 0 got ~1 CPU-min in 17 wall-min against
+          // 4 spinning readers) — the soak measures write-cost SHAPE
+          // with queries live, not peak read qps (the read soak does)
+          Thread.sleep(250)
         }
       })
     }
@@ -361,7 +369,7 @@ object HttpBench {
       (math.rint(sec * 100) / 100, math.rint(qps * 10) / 10)
     }
     stop.set(true)
-    println(s"""{"rungsoak_batches":$batches,"samples_per_batch":$perBatch,"write_sec":${rows
+    println(s"""{"rungsoak_batches":$batches,"samples_per_batch":$perBatch,"chunks":$chunks,"write_sec":${rows
       .map(_._1).mkString("[", ",", "]")},"query_qps":${rows
       .map(_._2).mkString("[", ",", "]")}}""")
     api.stop()
