@@ -1418,15 +1418,18 @@ object HttpApi {
                   val bytes = parts.map(_.getLen).sum
                   if (parts.length > chunkCompactThreshold &&
                       bytes >= 2 * lastChunkCompactBytes.getOrElse(date, 0L)) {
-                    api.quiesced(HttpApi.CompactDrainTimeoutMs) {
-                      ChunkStore.compact(spark, chunksPath, date)
-                      spark.catalog.refreshByPath(chunksPath)
-                    } match {
-                      case Some(_) =>
-                        api.chunkCompactions.incrementAndGet()
-                        lastChunkCompactBytes += date -> bytes
-                      case None => api.chunkCompactionsDeferred.incrementAndGet()
-                    }
+                    // r15: STAGED compaction serves reads through the
+                    // whole re-encode (no admission-gate drain — the
+                    // pre-r15 quiesce blocked queries for the full
+                    // O(date) rewrite, 128 s at the rungsoak's second
+                    // doubling); only the two-op partition swap can
+                    // strand an in-flight plan, and the engine swap
+                    // below replaces the listing immediately after.
+                    // The deferred counter remains for /metrics
+                    // compatibility (heals still quiesce).
+                    ChunkStore.compactStaged(spark, chunksPath, date)
+                    api.chunkCompactions.incrementAndGet()
+                    lastChunkCompactBytes += date -> bytes
                   }
                 }
           }

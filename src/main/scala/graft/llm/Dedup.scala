@@ -526,16 +526,22 @@ object Dedup {
         .queryExecution.analyzed.canonicalized, share)
     val hit = routeCache.get(key)
     if (hit != null) return hit.booleanValue()
-    // per-BATCH cost is one broadcast of the batch vocabulary against
-    // the tiny cached high-df slice — never a scan of the full
+    // per-BATCH cost is one semi-join of the (cached) batch vocabulary
+    // against the tiny high-df slice — never a scan of the full
     // (vocabulary-sized) df table per batch; that scan happens once
-    // per (history, share) when the slice is built. The vocabulary
-    // frame is the SHARED memo (r15): this probe action materializes
-    // it, and the routed query's dfSlice/prune broadcasts reuse the
-    // cached rows instead of re-exploding the batch postings (the
-    // ×100 A/B read the duplicate pass at ~17% of batch cost).
-    val decision = highDfCached(historySets, share)
-      .join(broadcast(freshVocabCached(freshSets)), Seq("s"), "left_semi")
+    // per (history, share) when the slice is built. Two r15 costs
+    // shed, both measured at ×100: the vocabulary frame is the SHARED
+    // memo (this probe action materializes it and the routed query's
+    // dfSlice/prune broadcasts reuse the rows instead of re-exploding
+    // the batch postings, ~17% of batch cost), and the BROADCAST side
+    // is the boilerplate slice, not the vocabulary — a batch
+    // vocabulary is millions of rows at scale, and building its
+    // broadcast for the probe's own execution was the probe's whole
+    // residual cost (~4.7 s of a 15 s batch; broadcast relations are
+    // not reused across separate actions).
+    val decision = freshVocabCached(freshSets)
+      .join(broadcast(highDfCached(historySets, share)), Seq("s"),
+        "left_semi")
       .limit(1).count() > 0
     routeCache.put(key, java.lang.Boolean.valueOf(decision))
     decision

@@ -236,6 +236,54 @@ object ChunkStore {
     }
   }
 
+  /** [[compact]] with the serve-through-rewrite commit discipline of
+    * [[Ingest.compactSeriesIndex]] (r15): the re-encode — minutes of
+    * work on a hot date, and geometrically scheduled so each run
+    * covers a DOUBLED partition — runs against the LIVE files into an
+    * underscore-staged sibling dir while queries keep serving, and the
+    * commit is two filesystem metadata ops (delete the live partition
+    * dir, rename the staged one in). The pre-r15 path quiesced the
+    * admission gate for the whole re-encode because the in-place
+    * dynamic overwrite deletes files mid-rewrite — a read OUTAGE that
+    * grew with the date (the 96×2M rungsoak measured 128 s of blocked
+    * queries at the day's second doubling). Residual: an in-flight
+    * plan holding the old listing can lose the race against the
+    * two-op commit window — the same bounded exposure
+    * compactSeriesIndex documents; the serving path swaps engines
+    * right after, and a crash between the two ops is healed at boot
+    * (the write path holds the `_tiers_ok` marker deleted across
+    * compaction, so the next boot rebuilds the chunk store from the
+    * table). */
+  def compactStaged(spark: SparkSession, path: String, date: String,
+      maxPerChunk: Int = DefaultMaxPerChunk,
+      buckets: Int = Ingest.SeriesBuckets): Unit = {
+    val day = collapseDupSamples(decoded(readChunks(spark, path)
+      .filter(col("date") === date)))
+      .localCheckpoint(true)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(
+      root.getParent, root.getName + "_compacting")
+    fs.delete(tmp, true) // leftover from a crashed compaction
+    try write(day, tmp.toString, maxPerChunk, buckets)
+    finally day.queryExecution.analyzed.foreach {
+      // free the checkpoint blocks now, not at GC time
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+    val livePart = new org.apache.hadoop.fs.Path(root, s"date=$date")
+    val tmpPart = new org.apache.hadoop.fs.Path(tmp, s"date=$date")
+    // commit: the live partition served reads for the whole re-encode
+    // above; only this two-op window can strand an in-flight plan
+    fs.delete(livePart, true)
+    if (!fs.rename(tmpPart, livePart))
+      throw new java.io.IOException(
+        s"compactStaged: rename $tmpPart -> $livePart failed")
+    fs.delete(tmp, true)
+    spark.catalog.refreshByPath(path)
+  }
+
   /** Compression accounting: (samples, chunk payload bytes,
     * bytes/sample). Payload = the Gorilla blobs alone; the parquet
     * file footprint (dictionary-compressed labels, envelope columns)

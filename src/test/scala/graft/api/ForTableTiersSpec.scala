@@ -346,7 +346,13 @@ class ForTableTiersSpec extends SparkTestBase {
       // fragmentation stays bounded: many single-day writes, then the
       // partition's file count must sit under ~threshold + one batch's
       // fan-out (each write adds <= SeriesBuckets files; compact
-      // rewrites the date in place)
+      // rewrites the date in place). r15: the compactor ALSO requires
+      // the partition to have doubled in bytes since its last run (the
+      // geometric gate bounding a day's total re-encode work) — these
+      // equal-sized writes keep doubling the tiny partition, so the
+      // threshold remains the binding condition here and the bound
+      // still holds; a workload inside a doubling interval may carry
+      // more files by design
       for (i <- 0 until 12) write(151 + i * 3, 153 + i * 3)
       def chunkFiles: Int = {
         val d = new java.io.File(s"$path/_chunks")
