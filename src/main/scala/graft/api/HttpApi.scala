@@ -137,6 +137,13 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
   def chunkCompactionCounts: (Long, Long) =
     (chunkCompactions.get(), chunkCompactionsDeferred.get())
 
+  /** Samples-table date-partition compactions the write path ran
+    * (r15: geometric gate + staged serve-through commit — see
+    * `Ingest.compactStaged`). */
+  private[api] val sampleCompactions =
+    new java.util.concurrent.atomic.AtomicLong(0)
+  def sampleCompactionCount: Long = sampleCompactions.get()
+
   /** Drain-and-hold barrier over the admission gate: acquire every
     * slot (waiting up to `drainTimeoutMs` for in-flight queries to
     * finish; arrivals meanwhile queue on the gate as usual, their
@@ -1134,7 +1141,8 @@ object HttpApi {
       indexCompactThreshold: Int = 4 * graft.storage.Ingest.SeriesBuckets,
       refreshEveryWrites: Int = 1, refreshMaxLagMs: Long = 0L,
       chunks: Boolean = false,
-      chunkCompactThreshold: Int = 4 * graft.storage.Ingest.SeriesBuckets)
+      chunkCompactThreshold: Int = 4 * graft.storage.Ingest.SeriesBuckets,
+      sampleCompactThreshold: Int = 8 * graft.storage.Ingest.SeriesBuckets)
       : HttpApi = {
     import graft.storage.{ChunkStore, Ingest}
     import org.apache.spark.sql.functions._
@@ -1142,6 +1150,10 @@ object HttpApi {
     // not divide a day would otherwise surface as a 500 to the writer
     rollups.foreach(Ingest.requireDayDivisible)
     require(refreshEveryWrites >= 1, "refreshEveryWrites must be >= 1")
+    // a crash inside a samples-table compaction's three-op commit
+    // leaves the original partition moved aside — restore it before
+    // anything reads the table (r15)
+    graft.storage.Ingest.recoverStagedCompaction(spark, path)
     val indexPath = new org.apache.hadoop.fs.Path(path, "_index").toString
     // optional Gorilla chunk tier at path/_chunks (r7): each write
     // batch cuts its own chunks — the per-batch shape of
@@ -1288,6 +1300,11 @@ object HttpApi {
     // each doubling interval. In-memory is safe: a restart just pays
     // one early compaction, then the doubling cadence resumes.
     var lastChunkCompactBytes = Map.empty[String, Long]
+    // the samples table's own geometric watermark (r15): a serving day
+    // accumulates ~32 files per append and the nochunks rungsoak
+    // measured the collapse at ~2600 files (writes 21 -> 100 s, reads
+    // 3.5 -> 0.7 q/s); same doubling gate, same staged commit
+    var lastSampleCompactBytes = Map.empty[String, Long]
     var pendingDates = Set.empty[String]
     // the raw frames of the deferred writes, in arrival order — the
     // debounced flush folds the union of their PER-BATCH canonical
@@ -1501,6 +1518,29 @@ object HttpApi {
           // restart (r8 advice)
           if (pendingDates.isEmpty) certifyTiers()
         }
+        // bound SAMPLES-TABLE fragmentation (r15): every append adds
+        // up to SeriesBuckets files per touched date, and the 96×2M
+        // nochunks soak measured the day collapsing at ~2600 files
+        // (writes 21 → 100 s, reader qps 3.5 → 0.7) — the same
+        // geometric doubling gate as the chunk tier (a day's total
+        // rewrite work ≤ ~2× its final volume), with the three-op
+        // staged commit so reads serve through the rewrite
+        val tableRoot = new org.apache.hadoop.fs.Path(path)
+        if (tableFs.exists(tableRoot))
+          tableFs.listStatus(tableRoot)
+            .filter(_.getPath.getName.startsWith("date="))
+            .foreach { d =>
+              val parts = tableFs.listStatus(d.getPath)
+                .filter(_.getPath.getName.endsWith(".parquet"))
+              val date = d.getPath.getName.stripPrefix("date=")
+              val bytes = parts.map(_.getLen).sum
+              if (parts.length > sampleCompactThreshold &&
+                  bytes >= 2 * lastSampleCompactBytes.getOrElse(date, 0L)) {
+                Ingest.compactStaged(spark, path, date)
+                api.sampleCompactions.incrementAndGet()
+                lastSampleCompactBytes += date -> bytes
+              }
+            }
         // bound index fragmentation: every batch with novel sigs
         // appends a file, so a long-running writer would accumulate
         // thousands of tiny files on the dimension table every matcher

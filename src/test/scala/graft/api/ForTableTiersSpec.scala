@@ -237,6 +237,60 @@ class ForTableTiersSpec extends SparkTestBase {
     } finally tApi.stop()
   }
 
+  test("the write path compacts the SAMPLES table geometrically: the " +
+      "file-count threshold alone does not retrigger until the " +
+      "partition doubles, results stay bit-equal (r15)") {
+    val path = Files.createTempDirectory("api-table-scompact").toString
+    val tApi = HttpApi.forTable(spark, path, sampleCompactThreshold = 6)
+    tApi.start()
+    try {
+      def postT(body: String): Int = {
+        val url = new URI(
+          s"http://127.0.0.1:${tApi.boundPort}/api/v1/write").toURL
+        val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes(UTF_8))
+        conn.getResponseCode
+      }
+      def write(i: Int): Unit = assert(postT(
+        s"""{"labels":{"__name__":"sc_m","k":"a"},"t":${i * m},"v":$i}""")
+        == 200)
+      def files(): Int = {
+        val d = new java.io.File(s"$path/date=1970-01-01")
+        if (!d.exists()) 0
+        else d.listFiles().count(_.getName.endsWith(".parquet"))
+      }
+      (0 until 8).foreach(write) // 8 files > threshold 6 -> compacts
+      assert(tApi.sampleCompactionCount >= 1,
+        "samples compaction never ran past the threshold")
+      val afterFirst = files()
+      assert(afterFirst <= graft.storage.Ingest.SeriesBuckets,
+        s"compaction did not bound the partition: $afterFirst")
+      val countAfterFirst = tApi.sampleCompactionCount
+      // geometric gate: 7 more equal-sized writes re-cross the file
+      // threshold but the partition has NOT doubled since the last
+      // compaction -> no re-run (the pre-r15 trigger would re-encode
+      // the whole date here, the O(day^2) term the soak measured)
+      (8 until 15).foreach(write)
+      assert(files() > 6, "fixture must re-cross the file threshold")
+      assert(tApi.sampleCompactionCount == countAfterFirst,
+        "compaction retriggered inside a doubling interval")
+      // ...and once the partition doubles, it runs again
+      (15 until 40).foreach(write)
+      assert(tApi.sampleCompactionCount > countAfterFirst,
+        "compaction never retriggered after the partition doubled")
+      // results bit-equal to a raw scan of what was written
+      val vals = tApi.servingEngine
+        .rangeQuery("sum_over_time(sc_m[5m])", 0, 39 * m, 5 * m)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+      val raw = new PromQLEngine(spark, Ingest.readTable(spark, path))
+        .rangeQuery("sum_over_time(sc_m[5m])", 0, 39 * m, 5 * m)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+      assert(vals == raw && vals.nonEmpty,
+        "compacted table diverged from the served engine")
+    } finally tApi.stop()
+  }
+
   test("a write that FAILED between append and tier refresh is healed " +
       "by the next successful write (not just certified over)") {
     import spark.implicits._

@@ -359,6 +359,56 @@ class IngestSpec extends SparkTestBase {
     }
   }
 
+  test("compactStaged rewrites a date partition serve-through (rows " +
+      "preserved bit-for-bit, files bounded) and recoverStagedCompaction " +
+      "heals both crash windows of the three-op commit") {
+    val path = tmp("ingest-cstaged")
+    val m = 60000L
+    // 6 appends into one date -> 6+ files
+    (0 until 6).foreach { i =>
+      val rows = Seq(
+        Ingest.WriteSample(Map("__name__" -> "cs", "k" -> "a"), i * m, i),
+        Ingest.WriteSample(Map("__name__" -> "cs", "k" -> "b"), i * m, 2 * i))
+      Ingest.append(Ingest.canonicalize(rows.toDS()), path)
+    }
+    val date = "1970-01-01"
+    def files() = new java.io.File(s"$path/date=$date")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    def bits() = Ingest.readTable(spark, path).collect()
+      .map(_.toSeq.map {
+        case d: Double => java.lang.Double.doubleToLongBits(d)
+        case x => x
+      }).toSet
+    assert(files() >= 6, s"fixture should fragment: ${files()}")
+    val before = bits()
+    Ingest.compactStaged(spark, path, date)
+    spark.catalog.refreshByPath(path)
+    assert(files() <= Ingest.SeriesBuckets,
+      s"compaction did not bound the partition: ${files()}")
+    assert(bits() == before, "compaction changed the table's rows")
+    assert(!new java.io.File(s"$path/_precompact_date=$date").exists() &&
+      !new java.io.File(s"$path/_compacting").exists(),
+      "staged/trash leftovers after a clean commit")
+    // crash window 1 (between move-aside and move-in): live partition
+    // missing, original in _precompact -> recovery restores it
+    val live = new java.io.File(s"$path/date=$date")
+    val trash = new java.io.File(s"$path/_precompact_date=$date")
+    assert(live.renameTo(trash))
+    Ingest.recoverStagedCompaction(spark, path)
+    spark.catalog.refreshByPath(path)
+    assert(live.exists() && !trash.exists(), "window-1 recovery failed")
+    assert(bits() == before, "window-1 recovery changed rows")
+    // crash window 2 (between move-in and trash drop): both exist ->
+    // recovery keeps the live (compacted) partition, drops the trash
+    trash.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(trash.getPath, "stale.parquet"),
+      Array[Byte](1, 2, 3))
+    Ingest.recoverStagedCompaction(spark, path)
+    assert(live.exists() && !trash.exists(), "window-2 recovery failed")
+    assert(bits() == before, "window-2 recovery changed rows")
+  }
+
   test("mergeFoldPartials property: for seeded random corpora split at " +
       "a time cut, merge(fold(A), fold(B)) equals fold(A ∪ B) " +
       "bit-for-bit (resets, markers, boundary rows, empty sides)") {
