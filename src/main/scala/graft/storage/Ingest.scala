@@ -386,6 +386,15 @@ object Ingest {
     val part = raw
       .select(cols: _*)
       .repartition(pmod(sigCol, lit(SeriesBuckets)))
+      // TIME-major order inside each rewritten file: row-group min/max
+      // t stats must stay tight or every lookback-window scan reads
+      // the whole day (the r15 soak measured exactly that — a
+      // compacted-without-sort day made 5m-lookback queries scan all
+      // 150M accumulated rows: reader qps 4 -> 0.3, and their task
+      // load dragged writes 20 -> 55 s). Appends get this locality
+      // for free (each file covers its batch's window); compaction
+      // must preserve it.
+      .sortWithinPartitions(col("t"), sigCol)
       .localCheckpoint(true)
     withDynamicPartitionOverwrite(spark) {
       part.withColumn("date", lit(date))
@@ -423,6 +432,10 @@ object Ingest {
     fs.delete(tmp, true) // leftover from a crashed compaction
     raw.select(cols: _*)
       .repartition(pmod(sigCol, lit(SeriesBuckets)))
+      // time-major within each file — see [[compact]]: without tight
+      // row-group t stats a compacted day turns every lookback window
+      // into a full-day scan (measured by the r15 serving soak)
+      .sortWithinPartitions(col("t"), sigCol)
       .withColumn("date", lit(date))
       .write.mode("overwrite").partitionBy("date").parquet(tmp.toString)
     val livePart = new org.apache.hadoop.fs.Path(root, s"date=$date")
