@@ -1534,8 +1534,15 @@ object HttpApi {
                 .filter(_.getPath.getName.endsWith(".parquet"))
               val date = d.getPath.getName.stripPrefix("date=")
               val bytes = parts.map(_.getLen).sum
+              // doubling gate bounds a day's total rewrite work; the
+              // 4× hard file cap additionally bounds the DEGRADATION
+              // WINDOW between late-day compactions (the confirm soak
+              // read the per-query task floor climbing with file
+              // count inside a long doubling interval, resetting
+              // cleanly at each compaction)
               if (parts.length > sampleCompactThreshold &&
-                  bytes >= 2 * lastSampleCompactBytes.getOrElse(date, 0L)) {
+                  (bytes >= 2 * lastSampleCompactBytes.getOrElse(date, 0L) ||
+                    parts.length > 4 * sampleCompactThreshold)) {
                 Ingest.compactStaged(spark, path, date)
                 api.sampleCompactions.incrementAndGet()
                 lastSampleCompactBytes += date -> bytes
