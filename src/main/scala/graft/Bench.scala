@@ -81,7 +81,8 @@ object BenchFormat {
     * values. < 1800 chars for the current query set (unit-asserted).
     */
   def line(results: Seq[(String, Double, Double)], coldTotal: Double,
-      qps: Double, mixedQps: Double, sfNum: String): String = {
+      qps: Double, mixedQps: Double, sfNum: String,
+      qpsStormed: Boolean = false): String = {
     val short = shortKeys(results.map(_._1))
     // adaptive precision: centiseconds under 10s, whole seconds above —
     // the worst-case line width is what the driver's ~2000-char stdout
@@ -94,7 +95,13 @@ object BenchFormat {
     val qs = results.map { case (k, _, w) => "\"" + short(k) + "\":" + rq(w) }
       .mkString("{", ",", "}")
     val total = results.map(_._3).sum
-    s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"cold_sec":${r2(coldTotal)},"instant_qps":${r2(qps)},"mixed_qps":${r2(mixedQps)},"sf":$sfNum}"""
+    // r16: the serial rows have carried machine-readable storm stamps
+    // since r15, but the TOP-LEVEL instant_qps/mixed_qps maxima could
+    // still ship from a window half whose redraws were exhausted with
+    // the probe hot, with nothing on the headline saying so — mirror
+    // the serial convention with one flag when ANY half shipped stormed
+    val storm = if (qpsStormed) ",\"qps_stormed\":true" else ""
+    s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"cold_sec":${r2(coldTotal)},"instant_qps":${r2(qps)},"mixed_qps":${r2(mixedQps)}$storm,"sf":$sfNum}"""
   }
 
   /** Full-name, ms-precision record written beside the build as
@@ -140,7 +147,13 @@ object BenchFormat {
         (if (w.lightStormed) 1 else 0) + "," +
         (if (w.mixedStormed) 1 else 0) + "]" }
       .mkString("[", ",", "]")
-    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_sec":${r3(coldTotal)},"instant_qps":${r3(qps)},"mixed_qps":${r3(mixedQps)},"qps_windows":$wins,"probe_baseline_ms":${r3(probeBaseline * 1000)},"fixture_prep_sec":${r3(prepSec)},"sf":$sfNum}"""
+    // top-level mirror of the per-window stormed flags (r16): true iff
+    // any accepted half exhausted its redraws with the probe >1.5×
+    val storm =
+      if (qpsWindows.exists(w => w.lightStormed || w.mixedStormed))
+        ",\"qps_stormed\":true"
+      else ""
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_sec":${r3(coldTotal)},"instant_qps":${r3(qps)},"mixed_qps":${r3(mixedQps)}$storm,"qps_windows":$wins,"probe_baseline_ms":${r3(probeBaseline * 1000)},"fixture_prep_sec":${r3(prepSec)},"sf":$sfNum}"""
   }
 }
 
@@ -356,7 +369,10 @@ object Bench {
     // shortest-unique key abbreviations and centisecond values
     // (BenchFormat guarantees < 1800 chars); the full-name
     // full-precision map goes to bench_full.json beside the build.
-    val line = BenchFormat.line(results, coldTotal, qps, mixedQps, sfNum)
+    val qpsStormed =
+      windows.exists(w => w.lightStormed || w.mixedStormed)
+    val line = BenchFormat.line(results, coldTotal, qps, mixedQps, sfNum,
+      qpsStormed)
     val full = BenchFormat.fullJson(recs, coldTotal, qps, mixedQps, sfNum,
       probeBaseline, prepSec, windows)
     try {

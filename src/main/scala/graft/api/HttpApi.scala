@@ -38,7 +38,7 @@ import graft.promql.{Ast, Parser}
   * Range results are sorted by canonical labels (`engine.go:484-486`).
   */
 class HttpApi(spark: SparkSession, engine0: PromQLEngine,
-    writeSink: Option[DataFrame => Unit] = None, port: Int = 0,
+    writeSink: Option[DataFrame => Long] = None, port: Int = 0,
     rules: Option[graft.streaming.RecordingRules.Group] = None) {
 
   /** The serving engine. A table-backed deployment swaps this after
@@ -183,8 +183,12 @@ class HttpApi(spark: SparkSession, engine0: PromQLEngine,
   def writeDirect(df: DataFrame): Unit = {
     val sink = writeSink.getOrElse(
       throw HttpApi.ApiError(405, "bad_data", "write sink not configured"))
-    sink(df)
-    samplesAppended.addAndGet(df.count())
+    // the sink reports the canonical rows it appended (an observation
+    // riding its own write job) — metering the counter from that
+    // return retires the SECOND full action this entry used to pay
+    // (`df.count()` re-scanned the whole cluster-sized edge frame per
+    // bulk batch, r15 verdict)
+    samplesAppended.addAndGet(sink(df))
   }
 
   /** FAIR-pool slot ids currently free — MaxConcurrent when the gate
@@ -1380,6 +1384,10 @@ object HttpApi {
       // not the tiers, so take the full-heal path below
       val markerWasAbsent = !tableFs.delete(tiersOk, false)
       val needHeal = failedDirty || (markerWasAbsent && pendingDates.isEmpty)
+      // canonical rows this batch appended, observed on the append's
+      // own write job — returned so callers metering ingest
+      // (writeDirect) never re-scan the edge frame to count it
+      var appended = 0L
       // the chunks path's checkpointed canonical frame, kept alive for
       // the WHOLE sink call so the rung refresh can reuse it (r15);
       // freed in the outermost finally on every path
@@ -1401,7 +1409,7 @@ object HttpApi {
           // storage across a long-running writer's batches).
           val canon = Ingest.dedup(df, strict = false).localCheckpoint(true)
           sharedCanon = Some(canon)
-          Ingest.appendCanonical(canon, path)
+          appended = Ingest.appendCanonical(canon, path)
           if (!needHeal) {
             // per-batch chunk cut — the batch shape of
             // ChunkStore.stream; skipped when a full heal is about to
@@ -1450,7 +1458,7 @@ object HttpApi {
                   }
                 }
           }
-        } else Ingest.append(df, path)
+        } else appended = Ingest.append(df, path)
         if (needHeal) {
           // full-table index upsert + all-dates rung refresh: covers
           // this batch AND whatever the failed/unknown batch left out.
@@ -1570,6 +1578,7 @@ object HttpApi {
       }
       api.swapEngine(freshEngine(bindRungs = pendingDates.isEmpty))
         .releaseSeriesDim()
+      appended
     }
     api = new HttpApi(spark, freshEngine(), Some(sink), port, rules)
     api.tierFlushHook = () => writeLock.synchronized {

@@ -579,15 +579,7 @@ object Dedup {
     // the count is an ACTION — run it outside both map locks (the
     // PlanCache liveness rule); a racing pair may both count, the
     // first-cached slice wins below
-    val histDocs = {
-      val c = histCountCache.get(planKey)
-      if (c != null) c.longValue()
-      else {
-        val n = historySets.count()
-        histCountCache.put(planKey, java.lang.Long.valueOf(n))
-        n
-      }
-    }
+    val histDocs = histCountCached(historySets)
     val frame = setDfCached(historySets)
       .filter(col("df") >= math.max(1.0, share * histDocs))
       .select(col("s")).cache() // lazy mark, no job
@@ -601,6 +593,22 @@ object Dedup {
   private val highDfCache: java.util.Map[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Double),
     DataFrame] = PlanCache.bounded(16)
+
+  /** |docs| of a history set table, memoized per canonicalized plan —
+    * one count action per history TABLE per session, shared by the
+    * high-df slice builder and [[ensureIncrementalIndex]]'s corpus-
+    * identity guard. */
+  private[llm] def histCountCached(sets: DataFrame): Long = {
+    val planKey = sets.select(col("id"), col("hs"))
+      .queryExecution.analyzed.canonicalized
+    val c = histCountCache.get(planKey)
+    if (c != null) c.longValue()
+    else {
+      val n = sets.count()
+      histCountCache.put(planKey, java.lang.Long.valueOf(n))
+      n
+    }
+  }
 
   // |history docs| per history plan — one count per history TABLE,
   // not per batch (bounded; values are single longs)
@@ -764,22 +772,57 @@ object Dedup {
     val spark = historySets.sparkSession
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(new org.apache.hadoop.fs.Path(root, "_ok"), false)
+    // r16 (advice): build into an underscore-STAGED sibling and swap.
+    // A rebuild in a live session reads THROUGH the seeded memo, whose
+    // cached frames scan this index's own parquet dirs — the pre-r16
+    // in-place mode("overwrite") deleted the very files its input
+    // scan was reading (FileNotFoundException mid-rebuild, with the
+    // old index already destroyed). Staged, the build reads the old
+    // files and writes elsewhere; the commit below is per-artifact
+    // metadata ops inside a marker-absent window.
+    val staging = new org.apache.hadoop.fs.Path(root, "_staging")
+    fs.delete(staging, true) // leftover from a crashed build
+    def staged(name: String) =
+      new org.apache.hadoop.fs.Path(staging, name).toString
     // build THROUGH the session memo: a server that just served a
     // batch reuses the cached frames; a cold builder computes them once
     val dfreq = setDfCached(historySets)
-    dfreq.write.mode("overwrite")
-      .parquet(new org.apache.hadoop.fs.Path(root, "dfreq").toString)
+    dfreq.write.mode("overwrite").parquet(staged("dfreq"))
     thresholds.foreach { t =>
       historyPrefixCached(historySets, t).write.mode("overwrite")
-        .parquet(new org.apache.hadoop.fs.Path(root,
-          s"prefix_t${java.lang.Double.toString(t)}").toString)
+        .parquet(staged(s"prefix_t${java.lang.Double.toString(t)}"))
     }
     val nDocs = historySets.count()
+    val highdfName = s"highdf_s${java.lang.Double.toString(share)}"
     dfreq.filter(col("df") >= math.max(1.0, share * nDocs)).select(col("s"))
-      .write.mode("overwrite")
-      .parquet(new org.apache.hadoop.fs.Path(root,
-        s"highdf_s${java.lang.Double.toString(share)}").toString)
+      .write.mode("overwrite").parquet(staged(highdfName))
+    // commit: marker off first (a crash anywhere below leaves it
+    // absent → bind falls back inline, the next build rewrites), then
+    // swap each artifact in and drop the memo entries whose cached
+    // frames scanned the replaced files — the very next bind re-seeds
+    // from the new artifacts
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_ok"), false)
+    val artifacts = Seq("dfreq", highdfName) ++
+      thresholds.map(t => s"prefix_t${java.lang.Double.toString(t)}")
+    artifacts.foreach { name =>
+      val live = new org.apache.hadoop.fs.Path(root, name)
+      fs.delete(live, true)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(staging, name), live))
+        throw new java.io.IOException(
+          s"writeIncrementalIndex: rename _staging/$name -> $live failed")
+      // the session FileStatusCache may hold the replaced listing
+      spark.catalog.refreshByPath(live.toString)
+    }
+    fs.delete(staging, true)
+    val planKey = historySets.select(col("id"), col("hs"))
+      .queryExecution.analyzed.canonicalized
+    Option(setDfCache.remove(planKey)).foreach(_.unpersist(false))
+    thresholds.foreach { t =>
+      Option(histPrefixCache.remove((planKey, t)))
+        .foreach(_.unpersist(false))
+    }
+    Option(highDfCache.remove((planKey, share))).foreach(_.unpersist(false))
+    histCountCache.remove(planKey)
     val meta = s"docs=$nDocs\nshare=${java.lang.Double.toString(share)}\n" +
       s"thresholds=${thresholds.map(java.lang.Double.toString).mkString(",")}\n"
     val out = fs.create(new org.apache.hadoop.fs.Path(root, "_ok"), true)
@@ -810,12 +853,18 @@ object Dedup {
         java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
     }
-    val kv = meta.linesIterator.filter(_.contains("="))
-      .map { l => val Array(k, v) = l.split("=", 2); (k, v) }.toMap
-    val nDocs = kv.get("docs").map(_.toLong).getOrElse(return false)
-    val share = kv.get("share").map(_.toDouble).getOrElse(return false)
-    val thresholds = kv.get("thresholds").toSeq
-      .flatMap(_.split(",").filter(_.nonEmpty).map(_.toDouble))
+    // a TORN marker (crash mid-create, manual edit) must behave like
+    // an absent one — fall back to the inline build — not propagate a
+    // NumberFormatException out of session open (r15 advice)
+    val parsed = scala.util.Try {
+      val kv = meta.linesIterator.filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); (k, v) }.toMap
+      (kv("docs").trim.toLong, kv("share").trim.toDouble,
+        kv.get("thresholds").toSeq
+          .flatMap(_.split(",").filter(_.nonEmpty).map(_.trim.toDouble)))
+    }
+    if (parsed.isFailure) return false
+    val (nDocs, share, thresholds) = parsed.get
     val planKey = historySets.select(col("id"), col("hs"))
       .queryExecution.analyzed.canonicalized
     // seed = put-with-unpersist-of-prior: an inline-built entry may
@@ -854,7 +903,7 @@ object Dedup {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val okPath = new org.apache.hadoop.fs.Path(root, "_ok")
-    val covered = fs.exists(okPath) && {
+    val covered = fs.exists(okPath) && scala.util.Try {
       val in = fs.open(okPath)
       val meta = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
@@ -865,8 +914,19 @@ object Dedup {
           val have = ts.split(",").filter(_.nonEmpty)
             .map(_.toDouble).toSet
           thresholds.forall(have.contains)
-        }
-    }
+        } &&
+        // CORPUS IDENTITY (r15 advice): config match alone would let a
+        // leftover _ok certify stale artifacts after the history table
+        // at this path was rewritten without an index rebuild (a
+        // compaction that crashed before, or forgot, the refresh) —
+        // orientation-2 prefix postings missing the new docs silently
+        // DROP duplicate pairs from an exact route. One count action
+        // per session open buys the guard; a count collision with a
+        // same-size rewrite is accepted as out of scope (the corpus
+        // lifecycle deletes _ok on every fingerprint rewrite too,
+        // belt-and-braces — see CorpusIndexSpec).
+        kv.get("docs").map(_.trim.toLong).contains(histCountCached(historySets))
+    }.getOrElse(false)
     if (!covered) writeIncrementalIndex(historySets, dir, thresholds, share)
     require(bindIncrementalIndex(historySets, dir),
       s"incremental-dedup index at $dir failed to bind after build")

@@ -114,21 +114,30 @@ object Ingest {
     * stored `sig` instead of re-hashing the canonical labels per
     * query, which profiling showed was the dominant per-row compute
     * of every selector over a sig-less table. */
-  def append(batch: DataFrame, path: String, strict: Boolean = false): Unit =
+  def append(batch: DataFrame, path: String, strict: Boolean = false): Long =
     appendCanonical(dedup(batch, strict), path)
 
   /** The write half of [[append]]: input must already be [[dedup]]'s
     * canonical output (sig, labels, t, v, stale). Split out so a sink
     * feeding BOTH the raw table and the chunk tier
     * ([[graft.api.HttpApi.forTable]] with chunks) dedups the batch
-    * once and reuses the materialized result for each append. */
-  def appendCanonical(canon: DataFrame, path: String): Unit =
+    * once and reuses the materialized result for each append. Returns
+    * the number of rows appended, observed ON the write job itself
+    * (`Dataset.observe`) — callers that meter ingest
+    * (`HttpApi.writeDirect`'s samples counter) used to pay a SECOND
+    * full action over a cluster-sized frame just to count it (r15
+    * verdict); the observation rides the append for free. */
+  def appendCanonical(canon: DataFrame, path: String): Long = {
+    val obs = org.apache.spark.sql.Observation()
     canon // already carries the stored `sig`
+      .observe(obs, count(lit(1)).as("rows"))
       .withColumn("date", utcDate(col("t")))
       // co-locate each series' day into one bucket → bounded file count
       // and mergeable row groups per series
       .repartition(col("date"), pmod(col("sig"), lit(SeriesBuckets)))
       .write.mode("append").partitionBy("date").parquet(path)
+    obs.get("rows").asInstanceOf[Long]
+  }
 
   /** Structured Streaming ingest: micro-batches through [[append]] —
     * the remote-write HTTP edge feeds a stream source; every batch gets

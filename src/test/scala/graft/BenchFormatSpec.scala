@@ -15,10 +15,16 @@ class BenchFormatSpec extends AnyFunSuite {
   test("bench stdout line stays under the 1800-char budget at worst-case widths") {
     // worst case: every query reads 99.99s, totals/qps at max width
     val results = names.map(n => (n, 99.999, 99.999))
-    val line = BenchFormat.line(results, 9999.999, 99.999, 99.999, "0.1")
+    val line = BenchFormat.line(results, 9999.999, 99.999, 99.999, "0.1",
+      qpsStormed = true)
     assert(line.length < 1800, s"line is ${line.length} chars")
     assert(line.startsWith("{\"metric\":\"total\""))
     assert(line.endsWith("\"sf\":0.1}"))
+    // the stdout headline mirrors the artifact's storm stamp (r16)…
+    assert(line.contains("\"qps_stormed\":true"))
+    // …and a clean run's line carries no flag
+    assert(!BenchFormat.line(results, 9999.999, 99.999, 99.999, "0.1")
+      .contains("qps_stormed"))
   }
 
   test("short keys are unique and prefix-faithful") {
@@ -52,6 +58,10 @@ class BenchFormatSpec extends AnyFunSuite {
     // and a 0/1 stormed flag (r15: redraws exhausted while still hot)
     assert(full.contains("\"qps_windows\":[[40.00,30.00,1.05,1.10,0,0,0,0]," +
       "[42.50,31.00,1.20,2.45,1,2,0,1]]"))
+    // r16: any stormed half ⇒ the TOP-LEVEL throughput maxima carry
+    // the flag too (the headline figures are maxima over the windows,
+    // so one hot half can be the shipped number)
+    assert(full.contains("\"mixed_qps\":3.000,\"qps_stormed\":true"))
     // memo-serving rows are flagged so near-identical draws are
     // adjudicable as memoization, not plan stability; live rows carry
     // no flag
@@ -76,6 +86,9 @@ class BenchFormatSpec extends AnyFunSuite {
       BenchFormat.Rec("c5_semdedup_apply", 1.2, 1.22, Seq(1.3, 1.22, 1.2),
         probeRatio = 1.07, retries = 0))
     val full = BenchFormat.fullJson(recs, 1.4, 2.0, 3.0, "0.1", 0.041)
+    // no windows / no stormed half ⇒ no top-level flag (r16)
+    assert(!full.contains("qps_stormed"),
+      "clean artifact must not carry qps_stormed")
     assert(full.contains(
       "\"m8_image_incremental\":{\"warm\":1.110,\"cold\":0.200," +
         "\"draws\":[1.200,1.110,1.000,1.300,1.110,1.050,1.200,1.110," +

@@ -190,7 +190,7 @@ class PrompbSpec extends SparkTestBase {
 
   test("malformed proto writes are 400, not 500 (write.go:61-74)") {
     val api = new HttpApi(spark, new PromQLEngine(spark, samplesDF()),
-      writeSink = Some(_ => ()))
+      writeSink = Some(_ => 0L))
     val port = api.start()
     try {
       // valid snappy, garbage proto
