@@ -1283,15 +1283,15 @@ class PromQLEngine(
 
   private def evalAbsent(arg: Expr, tr: EvalRange): DataFrame = {
     val VecV(vdf) = (eval(arg, tr): @unchecked)
-    // synthesized labels: the = matchers of a direct selector argument,
-    // excluding __name__ (functions.go:511-531)
+    // synthesized labels: the = matchers of a DIRECT selector argument,
+    // excluding __name__ (functions.go:511-531). Vintage-exact corner:
+    // the reference type-asserts `args[0].(*VectorSelector)`, so a
+    // PARENTHESIZED selector — or any other wrapper — synthesizes no
+    // labels at all (`absent((m{k="x"}))` answers `{}`), and regex /
+    // negative matchers never contribute even when they pin a single
+    // value (r16 golden group)
     val eqLabels: Seq[(String, String)] = arg match {
       case VectorSelector(_, matchers, _) =>
-        matchers.collect {
-          case LabelMatcher(MatchType.Eq, n, v)
-            if n != Samples.MetricNameLabel => (n, v)
-        }
-      case ParenExpr(VectorSelector(_, matchers, _)) =>
         matchers.collect {
           case LabelMatcher(MatchType.Eq, n, v)
             if n != Samples.MetricNameLabel => (n, v)

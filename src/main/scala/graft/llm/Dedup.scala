@@ -932,6 +932,38 @@ object Dedup {
       s"incremental-dedup index at $dir failed to bind after build")
   }
 
+  /** Drop every session-memo entry derived from `historySets`' corpus
+    * (r16, the [[CorpusStore]] mutation discipline): an in-session
+    * corpus mutation (append / compaction / out-of-band rewrite)
+    * leaves the memo KEYS equal — canonicalized-plan equality reduces
+    * to the file index's root paths — while the content changed, so a
+    * stale memoized df table or docs count would satisfy
+    * [[ensureIncrementalIndex]]'s coverage guard and silently serve
+    * postings that miss the new docs. Unpersists as it removes (the
+    * PlanCache eviction contract). */
+  private[llm] def invalidateHistoryCaches(historySets: DataFrame): Unit = {
+    val planKey = historySets.select(col("id"), col("hs"))
+      .queryExecution.analyzed.canonicalized
+    def drop[K](m: java.util.Map[K, DataFrame])(hit: K => Boolean): Unit =
+      m.synchronized {
+        val it = m.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (hit(e.getKey)) { e.getValue.unpersist(false); it.remove() }
+        }
+      }
+    drop(setDfCache)(_ == planKey)
+    drop(histPrefixCache)(_._1 == planKey)
+    drop(highDfCache)(_._1 == planKey)
+    // the candidate memo keys (fresh, history, ...) — history side
+    drop(candCache)(_._2 == planKey)
+    histCountCache.remove(planKey)
+    routeCache.synchronized {
+      val it = routeCache.entrySet().iterator()
+      while (it.hasNext) if (it.next().getKey._2 == planKey) it.remove()
+    }
+  }
+
   /** Test hook: drop every session-memo entry of the incremental
     * family (frames unpersisted), simulating a FRESH session's cold
     * start without tearing down the SparkContext. */

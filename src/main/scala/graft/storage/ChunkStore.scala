@@ -237,51 +237,61 @@ object ChunkStore {
   }
 
   /** [[compact]] with the serve-through-rewrite commit discipline of
-    * [[Ingest.compactSeriesIndex]] (r15): the re-encode — minutes of
-    * work on a hot date, and geometrically scheduled so each run
-    * covers a DOUBLED partition — runs against the LIVE files into an
-    * underscore-staged sibling dir while queries keep serving, and the
-    * commit is two filesystem metadata ops (delete the live partition
-    * dir, rename the staged one in). The pre-r15 path quiesced the
-    * admission gate for the whole re-encode because the in-place
-    * dynamic overwrite deletes files mid-rewrite — a read OUTAGE that
-    * grew with the date (the 96×2M rungsoak measured 128 s of blocked
-    * queries at the day's second doubling). Residual: an in-flight
-    * plan holding the old listing can lose the race against the
-    * two-op commit window — the same bounded exposure
-    * compactSeriesIndex documents; the serving path swaps engines
-    * right after, and a crash between the two ops is healed at boot
-    * (the write path holds the `_tiers_ok` marker deleted across
-    * compaction, so the next boot rebuilds the chunk store from the
-    * table). */
+    * [[Ingest.compactSeriesIndex]] (r15), upgraded in r16 to
+    * [[StagedSwap]]'s marker-ordered FILE-level snapshot protocol: the
+    * re-encode — minutes of work on a hot date, geometrically
+    * scheduled so each run covers a DOUBLED partition — reads an
+    * explicit snapshot of the partition's files into an
+    * underscore-staged dir while queries keep serving, and the commit
+    * swaps exactly those files. Two r15 defects closed at once: the
+    * dir-level swap forced the rewrite inside the write lock (an
+    * appended batch's chunks would have been dropped by the swap —
+    * now its files simply aren't in the snapshot), and its
+    * delete-then-rename commit could lose the live partition to a
+    * crash between the ops, costing a full heal-from-table — the
+    * marker protocol rolls back or forward at boot
+    * ([[Ingest.recoverStagedCompaction]] on this root) for the price
+    * of a directory rename. Residual: the commit window can strand an
+    * in-flight plan or serve one a listing missing the partition —
+    * the serving path holds it under a brief admission quiesce and
+    * swaps engines right after (`HttpApi.forTable`). */
   def compactStaged(spark: SparkSession, path: String, date: String,
       maxPerChunk: Int = DefaultMaxPerChunk,
       buckets: Int = Ingest.SeriesBuckets): Unit = {
-    val day = collapseDupSamples(decoded(readChunks(spark, path)
-      .filter(col("date") === date)))
-      .localCheckpoint(true)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new org.apache.hadoop.fs.Path(
-      root.getParent, root.getName + "_compacting")
-    fs.delete(tmp, true) // leftover from a crashed compaction
-    try write(day, tmp.toString, maxPerChunk, buckets)
+    val snap = StagedSwap.snapshot(fs, root, date)
+    if (snap.isEmpty) return
+    stageCompaction(spark, path, date, snap, maxPerChunk, buckets)
+    StagedSwap.commit(fs, root, date, snap)
+    spark.catalog.refreshByPath(path)
+  }
+
+  /** The rewrite half of [[compactStaged]]: decode + collapse +
+    * re-encode exactly `snapshot`'s files into the staging dir,
+    * leaving the live partition untouched; commit separately with
+    * [[StagedSwap.commit]]. */
+  def stageCompaction(spark: SparkSession, path: String, date: String,
+      snapshot: Seq[org.apache.hadoop.fs.Path],
+      maxPerChunk: Int = DefaultMaxPerChunk,
+      buckets: Int = Ingest.SeriesBuckets): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = StagedSwap.stagingDir(root, date)
+    fs.delete(staging, true) // leftover from a crashed build
+    val day = collapseDupSamples(decoded(
+      spark.read.parquet(snapshot.map(_.toString): _*)))
+      .localCheckpoint(true)
+    // write() re-derives each sample's UTC date from t, so the staged
+    // files land under date=<date> inside the staging dir — every
+    // snapshot row was stored in that partition
+    try write(day, staging.toString, maxPerChunk, buckets)
     finally day.queryExecution.analyzed.foreach {
       // free the checkpoint blocks now, not at GC time
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
       case _ =>
     }
-    val livePart = new org.apache.hadoop.fs.Path(root, s"date=$date")
-    val tmpPart = new org.apache.hadoop.fs.Path(tmp, s"date=$date")
-    // commit: the live partition served reads for the whole re-encode
-    // above; only this two-op window can strand an in-flight plan
-    fs.delete(livePart, true)
-    if (!fs.rename(tmpPart, livePart))
-      throw new java.io.IOException(
-        s"compactStaged: rename $tmpPart -> $livePart failed")
-    fs.delete(tmp, true)
-    spark.catalog.refreshByPath(path)
   }
 
   /** Compression accounting: (samples, chunk payload bytes,

@@ -412,33 +412,53 @@ object Ingest {
   }
 
   /** [[compact]] with the serve-through-rewrite commit discipline of
-    * [[compactSeriesIndex]] / `ChunkStore.compactStaged` (r15): the
-    * partition rewrite runs against the LIVE files into an
-    * underscore-staged dir inside the table (hidden from its file
-    * index), and the commit is two filesystem metadata ops (delete the
-    * live `date=` dir, rename the staged one in) — no reader drain,
-    * no in-place overwrite deleting files mid-scan. The 96×2M
-    * serving-day soak motivated it: a day of appends leaves ~3000
-    * small files in one date partition and from ~batch 80 both the
-    * write path's listings and every query's footer reads collapse
-    * (21 s → 100 s writes, 3.5 → 0.7 q/s). Residual: the metadata-op
-    * commit window can strand an in-flight plan holding the old
-    * listing — the compactSeriesIndex exposure; the serving path swaps
-    * engines right after. Crash safety: the commit never deletes the
-    * original before its replacement is live (three-op move-aside /
-    * move-in / drop, recovered at boot by
-    * [[recoverStagedCompaction]]). */
+    * [[compactSeriesIndex]] (r15), upgraded in r16 to the FILE-level
+    * snapshot protocol of [[StagedSwap]]: the rewrite reads an
+    * explicit snapshot of the partition's files into an
+    * underscore-staged dir (hidden from the table's file index) while
+    * queries keep serving, and the commit swaps exactly those files —
+    * so the heavy rewrite no longer needs the write lock, and a batch
+    * APPENDED while the rewrite runs survives the commit untouched
+    * (its files are not in the snapshot). The 96×2M serving-day soak
+    * motivated the staging (a day of appends leaves ~3000 small files
+    * and both writes and reads collapse); the r15 verdict motivated
+    * the snapshot commit (the dir-level swap forced the O(date)
+    * rewrite inside the write lock). Residual: the metadata-op commit
+    * window can strand an in-flight plan holding the old listing, or
+    * serve one a listing MISSING the partition (the silent-miss case)
+    * — the serving path therefore holds the commit under a brief
+    * admission quiesce and swaps engines right after
+    * (`HttpApi.forTable`); this standalone entry is single-reader by
+    * contract. Crash safety: marker-ordered move-aside / move-in with
+    * roll-back or roll-forward at boot ([[recoverStagedCompaction]])
+    * — the original is never unrecoverable. */
   def compactStaged(spark: SparkSession, path: String,
       date: String): Unit = {
-    val raw = spark.read.parquet(path).filter(col("date") === date)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val snap = StagedSwap.snapshot(fs, root, date)
+    if (snap.isEmpty) return
+    stageCompaction(spark, path, date, snap)
+    StagedSwap.commit(fs, root, date, snap)
+    spark.catalog.refreshByPath(path)
+  }
+
+  /** The rewrite half of [[compactStaged]]: re-layout exactly
+    * `snapshot`'s files into the staging dir, leaving the live
+    * partition untouched. Callers then commit with
+    * [[StagedSwap.commit]] (the serving path does so under its write
+    * lock + reader quiesce — the only part that must be brief). */
+  def stageCompaction(spark: SparkSession, path: String, date: String,
+      snapshot: Seq[org.apache.hadoop.fs.Path]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = StagedSwap.stagingDir(root, date)
+    fs.delete(staging, true) // leftover from a crashed build
+    val raw = spark.read.parquet(snapshot.map(_.toString): _*)
     val hasSig = raw.columns.contains("sig")
     val sigCol = if (hasSig) col("sig") else Samples.sigExpr(col("labels"))
     val cols = (if (hasSig) Seq(col("sig")) else Nil) ++
       Seq(col("labels"), col("t"), col("v"), col("stale"))
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new org.apache.hadoop.fs.Path(root, "_compacting")
-    fs.delete(tmp, true) // leftover from a crashed compaction
     raw.select(cols: _*)
       .repartition(pmod(sigCol, lit(SeriesBuckets)))
       // time-major within each file — see [[compact]]: without tight
@@ -446,36 +466,16 @@ object Ingest {
       // into a full-day scan (measured by the r15 serving soak)
       .sortWithinPartitions(col("t"), sigCol)
       .withColumn("date", lit(date))
-      .write.mode("overwrite").partitionBy("date").parquet(tmp.toString)
-    val livePart = new org.apache.hadoop.fs.Path(root, s"date=$date")
-    val tmpPart = new org.apache.hadoop.fs.Path(tmp, s"date=$date")
-    val trashPart = new org.apache.hadoop.fs.Path(root,
-      s"_precompact_date=$date")
-    fs.delete(trashPart, true)
-    // commit: the live partition served reads for the whole rewrite.
-    // The SAMPLES table is the source of truth (every other tier heals
-    // FROM it), so unlike the chunk tier's delete+rename the original
-    // partition is never deleted before its replacement is in place:
-    // move it aside (1), move the compacted one in (2), drop the
-    // original (3). A crash at any point leaves the data in exactly
-    // one recoverable place — [[recoverStagedCompaction]] at boot
-    // restores the original after (1) or finishes the cleanup
-    // after (2).
-    if (!fs.rename(livePart, trashPart))
-      throw new java.io.IOException(
-        s"compactStaged: rename $livePart -> $trashPart failed")
-    if (!fs.rename(tmpPart, livePart))
-      throw new java.io.IOException(
-        s"compactStaged: rename $tmpPart -> $livePart failed")
-    fs.delete(trashPart, true)
-    fs.delete(tmp, true)
-    spark.catalog.refreshByPath(path)
+      .write.mode("overwrite").partitionBy("date").parquet(staging.toString)
   }
 
-  /** Boot-time recovery for a crash inside [[compactStaged]]'s three-op
-    * commit: a `_precompact_date=D` dir with NO live `date=D` means the
-    * crash fell between moves (1) and (2) — restore the original; with
-    * a live partition present the crash fell after (2) — the compacted
+  /** Boot-time recovery for a crash inside a staged compaction's
+    * commit. r16 tables use [[StagedSwap]]'s marker-ordered file-level
+    * protocol (roll back or roll forward — see its doc); tables last
+    * written by the r15 three-op DIR protocol may still carry a
+    * `_precompact_date=D` dir: with NO live `date=D` the crash fell
+    * between its moves (1) and (2) — restore the original; with a live
+    * partition present the crash fell after (2) — the compacted
     * partition is live, drop the leftovers. Idempotent; called once
     * per [[graft.api.HttpApi.forTable]] boot. */
   private[graft] def recoverStagedCompaction(spark: SparkSession,
@@ -495,6 +495,7 @@ object Ingest {
         } else fs.delete(tr.getPath, true)
       }
     fs.delete(new org.apache.hadoop.fs.Path(root, "_compacting"), true)
+    StagedSwap.recover(fs, root)
   }
 
   /** Series-bucketed storage tier — the layout that makes the 100 TB

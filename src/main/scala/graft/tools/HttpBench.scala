@@ -52,11 +52,18 @@ object HttpBench {
     // Per-batch write seconds + query qps per batch window; a GROWING
     // write series would mean a volume-coupled term survived the
     // incremental merge.
+    // r16: `... rungsoak [batches] [samplesPerBatch] [nochunks|chunks]
+    // [days]` — a MULTI-DAY serving soak (date rollover mid-soak): the
+    // r15 sweep bug (per-write cost growing with the number of date=
+    // dirs) hid in every single-date soak's blind spot, so the series
+    // to watch is per-write cost FLAT across days and compactions
+    // firing per-date geometrically.
     if (args.length > 2 && args(2) == "rungsoak") {
       rungSoak(
         if (args.length > 3) args(3).toInt else 96,
         if (args.length > 4) args(4).toInt else 2000000,
-        chunks = !(args.length > 5 && args(5) == "nochunks"))
+        chunks = !(args.length > 5 && args(5) == "nochunks"),
+        soakDays = if (args.length > 6) args(6).toInt else 1)
       return
     }
     val windowSec = if (args.length > 1) args(1).toLong else 5L
@@ -285,7 +292,7 @@ object HttpBench {
     * into keep GROWING — the shape that exposed the pre-r14 refold's
     * volume coupling (IngestBench A/B), now witnessed end-to-end. */
   private def rungSoak(batches: Int, perBatch: Int,
-      chunks: Boolean): Unit = {
+      chunks: Boolean, soakDays: Int = 1): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -319,8 +326,17 @@ object HttpBench {
     val nSeries = 10000
     val baseMs = 1704067200000L // 2024-01-01, midnight UTC
     val winMs = (perBatch / nSeries) * 1000L
-    require(batches.toLong * winMs < 86400000L,
-      "soak must stay inside one UTC date — lower batches or perBatch")
+    require(soakDays >= 1 && batches % soakDays == 0,
+      "days must divide batches evenly")
+    val perDay = batches / soakDays
+    require(perDay.toLong * winMs < 86400000L,
+      "a day's batches must stay inside one UTC date — lower " +
+        "batches/day or perBatch")
+    // multi-day shape (r16): batch b lands in UTC day b/perDay at
+    // in-day slot b%perDay — consecutive windows within each day,
+    // hard date rollover between them
+    def batchBase(b: Int): Long =
+      baseMs + (b / perDay).toLong * 86400000L + (b % perDay).toLong * winMs
     def batchDf(b: Int) = spark.range(perBatch).select(
       map(
         lit("__name__"), lit("rs_m"),
@@ -328,7 +344,7 @@ object HttpBench {
         lit("job"), lit("rungsoak"),
         lit("shard"), (col("id") % 4).cast("string")
       ).as("labels"),
-      (lit(baseMs + b.toLong * winMs) +
+      (lit(batchBase(b)) +
         (col("id") / nSeries).cast("long") * 1000L).as("t"),
       (col("id") % 97).cast("double").as("v"),
       lit(false).as("stale"))
@@ -361,17 +377,28 @@ object HttpBench {
       val t0 = System.nanoTime()
       api.writeDirect(batchDf(b))
       val sec = (System.nanoTime() - t0) / 1e9
-      head.set(baseMs + (b + 1).toLong * winMs)
+      head.set(batchBase(b) + winMs)
       val qps = (reads.get() - r0) / sec
-      println(f"rungsoak batch $b: $perBatch samples in $sec%.2f s " +
-        f"(${perBatch / sec / 1e6}%.2f M/s), queries $qps%.1f q/s" +
+      // cumulative compaction counters: the r16 compactor runs OFF the
+      // write path, so the series to read is (flat write seconds,
+      // geometric per-date compaction cadence) — not write spikes
+      val sc = api.sampleCompactionCount
+      val cc = api.chunkCompactionCounts._1
+      println(f"rungsoak batch $b (day ${b / perDay}): $perBatch samples " +
+        f"in $sec%.2f s (${perBatch / sec / 1e6}%.2f M/s), queries " +
+        f"$qps%.1f q/s, compactions s=$sc c=$cc" +
         (if (b == 0) " (cold)" else ""))
-      (math.rint(sec * 100) / 100, math.rint(qps * 10) / 10)
+      (math.rint(sec * 100) / 100, math.rint(qps * 10) / 10, sc, cc)
     }
     stop.set(true)
-    println(s"""{"rungsoak_batches":$batches,"samples_per_batch":$perBatch,"chunks":$chunks,"write_sec":${rows
+    // drain the background compactor before the summary so the final
+    // counters cover work still in flight at the last batch
+    api.awaitCompactions()
+    println(s"""{"rungsoak_batches":$batches,"samples_per_batch":$perBatch,"chunks":$chunks,"days":$soakDays,"write_sec":${rows
       .map(_._1).mkString("[", ",", "]")},"query_qps":${rows
-      .map(_._2).mkString("[", ",", "]")}}""")
+      .map(_._2).mkString("[", ",", "]")},"sample_compactions":${rows
+      .map(_._3).mkString("[", ",", "]")},"chunk_compactions":${rows
+      .map(_._4).mkString("[", ",", "]")}}""")
     api.stop()
     spark.stop()
     sys.exit(0)

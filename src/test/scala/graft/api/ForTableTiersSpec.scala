@@ -261,6 +261,7 @@ class ForTableTiersSpec extends SparkTestBase {
         else d.listFiles().count(_.getName.endsWith(".parquet"))
       }
       (0 until 8).foreach(write) // 8 files > threshold 6 -> compacts
+      assert(tApi.awaitCompactions(), "compactor did not drain")
       assert(tApi.sampleCompactionCount >= 1,
         "samples compaction never ran past the threshold")
       val afterFirst = files()
@@ -272,11 +273,13 @@ class ForTableTiersSpec extends SparkTestBase {
       // compaction -> no re-run (the pre-r15 trigger would re-encode
       // the whole date here, the O(day^2) term the soak measured)
       (8 until 15).foreach(write)
+      assert(tApi.awaitCompactions(), "compactor did not drain")
       assert(files() > 6, "fixture must re-cross the file threshold")
       assert(tApi.sampleCompactionCount == countAfterFirst,
         "compaction retriggered inside a doubling interval")
       // ...and once the partition doubles, it runs again
       (15 until 40).foreach(write)
+      assert(tApi.awaitCompactions(), "compactor did not drain")
       assert(tApi.sampleCompactionCount > countAfterFirst,
         "compaction never retriggered after the partition doubled")
       // results bit-equal to a raw scan of what was written
@@ -289,6 +292,72 @@ class ForTableTiersSpec extends SparkTestBase {
       assert(vals == raw && vals.nonEmpty,
         "compacted table diverged from the served engine")
     } finally tApi.stop()
+  }
+
+  test("compaction watermarks PERSIST across restarts (r16): a reopened " +
+      "server resumes the doubling cadence instead of mass-compacting, " +
+      "and the boot sweep fires only when a date is genuinely due") {
+    val path = Files.createTempDirectory("api-table-wm").toString
+    val date = "1970-01-01"
+    def serve() = HttpApi.forTable(spark, path, sampleCompactThreshold = 6)
+    def postT(api: HttpApi, body: String): Int = {
+      val url = new URI(
+        s"http://127.0.0.1:${api.boundPort}/api/v1/write").toURL
+      val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.getOutputStream.write(body.getBytes(UTF_8))
+      conn.getResponseCode
+    }
+    def write(api: HttpApi, i: Int): Unit = assert(postT(api,
+      s"""{"labels":{"__name__":"wm_m","k":"a"},"t":${i * m},"v":$i}""")
+      == 200)
+    val api1 = serve(); api1.start()
+    try {
+      (0 until 8).foreach(write(api1, _)) // crosses threshold -> compacts
+      assert(api1.awaitCompactions())
+      assert(api1.sampleCompactionCount >= 1, "fixture never compacted")
+      // leave the partition RE-CROSSED over the file threshold but
+      // inside the doubling interval — the exact restart state the r15
+      // in-memory watermarks mishandled (2 x 0 fires immediately)
+      (8 until 15).foreach(write(api1, _))
+      assert(api1.awaitCompactions())
+      assert(api1.sampleCompactionCount == 1,
+        "gate should hold inside the doubling interval")
+    } finally api1.stop()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val persisted = graft.storage.CompactionWatermarks
+      .load(fs, new org.apache.hadoop.fs.Path(path))
+    assert(persisted.get(date).exists(_ > 0L),
+      s"watermark not persisted: $persisted")
+    // restart 1: the boot sweep sees >threshold files but the
+    // PERSISTED watermark says the partition has not doubled -> no
+    // compaction (an r15-style server would recompact here)
+    val api2 = serve(); api2.start()
+    try {
+      assert(api2.awaitCompactions())
+      assert(api2.sampleCompactionCount == 0,
+        "restart mass-compacted despite the persisted watermark")
+    } finally api2.stop()
+    // restart 2 with the watermark file gone: the same boot sweep now
+    // finds the date due (>threshold files, 2 x 0 bytes) and compacts
+    // WITHOUT any write — the background boot catch-up path
+    assert(new java.io.File(s"$path/_compact_watermarks").delete())
+    val api3 = serve(); api3.start()
+    try {
+      assert(api3.awaitCompactions())
+      assert(api3.sampleCompactionCount >= 1,
+        "boot sweep never compacted a due date")
+      // and the served rows survived every pass bit-equal to raw
+      val vals = api3.servingEngine
+        .rangeQuery("sum_over_time(wm_m[5m])", 0, 14 * m, 5 * m)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+      val raw = new PromQLEngine(spark, Ingest.readTable(spark, path))
+        .rangeQuery("sum_over_time(wm_m[5m])", 0, 14 * m, 5 * m)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+      assert(vals == raw && vals.nonEmpty,
+        "compacted table diverged after restarts")
+    } finally api3.stop()
   }
 
   test("a write that FAILED between append and tier refresh is healed " +
@@ -408,6 +477,7 @@ class ForTableTiersSpec extends SparkTestBase {
       // still holds; a workload inside a doubling interval may carry
       // more files by design
       for (i <- 0 until 12) write(151 + i * 3, 153 + i * 3)
+      assert(tApi.awaitCompactions(), "compactor did not drain")
       def chunkFiles: Int = {
         val d = new java.io.File(s"$path/_chunks")
         d.listFiles().filter(_.getName.startsWith("date="))

@@ -131,6 +131,71 @@ class ChunkStoreSpec extends SparkTestBase {
     assert(asSet(ChunkStore.read(spark, dir)) == before)
   }
 
+  test("compactStaged snapshot swap: decoded frame preserved, a chunk " +
+      "batch appended mid-rewrite survives, and StagedSwap.recover " +
+      "heals both crash windows (r16, the three-op-commit ask)") {
+    val dir = tmpDir()
+    val date = "2024-01-01"
+    val mk = (parity: Int) => samplesDF(
+      Map("__name__" -> "cm") ->
+        (0 until 1440).filter(_ % 2 == parity)
+          .map(i => (1704067200000L + i * 60000L, i.toDouble)))
+    ChunkStore.write(mk(0), dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def decodedSet() = {
+      spark.catalog.refreshByPath(dir)
+      asSet(ChunkStore.read(spark, dir))
+    }
+    // snapshot + rewrite, then a SECOND batch lands mid-rewrite: its
+    // chunk files are not in the snapshot and must survive the commit
+    val snap = StagedSwap.snapshot(fs, root, date)
+    ChunkStore.stageCompaction(spark, dir, date, snap)
+    ChunkStore.write(mk(1), dir)
+    val withMidRewrite = decodedSet()
+    assert(StagedSwap.commit(fs, root, date, snap), "commit aborted")
+    assert(decodedSet() == withMidRewrite,
+      "commit lost the mid-rewrite batch or compacted samples")
+    assert(!fs.exists(StagedSwap.swapoutDir(root, date)) &&
+      !fs.exists(StagedSwap.stagingDir(root, date)),
+      "leftovers after a clean commit")
+    val committed = decodedSet()
+    // crash window 1: move-aside done, no marker -> roll back exactly
+    val snap2 = StagedSwap.snapshot(fs, root, date)
+    ChunkStore.stageCompaction(spark, dir, date, snap2)
+    val swapout = StagedSwap.swapoutDir(root, date)
+    fs.mkdirs(swapout)
+    snap2.foreach { f =>
+      assert(fs.rename(f,
+        new org.apache.hadoop.fs.Path(swapout, f.getName)))
+    }
+    StagedSwap.recover(fs, root)
+    assert(decodedSet() == committed, "roll-back changed the store")
+    // crash window 2: marker written, move-in half done -> roll forward
+    val snap3 = StagedSwap.snapshot(fs, root, date)
+    ChunkStore.stageCompaction(spark, dir, date, snap3)
+    fs.mkdirs(swapout)
+    snap3.foreach { f =>
+      assert(fs.rename(f,
+        new org.apache.hadoop.fs.Path(swapout, f.getName)))
+    }
+    fs.create(new org.apache.hadoop.fs.Path(swapout, "_swapped_in"), true)
+      .close()
+    val stagedPart = new org.apache.hadoop.fs.Path(
+      StagedSwap.stagingDir(root, date), s"date=$date")
+    val stagedFiles = fs.listStatus(stagedPart)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
+    assert(stagedFiles.nonEmpty)
+    assert(fs.rename(stagedFiles.head, new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root, s"date=$date"),
+      stagedFiles.head.getName)))
+    StagedSwap.recover(fs, root)
+    assert(decodedSet() == committed, "roll-forward changed the store")
+    assert(!fs.exists(swapout) &&
+      !fs.exists(StagedSwap.stagingDir(root, date)),
+      "recovery left swapout/staging dirs")
+  }
+
   test("label filters push below the decode Generate: non-matching " +
       "chunks are never decoded") {
     val dir = tmpDir()

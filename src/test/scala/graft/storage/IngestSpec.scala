@@ -359,54 +359,92 @@ class IngestSpec extends SparkTestBase {
     }
   }
 
-  test("compactStaged rewrites a date partition serve-through (rows " +
-      "preserved bit-for-bit, files bounded) and recoverStagedCompaction " +
-      "heals both crash windows of the three-op commit") {
+  test("compactStaged snapshot swap: rows preserved bit-for-bit, files " +
+      "bounded, an append landing mid-rewrite survives the commit, and " +
+      "recovery heals both crash windows (roll-back and roll-forward)") {
     val path = tmp("ingest-cstaged")
     val m = 60000L
+    def batch(i: Int) = Seq(
+      Ingest.WriteSample(Map("__name__" -> "cs", "k" -> "a"), i * m, i),
+      Ingest.WriteSample(Map("__name__" -> "cs", "k" -> "b"), i * m, 2 * i))
     // 6 appends into one date -> 6+ files
     (0 until 6).foreach { i =>
-      val rows = Seq(
-        Ingest.WriteSample(Map("__name__" -> "cs", "k" -> "a"), i * m, i),
-        Ingest.WriteSample(Map("__name__" -> "cs", "k" -> "b"), i * m, 2 * i))
-      Ingest.append(Ingest.canonicalize(rows.toDS()), path)
+      Ingest.append(Ingest.canonicalize(batch(i).toDS()), path)
     }
     val date = "1970-01-01"
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     def files() = new java.io.File(s"$path/date=$date")
       .listFiles().count(_.getName.endsWith(".parquet"))
-    def bits() = Ingest.readTable(spark, path).collect()
-      .map(_.toSeq.map {
-        case d: Double => java.lang.Double.doubleToLongBits(d)
-        case x => x
-      }).toSet
+    def bits() = {
+      spark.catalog.refreshByPath(path)
+      Ingest.readTable(spark, path).collect()
+        .map(_.toSeq.map {
+          case d: Double => java.lang.Double.doubleToLongBits(d)
+          case x => x
+        }).toSet
+    }
     assert(files() >= 6, s"fixture should fragment: ${files()}")
     val before = bits()
-    Ingest.compactStaged(spark, path, date)
-    spark.catalog.refreshByPath(path)
-    assert(files() <= Ingest.SeriesBuckets,
+    // --- the off-write-path shape: snapshot, rewrite, APPEND MORE,
+    // commit — the mid-rewrite batch's files are not in the snapshot,
+    // so the file-level commit must leave them untouched (the r16
+    // background-compactor contract)
+    val snap = StagedSwap.snapshot(fs, root, date)
+    Ingest.stageCompaction(spark, path, date, snap)
+    Ingest.append(Ingest.canonicalize(batch(6).toDS()), path)
+    val withMidRewrite = bits()
+    assert(withMidRewrite != before, "fixture: batch 7 should add rows")
+    assert(StagedSwap.commit(fs, root, date, snap), "commit aborted")
+    assert(bits() == withMidRewrite,
+      "commit lost rows (mid-rewrite append or compacted content)")
+    assert(files() <= Ingest.SeriesBuckets + 2,
       s"compaction did not bound the partition: ${files()}")
-    assert(bits() == before, "compaction changed the table's rows")
-    assert(!new java.io.File(s"$path/_precompact_date=$date").exists() &&
-      !new java.io.File(s"$path/_compacting").exists(),
-      "staged/trash leftovers after a clean commit")
-    // crash window 1 (between move-aside and move-in): live partition
-    // missing, original in _precompact -> recovery restores it
-    val live = new java.io.File(s"$path/date=$date")
-    val trash = new java.io.File(s"$path/_precompact_date=$date")
-    assert(live.renameTo(trash))
+    assert(!new java.io.File(s"$path/_swapout-$date").exists() &&
+      !new java.io.File(s"$path/_compacting-$date").exists(),
+      "staged/swapout leftovers after a clean commit")
+    val committed = bits()
+    // --- crash window 1 (move-aside done, marker NOT yet written —
+    // no staged file is live): recovery rolls BACK, restoring the
+    // partition to its exact pre-commit state
+    val snap2 = StagedSwap.snapshot(fs, root, date)
+    Ingest.stageCompaction(spark, path, date, snap2)
+    val swapout = StagedSwap.swapoutDir(root, date)
+    fs.mkdirs(swapout)
+    snap2.foreach { f =>
+      assert(fs.rename(f,
+        new org.apache.hadoop.fs.Path(swapout, f.getName)))
+    }
     Ingest.recoverStagedCompaction(spark, path)
-    spark.catalog.refreshByPath(path)
-    assert(live.exists() && !trash.exists(), "window-1 recovery failed")
-    assert(bits() == before, "window-1 recovery changed rows")
-    // crash window 2 (between move-in and trash drop): both exist ->
-    // recovery keeps the live (compacted) partition, drops the trash
-    trash.mkdirs()
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(trash.getPath, "stale.parquet"),
-      Array[Byte](1, 2, 3))
+    assert(bits() == committed, "roll-back recovery changed rows")
+    assert(!fs.exists(swapout) &&
+      !fs.exists(StagedSwap.stagingDir(root, date)),
+      "roll-back left swapout/staging dirs")
+    // --- crash window 2 (marker written, move-in half done): recovery
+    // rolls FORWARD from the staging dir — same logical rows, no dups
+    val snap3 = StagedSwap.snapshot(fs, root, date)
+    Ingest.stageCompaction(spark, path, date, snap3)
+    fs.mkdirs(swapout)
+    snap3.foreach { f =>
+      assert(fs.rename(f,
+        new org.apache.hadoop.fs.Path(swapout, f.getName)))
+    }
+    fs.create(new org.apache.hadoop.fs.Path(swapout, "_swapped_in"), true)
+      .close()
+    val stagedPart = new org.apache.hadoop.fs.Path(
+      StagedSwap.stagingDir(root, date), s"date=$date")
+    val stagedFiles = fs.listStatus(stagedPart)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
+    // move ONE staged file in, "crash", recover
+    assert(stagedFiles.nonEmpty)
+    assert(fs.rename(stagedFiles.head, new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root, s"date=$date"),
+      stagedFiles.head.getName)))
     Ingest.recoverStagedCompaction(spark, path)
-    assert(live.exists() && !trash.exists(), "window-2 recovery failed")
-    assert(bits() == before, "window-2 recovery changed rows")
+    assert(bits() == committed, "roll-forward recovery changed rows")
+    assert(!fs.exists(swapout) &&
+      !fs.exists(StagedSwap.stagingDir(root, date)),
+      "roll-forward left swapout/staging dirs")
   }
 
   test("mergeFoldPartials property: for seeded random corpora split at " +

@@ -3753,9 +3753,12 @@ eval instant at 50m absent(nonexistent{job="api", instance!="0", env=~"prod"})
 eval instant at 50m absent(nonexistent{job="api", env="dev"})
   {job="api", env="dev"} 1
 
-# a parenthesized selector still synthesizes (it is the same selector)
+# a parenthesized selector does NOT synthesize: funcAbsent type-asserts
+# args[0].(*VectorSelector) and the parser KEEPS ParenExpr nodes
+# (parse.go:566; only eval unwraps them, engine.go:739), so the wrapper
+# defeats the matcher mining (r16 vintage-exactness fix)
 eval instant at 50m absent((nonexistent{job="wrap"}))
-  {job="wrap"} 1
+  {} 1
 
 # non-selector arguments: no matchers to mine — bare {} 1
 eval instant at 50m absent(sum(nonexistent))
@@ -4468,6 +4471,201 @@ eval_fail instant at 50m foo and bool bar
 # a label in both on() and group_left() is rejected at parse time
 # (parse.go:495-503)
 eval_fail instant at 50m foo / on(job) group_left(job) bar
+""")
+  }
+
+  test("count_values label collisions: the value label OVERWRITES an " +
+      "existing metric label and joins the grouping key (engine.go:" +
+      "1269-1274 append + lb.Set; 1302-1315 restriction)") {
+    run("""
+load 5m
+  cv{job="api", instance="0"} 0+10x10
+  cv{job="api", instance="1"} 0+10x10
+  cv{job="app", instance="0"} 50+5x10
+  cv2{v="old", job="a"} 0+20x10
+
+# value label = an EXISTING grouping-class label: lb.Set overwrites the
+# original job, and since !without the value label is appended to the
+# grouping — all three series (value 100 at 50m) collapse to one group
+eval instant at 50m count_values("job", cv)
+  {job="100"} 3
+
+# by(job) + value label "instance": the original instance values are
+# discarded (overwritten), the original job survives as the group key
+eval instant at 50m count_values by (job) ("instance", cv)
+  {job="api", instance="100"} 2
+  {job="app", instance="100"} 1
+
+# without: the value label overwrites cv2's own v="old" AFTER the
+# without-del pass (del instance/__name__, then Set v)
+eval instant at 50m count_values without (instance) ("v", cv2)
+  {job="a", v="200"} 1
+
+# the value label NAMED in the without list: del v, then Set v — the
+# label RE-APPEARS carrying the formatted value (engine.go:1291-1308:
+# without dels run before the count_values Set)
+eval instant at 50m count_values without (v) ("v", cv2)
+  {job="a", v="200"} 1
+
+# Go strconv.FormatFloat(v, 'f', -1, 64) formatting: no exponent, no
+# trailing zeros
+eval instant at 50m count_values("x", cv / 8)
+  {x="12.5"} 3
+""")
+  }
+
+  test("absent() synthesizes only from = matchers of a DIRECT selector " +
+      "argument: regex/negative matchers and ParenExpr wrappers " +
+      "contribute nothing (functions.go:511-531, parse.go:566)") {
+    run("""
+load 5m
+  ab{job="api", k="x"} 0+10x10
+
+# regex-only matchers: nothing to mine, bare {} 1
+eval instant at 50m absent(nonexistent{job=~"a.*"})
+  {} 1
+
+# negative matchers never contribute, even != with a single value
+eval instant at 50m absent(nonexistent{job!="api", k!~"x.*"})
+  {} 1
+
+# regex alongside =: only the = pairs synthesize
+eval instant at 50m absent(nonexistent{job="api", k=~"x|y", env="dev"})
+  {job="api", env="dev"} 1
+
+# the __name__ matcher itself never synthesizes — a name-only selector
+# of a missing metric answers bare {} 1 (naming it BOTH ways is a
+# parse error: "metric name must not be set twice")
+eval instant at 50m absent({__name__="nonexistent"})
+  {} 1
+eval_fail instant at 50m absent(nonexistent{__name__="nonexistent"})
+
+# a parenthesized selector is a ParenExpr, not a *VectorSelector —
+# the type assertion fails and NO labels synthesize
+eval instant at 50m absent((nonexistent{job="api", env="dev"}))
+  {} 1
+
+# present metric: empty result regardless of wrapper
+eval instant at 50m absent((ab))
+""")
+  }
+
+  test("scalar ⊙ scalar comparisons REQUIRE bool (parse.go:519,531) " +
+      "and return 0/1 scalars (engine.go:1170-1195 btos)") {
+    run("""
+eval instant at 50m 1 >= bool 1
+  {} 1
+
+eval instant at 50m 1 > bool 2
+  {} 0
+
+eval instant at 50m 0 == bool -0
+  {} 1
+
+eval instant at 50m NaN != bool NaN
+  {} 1
+
+eval instant at 50m NaN == bool NaN
+  {} 0
+
+eval instant at 50m Inf > bool 1e308
+  {} 1
+
+# chained: the comparison folds to a scalar that feeds arithmetic
+eval instant at 50m (1 < bool 2) + 41
+  {} 42
+
+# without bool: parse error on every comparison operator
+eval_fail instant at 50m 1 == 1
+eval_fail instant at 50m 1 <= 2
+eval_fail instant at 50m (3 % 2) != 0
+
+# bool on non-comparison operators is rejected at parse
+eval_fail instant at 50m 1 + bool 2
+""")
+  }
+
+  test("topk/bottomk k edge cases: evalInt truncates toward zero, " +
+      "k < 1 yields an EMPTY vector, NaN/overflow k is an eval error " +
+      "(engine.go:637-643, 1258-1263)") {
+    run("""
+load 5m
+  tk{job="a"} 0+10x10
+  tk{job="b"} 0+20x10
+  tk{job="c"} 0+30x10
+
+# 1.9 truncates to k=1 (Go int64 conversion, not rounding)
+eval instant at 50m topk(1.9, tk)
+  tk{job="c"} 300
+
+eval instant at 50m bottomk(1.9, tk)
+  tk{job="a"} 100
+
+# 0 < k < 1 truncates to 0 -> empty vector, not an error
+eval instant at 50m topk(0.9, tk)
+
+eval instant at 50m bottomk(-2, tk)
+
+# k beyond the group size returns everything
+eval instant at 50m topk(1e3, tk)
+  tk{job="a"} 100
+  tk{job="b"} 200
+  tk{job="c"} 300
+
+# arithmetic in the parameter folds first (evalInt evaluates any
+# scalar expression)
+eval instant at 50m topk(1 + 1, tk)
+  tk{job="b"} 200
+  tk{job="c"} 300
+
+# NaN fails convertibleToInt64 -> "Scalar value NaN overflows int64"
+eval_fail instant at 50m topk(NaN, tk)
+
+# so does an over-int64 float
+eval_fail instant at 50m topk(1e300, tk)
+""")
+  }
+
+  test("quantile_over_time at φ edges with staleness markers inside " +
+      "the window (quantile.go:156-183; markers are excluded from " +
+      "range selections, engine.go matrix path)") {
+    run("""
+load 1m
+  qs{job="a"} 1 2 3 stale 5
+  qs{job="b"} 10 10 10 10 10
+
+# CLOSED window [0, 4m] at 4m: the 3m marker is EXCLUDED -> values
+# {1, 2, 3, 5} (the 0m sample sits ON the closed left edge, in range)
+eval instant at 4m quantile_over_time(0, qs{job="a"}[4m])
+  {job="a"} 1
+
+eval instant at 4m quantile_over_time(1, qs{job="a"}[4m])
+  {job="a"} 5
+
+# interpolation over the marker-thinned set {1,2,3,5}: rank = 0.5 * 3
+# = 1.5 -> midway between 2 and 3
+eval instant at 4m quantile_over_time(0.5, qs{job="a"}[4m])
+  {job="a"} 2.5
+
+# 0.25 -> rank 0.75 between 1 and 2
+eval instant at 4m quantile_over_time(0.25, qs{job="a"}[4m])
+  {job="a"} 1.75
+
+# φ out of [0,1]: ∓Inf per series, never an error
+eval instant at 4m quantile_over_time(-1, qs[4m])
+  {job="a"} -Inf
+  {job="b"} -Inf
+
+eval instant at 4m quantile_over_time(2, qs[4m])
+  {job="a"} +Inf
+  {job="b"} +Inf
+
+# NaN φ floats a NaN rank into values[int(NaN)] and panics in the
+# reference -> eval error, exactly like the vector quantile
+eval_fail instant at 4m quantile_over_time(NaN, qs[4m])
+
+# a window holding ONLY the marker: the series vanishes entirely
+eval instant at 3m quantile_over_time(0.5, qs{job="a"}[30s])
 """)
   }
 }
