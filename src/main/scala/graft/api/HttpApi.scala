@@ -1475,7 +1475,7 @@ object HttpApi {
       // keep serving the live listing
       if (samplesTier) Ingest.stageCompaction(spark, path, date, snapshot)
       else ChunkStore.stageCompaction(spark, chunksPath, date, snapshot)
-      writeLock.synchronized {
+      val swappedOut = writeLock.synchronized {
         // the commit is metadata-only; hold it under a short reader
         // quiesce so no query plans against the half-swapped listing
         // (the r15 advisor's silent-miss window), falling back to an
@@ -1497,10 +1497,15 @@ object HttpApi {
           graft.storage.CompactionWatermarks.save(tableFs, root, wm)
           (if (samplesTier) api.sampleCompactions else api.chunkCompactions)
             .incrementAndGet()
-          api.swapEngine(freshEngine(bindRungs = pendingDates.isEmpty))
-            .releaseSeriesDim()
-        }
+          Some(api.swapEngine(freshEngine(bindRungs = pendingDates.isEmpty)))
+        } else None
       }
+      // release OUTSIDE the write lock: unpersisting the swapped-out
+      // engine's caches synchronizes on their builders, and a query
+      // mid-materialization would otherwise hold this thread — and
+      // with it the write lock — for its whole run (the r16 soak
+      // caught exactly that: a 128 s write stall behind a release)
+      swappedOut.foreach(_.releaseSeriesDim())
     }
     def scheduleCompactionChecks(samplesTier: Boolean,
         dates: Iterable[String]): Unit =

@@ -60,9 +60,12 @@ class PromQLEngine(
     // ChunkEnvelopePushdown rule (date partitions + min_t/max_t
     // row-group stats), and per-chunk rows amortize matcher evaluation
     // by the samples-per-chunk factor. Series-dimension questions
-    // (seriesDim, tableStats, labelValues) stay on `samples`: both
-    // frames hold the same series, and the raw table answers them
-    // without decode. Results are bit-identical either way (asserted
+    // (seriesDim, labelValues, index-only series()) serve from the
+    // series INDEX when one is bound (r16 — a samples-derived dim is
+    // a full-table distinct a serving deployment would rebuild per
+    // write); without an index they stay on `samples`, never the
+    // chunk tier — the raw table answers them without decode.
+    // Results are bit-identical either way (asserted
     // in ForTableTiersSpec) — only scan cost differs. ONE documented
     // exception: a protocol-violating at-least-once client that
     // re-sends a CONFLICTING value for an already-written (series, t)
@@ -642,14 +645,31 @@ class PromQLEngine(
     * disqualify hash aggregation — SortAggregate pairs sorting the full
     * sample volume — and labels-as-grouping-key pays an entries
     * array_sort per sample row), then [[joinLabels]] rejoins this small
-    * dimension on the aggregated output (AQE broadcasts it). */
-  private lazy val seriesDim: DataFrame =
-    seriesDimCache.computeIfAbsent(
+    * dimension on the aggregated output (AQE broadcasts it).
+    *
+    * With a series INDEX bound, the dimension IS the index (r16): the
+    * index already holds exactly (sig, canonical labels) one row per
+    * series, kept live by the write path — the reference reads series
+    * labels from its index too (`tsdb/querier.go` via
+    * `index.Series`), never by scanning samples. The samples-derived
+    * fallback below is a FULL-TABLE distinct with a per-row entries
+    * sort, which a serving deployment rebuilds after every write (the
+    * engine swap releases the cache — a stale dim would hide new
+    * series from every label rejoin): the r16 multi-day soak measured
+    * that rebuild growing with TOTAL table volume until reader qps
+    * and write latency collapsed together (~batch 60 of a 96 × 2 M
+    * day: writes 28 → 128 s, qps 0.9 → 0.0) — a per-write cost
+    * carrying a term in table AGE, the same defect class as the r15
+    * compaction sweep, one tier up. */
+  private lazy val seriesDim: DataFrame = idxCached match {
+    case Some(idx) => idx.select(col(SIG), col(L))
+    case None => seriesDimCache.computeIfAbsent(
       samples.queryExecution.analyzed.canonicalized, _ =>
         samples.select(array_sort(map_entries(col(L))).as("_ents")).distinct()
           .select(map_from_entries(col("_ents")).as(L))
           .select(Samples.sigExpr(col(L)).as(SIG), col(L))
           .cache())
+  }
 
   /** Rejoin full label sets onto a sig-keyed aggregated frame. */
   private def joinLabels(aggd: DataFrame): DataFrame =

@@ -66,6 +66,20 @@ object HttpBench {
         soakDays = if (args.length > 6) args(6).toInt else 1)
       return
     }
+    // TABLE-AGE A/B (r16): `... sweepage [dates] [writes] [perBatch]`
+    // — per-write cost must be independent of how many date partitions
+    // the table has ACCUMULATED (the r15 sweeps listed every date= dir
+    // of both tiers per write; a year of retention ≈ 730 listings per
+    // batch). Pre-seeds `dates` one-file partitions, then drives
+    // `writes` identical batches into one fresh date — run at dates=1
+    // and dates=730 and compare the per-write series.
+    if (args.length > 2 && args(2) == "sweepage") {
+      sweepAge(
+        if (args.length > 3) args(3).toInt else 730,
+        if (args.length > 4) args(4).toInt else 20,
+        if (args.length > 5) args(5).toInt else 100000)
+      return
+    }
     val windowSec = if (args.length > 1) args(1).toLong else 5L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -399,6 +413,84 @@ object HttpBench {
       .map(_._2).mkString("[", ",", "]")},"sample_compactions":${rows
       .map(_._3).mkString("[", ",", "]")},"chunk_compactions":${rows
       .map(_._4).mkString("[", ",", "]")}}""")
+    api.stop()
+    spark.stop()
+    sys.exit(0)
+  }
+
+  /** Table-age A/B (r16 verdict item 1's done-criterion): the write
+    * path's per-batch cost must carry NO term in the table's date
+    * count. Seeds `dates` single-file date partitions (file copies of
+    * one tiny appended batch — content irrelevant, the measurement is
+    * metadata cost), opens the full-tier server over the aged table,
+    * then times `writes` identical batches into one fresh date.
+    * Compare the series at dates=1 vs dates=730: the r15 sweeps would
+    * add two full-root listings per write (every `date=` dir of the
+    * samples table and the chunk store); the r16 background compactor
+    * checks only the batch's own dates, so the series must match. */
+  private def sweepAge(dates: Int, writes: Int, perBatch: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    import graft.storage.Ingest
+    val path = java.nio.file.Files
+      .createTempDirectory("sweep-age-table").toString
+    val baseMs = 1704067200000L // 2024-01-01 UTC
+    val dayMs = 86400000L
+    // one real appended batch gives the template partition files
+    val seed = spark.range(100).select(
+      map(lit("__name__"), lit("seed_m"),
+        lit("k"), col("id").cast("string")).as("labels"),
+      lit(baseMs).as("t"), col("id").cast("double").as("v"),
+      lit(false).as("stale"))
+    Ingest.append(seed, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = root.getFileSystem(conf)
+    val srcPart = new org.apache.hadoop.fs.Path(root, "date=2024-01-01")
+    val srcFiles = fs.listStatus(srcPart)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    (1 until dates).foreach { d =>
+      val date = java.time.Instant.ofEpochMilli(baseMs + d * dayMs)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.format(fmt)
+      val dst = new org.apache.hadoop.fs.Path(root, s"date=$date")
+      fs.mkdirs(dst)
+      srcFiles.foreach { f =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, f, fs,
+          new org.apache.hadoop.fs.Path(dst, f.getName), false, conf)
+      }
+    }
+    val api = graft.api.HttpApi.forTable(spark, path, chunks = true)
+    api.start()
+    // the measured writes land in a FRESH date past the seeded range
+    val nSeries = 1000
+    val writeBase = baseMs + (dates.toLong + 2) * dayMs
+    def batchDf(b: Int) = spark.range(perBatch).select(
+      map(lit("__name__"), lit("sw_m"),
+        lit("instance"), concat(lit("i-"), (col("id") % nSeries))).as("labels"),
+      (lit(writeBase + b.toLong * 600000L) +
+        (col("id") / nSeries).cast("long") * 1000L).as("t"),
+      (col("id") % 97).cast("double").as("v"),
+      lit(false).as("stale"))
+    val secs = (0 until writes).map { b =>
+      val t0 = System.nanoTime()
+      api.writeDirect(batchDf(b))
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"sweepage write $b ($dates dates): $sec%.2f s")
+      math.rint(sec * 100) / 100
+    }
+    api.awaitCompactions()
+    val warm = secs.drop(2)
+    println(s"""{"sweepage_dates":$dates,"writes":$writes,"per_batch":$perBatch,"write_sec":${secs
+      .mkString("[", ",", "]")},"warm_mean":${math.rint(
+      warm.sum / warm.size * 1000) / 1000}}""")
     api.stop()
     spark.stop()
     sys.exit(0)

@@ -4626,6 +4626,48 @@ eval_fail instant at 50m topk(1e300, tk)
 """)
   }
 
+  test("vector ⊙ NaN-literal comparisons: Go semantics — every " +
+      "comparison with a NaN operand is false except !=, so filter " +
+      "forms drop everything and bool forms answer 0/1 uniformly " +
+      "(engine.go:1199-1235 vectorElemBinop)") {
+    run("""
+load 5m
+  vn{job="a"} 0+10x10
+  vn{job="b"} 0+20x10
+
+# filter form: no element compares true against NaN -> empty
+eval instant at 50m vn > NaN
+eval instant at 50m vn < NaN
+eval instant at 50m vn == NaN
+eval instant at 50m vn <= NaN
+
+# != with NaN is TRUE for every real value
+eval instant at 50m vn != NaN
+  vn{job="a"} 100
+  vn{job="b"} 200
+
+# bool forms keep __name__ in this vintage (shouldDropMetricName
+# lists only + - * / %) and answer 0/1
+eval instant at 50m vn >= bool NaN
+  vn{job="a"} 0
+  vn{job="b"} 0
+
+eval instant at 50m vn != bool NaN
+  vn{job="a"} 1
+  vn{job="b"} 1
+
+# scalar-on-the-left orientation is the same element-wise rule
+eval instant at 50m NaN < bool vn
+  vn{job="a"} 0
+  vn{job="b"} 0
+
+# arithmetic with NaN is NOT special-cased: it propagates
+eval instant at 50m (vn + NaN) == bool 0
+  {job="a"} 0
+  {job="b"} 0
+""")
+  }
+
   test("quantile_over_time at φ edges with staleness markers inside " +
       "the window (quantile.go:156-183; markers are excluded from " +
       "range selections, engine.go matrix path)") {
