@@ -1351,6 +1351,23 @@ object Dedup {
     * probe per round) — never over data, so the operator scales to
     * billion-node pair graphs: per-round shuffle volume stays
     * proportional to the current edge count, which only shrinks.
+    *
+    * r16 (optimization): once the contracted edge set is at most
+    * `localFinishEdges` (the count the per-round probe computes
+    * anyway), the remaining rounds are replaced by ONE single-task
+    * union-find over the surviving edges — the standard local phase
+    * of large-graph algorithms. Each tail star round is a full
+    * multi-shuffle barrier over an already-tiny frame (the per-round
+    * cost at that point is pure stage scheduling, ~1 s/round on the
+    * fixture), while a path-compressed union-find over ≤ 2M edges is
+    * milliseconds inside one task. The finish runs on an EXECUTOR
+    * task (coalesce(1) + mapPartitions), never the driver; results
+    * are exactly the star fixpoint's (component = min node id — a
+    * planted-graph spec pins star-only vs local-finish equality).
+    * Memory bound: ≤ localFinishEdges edges → ≤ 2× that many parent
+    * map entries in the one task. Tune with
+    * `spark.graft.cc.localFinishEdges` (0 disables, restoring the
+    * pure star loop).
     */
   def connectedComponents(edges0: DataFrame, maxRounds: Int = 50): DataFrame = {
     // canonical direction: (u, v) with u > v ("point to the smaller")
@@ -1401,10 +1418,19 @@ object Dedup {
         .distinct()
     }
 
+    // ids must carry a total order the one-task finish can reproduce
+    // (the star algorithm itself already orders them via least/
+    // greatest); non-orderable id types just keep the pure star loop
+    val idType = edges.schema(0).dataType
+    val localFinishCap: Long =
+      if (localFinishComparator(idType).isEmpty) 0L
+      else edges0.sparkSession.conf
+        .get("spark.graft.cc.localFinishEdges", "2000000").toLong
+
     var sig = probe(edges)
     var round = 0
     var converged = sig._1 == 0L
-    while (!converged && round < maxRounds) {
+    while (!converged && sig._1 > localFinishCap && round < maxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nextSig = probe(next)
       edges.unpersist()
@@ -1413,11 +1439,71 @@ object Dedup {
       sig = nextSig
       round += 1
     }
+    if (!converged && sig._1 <= localFinishCap)
+      return unionFindFinish(edges, idType)
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")
     // at the fixpoint each non-root node carries exactly one (node, root) edge
     edges.select(col("u").as("id"), col("v").as("component"))
       .union(edges.select(col("v"), col("v")))
       .distinct()
+  }
+
+  /** Natural-order comparator matching Spark's ordering for the id
+    * types the dedup graphs actually use; None disables the one-task
+    * finish for exotic id types (the star loop handles them). */
+  private def localFinishComparator(dt: org.apache.spark.sql.types.DataType)
+      : Option[(Any, Any) => Int] = dt match {
+    case org.apache.spark.sql.types.LongType =>
+      Some((a, b) => java.lang.Long.compare(
+        a.asInstanceOf[Long], b.asInstanceOf[Long]))
+    case org.apache.spark.sql.types.IntegerType =>
+      Some((a, b) => java.lang.Integer.compare(
+        a.asInstanceOf[Int], b.asInstanceOf[Int]))
+    case org.apache.spark.sql.types.StringType =>
+      Some((a, b) => a.asInstanceOf[String].compareTo(b.asInstanceOf[String]))
+    case _ => None
+  }
+
+  /** One-task union-find over a bounded edge frame: emits (id,
+    * component-min) for EVERY node appearing in the edges — exactly
+    * the star fixpoint's output contract. Path-compressed, min-id
+    * roots (union attaches the larger root under the smaller, so the
+    * representative is always the component minimum). */
+  private def unionFindFinish(edges: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val cmp = localFinishComparator(idType).get
+    val spark = edges.sparkSession
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("component", idType)))
+    val rdd = edges.coalesce(1).rdd.mapPartitions { it =>
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x0: Any): Any = {
+        var x = x0
+        var p = parent.get(x)
+        while (p != null && p != x) { x = p; p = parent.get(x) }
+        // path compression
+        var y = x0
+        while (y != x) { val n = parent.put(y, x); y = n }
+        x
+      }
+      it.foreach { r =>
+        val a = r.get(0); val b = r.get(1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (cmp(ra, rb) < 0) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val out = Vector.newBuilder[org.apache.spark.sql.Row]
+      val keys = parent.keySet().toArray
+      keys.foreach { k =>
+        out += org.apache.spark.sql.Row(k, find(k))
+      }
+      out.result().iterator
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Duplicate clusters over a documents frame: every doc labeled with

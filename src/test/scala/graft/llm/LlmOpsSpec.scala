@@ -651,6 +651,35 @@ class LlmOpsSpec extends SparkTestBase {
     assert(Dedup.connectedComponents(edges).collect().isEmpty)
   }
 
+  test("connectedComponents: one-task union-find finish equals the pure star loop") {
+    // r16: below spark.graft.cc.localFinishEdges the tail star rounds
+    // are replaced by a single-task union-find — must be bit-equal to
+    // the star fixpoint on a graph mixing chains, a clique, dup edges
+    // in both orientations, and singleton-free ids
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (6L, 5L), (6L, 7L), (8L, 7L),
+      (11L, 10L), (10L, 11L), // duplicate pair, both orientations
+      (20L, 21L), (21L, 22L), (20L, 22L), // triangle
+      (30L, 31L)).toDF("a", "b")
+    def run(): Set[(Long, Long)] = Dedup.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = run() // default cap: the finish path
+    spark.conf.set("spark.graft.cc.localFinishEdges", "0")
+    val star = try run() // cap 0: the pure alternating-star loop
+    finally spark.conf.unset("spark.graft.cc.localFinishEdges")
+    assert(local == star)
+    assert(local.filter(_._2 == 1L).map(_._1) == (1L to 8L).toSet)
+    assert(local.filter(_._2 == 20L).map(_._1) == Set(20L, 21L, 22L))
+  }
+
+  test("connectedComponents union-find finish handles string ids") {
+    val edges = Seq(("b", "a"), ("b", "c"), ("z", "y")).toDF("a", "b")
+    val comp = Dedup.connectedComponents(edges).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(comp == Set("a" -> "a", "b" -> "a", "c" -> "a",
+      "y" -> "y", "z" -> "y"))
+  }
+
   test("tokenHash64 matches the md5-low64-LE convention (DuckDB md5_number_lower)") {
     // md5('hello') = 5d41402abc4b2a76 b9719d911017c592; LE of the last 8
     // bytes = 0x92C51710919D71B9 = 10575884659879408057 (unsigned)
