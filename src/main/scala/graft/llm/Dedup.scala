@@ -996,8 +996,13 @@ object Dedup {
         col("nsh").as("nf")), Seq("fid"))
       .join(prunedHist.select(col("id").as("hid"), col("hs").as("hh"),
         col("nsh").as("nh")), Seq("hid"))
+      // r16: native two-pointer merge instead of array_intersect —
+      // every set table here is sort_array'd/SortedSet-built (the
+      // same invariant the d3 verify at minhashLshPairs already
+      // relies on), and the hash-set probe array_intersect builds per
+      // row measured 3× slower on the verify stage (SCALE.md r16)
       .withColumn("inter",
-        size(array_intersect(col("fh"), col("hh"))).cast("long"))
+        graft.functions.SortedIntersectCount(col("fh"), col("hh")))
       .withColumn("sc", score)
       .filter(col("sc") >= threshold)
       .select(col("fid"), col("hid"), col("sc").as(scoreName))
@@ -1152,7 +1157,13 @@ object Dedup {
         col("nsh").as("na")), Seq("ia"))
       .join(sets.select(col("id").as("ib"), col("hs").as("hb"),
         col("nsh").as("nb")), Seq("ib"))
-      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+      // r16: native two-pointer merge over the sorted hash sets (see
+      // verifyPairsExact) — the verify stage dominates this operator's
+      // cost at candidate volume, and array_intersect's per-row hash
+      // set measured 3× slower
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount(col("ha"), col("hb"))
+          .cast("int"))
     withSets
       .withColumn("containment",
         greatest(col("inter").cast("double") / col("na").cast("double"),

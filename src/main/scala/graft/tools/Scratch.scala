@@ -22,6 +22,104 @@ object Scratch {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // ---- d15 phase decomposition ----
+    locally {
+      val threshold = 0.6
+      val sets = graft.llm.Dedup.shingleSetsCached(docs, 3)
+      println(f"sets: ${time(sets.count())}%.3f s n=${sets.count()}")
+      val sh = sets.select(col("id"), col("nsh"), explode(col("hs")).as("s"))
+      println(f"sh: ${time(sh.count())}%.3f s n=${sh.count()}")
+      val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      println(f"dfreq: ${time(dfreq.count())}%.3f s")
+      import org.apache.spark.sql.expressions.Window
+      val prefix = sh.join(dfreq, "s")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
+        .where(col("rk") <= (col("nsh") -
+          ceil(lit(threshold) * col("nsh") - lit(1e-9)) + 1).cast("int"))
+        .select(col("id"), col("nsh"), col("s"))
+      println(f"prefix: ${time(prefix.count())}%.3f s n=${prefix.count()}")
+      val cand0 = prefix.as("p").join(sh.as("f"),
+          col("p.s") === col("f.s") && col("p.id") =!= col("f.id") &&
+            (col("p.nsh") < col("f.nsh") ||
+              (col("p.nsh") === col("f.nsh") && col("p.id") < col("f.id"))))
+        .select(least(col("p.id"), col("f.id")).as("ia"),
+          greatest(col("p.id"), col("f.id")).as("ib"))
+      println(f"cand raw: ${time(cand0.count())}%.3f s n=${cand0.count()}")
+      val cand = cand0.distinct()
+      println(f"cand distinct: ${time(cand.count())}%.3f s n=${cand.count()}")
+      (1 to 3).foreach { i =>
+        println(f"d15 full (run $i): ${time(
+          graft.llm.Dedup.containmentPrefixPairs(docs, 3, 0.6).count())}%.3f s")
+      }
+      // planning-vs-execution split: executedPlan forces analysis +
+      // optimization + physical planning without running a job
+      (1 to 3).foreach { i =>
+        val df = graft.llm.Dedup.containmentPrefixPairs(docs, 3, 0.6)
+        val tPlan = time(df.queryExecution.executedPlan)
+        val tExec = time(df.count())
+        println(f"d15 plan=$tPlan%.3f s exec=$tExec%.3f s (run $i)")
+      }
+      // isolated phases over checkpointed inputs (warm, 2nd of 2 draws)
+      val shC = sh.localCheckpoint()
+      val prefC = prefix.localCheckpoint()
+      (1 to 2).foreach { i =>
+        println(f"  phase prefix-only: ${time(prefix.count())}%.3f s")
+      }
+      val candIso = prefC.as("p").join(shC.as("f"),
+          col("p.s") === col("f.s") && col("p.id") =!= col("f.id") &&
+            (col("p.nsh") < col("f.nsh") ||
+              (col("p.nsh") === col("f.nsh") && col("p.id") < col("f.id"))))
+        .select(least(col("p.id"), col("f.id")).as("ia"),
+          greatest(col("p.id"), col("f.id")).as("ib"))
+        .distinct()
+      (1 to 2).foreach { i =>
+        println(f"  phase cand-only: ${time(candIso.count())}%.3f s")
+      }
+      val candC = candIso.localCheckpoint()
+      val verifyIso = candC
+        .join(sets.select(col("id").as("ia"), col("hs").as("ha"),
+          col("nsh").as("na")), Seq("ia"))
+        .join(sets.select(col("id").as("ib"), col("hs").as("hb"),
+          col("nsh").as("nb")), Seq("ib"))
+        .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+        .withColumn("containment",
+          greatest(col("inter").cast("double") / col("na").cast("double"),
+            col("inter").cast("double") / col("nb").cast("double")))
+        .filter(col("containment") >= 0.6)
+      (1 to 2).foreach { i =>
+        println(f"  phase verify-only: ${time(verifyIso.count())}%.3f s")
+      }
+      val verifyNative = candC
+        .join(sets.select(col("id").as("ia"), col("hs").as("ha"),
+          col("nsh").as("na")), Seq("ia"))
+        .join(sets.select(col("id").as("ib"), col("hs").as("hb"),
+          col("nsh").as("nb")), Seq("ib"))
+        .withColumn("inter",
+          graft.functions.SortedIntersectCount(col("ha"), col("hb")))
+        .withColumn("containment",
+          greatest(col("inter").cast("double") / col("na").cast("double"),
+            col("inter").cast("double") / col("nb").cast("double")))
+        .filter(col("containment") >= 0.6)
+      (1 to 2).foreach { i =>
+        println(f"  phase verify-native: ${time(verifyNative.count())}%.3f s")
+      }
+      // prefix via hash agg + per-doc array sort instead of the
+      // sort-based window
+      val prefLen = (col("nsh") -
+        ceil(lit(threshold) * col("nsh") - lit(1e-9)) + 1).cast("int")
+      val prefixAgg = sh.join(dfreq, "s")
+        .groupBy(col("id"))
+        .agg(first(col("nsh")).as("nsh"),
+          collect_list(struct(col("df"), col("s"))).as("_ps"))
+        .select(col("id"), col("nsh"),
+          slice(array_sort(col("_ps")), lit(1), greatest(prefLen, lit(1))).as("_pref"))
+        .select(col("id"), col("nsh"), explode(col("_pref")).as("_p"))
+        .select(col("id"), col("nsh"), col("_p.s").as("s"))
+      (1 to 2).foreach { i =>
+        println(f"  phase prefix-agg: ${time(prefixAgg.count())}%.3f s n=${prefixAgg.count()}")
+      }
+    }
     val pairs = graft.llm.Dedup
       .ngramJaccardPairsCached(docs, 3, 0.5)
       .select(col("ia"), col("ib"))
