@@ -623,25 +623,46 @@ object SparkEntry {
     }),
     // S12: chunk-codec round-trip witness, computed IN Spark — the
     // decoded store must contain exactly the raw sample set: count
-    // both frames and count value mismatches under a full join on
-    // (sig, t). Hash-checkable: n_raw/n_chunk are the fixture's row
-    // count (DuckDB counts events); mismatch is 0 when the codec is
-    // the identity. (Compression is measured on regular-cadence
+    // both frames and count value mismatches per (sig, t) key.
+    // Hash-checkable: n_raw/n_chunk are the fixture's row count
+    // (DuckDB counts events); mismatch is 0 when the codec is the
+    // identity. (Compression is measured on regular-cadence
     // workloads — GorillaChunkSpec/ChunkStoreSpec + SCALE.md §6 — the
     // events fixture averages ~1 sample per series-day, the shape
     // chunking exists to avoid, so a ratio gate here would test the
     // fixture, not the codec.)
+    // r16 (optimization): the mismatch count and raw row count fold
+    // into ONE aggregation over the tagged union instead of a full
+    // outer SortMergeJoin plus a separate count action — one hash-agg
+    // shuffle replaces two sorted shuffles and a second scan. Both
+    // (sig, t) key sets are unique (the fixture's dedup invariant),
+    // so a key's group mismatches exactly when the old join row did:
+    // value differs NaN-safely, or either side is absent/duplicated
+    // (any codec corruption still lands ≥ 1). n_chunk stays the
+    // ENVELOPE sum from ChunkStore.stats — the witness that the
+    // per-chunk `n` counters agree with the decode is kept.
     "s12_chunk_roundtrip" -> ((spark, dir) => {
       val raw = Samples.fromEventsDir(spark, dir)
         .select(col("sig"), col("t"), col("v"))
       val dec = ChunkStore.read(spark, chunkStorePath(spark, dir))
-        .select(col("sig"), col("t"), col("v").as("vd"))
-      val mismatches = raw.join(dec, Seq("sig", "t"), "full")
-        .filter(not(col("v") <=> col("vd"))).count()
+        .select(col("sig"), col("t"), col("v"))
+      val r = raw.withColumn("_side", lit(1))
+        .unionByName(dec.withColumn("_side", lit(2)))
+        .groupBy(col("sig"), col("t"))
+        .agg(
+          max(when(col("_side") === 1, col("v"))).as("_vr"),
+          sum(when(col("_side") === 1, 1L).otherwise(0L)).as("_cr"),
+          max(when(col("_side") === 2, col("v"))).as("_vd"),
+          sum(when(col("_side") === 2, 1L).otherwise(0L)).as("_cd"))
+        .agg(sum(col("_cr")).as("n_raw"),
+          sum(when(not(col("_vr") <=> col("_vd")) ||
+            col("_cr") =!= 1L || col("_cd") =!= 1L, 1L).otherwise(0L))
+            .as("mismatch"))
+        .head()
       val (samples, _, _) =
         ChunkStore.stats(spark, chunkStorePath(spark, dir))
       import spark.implicits._
-      Seq((raw.count(), samples, mismatches))
+      Seq((r.getLong(0), samples, r.getLong(1)))
         .toDF("n_raw", "n_chunk", "mismatch")
     }),
     // S13: series-index (postings) routing — the SAME engine range

@@ -44,17 +44,35 @@ object AnnWitness {
     */
   def topkWitness(ann: DataFrame, exact: DataFrame,
       minRecall: Double): DataFrame = {
+    // r16 (optimization): ONE tagged-union aggregation instead of two
+    // joins + three aggregates + two crossJoins — each side's lineage
+    // (the ANN pipeline, the brute baseline) is evaluated once, and
+    // the witness costs one hash-agg shuffle. Multiplicity-exact vs
+    // the join form: per key, hits = cnt_a·cnt_e and the overlap's
+    // max |acos − ecos| over all (a, e) combos is
+    // max(maxA − minE, maxE − minA).
     val a = ann.select(col("qid"), col("neighbor_id"),
-      col("cos").cast("double").as("acos"))
+      col("cos").cast("double").as("c"),
+      lit(1L).as("_a"), lit(0L).as("_e"))
     val e = exact.select(col("qid"), col("neighbor_id"),
-      col("cos").cast("double").as("ecos"))
-    val overlap = a.join(e, Seq("qid", "neighbor_id"))
-      .agg(count(lit(1)).as("hits"),
-        coalesce(max(abs(col("acos") - col("ecos"))), lit(0.0)).as("max_err"))
-    a.agg(countDistinct(col("qid")).as("n_queries"),
-        count(lit(1)).as("ann_rows"))
-      .crossJoin(e.agg(count(lit(1)).as("exact_rows")))
-      .crossJoin(overlap)
+      col("cos").cast("double").as("c"),
+      lit(0L).as("_a"), lit(1L).as("_e"))
+    a.unionByName(e)
+      .groupBy(col("qid"), col("neighbor_id"))
+      .agg(sum(col("_a")).as("ca"), sum(col("_e")).as("ce"),
+        max(when(col("_a") === 1, col("c"))).as("maxA"),
+        min(when(col("_a") === 1, col("c"))).as("minA"),
+        max(when(col("_e") === 1, col("c"))).as("maxE"),
+        min(when(col("_e") === 1, col("c"))).as("minE"))
+      .agg(
+        coalesce(countDistinct(when(col("ca") > 0, col("qid"))), lit(0L))
+          .as("n_queries"),
+        coalesce(sum(col("ca")), lit(0L)).as("ann_rows"),
+        coalesce(sum(col("ce")), lit(0L)).as("exact_rows"),
+        coalesce(sum(col("ca") * col("ce")), lit(0L)).as("hits"),
+        coalesce(max(when(col("ca") > 0 && col("ce") > 0,
+          greatest(col("maxA") - col("minE"), col("maxE") - col("minA")))),
+          lit(0.0)).as("max_err"))
       .select(col("n_queries"), col("ann_rows"), col("exact_rows"),
         (col("hits").cast("double") / col("exact_rows") >= minRecall)
           .cast("long").as("recall_ok"),
@@ -75,14 +93,22 @@ object AnnWitness {
     */
   def pairsWitness(approx: DataFrame, exact: DataFrame,
       minRecall: Double): DataFrame = {
-    val a = approx.select(col("ia"), col("ib"))
-    val e = exact.select(col("ia"), col("ib"))
-    val fp = a.join(e, Seq("ia", "ib"), "left_anti")
-      .agg(count(lit(1)).as("false_pos"))
-    val overlap = a.join(e, Seq("ia", "ib"))
-      .agg(count(lit(1)).as("hits"))
-    e.agg(count(lit(1)).as("exact_pairs"))
-      .crossJoin(fp).crossJoin(overlap)
+    // r16 (optimization): ONE tagged-union aggregation (see
+    // topkWitness) — anti-join rows with multiplicity are
+    // sum(ca where ce = 0), inner-join rows are sum(ca·ce), baseline
+    // cardinality is sum(ce).
+    val a = approx.select(col("ia"), col("ib"),
+      lit(1L).as("_a"), lit(0L).as("_e"))
+    val e = exact.select(col("ia"), col("ib"),
+      lit(0L).as("_a"), lit(1L).as("_e"))
+    a.unionByName(e)
+      .groupBy(col("ia"), col("ib"))
+      .agg(sum(col("_a")).as("ca"), sum(col("_e")).as("ce"))
+      .agg(
+        coalesce(sum(col("ce")), lit(0L)).as("exact_pairs"),
+        coalesce(sum(when(col("ce") === 0, col("ca")).otherwise(0L)),
+          lit(0L)).as("false_pos"),
+        coalesce(sum(col("ca") * col("ce")), lit(0L)).as("hits"))
       .select(col("exact_pairs"), col("false_pos"),
         (col("hits").cast("double") / col("exact_pairs") >= minRecall)
           .cast("long").as("recall_ok"))
