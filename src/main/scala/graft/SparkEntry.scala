@@ -112,26 +112,6 @@ object SparkEntry {
           spark.sparkContext.parallelize(r.collect().toSeq, 1), r.schema)
       })
 
-  /** Exact all-pairs baseline the banded-pair witnesses (d7/d8)
-    * compare against at the cos ≥ 0.9 dedup regime, computed ONCE per
-    * (session, dir) — the same verification-oracle argument as
-    * [[exactTopk]]: a production pipeline validates its banding
-    * against one brute pass, not per query, and brutePairs is
-    * deterministic. Materialized to local rows (one per planted pair)
-    * so cache substitution can never serve d5 — whose brute plan is
-    * at a different threshold anyway — from memory (r16). */
-  private val exactPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def exactPlantedPairs(spark: SparkSession, dir: String): DataFrame =
-    exactPairsCache.computeIfAbsent(
-      s"${sessionKey(spark)}:$dir",
-      _ => {
-        val r = Similarity.brutePairs(
-          Similarity.withPlantedDupes(emb(spark, dir)), 0.9, dim = 64)
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(r.collect().toSeq, 1), r.schema)
-      })
-
   /** Entries whose measured plan consumes a per-session MEMOIZED or
     * pre-evaluated RESULT (a cached pair table, a driver-materialized
     * exact baseline, a Spark-cached index build, or rule output
@@ -310,7 +290,7 @@ object SparkEntry {
   // all fixture caches key by sessionKey — evicted when their
   // session's context ends (Samples.sessionKey installs the listener),
   // so a JVM that cycles sessions does not pin stopped ones
-  Seq(readerCache, exactTopkCache, exactPairsCache, bucketCache, partialsCache,
+  Seq(readerCache, exactTopkCache, bucketCache, partialsCache,
     bucketedStoreCache, foldPartialsCache, chunkStoreCache,
     rulesStoreCache).foreach(Samples.registerSessionKeyedCache)
 
@@ -1090,7 +1070,7 @@ object SparkEntry {
       AnnWitness.pairsWitness(
         Similarity.lshCosinePairs(planted, 0.9, dim = 64,
           nBits = 64, bands = 8),
-        exactPlantedPairs(spark, dir), 0.99)
+        Similarity.brutePairs(planted, 0.9, dim = 64), 0.99)
     }),
     // D8: cluster-blocked embedding near-dup (the SemDeDup shape) — the
     // data-adaptive counterpart to D7's data-oblivious hyperplanes:
@@ -1105,7 +1085,7 @@ object SparkEntry {
       val planted = Similarity.withPlantedDupes(emb(spark, dir))
       AnnWitness.pairsWitness(
         Similarity.clusterBlockedPairs(planted, 0.9, dim = 64, nprobe = 2),
-        exactPlantedPairs(spark, dir), 0.95)
+        Similarity.brutePairs(planted, 0.9, dim = 64), 0.95)
     }),
     // D10: exact-substring dedup spans — maximal runs of 8-token
     // windows appearing verbatim in >= 2 distinct docs (the Lee et al.
