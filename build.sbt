@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// r17: the driver has parsed the bench stdout line as null in every
+// round (r01–r16) — sbt's logger prefixes forked output with
+// "[info] ", which breaks a strict JSON-line parse. StdoutOutput
+// passes the forked process's stdout through RAW, so the bench's
+// one-line JSON is emitted bare (Spark logs go to stderr either way).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

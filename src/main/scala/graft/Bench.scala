@@ -379,6 +379,13 @@ object Bench {
       val p = java.nio.file.Paths.get("bench_full.json")
       java.nio.file.Files.write(p, full.getBytes("UTF-8"))
     } catch { case _: Throwable => () } // stdout line is the contract
+    // r17: the driver-side parser has returned null on the stdout line
+    // every round (the sbt "[info] " prefix) — ALSO write the exact
+    // contract line to a fixed path beside the build, additions-only
+    try {
+      val p = java.nio.file.Paths.get("bench_line.json")
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     println(line)
     spark.stop()
   }

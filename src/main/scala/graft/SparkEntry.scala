@@ -638,31 +638,21 @@ object SparkEntry {
     // (sig, t) key sets are unique (the fixture's dedup invariant),
     // so a key's group mismatches exactly when the old join row did:
     // value differs NaN-safely, or either side is absent/duplicated
-    // (any codec corruption still lands ≥ 1). n_chunk stays the
-    // ENVELOPE sum from ChunkStore.stats — the witness that the
-    // per-chunk `n` counters agree with the decode is kept.
+    // (any codec corruption still lands ≥ 1; the per-KEY-GROUP
+    // counting under duplicated keys is pinned by ChunkStoreSpec's
+    // corrupted-store cases, r17). n_chunk stays the ENVELOPE sum
+    // from ChunkStore.stats — the witness that the per-chunk `n`
+    // counters agree with the decode is kept.
     "s12_chunk_roundtrip" -> ((spark, dir) => {
       val raw = Samples.fromEventsDir(spark, dir)
         .select(col("sig"), col("t"), col("v"))
       val dec = ChunkStore.read(spark, chunkStorePath(spark, dir))
         .select(col("sig"), col("t"), col("v"))
-      val r = raw.withColumn("_side", lit(1))
-        .unionByName(dec.withColumn("_side", lit(2)))
-        .groupBy(col("sig"), col("t"))
-        .agg(
-          max(when(col("_side") === 1, col("v"))).as("_vr"),
-          sum(when(col("_side") === 1, 1L).otherwise(0L)).as("_cr"),
-          max(when(col("_side") === 2, col("v"))).as("_vd"),
-          sum(when(col("_side") === 2, 1L).otherwise(0L)).as("_cd"))
-        .agg(sum(col("_cr")).as("n_raw"),
-          sum(when(not(col("_vr") <=> col("_vd")) ||
-            col("_cr") =!= 1L || col("_cd") =!= 1L, 1L).otherwise(0L))
-            .as("mismatch"))
-        .head()
+      val (nRaw, mismatch) = ChunkStore.roundtripMismatch(raw, dec)
       val (samples, _, _) =
         ChunkStore.stats(spark, chunkStorePath(spark, dir))
       import spark.implicits._
-      Seq((r.getLong(0), samples, r.getLong(1)))
+      Seq((nRaw, samples, mismatch))
         .toDF("n_raw", "n_chunk", "mismatch")
     }),
     // S13: series-index (postings) routing — the SAME engine range

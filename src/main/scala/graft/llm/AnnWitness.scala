@@ -29,6 +29,14 @@ import org.apache.spark.sql.functions._
   * nothing is collected to the driver — so the entries exercise the
   * full distributed path of both the approximate operator and its
   * baseline, then reduce to one row the driver can hash.
+  *
+  * ID contract (r17, advice): both witnesses assume NON-NULL ids
+  * (`qid`/`neighbor_id`, `ia`/`ib`). The r16 groupBy forms treat NULL
+  * keys as equal, where the former join forms never matched them — a
+  * null-id approx row would count as a hit instead of a false
+  * positive. Every in-repo caller keys on `vec_id` (non-null by the
+  * embeddings fixture/store schema); callers with nullable ids must
+  * filter or tag them before witnessing.
   */
 object AnnWitness {
 

@@ -332,7 +332,16 @@ object Dedup {
     * batch postings. Candidates are then EXACT-verified by
     * intersecting the two cached hash sets (history sets semi-join
     * pruned to candidate ids first), so output equals the unpruned
-    * form bit-for-bit. History×history never forms. */
+    * form bit-for-bit. History×history never forms.
+    *
+    * PRECONDITION (r17, advice): each `hs` array must be sorted
+    * ascending and duplicate-free — the exact verify uses a native
+    * two-pointer merge ([[graft.functions.SortedIntersectCount]])
+    * that silently miscounts otherwise. Every in-repo set producer
+    * ([[shingleSetsCached]], [[graft.llm.Multimodal]]'s
+    * frame/energy-set builders) sort_array's distinct elements;
+    * external callers supplying their own `(id, hs, nsh)` tables must
+    * do the same. */
   def incrementalJaccardFromSets(freshSets: DataFrame,
       historySets: DataFrame, threshold: Double,
       prefixDfShare: Double = DefaultPrefixDfShare): DataFrame =
@@ -423,6 +432,9 @@ object Dedup {
     * history-side prefix is a memoized batch-independent index.
     * Candidates exact-verify against the cached hash sets, so output
     * still equals the quadratic fresh×history cross-join bit-for-bit.
+    *
+    * PRECONDITION (r17, advice): `hs` arrays sorted ascending and
+    * duplicate-free — see [[incrementalJaccardFromSets]].
     *
     * Output: (fid, hid, containment = max(|F∩H|/|F|, |F∩H|/|H|)). */
   def incrementalContainmentFromSets(freshSets: DataFrame,
@@ -1116,7 +1128,10 @@ object Dedup {
     * [[graft.llm.Multimodal.videoNearDupPairs]]). Same
     * exactness/complexity argument as the text form (prefix filter is
     * lossless under the rarest-first total order; candidate volume is
-    * Σ_s df_prefix(s)·df(s), never all-pairs). */
+    * Σ_s df_prefix(s)·df(s), never all-pairs).
+    *
+    * PRECONDITION (r17, advice): `hs` arrays sorted ascending and
+    * duplicate-free — see [[incrementalJaccardFromSets]]. */
   def containmentPrefixPairsFromSets(sets: DataFrame,
       threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1471,7 +1486,16 @@ object Dedup {
       Some((a, b) => java.lang.Integer.compare(
         a.asInstanceOf[Int], b.asInstanceOf[Int]))
     case org.apache.spark.sql.types.StringType =>
-      Some((a, b) => a.asInstanceOf[String].compareTo(b.asInstanceOf[String]))
+      // r17 (advice): compare by UTF-8 BINARY order (== code-point
+      // order), matching the star loop's least/greatest/min over
+      // Spark's UTF8String — String.compareTo is UTF-16 code-unit
+      // order, which ranks BMP chars in [U+E000,U+FFFF] ABOVE
+      // supplementary-plane chars and could pick a different
+      // component representative than the star fixpoint
+      Some((a, b) => org.apache.spark.unsafe.types.UTF8String
+        .fromString(a.asInstanceOf[String])
+        .compareTo(org.apache.spark.unsafe.types.UTF8String
+          .fromString(b.asInstanceOf[String])))
     case _ => None
   }
 

@@ -35,7 +35,16 @@ private[graft] object PlanCache {
     * non-blocking and never runs a job. */
   def clearAndUnpersist(m: java.util.Map[_, DataFrame]): Unit =
     m.synchronized {
-      m.values.forEach(_.unpersist(false))
+      m.values.forEach { v =>
+        // r17: the application-end listener (Samples.evictSession)
+        // calls this while the context is tearing down — unpersist
+        // then races CacheManager internals and logs a scary (but
+        // harmless) stack trace from the listener bus. A stopped
+        // context frees all block storage anyway, so skip, and keep
+        // a belt-and-braces catch for the stop racing the check.
+        if (!v.sparkSession.sparkContext.isStopped)
+          try v.unpersist(false) catch { case _: Throwable => () }
+      }
       m.clear()
     }
 }

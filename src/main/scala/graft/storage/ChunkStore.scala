@@ -294,6 +294,32 @@ object ChunkStore {
     }
   }
 
+  /** Round-trip mismatch witness over two (sig, t, v) frames: returns
+    * (n_raw, mismatch) in ONE tagged-union hash aggregation (r16's
+    * s12 shape). SEMANTICS (pinned by ChunkStoreSpec, r17): `mismatch`
+    * counts BAD (sig, t) KEY GROUPS — a key whose sides' values differ
+    * NaN-safely, or that is absent or duplicated on either side — not
+    * bad join rows (the pre-r16 full-outer-join form counted one per
+    * unmatched row, so a key duplicated k times scored k−1; here it
+    * scores 1). On unique-key inputs (the store's dedup invariant) the
+    * two forms are identical, and ANY corruption still lands ≥ 1. */
+  def roundtripMismatch(raw: DataFrame, dec: DataFrame): (Long, Long) = {
+    val r = raw.withColumn("_side", lit(1))
+      .unionByName(dec.withColumn("_side", lit(2)))
+      .groupBy(col("sig"), col("t"))
+      .agg(
+        max(when(col("_side") === 1, col("v"))).as("_vr"),
+        sum(when(col("_side") === 1, 1L).otherwise(0L)).as("_cr"),
+        max(when(col("_side") === 2, col("v"))).as("_vd"),
+        sum(when(col("_side") === 2, 1L).otherwise(0L)).as("_cd"))
+      .agg(sum(col("_cr")).as("n_raw"),
+        sum(when(not(col("_vr") <=> col("_vd")) ||
+          col("_cr") =!= 1L || col("_cd") =!= 1L, 1L).otherwise(0L))
+          .as("mismatch"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** Compression accounting: (samples, chunk payload bytes,
     * bytes/sample). Payload = the Gorilla blobs alone; the parquet
     * file footprint (dictionary-compressed labels, envelope columns)

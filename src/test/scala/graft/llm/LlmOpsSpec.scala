@@ -680,6 +680,26 @@ class LlmOpsSpec extends SparkTestBase {
       "y" -> "y", "z" -> "y"))
   }
 
+  test("connectedComponents string ids: non-BMP vs high-BMP ordering " +
+      "matches the star loop (UTF-8 binary order, not UTF-16)") {
+    // U+10000 (surrogate pair, UTF-16 units 0xD800 0xDC00) sorts BELOW
+    // U+FFFD in UTF-16 code-unit order but ABOVE it in code-point /
+    // UTF-8 binary order — Spark's least/greatest use the latter, so
+    // the union-find finish must pick "�" as the component min
+    val supp = new String(Character.toChars(0x10000)) // U+10000
+    val bmp = "�" // U+FFFD, high-BMP
+    val edges = Seq((supp, bmp)).toDF("a", "b")
+    def run(): Set[(String, String)] = Dedup.connectedComponents(edges)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val local = run() // default cap: the union-find finish
+    spark.conf.set("spark.graft.cc.localFinishEdges", "0")
+    val star = try run() // cap 0: the pure alternating-star loop
+    finally spark.conf.unset("spark.graft.cc.localFinishEdges")
+    assert(local == star)
+    assert(local == Set(supp -> bmp, bmp -> bmp),
+      s"expected component min $bmp (code-point order), got $local")
+  }
+
   test("tokenHash64 matches the md5-low64-LE convention (DuckDB md5_number_lower)") {
     // md5('hello') = 5d41402abc4b2a76 b9719d911017c592; LE of the last 8
     // bytes = 0x92C51710919D71B9 = 10575884659879408057 (unsigned)

@@ -312,4 +312,36 @@ class ChunkStoreSpec extends SparkTestBase {
     assert(p.contains("ObjectHashAggregate") || p.contains("HashAggregate"),
       s"expected a hash aggregate:\n${p.take(800)}")
   }
+
+  test("roundtripMismatch counts bad KEY GROUPS under every corruption " +
+      "class (pins the r16 s12 semantics change: per-key, not per-row)") {
+    import spark.implicits._
+    def df(rows: (Long, Long, Double)*) =
+      rows.toDF("sig", "t", "v")
+    val raw = df((1L, 10L, 1.0), (1L, 20L, 2.0), (2L, 10L, Double.NaN))
+    // identical (NaN compares equal via <=>): zero mismatches
+    assert(ChunkStore.roundtripMismatch(raw, raw) == (3L, 0L))
+    // one value differs: that key group counts once
+    assert(ChunkStore.roundtripMismatch(raw,
+      df((1L, 10L, 1.0), (1L, 20L, 9.0), (2L, 10L, Double.NaN))) == (3L, 1L))
+    // a key missing from the decoded side: counts once
+    assert(ChunkStore.roundtripMismatch(raw,
+      df((1L, 10L, 1.0), (2L, 10L, Double.NaN))) == (3L, 1L))
+    // an extra key only on the decoded side: counts once
+    assert(ChunkStore.roundtripMismatch(raw,
+      df((1L, 10L, 1.0), (1L, 20L, 2.0), (2L, 10L, Double.NaN),
+        (9L, 9L, 9.0))) == (3L, 1L))
+    // a key DUPLICATED on one side (same value twice): ONE bad key
+    // group — the pre-r16 full-outer-join form would have scored this
+    // differently (per unmatched join row); the per-group semantics
+    // are the contract now
+    assert(ChunkStore.roundtripMismatch(raw,
+      df((1L, 10L, 1.0), (1L, 20L, 2.0), (2L, 10L, Double.NaN),
+        (2L, 10L, Double.NaN))) == (3L, 1L))
+    // duplicated on the raw side: still one bad group, and n_raw
+    // counts ROWS (4), not groups
+    assert(ChunkStore.roundtripMismatch(
+      df((1L, 10L, 1.0), (1L, 20L, 2.0), (2L, 10L, 3.0), (2L, 10L, 3.0)),
+      raw)._2 == 1L)
+  }
 }
