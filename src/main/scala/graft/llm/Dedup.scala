@@ -1149,23 +1149,43 @@ object Dedup {
     // video-incremental equivalence spec, which planted a pair at
     // containment exactly 0.9). The ε guard only ever LENGTHENS the
     // prefix, and only at FP-ambiguous boundaries.
+    // r17: MATCH-COUNT candidate filtering (the PPJoin §3 counting
+    // refinement, measured against the positional variant which
+    // pruned only 2.6% here — candidates are dominated by
+    // small-A×large-B rows where only the prefix condition binds).
+    // Pigeonhole, one step further: a qualifying pair has
+    // inter ≥ R = ceil(t·nA) (A = the smaller side), so at most
+    // nA − R of A's elements miss B and a prefix of length
+    // min(nA, nA − R + 2) must contain ≥ min(2, R) B-shared elements.
+    // Lengthen the prefix by ONE element (+0.5% postings) and demand
+    // ≥ min(2, R) matching join rows per pair: every candidate pair
+    // sharing exactly one element — 97% of the d15 candidate volume,
+    // the one-rare-shingle collisions — dies BEFORE the verify stage
+    // attaches two full hash-set arrays per pair (the actual cost:
+    // ~8 KB of UnsafeRow traffic per candidate). The old distinct()
+    // was already a hash aggregation of the same join volume, so the
+    // counting aggregate costs nothing extra; exactness is pinned by
+    // the oracle (d15/m11/m12) and the boundary spec.
     val prefix = sh.join(dfreq, "s")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
-      .where(col("rk") <= (col("nsh") -
-        ceil(lit(threshold) * col("nsh") - lit(1e-9)) + 1).cast("int"))
+      .where(col("rk") <= least(col("nsh"), col("nsh") -
+        ceil(lit(threshold) * col("nsh") - lit(1e-9)) + 2).cast("int"))
       .select(col("id"), col("nsh"), col("s"))
     // candidates: a prefix posting meets a FULL posting; the pair is
     // admitted when the prefix side is the (tie: lower-id) smaller
     // side, so each qualifying pair is generated at least once and
-    // the distinct() bound is the candidate set, not d2's full join
+    // the counting bound is the candidate set, not d2's full join
     val cand = prefix.as("p").join(sh.as("f"),
         col("p.s") === col("f.s") && col("p.id") =!= col("f.id") &&
           (col("p.nsh") < col("f.nsh") ||
             (col("p.nsh") === col("f.nsh") && col("p.id") < col("f.id"))))
-      .select(least(col("p.id"), col("f.id")).as("ia"),
+      .groupBy(least(col("p.id"), col("f.id")).as("ia"),
         greatest(col("p.id"), col("f.id")).as("ib"))
-      .distinct()
+      .agg(count(lit(1)).as("_mc"), max(col("p.nsh")).as("_pn"))
+      .filter(col("_mc") >= least(lit(2L),
+        ceil(lit(threshold) * col("_pn") - lit(1e-9)).cast("long")))
+      .select(col("ia"), col("ib"))
     // exact verify: intersect the two cached hash sets map-side
     val withSets = cand
       .join(sets.select(col("id").as("ia"), col("hs").as("ha"),

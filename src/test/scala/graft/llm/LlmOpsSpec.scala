@@ -1771,6 +1771,20 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1L, 2L, 0.9)), s"got ${got.toSeq}")
   }
 
+  test("match-count candidate filter keeps pairs whose REQUIRED overlap " +
+      "is one element (r17: the k=2 count bound must relax to min(2, " +
+      "ceil(t*|A|)) or a contained singleton set would vanish)") {
+    import spark.implicits._
+    val sets = Seq(
+      (1L, Seq(5L), 1L), // |A| = 1: containment 1/1 = 1.0 via one match
+      (2L, Seq(1L, 2L, 3L, 4L, 5L), 5L),
+      (3L, Seq(7L, 8L), 2L) // no overlap with anything
+    ).toDF("id", "hs", "nsh")
+    val got = Dedup.containmentPrefixPairsFromSets(sets, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 2L, 1.0)), s"got $got")
+  }
+
   test("incremental prefix bound: a boilerplate shingle block shared by " +
       "80% of history generates no candidates outside the prefix, and " +
       "results still equal brute force (r13 verdict skew item)") {
