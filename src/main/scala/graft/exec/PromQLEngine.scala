@@ -1927,10 +1927,17 @@ class PromQLEngine(
   }
 
   /** Bucketed `irate`/`idelta`: only the two newest points of each
-    * window matter, so each bucket keeps its two latest points (a
-    * rank-2 window filter, one shuffle) and steps pick the two globally
-    * latest among covering-bucket candidates — ≤ 2(m+1) candidate rows
-    * per step instead of every sample. */
+    * window matter, so each bucket keeps its two latest points and
+    * steps pick the two globally latest among covering-bucket
+    * candidates — ≤ 2(m+1) candidate rows per step instead of every
+    * sample. r17: the rank-2 window filter (sample-volume
+    * Exchange+Sort+Window before any reduction) is replaced by the
+    * commutative constant-buffer [[graft.functions.Top2ByRel]]
+    * aggregate — top-2 merges exactly, so ONE hash aggregation with
+    * map-side partials does it: the exchange now carries two points
+    * per (series, bucket) per map task instead of every sample, and
+    * the Sort/Window nodes vanish from the plan. Output is the same
+    * last2 array (the downstream candidate UDF is order-agnostic). */
   private def bucketedInstant(selector: VectorSelector, w: Long,
       tr: EvalRange, isRate: Boolean): DataFrame = {
     val step = tr.stepMs
@@ -1941,16 +1948,11 @@ class PromQLEngine(
     // primitive aggregates so the whole aggregation stays hash-based
     val partials = materializedInstantPartials(selector, w, tr).getOrElse {
       countRoute("bucketed_query_time")
-      val wspec = Window.partitionBy(col(SIG), col("_b"))
-        .orderBy(col("_rel").desc)
       bucketedBase(selector, w, tr)
         .withColumn("_b", bucketCol(step)).withColumn("_s0", isStart)
-        .withColumn("_rn", row_number().over(wspec))
-        .filter(col("_rn") <= 2 || col("_s0"))
         .groupBy(col(SIG), col("_b"))
         .agg(
-          collect_list(when(col("_rn") <= 2,
-            struct(col("_rel").as("rel"), col(V).as("v")))).as("last2"),
+          graft.functions.Top2ByRel.top2(col("_rel"), col(V)).as("last2"),
           max(when(col("_s0"), 1).otherwise(0)).as("has0"),
           max(when(col("_s0"), col(V))).as("spv"))
     }
