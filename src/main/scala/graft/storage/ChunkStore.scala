@@ -106,7 +106,22 @@ object ChunkStore {
           }
         }
       }
+    // r17 (guide §6, output file sizing): the encode tasks are
+    // sig-bucketed, so EVERY task holds EVERY date it saw and the
+    // partitionBy writer opened (tasks × dates) tiny files — 532
+    // ~2 KB files for the sf0.1 fixture store, and each subsequent
+    // scan paid per-file open/footer cost that dwarfed the decode
+    // (the r16 "5.6 µs/chunk fixed cost"). REBALANCE the ENCODED
+    // chunk rows (small: the heavy samples were already reduced
+    // ~240:1) by date before the write: AQE coalesces small dates
+    // into one task (fixture: 1 file/date) and splits a large date
+    // into advisory-sized tasks (production: ~64–256 MB files) — the
+    // scale-adaptive shape, no constant tuned for either. The
+    // within-partition sort restores (sig, min_t) clustering so
+    // parquet row-group min/max stats keep pruning envelope reads.
     chunks.toDF()
+      .hint("rebalance", col("date"))
+      .sortWithinPartitions(col("date"), col("sig"), col("min_t"))
       .write.mode(if (overwrite) "overwrite" else "append")
       .partitionBy("date").parquet(path)
   }

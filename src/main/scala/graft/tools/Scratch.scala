@@ -1,12 +1,11 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Throwaway stage-decomposition harness (not part of the driver
-  * contract); edit freely while profiling. Currently (r17): d15
-  * positional-prefix candidate volume, old vs new, plus timing.
+  * contract); edit freely while profiling. Currently (r17): chunk
+  * store file layout A/B — scan + decode cost vs file count.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -21,58 +20,30 @@ object Scratch {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
 
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val threshold = 0.6
-    val sets = graft.llm.Dedup.shingleSetsCached(docs, 3, "doc_id", "text")
-    val sh = sets.select(col("id"), col("nsh"), explode(col("hs")).as("s"))
-    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val ranked = sh.join(dfreq, "s")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
-    val prefix = ranked
-      .where(col("rk") <= (col("nsh") -
-        ceil(lit(threshold) * col("nsh") - lit(1e-9)) + 1).cast("int"))
-      .select(col("id"), col("nsh"), col("s"), col("rk"))
-    val prefix2 = ranked
-      .where(col("rk") <= least(col("nsh"), col("nsh") -
-        ceil(lit(threshold) * col("nsh") - lit(1e-9)) + 2).cast("int"))
-      .select(col("id"), col("nsh"), col("s"))
-    val full = ranked.select(col("id"), col("nsh"), col("s"), col("rk"))
-    val admit = col("p.s") === col("f.s") && col("p.id") =!= col("f.id") &&
-      (col("p.nsh") < col("f.nsh") ||
-        (col("p.nsh") === col("f.nsh") && col("p.id") < col("f.id")))
-    val posBound = (lit(1L) + least(col("p.nsh") - col("p.rk"),
-      col("f.nsh") - col("f.rk"))) >=
-      ceil(lit(threshold) * col("p.nsh") - lit(1e-9))
-
-    val candOldRows = prefix.as("p").join(sh.as("f"), admit)
-    val candNewRows = prefix.as("p").join(full.as("f"), admit && posBound)
-
-    println("postings rows: " + sh.count())
-    println("old candidate JOIN rows: " + candOldRows.count())
-    println("new candidate JOIN rows: " + candNewRows.count())
-    println("old distinct pairs: " + candOldRows
-      .select(least(col("p.id"), col("f.id")).as("ia"),
-        greatest(col("p.id"), col("f.id")).as("ib")).distinct().count())
-    println("new distinct pairs: " + candNewRows
-      .select(least(col("p.id"), col("f.id")).as("ia"),
-        greatest(col("p.id"), col("f.id")).as("ib")).distinct().count())
-    val candCount = prefix2.as("p").join(sh.as("f"), admit)
-      .groupBy(least(col("p.id"), col("f.id")).as("ia"),
-        greatest(col("p.id"), col("f.id")).as("ib"))
-      .agg(count(lit(1)).as("_mc"), max(col("p.nsh")).as("_pn"))
-      .filter(col("_mc") >= least(lit(2L),
-        ceil(lit(threshold) * col("_pn") - lit(1e-9)).cast("long")))
-      .select(col("ia"), col("ib"))
-    println("count-filtered pairs (k=2): " + candCount.count())
-
-    // end-to-end timing of the operator (new code path)
-    (1 to 5).foreach { i =>
-      val t = time {
-        graft.llm.Dedup.containmentPrefixPairs(docs, 3, 0.6).count()
-      }
-      println(f"containmentPrefixPairs run $i: $t%.3f s")
+    val out = java.nio.file.Files.createTempDirectory("graft-chunks-r17").toString
+    val samples = graft.model.Samples.fromEventsDir(spark, dir)
+    println(f"write chunks: ${time(graft.storage.ChunkStore.write(samples, out))}%.3f s")
+    val files = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator().asScala
+        .count(p => p.toString.endsWith(".parquet"))
+    }
+    println(s"parquet files: $files")
+    val chunks = graft.storage.ChunkStore.readChunks(spark, out)
+    println(f"chunk rows: ${chunks.count()}")
+    (1 to 3).foreach { i =>
+      println(f"chunk-table scan (noop, run $i): ${time(noop(chunks))}%.3f s")
+    }
+    val dec = graft.storage.ChunkStore.read(spark, out)
+    (1 to 3).foreach { i =>
+      println(f"decode all cols (noop, run $i): ${time(noop(dec))}%.3f s")
+    }
+    val slim = dec.select(col("sig"), col("t"), col("v"))
+    (1 to 3).foreach { i =>
+      println(f"decode slim (noop, run $i): ${time(noop(slim))}%.3f s")
     }
     spark.stop()
   }
