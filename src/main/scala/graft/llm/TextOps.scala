@@ -899,20 +899,43 @@ object TextOps {
       textCol: String = "text"): DataFrame = {
     require(window >= 1 && k >= 1, s"window=$window k=$k")
     val tok = docs.select(tokens(col(textCol)).as("_tk"))
+    // r17 (guide §2.3, narrower shuffle keys): the pair aggregate is
+    // the only corpus-volume shuffle here, and it shipped two token
+    // STRINGS per row; keying on 64-bit xxhash64 halves-or-better the
+    // exchange bytes and makes the per-row hash/compare fixed-width.
+    // Strings re-attach AFTER the aggregate via a broadcast of the
+    // vocabulary (already computed for the unigram counts), and the
+    // top-k tie-break still happens on the re-attached strings, so
+    // output order is unchanged. Same 64-bit-collision stance as the
+    // d2 shingle join (~|vocab|²/2^64): a collision would merge two
+    // pair counts; at realistic vocabularies the odds are negligible.
     val pairs = tok
       .select(col("_tk"), posexplode(col("_tk")).as(Seq("_i", "_a")))
-      .select(col("_tk"), col("_i"), col("_a"),
+      .select(col("_tk"), col("_i"), xxhash64(col("_a")).as("_ha"),
         explode(sequence(lit(1), lit(window))).as("_o"))
       // `get` (0-based, null past the end) rather than element_at:
-      // the window runs off the document tail for the last tokens
+      // the window runs off the document tail for the last tokens —
+      // filter on the raw token BEFORE hashing (xxhash64 maps null to
+      // the seed, not to null)
       .withColumn("_b", get(col("_tk"), col("_i") + col("_o")))
       .filter(col("_b").isNotNull)
-      .select(least(col("_a"), col("_b")).as("w1"),
-        greatest(col("_a"), col("_b")).as("w2"))
-    val pc = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
-    val top = pc.orderBy(col("cnt").desc, col("w1"), col("w2")).limit(k)
+      .select(least(col("_ha"), xxhash64(col("_b"))).as("h1"),
+        greatest(col("_ha"), xxhash64(col("_b"))).as("h2"))
+    val pch = pairs.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("cnt"))
     val wc = docs.select(explode(tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    // hash → string map is vocabulary-sized: broadcast it twice to
+    // re-attach pair member strings map-side, then canonicalize the
+    // pair by STRING order exactly as before
+    val hw = wc.select(xxhash64(col("w")).as("h"), col("w"))
+    val pc = pch
+      .join(broadcast(hw.select(col("h").as("h1"), col("w").as("_s1"))),
+        Seq("h1"))
+      .join(broadcast(hw.select(col("h").as("h2"), col("w").as("_s2"))),
+        Seq("h2"))
+      .select(least(col("_s1"), col("_s2")).as("w1"),
+        greatest(col("_s1"), col("_s2")).as("w2"), col("cnt"))
+    val top = pc.orderBy(col("cnt").desc, col("w1"), col("w2")).limit(k)
     val totTokens = wc.agg(sum(col("n")).as("nt"))
     val totPairs = pc.agg(sum(col("cnt")).as("tp"))
     // enrich the k winners with their unigram counts: broadcast the
