@@ -357,16 +357,26 @@ object Dedup {
       explode(col("hs")).as("s"))
     val dfSlice = setDfCached(historySets).join(
       broadcast(freshVocabCached(freshSets)), Seq("s"), "left_semi")
+    // r17: PPJoin counting bound, as in the batch family
+    // ([[containmentPrefixPairsFromSets]]): Jaccard ≥ t implies
+    // inter ≥ t·|F∪H| ≥ t·|F|, so with the fresh prefix lengthened by
+    // one element a qualifying pair must land min(2, ceil(t·|F|))
+    // matching rows in this join — pairs sharing exactly one rare
+    // element never reach the set verify. The counting aggregate
+    // replaces the old distinct() at the same join volume.
     val fpref = prefixPostings(freshSets, dfSlice, threshold,
-        broadcastDf = true)
-      .select(col("id").as("fid"), col("s"))
+        broadcastDf = true, extraLen = 1)
+      .select(col("id").as("fid"), col("nsh").as("nf"), col("s"))
     val cand = candCached(freshSets, historySets, threshold, "jac") {
       hpost.select(col("hid"), col("s"))
         .join(broadcast(fpref.select(col("s")).distinct()), Seq("s"),
           "left_semi")
         .join(fpref, Seq("s"))
+        .groupBy(col("fid"), col("hid"))
+        .agg(count(lit(1)).as("_mc"), max(col("nf")).as("_nf"))
+        .filter(col("_mc") >= least(lit(2L),
+          ceil(lit(threshold) * col("_nf") - lit(1e-9)).cast("long")))
         .select(col("fid"), col("hid"))
-        .distinct()
     }
     verifyPairsExact(cand, freshSets, historySets,
       jaccard(col("inter"), col("nf"), col("nh")), "jaccard", threshold)
@@ -478,6 +488,15 @@ object Dedup {
     // ceil(t·nf) when containment is achieved on the fresh side).
     // Prefix elements are a SUBSET of the batch vocabulary, so the
     // history prune broadcast shrinks too.
+    // r17 note: the batch family's counting bound was tried here on
+    // the fresh orientation (extraLen = 1 + per-pair count filter,
+    // two shapes: a separate cand1 aggregation, then a tagged-union
+    // aggregation replacing the distinct) and REVERTED — alternating
+    // two-tree probes showed d17 +10–25% in both shapes: this path's
+    // candidates are already few (both sides pruned to the batch
+    // vocabulary), so the extra carried columns/aggregates cost more
+    // than the saved verify rows. The jaccard route keeps the bound
+    // (single orientation, aggregate replaces distinct 1:1).
     val fpref = prefixPostings(freshSets, dfSlice, threshold,
         broadcastDf = true)
       .select(col("id").as("fid"), col("nsh").as("nf"), col("s"))
@@ -717,8 +736,16 @@ object Dedup {
     * — it only ever lengthens a prefix, and only at FP-ambiguous
     * boundaries. `broadcastDf = true` for the per-batch path, where
     * dfreq has been pre-sliced to the batch vocabulary. */
+  /** `extraLen` (r17): lengthen the pigeonhole prefix by that many
+    * elements so callers can demand `1 + extraLen` matching join rows
+    * per candidate pair (the PPJoin counting bound — see
+    * [[containmentPrefixPairsFromSets]]). The PERSISTED orientation-2
+    * history prefix stays at `extraLen = 0`: its on-disk format
+    * predates the bound, and orientation-2 candidates keep the
+    * classic single-match admission. */
   private def prefixPostings(sets: DataFrame, dfreq: DataFrame,
-      threshold: Double, broadcastDf: Boolean = false): DataFrame = {
+      threshold: Double, broadcastDf: Boolean = false,
+      extraLen: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = sets.select(col("id"), col("nsh"), explode(col("hs")).as("s"))
     val dfr = if (broadcastDf) broadcast(dfreq) else dfreq
@@ -727,7 +754,8 @@ object Dedup {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("dfo"), col("s"))))
       .where(col("rk") <= (col("nsh") -
-        ceil(lit(threshold) * col("nsh") - lit(1e-9)) + 1).cast("int"))
+        ceil(lit(threshold) * col("nsh") - lit(1e-9)) + 1 + extraLen)
+        .cast("int"))
       .select(col("id"), col("nsh"), col("s"))
   }
 
