@@ -735,8 +735,9 @@ object Dedup {
     * prefix). The ε guard matches [[containmentPrefixPairsFromSets]]
     * — it only ever lengthens a prefix, and only at FP-ambiguous
     * boundaries. `broadcastDf = true` for the per-batch path, where
-    * dfreq has been pre-sliced to the batch vocabulary. */
-  /** `extraLen` (r17): lengthen the pigeonhole prefix by that many
+    * dfreq has been pre-sliced to the batch vocabulary.
+    *
+    * `extraLen` (r17): lengthen the pigeonhole prefix by that many
     * elements so callers can demand `1 + extraLen` matching join rows
     * per candidate pair (the PPJoin counting bound — see
     * [[containmentPrefixPairsFromSets]]). The PERSISTED orientation-2
