@@ -911,7 +911,11 @@ object TextOps {
     // pair counts; at realistic vocabularies the odds are negligible.
     val pairs = tok
       .select(col("_tk"), posexplode(col("_tk")).as(Seq("_i", "_a")))
-      .select(col("_tk"), col("_i"), xxhash64(col("_a")).as("_ha"),
+      // own select below the window explode: an expression sharing a
+      // select with a generator lands in the Project ABOVE the
+      // Generate and runs once per EXPLODED row (the x9 ×64 lesson)
+      .select(col("_tk"), col("_i"), xxhash64(col("_a")).as("_ha"))
+      .select(col("_tk"), col("_i"), col("_ha"),
         explode(sequence(lit(1), lit(window))).as("_o"))
       // `get` (0-based, null past the end) rather than element_at:
       // the window runs off the document tail for the last tokens —
