@@ -184,6 +184,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // a PREVIOUS run's contract line must not survive a crash of this
+    // one: a driver that falls back to the file (the reason it exists)
+    // would otherwise read stale timings as this run's results
+    try java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get("bench_line.json"))
+    catch { case _: Throwable => () }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

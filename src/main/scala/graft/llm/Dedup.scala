@@ -374,8 +374,7 @@ object Dedup {
         .join(fpref, Seq("s"))
         .groupBy(col("fid"), col("hid"))
         .agg(count(lit(1)).as("_mc"), max(col("nf")).as("_nf"))
-        .filter(col("_mc") >= least(lit(2L),
-          ceil(lit(threshold) * col("_nf") - lit(1e-9)).cast("long")))
+        .filter(col("_mc") >= minMatchCount(threshold, col("_nf")))
         .select(col("fid"), col("hid"))
     }
     verifyPairsExact(cand, freshSets, historySets,
@@ -1070,6 +1069,16 @@ object Dedup {
   private def jaccard(inter: Column, na: Column, nb: Column): Column =
     inter.cast("double") / (na + nb - inter).cast("double")
 
+  /** Minimum matching join rows the counting candidate filter demands
+    * when the pair's min side has `n` elements: min(2, ceil(t·n − ε))
+    * — the pigeonhole bound behind the +1-lengthened prefixes (see
+    * [[containmentPrefixPairsFromSets]]). One definition for both the
+    * batch and incremental routes: the ε matches the prefix length's
+    * and only ever LOWERS the demand at FP-ambiguous boundaries; the
+    * min(2,·) cap keeps singleton/tiny sets admissible (spec-pinned). */
+  private def minMatchCount(threshold: Double, n: Column): Column =
+    least(lit(2L), ceil(lit(threshold) * n - lit(1e-9)).cast("long"))
+
   // ---- exact n-gram Jaccard (baseline) ----------------------------------
 
   /** All pairs with word-`n`-gram Jaccard ≥ `threshold`, via an
@@ -1212,8 +1221,7 @@ object Dedup {
       .groupBy(least(col("p.id"), col("f.id")).as("ia"),
         greatest(col("p.id"), col("f.id")).as("ib"))
       .agg(count(lit(1)).as("_mc"), max(col("p.nsh")).as("_pn"))
-      .filter(col("_mc") >= least(lit(2L),
-        ceil(lit(threshold) * col("_pn") - lit(1e-9)).cast("long")))
+      .filter(col("_mc") >= minMatchCount(threshold, col("_pn")))
       .select(col("ia"), col("ib"))
     // exact verify: intersect the two cached hash sets map-side
     val withSets = cand

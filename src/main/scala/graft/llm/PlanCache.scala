@@ -18,12 +18,22 @@ import org.apache.spark.sql.DataFrame
   * with per-bin locking and small driver-side values instead.
   */
 private[graft] object PlanCache {
+  /** Unpersist that never throws out of cache machinery: skipped on a
+    * stopped context (teardown frees all block storage anyway) and
+    * exception-guarded against the CacheManager race a stop concurrent
+    * with the check can still hit (r17 — shared by LRU eviction and
+    * the application-end sweep, so neither path can propagate a
+    * teardown race into a caller's cache insert). */
+  private def safeUnpersist(v: DataFrame): Unit =
+    if (!v.sparkSession.sparkContext.isStopped)
+      try v.unpersist(false) catch { case _: Throwable => () }
+
   def bounded[K](max: Int): java.util.Map[K, DataFrame] =
     java.util.Collections.synchronizedMap(
       new java.util.LinkedHashMap[K, DataFrame](16, 0.75f, true) {
         override def removeEldestEntry(
             e: java.util.Map.Entry[K, DataFrame]): Boolean =
-          if (size() > max) { e.getValue.unpersist(false); true }
+          if (size() > max) { safeUnpersist(e.getValue); true }
           else false
       })
 
@@ -35,16 +45,11 @@ private[graft] object PlanCache {
     * non-blocking and never runs a job. */
   def clearAndUnpersist(m: java.util.Map[_, DataFrame]): Unit =
     m.synchronized {
-      m.values.forEach { v =>
-        // r17: the application-end listener (Samples.evictSession)
-        // calls this while the context is tearing down — unpersist
-        // then races CacheManager internals and logs a scary (but
-        // harmless) stack trace from the listener bus. A stopped
-        // context frees all block storage anyway, so skip, and keep
-        // a belt-and-braces catch for the stop racing the check.
-        if (!v.sparkSession.sparkContext.isStopped)
-          try v.unpersist(false) catch { case _: Throwable => () }
-      }
+      // r17: the application-end listener (Samples.evictSession)
+      // calls this while the context is tearing down — a raw
+      // unpersist then races CacheManager internals and logs a scary
+      // (but harmless) stack trace from the listener bus.
+      m.values.forEach(safeUnpersist(_))
       m.clear()
     }
 }
